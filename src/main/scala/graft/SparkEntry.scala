@@ -27,7 +27,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_events_topk" -> (Queries.eventsTopK _)
+    "q01_events_topk" -> (Queries.eventsTopK _),
+    "q02_scan_prune_filter" -> (operators.CoreQueries.scanPruneFilter _),
+    "q03_fill_defaults" -> (operators.CoreQueries.fillDefaults _),
+    "q04_json_extract" -> (operators.CoreQueries.jsonExtract _),
+    "q05_nest_unnest" -> (operators.CoreQueries.nestUnnest _),
+    "q06_distinct_counts" -> (operators.CoreQueries.distinctCounts _),
+    "q07_table_counts" -> (operators.CoreQueries.tableCounts _),
+    "q08_feature_bucket" -> (operators.CoreQueries.featureBucket _),
+    "q09_normalize" -> (operators.CoreQueries.normalize _),
+    "q10_shuffle" -> (operators.CoreQueries.deterministicShuffle _),
+    "q11_repeat_epochs" -> (operators.CoreQueries.repeatEpochs _),
+    "q12_batch_stats" -> (operators.CoreQueries.batchStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,7 +54,80 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY total_value DESC, event_type
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    "q02_scan_prune_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+        |  l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_fill_defaults" ->
+      """SELECT doc_id,
+        |  coalesce(nullif(lang, 'en'), 'unknown') AS lang_or_default,
+        |  coalesce(nullif(source, 'src0'), '') AS source_or_default
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q04_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q05_nest_unnest" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+        |       AS INTEGER) AS idx,
+        |  event_id, event_type, value
+        |FROM events
+        |ORDER BY user_id, idx""".stripMargin,
+    "q06_distinct_counts" ->
+      """SELECT count(DISTINCT l_returnflag) AS n_returnflag,
+        |  count(DISTINCT l_linestatus) AS n_linestatus,
+        |  count(DISTINCT l_partkey) AS n_partkey,
+        |  count(DISTINCT l_suppkey) AS n_suppkey,
+        |  count(DISTINCT l_orderkey) AS n_orderkey
+        |FROM lineitem""".stripMargin,
+    "q07_table_counts" ->
+      """SELECT 'lineitem' AS tbl, count(*) AS n_rows FROM lineitem
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |UNION ALL SELECT 'customer', count(*) FROM customer
+        |UNION ALL SELECT 'events', count(*) FROM events
+        |UNION ALL SELECT 'documents', count(*) FROM documents
+        |ORDER BY tbl""".stripMargin,
+    "q08_feature_bucket" ->
+      """SELECT p_partkey,
+        |  (p_partkey * 2654435761) % 1000 AS bucket
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "q09_normalize" ->
+      """SELECT event_id, event_type,
+        |  round((value - avg(value) OVER (PARTITION BY event_type)) /
+        |        stddev_samp(value) OVER (PARTITION BY event_type), 4)
+        |    AS value_norm
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q10_shuffle" ->
+      """SELECT event_id,
+        |  (event_id * 2654435761) % 1048576 AS shuffle_key
+        |FROM events
+        |ORDER BY shuffle_key, event_id
+        |LIMIT 100""".stripMargin,
+    "q11_repeat_epochs" ->
+      """SELECT epoch, event_type, count(*) AS n
+        |FROM (SELECT 0 AS epoch, event_type FROM events
+        |      UNION ALL SELECT 1, event_type FROM events
+        |      UNION ALL SELECT 2, event_type FROM events)
+        |GROUP BY epoch, event_type
+        |ORDER BY epoch, event_type""".stripMargin,
+    "q12_batch_stats" ->
+      """SELECT batch_id, count(*) AS batch_rows,
+        |  round(sum(value), 4) AS batch_value
+        |FROM (SELECT value,
+        |        CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 512.0)
+        |             AS BIGINT) AS batch_id
+        |      FROM events)
+        |GROUP BY batch_id
+        |ORDER BY batch_id""".stripMargin
   )
 }
 

@@ -38,7 +38,15 @@ object SparkEntry {
     "q09_normalize" -> (operators.CoreQueries.normalize _),
     "q10_shuffle" -> (operators.CoreQueries.deterministicShuffle _),
     "q11_repeat_epochs" -> (operators.CoreQueries.repeatEpochs _),
-    "q12_batch_stats" -> (operators.CoreQueries.batchStats _)
+    "q12_batch_stats" -> (operators.CoreQueries.batchStats _),
+    "q13_star_join_revenue" -> (operators.OlapQueries.starJoinRevenue _),
+    "q14_top_parts" -> (operators.OlapQueries.topPartsByRevenue _),
+    "q15_event_windows" -> (operators.OlapQueries.eventWindows _),
+    "q16_set_ops" -> (operators.OlapQueries.setOps _),
+    "q17_rollup" -> (operators.OlapQueries.rollupQuantities _),
+    "q18_semi_anti" -> (operators.OlapQueries.semiAntiCustomers _),
+    "q19_top_orders_per_customer" -> (operators.OlapQueries.topOrdersPerCustomer _),
+    "q20_hourly_events" -> (operators.OlapQueries.hourlyEventStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,7 +135,73 @@ object SparkEntry {
         |             AS BIGINT) AS batch_id
         |      FROM events)
         |GROUP BY batch_id
-        |ORDER BY batch_id""".stripMargin
+        |ORDER BY batch_id""".stripMargin,
+    "q13_star_join_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q14_top_parts" ->
+      """SELECT p_partkey, p_name, p_brand,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey, p_name, p_brand
+        |ORDER BY revenue DESC, p_partkey
+        |LIMIT 20""".stripMargin,
+    "q15_event_windows" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |    AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q16_set_ops" ->
+      """SELECT 'both' AS tag, nationkey FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only', nationkey FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier)
+        |ORDER BY tag, nationkey""".stripMargin,
+    "q17_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |  coalesce(l_linestatus, '(all)') AS linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q18_semi_anti" ->
+      """SELECT 'with_orders' AS tag, count(*) AS n_customers FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders', count(*) FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY tag""".stripMargin,
+    "q19_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "q20_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events
+        |GROUP BY hour_start, event_type
+        |ORDER BY hour_start, event_type""".stripMargin
   )
 }
 

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** OLAP join / window / set-op surface. The reference's only join is
+  * the lateral UNNEST (SURVEY.md §2.3) — these queries prove the
+  * standard OLAP surface the engine inherits from Spark, shaped for
+  * scale: dimension tables are broadcast (no shuffle of the fact
+  * table), fact-fact joins shuffle on the join key once, and top-k is
+  * rank-then-filter, never a global collect.
+  */
+object OlapQueries {
+
+  /** Star-schema equi-join: revenue by nation. lineitem⋈orders is the
+    * only big-big join (shuffle on orderkey; AQE handles skew);
+    * customer/nation/region ride along as broadcasts so the fact rows
+    * never move again. At 100 TB the dims stay < broadcast threshold
+    * (customer excepted — Spark falls back to shuffle automatically if
+    * it outgrows the hint).
+    */
+  def starJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val cust = Tables.load(spark, sfDir, "customer")
+    val nat = Tables.load(spark, sfDir, "nation")
+    val reg = Tables.load(spark, sfDir, "region")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Top-k with a broadcast dim join: 20 highest-revenue parts.
+    * Catalyst fuses orderBy+limit into TakeOrderedAndProject — each
+    * partition keeps 20 rows, the driver merges; no global sort.
+    */
+  def topPartsByRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("p_brand"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("p_partkey"))
+      .limit(20)
+  }
+
+  /** Window functions over event sequences (SURVEY.md §2.5's suggested
+    * form): per-user ordering with row_number, lag, and a running sum
+    * — one shuffle on user_id, then a per-partition sort.
+    */
+  def eventWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, sfDir, "events")
+      .select(
+        col("user_id"), col("event_id"), col("value"),
+        row_number().over(w).as("rn"),
+        lag("value", 1).over(w).as("prev_value"),
+        round(sum("value").over(runW), 4).as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Set operations: nations that have both customers and suppliers
+    * (INTERSECT) vs customer-only nations (EXCEPT), tagged and
+    * unioned. Spark plans these as aggregates/semi-joins — broadcast
+    * at this dim size.
+    */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val custNations = Tables.load(spark, sfDir, "customer")
+      .select(col("c_nationkey").as("nationkey"))
+    val suppNations = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_nationkey").as("nationkey"))
+    val both = custNations.intersect(suppNations)
+      .select(lit("both").as("tag"), col("nationkey"))
+    val custOnly = custNations.except(suppNations)
+      .select(lit("cust_only").as("tag"), col("nationkey"))
+    both.union(custOnly).orderBy("tag", "nationkey")
+  }
+
+  /** ROLLUP aggregation: subtotals + grand total over
+    * (returnflag, linestatus). Grouping-null labels are coalesced to
+    * '(all)' so the oracle hash-compare never sorts raw nulls.
+    */
+  def rollupQuantities(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Semi/anti joins: customers with vs without orders. Both plan as
+    * one shuffle (or broadcast of the keys side) — never a full join
+    * materialization.
+    */
+  def semiAntiCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val ordKeys = Tables.load(spark, sfDir, "orders").select("o_custkey")
+    val withOrders = cust.join(ordKeys, cust("c_custkey") === ordKeys("o_custkey"),
+      "left_semi").agg(count(lit(1)).as("n_customers"))
+      .select(lit("with_orders").as("tag"), col("n_customers"))
+    val withoutOrders = cust.join(ordKeys, cust("c_custkey") === ordKeys("o_custkey"),
+      "left_anti").agg(count(lit(1)).as("n_customers"))
+      .select(lit("without_orders").as("tag"), col("n_customers"))
+    withOrders.union(withoutOrders).orderBy("tag")
+  }
+
+  /** Top-N per group (rank + filter): each customer's 3 largest
+    * orders. The rank prunes inside each partition after one shuffle
+    * on the grouping key — the scalable form of per-group top-k.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Event-time tumbling window (SURVEY.md §2.10): hourly aggregate
+    * over `ts` — the batch twin of the Structured Streaming query in
+    * graft.streaming (identical semantics; the oracle runs the batch
+    * form).
+    */
+  def hourlyEventStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("hour_start", "event_type")
+}

@@ -74,6 +74,20 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** On-disk shape of events: `ts` is parquet TIMESTAMP(NANOS), which
+    * Spark only reads as a raw long (spark.sql.legacy.parquet.nanosAsLong
+    * — set in every session builder). [[load]] converts it to a µs
+    * TimestampType, truncating exactly like DuckDB's ns→µs cast so the
+    * oracle agrees.
+    */
+  private val eventsOnDisk: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   val documents: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -94,5 +108,14 @@ object Tables {
 
   /** Read one table from an sf directory with its declared schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      // integer `div` — double division would lose low bits of an
+      // int64 epoch-nanos value (> 2^53)
+      spark.read.schema(eventsOnDisk).parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(events.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    } else {
+      spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    }
 }

@@ -46,7 +46,10 @@ object SparkEntry {
     "q17_rollup" -> (operators.OlapQueries.rollupQuantities _),
     "q18_semi_anti" -> (operators.OlapQueries.semiAntiCustomers _),
     "q19_top_orders_per_customer" -> (operators.OlapQueries.topOrdersPerCustomer _),
-    "q20_hourly_events" -> (operators.OlapQueries.hourlyEventStats _)
+    "q20_hourly_events" -> (operators.OlapQueries.hourlyEventStats _),
+    // rows-only check: DuckDB has no matching HLL implementation; the
+    // estimator's accuracy is property-tested against exact counts.
+    "q21_vocab_sizes" -> (plans.CardinalityEstimator.vocabTable _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

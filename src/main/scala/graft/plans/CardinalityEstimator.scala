@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.HllFunctions.hll_distinct
+import graft.sources.Tables
+
+/** Per-column NDV estimation and the hash-domain sizing rule built on
+  * it — the end-to-end flow the reference performs by hand: measure
+  * distinct counts offline (`vocab_size`, trainer.py:91-118), then
+  * size each categorical hash domain as `ndv * 5`
+  * (trainer.py:264).
+  *
+  * All columns are sketched in ONE scan (one HLL buffer per column in
+  * a single aggregate), so analyzing a 40-column 100 TB table costs
+  * the same pass a count(*) does.
+  */
+object CardinalityEstimator {
+
+  val BucketMultiplier = 5 // trainer.py:264
+
+  /** One-pass approximate NDV for each named column. */
+  def vocabSizes(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
+    val aggs: Seq[Column] = cols.map(c => hll_distinct(col(c)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+  }
+
+  /** The reference's sizing rule: hash-bucket domain = ndv × 5. */
+  def bucketSizes(vocab: Map[String, Long]): Map[String, Long] =
+    vocab.map { case (c, n) => c -> n * BucketMultiplier }
+
+  /** Long-form table of (column, approx ndv, bucket size) for the
+    * categorical columns of a table — the engine's rendition of the
+    * reference's `vocab_size` dict. Not oracle-checked (DuckDB's HLL
+    * differs); accuracy is property-tested against exact counts.
+    */
+  def vocabTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val cols = Seq("l_returnflag", "l_linestatus", "l_partkey",
+      "l_suppkey", "l_orderkey")
+    val aggs = cols.map(c => hll_distinct(col(c)).as(c))
+    val wide = li.agg(aggs.head, aggs.tail: _*) // ONE scan, 5 sketches
+    val stackArgs = cols.map(c => s"'$c', $c").mkString(", ")
+    wide.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, approx_ndv)"))
+      .withColumn("n_buckets", col("approx_ndv") * BucketMultiplier)
+      .orderBy("column_name")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import graft.functions.{HllDistinct, HllSketch}
+
+/** The engine's Catalyst plugin (the `BASELINE.json` north star:
+  * "Spark SQL with custom cardinality estimator plugin").
+  *
+  * Installs two things on a SparkSession (builder:
+  * `.withExtensions(new GraftExtensions)`):
+  *
+  *  1. SQL surface: `hll_distinct(col[, precision])` — the custom HLL
+  *     aggregate (graft.functions.HllDistinct).
+  *  2. Optimizer rule [[ApproxDistinctRewrite]]: when
+  *     `spark.graft.approxDistinct.enabled=true`, rewrites exact
+  *     `COUNT(DISTINCT x)` into the sketch. COUNT DISTINCT over a
+  *     high-cardinality column is one of the few queries whose cost
+  *     explodes at 100 TB (it must shuffle every distinct value); the
+  *     sketch answers it with one pass and a 16 KiB buffer per group,
+  *     at ~0.8% error — exactly the trade the reference bakes into its
+  *     offline `vocab_size` table (trainer.py:91-118).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(classOf[HllDistinct].getName, "hll_distinct"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => HllDistinct(c)
+        case Seq(c, Literal(p: Int, _)) => HllDistinct(c, p)
+        case _ => throw new IllegalArgumentException(
+          "hll_distinct(col[, precision])")
+      }))
+    e.injectOptimizerRule(_ => ApproxDistinctRewrite)
+  }
+}
+
+/** Rewrites `COUNT(DISTINCT x)` → `hll_distinct(x)` when
+  * `spark.graft.approxDistinct.enabled=true` (default false — exact
+  * semantics are the default; the estimator is an opt-in plan
+  * transform, like Catalyst's own CBO switches).
+  */
+object ApproxDistinctRewrite extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.approxDistinct.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(ConfKey, "false").toBoolean) plan
+    else plan.transformAllExpressions {
+      case ae @ AggregateExpression(Count(Seq(child)), _, true, _, _) =>
+        AggregateExpression(
+          HllDistinct(child, HllSketch.DefaultPrecision),
+          ae.mode, isDistinct = false, ae.filter, ae.resultId)
+    }
+}

@@ -49,7 +49,16 @@ object SparkEntry {
     "q20_hourly_events" -> (operators.OlapQueries.hourlyEventStats _),
     // rows-only check: DuckDB has no matching HLL implementation; the
     // estimator's accuracy is property-tested against exact counts.
-    "q21_vocab_sizes" -> (plans.CardinalityEstimator.vocabTable _)
+    "q21_vocab_sizes" -> (plans.CardinalityEstimator.vocabTable _),
+    "q22_exact_dedup" -> (operators.Dedup.exactDedup _),
+    // rows-only: LSH bucketing uses xxhash64, which DuckDB can't replay;
+    // recall vs brute force is unit-tested (DedupSpec).
+    "q23_minhash_pairs" -> ((s: SparkSession, d: String) =>
+      operators.Dedup.minhashPairs(s, d)),
+    "q24_simhash_pairs" -> ((s: SparkSession, d: String) =>
+      operators.Dedup.simhashPairs(s, d)),
+    "q25_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) =>
+      operators.Dedup.ngramJaccardPairs(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -204,7 +213,36 @@ object SparkEntry {
         |  count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events
         |GROUP BY hour_start, event_type
-        |ORDER BY hour_start, event_type""".stripMargin
+        |ORDER BY hour_start, event_type""".stripMargin,
+    "q22_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY keep_doc_id""".stripMargin,
+    "q25_ngram_jaccard_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) >= 3
+        |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, len(ws) - 1)]
+        |      ELSE [text] END) AS sh,
+        |    CAST(floor(n_chars / 64.0) AS BIGINT) AS blk
+        |  FROM (SELECT doc_id, text, n_chars,
+        |          string_split(text, ' ') AS ws FROM documents)
+        |), pairs AS (
+        |  SELECT a.doc_id AS ai, b.doc_id AS bi,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id),
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4)
+        |  FROM d a JOIN d b ON a.blk + 1 = b.blk
+        |)
+        |SELECT ai, bi, jaccard FROM pairs
+        |WHERE jaccard >= 0.8
+        |ORDER BY ai, bi""".stripMargin
   )
 }
 

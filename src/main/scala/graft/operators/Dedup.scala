@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.SimHashFunctions.simhash64
+import graft.sources.Tables
+
+/** Deduplication operators over a text corpus — exact, MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard. All are built as equality-join
+  * plans (group-by on content hash, band-bucket joins), never O(n²)
+  * comparison, so they scale to a 100 TB corpus: the quadratic step
+  * only ever runs inside an LSH bucket / blocking group.
+  *
+  * The reference has no dedup (its analog is hash-bucketing of
+  * categoricals, trainer.py:262-267); these are the LLM-training-data
+  * operators the engine adds on top (BASELINE.json north star).
+  */
+object Dedup {
+
+  // ---- shingling -------------------------------------------------------
+
+  /** Distinct word n-gram shingles of a single-space-separated text
+    * column. Shingles (not unigrams) carry word order, which is what
+    * distinguishes near-duplicates in a small-vocabulary corpus.
+    */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val ws = split(text, " ")
+    val grams = transform(
+      sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
+    array_distinct(when(size(ws) >= n, grams).otherwise(array(text)))
+  }
+
+  /** xxhash64 of each shingle — the 64-bit feature space MinHash and
+    * SimHash operate in.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(wordShingles(text, n), s => xxhash64(s))
+
+  // ---- exact dedup -----------------------------------------------------
+
+  /** Exact dedup by content hash: one row per distinct text, keeping
+    * the smallest doc_id (deterministic, unlike dropDuplicates). The
+    * group key is sha2(text) so the shuffle moves 32 bytes per row,
+    * not the document body — at 100 TB that is the whole game.
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select("keep_doc_id", "n_copies")
+      .orderBy("keep_doc_id")
+
+  // ---- MinHash + LSH ---------------------------------------------------
+
+  /** 48 minhashes in 12 bands × 4 rows — LSH threshold ≈ 0.55; pairs
+    * above ~0.8 Jaccard are caught with probability > 0.999.
+    */
+  val NumHashes = 48
+  val NumBands = 12
+  val RowsPerBand = 4
+
+  /** MinHash signature columns sig0..sig47 for a shingle-hash array.
+    * The i-th hash family member is xxhash64(shingleHash, i) — re-keyed
+    * hashing instead of the a*x+b family, which ANSI mode (Spark 4
+    * default) would reject for its intentional overflow.
+    */
+  def minhashSignature(hashes: Column): Seq[Column] =
+    (0 until NumHashes).map { i =>
+      array_min(transform(hashes, h => xxhash64(h, lit(i)))).as(s"sig$i")
+    }
+
+  /** Near-duplicate pairs via MinHash LSH, verified with exact shingle
+    * Jaccard ≥ `threshold`. Plan shape: per-doc signature (one narrow
+    * shuffle-free projection) → explode 12 band keys → self-join on
+    * band key (equality ⇒ hash join) → distinct candidate pair →
+    * verify by joining the two shingle sets back. Only candidates pay
+    * the exact-Jaccard cost.
+    */
+  def minhashPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), wordShingles(col("text")).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+
+    val sigs = docs.select(
+      (col("doc_id") +: minhashSignature(col("hs"))): _*)
+    val bandCols = (0 until NumBands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"sig${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"))
+      .distinct()
+
+    val sh = docs.select(col("doc_id"), col("sh"))
+    candidates
+      .join(sh.as("sa"), col("ai") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("bi") === col("sb.doc_id"))
+      .select(col("ai"), col("bi"),
+        round(size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("ai", "bi")
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** Near-duplicate pairs via SimHash: 64-bit signature per doc, 4
+    * bands of 16 bits as LSH keys (any pair within Hamming distance 3
+    * shares at least one band), verified by exact Hamming distance ≤
+    * `maxHamming`. Same equality-join shape as MinHash — no O(n²).
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), simhash64(shingleHashes(col("text"))).as("sig"))
+
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))
+          .as("key"))
+    }
+    val banded = docs
+      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("ai", "bi")
+  }
+
+  // ---- exact n-gram Jaccard (oracle-checkable) -------------------------
+
+  /** Exact word-3-gram Jaccard near-dup pairs, blocked on a length
+    * bucket (n_chars/64; a pair is compared iff their buckets differ
+    * by ≤ 1). Fully portable semantics — no engine-specific hash — so
+    * this is the dedup operator the DuckDB oracle replays verbatim.
+    * Blocking bounds the quadratic step by bucket size; the two
+    * equality-join branches (same bucket / adjacent bucket) both plan
+    * as hash joins.
+    */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), wordShingles(col("text")).as("sh"),
+        floor(col("n_chars") / 64).as("blk"))
+
+    def jaccard(a: Column, b: Column): Column =
+      round(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)), 4)
+
+    val l = docs.as("l")
+    val r = docs.as("r")
+    val same = l.join(r,
+        col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"),
+        jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
+    val adjacent = l.join(r, col("l.blk") + 1 === col("r.blk"))
+      .select(least(col("l.doc_id"), col("r.doc_id")).as("ai"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("bi"),
+        jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
+
+    same.union(adjacent)
+      .filter(col("jaccard") >= threshold)
+      .orderBy("ai", "bi")
+  }
+}

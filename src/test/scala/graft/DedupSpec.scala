@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+
+  test("wordShingles: count and order-sensitivity") {
+    import spark.implicits._
+    val df = Seq("a b c d e", "e d c b a", "x y").toDF("text")
+    val sh = df.select(Dedup.wordShingles(col("text")).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0) == Seq("a b c", "b c d", "c d e"))
+    assert(sh(1) == Seq("e d c", "d c b", "c b a")) // order matters
+    assert(sh(2) == Seq("x y")) // short-doc guard
+  }
+
+  test("exactDedup keeps one row per distinct text") {
+    val docs = Tables.load(spark, sf, "documents")
+    val nDistinct = docs.select("text").distinct().count()
+    val dedup = Dedup.exactDedup(spark, sf)
+    assert(dedup.count() == nDistinct)
+    assert(dedup.agg(sum("n_copies")).collect()(0).getLong(0) == docs.count())
+  }
+
+  /** Ground truth: all pairs with exact shingle jaccard >= t (O(n²),
+    * test-scale only).
+    */
+  private def bruteForcePairs(t: Double): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), Dedup.wordShingles(col("text")).as("sh"))
+    docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .filter(col("j") >= t)
+  }
+
+  test("minhashPairs recall: finds every true pair >= 0.8 jaccard") {
+    val truth = bruteForcePairs(0.8).select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashPairs(spark, sf).select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "corpus should contain planted near-dups")
+    // verification step filters to >= 0.8, so found ⊆ truth always
+    assert(found.subsetOf(truth))
+    // LSH at b=12,r=4 catches j>=0.8 with p>0.999 per pair
+    assert(found == truth,
+      s"missed ${truth -- found}, extra ${found -- truth}")
+  }
+
+  test("simhashPairs: candidates agree with brute-force hamming") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.SimHashFunctions.simhash64(
+          Dedup.shingleHashes(col("text"))).as("sig"))
+    val truth = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("h"))
+      .filter(col("h") <= 3)
+      .select("ai", "bi").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.simhashPairs(spark, sf).select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 bands of 16 bits catch hamming<=3 pairs exactly (pigeonhole)
+    assert(found == truth, s"missed ${truth -- found}, extra ${found -- truth}")
+    assert(found.nonEmpty, "planted near-dups should collide")
+  }
+
+  test("ngramJaccardPairs matches brute force within blocking reach") {
+    val blocked = Dedup.ngramJaccardPairs(spark, sf).select("ai", "bi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), floor(col("n_chars") / 64).as("blk"))
+    val blkOf = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truthInReach = bruteForcePairs(0.8).select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => math.abs(blkOf(a) - blkOf(b)) <= 1 }.toSet
+    assert(blocked == truthInReach)
+    assert(blocked.nonEmpty)
+  }
+}

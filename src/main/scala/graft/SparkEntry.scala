@@ -58,7 +58,15 @@ object SparkEntry {
     "q24_simhash_pairs" -> ((s: SparkSession, d: String) =>
       operators.Dedup.simhashPairs(s, d)),
     "q25_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) =>
-      operators.Dedup.ngramJaccardPairs(s, d))
+      operators.Dedup.ngramJaccardPairs(s, d)),
+    "q26_cosine_topk" -> ((s: SparkSession, d: String) =>
+      operators.Similarity.cosineTopK(s, d)),
+    "q27_embedding_pairs" -> ((s: SparkSession, d: String) =>
+      operators.Similarity.embeddingPairs(s, d)),
+    // rows-only: k-means cell ids are Spark-side state DuckDB can't
+    // replay; recall vs the exact top-k is unit-tested (SimilaritySpec).
+    "q28_ivf_topk" -> ((s: SparkSession, d: String) =>
+      operators.Similarity.ivfTopK(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -242,6 +250,28 @@ object SparkEntry {
         |)
         |SELECT ai, bi, jaccard FROM pairs
         |WHERE jaccard >= 0.8
+        |ORDER BY ai, bi""".stripMargin,
+    "q26_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(e.v, q.v) /
+        |    (sqrt(list_dot_product(e.v, e.v)) *
+        |     sqrt(list_dot_product(q.v, q.v))), 4) AS cosine
+        |FROM e, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, vec_id
+        |LIMIT 20""".stripMargin,
+    "q27_embedding_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS ai, b.vec_id AS bi,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) *
+        |     sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) *
+        |     sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
         |ORDER BY ai, bi""".stripMargin
   )
 }

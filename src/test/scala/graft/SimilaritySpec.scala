@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine: unit/orthogonal/opposite sanity") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0)),
+      (Seq(3.0, 4.0), Seq(3.0, 4.0))).toDF("a", "b")
+    val got = df.select(round(Similarity.cosine(col("a"), col("b")), 6))
+      .collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(1.0, 0.0, -1.0, 1.0))
+  }
+
+  test("cosineTopK: k rows, descending, self excluded") {
+    val rows = Similarity.cosineTopK(spark, sf, vecId = 0L, k = 20).collect()
+    assert(rows.length == 20)
+    assert(!rows.map(_.getLong(0)).contains(0L))
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse))
+    assert(scores.forall(s => s >= -1.0001 && s <= 1.0001))
+  }
+
+  test("ivfTopK: probes a subset yet recalls most of the exact top-k") {
+    val exact = Similarity.cosineTopK(spark, sf, 0L, 20).collect()
+      .map(_.getLong(0)).toSet
+    val ann = Similarity.ivfTopK(spark, sf, 0L, 20, numCells = 16, nProbe = 8)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(s"IVF recall@20 (nProbe=8/16, near-random vectors): $recall")
+    assert(recall >= 0.3, s"recall collapsed: $recall")
+    // probing everything must recover the exact answer
+    val full = Similarity.ivfTopK(spark, sf, 0L, 20, numCells = 16,
+      nProbe = 16).collect().map(_.getLong(0)).toSet
+    assert(full == exact)
+  }
+
+  test("embeddingPairs is symmetric-free and thresholded") {
+    val rows = Similarity.embeddingPairs(spark, sf, 0.4).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+}

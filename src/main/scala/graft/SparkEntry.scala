@@ -66,7 +66,13 @@ object SparkEntry {
     // rows-only: k-means cell ids are Spark-side state DuckDB can't
     // replay; recall vs the exact top-k is unit-tested (SimilaritySpec).
     "q28_ivf_topk" -> ((s: SparkSession, d: String) =>
-      operators.Similarity.ivfTopK(s, d))
+      operators.Similarity.ivfTopK(s, d)),
+    "q29_token_stats" -> (operators.TextQueries.tokenStats _),
+    "q30_quality_scores" -> (operators.TextQueries.qualityScores _),
+    // rows-only: heuristic language ID (accuracy unit-tested on real
+    // multilingual fixtures; corpus text carries no language signal).
+    "q31_langid" -> (operators.TextQueries.langIdQuery _),
+    "q32_fingerprints" -> (operators.TextQueries.fingerprints _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -272,7 +278,40 @@ object SparkEntry {
         |WHERE round(list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) *
         |     sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
-        |ORDER BY ai, bi""".stripMargin
+        |ORDER BY ai, bi""".stripMargin,
+    "q29_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(regexp_extract_all(text,
+        |      '[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_word_tokens,
+        |  round(length(replace(text, ' ', ''))::DOUBLE /
+        |        len(string_split(text, ' ')), 4) AS avg_word_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q30_quality_scores" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |           FROM documents)
+        |SELECT doc_id,
+        |  round(len(list_filter(ws, w -> w IN ('the', 'a')))::DOUBLE /
+        |        len(ws), 4) AS stopword_ratio,
+        |  round(len(list_distinct(ws))::DOUBLE / len(ws), 4)
+        |    AS distinct_ratio,
+        |  floor((0.4 * least(len(list_filter(ws, w -> w IN ('the', 'a')))::DOUBLE
+        |                     / len(ws) * 8, 1.0) +
+        |         0.3 * least(len(ws)::DOUBLE / 100, 1.0) +
+        |         0.3 * (len(list_distinct(ws))::DOUBLE / len(ws)))
+        |        * 10000 + 0.5) / 10000
+        |    AS quality
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+    "q32_fingerprints" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(7::BIGINT,
+        |      [ascii(c) for c in string_split(text, '')]),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }
 

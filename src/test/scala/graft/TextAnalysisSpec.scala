@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.TextQueries
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("token counting: whitespace vs regex subword units") {
+    import spark.implicits._
+    val df = Seq("hello world", "don't stop 123 now!").toDF("text")
+    val got = df.select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.regexTokenCount(col("text"))).collect()
+    assert(got(0).getInt(0) == 2 && got(0).getInt(1) == 2)
+    // don ' t stop 123 now !  -> 7 subword units, 4 ws tokens
+    assert(got(1).getInt(0) == 4 && got(1).getInt(1) == 7)
+  }
+
+  test("langId: real multilingual fixtures route correctly") {
+    import spark.implicits._
+    val fixtures = Seq(
+      ("the cat sat on the mat and it is happy", "en"),
+      ("der hund ist nicht in das haus und die katze", "de"),
+      ("le chat est dans la maison et les chiens", "fr"),
+      ("el perro es una mascota que vive en la casa", "es"),
+      ("你好世界这是中文", "zh"),
+      ("xyzzy qwerty plugh", "und"))
+    val got = fixtures.map(_._1).toDF("text")
+      .select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    got.zip(fixtures.map(_._2)).foreach { case (pred, want) =>
+      assert(pred == want, s"predicted $pred, wanted $want")
+    }
+  }
+
+  test("fingerprint: deterministic, content-sensitive, order-sensitive") {
+    import spark.implicits._
+    val df = Seq("abc", "abc", "acb", "abcd").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text")))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2)) // order matters (rolling, not bag-of-chars)
+    assert(fps(0) != fps(3))
+    // closed form: ((7*31+97)*31+98)*31+99 for "abc"
+    assert(fps(0) == ((7L * 31 + 97) * 31 + 98) * 31 + 99)
+  }
+
+  test("qualityScores stay in [0,1] and reward stopword-bearing docs") {
+    val rows = TextQueries.qualityScores(spark, sf).collect()
+    rows.foreach { r =>
+      val q = r.getDouble(3)
+      assert(q >= 0.0 && q <= 1.0, s"quality out of range: $q")
+    }
+  }
+
+  test("langIdQuery runs over the corpus (all rows classified)") {
+    val df = TextQueries.langIdQuery(spark, sf)
+    assert(df.filter(col("predicted_lang").isNull).count() == 0)
+  }
+}

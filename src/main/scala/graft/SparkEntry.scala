@@ -72,7 +72,16 @@ object SparkEntry {
     // rows-only: heuristic language ID (accuracy unit-tested on real
     // multilingual fixtures; corpus text carries no language signal).
     "q31_langid" -> (operators.TextQueries.langIdQuery _),
-    "q32_fingerprints" -> (operators.TextQueries.fingerprints _)
+    "q32_fingerprints" -> (operators.TextQueries.fingerprints _),
+    "q33_media_stats" -> (multimodal.Multimodal.mediaStats _),
+    // rows-only: stub decoder output is Spark-side (typed mapPartitions
+    // batch pass); schema/batch shape tested in MultimodalSpec.
+    "q34_media_features" -> ((s: SparkSession, d: String) =>
+      multimodal.Multimodal.extractFeatures(
+        multimodal.Multimodal.mediaTable(s, d)).toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          round(element_at(col("feat"), 1), 4).as("feat0"))
+        .orderBy("media_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -311,7 +320,15 @@ object SparkEntry {
         |      [ascii(c) for c in string_split(text, '')]),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q33_media_stats" ->
+      """SELECT doc_id AS media_id,
+        |  ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+        |  CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,
+        |  sha256(text) AS digest,
+        |  octet_length(text::BLOB) = n_chars AS meta_consistent
+        |FROM documents
+        |ORDER BY media_id""".stripMargin
   )
 }
 

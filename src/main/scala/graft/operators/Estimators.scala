@@ -35,7 +35,18 @@ object Estimators {
     * the categorical feature, so AUC≈1 is the expected signal — the
     * test asserts the pipeline learns it.
     */
-  def trainEval(spark: SparkSession, sfDir: String): Double = {
+  def trainEval(spark: SparkSession, sfDir: String): Double =
+    evalPipeline(spark, sfDir, dnn = false)
+
+  /** E2: the DNN variant — MultilayerPerceptronClassifier standing in
+    * for `DNNClassifier(hidden_units=[512,256])` (reference
+    * trainer.py:300-316), sized down to the toy feature space.
+    */
+  def trainEvalDnn(spark: SparkSession, sfDir: String): Double =
+    evalPipeline(spark, sfDir, dnn = true)
+
+  private def evalPipeline(spark: SparkSession, sfDir: String,
+      dnn: Boolean): Double = {
     val df = labeledEvents(spark, sfDir)
     val Array(train, test) = df.randomSplit(Array(0.8, 0.2), seed = 42L)
     val hasher = new FeatureHasher()
@@ -46,10 +57,17 @@ object Estimators {
       .setOutputCol("cat_features")
     val assembler = new VectorAssembler()
       .setInputCols(Array("cat_features", "value")).setOutputCol("features")
-    val lr = new LogisticRegression()
-      .setMaxIter(20).setRegParam(0.01)
-      .setFeaturesCol("features").setLabelCol("label")
-    val model = new Pipeline().setStages(Array(hasher, assembler, lr))
+    val classifier = if (dnn) {
+      // 256 hashed + 1 numeric input -> [16, 8] hidden -> 2 classes
+      new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
+        .setLayers(Array(257, 16, 8, 2)).setMaxIter(40).setSeed(42L)
+        .setFeaturesCol("features").setLabelCol("label")
+    } else {
+      new LogisticRegression()
+        .setMaxIter(20).setRegParam(0.01)
+        .setFeaturesCol("features").setLabelCol("label")
+    }
+    val model = new Pipeline().setStages(Array(hasher, assembler, classifier))
       .fit(train)
     new BinaryClassificationEvaluator()
       .setLabelCol("label").setMetricName("areaUnderROC")

@@ -74,6 +74,9 @@ object SparkEntry {
     "q31_langid" -> (operators.TextQueries.langIdQuery _),
     "q32_fingerprints" -> (operators.TextQueries.fingerprints _),
     "q33_media_stats" -> (multimodal.Multimodal.mediaStats _),
+    "q35_percentiles" -> (operators.OlapQueries.quantityPercentiles _),
+    "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
+    "q37_orders_by_month" -> (operators.OlapQueries.ordersByMonth _),
     // rows-only: stub decoder output is Spark-side (typed mapPartitions
     // batch pass); schema/batch shape tested in MultimodalSpec.
     "q34_media_features" -> ((s: SparkSession, d: String) =>
@@ -330,7 +333,29 @@ object SparkEntry {
         |  sha256(text) AS digest,
         |  octet_length(text::BLOB) = n_chars AS meta_consistent
         |FROM documents
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+    "q35_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q36_cube_orders" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+        |  coalesce(o_orderpriority, '(all)') AS orderpriority,
+        |  round(sum(o_totalprice), 2) AS total_price, count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY orderstatus, orderpriority""".stripMargin,
+    "q37_orders_by_month" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY month
+        |ORDER BY month""".stripMargin
   )
 }
 

@@ -21,10 +21,11 @@ import org.apache.spark.sql.types._
   */
 
 /** `dot_product(array<double>, array<double>) → double` — Σ aᵢ·bᵢ in
-  * element order.
+  * element order. Implements doGenCode (a primitive Java loop), so it
+  * participates in whole-stage codegen rather than breaking the span.
   */
 case class DotProduct(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -48,6 +49,24 @@ case class DotProduct(left: Expression, right: Expression)
     }
     acc
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override def prettyName: String = "dot_product"
   override protected def withNewChildrenInternal(
@@ -145,7 +164,7 @@ case class MinHashSignature(child: Expression, k: Int)
   * verification from minutes into seconds.
   */
 case class IntersectCountSorted(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -173,6 +192,32 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     }
     cnt
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $cnt = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $cnt++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
 
   override def prettyName: String = "intersect_count_sorted"
   override protected def withNewChildrenInternal(

@@ -186,14 +186,23 @@ object Dedup {
       round(inter / (sa + sb - inter), 4)
     }
 
+    // output-preserving prefilter: |A∩B| ≤ min(|A|,|B|) ⇒ J(A,B) ≤
+    // min/max, so pairs whose size ratio is below the threshold can't
+    // qualify — skip their merge walk entirely. The oracle needs no
+    // mirror: the output set is provably identical.
+    def sizeCompatible(sa: Column, sb: Column): Column =
+      least(sa, sb).cast("double") / greatest(sa, sb) >= threshold
+
     val l = docs.as("l")
     val r = docs.as("r")
     val same = l.join(r,
-        col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
+        col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id") &&
+          sizeCompatible(col("l.sz"), col("r.sz")))
       .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"),
         jaccard(col("l.hss"), col("r.hss"), col("l.sz"), col("r.sz"))
           .as("jaccard"))
-    val adjacent = l.join(r, col("l.blk") + 1 === col("r.blk"))
+    val adjacent = l.join(r, col("l.blk") + 1 === col("r.blk") &&
+        sizeCompatible(col("l.sz"), col("r.sz")))
       .select(least(col("l.doc_id"), col("r.doc_id")).as("ai"),
         greatest(col("l.doc_id"), col("r.doc_id")).as("bi"),
         jaccard(col("l.hss"), col("r.hss"), col("l.sz"), col("r.sz"))

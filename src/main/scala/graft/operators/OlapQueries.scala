@@ -132,6 +132,45 @@ object OlapQueries {
       .orderBy("o_custkey", "rk")
   }
 
+  /** Exact interpolated percentiles per group — Spark's `percentile`
+    * matches DuckDB's `quantile_cont` (both linear interpolation).
+    * The exact form shuffles per-group value lists; at 100 TB switch
+    * to `percentile_approx` (t-digest sketch, mergeable like the HLL).
+    */
+  def quantityPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"))
+      .orderBy("l_returnflag")
+
+  /** CUBE over (orderstatus, orderpriority): all 4 grouping
+    * combinations in one pass — grouping-null labels coalesced for the
+    * oracle, as in [[rollupQuantities]].
+    */
+  def cubeOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum("o_totalprice"), 2).as("total_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
+        col("total_price"), col("n"))
+      .orderBy("orderstatus", "orderpriority")
+
+  /** Calendar rollup: orders per month (date_trunc both engines agree
+    * on) — the date-dimension slice of the OLAP surface.
+    */
+  def ordersByMonth(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("month")
+
   /** Event-time tumbling window (SURVEY.md §2.10): hourly aggregate
     * over `ts` — the batch twin of the Structured Streaming query in
     * graft.streaming (identical semantics; the oracle runs the batch

@@ -87,17 +87,28 @@ object Similarity {
       .orderBy("ai", "bi")
   }
 
-  /** IVF index: k-means cell id per vector (seeded, deterministic). */
+  // IVF index cache: building the index is an offline step (at scale
+  // the corpus is written out partitioned by cell once); queries must
+  // not refit k-means. Keyed by (sfDir, numCells); assignments persist.
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Int), (DataFrame, Array[Seq[Double]])]
+
+  /** IVF index: k-means cell id per vector (seeded, deterministic),
+    * memoized per corpus.
+    */
   def ivfAssignments(spark: SparkSession, sfDir: String,
-      numCells: Int = 16): (DataFrame, Array[Seq[Double]]) = {
-    val e = embeddingsAsDouble(spark, sfDir)
-      .withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(numCells).setSeed(42L)
-      .setFeaturesCol("features").fit(e)
-    val assigned = model.transform(e)
-      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
-    (assigned, model.clusterCenters.map(_.toArray.toSeq))
-  }
+      numCells: Int = 16): (DataFrame, Array[Seq[Double]]) =
+    ivfCache.getOrElseUpdate((sfDir, numCells), {
+      val e = embeddingsAsDouble(spark, sfDir)
+        .withColumn("features", array_to_vector(col("v")))
+      val model = new KMeans().setK(numCells).setSeed(42L)
+        .setFeaturesCol("features").fit(e)
+      val assigned = model.transform(e)
+        .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+        .persist()
+      (assigned, model.clusterCenters.map(_.toArray.toSeq))
+    })
 
   /** ANN top-k via IVF: rank cells by centroid cosine to the query,
     * probe the nProbe best, exact cosine only within probed cells.

@@ -48,6 +48,50 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"anti join missing:\n$plan")
   }
 
+  test("custom kernels participate in whole-stage codegen") {
+    // scan-side projection: '*(n)' prefix marks the operator as inside
+    // a WholeStageCodegen region. (In the pair queries the projection
+    // sits above a nested-loop join, which caps the region — that's an
+    // operator limitation, not an expression fallback.)
+    import org.apache.spark.sql.functions._
+    val df = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(graft.functions.VectorMath.dot_product(col("v"), col("v"))
+        .as("d"))
+    val plan = planOf(df)
+    val dotLine = plan.linesIterator
+      .find(l => l.contains("Project") && l.contains("dot_product")).get
+    assert(dotLine.trim.matches("""^[+:\-\s]*\*\(\d+\).*"""),
+      s"dot_product Project not codegen'd: $dotLine")
+  }
+
+  test("bucketed co-located join runs with no shuffle (SCALE.md claim)") {
+    val tmp = java.nio.file.Files.createTempDirectory("bucketed").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sources.Tables.load(spark, sf, "lineitem")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/li").mode("overwrite").saveAsTable("li_buck")
+      graft.sources.Tables.load(spark, sf, "orders")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/ord").mode("overwrite").saveAsTable("ord_buck")
+      val joined = spark.table("li_buck").join(spark.table("ord_buck"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() ==
+        graft.sources.Tables.load(spark, sf, "lineitem").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_buck")
+      spark.sql("DROP TABLE IF EXISTS ord_buck")
+    }
+  }
+
   test("q22: dedup shuffles content hashes, not document bodies") {
     val plan = planOf(graft.operators.Dedup.exactDedup(spark, sf))
     // the rows crossing the shuffle are the partial aggregate's output

@@ -19,6 +19,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark on event ids") {
+    import org.apache.spark.sql.types._
+    val eventsOnDisk = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val raw = spark.readStream.schema(eventsOnDisk)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+    val deduped = EventStreams.normalize(raw)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream_test").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_stream_test").count()
+      // source has unique event_ids -> dedup is the identity here; the
+      // operator's state machinery is what's being exercised
+      assert(n == Tables.load(spark, sf, "events").count())
+    } finally q.stop()
+  }
+
+  test("partitioned write + partition-pruned read (scale layout)") {
+    val tmp = java.nio.file.Files.createTempDirectory("partby").toString
+    Tables.load(spark, sf, "events")
+      .write.partitionBy("event_type").mode("overwrite")
+      .parquet(s"$tmp/events_by_type")
+    val pruned = spark.read.parquet(s"$tmp/events_by_type")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition filter not applied:\n$plan")
+    assert(pruned.count() ==
+      Tables.load(spark, sf, "events")
+        .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+        .count())
+  }
+
   test("q20 batch query equals the shared streaming transform") {
     val viaOlap = OlapQueries.hourlyEventStats(spark, sf)
       .collect().map(_.toSeq).toSet

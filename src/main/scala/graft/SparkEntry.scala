@@ -75,6 +75,7 @@ object SparkEntry {
     "q32_fingerprints" -> (operators.TextQueries.fingerprints _),
     "q33_media_stats" -> (multimodal.Multimodal.mediaStats _),
     "q35_percentiles" -> (operators.OlapQueries.quantityPercentiles _),
+    "q38_asof_join" -> (operators.AsOfJoin.eventsAsOfPurchases _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
     "q37_orders_by_month" -> (operators.OlapQueries.ordersByMonth _),
     // rows-only: stub decoder output is Spark-side (typed mapPartitions
@@ -355,7 +356,17 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total_price
         |FROM orders
         |GROUP BY month
-        |ORDER BY month""".stripMargin
+        |ORDER BY month""".stripMargin,
+    "q38_asof_join" ->
+      """WITH e AS (SELECT event_id, ts, user_id, event_type, value
+        |           FROM events),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase')
+        |SELECT e.event_id,
+        |  p.event_id AS prev_purchase_id,
+        |  p.value AS prev_purchase_value
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts > p.ts
+        |ORDER BY e.event_id""".stripMargin
   )
 }
 

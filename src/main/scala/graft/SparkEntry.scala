@@ -76,6 +76,12 @@ object SparkEntry {
     "q33_media_stats" -> (multimodal.Multimodal.mediaStats _),
     "q35_percentiles" -> (operators.OlapQueries.quantityPercentiles _),
     "q38_asof_join" -> (operators.AsOfJoin.eventsAsOfPurchases _),
+    "q39_user_sessions" -> (operators.OlapQueries.userSessions _),
+    "q40_shipping_priority" -> (operators.OlapQueries.shippingPriority _),
+    "q41_systematic_sample" -> (operators.OlapQueries.systematicSample _),
+    // rows-only: cluster resolution over LSH pairs (Spark-side graph
+    // iteration); cluster invariants are unit-tested (DedupSpec).
+    "q42_dedup_decisions" -> (operators.Dedup.dedupDecisions _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
     "q37_orders_by_month" -> (operators.OlapQueries.ordersByMonth _),
     // rows-only: stub decoder output is Spark-side (typed mapPartitions
@@ -366,7 +372,45 @@ object SparkEntry {
         |  p.value AS prev_purchase_value
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts > p.ts
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+    "q39_user_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_id
+        |  FROM x
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  max(us) - min(us) AS duration_us
+        |FROM s
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q40_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q41_systematic_sample" ->
+      """SELECT event_id, event_type, value
+        |FROM events
+        |WHERE (event_id * 2654435761) % 100 < 10
+        |ORDER BY event_id""".stripMargin
   )
 }
 

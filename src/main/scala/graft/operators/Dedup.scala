@@ -156,6 +156,53 @@ object Dedup {
       .orderBy("ai", "bi")
   }
 
+  // ---- cluster resolution ----------------------------------------------
+
+  /** Resolve near-dup pairs into clusters and pick one representative
+    * per cluster (the minimum doc_id) — the "keep one copy" step a
+    * production dedup pipeline ends with. Min-label propagation over
+    * the pair graph: each doc repeatedly adopts the smallest label in
+    * its neighborhood until fixpoint. Iterations = graph diameter
+    * (near-dup clusters are tiny chains, so 2-4); each iteration is
+    * one aggregate + one join, all equality-keyed.
+    */
+  def resolveClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("ai").as("a"), col("bi").as("b"))
+      .union(pairs.select(col("bi").as("a"), col("ai").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id"), col("a").as("label"))
+      .union(edges.select(col("b").as("id"), col("b").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("id"))
+        .groupBy(col("a").as("id2")).agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin,
+          labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .persist()
+      changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .withColumn("keep", col("doc_id") === col("cluster_rep"))
+  }
+
+  /** End-to-end near-dup dedup decision table: every doc in a near-dup
+    * cluster with its representative and keep flag (docs in no cluster
+    * are implicitly kept).
+    */
+  def dedupDecisions(spark: SparkSession, sfDir: String): DataFrame =
+    resolveClusters(minhashPairs(spark, sfDir)).orderBy("doc_id")
+
   // ---- exact n-gram Jaccard (oracle-checkable) -------------------------
 
   /** Exact word-3-gram Jaccard near-dup pairs, blocked on a length

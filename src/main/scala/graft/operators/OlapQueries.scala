@@ -171,6 +171,63 @@ object OlapQueries {
         round(sum("o_totalprice"), 2).as("total_price"))
       .orderBy("month")
 
+  /** Sessionization (gaps-and-islands): per-user sessions split at
+    * 30-minute inactivity gaps, one window pass — new-session flags
+    * via lag, session ids via running sum, then a per-session
+    * aggregate. Entirely portable SQL (µs integer arithmetic), so the
+    * oracle replays it; the streaming twin is `session_window`.
+    */
+  def userSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag("us", 1).over(byUser) > gapUs ||
+          lag("us", 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("us") - min("us")).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** TPC-H Q3-shaped shipping-priority query: segment-filtered
+    * customer ⋈ orders ⋈ lineitem, revenue per order, top 10. The
+    * realistic mixed-selectivity OLAP probe: two pushed-down filters,
+    * a broadcastable filtered dim, one fact-fact shuffle.
+    */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val cust = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Deterministic systematic sample (M2's production form): keep rows
+    * whose key hashes into the sample band — reproducible across
+    * engines and runs, unlike rand(). The downsampling primitive of a
+    * training-data pipeline.
+    */
+  def systematicSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .filter(pmod(col("event_id") * lit(2654435761L), lit(100)) < 10)
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+
   /** Event-time tumbling window (SURVEY.md §2.10): hourly aggregate
     * over `ts` — the batch twin of the Structured Streaming query in
     * graft.streaming (identical semantics; the oracle runs the batch

@@ -68,6 +68,42 @@ class DedupSpec extends SparkSpec {
     assert(found.nonEmpty, "planted near-dups should collide")
   }
 
+  test("resolveClusters: transitive chains collapse to min-id reps") {
+    import spark.implicits._
+    // two clusters: {1,2,3} via chain 1-2, 2-3; {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ai", "bi")
+    val got = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((1L, false)))
+    assert(got(3L) == ((1L, false))) // transitive: never saw 1 directly
+    assert(got(10L) == ((10L, true)))
+    assert(got(11L) == ((10L, false)))
+  }
+
+  test("dedupDecisions: every cluster keeps exactly one doc") {
+    val df = Dedup.dedupDecisions(spark, sf)
+    val perCluster = df.groupBy("cluster_rep")
+      .agg(sum(col("keep").cast("int")).as("n_kept"),
+        count(lit(1)).as("sz"))
+    assert(perCluster.filter(col("n_kept") =!= 1).count() == 0)
+    assert(perCluster.filter(col("sz") < 2).count() == 0)
+  }
+
+  test("saltedJoin equals plain join") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .withColumnRenamed("l_orderkey", "k")
+    val ord = Tables.load(spark, sf, "orders")
+      .withColumnRenamed("o_orderkey", "k")
+      .select("k", "o_totalprice")
+    val plain = li.join(ord, Seq("k")).agg(
+      count(lit(1)), sum("o_totalprice")).collect()(0)
+    val salted = graft.operators.Skew.saltedJoin(li, ord, "k", salt = 8)
+      .agg(count(lit(1)), sum("o_totalprice")).collect()(0)
+    assert(plain.getLong(0) == salted.getLong(0))
+    assert(math.abs(plain.getDouble(1) - salted.getDouble(1)) < 1e-6)
+  }
+
   test("ngramJaccardPairs matches brute force within blocking reach") {
     val blocked = Dedup.ngramJaccardPairs(spark, sf).select("ai", "bi")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -167,13 +167,17 @@ object Dedup {
     * one aggregate + one join, all equality-keyed.
     */
   def resolveClusters(pairs: DataFrame): DataFrame = {
+    // localCheckpoint truncates lineage each iteration — without it
+    // the plan doubles per round and planning time dominates. The pair
+    // graph is tiny relative to the corpus (only near-dup docs), so
+    // eager materialization per round is cheap.
     val edges = pairs.select(col("ai").as("a"), col("bi").as("b"))
       .union(pairs.select(col("bi").as("a"), col("ai").as("b")))
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("a").as("id"), col("a").as("label"))
       .union(edges.select(col("b").as("id"), col("b").as("label")))
       .groupBy("id").agg(min("label").as("label"))
-      .persist()
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -182,14 +186,12 @@ object Dedup {
         .groupBy(col("a").as("id2")).agg(min("label").as("nlabel"))
       val updated = labels.join(neighborMin,
           labels("id") === col("id2"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
-        .persist()
-      changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = updated
+        .localCheckpoint(true)
+      changed = updated.filter(col("label") =!= col("old")).count()
+      labels = updated.drop("old")
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))

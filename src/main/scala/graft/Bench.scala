@@ -1,23 +1,19 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Per-query wall-clock bench (the reference's reader-benchmark role,
   * trainer.py:318-399). Each query gets one untimed warm-up execution
   * (codegen compilation, broadcast builds, FS cache) and one timed
   * run — steady-state throughput, which is what a resident engine
-  * delivers. Prints exactly one JSON line for the driver.
+  * delivers. The SQL cache is cleared between queries so persisted
+  * intermediates never bleed across measurements (or accumulate).
+  * Prints exactly one JSON line for the driver.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.plans.GraftExtensions)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder(cpus)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,7 +26,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
-      }
+      } finally spark.catalog.clearCache()
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -58,10 +58,13 @@ object TextAnalysis {
     * as a SQL fold so DuckDB replays it exactly.
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      sequence(lit(1), length(text)),
-      lit(7L),
-      (acc, i) => (acc * 31 + ascii(substring(text, i, lit(1)))) % 1000000007L)
+    // empty-text guard: sequence(1, 0) yields the DESCENDING [1, 0],
+    // not an empty array — the fold over nothing must return the seed
+    when(length(text) === 0, lit(7L)).otherwise(
+      aggregate(
+        sequence(lit(1), length(text)),
+        lit(7L),
+        (acc, i) => (acc * 31 + ascii(substring(text, i, lit(1)))) % 1000000007L))
 
   // ---- language identification ----------------------------------------
 

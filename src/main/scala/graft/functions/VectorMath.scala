@@ -94,8 +94,11 @@ case class XxHash64Array(child: Expression)
     val out = new Array[Long](arr.numElements())
     var i = 0
     while (i < out.length) {
-      out(i) = XxHash64Function.hash(
-        arr.getUTF8String(i), StringType, 42L)
+      // null elements hash as the seed itself (a fixed sentinel) —
+      // matches xxhash64()'s treatment of null input
+      out(i) =
+        if (arr.isNullAt(i)) 42L
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
       i += 1
     }
     new GenericArrayData(out)
@@ -137,7 +140,7 @@ case class MinHashSignature(child: Expression, k: Int)
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
-      val h1 = arr.getLong(i)
+      val h1 = if (arr.isNullAt(i)) 0L else arr.getLong(i)
       val h2 = fmix64(h1) | 1L
       var g = h1
       var j = 0

@@ -21,8 +21,11 @@ object AsOfJoin {
 
   /** Strict as-of: right rows at exactly the left row's timestamp are
     * NOT matched (they sort after left rows at equal ts via the side
-    * tag). `rightPayload` columns are carried; ties inside the right
-    * side resolve by the last of `rightOrder`.
+    * tag). `rightPayload` columns are carried as ONE struct, so the
+    * matched row's fields always come from a single right row even
+    * when some payload values are null; ties among right rows at the
+    * same (key, ts) resolve deterministically to the greatest payload
+    * struct.
     *
     * @param left        left (probe) frame
     * @param right       right (reference) frame
@@ -41,32 +44,38 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val payloadOut = rightPayload.values.toSeq
 
+    val payloadStruct = struct(
+      rightPayload.map { case (in, out) => col(in).as(out) }.toSeq: _*)
+    val payloadType = right.select(payloadStruct.as("_p")).schema("_p").dataType
+
     val l = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(0))
       .select((Seq(col(key), col("_ts"), col("_side")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        payloadOut.map(o => lit(null).as(o))): _*)
-
+        leftCols.filterNot(_ == key).map(col) :+
+        lit(null).cast(payloadType).as("_payload")): _*)
     val r = right
       .withColumn("_ts", col(rightTs))
       .withColumn("_side", lit(1))
       .select((Seq(col(key), col("_ts"), col("_side")) ++
         leftCols.filterNot(_ == key)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map { case (in, out) => col(in).as(out) }.toSeq): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payloadStruct.as("_payload")): _*)
 
     // equal ts: left (_side=0) sorts before right (_side=1), so a right
-    // row never matches a left row at the same instant — strict '<'
-    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
+    // row never matches a left row at the same instant — strict '<'.
+    // _payload as the final sort key makes same-instant right-row ties
+    // deterministic (left rows have a null payload; side already
+    // separates the two cases).
+    val w = Window.partitionBy(key)
+      .orderBy(col("_ts"), col("_side"), col("_payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payloadOut.foldLeft(l.unionByName(r)) { (df, o) =>
-      df.withColumn(o, last(col(o), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r, allowMissingColumns = false)
+      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
     carried.filter(col("_side") === 0)
       .select((Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++
-        payloadOut.map(col)): _*)
+        payloadOut.map(o => col(s"_payload.$o").as(o))): _*)
   }
 
   /** q38: each event joined to the user's most recent strictly-prior

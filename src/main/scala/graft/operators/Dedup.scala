@@ -180,7 +180,8 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val maxIter = 50
+    while (changed > 0 && iter < maxIter) {
       val neighborMin = edges
         .join(labels, edges("b") === labels("id"))
         .groupBy(col("a").as("id2")).agg(min("label").as("nlabel"))
@@ -194,6 +195,12 @@ object Dedup {
       labels = updated.drop("old")
       iter += 1
     }
+    // a silent early exit would split components (two keep=true rows in
+    // one cluster) — refuse instead; diameter>50 means the input needs
+    // the doubling (large-star/small-star) variant
+    if (changed > 0) throw new IllegalStateException(
+      s"resolveClusters did not converge in $maxIter iterations " +
+        s"($changed labels still changing) — component diameter too large")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
       .withColumn("keep", col("doc_id") === col("cluster_rep"))
   }
@@ -208,7 +215,7 @@ object Dedup {
   // ---- exact n-gram Jaccard (oracle-checkable) -------------------------
 
   /** Exact word-3-gram Jaccard near-dup pairs, blocked on a length
-    * bucket (n_chars/64; a pair is compared iff their buckets differ
+    * bucket (n_chars/32; a pair is compared iff their buckets differ
     * by ≤ 1). Fully portable semantics — no engine-specific hash — so
     * this is the dedup operator the DuckDB oracle replays verbatim.
     * Blocking bounds the quadratic step by bucket size; the two

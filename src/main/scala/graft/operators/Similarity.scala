@@ -89,17 +89,20 @@ object Similarity {
 
   // IVF index cache: building the index is an offline step (at scale
   // the corpus is written out partitioned by cell once); queries must
-  // not refit k-means. Keyed by (sfDir, numCells); assignments persist.
+  // not refit k-means. Keyed by (session, sfDir, numCells) — a cached
+  // DataFrame is bound to the session that built it and must not leak
+  // into a later one.
   private val ivfCache =
     scala.collection.concurrent.TrieMap
-      .empty[(String, Int), (DataFrame, Array[Seq[Double]])]
+      .empty[(String, String, Int), (DataFrame, Array[Seq[Double]])]
 
   /** IVF index: k-means cell id per vector (seeded, deterministic),
-    * memoized per corpus.
+    * memoized per (session, corpus).
     */
   def ivfAssignments(spark: SparkSession, sfDir: String,
       numCells: Int = 16): (DataFrame, Array[Seq[Double]]) =
-    ivfCache.getOrElseUpdate((sfDir, numCells), {
+    ivfCache.getOrElseUpdate(
+      (System.identityHashCode(spark).toString, sfDir, numCells), {
       val e = embeddingsAsDouble(spark, sfDir)
         .withColumn("features", array_to_vector(col("v")))
       val model = new KMeans().setK(numCells).setSeed(42L)

@@ -19,6 +19,12 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       salt: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salt > 0)
+    // right/full outer would emit `salt` null-padded copies of any
+    // unmatched small-side row (it is replicated before the join) —
+    // only join types that never emit unmatched small rows are sound
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     // salt value only affects distribution, not results — derive it
     // deterministically from the row's key + a per-row hash
     val salted = large.withColumn("_salt",

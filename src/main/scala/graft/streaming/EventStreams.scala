@@ -31,9 +31,11 @@ object EventStreams {
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** The shared transform: 1-hour tumbling event-time windows with a
-    * 2-hour watermark bound on state. In continuous operation the
-    * watermark is what keeps per-window state finite — without it a
-    * 100 TB/day stream accretes state forever.
+    * 2-hour watermark. In append/update output modes the watermark is
+    * what keeps per-window state finite — without it a 100 TB/day
+    * stream accretes state forever. (The memory-sink demo below runs
+    * in complete mode for result comparison, which by definition
+    * retains all windows; a production sink would use update mode.)
     */
   def hourlyAgg(events: DataFrame): DataFrame =
     events

@@ -35,6 +35,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got("t5") == null)
   }
 
+  test("asOfStrict: null payload values never mix fields across rows") {
+    import spark.implicits._
+    // purchase A (value=5.0) then B (value=NULL): an event after B must
+    // see (B, NULL), not B's id with A's value
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A", Some(5.0)),
+      (1L, ts("2024-01-01 10:05:00"), "B", None))
+      .toDF("k", "qts", "qid", "qv")
+    val trades = Seq((1L, ts("2024-01-01 10:10:00"), "t"))
+      .toDF("k", "tts", "tag")
+    val r = AsOfJoin.asOfStrict(trades, quotes, "k", "tts", "qts",
+      Map("qid" -> "last_id", "qv" -> "last_v")).collect()(0)
+    assert(r.getAs[String]("last_id") == "B")
+    assert(r.isNullAt(r.fieldIndex("last_v")),
+      "stale value from an earlier right row leaked into the match")
+  }
+
   test("q38: as-of matches a window-free reference computation") {
     // independent oracle: correlated max-prior lookup via a plain join
     // + groupBy (O(n^2/key) — test-scale only)

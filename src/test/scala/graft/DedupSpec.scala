@@ -104,6 +104,17 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(plain.getDouble(1) - salted.getDouble(1)) < 1e-6)
   }
 
+  test("saltedJoin rejects join types that would duplicate small rows") {
+    val li = Tables.load(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "k")
+    val ord = Tables.load(spark, sf, "orders").withColumnRenamed("o_orderkey", "k")
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(li, ord, "k", 8, "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(li, ord, "k", 8, "full")
+    }
+  }
+
   test("ngramJaccardPairs matches brute force within blocking reach") {
     val blocked = Dedup.ngramJaccardPairs(spark, sf).select("ai", "bi")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -5,13 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session for all suites — one local SparkSession per JVM. */
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .withExtensions(new graft.plans.GraftExtensions)
+  lazy val spark: SparkSession = GraftSession.builder(4)
     .master("local[4]")
     .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   val sf: String = "/root/testdata/sf0.001"

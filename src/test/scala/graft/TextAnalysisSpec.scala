@@ -45,6 +45,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) == ((7L * 31 + 97) * 31 + 98) * 31 + 99)
   }
 
+  test("fingerprint of empty text is the fold seed (oracle parity)") {
+    import spark.implicits._
+    val fp = Seq("").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).collect()(0).getLong(0)
+    assert(fp == 7L) // DuckDB list_reduce(list_prepend(7, [])) = 7
+  }
+
   test("qualityScores stay in [0,1] and reward stopword-bearing docs") {
     val rows = TextQueries.qualityScores(spark, sf).collect()
     rows.foreach { r =>

@@ -45,6 +45,48 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** A live session being accumulated by [[sessionizeStream]]. */
+  case class SessionState(start: Long, lastUs: Long, nEvents: Long)
+
+  /** A closed session emitted once its inactivity gap elapses. */
+  case class ClosedSession(user_id: Long, startUs: Long, endUs: Long,
+      n_events: Long)
+
+  /** Custom streaming state (SURVEY.md §2.10 extension):
+    * per-user sessionization with flatMapGroupsWithState — the typed
+    * arbitrary-state API. Emits a session when a 30-minute gap closes
+    * it; state per key is one small case class, bounded by an event-
+    * time timeout. The batch twin is OlapQueries.userSessions
+    * (gaps-and-islands); this is the form that runs 24/7 on a stream.
+    */
+  def sessionizeStream(
+      events: org.apache.spark.sql.Dataset[(Long, Long)], gapUs: Long)
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[SessionState]) =>
+          // rows arrive unordered within the batch — sort by event time
+          val times = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          times.foreach { t =>
+            st match {
+              case null => st = SessionState(t, t, 1)
+              case s if t - s.lastUs > gapUs =>
+                closed += ClosedSession(user, s.start, s.lastUs, s.nEvents)
+                st = SessionState(t, t, 1)
+              case s => st = SessionState(s.start, t, s.nEvents + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+      }
+  }
+
   /** Streaming run over the events parquet (file source), memory sink.
     * `maxFilesPerTrigger=1` makes the file feed arrive as discrete
     * micro-batches. Returns the started query; callers drive it with

@@ -92,6 +92,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q38 as-of join: exactly one exchange feeds the window") {
+    val plan = graft.operators.AsOfJoin.eventsAsOfPurchases(spark, sf)
+      .queryExecution.executedPlan.toString
+    // union of two scans -> ONE hashpartitioning exchange on user_id ->
+    // window; the final orderBy adds a range exchange. Anything more
+    // means the formulation regressed.
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$plan")
+  }
+
+  test("q39 sessions: both window passes share one shuffle") {
+    val plan = graft.operators.OlapQueries.userSessions(spark, sf)
+      .queryExecution.executedPlan.toString
+    // lag + running sum partition identically -> single exchange on
+    // user_id; then one more for the groupBy on (user_id, session_id)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges <= 2, s"window shuffles not shared:\n$plan")
+  }
+
+  test("q40 shipping priority: filtered dim broadcasts, filters push down") {
+    val plan = graft.operators.OlapQueries.shippingPriority(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate") ||
+      plan.contains("LessThan(o_orderdate"), s"orders date filter not pushed:\n$plan")
+    assert(plan.contains("GreaterThan(l_shipdate"), s"lineitem filter not pushed:\n$plan")
+  }
+
   test("q22: dedup shuffles content hashes, not document bodies") {
     val plan = planOf(graft.operators.Dedup.exactDedup(spark, sf))
     // the rows crossing the shuffle are the partial aggregate's output

@@ -57,6 +57,29 @@ class StreamingSpec extends SparkSpec {
         .count())
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions at gaps") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val hourUs = 3600L * 1000000
+    // user 7: events at 0h, 0.2h | gap | 2h, 2.1h | gap | 5h (open)
+    mem.addData((7L, 0L), (7L, (0.2 * hourUs).toLong))
+    mem.addData((7L, 2 * hourUs), (7L, (2.1 * hourUs).toLong))
+    mem.addData((7L, 5 * hourUs))
+    val q = EventStreams.sessionizeStream(mem.toDS(), gapUs = hourUs / 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessionize_test").start()
+    try {
+      q.processAllAvailable()
+      val closed = spark.table("sessionize_test")
+        .as[EventStreams.ClosedSession].collect().sortBy(_.startUs)
+      assert(closed.length == 2) // third session still open
+      assert(closed(0).n_events == 2 && closed(0).startUs == 0L)
+      assert(closed(1).n_events == 2 && closed(1).startUs == 2 * hourUs)
+    } finally q.stop()
+  }
+
   test("q20 batch query equals the shared streaming transform") {
     val viaOlap = OlapQueries.hourlyEventStats(spark, sf)
       .collect().map(_.toSeq).toSet

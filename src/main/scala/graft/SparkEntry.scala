@@ -82,6 +82,9 @@ object SparkEntry {
     // rows-only: cluster resolution over LSH pairs (Spark-side graph
     // iteration); cluster invariants are unit-tested (DedupSpec).
     "q42_dedup_decisions" -> (operators.Dedup.dedupDecisions _),
+    "q43_grouping_sets" -> (operators.SqlQueries.groupingSets _),
+    "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
+    "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
     "q37_orders_by_month" -> (operators.OlapQueries.ordersByMonth _),
     // rows-only: stub decoder output is Spark-side (typed mapPartitions
@@ -410,7 +413,31 @@ object SparkEntry {
       """SELECT event_id, event_type, value
         |FROM events
         |WHERE (event_id * 2654435761) % 100 < 10
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q43_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |  coalesce(l_linestatus, '(all)') AS linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q44_string_functions" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_uc,
+        |  substr(p_name, 1, 10) AS name_prefix,
+        |  replace(p_type, ' ', '_') AS type_snake,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  CAST(length(p_name) AS INTEGER) AS name_len
+        |FROM part
+        |WHERE p_name LIKE '%a%'
+        |ORDER BY p_partkey""".stripMargin,
+    "q45_big_spenders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+        |                          FROM orders o2
+        |                          WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
 

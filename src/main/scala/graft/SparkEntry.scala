@@ -83,6 +83,7 @@ object SparkEntry {
     // iteration); cluster invariants are unit-tested (DedupSpec).
     "q42_dedup_decisions" -> (operators.Dedup.dedupDecisions _),
     "q43_grouping_sets" -> (operators.SqlQueries.groupingSets _),
+    "q46_kept_corpus" -> (operators.Dedup.keptCorpus _),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -437,7 +438,34 @@ object SparkEntry {
         |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
         |                          FROM orders o2
         |                          WHERE o2.o_custkey = o.o_custkey)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q46_kept_corpus" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) >= 3
+        |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, len(ws) - 1)]
+        |      ELSE [text] END) AS sh,
+        |    CAST(floor(n_chars / 32.0) AS BIGINT) AS blk
+        |  FROM (SELECT doc_id, text, n_chars,
+        |          string_split(text, ' ') AS ws FROM documents)
+        |), pairs AS (
+        |  SELECT a.doc_id AS ai, b.doc_id AS bi,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |          4) AS jaccard
+        |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id),
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |          4)
+        |  FROM d a JOIN d b ON a.blk + 1 = b.blk
+        |)
+        |SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT bi FROM pairs WHERE jaccard >= 0.8)
+        |ORDER BY doc_id""".stripMargin
   )
 }
 

@@ -156,6 +156,22 @@ object Dedup {
       .orderBy("ai", "bi")
   }
 
+  /** End-to-end corpus materialization: documents minus the larger
+    * doc_id of every exact near-dup pair — the "write out the cleaned
+    * training set" step, fully oracle-replayable (it composes
+    * [[ngramJaccardPairs]]). The cluster-aware form is
+    * [[dedupDecisions]]; this pairwise form is the audit-friendly
+    * deterministic one.
+    */
+  def keptCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val drop = ngramJaccardPairs(spark, sfDir)
+      .select(col("bi").as("doc_id")).distinct()
+    Tables.load(spark, sfDir, "documents")
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   // ---- cluster resolution ----------------------------------------------
 
   /** Resolve near-dup pairs into clusters and pick one representative

@@ -83,6 +83,43 @@ class CoreQueriesSpec extends SparkSpec {
     assert(back.count() == topk.count())
   }
 
+  test("format breadth: ORC and CSV write/read roundtrips") {
+    val tmp = Files.createTempDirectory("fmt").toString
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    li.write.mode("overwrite").orc(s"$tmp/orc")
+    li.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    assert(spark.read.orc(s"$tmp/orc").count() == li.count())
+    val csvBack = spark.read.option("header", "true")
+      .schema(li.schema).csv(s"$tmp/csv")
+    assert(csvBack.count() == li.count())
+    assert(csvBack.agg(sum("l_quantity")).collect()(0).getDouble(0) ==
+      li.agg(sum("l_quantity")).collect()(0).getDouble(0))
+  }
+
+  test("P3 robustness: corrupt JSON records land in _corrupt_record") {
+    val tmp = Files.createTempDirectory("corrupt").toString
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/mixed.json"),
+      """{"a": 1, "b": "ok"}
+        |this is not json at all
+        |{"a": 2, "b": "fine"}""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$tmp/mixed.json").cache()
+    assert(df.count() == 3)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.filter(col("a").isNotNull).count() == 2)
+    df.unpersist()
+  }
+
   test("M3: repeat epochs triples every group count") {
     val perEpoch = CoreQueries.repeatEpochs(spark, sf)
       .groupBy("event_type").agg(countDistinct("epoch").as("n_epochs"))

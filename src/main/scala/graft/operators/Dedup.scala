@@ -183,12 +183,16 @@ object Dedup {
     * one aggregate + one join, all equality-keyed.
     */
   def resolveClusters(pairs: DataFrame): DataFrame = {
-    // localCheckpoint truncates lineage each iteration — without it
-    // the plan doubles per round and planning time dominates. The pair
-    // graph is tiny relative to the corpus (only near-dup docs), so
-    // eager materialization per round is cheap.
+    // The pair graph is tiny relative to the corpus (only near-dup
+    // docs): coalesce it to a few partitions so each round pays a few
+    // tasks, not shuffle-partitions×3. localCheckpoint truncates
+    // lineage each round — without it the plan doubles and planning
+    // dominates. At a 100 TB corpus the graph is still ≪ corpus; size
+    // the partition count to the pair count instead of hardcoding.
+    val graphParts = 8
     val edges = pairs.select(col("ai").as("a"), col("bi").as("b"))
       .union(pairs.select(col("bi").as("a"), col("ai").as("b")))
+      .repartition(graphParts)
       .localCheckpoint(true)
     var labels = edges.select(col("a").as("id"), col("a").as("label"))
       .union(edges.select(col("b").as("id"), col("b").as("label")))
@@ -201,10 +205,19 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("b") === labels("id"))
         .groupBy(col("a").as("id2")).agg(min("label").as("nlabel"))
-      val updated = labels.join(neighborMin,
+      val stepped = labels.join(neighborMin,
           labels("id") === col("id2"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+      // pointer jumping: also adopt the label of one's label —
+      // collapses chains in O(log diameter) rounds instead of O(d)
+      val byLabel = stepped.select(col("id").as("lid"),
+        col("label").as("llabel"))
+      val updated = stepped.join(byLabel,
+          stepped("label") === byLabel("lid"), "left")
+        .select(col("id"), col("old"),
+          least(col("label"), coalesce(col("llabel"), col("label")))
             .as("label"))
         .localCheckpoint(true)
       changed = updated.filter(col("label") =!= col("old")).count()

@@ -47,6 +47,9 @@ object AsOfJoin {
     val payloadStruct = struct(
       rightPayload.map { case (in, out) => col(in).as(out) }.toSeq: _*)
     val payloadType = right.select(payloadStruct.as("_p")).schema("_p").dataType
+    // join semantics: a NULL key matches nothing — drop null-key right
+    // rows so the window's null partition carries no payload
+    val rightNonNullKey = right.filter(col(key).isNotNull)
 
     val l = left
       .withColumn("_ts", col(leftTs))
@@ -54,7 +57,7 @@ object AsOfJoin {
       .select((Seq(col(key), col("_ts"), col("_side")) ++
         leftCols.filterNot(_ == key).map(col) :+
         lit(null).cast(payloadType).as("_payload")): _*)
-    val r = right
+    val r = rightNonNullKey
       .withColumn("_ts", col(rightTs))
       .withColumn("_side", lit(1))
       .select((Seq(col(key), col("_ts"), col("_side")) ++

@@ -83,8 +83,7 @@ object Dedup {
     // this twice — without the cache the shingle pipeline runs 4×/doc
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
-        array_sort(graft.functions.VectorMath.xxhash64_array(
-          wordShingles(col("text")))).as("hss"))
+        array_sort(shingleHashes(col("text"))).as("hss"))
       .withColumn("sz", size(col("hss")))
       .persist()
 
@@ -250,6 +249,13 @@ object Dedup {
     * Blocking bounds the quadratic step by bucket size; the two
     * equality-join branches (same bucket / adjacent bucket) both plan
     * as hash joins.
+    *
+    * Known semantics of fixed-width blocking: the reach is ±64 chars,
+    * so near-identical LONG documents whose lengths differ more are
+    * never compared (a j≥0.8 pair can legally differ by ~20% of
+    * length). That is fine for this ≤512-char corpus and keeps the
+    * blocking oracle-exact; the production path for arbitrary corpora
+    * is [[minhashPairs]], whose LSH reach is length-independent.
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8): DataFrame = {
@@ -259,8 +265,7 @@ object Dedup {
     // (w.h.p.; 64-bit space), and the oracle replays the string form.
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
-        array_sort(graft.functions.VectorMath.xxhash64_array(
-          wordShingles(col("text")))).as("hss"),
+        array_sort(shingleHashes(col("text"))).as("hss"),
         floor(col("n_chars") / 32).as("blk"))
       .withColumn("sz", size(col("hss")))
       .persist() // both blocking branches read it twice each
@@ -272,11 +277,14 @@ object Dedup {
     }
 
     // output-preserving prefilter: |A∩B| ≤ min(|A|,|B|) ⇒ J(A,B) ≤
-    // min/max, so pairs whose size ratio is below the threshold can't
-    // qualify — skip their merge walk entirely. The oracle needs no
-    // mirror: the output set is provably identical.
+    // min/max, so pairs whose size ratio can't reach the threshold are
+    // skipped before the merge walk. The 1e-4 slack covers the output
+    // filter operating on round(j, 4): a pair whose rounded jaccard
+    // passes has true j ≥ threshold − 5e-5 > threshold − 1e-4, and
+    // j ≤ min/max, so no emitted pair is ever pruned — the oracle
+    // (which has no prefilter) returns the identical set.
     def sizeCompatible(sa: Column, sb: Column): Column =
-      least(sa, sb).cast("double") / greatest(sa, sb) >= threshold
+      least(sa, sb).cast("double") / greatest(sa, sb) >= threshold - 1e-4
 
     val l = docs.as("l")
     val r = docs.as("r")

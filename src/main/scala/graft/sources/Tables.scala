@@ -80,7 +80,7 @@ object Tables {
     * TimestampType, truncating exactly like DuckDB's ns→µs cast so the
     * oracle agrees.
     */
-  private val eventsOnDisk: StructType = StructType(Seq(
+  val eventsOnDisk: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),

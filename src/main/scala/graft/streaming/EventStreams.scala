@@ -14,17 +14,11 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** On-disk events schema for the streaming file source (the batch
-    * path gets this from graft.sources.Tables; ts arrives as raw
-    * nanos, converted below).
+  /** On-disk events schema for the streaming file source — shared with
+    * the batch loader so the two paths can never drift (ts arrives as
+    * raw nanos, converted below).
     */
-  private val eventsOnDisk = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private def eventsOnDisk: StructType = graft.sources.Tables.eventsOnDisk
 
   /** Nanos→µs timestamp normalization (shared batch/stream). */
   def normalize(raw: DataFrame): DataFrame =
@@ -54,36 +48,58 @@ object EventStreams {
 
   /** Custom streaming state (SURVEY.md §2.10 extension):
     * per-user sessionization with flatMapGroupsWithState — the typed
-    * arbitrary-state API. Emits a session when a 30-minute gap closes
-    * it; state per key is one small case class, bounded by an event-
-    * time timeout. The batch twin is OlapQueries.userSessions
-    * (gaps-and-islands); this is the form that runs 24/7 on a stream.
+    * arbitrary-state API. A session closes when a later event arrives
+    * past the gap OR when the event-time timeout fires (watermark
+    * passes lastUs+gap), so an idle user's final session is emitted
+    * and their state removed — state stays bounded on a 24/7 stream.
+    * Cross-batch late events fold into the open session (never move
+    * its end backwards). The batch twin is OlapQueries.userSessions.
+    *
+    * Input: (user, eventTimeMicros) pairs.
     */
   def sessionizeStream(
       events: org.apache.spark.sql.Dataset[(Long, Long)], gapUs: Long)
       : org.apache.spark.sql.Dataset[ClosedSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import events.sparkSession.implicits._
-    events.groupByKey(_._1)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val withEventTime = events.toDF("user", "us")
+      .withColumn("_et", timestamp_micros(col("us")))
+      .withWatermark("_et", "0 seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+    withEventTime.groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, ClosedSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long)],
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
          state: GroupState[SessionState]) =>
-          // rows arrive unordered within the batch — sort by event time
-          val times = rows.map(_._2).toSeq.sorted
-          var st = state.getOption.orNull
-          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
-          times.foreach { t =>
-            st match {
-              case null => st = SessionState(t, t, 1)
-              case s if t - s.lastUs > gapUs =>
-                closed += ClosedSession(user, s.start, s.lastUs, s.nEvents)
-                st = SessionState(t, t, 1)
-              case s => st = SessionState(s.start, t, s.nEvents + 1)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.start, s.lastUs, s.nEvents))
+          } else {
+            // rows arrive unordered within the batch — sort by time
+            val times = rows.map(_._2).toSeq.sorted
+            var st = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            times.foreach { t =>
+              st match {
+                case null => st = SessionState(t, t, 1)
+                case s if t <= s.lastUs =>
+                  // late event: extend the open session backwards-safe
+                  st = SessionState(math.min(s.start, t), s.lastUs,
+                    s.nEvents + 1)
+                case s if t - s.lastUs > gapUs =>
+                  closed += ClosedSession(user, s.start, s.lastUs, s.nEvents)
+                  st = SessionState(t, t, 1)
+                case s => st = SessionState(s.start, t, s.nEvents + 1)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp((st.lastUs + gapUs) / 1000 + 1)
+            }
+            closed.iterator
           }
-          if (st != null) state.update(st)
-          closed.iterator
       }
   }
 
@@ -91,14 +107,18 @@ object EventStreams {
     * `maxFilesPerTrigger=1` makes the file feed arrive as discrete
     * micro-batches. Returns the started query; callers drive it with
     * processAllAvailable().
+    *
+    * `glob` matches leaf FILES under sfDir — the default fits the
+    * testdata's single-file layout; a part-file directory layout
+    * (the scale shape) needs e.g. "events.parquet/part-*".
     */
   def startHourlyStream(spark: SparkSession, sfDir: String,
-      queryName: String): StreamingQuery = {
+      queryName: String, glob: String = "events.parquet"): StreamingQuery = {
     // the file source wants a directory; glob-filter to the one table
     val raw = spark.readStream
       .schema(eventsOnDisk)
       .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(sfDir)
     hourlyAgg(normalize(raw))
       .writeStream

@@ -52,6 +52,18 @@ class AsOfJoinSpec extends SparkSpec {
       "stale value from an earlier right row leaked into the match")
   }
 
+  test("asOfStrict: null keys never match (join semantics)") {
+    import spark.implicits._
+    val quotes = Seq((Option.empty[Long], ts("2024-01-01 09:00:00"), 9.0))
+      .toDF("k", "qts", "px")
+    val trades = Seq((Option.empty[Long], ts("2024-01-01 10:00:00"), "t"))
+      .toDF("k", "tts", "tag")
+    val r = AsOfJoin.asOfStrict(trades, quotes, "k", "tts", "qts",
+      Map("px" -> "last_px")).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("last_px")),
+      "null-key rows matched each other")
+  }
+
   test("q38: as-of matches a window-free reference computation") {
     // independent oracle: correlated max-prior lookup via a plain join
     // + groupBy (O(n^2/key) — test-scale only)

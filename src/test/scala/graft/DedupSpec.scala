@@ -119,7 +119,7 @@ class DedupSpec extends SparkSpec {
     val blocked = Dedup.ngramJaccardPairs(spark, sf).select("ai", "bi")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val docs = Tables.load(spark, sf, "documents")
-      .select(col("doc_id"), floor(col("n_chars") / 64).as("blk"))
+      .select(col("doc_id"), floor(col("n_chars") / 32).as("blk"))
     val blkOf = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val truthInReach = bruteForcePairs(0.8).select("ai", "bi").collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -20,12 +20,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming dedup: dropDuplicatesWithinWatermark on event ids") {
-    import org.apache.spark.sql.types._
-    val eventsOnDisk = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val raw = spark.readStream.schema(eventsOnDisk)
+    val raw = spark.readStream.schema(Tables.eventsOnDisk)
       .option("pathGlobFilter", "events.parquet").parquet(sf)
     val deduped = EventStreams.normalize(raw)
       .withWatermark("ts", "1 hour")
@@ -63,10 +58,12 @@ class StreamingSpec extends SparkSpec {
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long)]
     val hourUs = 3600L * 1000000
-    // user 7: events at 0h, 0.2h | gap | 2h, 2.1h | gap | 5h (open)
-    mem.addData((7L, 0L), (7L, (0.2 * hourUs).toLong))
-    mem.addData((7L, 2 * hourUs), (7L, (2.1 * hourUs).toLong))
-    mem.addData((7L, 5 * hourUs))
+    // user 7: events at 1h, 1.2h | gap | 3h, 3.1h | gap | 6h (open).
+    // Times start at 1h: an event at exactly the initial watermark
+    // (epoch 0) would be dropped by the event-time-timeout contract.
+    mem.addData((7L, 1 * hourUs), (7L, (1.2 * hourUs).toLong))
+    mem.addData((7L, 3 * hourUs), (7L, (3.1 * hourUs).toLong))
+    mem.addData((7L, 6 * hourUs))
     val q = EventStreams.sessionizeStream(mem.toDS(), gapUs = hourUs / 2)
       .writeStream.outputMode("append")
       .format("memory").queryName("sessionize_test").start()
@@ -75,8 +72,19 @@ class StreamingSpec extends SparkSpec {
       val closed = spark.table("sessionize_test")
         .as[EventStreams.ClosedSession].collect().sortBy(_.startUs)
       assert(closed.length == 2) // third session still open
-      assert(closed(0).n_events == 2 && closed(0).startUs == 0L)
-      assert(closed(1).n_events == 2 && closed(1).startUs == 2 * hourUs)
+      assert(closed(0).n_events == 2 && closed(0).startUs == 1 * hourUs)
+      assert(closed(1).n_events == 2 && closed(1).startUs == 3 * hourUs)
+      // another user's far-future event advances the watermark past the
+      // open session's gap -> event-time timeout closes it (state freed)
+      mem.addData((8L, 10 * hourUs))
+      q.processAllAvailable()
+      mem.addData((8L, 11 * hourUs)) // next batch evaluates timeouts
+      q.processAllAvailable()
+      val after = spark.table("sessionize_test")
+        .as[EventStreams.ClosedSession].collect().filter(_.user_id == 7L)
+        .sortBy(_.startUs)
+      assert(after.length == 3, s"idle session never timed out: ${after.toSeq}")
+      assert(after(2).startUs == 6 * hourUs && after(2).n_events == 1)
     } finally q.stop()
   }
 

@@ -84,6 +84,10 @@ object SparkEntry {
     "q42_dedup_decisions" -> (operators.Dedup.dedupDecisions _),
     "q43_grouping_sets" -> (operators.SqlQueries.groupingSets _),
     "q46_kept_corpus" -> (operators.Dedup.keptCorpus _),
+    "q47_token_packing" -> ((s: SparkSession, d: String) =>
+      operators.Pipeline.tokenPacking(s, d)),
+    "q48_contamination" -> ((s: SparkSession, d: String) =>
+      operators.Pipeline.contamination(s, d)),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -465,6 +469,39 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars
         |FROM documents
         |WHERE doc_id NOT IN (SELECT bi FROM pairs WHERE jaccard >= 0.8)
+        |ORDER BY doc_id""".stripMargin,
+    "q47_token_packing" ->
+      """SELECT pack_id, count(*) AS n_docs, sum(n_tokens) AS pack_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM (SELECT doc_id, n_tokens,
+        |        CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+        |          / 512.0) AS BIGINT) AS pack_id
+        |      FROM (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT)
+        |                AS n_tokens
+        |            FROM documents))
+        |GROUP BY pack_id
+        |ORDER BY pack_id""".stripMargin,
+    "q48_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) >= 8
+        |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |            w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+        |            w[i+6] || ' ' || w[i+7]
+        |            for i in range(1, len(w) - 6)]
+        |      ELSE [text] END) AS sh
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+        |        FROM documents)
+        |), eval_grams AS (
+        |  SELECT DISTINCT unnest(sh) AS gram FROM g WHERE doc_id < 10
+        |), train_grams AS (
+        |  SELECT doc_id, unnest(sh) AS gram FROM g WHERE doc_id >= 10
+        |)
+        |SELECT doc_id, count(*) AS n_contaminated_grams
+        |FROM train_grams JOIN eval_grams USING (gram)
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.Dedup.wordShingles
+import graft.sources.Tables
+
+/** Training-data pipeline assembly operators: sequence packing and
+  * benchmark decontamination — the steps between a cleaned corpus and
+  * a training run.
+  */
+object Pipeline {
+
+  /** Token-budget sequence packing: assign documents (in doc_id order)
+    * to training packs of ≤ `budget` whitespace tokens by cumulative
+    * sum, then report per-pack occupancy. A document longer than the
+    * budget gets its own pack (standard greedy packing). The global
+    * running sum mirrors the reference's sequential batching
+    * semantics (trainer.py:222); the scale form packs per partition
+    * (one cumsum per shard) — same code with the window partitioned
+    * by shard key.
+    */
+  def tokenPacking(spark: SparkSession, sfDir: String,
+      budget: Int = 512): DataFrame = {
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      // pack id: which budget-window the cumulative count lands in
+      .withColumn("pack_id", floor((col("cum") - 1) / budget))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("pack_id")
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word 8-gram with the held-out set (here: doc_id < `evalCount`
+    * plays the benchmark). The eval side's distinct grams are tiny →
+    * broadcast; the training side explodes grams and inner-joins, so
+    * the cost is one scan of the corpus however large it is. Returns
+    * one row per contaminated training doc with its overlap count.
+    */
+  def contamination(spark: SparkSession, sfDir: String,
+      evalCount: Long = 10, n: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val evalGrams = docs.filter(col("doc_id") < evalCount)
+      .select(explode(wordShingles(col("text"), n)).as("gram"))
+      .distinct()
+    val trainGrams = docs.filter(col("doc_id") >= evalCount)
+      .select(col("doc_id"), explode(wordShingles(col("text"), n)).as("gram"))
+    trainGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+      .orderBy("doc_id")
+  }
+}

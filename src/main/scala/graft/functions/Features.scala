@@ -31,22 +31,28 @@ object Features {
 
   /** F1: murmur3 hash bucket in [0, nBuckets) — Spark's native
     * codegen'd hash (seed 42), the engine's equivalent of the
-    * reference's string hash bucketing.
+    * reference's string hash bucketing. Takes Long so
+    * CardinalityEstimator.bucketSizes composes directly; murmur3 is a
+    * 32-bit hash, so the domain is capped at Int.MaxValue.
     */
-  def hashBucket(name: String, nBuckets: Int): Column =
-    pmod(hash(col(name)), lit(nBuckets)).as(s"${name}_bucket")
+  def hashBucket(name: String, nBuckets: Long): Column = {
+    require(nBuckets > 0 && nBuckets <= Int.MaxValue,
+      s"bucket domain must fit an int, got $nBuckets")
+    pmod(hash(col(name)), lit(nBuckets.toInt)).as(s"${name}_bucket")
+  }
 
   /** Feature expressions for a frame: numerics pass through, strings
-    * hash-bucket with per-column domain sizes (ndv×5 rule).
+    * hash-bucket with per-column domain sizes (ndv×5 rule — the
+    * output of CardinalityEstimator.bucketSizes plugs in directly).
     */
-  def featureColumns(schema: StructType, bucketSizes: Map[String, Int],
+  def featureColumns(schema: StructType, bucketSizes: Map[String, Long],
       exclude: Set[String] = Set.empty): Seq[Column] = {
     val nums = (columnsOfType(schema, LongType, exclude) ++
       columnsOfType(schema, IntegerType, exclude) ++
       columnsOfType(schema, DoubleType, exclude) ++
       columnsOfType(schema, FloatType, exclude)).map(numericFeature)
     val cats = columnsOfType(schema, StringType, exclude)
-      .map(c => hashBucket(c, bucketSizes.getOrElse(c, 1000)))
+      .map(c => hashBucket(c, bucketSizes.getOrElse(c, 1000L)))
     nums ++ cats
   }
 
@@ -54,7 +60,7 @@ object Features {
     * label pulled out, everything else packed into one struct.
     */
   def featuresLabelSplit(df: DataFrame, labelCol: String,
-      bucketSizes: Map[String, Int],
+      bucketSizes: Map[String, Long],
       dropCols: Set[String] = Set.empty): DataFrame = {
     val feats = featureColumns(df.schema, bucketSizes,
       dropCols + labelCol)

@@ -23,11 +23,15 @@ import org.apache.spark.sql.types._
 /** `dot_product(array<double>, array<double>) → double` — Σ aᵢ·bᵢ in
   * element order. Implements doGenCode (a primitive Java loop), so it
   * participates in whole-stage codegen rather than breaking the span.
+  * Matches the composable `zip_with`+`aggregate` null semantics:
+  * unequal lengths or a null element yield NULL, never a silently
+  * truncated or zero-padded sum.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -40,10 +44,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -59,12 +65,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -187,11 +198,17 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     var j = 0
     var cnt = 0L
     while (i < nx && j < ny) {
-      val xv = x.getLong(i)
-      val yv = y.getLong(j)
-      if (xv == yv) { cnt += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+      // null slots (possible only from foreign inputs; our kernels
+      // emit containsNull=false) are skipped, not counted
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv == yv) { cnt += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
     }
     cnt
   }
@@ -213,10 +230,14 @@ case class IntersectCountSorted(left: Expression, right: Expression)
          |int $ny = $b.numElements();
          |int $i = 0; int $j = 0; long $cnt = 0L;
          |while ($i < $nx && $j < $ny) {
-         |  long $xv = $a.getLong($i);
-         |  long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { $cnt++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $xv = $a.getLong($i);
+         |    long $yv = $b.getLong($j);
+         |    if ($xv == $yv) { $cnt++; $i++; $j++; }
+         |    else if ($xv < $yv) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $cnt;
        """.stripMargin

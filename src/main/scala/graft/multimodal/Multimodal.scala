@@ -92,25 +92,27 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for "video" payloads: every `stride`-th
-    * fixed-size chunk of the byte stream as one frame row — the
-    * explode-shaped half of a decode pipeline (row per frame, frame
-    * index carried).
+  /** Frame sampling for "video" payloads: every `stride`-th full
+    * `frameBytes`-sized chunk of the byte stream as one frame row.
+    * `chunk_idx` is the chunk's position in the stream (byte offset =
+    * chunk_idx × frameBytes), not the sample ordinal; payloads shorter
+    * than one full chunk produce no rows.
     */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 32,
       stride: Int = 4): DataFrame = {
-    val video = media.filter(col("media_type") === "video")
+    val video = media.filter(col("media_type") === "video" &&
+      length(col("payload")) >= frameBytes)
+    val lastChunk = (length(col("payload")) / frameBytes).cast("int") - 1
     video.select(
         col("media_id"),
-        posexplode(transform(
-          sequence(lit(0),
-            greatest((length(col("payload")) / frameBytes).cast("int") - 1,
-              lit(0)), lit(stride)),
-          off => substring(col("payload"), off * frameBytes + 1,
-            lit(frameBytes))))
-          .as(Seq("frame_idx", "frame")))
-      .select(col("media_id"), col("frame_idx"),
-        length(col("frame")).as("frame_bytes"))
+        explode(transform(
+          sequence(lit(0), lastChunk, lit(stride)),
+          off => struct(off.as("chunk_idx"),
+            substring(col("payload"), off * frameBytes + 1,
+              lit(frameBytes)).as("frame"))))
+          .as("f"))
+      .select(col("media_id"), col("f.chunk_idx").as("chunk_idx"),
+        length(col("f.frame")).as("frame_bytes"))
   }
 
   /** Oracle-checkable metadata pass: payload length + content digest —

@@ -13,14 +13,15 @@ import graft.sources.Tables
   */
 object Pipeline {
 
-  /** Token-budget sequence packing: assign documents (in doc_id order)
-    * to training packs of ≤ `budget` whitespace tokens by cumulative
-    * sum, then report per-pack occupancy. A document longer than the
-    * budget gets its own pack (standard greedy packing). The global
-    * running sum mirrors the reference's sequential batching
-    * semantics (trainer.py:222); the scale form packs per partition
-    * (one cumsum per shard) — same code with the window partitioned
-    * by shard key.
+  /** Token-budget sequence packing, cumulative-window form: documents
+    * (in doc_id order) are assigned to the budget window their running
+    * token count ends in. A pack can exceed `budget` by at most its
+    * last (straddling) document's tokens — this is the parallelizable
+    * approximation of greedy packing (exact greedy resets at each
+    * boundary, which is a sequential fold, not a window). The global
+    * running sum mirrors the reference's sequential batching semantics
+    * (trainer.py:222); the scale form partitions the window by a shard
+    * key, one cumsum per shard.
     */
   def tokenPacking(spark: SparkSession, sfDir: String,
       budget: Int = 512): DataFrame = {

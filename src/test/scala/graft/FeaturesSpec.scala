@@ -22,7 +22,7 @@ class FeaturesSpec extends SparkSpec {
     val vocab = CardinalityEstimator.vocabSizes(ev, Seq("event_type"))
     val buckets = CardinalityEstimator.bucketSizes(vocab) // 5*5=25
     val df = ev.select(
-      Features.hashBucket("event_type", buckets("event_type").toInt))
+      Features.hashBucket("event_type", buckets("event_type")))
     val Array(mn, mx) = df.agg(min("event_type_bucket"),
       max("event_type_bucket")).collect()(0).toSeq
       .map(_.asInstanceOf[Int]).toArray
@@ -34,7 +34,7 @@ class FeaturesSpec extends SparkSpec {
   test("P2: features/label split drops bookkeeping and packs a struct") {
     val df = graft.operators.Estimators.labeledEvents(spark, sf)
     val split = Features.featuresLabelSplit(df, "label",
-      Map("event_type" -> 25), dropCols = Set("event_id"))
+      Map("event_type" -> 25L), dropCols = Set("event_id"))
     assert(split.columns.toSeq == Seq("features", "label"))
     val featNames = split.schema("features").dataType
       .asInstanceOf[StructType].fieldNames.toSeq

@@ -32,16 +32,20 @@ class MultimodalSpec extends SparkSpec {
     assert(run(1) == run(1000))
   }
 
-  test("sampleFrames: stride-spaced frame rows for video payloads") {
+  test("sampleFrames: stride-spaced chunk rows for video payloads") {
     import spark.implicits._
     val media = spark.createDataset(Seq(
       MediaRow(1L, "video", Array.fill[Byte](256)(7), 256L),
-      MediaRow(2L, "image", Array.fill[Byte](256)(7), 256L)))
+      MediaRow(2L, "image", Array.fill[Byte](256)(7), 256L),
+      MediaRow(3L, "video", Array.fill[Byte](10)(7), 10L), // < 1 chunk
+      MediaRow(4L, "video", Array.empty[Byte], 0L)))       // empty
     val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 4)
     val rows = frames.collect()
-    assert(rows.forall(_.getLong(0) == 1L)) // image rows filtered out
-    // 256/32 = 8 frame slots, stride 4 -> offsets 0 and 4
-    assert(rows.map(_.getInt(1)).toSeq.sorted == Seq(0, 1))
+    assert(rows.forall(_.getLong(0) == 1L),
+      "image / sub-chunk / empty payloads must produce no rows")
+    // 256/32 = 8 chunks, stride 4 -> chunk indices 0 and 4 (stream
+    // positions, not sample ordinals)
+    assert(rows.map(_.getInt(1)).toSeq.sorted == Seq(0, 4))
     assert(rows.forall(_.getInt(2) == 32))
   }
 

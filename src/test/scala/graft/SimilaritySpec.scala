@@ -17,6 +17,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq(1.0, 0.0, -1.0, 1.0))
   }
 
+  test("dot_product: null elements and ragged lengths yield NULL") {
+    import spark.implicits._
+    import graft.functions.VectorMath.dot_product
+    val df = Seq(1).toDF("x").select(
+      dot_product(array(lit(1.0), lit(null).cast("double")),
+        array(lit(2.0), lit(3.0))).as("with_null"),
+      dot_product(array(lit(1.0)), array(lit(2.0), lit(3.0))).as("ragged"),
+      dot_product(array(lit(1.0), lit(2.0)),
+        array(lit(3.0), lit(4.0))).as("dense"))
+    val r = df.collect()(0)
+    assert(r.isNullAt(0), "null element must not be treated as 0")
+    assert(r.isNullAt(1), "ragged lengths must not silently truncate")
+    assert(r.getDouble(2) == 11.0)
+  }
+
   test("cosineTopK: k rows, descending, self excluded") {
     val rows = Similarity.cosineTopK(spark, sf, vecId = 0L, k = 20).collect()
     assert(rows.length == 20)

@@ -249,6 +249,67 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `word_ngram_hashes(text, n) → array<long>` — distinct xxhash64
+  * values of the word n-gram shingles of a single-space-separated
+  * text, in one pass: split, build each gram, hash, dedupe. Produces
+  * exactly the same hash values as
+  * `xxhash64_array(array_distinct(wordShingles(text, n)))` (same
+  * concatenation, same seed), without materializing the gram strings
+  * through per-element lambda dispatch — the shingle pipelines'
+  * dominant cost. Texts with fewer than n words hash the whole text
+  * (mirroring wordShingles' short-doc guard).
+  */
+case class WordNGramHashes(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n > 0, "n must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngram_hashes requires string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    val words = text.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (words.length < n) {
+      seen.add(XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text),
+        StringType, 42L))
+    } else {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= words.length - n) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(words(i + k))
+          k += 1
+        }
+        seen.add(XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString),
+          StringType, 42L))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "word_ngram_hashes"
+  override protected def withNewChildInternal(c: Expression): WordNGramHashes =
+    copy(child = c)
+}
+
 object VectorMath {
   private def e(c: Column): Expression = GraftColumnBridge.expression(c)
 
@@ -263,4 +324,7 @@ object VectorMath {
 
   def intersect_count_sorted(a: Column, b: Column): Column =
     GraftColumnBridge.column(IntersectCountSorted(e(a), e(b)))
+
+  def word_ngram_hashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(WordNGramHashes(e(text), n))
 }

@@ -31,11 +31,14 @@ object Dedup {
     array_distinct(when(size(ws) >= n, grams).otherwise(array(text)))
   }
 
-  /** xxhash64 of each shingle — the 64-bit feature space MinHash and
-    * SimHash operate in (native array kernel, one loop per row).
+  /** xxhash64 of each distinct shingle — the 64-bit feature space
+    * MinHash and SimHash operate in. Single-pass kernel: tokenizes,
+    * builds grams, hashes and dedupes per row without materializing
+    * gram strings through per-element lambdas (same values as
+    * `xxhash64_array(wordShingles(text, n))`).
     */
   def shingleHashes(text: Column, n: Int = 3): Column =
-    graft.functions.VectorMath.xxhash64_array(wordShingles(text, n))
+    graft.functions.VectorMath.word_ngram_hashes(text, n)
 
   // ---- exact dedup -----------------------------------------------------
 

@@ -48,12 +48,17 @@ object Pipeline {
     */
   def contamination(spark: SparkSession, sfDir: String,
       evalCount: Long = 10, n: Int = 8): DataFrame = {
+    // grams are compared as 64-bit hashes (single-pass kernel) — same
+    // overlap counts as string grams w.h.p.; the oracle replays the
+    // string form
     val docs = Tables.load(spark, sfDir, "documents")
+    val gramHashes = graft.functions.VectorMath
+      .word_ngram_hashes(col("text"), n)
     val evalGrams = docs.filter(col("doc_id") < evalCount)
-      .select(explode(wordShingles(col("text"), n)).as("gram"))
+      .select(explode(gramHashes).as("gram"))
       .distinct()
     val trainGrams = docs.filter(col("doc_id") >= evalCount)
-      .select(col("doc_id"), explode(wordShingles(col("text"), n)).as("gram"))
+      .select(col("doc_id"), explode(gramHashes).as("gram"))
     trainGrams.join(broadcast(evalGrams), Seq("gram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_contaminated_grams"))

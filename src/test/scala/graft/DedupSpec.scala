@@ -17,6 +17,17 @@ class DedupSpec extends SparkSpec {
     assert(sh(2) == Seq("x y")) // short-doc guard
   }
 
+  test("word_ngram_hashes kernel equals the composable shingle pipeline") {
+    val docs = Tables.load(spark, sf, "documents")
+    val diff = docs.select(
+        graft.functions.VectorMath.word_ngram_hashes(col("text"), 3)
+          .as("fast"),
+        graft.functions.VectorMath.xxhash64_array(
+          Dedup.wordShingles(col("text"), 3)).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+  }
+
   test("exactDedup keeps one row per distinct text") {
     val docs = Tables.load(spark, sf, "documents")
     val nDistinct = docs.select("text").distinct().count()

@@ -55,6 +55,31 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("IVF scale layout: cell-partitioned write prunes at read (SCALE.md)") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf").toString
+    val (assigned, centers) = Similarity.ivfAssignments(spark, sf, 16)
+    assigned.write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$tmp/corpus")
+    // a query probing 2 cells reads only those partition directories
+    val probed = Seq(0, 1)
+    val pruned = spark.read.parquet(s"$tmp/corpus")
+      .filter(col("cell").isin(probed: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"cell filter not a partition filter:\n$plan")
+    assert(pruned.count() ==
+      assigned.filter(col("cell").isin(probed: _*)).count())
+    assert(centers.length == 16)
+  }
+
+  test("percentile_approx sketch is partition-invariant (mergeable)") {
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    def p95(parts: Int) = li.repartition(parts)
+      .agg(expr("percentile_approx(l_extendedprice, 0.95, 10000)"))
+      .collect()(0).getDouble(0)
+    assert(p95(1) == p95(16)) // same sketch whatever the plan shape
+  }
+
   test("embeddingPairs is symmetric-free and thresholded") {
     val rows = Similarity.embeddingPairs(spark, sf, 0.4).collect()
     rows.foreach { r =>

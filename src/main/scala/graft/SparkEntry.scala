@@ -88,6 +88,7 @@ object SparkEntry {
       operators.Pipeline.tokenPacking(s, d)),
     "q48_contamination" -> ((s: SparkSession, d: String) =>
       operators.Pipeline.contamination(s, d)),
+    "q49_heavy_hitters" -> (plans.CardinalityEstimator.heavyHitters _),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -502,7 +503,14 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_contaminated_grams
         |FROM train_grams JOIN eval_grams USING (gram)
         |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // exact because ndv(event_type)=5 <= capacity=8 - the Misra-Gries
+    // summary never decrements, so counts equal the true frequencies
+    "q49_heavy_hitters" ->
+      """SELECT event_type AS value, count(*) AS cnt
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY cnt DESC, value""".stripMargin
   )
 }
 

@@ -30,6 +30,18 @@ object CardinalityEstimator {
   def bucketSizes(vocab: Map[String, Long]): Map[String, Long] =
     vocab.map { case (c, n) => c -> n * BucketMultiplier }
 
+  /** Heavy hitters of a column as rows — the frequency half of the
+    * column-statistics story (exact when ndv ≤ capacity, which the
+    * oracle relies on). One scan, sketch-sized shuffle.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .agg(graft.functions.FreqFunctions.freq_topk(col("event_type"), 8)
+        .as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.value").as("value"), col("h.cnt").as("cnt"))
+      .orderBy(desc("cnt"), asc("value"))
+
   /** Long-form table of (column, approx ndv, bucket size) for the
     * categorical columns of a table — the engine's rendition of the
     * reference's `vocab_size` dict. Not oracle-checked (DuckDB's HLL

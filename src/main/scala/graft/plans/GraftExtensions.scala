@@ -37,6 +37,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "hll_distinct(col[, precision])")
       }))
+    e.injectFunction((
+      new FunctionIdentifier("freq_topk"),
+      new ExpressionInfo(
+        classOf[graft.functions.FreqTopK].getName, "freq_topk"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, Literal(k: Int, _)) => graft.functions.FreqTopK(c, k)
+        case _ => throw new IllegalArgumentException(
+          "freq_topk(col, capacity)")
+      }))
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
   }
 }

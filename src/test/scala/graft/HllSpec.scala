@@ -130,6 +130,48 @@ class HllSpec extends SparkSpec {
     assert(byName("l_linestatus") == 2L)
   }
 
+  test("freq_topk: exact when ndv <= capacity, partition-invariant") {
+    val ev = Tables.load(spark, sf, "events")
+    val exact = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hh = plans.CardinalityEstimator.heavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == exact)
+    // partition invariance: 1 vs 16 partitions, same summary
+    def run(parts: Int) = ev.repartition(parts)
+      .agg(graft.functions.FreqFunctions.freq_topk(col("event_type"), 8))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(run(1) == run(16))
+  }
+
+  test("freq_topk: bounded regime keeps true heavy hitters, never overcounts") {
+    import spark.implicits._
+    // skewed stream: 'hot' appears 500x, 50 cold values 10x each,
+    // capacity 8 « ndv 51
+    val rows = Seq.fill(500)("hot") ++
+      (1 to 50).flatMap(i => Seq.fill(10)(s"cold$i"))
+    val df = scala.util.Random.shuffle(rows).toDF("v")
+    val hh = df.agg(graft.functions.FreqFunctions.freq_topk(col("v"), 8))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh.contains("hot"), s"true heavy hitter evicted: $hh")
+    // Misra-Gries estimates are lower bounds on true counts
+    assert(hh("hot") <= 500)
+    hh.foreach { case (v, c) =>
+      val truth = if (v == "hot") 500 else 10
+      assert(c <= truth, s"$v overcounted: $c > $truth")
+    }
+  }
+
+  test("freq_topk registered for SQL via GraftExtensions") {
+    Tables.load(spark, sf, "events").createOrReplaceTempView("ev_freq")
+    val got = spark.sql(
+      "SELECT freq_topk(event_type, 8) AS hh FROM ev_freq")
+      .selectExpr("size(hh)").collect()(0).getInt(0)
+    assert(got == 5)
+  }
+
   test("catalog stats path: ANALYZE TABLE feeds CBO column stats") {
     // the built-in half of the estimator story (SURVEY.md §4): persist
     // NDVs into the catalog and let Catalyst's CBO consume them

@@ -472,7 +472,8 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT bi FROM pairs WHERE jaccard >= 0.8)
         |ORDER BY doc_id""".stripMargin,
     "q47_token_packing" ->
-      """SELECT pack_id, count(*) AS n_docs, sum(n_tokens) AS pack_tokens,
+      """SELECT pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM (SELECT doc_id, n_tokens,
         |        CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id

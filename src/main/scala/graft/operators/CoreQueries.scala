@@ -170,15 +170,20 @@ object CoreQueries {
   }
 
   /** M5 (reference .batch(batch_size), trainer.py:222): fixed-size
-    * batching as a logical operation — batch id from a row_number over
-    * a total order, then per-batch stats. Spark's physical batching
-    * (ColumnarBatch) is automatic; this is the logical equivalent.
+    * batching as a logical operation — batch id from the global row
+    * number over a total order, then per-batch stats. The row number is
+    * a sharded two-pass prefix sum of 1s ([[PrefixSum]]) rather than a
+    * single-partition window, so it parallelizes at any scale. Spark's
+    * physical batching (ColumnarBatch) is automatic; this is the
+    * logical equivalent.
     */
   def batchStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy("event_id")
-    Tables.load(spark, sfDir, "events")
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("value"))
+    PrefixSum.withGlobalCumSum(ev, "event_id", lit(1), "rn",
+        shardWidth = 4096)
       .select(col("event_id"), col("value"),
-        ((row_number().over(w) - 1) / 512).cast("long").as("batch_id"))
+        ((col("rn") - 1) / 512).cast("long").as("batch_id"))
       .groupBy("batch_id")
       .agg(count(lit(1)).as("batch_rows"),
         round(sum("value"), 4).as("batch_value"))

@@ -81,7 +81,17 @@ object Dedup {
     * the exact-Jaccard cost.
     */
   def minhashPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    minhashPairsUnsorted(spark, sfDir, threshold).orderBy("ai", "bi")
+
+  /** [[minhashPairs]] without the presentation sort. Internal consumers
+    * (cluster resolution) must use this form: a global sort is TWO
+    * passes over its input (range-boundary sampling + the sort), so an
+    * orderBy between the LSH pipeline and a downstream materialization
+    * would run the whole pipeline twice for an ordering nobody reads.
+    */
+  private[operators] def minhashPairsUnsorted(spark: SparkSession,
+      sfDir: String, threshold: Double = 0.8): DataFrame = {
     // persisted: the LSH self-join and the verification join each read
     // this twice — without the cache the shingle pipeline runs 4×/doc
     val docs = Tables.load(spark, sfDir, "documents")
@@ -119,7 +129,6 @@ object Dedup {
       .select(col("ai"), col("bi"),
         round(inter / (col("sa.sz") + col("sb.sz") - inter), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("ai", "bi")
   }
 
   // ---- SimHash ---------------------------------------------------------
@@ -166,7 +175,10 @@ object Dedup {
     * deterministic one.
     */
   def keptCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val drop = ngramJaccardPairs(spark, sfDir)
+    // unsorted pair form: an orderBy here would double-run the pair
+    // pipeline (sampling pass + sort pass) for an order the anti-join
+    // never looks at
+    val drop = ngramJaccardPairsUnsorted(spark, sfDir)
       .select(col("bi").as("doc_id")).distinct()
     Tables.load(spark, sfDir, "documents")
       .join(drop, Seq("doc_id"), "left_anti")
@@ -185,25 +197,38 @@ object Dedup {
     * one aggregate + one join, all equality-keyed.
     */
   def resolveClusters(pairs: DataFrame): DataFrame = {
-    // The pair graph is tiny relative to the corpus (only near-dup
-    // docs): coalesce it to a few partitions so each round pays a few
-    // tasks, not shuffle-partitions×3. localCheckpoint truncates
-    // lineage each round — without it the plan doubles and planning
-    // dominates. At a 100 TB corpus the graph is still ≪ corpus; size
-    // the partition count to the pair count instead of hardcoding.
-    val graphParts = 8
-    val edges = pairs.select(col("ai").as("a"), col("bi").as("b"))
-      .union(pairs.select(col("bi").as("a"), col("ai").as("b")))
-      .repartition(graphParts)
+    // One eager materialization of the pair list — everything
+    // downstream reads these checkpointed blocks; the LSH pipeline
+    // that produced them never re-runs.
+    val p = pairs.select(col("ai").as("a"), col("bi").as("b"))
       .localCheckpoint(true)
+    // Size the graph partitioning from the pair count (~1M edges per
+    // task), never a hardcoded constant: the near-dup graph is ≪ the
+    // corpus but still grows with it.
+    val nPairs = p.count()
+    val graphParts = math.max(1, math.min(1024, (nPairs / 1000000L).toInt + 1))
+    // Hash-partition edges by the join side (b) once, before the
+    // checkpoint: localCheckpoint preserves outputPartitioning, so the
+    // per-round join on b === id shuffles only the (smaller) label
+    // side, not the edge list.
+    val edges = p
+      .union(p.select(col("b").as("a"), col("a").as("b")))
+      .repartition(graphParts, col("b"))
+      .localCheckpoint(true)
+    // Initial labels fold into round 1's plan — no materialization.
     var labels = edges.select(col("a").as("id"), col("a").as("label"))
       .union(edges.select(col("b").as("id"), col("b").as("label")))
       .groupBy("id").agg(min("label").as("label"))
-      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     val maxIter = 50
     while (changed > 0 && iter < maxIter) {
+      // min label in the neighborhood, then pointer jumping (adopt
+      // one's label's label — collapses chains in O(log diameter)
+      // rounds instead of O(d)). Both steps live in ONE lazy plan with
+      // ONE materialization per round: `stepped` is evaluated twice
+      // inside the job (cheaper than a second eager checkpoint, which
+      // is a whole extra Spark job on a graph this shape).
       val neighborMin = edges
         .join(labels, edges("b") === labels("id"))
         .groupBy(col("a").as("id2")).agg(min("label").as("nlabel"))
@@ -212,8 +237,6 @@ object Dedup {
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
-      // pointer jumping: also adopt the label of one's label —
-      // collapses chains in O(log diameter) rounds instead of O(d)
       val byLabel = stepped.select(col("id").as("lid"),
         col("label").as("llabel"))
       val updated = stepped.join(byLabel,
@@ -222,6 +245,8 @@ object Dedup {
           least(col("label"), coalesce(col("llabel"), col("label")))
             .as("label"))
         .localCheckpoint(true)
+      // convergence probe over the just-checkpointed tiny frame — a
+      // metadata-cost job, not a recomputation
       changed = updated.filter(col("label") =!= col("old")).count()
       labels = updated.drop("old")
       iter += 1
@@ -241,7 +266,7 @@ object Dedup {
     * are implicitly kept).
     */
   def dedupDecisions(spark: SparkSession, sfDir: String): DataFrame =
-    resolveClusters(minhashPairs(spark, sfDir)).orderBy("doc_id")
+    resolveClusters(minhashPairsUnsorted(spark, sfDir)).orderBy("doc_id")
 
   // ---- exact n-gram Jaccard (oracle-checkable) -------------------------
 
@@ -261,7 +286,14 @@ object Dedup {
     * is [[minhashPairs]], whose LSH reach is length-independent.
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    ngramJaccardPairsUnsorted(spark, sfDir, threshold).orderBy("ai", "bi")
+
+  /** [[ngramJaccardPairs]] without the presentation sort — see
+    * [[minhashPairsUnsorted]] for why internal consumers need this.
+    */
+  private[operators] def ngramJaccardPairsUnsorted(spark: SparkSession,
+      sfDir: String, threshold: Double = 0.8): DataFrame = {
     // per-row once: distinct shingles → sorted 64-bit hashes + size.
     // The pair stage then pays one merge walk per pair; |A∪B| is
     // |A|+|B|-|A∩B|. Jaccard over hashes equals Jaccard over shingles
@@ -306,6 +338,5 @@ object Dedup {
 
     same.union(adjacent)
       .filter(col("jaccard") >= threshold)
-      .orderBy("ai", "bi")
   }
 }

@@ -1,10 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
-import graft.operators.Dedup.wordShingles
 import graft.sources.Tables
 
 /** Training-data pipeline assembly operators: sequence packing and
@@ -20,17 +18,18 @@ object Pipeline {
     * approximation of greedy packing (exact greedy resets at each
     * boundary, which is a sequential fold, not a window). The global
     * running sum mirrors the reference's sequential batching semantics
-    * (trainer.py:222); the scale form partitions the window by a shard
-    * key, one cumsum per shard.
+    * (trainer.py:222), computed as a sharded two-pass prefix sum
+    * ([[PrefixSum]]) — no single-partition window. shardWidth=4096
+    * exercises the multi-shard path even at test SF; production sizing
+    * is ~2^20 keys/shard.
     */
   def tokenPacking(spark: SparkSession, sfDir: String,
       budget: Int = 512): DataFrame = {
-    val w = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.load(spark, sfDir, "documents")
+    val toks = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum("n_tokens").over(w))
+    PrefixSum.withGlobalCumSum(toks, "doc_id", col("n_tokens"), "cum",
+        shardWidth = 4096)
       // pack id: which budget-window the cumulative count lands in
       .withColumn("pack_id", floor((col("cum") - 1) / budget))
       .groupBy("pack_id")

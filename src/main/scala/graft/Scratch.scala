@@ -9,18 +9,19 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = if (args.nonEmpty) args.toSeq else Seq(
-      "q12_batch_stats", "q42_dedup_decisions", "q43_grouping_sets",
-      "q44_string_functions", "q45_big_spenders", "q46_kept_corpus",
-      "q47_token_packing", "q49_heavy_hitters", "q17_rollup")
-    for (n <- names) {
-      val fn = SparkEntry.queries(n)
-      fn(spark, sfDir).count()
+    // LSH vs exact pair recall at sf0.01 and sf0.1, bench-style timing
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val exact = operators.Similarity.embeddingPairs(spark, sf, 0.4)
+        .select("ai", "bi").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def lshDf() = operators.Similarity.embeddingLshPairs(spark, sf, 0.4, 128, 4)
+      val lsh = lshDf().select("ai", "bi").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
       val t0 = System.nanoTime()
-      val c = fn(spark, sfDir).count()
+      lshDf().write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      println(f"[scratch] $n%-28s $t%7.2f s  rows=$c")
+      println(f"[scratch] $sf lsh=${lsh.size} exact=${exact.size} " +
+        f"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size} warm_t=$t%.2f s")
     }
     spark.stop()
   }

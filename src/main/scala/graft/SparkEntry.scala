@@ -67,6 +67,12 @@ object SparkEntry {
     // replay; recall vs the exact top-k is unit-tested (SimilaritySpec).
     "q28_ivf_topk" -> ((s: SparkSession, d: String) =>
       operators.Similarity.ivfTopK(s, d)),
+    // LSH-bucketed twin of q27: random-hyperplane bands, equality
+    // joins only. bandBits=4 reaches full recall at this corpus's low
+    // (τ=0.4) threshold, so the exact oracle applies verbatim.
+    "q50_embedding_lsh_pairs" -> ((s: SparkSession, d: String) =>
+      operators.Similarity.embeddingLshPairs(s, d, threshold = 0.4,
+        numPlanes = 128, bandBits = 4)),
     "q29_token_stats" -> (operators.TextQueries.tokenStats _),
     "q30_quality_scores" -> (operators.TextQueries.qualityScores _),
     // rows-only: heuristic language ID (accuracy unit-tested on real
@@ -299,6 +305,17 @@ object SparkEntry {
         |ORDER BY cosine DESC, vec_id
         |LIMIT 20""".stripMargin,
     "q27_embedding_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS ai, b.vec_id AS bi,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) *
+        |     sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) *
+        |     sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+        |ORDER BY ai, bi""".stripMargin,
+    "q50_embedding_lsh_pairs" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS ai, b.vec_id AS bi,
         |  round(list_dot_product(a.v, b.v) /

@@ -86,12 +86,20 @@ case class FreqTopK(
     new GenericArrayData(rows.toArray[Any])
   }
 
+  // length-prefixed raw UTF-8, not writeUTF: writeUTF throws
+  // UTFDataFormatException past 65535 bytes, which would crash the
+  // shuffle when aggregating over long-string columns (document text)
   override def serialize(buf: mutable.LinkedHashMap[String, Long])
       : Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    buf.foreach { case (k, c) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -101,7 +109,13 @@ case class FreqTopK(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = mutable.LinkedHashMap.empty[String, Long]
-    (0 until n).foreach { _ => buf.update(in.readUTF(), in.readLong()) }
+    (0 until n).foreach { _ =>
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.update(
+        new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+    }
     buf
   }
 

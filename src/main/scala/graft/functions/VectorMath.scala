@@ -310,6 +310,68 @@ case class WordNGramHashes(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** `random_projection_band_keys(array<double>) → array<int>` — one
+  * LSH band key per `bandBits` hyperplanes: bit j of band b is the
+  * sign of v · planes(b·bandBits + j). One pass over all planes with
+  * primitive loops; the plane matrix rides in the expression object
+  * (one broadcast-serialized reference), NOT as plan literals — a
+  * 128×64 literal matrix inflated plan/codegen time to ~10 s before
+  * this kernel existed. A null vector or null element yields NULL
+  * (same contract as dot_product).
+  */
+case class RandomProjectionBandKeys(child: Expression,
+    planes: Seq[Seq[Double]], bandBits: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(bandBits > 0 && bandBits <= 31, "bandBits must be in [1,31]")
+  require(planes.nonEmpty && planes.size % bandBits == 0,
+    "plane count must be a positive multiple of bandBits")
+
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"random_projection_band_keys requires array<double>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var d = 0
+    while (d < n) { if (v.isNullAt(d)) return null; d += 1 }
+    val vec = new Array[Double](n)
+    d = 0
+    while (d < n) { vec(d) = v.getDouble(d); d += 1 }
+    val numBands = planeArr.length / bandBits
+    val out = new Array[Int](numBands)
+    var b = 0
+    while (b < numBands) {
+      var key = 0
+      var j = 0
+      while (j < bandBits) {
+        val p = planeArr(b * bandBits + j)
+        val m = math.min(n, p.length)
+        var acc = 0.0
+        var i = 0
+        while (i < m) { acc += vec(i) * p(i); i += 1 }
+        if (acc >= 0) key |= 1 << j
+        j += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "random_projection_band_keys"
+  override protected def withNewChildInternal(c: Expression)
+      : RandomProjectionBandKeys = copy(child = c)
+}
+
 object VectorMath {
   private def e(c: Column): Expression = GraftColumnBridge.expression(c)
 
@@ -327,4 +389,9 @@ object VectorMath {
 
   def word_ngram_hashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordNGramHashes(e(text), n))
+
+  def random_projection_band_keys(vec: Column, planes: Seq[Seq[Double]],
+      bandBits: Int): Column =
+    GraftColumnBridge.column(
+      RandomProjectionBandKeys(e(vec), planes, bandBits))
 }

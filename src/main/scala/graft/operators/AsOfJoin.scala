@@ -25,7 +25,13 @@ object AsOfJoin {
     * matched row's fields always come from a single right row even
     * when some payload values are null; ties among right rows at the
     * same (key, ts) resolve deterministically to the greatest payload
-    * struct.
+    * struct — so make the struct's FIRST field a unique right-side id
+    * (as [[eventsAsOfPurchases]] does with p_id = event_id) and the
+    * tie-break is total. Note DuckDB's ASOF picks an unspecified row
+    * on exact-ts ties, so an oracle hash-compare needs either this
+    * unique-id-first convention mirrored or a tie-free fixture (the
+    * driver's events data has no duplicate (user_id, ts) purchases —
+    * verified at sf0.01 and sf0.1).
     *
     * @param left        left (probe) frame
     * @param right       right (reference) frame

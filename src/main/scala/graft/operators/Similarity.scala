@@ -87,22 +87,102 @@ object Similarity {
       .orderBy("ai", "bi")
   }
 
+  /** Embedding near-duplicate pairs via random-hyperplane (SimHash)
+    * LSH — the bucketed scale path for what [[embeddingPairs]] does by
+    * brute force. Plan shape mirrors [[Dedup.minhashPairs]]: signature
+    * → explode band keys → self-join on band key (equality ⇒ shuffle
+    * hash join, never a BroadcastNestedLoopJoin) → distinct candidates
+    * → exact-cosine verification. Only candidate pairs pay a dot
+    * product.
+    *
+    * Geometry: a random hyperplane separates two vectors at angle θ
+    * with probability θ/π, so a `bandBits`-bit band key collides with
+    * probability (1 − θ/π)^bandBits. For production near-dup
+    * thresholds (cosine ≥ 0.8, θ ≤ 37°) the default 8-bit bands prune
+    * ≥ 99.5% of the isotropic background per band while catching a
+    * true pair with p ≈ 1 − (1 − 0.43)^16 ≈ 0.9999. At low thresholds
+    * (τ ≈ 0.4, θ ≈ 66°) angular LSH separates weakly — ρ =
+    * ln p1/ln p2 ≈ 0.67 — so q50 runs bandBits=4 for recall ≈ 0.996
+    * and accepts a high candidate rate; that operating point exists
+    * for oracle comparability with [[embeddingPairs]], not as the
+    * scale configuration.
+    *
+    * Hyperplanes are seeded-deterministic, so signatures are
+    * reproducible across runs and engines.
+    */
+  def embeddingLshPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, numPlanes: Int = 128,
+      bandBits: Int = 8): DataFrame =
+    lshPairs(embeddingsAsDouble(spark, sfDir), threshold, numPlanes, bandBits)
+
+  /** [[embeddingLshPairs]] over any (vec_id, v: array<double>) frame —
+    * the corpus-agnostic form (also what the planted-near-dup recall
+    * spec drives).
+    */
+  def lshPairs(vectors: DataFrame, threshold: Double,
+      numPlanes: Int = 128, bandBits: Int = 8): DataFrame = {
+    require(numPlanes % bandBits == 0, "numPlanes must divide into bands")
+    val e = vectors
+      .select(col("vec_id"), col("v"),
+        sqrt(dot_product(col("v"), col("v"))).as("nrm"))
+      .persist()
+    // dimension probe: one-row parameter fetch (like queryVector)
+    val dim = e.select(size(col("v"))).first().getInt(0)
+    val rng = new scala.util.Random(42L)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+
+    // all band keys in one kernel pass (see RandomProjectionBandKeys —
+    // composing 128 dot_product literals costs ~10 s of plan/codegen)
+    val banded = e
+      .select(col("vec_id"), posexplode(
+        graft.functions.VectorMath
+          .random_projection_band_keys(col("v"), planes, bandBits)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
+
+    val candidates = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("ai"), col("r.vec_id").as("bi"))
+      .distinct()
+
+    candidates
+      .join(e.as("a"), col("ai") === col("a.vec_id"))
+      .join(e.as("b"), col("bi") === col("b.vec_id"))
+      .select(col("ai"), col("bi"),
+        round(cosinePrenormed(dot_product(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("ai", "bi")
+  }
+
   // IVF index cache: building the index is an offline step (at scale
   // the corpus is written out partitioned by cell once); queries must
-  // not refit k-means. Keyed by (session, sfDir, numCells) — a cached
-  // DataFrame is bound to the session that built it and must not leak
-  // into a later one.
-  private val ivfCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(String, String, Int), (DataFrame, Array[Seq[Double]])]
+  // not refit k-means. Outer key is the session itself under WEAK
+  // reference semantics — a cached DataFrame is bound to the session
+  // that built it, identity keying can't collide across sessions
+  // (unlike identityHashCode), and entries vanish with the session
+  // instead of leaking.
+  private val ivfCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, Int),
+      (DataFrame, Array[Seq[Double]])]]()
 
   /** IVF index: k-means cell id per vector (seeded, deterministic),
     * memoized per (session, corpus).
     */
   def ivfAssignments(spark: SparkSession, sfDir: String,
-      numCells: Int = 16): (DataFrame, Array[Seq[Double]]) =
-    ivfCache.getOrElseUpdate(
-      (System.identityHashCode(spark).toString, sfDir, numCells), {
+      numCells: Int = 16): (DataFrame, Array[Seq[Double]]) = {
+    val perSession = ivfCache.synchronized {
+      var m = ivfCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap
+          .empty[(String, Int), (DataFrame, Array[Seq[Double]])]
+        ivfCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((sfDir, numCells), {
       val e = embeddingsAsDouble(spark, sfDir)
         .withColumn("features", array_to_vector(col("v")))
       val model = new KMeans().setK(numCells).setSeed(42L)
@@ -112,6 +192,7 @@ object Similarity {
         .persist()
       (assigned, model.clusterCenters.map(_.toArray.toSeq))
     })
+  }
 
   /** ANN top-k via IVF: rank cells by centroid cosine to the query,
     * probe the nProbe best, exact cosine only within probed cells.

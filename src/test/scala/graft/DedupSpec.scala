@@ -57,7 +57,8 @@ class DedupSpec extends SparkSpec {
     assert(truth.nonEmpty, "corpus should contain planted near-dups")
     // verification step filters to >= 0.8, so found ⊆ truth always
     assert(found.subsetOf(truth))
-    // LSH at b=12,r=4 catches j>=0.8 with p>0.999 per pair
+    // LSH at b=12,r=6 catches j>=0.8 with p≈0.97 per pair (and
+    // >0.9999 at j>=0.9, where the planted near-dups live)
     assert(found == truth,
       s"missed ${truth -- found}, extra ${found -- truth}")
   }

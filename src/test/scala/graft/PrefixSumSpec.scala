@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PrefixSum
+
+class PrefixSumSpec extends SparkSpec {
+
+  private def check(keys: Seq[Long], shardWidth: Long): Unit = {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val rows = keys.map(k => (k, rng.nextInt(100).toLong))
+    val want = rows.sortBy(_._1).scanLeft(0L)(_ + _._2).tail
+    val got = PrefixSum
+      .withGlobalCumSum(rows.toDF("k", "x").repartition(7), "k", col("x"),
+        "cum", shardWidth)
+      .orderBy("k").select("cum").collect().map(_.getLong(0))
+    assert(got.sameElements(want))
+  }
+
+  test("multi-shard cumsum equals the sequential running sum") {
+    check(0L until 1000L, shardWidth = 64) // ~16 shards
+  }
+
+  test("sparse, non-dense keys: empty shards contribute nothing") {
+    check((0L until 300L).map(_ * 37L + 5L), shardWidth = 256)
+  }
+
+  test("single-shard degenerate case") {
+    check(0L until 50L, shardWidth = 1L << 20)
+  }
+}

@@ -87,4 +87,52 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.4)
     }
   }
+
+  test("embeddingLshPairs: full recall vs brute force at the q50 point") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = Similarity.embeddingPairs(spark, sf, 0.4)
+      .select("ai", "bi").collect().map(key).toSet
+    val lsh = Similarity.embeddingLshPairs(spark, sf, 0.4, 128, 4)
+      .select("ai", "bi").collect().map(key).toSet
+    // exact-cosine verification ⇒ lsh ⊆ exact always; at bandBits=4 a
+    // τ=0.4 pair shares a band with p ≈ 1-(1-0.631^4)^32 ≈ 0.996
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact, s"missed ${exact -- lsh}")
+  }
+
+  test("embeddingLshPairs plan is bucketed: no BroadcastNestedLoopJoin") {
+    val plan = Similarity.embeddingLshPairs(spark, sf, 0.4, 128, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH pair path must be equality-join bucketed:\n$plan")
+    assert(plan.contains("random_projection_band_keys"))
+  }
+
+  test("lshPairs production regime: planted near-dups at bandBits=8") {
+    import spark.implicits._
+    // 60 well-spread base vectors + a planted >0.9-cosine near-dup of
+    // each: the regime embedding dedup actually runs at (τ=0.9, 8-bit
+    // bands: pair caught with p ≈ 1-(1-0.856^8)^16 ≈ 0.996)
+    val rng = new scala.util.Random(7)
+    val dim = 32
+    val base = Seq.fill(60)(Seq.fill(dim)(rng.nextGaussian()))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val noisy = v.map(x => x + rng.nextGaussian() * 0.05)
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, noisy))
+    }
+    val df = rows.toDF("vec_id", "v")
+    val found = Similarity.lshPairs(df, 0.9, 128, 8)
+      .select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPlanted = df.as("a").join(df.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("c"))
+      .filter(col("c") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPlanted.size >= 50, "fixture should plant many near-dups")
+    val recall = (found & exactPlanted).size.toDouble / exactPlanted.size
+    info(s"planted near-dup recall at bandBits=8: $recall")
+    assert(recall >= 0.95, s"recall collapsed: $recall")
+  }
 }

@@ -1,14 +1,40 @@
 package org.apache.spark.sql
 
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.CatalogStatistics
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Bridge into the `private[sql]` Column↔Expression converters — the
-  * standard pattern for Spark extension libraries that expose custom
-  * Catalyst expressions (graft.functions) through the public Column
-  * API. Nothing else in this package: keep the surface one file wide.
+/** Bridge into the `private[sql]` Column↔Expression converters and the
+  * session catalog — the standard pattern for Spark extension
+  * libraries that expose custom Catalyst expressions (graft.functions)
+  * and estimator-driven statistics (graft.plans.GraftAnalyze) through
+  * public APIs. Nothing else in this package: keep the surface one
+  * file wide.
   */
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Install statistics for a catalog table (what ANALYZE TABLE does,
+    * with estimator-supplied numbers) and drop the cached relation so
+    * the next resolution picks them up.
+    */
+  def setTableStats(spark: SparkSession, table: String,
+      stats: CatalogStatistics): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState
+    val ident = cs.sqlParser.parseTableIdentifier(table)
+    cs.catalog.alterTableStats(ident, Some(stats))
+    cs.catalog.refreshTable(ident)
+  }
+
+  /** Current catalog stats of a table, if any. */
+  def tableStats(spark: SparkSession, table: String)
+      : Option[CatalogStatistics] = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState
+    cs.catalog.getTableMetadata(
+      cs.sqlParser.parseTableIdentifier(table)).stats
+  }
 }

@@ -120,6 +120,59 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("GreaterThan(l_shipdate"), s"lineitem filter not pushed:\n$plan")
   }
 
+  test("GraftAnalyze sketch stats steer the join strategy under CBO") {
+    import org.apache.spark.sql.functions.col
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.sql("DROP TABLE IF EXISTS g_orders")
+      spark.sql(s"CREATE TABLE g_orders USING parquet LOCATION '$sf/orders.parquet'")
+      spark.sql("DROP TABLE IF EXISTS g_lineitem")
+      spark.sql(s"CREATE TABLE g_lineitem USING parquet LOCATION '$sf/lineitem.parquet'")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+      // a filtered dimension: tiny in reality, but the planner can't
+      // know that without column stats
+      def q = spark.table("g_lineitem")
+        .join(spark.table("g_orders").filter(col("o_custkey") === 1L),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      // join strategy is decided pre-AQE from logical stats -> sparkPlan
+      val before = q.queryExecution.sparkPlan.toString
+      assert(before.contains("SortMergeJoin"),
+        s"without stats the filtered dim must not look broadcastable:\n$before")
+
+      // sketch-ANALYZE: HLL NDV makes the o_custkey=1 filter selective
+      // (~rowCount/ndv rows), shrinking the estimate under the
+      // broadcast threshold
+      val stats = graft.plans.GraftAnalyze.analyze(spark, "g_orders",
+        Seq("o_orderkey", "o_custkey"))
+      assert(stats.rowCount.exists(_ > 0))
+      val after = q.queryExecution.sparkPlan.toString
+      assert(after.contains("BroadcastHashJoin"),
+        s"estimator stats must flip the join to broadcast:\n$after")
+
+      // and a deliberately tiny NDV flips it back: selectivity 1/ndv=1
+      // keeps every row, so the same join must stay sort-merge —
+      // the ESTIMATE, not the data, is what moved the plan
+      val wrongNdv = stats.copy(colStats = stats.colStats +
+        ("o_custkey" -> stats.colStats("o_custkey").copy(
+          distinctCount = Some(BigInt(1)))))
+      org.apache.spark.sql.GraftColumnBridge
+        .setTableStats(spark, "g_orders", wrongNdv)
+      val wrong = q.queryExecution.sparkPlan.toString
+      assert(wrong.contains("SortMergeJoin"),
+        s"ndv=1 estimate must keep the join sort-merge:\n$wrong")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS g_orders")
+      spark.sql("DROP TABLE IF EXISTS g_lineitem")
+    }
+  }
+
   test("q22: dedup shuffles content hashes, not document bodies") {
     val plan = planOf(graft.operators.Dedup.exactDedup(spark, sf))
     // the rows crossing the shuffle are the partial aggregate's output

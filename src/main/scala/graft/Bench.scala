@@ -17,6 +17,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_TRACE=<path>: per-operator timeline capture (the
+    // reference's ProfilerHook role) alongside the wall-clock numbers
+    sys.env.get("SPARK_GRAFT_TRACE")
+      .foreach(p => plans.TraceCapture.install(spark, p))
     // noop sink, not count(): under a count Catalyst's EliminateSorts
     // strips every query's final global sort, so orderBy-terminated
     // queries would be benched without their sort cost

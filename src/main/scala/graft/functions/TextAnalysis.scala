@@ -54,17 +54,13 @@ object TextAnalysis {
   }
 
   /** Polynomial rolling hash of the character stream (Karp–Rabin
-    * shape): fp = fold(7, c => fp*31 + ascii(c) mod 1e9+7). Expressed
-    * as a SQL fold so DuckDB replays it exactly.
+    * shape): fp = fold(7, c => fp*31 + ascii(c) mod 1e9+7). The DuckDB
+    * oracle replays the equivalent SQL fold; Spark-side it is the
+    * [[graft.functions.PolyFingerprint]] kernel — the lambda-fold form
+    * paid a boxed dispatch and a substring per character.
     */
   def fingerprint(text: Column): Column =
-    // empty-text guard: sequence(1, 0) yields the DESCENDING [1, 0],
-    // not an empty array — the fold over nothing must return the seed
-    when(length(text) === 0, lit(7L)).otherwise(
-      aggregate(
-        sequence(lit(1), length(text)),
-        lit(7L),
-        (acc, i) => (acc * 31 + ascii(substring(text, i, lit(1)))) % 1000000007L))
+    TextKernels.poly_fingerprint(text)
 
   // ---- language identification ----------------------------------------
 
@@ -80,11 +76,18 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "de", "que", "es", "una", "en", "por", "como"))
 
   /** Predicted language: CJK codepoints → zh; otherwise the profile
-    * with the highest function-word hit ratio; no hits → 'und'.
-    * Deterministic argmax: array_max over (score, lang) structs breaks
-    * ties by language code.
+    * with the highest function-word hit count; no hits → 'und'.
+    * Deterministic argmax: ties break toward the greater language
+    * code. One-pass [[LangIdHeuristic]] kernel — the composable twin
+    * below pays a lambda dispatch per token per profile and is kept
+    * for the equivalence spec.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = TextKernels.lang_id(text)
+
+  /** The composable-column spelling of [[langId]] (equivalence-tested
+    * against the kernel; not on any hot path).
+    */
+  private[graft] def langIdComposable(text: Column): Column = {
     val ws = transform(tokens(text), w => lower(w))
     val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
       struct(

@@ -82,7 +82,8 @@ object Dedup {
     */
   def minhashPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8): DataFrame =
-    minhashPairsUnsorted(spark, sfDir, threshold).orderBy("ai", "bi")
+    Present.smallSorted(
+      minhashPairsUnsorted(spark, sfDir, threshold), "ai", "bi")
 
   /** [[minhashPairs]] without the presentation sort. Internal consumers
     * (cluster resolution) must use this form: a global sort is TWO
@@ -157,14 +158,14 @@ object Dedup {
 
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r,
+    val pairs = l.join(r,
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"),
         bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("ai", "bi")
+    Present.smallSorted(pairs, "ai", "bi")
   }
 
   /** End-to-end corpus materialization: documents minus the larger
@@ -180,10 +181,12 @@ object Dedup {
     // never looks at
     val drop = ngramJaccardPairsUnsorted(spark, sfDir)
       .select(col("bi").as("doc_id")).distinct()
-    Tables.load(spark, sfDir, "documents")
+    val kept = Tables.load(spark, sfDir, "documents")
       .join(drop, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
-      .orderBy("doc_id")
+    // presentation sort for the audit-sized corpus; a 100 TB cleaned-
+    // corpus write would keep the anti-join's partitioning unsorted
+    Present.smallSorted(kept, "doc_id")
   }
 
   // ---- cluster resolution ----------------------------------------------
@@ -266,7 +269,8 @@ object Dedup {
     * are implicitly kept).
     */
   def dedupDecisions(spark: SparkSession, sfDir: String): DataFrame =
-    resolveClusters(minhashPairsUnsorted(spark, sfDir)).orderBy("doc_id")
+    Present.smallSorted(
+      resolveClusters(minhashPairsUnsorted(spark, sfDir)), "doc_id")
 
   // ---- exact n-gram Jaccard (oracle-checkable) -------------------------
 
@@ -287,7 +291,8 @@ object Dedup {
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8): DataFrame =
-    ngramJaccardPairsUnsorted(spark, sfDir, threshold).orderBy("ai", "bi")
+    Present.smallSorted(
+      ngramJaccardPairsUnsorted(spark, sfDir, threshold), "ai", "bi")
 
   /** [[ngramJaccardPairs]] without the presentation sort — see
     * [[minhashPairsUnsorted]] for why internal consumers need this.

@@ -79,12 +79,12 @@ object Similarity {
   def embeddingPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.4): DataFrame = {
     val e = embeddingsWithNorm(spark, sfDir)
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
         round(cosinePrenormed(dot_product(col("a.v"), col("b.v")),
           col("a.nrm"), col("b.nrm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .orderBy("ai", "bi")
+    Present.smallSorted(pairs, "ai", "bi")
   }
 
   /** Embedding near-duplicate pairs via random-hyperplane (SimHash)
@@ -147,14 +147,14 @@ object Similarity {
       .select(col("l.vec_id").as("ai"), col("r.vec_id").as("bi"))
       .distinct()
 
-    candidates
+    val verified = candidates
       .join(e.as("a"), col("ai") === col("a.vec_id"))
       .join(e.as("b"), col("bi") === col("b.vec_id"))
       .select(col("ai"), col("bi"),
         round(cosinePrenormed(dot_product(col("a.v"), col("b.v")),
           col("a.nrm"), col("b.nrm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .orderBy("ai", "bi")
+    Present.smallSorted(verified, "ai", "bi")
   }
 
   // IVF index cache: building the index is an offline step (at scale

@@ -1,0 +1,120 @@
+package graft.plans
+
+import java.io.{File, FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Per-step trace capture — the engine-side analog of the reference's
+  * ProfilerHook timeline dumps (trainer.py:328-347, 360-381): every
+  * query execution appends one JSON line with wall-clock duration and
+  * the executed physical plan's per-operator metrics (output rows,
+  * shuffle bytes, spill, scan time — whatever each operator reports).
+  * Bench.scala is the wall-clock half; this is the per-operator half a
+  * profiler needs to say WHERE the time went.
+  *
+  * Implemented as a [[QueryExecutionListener]]: zero cost on the hot
+  * path (metrics are already collected by the SQL engine; the listener
+  * only serializes them after completion, off the query thread).
+  */
+object TraceCapture {
+
+  /** Install a trace listener appending JSON lines to `path`. Returns
+    * the listener so callers (tests) can unregister it.
+    */
+  def install(spark: SparkSession, path: String): QueryExecutionListener = {
+    val l = new GraftTraceListener(path)
+    spark.listenerManager.register(l)
+    l
+  }
+
+  def uninstall(spark: SparkSession, l: QueryExecutionListener): Unit =
+    spark.listenerManager.unregister(l)
+
+  /** One trace line for a finished execution. */
+  private[plans] def traceJson(name: String, qe: QueryExecution,
+      durationNs: Long): String = {
+    val sb = new java.lang.StringBuilder(512)
+    sb.append("{\"event\":\"query\",\"name\":").append(q(name))
+      .append(",\"wall_ms\":").append(durationNs / 1000000L)
+      .append(",\"ts_ms\":").append(System.currentTimeMillis())
+      .append(",\"operators\":[")
+    var first = true
+    foreachNode(qe.executedPlan, 0) { (node, depth) =>
+      if (!first) sb.append(',')
+      first = false
+      sb.append("{\"op\":").append(q(node.nodeName))
+        .append(",\"depth\":").append(depth)
+      val ms = node.metrics
+      if (ms.nonEmpty) {
+        sb.append(",\"metrics\":{")
+        var mFirst = true
+        // deterministic order so trace diffs are meaningful
+        ms.toSeq.sortBy(_._1).foreach { case (k, m) =>
+          if (!mFirst) sb.append(',')
+          mFirst = false
+          sb.append(q(k)).append(':').append(m.value)
+        }
+        sb.append('}')
+      }
+      sb.append('}')
+    }
+    sb.append("]}")
+    sb.toString
+  }
+
+  /** Pre-order walk that follows AQE's runtime structure: the adaptive
+    * root's `children` is empty (the executed subtree hangs off
+    * `executedPlan`), and each materialized query stage is a leaf
+    * whose real operators hang off `plan`.
+    */
+  private def foreachNode(p: SparkPlan, depth: Int)(
+      f: (SparkPlan, Int) => Unit): Unit = {
+    f(p, depth)
+    p match {
+      case a: AdaptiveSparkPlanExec => foreachNode(a.executedPlan, depth + 1)(f)
+      case s: QueryStageExec => foreachNode(s.plan, depth + 1)(f)
+      case _ => p.children.foreach(c => foreachNode(c, depth + 1)(f))
+    }
+  }
+
+  private def q(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+    sb.toString
+  }
+
+  private[plans] def append(path: String, line: String): Unit = synchronized {
+    val w = new OutputStreamWriter(
+      new FileOutputStream(new File(path), true), StandardCharsets.UTF_8)
+    try { w.write(line); w.write('\n') } finally w.close()
+  }
+}
+
+/** The listener itself; failures are traced too (name + error class),
+  * and serialization problems never propagate into the query thread.
+  */
+class GraftTraceListener(path: String) extends QueryExecutionListener {
+
+  override def onSuccess(funcName: String, qe: QueryExecution,
+      durationNs: Long): Unit =
+    try TraceCapture.append(path, TraceCapture.traceJson(funcName, qe, durationNs))
+    catch { case _: Throwable => () }
+
+  override def onFailure(funcName: String, qe: QueryExecution,
+      exception: Exception): Unit =
+    try TraceCapture.append(path,
+      s"""{"event":"query_failed","name":"$funcName","error":"${exception.getClass.getSimpleName}"}""")
+    catch { case _: Throwable => () }
+}

@@ -52,6 +52,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp == 7L) // DuckDB list_reduce(list_prepend(7, [])) = 7
   }
 
+  test("langId kernel ≡ the composable column form on edge cases") {
+    import spark.implicits._
+    val texts = Seq(
+      "the cat sat on the mat and it is happy", // en
+      "der hund ist nicht in das haus und die katze", // de
+      "le chat est dans la maison et les chiens", // fr
+      "el perro es una mascota que vive en la casa", // es
+      "你好世界这是中文", // zh (CJK override)
+      "mixed 中文 and english the of", // CJK wins even with en words
+      "xyzzy qwerty plugh", // und
+      "", // empty text
+      "THE OF AND", // case folding
+      "la de el the", // cross-profile tie -> greater lang code
+      "  double  spaces  the  ") // empty tokens from split
+    val got = texts.toDF("text").select(
+      TextAnalysis.langId(col("text")).as("kernel"),
+      TextAnalysis.langIdComposable(col("text")).as("composable")).collect()
+    got.zip(texts).foreach { case (r, t) =>
+      assert(r.getString(0) == r.getString(1),
+        s"kernel=${r.getString(0)} composable=${r.getString(1)} for '$t'")
+    }
+  }
+
+  test("fingerprint kernel ≡ the composable SQL fold the oracle replays") {
+    import spark.implicits._
+    // mixed lengths, non-ASCII codepoints (é=233, €=8364, 中=20013),
+    // plus a corpus-shaped long doc — kernel and lambda-fold must agree
+    // everywhere since DuckDB replays the fold form
+    val texts = Seq("", "a", "abc", "café €5", "中文 text",
+      ("lorem ipsum dolor sit amet " * 20).trim)
+    val df = texts.toDF("text")
+    val foldForm = when(length(col("text")) === 0, lit(7L)).otherwise(
+      aggregate(
+        sequence(lit(1), length(col("text"))),
+        lit(7L),
+        (acc, i) =>
+          (acc * 31 + ascii(substring(col("text"), i, lit(1)))) % 1000000007L))
+    val rows = df.select(
+      TextAnalysis.fingerprint(col("text")).as("kernel"),
+      foldForm.as("fold")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) == r.getLong(1), s"kernel != fold for '$t'")
+    }
+  }
+
   test("qualityScores stay in [0,1] and reward stopword-bearing docs") {
     val rows = TextQueries.qualityScores(spark, sf).collect()
     rows.foreach { r =>

@@ -249,6 +249,84 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `intersect_count_at_least(a, b, required) → long` — the
+  * [[IntersectCountSorted]] merge walk with an admissibility bound:
+  * returns the exact intersection size when it is ≥ `required`, and -1
+  * as soon as `count so far + min(remaining a, remaining b)` proves the
+  * walk can't get there. Thresholded set-similarity joins call this
+  * with the minimum intersection the Jaccard threshold implies
+  * (J ≥ t ⇔ |A∩B| ≥ t/(1+t)·(|A|+|B|)): the overwhelmingly-dissimilar
+  * candidate mass exits after a fraction of the walk instead of paying
+  * O(|A|+|B|) each — the exact-verification stage's dominant cost.
+  */
+case class IntersectCountAtLeast(first: Expression, second: Expression,
+    third: Expression) extends org.apache.spark.sql.catalyst.expressions
+    .TernaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r, t) => TypeCheckResult.TypeCheckFailure(
+        s"intersect_count_at_least requires (array<long>, array<long>, " +
+          s"long), got ${l.sql}, ${r.sql}, ${t.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any, req: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val required = req.asInstanceOf[Long]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0
+    var j = 0
+    var cnt = 0L
+    while (i < nx && j < ny) {
+      if (cnt + math.min(nx - i, ny - j) < required) return -1L
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { cnt += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    if (cnt >= required) cnt else -1L
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, req) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val rem = ctx.freshName("rem")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $cnt = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $rem = (long) java.lang.Math.min($nx - $i, $ny - $j);
+         |  if ($cnt + $rem < $req) { $cnt = -1L; break; }
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $cnt++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = ($cnt >= $req) ? $cnt : -1L;
+       """.stripMargin
+    })
+
+  override def prettyName: String = "intersect_count_at_least"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): IntersectCountAtLeast = copy(f, s, t)
+}
+
 /** `word_ngram_hashes(text, n) → array<long>` — distinct xxhash64
   * values of the word n-gram shingles of a single-space-separated
   * text, in one pass: split, build each gram, hash, dedupe. Produces
@@ -386,6 +464,11 @@ object VectorMath {
 
   def intersect_count_sorted(a: Column, b: Column): Column =
     GraftColumnBridge.column(IntersectCountSorted(e(a), e(b)))
+
+  def intersect_count_at_least(a: Column, b: Column,
+      required: Column): Column =
+    GraftColumnBridge.column(
+      IntersectCountAtLeast(e(a), e(b), e(required)))
 
   def word_ngram_hashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordNGramHashes(e(text), n))

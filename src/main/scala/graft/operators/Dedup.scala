@@ -119,17 +119,36 @@ object Dedup {
       .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"))
       .distinct()
 
-    // verification joins on sorted hash arrays: merge-walk intersect,
-    // union size by |A|+|B|-|A∩B|
+    // verification joins on sorted hash arrays: early-exit merge walk
+    // (bail as soon as the remaining elements can't reach the
+    // threshold-implied minimum intersection)
     val sh = docs
-    val inter = graft.functions.VectorMath
-      .intersect_count_sorted(col("sa.hss"), col("sb.hss")).cast("double")
     candidates
       .join(sh.as("sa"), col("ai") === col("sa.doc_id"))
       .join(sh.as("sb"), col("bi") === col("sb.doc_id"))
       .select(col("ai"), col("bi"),
-        round(inter / (col("sa.sz") + col("sb.sz") - inter), 4).as("jaccard"))
+        thresholdedJaccard(col("sa.hss"), col("sb.hss"),
+          col("sa.sz"), col("sb.sz"), threshold).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard of two sorted hash arrays, or NULL when it is
+    * provably below `threshold` — the NULL branch exits the merge walk
+    * early ([[graft.functions.IntersectCountAtLeast]]). Exactness:
+    * J ≥ t ⇔ |A∩B| ≥ t·(|A|+|B|)/(1+t), and `required` is computed at
+    * t − 1e-4, strictly below anything the output filter (which sees
+    * round(j, 4) ≥ t, i.e. true j ≥ t − 5e-5) can accept — so no
+    * emitted pair is ever pruned; only certainly-rejected pairs skip
+    * walk steps.
+    */
+  private def thresholdedJaccard(a: Column, b: Column, sa: Column,
+      sb: Column, threshold: Double): Column = {
+    val t = threshold - 1e-4
+    val required =
+      ceil((sa + sb).cast("double") * lit(t) / lit(1.0 + t)).cast("long")
+    val inter = graft.functions.VectorMath
+      .intersect_count_at_least(a, b, required).cast("double")
+    when(inter >= 0, round(inter / (sa + sb - inter), 4))
   }
 
   // ---- SimHash ---------------------------------------------------------
@@ -310,11 +329,8 @@ object Dedup {
       .withColumn("sz", size(col("hss")))
       .persist() // both blocking branches read it twice each
 
-    def jaccard(a: Column, b: Column, sa: Column, sb: Column): Column = {
-      val inter = graft.functions.VectorMath
-        .intersect_count_sorted(a, b).cast("double")
-      round(inter / (sa + sb - inter), 4)
-    }
+    def jaccard(a: Column, b: Column, sa: Column, sb: Column): Column =
+      thresholdedJaccard(a, b, sa, sb, threshold)
 
     // output-preserving prefilter: |A∩B| ≤ min(|A|,|B|) ⇒ J(A,B) ≤
     // min/max, so pairs whose size ratio can't reach the threshold are

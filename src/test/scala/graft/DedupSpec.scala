@@ -17,6 +17,33 @@ class DedupSpec extends SparkSpec {
     assert(sh(2) == Seq("x y")) // short-doc guard
   }
 
+  test("intersect_count_at_least: exact when reachable, -1 only below bound") {
+    import spark.implicits._
+    import graft.functions.VectorMath.{intersect_count_at_least, intersect_count_sorted}
+    // every (pair, required) cell: sorted-distinct arrays of varied
+    // overlap, required swept past the true intersection size
+    val pairs = Seq(
+      (Seq(1L, 2L, 3L, 4L, 5L), Seq(3L, 4L, 5L, 6L, 7L)), // inter 3
+      (Seq(1L, 2L, 3L), Seq(10L, 20L, 30L)), // disjoint
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)), // identical
+      (Seq.empty[Long], Seq(1L, 2L)), // empty side
+      (Seq(1L, 5L, 9L, 13L), Seq(2L, 5L, 9L, 14L, 15L))) // inter 2
+    val df = pairs.toDF("a", "b")
+    (0L to 5L).foreach { req =>
+      val rows = df.select(
+        intersect_count_sorted(col("a"), col("b")).as("exact"),
+        intersect_count_at_least(col("a"), col("b"), lit(req)).as("bounded"))
+        .collect()
+      rows.foreach { r =>
+        val (exact, bounded) = (r.getLong(0), r.getLong(1))
+        if (exact >= req) assert(bounded == exact,
+          s"req=$req: bounded=$bounded should equal exact=$exact")
+        else assert(bounded == -1L,
+          s"req=$req: bounded=$bounded should be -1 (exact=$exact)")
+      }
+    }
+  }
+
   test("word_ngram_hashes kernel equals the composable shingle pipeline") {
     val docs = Tables.load(spark, sf, "documents")
     val diff = docs.select(

@@ -1,7 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals
+import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.HllFunctions.hll_distinct
@@ -28,17 +31,34 @@ object GraftAnalyze {
 
   /** Analyze `cols` of catalog table `table` in one scan and install
     * the resulting statistics. Returns what was installed.
+    *
+    * `histogramCols` (⊆ cols, numeric) additionally get an equi-height
+    * histogram: bin endpoints from the mergeable `percentile_approx`
+    * sketch in the SAME first scan, per-bin NDVs from one second
+    * aggregate ([[ApproxCountDistinctForIntervals]], the sketch
+    * `ANALYZE ... FOR COLUMNS` itself uses with
+    * `spark.sql.statistics.histogram.enabled`). Histograms are what
+    * turn FilterEstimation's range selectivity from min-max linear
+    * interpolation (wrong on any skewed column) into
+    * distribution-aware estimates — two sketch passes, no sort.
     */
-  def analyze(spark: SparkSession, table: String,
-      cols: Seq[String]): CatalogStatistics = {
+  def analyze(spark: SparkSession, table: String, cols: Seq[String],
+      histogramCols: Seq[String] = Nil,
+      numBins: Int = 32): CatalogStatistics = {
     val df = spark.table(table)
     val schema = df.schema
-    val aggs: Seq[org.apache.spark.sql.Column] =
+    histogramCols.foreach { c =>
+      require(cols.contains(c), s"histogram column $c must be in cols")
+      require(schema(c).dataType.isInstanceOf[NumericType],
+        s"histogram column $c must be numeric")
+    }
+    val fractions = (0 to numBins).map(_.toDouble / numBins)
+    val aggs: Seq[Column] =
       Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
         val base = Seq(
           hll_distinct(col(c)).as(s"__ndv_$c"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
-        schema(c).dataType match {
+        val typed = schema(c).dataType match {
           case _: NumericType => base ++ Seq(
             min(col(c)).cast("string").as(s"__min_$c"),
             max(col(c)).cast("string").as(s"__max_$c"))
@@ -47,6 +67,12 @@ object GraftAnalyze {
             max(length(col(c))).cast("long").as(s"__maxlen_$c"))
           case _ => base
         }
+        val hist =
+          if (histogramCols.contains(c))
+            Seq(percentile_approx(col(c).cast("double"),
+              lit(fractions.toArray), lit(10000)).as(s"__pct_$c"))
+          else Nil
+        typed ++ hist
       }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     def l(name: String): Long = row.getLong(row.fieldIndex(name))
@@ -55,6 +81,24 @@ object GraftAnalyze {
       if (row.isNullAt(i)) None else Some(row.getString(i))
     }
     val n = l("__n")
+
+    // second pass: distinct counts inside each [endpoint_i, endpoint_i+1]
+    val binNdvs: Map[String, Array[Long]] =
+      if (histogramCols.isEmpty) Map.empty
+      else {
+        val ndvAggs = histogramCols.map { c =>
+          val endpoints = row.getSeq[Double](row.fieldIndex(s"__pct_$c"))
+          val agg = ApproxCountDistinctForIntervals(
+            GraftColumnBridge.expression(col(c).cast("double")),
+            Literal.create(endpoints, ArrayType(DoubleType)))
+          GraftColumnBridge.column(agg.toAggregateExpression())
+            .as(s"__binndv_$c")
+        }
+        val ndvRow = df.agg(ndvAggs.head, ndvAggs.tail: _*).collect()(0)
+        histogramCols.map { c =>
+          c -> ndvRow.getSeq[Long](ndvRow.fieldIndex(s"__binndv_$c")).toArray
+        }.toMap
+      }
 
     val colStats = cols.map { c =>
       val (minS, maxS) = schema(c).dataType match {
@@ -66,13 +110,22 @@ object GraftAnalyze {
           (Some(l(s"__avglen_$c")), Some(l(s"__maxlen_$c")))
         case dt => (Some(dt.defaultSize.toLong), Some(dt.defaultSize.toLong))
       }
+      val histogram = binNdvs.get(c).map { ndvs =>
+        val endpoints = row.getSeq[Double](row.fieldIndex(s"__pct_$c"))
+        val bins = (0 until numBins).map { i =>
+          HistogramBin(endpoints(i), endpoints(i + 1), ndvs(i))
+        }.toArray
+        val nonNull = n - l(s"__nulls_$c")
+        Histogram(nonNull.toDouble / numBins, bins)
+      }
       c -> CatalogColumnStat(
         distinctCount = Some(BigInt(l(s"__ndv_$c"))),
         min = minS,
         max = maxS,
         nullCount = Some(BigInt(l(s"__nulls_$c"))),
         avgLen = avgLen,
-        maxLen = maxLen)
+        maxLen = maxLen,
+        histogram = histogram)
     }.toMap
 
     val stats = CatalogStatistics(

@@ -173,6 +173,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("GraftAnalyze histograms fix range selectivity on skewed columns") {
+    import org.apache.spark.sql.functions.col
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.sql("DROP TABLE IF EXISTS g_events")
+      spark.sql(s"CREATE TABLE g_events USING parquet LOCATION '$sf/events.parquet'")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // events.value is right-skewed (exponential-ish): the p10 cut
+      // sits far below the min-max midpoint, so linear interpolation
+      // must underestimate a `value <= p10` filter badly
+      val cut = spark.table("g_events").stat
+        .approxQuantile("value", Array(0.1), 0.001)(0)
+      val actual = spark.table("g_events")
+        .filter(col("value") <= cut).count()
+      def estimate(): BigInt = spark.table("g_events")
+        .filter(col("value") <= cut).select("event_id")
+        .queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+
+      graft.plans.GraftAnalyze.analyze(spark, "g_events", Seq("value"))
+      val interp = estimate()
+      graft.plans.GraftAnalyze.analyze(spark, "g_events", Seq("value"),
+        histogramCols = Seq("value"))
+      val hist = estimate()
+
+      def err(e: BigInt): Double = math.abs(e.toDouble - actual) / actual
+      assert(err(interp) > 0.5,
+        s"precondition: interpolation should be badly off on this skew " +
+          s"(interp=$interp actual=$actual)")
+      assert(err(hist) < 0.25,
+        s"histogram estimate should land near truth: hist=$hist actual=$actual")
+      assert(err(hist) < err(interp) / 2,
+        s"histogram must beat interpolation: interp=$interp hist=$hist actual=$actual")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+      spark.sql("DROP TABLE IF EXISTS g_events")
+    }
+  }
+
   test("q22: dedup shuffles content hashes, not document bodies") {
     val plan = planOf(graft.operators.Dedup.exactDedup(spark, sf))
     // the rows crossing the shuffle are the partial aggregate's output

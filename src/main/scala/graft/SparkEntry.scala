@@ -95,6 +95,8 @@ object SparkEntry {
     "q48_contamination" -> ((s: SparkSession, d: String) =>
       operators.Pipeline.contamination(s, d)),
     "q49_heavy_hitters" -> (plans.CardinalityEstimator.heavyHitters _),
+    "q51_quality_quartile" -> (operators.Pipeline.qualityQuartile _),
+    "q52_mixture_sample" -> (operators.Pipeline.mixtureSample _),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -326,6 +328,36 @@ object SparkEntry {
         |    (sqrt(list_dot_product(a.v, a.v)) *
         |     sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
         |ORDER BY ai, bi""".stripMargin,
+    "q51_quality_quartile" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |  floor((0.4 * least(len(list_filter(ws, w -> w IN ('the', 'a')))::DOUBLE
+        |                     / len(ws) * 8, 1.0) +
+        |         0.3 * least(len(ws)::DOUBLE / 100, 1.0) +
+        |         0.3 * (len(list_distinct(ws))::DOUBLE / len(ws)))
+        |        * 10000 + 0.5) / 10000 AS quality
+        |  FROM t),
+        |c AS (SELECT lang,
+        |        floor(quantile_cont(quality, 0.75) * 10000 + 0.5) / 10000
+        |          AS lang_q75
+        |      FROM q GROUP BY lang)
+        |SELECT q.doc_id, q.lang, q.quality, c.lang_q75
+        |FROM q JOIN c ON q.lang = c.lang
+        |WHERE q.quality >= c.lang_q75
+        |ORDER BY q.doc_id""".stripMargin,
+    "q52_mixture_sample" ->
+      """SELECT doc_id, source, lang,
+        |  CAST(CASE
+        |    WHEN source IN ('src0','src1','src2','src3','src4') THEN 900
+        |    WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
+        |    ELSE 200 END AS BIGINT) AS target_permille
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 < CASE
+        |    WHEN source IN ('src0','src1','src2','src3','src4') THEN 900
+        |    WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
+        |    ELSE 200 END
+        |ORDER BY doc_id""".stripMargin,
     "q29_token_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,

@@ -63,4 +63,63 @@ object Pipeline {
       .agg(count(lit(1)).as("n_contaminated_grams"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic mixture sampling — the "data mixing" step of
+    * training-set assembly: each source is downsampled to a target
+    * weight by a pure-arithmetic accept test,
+    * `(doc_id * KnuthMult) mod 1000 < permille(source)`. Stateless
+    * scan filter: no shuffle, no RNG state, any engine (and any rerun)
+    * admits the identical row set — at 100 TB this is a predicate
+    * fused into the scan, and re-weighting a mixture is a metadata
+    * change, not a new sampling pass.
+    */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val permille = mixturePermille(col("source"))
+    docs
+      .withColumn("bucket", pmod(col("doc_id") * lit(KnuthMult), lit(1000L)))
+      .filter(col("bucket") < permille)
+      .select(col("doc_id"), col("source"), col("lang"),
+        permille.as("target_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** Knuth's 2^32/φ multiplicative-hash constant — decorrelates the
+    * accept test from sequential doc_ids.
+    */
+  val KnuthMult = 2654435761L
+
+  /** Target mixture: heavy sources kept at 90%, mid at 50%, tail at
+    * 20% — the CASE both engines replay verbatim.
+    */
+  private def mixturePermille(source: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.{lit, when}
+    when(source.isin("src0", "src1", "src2", "src3", "src4"), lit(900L))
+      .when(source.isin("src5", "src6", "src7", "src8", "src9"), lit(500L))
+      .otherwise(lit(200L))
+  }
+
+  /** Per-language quality-quartile filter: keep documents whose
+    * composite quality score reaches their language's 75th percentile
+    * — "top-quality slice per language", the standard curation step
+    * after scoring. The per-language cuts are a 5-row aggregate
+    * broadcast back onto the scoring scan: one corpus scan + one
+    * broadcast hash join, no window over the corpus. The cut is
+    * floor-rounded to 4dp on both sides (the same IEEE-stable rounding
+    * the score itself uses) so the >= boundary can't flip between
+    * engines.
+    */
+  def qualityQuartile(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text"), TextQueries.Stopwords)
+          .as("quality"))
+    val cuts = scored.groupBy("lang")
+      .agg((floor(expr("percentile(quality, 0.75)") * 10000 + 0.5) / 10000)
+        .as("lang_q75"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .filter(col("quality") >= col("lang_q75"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("lang_q75"))
+      .orderBy("doc_id")
+  }
 }

@@ -17,6 +17,24 @@ class DedupSpec extends SparkSpec {
     assert(sh(2) == Seq("x y")) // short-doc guard
   }
 
+  test("intersect_count_at_least: property — bound never changes the answer") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters, Passed}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val arrGen = Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct.sorted)
+    val prop = Prop.forAll(arrGen, arrGen, Gen.choose(0L, 20L)) {
+      (a: List[Long], b: List[Long], req: Long) =>
+        val exact = a.toSet.intersect(b.toSet).size.toLong
+        val lit = (x: List[Long]) => Literal.create(x, ArrayType(LongType))
+        val got = graft.functions.IntersectCountAtLeast(
+          lit(a), lit(b), Literal(req)).eval(null).asInstanceOf[Long]
+        if (exact >= req) got == exact else got == -1L
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.status == Passed, res.status.toString)
+  }
+
   test("intersect_count_at_least: exact when reachable, -1 only below bound") {
     import spark.implicits._
     import graft.functions.VectorMath.{intersect_count_at_least, intersect_count_sorted}

@@ -36,6 +36,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mixture sampling runs unchanged on a stream (stateless predicate)") {
+    // the accept test is pure arithmetic on doc_id — no state, no RNG,
+    // so the same operator body is streaming-safe and admits exactly
+    // the batch row set
+    val raw = spark.readStream.schema(Tables.documents)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val sampled = raw
+      .withColumn("bucket",
+        pmod(col("doc_id") * lit(graft.operators.Pipeline.KnuthMult),
+          lit(1000L)))
+      .filter(col("bucket") < lit(200L))
+      .select("doc_id")
+    val q = sampled.writeStream.outputMode("append")
+      .format("memory").queryName("mixture_stream_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("mixture_stream_test")
+        .collect().map(_.getLong(0)).toSet
+      val batch = Tables.load(spark, sf, "documents")
+        .withColumn("bucket",
+          pmod(col("doc_id") * lit(graft.operators.Pipeline.KnuthMult),
+            lit(1000L)))
+        .filter(col("bucket") < lit(200L))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("partitioned write + partition-pruned read (scale layout)") {
     val tmp = java.nio.file.Files.createTempDirectory("partby").toString
     Tables.load(spark, sf, "events")

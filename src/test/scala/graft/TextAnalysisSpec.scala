@@ -6,6 +6,28 @@ import graft.operators.TextQueries
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("fingerprint kernel: property — matches a codepoint fold on random unicode") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters, Passed}
+    // strings mixing ASCII, Latin-1, CJK, and astral (surrogate-pair)
+    // codepoints — the kernel iterates by codepoint, not char
+    val cpGen = Gen.frequency(
+      6 -> Gen.choose(0x20, 0x7e),
+      2 -> Gen.choose(0xa0, 0xff),
+      1 -> Gen.choose(0x4e00, 0x9fff),
+      1 -> Gen.choose(0x10000, 0x10fff))
+    val strGen = Gen.listOf(cpGen).map(cps =>
+      cps.map(Character.toChars(_).mkString).mkString)
+    val prop = Prop.forAll(strGen) { s =>
+      val want = s.codePoints().toArray
+        .foldLeft(7L)((acc, cp) => (acc * 31 + cp) % 1000000007L)
+      graft.functions.TextKernels.polyFingerprint(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) == want
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.status == Passed, res.status.toString)
+  }
+
   test("token counting: whitespace vs regex subword units") {
     import spark.implicits._
     val df = Seq("hello world", "don't stop 123 now!").toDF("text")

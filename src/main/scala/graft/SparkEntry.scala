@@ -97,6 +97,10 @@ object SparkEntry {
     "q49_heavy_hitters" -> (plans.CardinalityEstimator.heavyHitters _),
     "q51_quality_quartile" -> (operators.Pipeline.qualityQuartile _),
     "q52_mixture_sample" -> (operators.Pipeline.mixtureSample _),
+    // q19 re-planned through the bounded topk_rows aggregate — same
+    // rows, same oracle; the plan is the point (no window sort, map-
+    // side top-k before the shuffle)
+    "q53_topk_agg" -> (operators.OlapQueries.topOrdersPerCustomerAgg _),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -250,6 +254,15 @@ object SparkEntry {
         |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY tag""".stripMargin,
     "q19_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "q53_topk_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(rk AS INTEGER) AS rk
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,

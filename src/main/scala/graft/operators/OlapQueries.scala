@@ -132,6 +132,27 @@ object OlapQueries {
       .orderBy("o_custkey", "rk")
   }
 
+  /** [[topOrdersPerCustomer]] re-planned through the bounded
+    * [[graft.functions.TopKRows]] aggregate: identical rows (same
+    * oracle SQL), but the window's shuffle-and-sort of every order is
+    * replaced by partial aggregation — each map task reduces its slice
+    * to ≤ 3 rows per customer before the exchange, and no sort runs
+    * over the fact table. The rank is recovered from the aggregate's
+    * best-first output order.
+    */
+  def topOrdersPerCustomerAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(graft.functions.TopKFunctions.topk_rows(
+        col("o_totalprice"), col("o_orderkey"),
+        struct(col("o_orderkey"), col("o_totalprice")), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"),
+        col("col.o_orderkey").as("o_orderkey"),
+        col("col.o_totalprice").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rk"))
+      .orderBy("o_custkey", "rk")
+
   /** Exact interpolated percentiles per group — Spark's `percentile`
     * matches DuckDB's `quantile_cont` (both linear interpolation).
     * The exact form shuffles per-group value lists; at 100 TB switch

@@ -173,6 +173,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("GraftAnalyze agrees with ANALYZE TABLE's own column stats") {
+    try {
+      spark.sql("DROP TABLE IF EXISTS g_part")
+      spark.sql(s"CREATE TABLE g_part USING parquet LOCATION '$sf/part.parquet'")
+      spark.sql(
+        "ANALYZE TABLE g_part COMPUTE STATISTICS FOR COLUMNS p_partkey, p_brand")
+      val builtin = org.apache.spark.sql.GraftColumnBridge
+        .tableStats(spark, "g_part").get
+      val ours = graft.plans.GraftAnalyze.analyze(spark, "g_part",
+        Seq("p_partkey", "p_brand"))
+      assert(ours.rowCount == builtin.rowCount)
+      Seq("p_partkey", "p_brand").foreach { c =>
+        val b = builtin.colStats(c)
+        val o = ours.colStats(c)
+        assert(o.nullCount == b.nullCount, s"$c nullCount")
+        // both are HLL-based estimates; they should land within 5% of
+        // each other (and exactly for tiny-NDV columns)
+        val (bn, on) = (b.distinctCount.get.toDouble, o.distinctCount.get.toDouble)
+        assert(math.abs(bn - on) <= math.max(2.0, 0.05 * bn),
+          s"$c ndv: ours=$on builtin=$bn")
+      }
+      // numeric min/max are exact in both
+      assert(ours.colStats("p_partkey").min == builtin.colStats("p_partkey").min)
+      assert(ours.colStats("p_partkey").max == builtin.colStats("p_partkey").max)
+    } finally spark.sql("DROP TABLE IF EXISTS g_part")
+  }
+
   test("GraftAnalyze histograms fix range selectivity on skewed columns") {
     import org.apache.spark.sql.functions.col
     val saved = spark.conf.getOption("spark.sql.cbo.enabled")

@@ -68,11 +68,13 @@ object SparkEntry {
     "q28_ivf_topk" -> ((s: SparkSession, d: String) =>
       operators.Similarity.ivfTopK(s, d)),
     // LSH-bucketed twin of q27: random-hyperplane bands, equality
-    // joins only. bandBits=4 reaches full recall at this corpus's low
-    // (τ=0.4) threshold, so the exact oracle applies verbatim.
+    // joins only. 64 bands of 4 bits reach full recall at this
+    // corpus's low (τ=0.4) threshold — verified against the exact
+    // pair set at sf0.01 AND sf0.1 (32 bands missed 5/920 at sf0.1) —
+    // so the exact oracle applies verbatim.
     "q50_embedding_lsh_pairs" -> ((s: SparkSession, d: String) =>
       operators.Similarity.embeddingLshPairs(s, d, threshold = 0.4,
-        numPlanes = 128, bandBits = 4)),
+        numPlanes = 256, bandBits = 4)),
     "q29_token_stats" -> (operators.TextQueries.tokenStats _),
     "q30_quality_scores" -> (operators.TextQueries.qualityScores _),
     // rows-only: heuristic language ID (accuracy unit-tested on real

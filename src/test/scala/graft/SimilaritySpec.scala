@@ -92,16 +92,18 @@ class SimilaritySpec extends SparkSpec {
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
     val exact = Similarity.embeddingPairs(spark, sf, 0.4)
       .select("ai", "bi").collect().map(key).toSet
-    val lsh = Similarity.embeddingLshPairs(spark, sf, 0.4, 128, 4)
+    val lsh = Similarity.embeddingLshPairs(spark, sf, 0.4, 256, 4)
       .select("ai", "bi").collect().map(key).toSet
-    // exact-cosine verification ⇒ lsh ⊆ exact always; at bandBits=4 a
-    // τ=0.4 pair shares a band with p ≈ 1-(1-0.631^4)^32 ≈ 0.996
+    // exact-cosine verification ⇒ lsh ⊆ exact always; at the q50
+    // point (64 bands of 4 bits) a τ=0.4 pair shares a band with
+    // p ≈ 1-(1-0.631^4)^64 ≈ 0.99998 — full recall verified here and
+    // against the 920-pair exact set at sf0.1 (32 bands missed 5)
     assert(lsh.subsetOf(exact))
     assert(lsh == exact, s"missed ${exact -- lsh}")
   }
 
   test("embeddingLshPairs plan is bucketed: no BroadcastNestedLoopJoin") {
-    val plan = Similarity.embeddingLshPairs(spark, sf, 0.4, 128, 4)
+    val plan = Similarity.embeddingLshPairs(spark, sf, 0.4, 256, 4)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"LSH pair path must be equality-join bucketed:\n$plan")

@@ -46,6 +46,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "freq_topk(col, capacity)")
       }))
+    // scalar kernels, so spark.sql() users get the same codegen'd
+    // functions the Column API exposes
+    def scalar(name: String, clazz: Class[_], arity: Int,
+        build: Seq[Expression] => Expression): Unit =
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == arity, s"$name takes $arity arguments")
+          build(exprs)
+        }))
+    import graft.functions._
+    scalar("dot_product", classOf[DotProduct], 2,
+      es => DotProduct(es(0), es(1)))
+    scalar("intersect_count_sorted", classOf[IntersectCountSorted], 2,
+      es => IntersectCountSorted(es(0), es(1)))
+    scalar("intersect_count_at_least", classOf[IntersectCountAtLeast], 3,
+      es => IntersectCountAtLeast(es(0), es(1), es(2)))
+    scalar("simhash64", classOf[SimHash64], 1, es => SimHash64(es(0)))
+    scalar("poly_fingerprint", classOf[PolyFingerprint], 1,
+      es => PolyFingerprint(es(0)))
+    scalar("lang_id", classOf[LangIdHeuristic], 1,
+      es => LangIdHeuristic(es(0)))
+    e.injectFunction((
+      new FunctionIdentifier("word_ngram_hashes"),
+      new ExpressionInfo(classOf[WordNGramHashes].getName, "word_ngram_hashes"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t, Literal(n: Int, _)) => WordNGramHashes(t, n)
+        case _ => throw new IllegalArgumentException(
+          "word_ngram_hashes(text, n)")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("topk_rows"),
+      new ExpressionInfo(classOf[TopKRows].getName, "topk_rows"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(ord, tie, payload, Literal(k: Int, _)) =>
+          TopKRows(ord, tie, payload, k)
+        case _ => throw new IllegalArgumentException(
+          "topk_rows(ord, tie, payload, k)")
+      }))
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
   }
 }

@@ -1,0 +1,50 @@
+package graft
+
+/** The kernels must be reachable from plain SQL, not only the Column
+  * API — a spark.sql() user of the library sees the same functions.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("scalar kernels are SQL-registered with correct semantics") {
+    val r = spark.sql(
+      """SELECT
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  intersect_count_sorted(array(1L,2L,3L), array(2L,3L,9L)) AS ic,
+        |  intersect_count_at_least(array(1L,2L,3L), array(2L,3L,9L), 3L) AS ica,
+        |  poly_fingerprint('abc') AS fp,
+        |  lang_id('the of and it is') AS lang,
+        |  size(word_ngram_hashes('a b c d', 3)) AS n_grams,
+        |  simhash64(array(1L, 2L, 3L)) AS sh
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == -1L) // intersection 2 can't reach 3
+    assert(r.getLong(3) == ((7L * 31 + 97) * 31 + 98) * 31 + 99)
+    assert(r.getString(4) == "en")
+    assert(r.getInt(5) == 2)
+    r.getLong(6) // simhash evaluates without error; value spec'd elsewhere
+  }
+
+  test("topk_rows works from SQL with partial aggregation") {
+    val rows = spark.sql(
+      """SELECT g, topk_rows(ord, id, struct(id, ord), 2) AS top
+        |FROM VALUES (1, 10.0d, 5L), (1, 10.0d, 2L), (1, 7.0d, 9L),
+        |            (2, 1.0d, 1L)
+        |  AS t(g, ord, id)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows(0).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+      == Seq(2L, 5L)) // ord ties -> smaller id first; 7.0 evicted
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+      == Seq(1L))
+  }
+
+  test("hll_distinct and freq_topk remain SQL-reachable") {
+    val r = spark.sql(
+      """SELECT hll_distinct(x) AS ndv, freq_topk(y, 4) AS hh
+        |FROM VALUES (1, 'a'), (2, 'a'), (3, 'b') AS t(x, y)""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == 3L)
+    val hh = r.getSeq[org.apache.spark.sql.Row](1)
+    assert(hh.head.getString(0) == "a" && hh.head.getLong(1) == 2L)
+  }
+}

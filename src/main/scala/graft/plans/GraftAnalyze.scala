@@ -86,7 +86,12 @@ object GraftAnalyze {
     val binNdvs: Map[String, Array[Long]] =
       if (histogramCols.isEmpty) Map.empty
       else {
-        val ndvAggs = histogramCols.map { c =>
+        // an all-null column has no percentiles → no histogram
+        val withData = histogramCols
+          .filter(c => !row.isNullAt(row.fieldIndex(s"__pct_$c")))
+        if (withData.isEmpty) Map.empty
+        else {
+        val ndvAggs = withData.map { c =>
           val endpoints = row.getSeq[Double](row.fieldIndex(s"__pct_$c"))
           val agg = ApproxCountDistinctForIntervals(
             GraftColumnBridge.expression(col(c).cast("double")),
@@ -95,9 +100,10 @@ object GraftAnalyze {
             .as(s"__binndv_$c")
         }
         val ndvRow = df.agg(ndvAggs.head, ndvAggs.tail: _*).collect()(0)
-        histogramCols.map { c =>
+        withData.map { c =>
           c -> ndvRow.getSeq[Long](ndvRow.fieldIndex(s"__binndv_$c")).toArray
         }.toMap
+        }
       }
 
     val colStats = cols.map { c =>

@@ -200,6 +200,18 @@ class PlanSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS g_part")
   }
 
+  test("GraftAnalyze: an all-null histogram column degrades gracefully") {
+    try {
+      spark.range(10).selectExpr("id", "CAST(NULL AS DOUBLE) AS v")
+        .write.mode("overwrite").saveAsTable("g_allnull")
+      val stats = graft.plans.GraftAnalyze.analyze(spark, "g_allnull",
+        Seq("v"), histogramCols = Seq("v"))
+      val cs = stats.colStats("v")
+      assert(cs.nullCount.contains(BigInt(10)))
+      assert(cs.histogram.isEmpty) // no percentiles → no histogram, no crash
+    } finally spark.sql("DROP TABLE IF EXISTS g_allnull")
+  }
+
   test("GraftAnalyze histograms fix range selectivity on skewed columns") {
     import org.apache.spark.sql.functions.col
     val saved = spark.conf.getOption("spark.sql.cbo.enabled")

@@ -368,7 +368,7 @@ object SparkEntry {
         |    WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
         |    ELSE 200 END AS BIGINT) AS target_permille
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 1000 < CASE
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000 < CASE
         |    WHEN source IN ('src0','src1','src2','src3','src4') THEN 900
         |    WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
         |    ELSE 200 END

@@ -75,12 +75,13 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "des", "est", "un", "une", "dans"),
     "es" -> Seq("el", "los", "de", "que", "es", "una", "en", "por", "como"))
 
-  /** Predicted language: CJK codepoints → zh; otherwise the profile
-    * with the highest function-word hit count; no hits → 'und'.
-    * Deterministic argmax: ties break toward the greater language
-    * code. One-pass [[LangIdHeuristic]] kernel — the composable twin
-    * below pays a lambda dispatch per token per profile and is kept
-    * for the equivalence spec.
+  /** Predicted language: NULL text → NULL (SQL convention); CJK
+    * codepoints → zh; otherwise the profile with the highest
+    * function-word hit count; no hits → 'und'. Deterministic argmax:
+    * ties break toward the greater language code. One-pass
+    * [[LangIdHeuristic]] kernel — the composable twin below pays a
+    * lambda dispatch per token per profile and is kept for the
+    * equivalence spec.
     */
   def langId(text: Column): Column = TextKernels.lang_id(text)
 
@@ -95,7 +96,10 @@ object TextAnalysis {
         lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
-    when(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0, lit("zh"))
+    // the trailing otherwise would turn NULL text into 'und'; the
+    // kernel (a null-intolerant UnaryExpression) propagates NULL
+    when(text.isNull, lit(null).cast("string"))
+      .when(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0, lit("zh"))
       .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("und"))
   }

@@ -105,7 +105,10 @@ object TextKernels {
     while (i <= n) {
       if (i == n || str.charAt(i) == ' ') {
         if (i >= start) { // empty tokens score in no profile — skip-free
-          val w = str.substring(start, i).toLowerCase
+          // Locale.ROOT: the composable form's lower() is
+          // locale-insensitive; default-locale toLowerCase would
+          // diverge on tr/az JVMs (dotless ı)
+          val w = str.substring(start, i).toLowerCase(java.util.Locale.ROOT)
           var p = 0
           while (p < langProfiles.length) {
             if (langProfiles(p)._2.contains(w)) scores(p) += 1

@@ -409,6 +409,9 @@ case class RandomProjectionBandKeys(child: Expression,
     planes.map(_.toArray).toArray
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // a non-null vector with a null ELEMENT also yields null, so this
+  // must be nullable even when the child column isn't
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

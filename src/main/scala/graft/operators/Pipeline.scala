@@ -67,7 +67,8 @@ object Pipeline {
   /** Deterministic mixture sampling — the "data mixing" step of
     * training-set assembly: each source is downsampled to a target
     * weight by a pure-arithmetic accept test,
-    * `(doc_id * KnuthMult) mod 1000 < permille(source)`. Stateless
+    * `((doc_id mod 1e9+7) * KnuthMult) mod 1000 < permille(source)`.
+    * Stateless
     * scan filter: no shuffle, no RNG state, any engine (and any rerun)
     * admits the identical row set — at 100 TB this is a predicate
     * fused into the scan, and re-weighting a mixture is a metadata
@@ -76,8 +77,13 @@ object Pipeline {
   def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val permille = mixturePermille(col("source"))
+    // reduce mod 1e9+7 BEFORE the Knuth multiply: the reduced id stays
+    // ≤ ~1e9, so the product ≤ ~2.7e18 < Long.Max — no ANSI overflow at
+    // any corpus size (a raw doc_id * 2^32/φ overflows past id≈3.5e9)
+    val bucket = pmod(
+      pmod(col("doc_id"), lit(1000000007L)) * lit(KnuthMult), lit(1000L))
     docs
-      .withColumn("bucket", pmod(col("doc_id") * lit(KnuthMult), lit(1000L)))
+      .withColumn("bucket", bucket)
       .filter(col("bucket") < permille)
       .select(col("doc_id"), col("source"), col("lang"),
         permille.as("target_permille"))
@@ -110,10 +116,13 @@ object Pipeline {
     * engines.
     */
   def qualityQuartile(spark: SparkSession, sfDir: String): DataFrame = {
+    // persisted: both the percentile aggregate and the join branch read
+    // the scores — without the cache the scoring scan runs twice
     val scored = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"),
         TextAnalysis.qualityScore(col("text"), TextQueries.Stopwords)
           .as("quality"))
+      .persist()
     val cuts = scored.groupBy("lang")
       .agg((floor(expr("percentile(quality, 0.75)") * 10000 + 0.5) / 10000)
         .as("lang_q75"))

@@ -27,14 +27,19 @@ import org.apache.spark.sql.functions._
 object PrefixSum {
 
   /** Append `outCol` = running sum of `value` over ascending `orderCol`
-    * (a unique, non-negative numeric key). Output type is long.
+    * (a unique, non-negative numeric key). Output type is long. NULL
+    * `value`s contribute 0 (the window and the shard totals must agree
+    * on this, so it is coalesced once, up front).
     */
   def withGlobalCumSum(df: DataFrame, orderCol: String, value: Column,
       outCol: String, shardWidth: Long = 1L << 20): DataFrame = {
+    val reserved = Seq("__shard", "__v", "__off")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"input already has a $c column — rename it before the prefix sum"))
     val spark = df.sparkSession
     val sharded = df
       .withColumn("__shard", expr(s"`$orderCol` div ${shardWidth}L"))
-      .withColumn("__v", value.cast("long"))
+      .withColumn("__v", coalesce(value.cast("long"), lit(0L)))
     // pass 1: one row per shard, collected (tiny — see scaladoc), then
     // exclusive-prefix-scanned into the shard's starting offset
     val totals = sharded.groupBy("__shard").agg(sum("__v").as("__t"))

@@ -159,40 +159,49 @@ object Similarity {
 
   // IVF index cache: building the index is an offline step (at scale
   // the corpus is written out partitioned by cell once); queries must
-  // not refit k-means. Outer key is the session itself under WEAK
-  // reference semantics — a cached DataFrame is bound to the session
-  // that built it, identity keying can't collide across sessions
-  // (unlike identityHashCode), and entries vanish with the session
-  // instead of leaking.
-  private val ivfCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[(String, Int),
-      (DataFrame, Array[Seq[Double]])]]()
+  // not refit k-means. Keyed by the SESSION OBJECT (identity equality
+  // — collision-free, unlike identityHashCode) in a small LRU. Weak
+  // keying cannot work here: the cached DataFrame strongly references
+  // its session, and a value→key reference pins a WeakHashMap entry
+  // forever. The LRU bound is the honest fix — at most MaxEntries
+  // indexes live at once, eviction unpersists the blocks, and a
+  // stopped session's entry ages out after a few new builds instead of
+  // accumulating unboundedly.
+  private val MaxIvfEntries = 8
+  private val ivfCache = new java.util.LinkedHashMap[
+      (SparkSession, String, Int), (DataFrame, Array[Seq[Double]])](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(SparkSession, String, Int),
+          (DataFrame, Array[Seq[Double]])]): Boolean =
+      if (size > MaxIvfEntries) {
+        try e.getValue._1.unpersist(false) catch { case _: Throwable => () }
+        true
+      } else false
+  }
 
   /** IVF index: k-means cell id per vector (seeded, deterministic),
     * memoized per (session, corpus).
     */
   def ivfAssignments(spark: SparkSession, sfDir: String,
-      numCells: Int = 16): (DataFrame, Array[Seq[Double]]) = {
-    val perSession = ivfCache.synchronized {
-      var m = ivfCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap
-          .empty[(String, Int), (DataFrame, Array[Seq[Double]])]
-        ivfCache.put(spark, m)
+      numCells: Int = 16): (DataFrame, Array[Seq[Double]]) =
+    ivfCache.synchronized {
+      val key = (spark, sfDir, numCells)
+      val hit = ivfCache.get(key)
+      if (hit != null) hit
+      else {
+        val e = embeddingsAsDouble(spark, sfDir)
+          .withColumn("features", array_to_vector(col("v")))
+        val model = new KMeans().setK(numCells).setSeed(42L)
+          .setFeaturesCol("features").fit(e)
+        val assigned = model.transform(e)
+          .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+          .persist()
+        val built = (assigned, model.clusterCenters.map(_.toArray.toSeq))
+        ivfCache.put(key, built)
+        built
       }
-      m
     }
-    perSession.getOrElseUpdate((sfDir, numCells), {
-      val e = embeddingsAsDouble(spark, sfDir)
-        .withColumn("features", array_to_vector(col("v")))
-      val model = new KMeans().setK(numCells).setSeed(42L)
-        .setFeaturesCol("features").fit(e)
-      val assigned = model.transform(e)
-        .select(col("vec_id"), col("v"), col("prediction").as("cell"))
-        .persist()
-      (assigned, model.clusterCenters.map(_.toArray.toSeq))
-    })
-  }
 
   /** ANN top-k via IVF: rank cells by centroid cosine to the query,
     * probe the nProbe best, exact cosine only within probed cells.

@@ -75,7 +75,12 @@ object GraftAnalyze {
         typed ++ hist
       }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    def l(name: String): Long = row.getLong(row.fieldIndex(name))
+    // null-safe: on an empty table (or an all-null string column) the
+    // sum/avg aggregates come back NULL, not 0
+    def l(name: String): Long = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) 0L else row.getLong(i)
+    }
     def s(name: String): Option[String] = {
       val i = row.fieldIndex(name)
       if (row.isNullAt(i)) None else Some(row.getString(i))
@@ -112,7 +117,7 @@ object GraftAnalyze {
         case _ => (None, None)
       }
       val (avgLen, maxLen) = schema(c).dataType match {
-        case StringType =>
+        case StringType if !row.isNullAt(row.fieldIndex(s"__avglen_$c")) =>
           (Some(l(s"__avglen_$c")), Some(l(s"__maxlen_$c")))
         case dt => (Some(dt.defaultSize.toLong), Some(dt.defaultSize.toLong))
       }

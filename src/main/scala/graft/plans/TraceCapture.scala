@@ -82,7 +82,7 @@ object TraceCapture {
     }
   }
 
-  private def q(s: String): String = {
+  private[plans] def q(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 2)
     sb.append('"')
     s.foreach {
@@ -115,6 +115,7 @@ class GraftTraceListener(path: String) extends QueryExecutionListener {
   override def onFailure(funcName: String, qe: QueryExecution,
       exception: Exception): Unit =
     try TraceCapture.append(path,
-      s"""{"event":"query_failed","name":"$funcName","error":"${exception.getClass.getSimpleName}"}""")
+      s"""{"event":"query_failed","name":${TraceCapture.q(funcName)},""" +
+        s""""error":${TraceCapture.q(exception.getClass.getSimpleName)}}""")
     catch { case _: Throwable => () }
 }

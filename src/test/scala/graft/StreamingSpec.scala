@@ -45,8 +45,8 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val sampled = raw
       .withColumn("bucket",
-        pmod(col("doc_id") * lit(graft.operators.Pipeline.KnuthMult),
-          lit(1000L)))
+        pmod(pmod(col("doc_id"), lit(1000000007L))
+          * lit(graft.operators.Pipeline.KnuthMult), lit(1000L)))
       .filter(col("bucket") < lit(200L))
       .select("doc_id")
     val q = sampled.writeStream.outputMode("append")
@@ -57,8 +57,8 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       val batch = Tables.load(spark, sf, "documents")
         .withColumn("bucket",
-          pmod(col("doc_id") * lit(graft.operators.Pipeline.KnuthMult),
-            lit(1000L)))
+          pmod(pmod(col("doc_id"), lit(1000000007L))
+            * lit(graft.operators.Pipeline.KnuthMult), lit(1000L)))
         .filter(col("bucket") < lit(200L))
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(streamed == batch)

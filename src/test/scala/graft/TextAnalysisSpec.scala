@@ -87,7 +87,8 @@ class TextAnalysisSpec extends SparkSpec {
       "", // empty text
       "THE OF AND", // case folding
       "la de el the", // cross-profile tie -> greater lang code
-      "  double  spaces  the  ") // empty tokens from split
+      "  double  spaces  the  ", // empty tokens from split
+      null) // NULL text -> NULL out on both paths
     val got = texts.toDF("text").select(
       TextAnalysis.langId(col("text")).as("kernel"),
       TextAnalysis.langIdComposable(col("text")).as("composable")).collect()

@@ -103,6 +103,8 @@ object SparkEntry {
     // rows, same oracle; the plan is the point (no window sort, map-
     // side top-k before the shuffle)
     "q53_topk_agg" -> (operators.OlapQueries.topOrdersPerCustomerAgg _),
+    "q54_hashed_tf" -> ((s: SparkSession, d: String) =>
+      operators.TextQueries.hashedTf(s, d)),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -264,6 +266,18 @@ object SparkEntry {
         |      FROM orders)
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+    "q54_hashed_tf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |           FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(7::BIGINT, [ascii(c) for c in string_split(w, '')]),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) % 64 AS bucket,
+        |  count(*) AS tf
+        |FROM w
+        |WHERE w <> ''
+        |GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin,
     "q53_topk_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(rk AS INTEGER) AS rk

@@ -58,4 +58,22 @@ object TextQueries {
     Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  /** Hashing-trick term frequencies: every token hashed into `dim`
+    * buckets with the portable rolling hash, counted per (doc,
+    * bucket) — the reference's categorical hash-bucketing
+    * (trainer.py:262-267) applied to text, for the scale where a vocab
+    * table can't exist. One explode + one count, both map-side
+    * combinable; the bucket function is the same pure-arithmetic fold
+    * the oracle replays, so the feature vectors are engine-portable.
+    */
+  def hashedTf(spark: SparkSession, sfDir: String,
+      dim: Int = 64): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("bucket",
+        pmod(fingerprint(col("w")), lit(dim.toLong)))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+      .orderBy("doc_id", "bucket")
 }

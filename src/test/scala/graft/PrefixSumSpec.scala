@@ -28,4 +28,18 @@ class PrefixSumSpec extends SparkSpec {
   test("single-shard degenerate case") {
     check(0L until 50L, shardWidth = 1L << 20)
   }
+
+  test("null values count as 0 in both passes; reserved names rejected") {
+    import spark.implicits._
+    val rows = Seq((0L, Some(5L)), (1L, None), (2L, Some(7L)), (3L, None))
+    val got = PrefixSum
+      .withGlobalCumSum(rows.toDF("k", "x"), "k", col("x"), "cum",
+        shardWidth = 2)
+      .orderBy("k").select("cum").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(5L, 5L, 12L, 12L))
+    intercept[IllegalArgumentException] {
+      PrefixSum.withGlobalCumSum(
+        Seq((1L, 1L)).toDF("k", "__v"), "k", col("__v"), "cum")
+    }
+  }
 }

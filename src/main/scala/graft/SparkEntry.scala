@@ -105,6 +105,8 @@ object SparkEntry {
     "q53_topk_agg" -> (operators.OlapQueries.topOrdersPerCustomerAgg _),
     "q54_hashed_tf" -> ((s: SparkSession, d: String) =>
       operators.TextQueries.hashedTf(s, d)),
+    "q55_quantized_topk" -> ((s: SparkSession, d: String) =>
+      operators.Similarity.quantizedTopK(s, d)),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -266,6 +268,24 @@ object SparkEntry {
         |      FROM orders)
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+    "q55_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, y -> abs(y))) AS mx FROM e),
+        |z AS (SELECT vec_id,
+        |        CASE WHEN mx > 0
+        |          THEN list_transform(v, x -> floor(x * 127 / mx + 0.5))
+        |          ELSE list_transform(v, x -> 0.0) END AS qv
+        |      FROM m),
+        |qq AS (SELECT qv FROM z WHERE vec_id = 0)
+        |SELECT z.vec_id,
+        |  round(list_dot_product(z.qv, qq.qv) /
+        |    (sqrt(list_dot_product(z.qv, z.qv)) *
+        |     sqrt(list_dot_product(qq.qv, qq.qv))), 4) AS cosine_q
+        |FROM z, qq
+        |WHERE z.vec_id <> 0
+        |ORDER BY cosine_q DESC, z.vec_id
+        |LIMIT 20""".stripMargin,
     "q54_hashed_tf" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |           FROM documents)

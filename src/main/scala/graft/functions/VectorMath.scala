@@ -388,6 +388,118 @@ case class WordNGramHashes(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** `quantize_i8(array<double>) → array<tinyint>` — symmetric int8
+  * quantization: qᵢ = floor(vᵢ·127/max|v| + 0.5) (half-up on both
+  * engines — NOT banker's/half-away round(), which disagree on .5).
+  * An all-zero vector quantizes to zeros. 4–8× smaller than
+  * float32/64 on disk and across shuffles — the storage format a
+  * 100 TB embedding corpus actually ships — and because cosine is
+  * scale-invariant, ranking by cosine over the int8 codes needs no
+  * dequantization and no stored scale ([[DotProductI8]]).
+  */
+case class QuantizeI8(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_i8 requires array<double>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val a = math.abs(v.getDouble(i))
+      if (a > mx) mx = a
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (mx > 0) {
+      val s = 127.0 / mx
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(v.getDouble(i) * s + 0.5).toByte
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "quantize_i8"
+  override protected def withNewChildInternal(c: Expression): QuantizeI8 =
+    copy(child = c)
+}
+
+/** `dot_product_i8(array<tinyint>, array<tinyint>) → long` — integer
+  * dot product of two int8 codes. Exact integer arithmetic, so any
+  * engine computes the identical value (and a double holds it exactly
+  * up to 2^53 — dim·127² ≈ 10⁶ here): the quantized-cosine ranking is
+  * bit-portable, unlike float dot products.
+  */
+case class DotProductI8(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_product_i8 requires array<tinyint>, got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getByte(i).toLong * y.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override def prettyName: String = "dot_product_i8"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductI8 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `random_projection_band_keys(array<double>) → array<int>` — one
   * LSH band key per `bandBits` hyperplanes: bit j of band b is the
   * sign of v · planes(b·bandBits + j). One pass over all planes with
@@ -472,6 +584,12 @@ object VectorMath {
       required: Column): Column =
     GraftColumnBridge.column(
       IntersectCountAtLeast(e(a), e(b), e(required)))
+
+  def quantize_i8(v: Column): Column =
+    GraftColumnBridge.column(QuantizeI8(e(v)))
+
+  def dot_product_i8(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProductI8(e(a), e(b)))
 
   def word_ngram_hashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordNGramHashes(e(text), n))

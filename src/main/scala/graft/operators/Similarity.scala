@@ -157,6 +157,31 @@ object Similarity {
     Present.smallSorted(verified, "ai", "bi")
   }
 
+  /** Top-k by cosine over int8-QUANTIZED embeddings — the compressed
+    * form a 100 TB embedding corpus stores (4–8× smaller than float on
+    * disk and in shuffles). Per-vector scales cancel in cosine, so
+    * ranking needs neither dequantization nor a stored scale; the
+    * integer dot products are exact in any engine, making the
+    * quantized scores bit-portable (oracle-replayable), unlike float
+    * accumulation. Recall vs the exact float top-k is spec'd.
+    */
+  def quantizedTopK(spark: SparkSession, sfDir: String,
+      vecId: Long = 0L, k: Int = 20): DataFrame = {
+    import graft.functions.VectorMath.{dot_product_i8, quantize_i8}
+    val q = typedlit(queryVector(spark, sfDir, vecId))
+    val quantized = embeddingsAsDouble(spark, sfDir)
+      .select(col("vec_id"), quantize_i8(col("v")).as("qv"),
+        quantize_i8(q).as("qq"))
+    val cosQ = dot_product_i8(col("qv"), col("qq")).cast("double") /
+      (sqrt(dot_product_i8(col("qv"), col("qv")).cast("double")) *
+        sqrt(dot_product_i8(col("qq"), col("qq")).cast("double")))
+    quantized
+      .filter(col("vec_id") =!= vecId)
+      .select(col("vec_id"), round(cosQ, 4).as("cosine_q"))
+      .orderBy(desc("cosine_q"), asc("vec_id"))
+      .limit(k)
+  }
+
   // IVF index cache: building the index is an offline step (at scale
   // the corpus is written out partitioned by cell once); queries must
   // not refit k-means. Keyed by the SESSION OBJECT (identity equality

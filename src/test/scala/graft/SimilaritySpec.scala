@@ -102,6 +102,49 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact, s"missed ${exact -- lsh}")
   }
 
+  test("quantize_i8: codes bounded, zero vector safe, scale cancels in cosine") {
+    import spark.implicits._
+    import graft.functions.VectorMath.{dot_product_i8, quantize_i8}
+    val vs = Seq(
+      Seq(1.0, -2.0, 3.0, -4.0),
+      Seq(0.5, 0.25, -0.125, 0.0),
+      Seq(0.0, 0.0, 0.0, 0.0), // all-zero: no division, quantizes to zeros
+      Seq(100.0, -100.0, 50.0, -50.0))
+    val rows = vs.toDF("v")
+      .select(col("v"), quantize_i8(col("v")).as("q"))
+      .select(col("v"), col("q"),
+        dot_product_i8(col("q"), col("q")).as("qq")).collect()
+    rows.foreach { r =>
+      val q = r.getSeq[Byte](1)
+      assert(q.forall(b => b >= -127 && b <= 127))
+      val mx = r.getSeq[Double](0).map(math.abs).max
+      if (mx == 0) assert(q.forall(_ == 0) && r.getLong(2) == 0L)
+      else assert(q.map(b => math.abs(b.toInt)).max == 127) // max maps to ±127
+    }
+    // cosine over codes tracks cosine over floats (scale cancels; only
+    // rounding error remains, bounded by ~1/127 per element)
+    val a = Seq(1.0, 2.0, 3.0)
+    val b = Seq(2.0, 3.0, 9.0)
+    val cos = Seq((a, b)).toDF("a", "b").select(
+      Similarity.cosine(col("a"), col("b")).as("exact"),
+      (dot_product_i8(quantize_i8(col("a")), quantize_i8(col("b")))
+        .cast("double") /
+        (sqrt(dot_product_i8(quantize_i8(col("a")), quantize_i8(col("a")))
+          .cast("double")) *
+          sqrt(dot_product_i8(quantize_i8(col("b")), quantize_i8(col("b")))
+            .cast("double")))).as("quant")).collect()(0)
+    assert(math.abs(cos.getDouble(0) - cos.getDouble(1)) < 0.02)
+  }
+
+  test("quantizedTopK recalls most of the exact float top-k") {
+    val exact = Similarity.cosineTopK(spark, sf, 0L, 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val quant = Similarity.quantizedTopK(spark, sf, 0L, 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall too low")
+  }
+
   test("embeddingLshPairs plan is bucketed: no BroadcastNestedLoopJoin") {
     val plan = Similarity.embeddingLshPairs(spark, sf, 0.4, 256, 4)
       .queryExecution.executedPlan.toString

@@ -65,6 +65,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     scalar("intersect_count_at_least", classOf[IntersectCountAtLeast], 3,
       es => IntersectCountAtLeast(es(0), es(1), es(2)))
     scalar("simhash64", classOf[SimHash64], 1, es => SimHash64(es(0)))
+    scalar("quantize_i8", classOf[QuantizeI8], 1, es => QuantizeI8(es(0)))
+    scalar("dot_product_i8", classOf[DotProductI8], 2,
+      es => DotProductI8(es(0), es(1)))
     scalar("poly_fingerprint", classOf[PolyFingerprint], 1,
       es => PolyFingerprint(es(0)))
     scalar("lang_id", classOf[LangIdHeuristic], 1,

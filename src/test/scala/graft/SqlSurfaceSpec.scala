@@ -14,7 +14,9 @@ class SqlSurfaceSpec extends SparkSpec {
         |  poly_fingerprint('abc') AS fp,
         |  lang_id('the of and it is') AS lang,
         |  size(word_ngram_hashes('a b c d', 3)) AS n_grams,
-        |  simhash64(array(1L, 2L, 3L)) AS sh
+        |  simhash64(array(1L, 2L, 3L)) AS sh,
+        |  dot_product_i8(quantize_i8(array(1.0d, -2.0d)),
+        |                 quantize_i8(array(1.0d, -2.0d))) AS qdot
         |""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) == 2L)
@@ -23,6 +25,7 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getString(4) == "en")
     assert(r.getInt(5) == 2)
     r.getLong(6) // simhash evaluates without error; value spec'd elsewhere
+    assert(r.getLong(7) == 64L * 64 + 127L * 127) // codes (64, -127)
   }
 
   test("topk_rows works from SQL with partial aggregation") {

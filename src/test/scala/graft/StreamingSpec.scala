@@ -36,6 +36,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("freq_topk sketch is valid streaming state (stream ≡ batch)") {
+    import org.apache.spark.sql.functions.col
+    // a mergeable TypedImperativeAggregate doubles as incremental
+    // stream state: each micro-batch updates the same buffer the batch
+    // aggregate would build in one pass
+    val raw = spark.readStream.schema(Tables.eventsOnDisk)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+    val q = raw
+      .agg(graft.functions.FreqFunctions.freq_topk(col("event_type"), 8)
+        .as("hh"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_stream_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hh_stream_test")
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      val batch = Tables.load(spark, sf, "events")
+        .agg(graft.functions.FreqFunctions.freq_topk(col("event_type"), 8)
+          .as("hh"))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mixture sampling runs unchanged on a stream (stateless predicate)") {
     // the accept test is pure arithmetic on doc_id — no state, no RNG,
     // so the same operator body is streaming-safe and admits exactly

@@ -107,6 +107,9 @@ object SparkEntry {
       operators.TextQueries.hashedTf(s, d)),
     "q55_quantized_topk" -> ((s: SparkSession, d: String) =>
       operators.Similarity.quantizedTopK(s, d)),
+    "q56_doc_chunks" -> ((s: SparkSession, d: String) =>
+      operators.Pipeline.chunkDocuments(s, d)),
+    "q57_pii_scrub" -> (operators.Pipeline.scrubPii _),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -268,6 +271,32 @@ object SparkEntry {
         |      FROM orders)
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+    "q56_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |c AS (SELECT doc_id, u.s AS start_tok, u.s // 48 AS chunk_id,
+        |        ws[u.s + 1 : u.s + 64] AS chunk
+        |      FROM t, unnest(range(0, len(ws), 48)) AS u(s))
+        |SELECT doc_id, chunk_id, start_tok,
+        |  len(chunk) AS n_tokens,
+        |  list_reduce(
+        |    list_prepend(7::BIGINT,
+        |      [ascii(ch) for ch in string_split(array_to_string(chunk, ' '), '')]),
+        |    (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fp
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q57_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |       len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT)
+        |    AS n_redactions,
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q55_quantized_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |m AS (SELECT vec_id, v,

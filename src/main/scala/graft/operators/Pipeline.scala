@@ -105,6 +105,52 @@ object Pipeline {
       .otherwise(lit(200L))
   }
 
+  /** Sliding-window document chunking: each document becomes
+    * ceil-ish(n/stride) overlapping windows of `chunkTokens` tokens
+    * (stride = chunkTokens − overlap) — the split-long-docs step
+    * between curation and packing. Pure per-row array arithmetic
+    * (sequence + slice), so it fuses into the scan with no shuffle at
+    * all; chunk identity is carried as the rolling-hash fingerprint of
+    * the chunk text rather than the text itself, which keeps the audit
+    * row narrow at any corpus size.
+    */
+  def chunkDocuments(spark: SparkSession, sfDir: String,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "0 <= overlap < chunk")
+    val stride = chunkTokens - overlap
+    val starts = sequence(lit(0), size(col("ws")) - 1, lit(stride))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(starts).as(Seq("chunk_id", "start_tok")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        slice(col("ws"), col("start_tok") + 1, lit(chunkTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        TextAnalysis.fingerprint(concat_ws(" ", col("chunk"))).as("fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** PII scrubbing: mask email addresses and long digit runs — the
+    * redaction pass a corpus takes before training. Two global regex
+    * rewrites fused into the scan (no shuffle); `n_redactions` counts
+    * matches so downstream can audit redaction density per source.
+    */
+  def scrubPii(spark: SparkSession, sfDir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val digits = "[0-9]{6,}"
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        (regexp_count(col("text"), lit(email)) +
+          regexp_count(col("text"), lit(digits))).cast("long")
+          .as("n_redactions"),
+        regexp_replace(
+          regexp_replace(col("text"), email, "<EMAIL>"),
+          digits, "<NUM>").as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language quality-quartile filter: keep documents whose
     * composite quality score reaches their language's 75th percentile
     * — "top-quality slice per language", the standard curation step

@@ -55,4 +55,53 @@ class PipelineSpec extends SparkSpec {
     val df = Pipeline.contamination(spark, sf)
     assert(df.filter(col("doc_id") < 10).count() == 0)
   }
+
+  test("chunkDocuments: windows cover every token with the right overlap") {
+    val chunks = Pipeline.chunkDocuments(spark, sf, chunkTokens = 64,
+      overlap = 16).collect()
+    val docTokens = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docTokens.keySet) // every doc chunked
+    byDoc.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      // starts advance by the stride; first starts at 0
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(2) == i.toLong * 48, s"doc $doc start ${c.getLong(2)}")
+      }
+      // every window is exactly min(64, n - start) tokens: full until
+      // the tail clips, so every token is covered to the last one
+      val n = docTokens(doc).toLong
+      sorted.foreach(c =>
+        assert(c.getLong(3) == math.min(64L, n - c.getLong(2))))
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) == n)
+    }
+  }
+
+  test("scrubPii redacts emails and long digit runs, counts them") {
+    import spark.implicits._
+    val fixtures = Seq(
+      ("contact me at a.b+c@mail-host.example.com today", 1L,
+        "contact me at <EMAIL> today"),
+      ("card 1234567890 and pin 123", 1L, "card <NUM> and pin 123"),
+      ("x@y.io or z@w.dev", 2L, "<EMAIL> or <EMAIL>"),
+      ("clean text only", 0L, "clean text only"))
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val digits = "[0-9]{6,}"
+    import org.apache.spark.sql.functions._
+    val got = fixtures.map(_._1).toDF("text").select(
+      (regexp_count(col("text"), lit(email)) +
+        regexp_count(col("text"), lit(digits))).cast("long"),
+      regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+        digits, "<NUM>")).collect()
+    got.zip(fixtures).foreach { case (r, (_, wantN, wantText)) =>
+      assert(r.getLong(0) == wantN, s"count for '$wantText'")
+      assert(r.getString(1) == wantText)
+    }
+  }
 }

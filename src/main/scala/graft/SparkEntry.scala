@@ -289,7 +289,11 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
-        |       len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT)
+        |       len(regexp_extract_all(
+        |         regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |           '<EMAIL>', 'g'),
+        |         '[0-9]{6,}')) AS BIGINT)
         |    AS n_redactions,
         |  regexp_replace(
         |    regexp_replace(text,

@@ -415,16 +415,22 @@ case class QuantizeI8(child: Expression)
     var i = 0
     while (i < n) {
       if (v.isNullAt(i)) return null
-      val a = math.abs(v.getDouble(i))
+      val x = v.getDouble(i)
+      // non-finite elements quantize to nothing meaningful — NULL out
+      // rather than silently emitting a plausible-looking code
+      if (!java.lang.Double.isFinite(x)) return null
+      val a = math.abs(x)
       if (a > mx) mx = a
       i += 1
     }
     val out = new Array[Byte](n)
     if (mx > 0) {
-      val s = 127.0 / mx
       i = 0
       while (i < n) {
-        out(i) = math.floor(v.getDouble(i) * s + 0.5).toByte
+        // (x * 127) / mx, NOT x * (127/mx): the oracle evaluates the
+        // former, and the two IEEE association orders differ by ulps —
+        // enough to flip a code at a k+0.5 floor boundary
+        out(i) = math.floor(v.getDouble(i) * 127.0 / mx + 0.5).toByte
         i += 1
       }
     }

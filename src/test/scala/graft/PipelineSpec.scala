@@ -83,25 +83,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("scrubPii redacts emails and long digit runs, counts them") {
+  test("scrubPii redacts emails and long digit runs, counts them once") {
     import spark.implicits._
     val fixtures = Seq(
       ("contact me at a.b+c@mail-host.example.com today", 1L,
         "contact me at <EMAIL> today"),
       ("card 1234567890 and pin 123", 1L, "card <NUM> and pin 123"),
       ("x@y.io or z@w.dev", 2L, "<EMAIL> or <EMAIL>"),
+      // a digit run INSIDE an email is one redaction, not two
+      ("reach me: 12345678@qq.com ok", 1L, "reach me: <EMAIL> ok"),
       ("clean text only", 0L, "clean text only"))
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val digits = "[0-9]{6,}"
-    import org.apache.spark.sql.functions._
-    val got = fixtures.map(_._1).toDF("text").select(
-      (regexp_count(col("text"), lit(email)) +
-        regexp_count(col("text"), lit(digits))).cast("long"),
-      regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
-        digits, "<NUM>")).collect()
+    // drive the production transform, not a re-spelled copy of it
+    val got = Pipeline.scrub(
+      fixtures.zipWithIndex.map { case ((t, _, _), i) => (i.toLong, t) }
+        .toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
     got.zip(fixtures).foreach { case (r, (_, wantN, wantText)) =>
-      assert(r.getLong(0) == wantN, s"count for '$wantText'")
-      assert(r.getString(1) == wantText)
+      assert(r.getLong(1) == wantN, s"count for '$wantText'")
+      assert(r.getString(2) == wantText)
     }
   }
 }

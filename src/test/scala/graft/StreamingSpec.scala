@@ -39,8 +39,11 @@ class StreamingSpec extends SparkSpec {
   test("freq_topk sketch is valid streaming state (stream ≡ batch)") {
     import org.apache.spark.sql.functions.col
     // a mergeable TypedImperativeAggregate doubles as incremental
-    // stream state: each micro-batch updates the same buffer the batch
-    // aggregate would build in one pass
+    // stream state. Stream ≡ batch EXACTLY only in the no-eviction
+    // regime (distinct event_types ≤ capacity — true for this fixture,
+    // asserted below); with eviction, Misra–Gries counters are
+    // update-order dependent and stream/batch may legally differ
+    // within the sketch's error bound.
     val raw = spark.readStream.schema(Tables.eventsOnDisk)
       .option("pathGlobFilter", "events.parquet").parquet(sf)
     val q = raw
@@ -56,6 +59,9 @@ class StreamingSpec extends SparkSpec {
         .agg(graft.functions.FreqFunctions.freq_topk(col("event_type"), 8)
           .as("hh"))
         .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      // no-eviction precondition for exact equality
+      assert(Tables.load(spark, sf, "events")
+        .select("event_type").distinct().count() <= 8)
       assert(streamed == batch)
       assert(streamed.nonEmpty)
     } finally q.stop()

@@ -110,6 +110,10 @@ object SparkEntry {
     "q56_doc_chunks" -> ((s: SparkSession, d: String) =>
       operators.Pipeline.chunkDocuments(s, d)),
     "q57_pii_scrub" -> (operators.Pipeline.scrubPii _),
+    // the whole corpus-prep pipeline (sample -> scrub -> chunk) as one
+    // fused plan — composition is the point; each stage is separately
+    // oracle-proven by q52/q57/q56
+    "q58_corpus_manifest" -> (operators.Pipeline.corpusManifest _),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -271,6 +275,33 @@ object SparkEntry {
         |      FROM orders)
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+    "q58_corpus_manifest" ->
+      """WITH kept AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '[0-9]{6,}', '<NUM>', 'g') AS text
+        |  FROM documents
+        |  WHERE ((doc_id % 1000000007) * 2654435761) % 1000 < CASE
+        |      WHEN source IN ('src0','src1','src2','src3','src4') THEN 900
+        |      WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
+        |      ELSE 200 END),
+        |t AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |      FROM kept),
+        |c AS (SELECT doc_id, source, u.s AS start_tok,
+        |        u.s // 48 AS chunk_id, ws[u.s + 1 : u.s + 64] AS chunk
+        |      FROM t, unnest(range(0, len(ws), 48)) AS u(s))
+        |SELECT doc_id, chunk_id, start_tok,
+        |  len(chunk) AS n_tokens,
+        |  list_reduce(
+        |    list_prepend(7::BIGINT,
+        |      [ascii(ch) for ch in string_split(array_to_string(chunk, ' '), '')]),
+        |    (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fp,
+        |  source
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q56_doc_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),

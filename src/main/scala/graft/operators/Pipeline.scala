@@ -115,21 +115,56 @@ object Pipeline {
     * row narrow at any corpus size.
     */
   def chunkDocuments(spark: SparkSession, sfDir: String,
-      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame =
+    Present.smallSorted(
+      chunk(Tables.load(spark, sfDir, "documents"), chunkTokens, overlap),
+      "doc_id", "chunk_id")
+
+  /** [[chunkDocuments]]'s transform over any (doc_id, text, …) frame;
+    * `passthrough` columns ride along onto every chunk row. This is
+    * the composable form the end-to-end manifest pipeline uses.
+    */
+  private[graft] def chunk(docs: DataFrame, chunkTokens: Int = 64,
+      overlap: Int = 16, passthrough: Seq[String] = Nil): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens, "0 <= overlap < chunk")
     val stride = chunkTokens - overlap
     val starts = sequence(lit(0), size(col("ws")) - 1, lit(stride))
-    Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
-      .select(col("doc_id"), col("ws"),
-        posexplode(starts).as(Seq("chunk_id", "start_tok")))
-      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        col("start_tok").cast("long").as("start_tok"),
-        slice(col("ws"), col("start_tok") + 1, lit(chunkTokens)).as("chunk"))
-      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
-        size(col("chunk")).cast("long").as("n_tokens"),
-        TextAnalysis.fingerprint(concat_ws(" ", col("chunk"))).as("fp"))
-      .transform(Present.smallSorted(_, "doc_id", "chunk_id"))
+    val extra = passthrough.map(col)
+    docs
+      .select(col("doc_id") +: TextAnalysis.tokens(col("text")).as("ws")
+        +: extra: _*)
+      .select(col("doc_id") +: col("ws")
+        +: posexplode(starts).as(Seq("chunk_id", "start_tok")) +: extra: _*)
+      .select(col("doc_id") +: col("chunk_id").cast("long").as("chunk_id")
+        +: col("start_tok").cast("long").as("start_tok")
+        +: slice(col("ws"), col("start_tok") + 1, lit(chunkTokens)).as("chunk")
+        +: extra: _*)
+      .select(col("doc_id") +: col("chunk_id") +: col("start_tok")
+        +: size(col("chunk")).cast("long").as("n_tokens")
+        +: TextAnalysis.fingerprint(concat_ws(" ", col("chunk"))).as("fp")
+        +: extra: _*)
+  }
+
+  /** End-to-end corpus-preparation manifest — the whole pipeline as
+    * ONE declarative plan: mixture-sample the sources, scrub PII from
+    * the kept documents, chunk the SCRUBBED text into training
+    * windows, and emit the shard manifest (doc, chunk, token count,
+    * fingerprint, source). Catalyst fuses sampling, scrubbing, and
+    * chunking into a single scan stage — no shuffle until the
+    * presentation sort — which is the point of composing operators as
+    * column expressions rather than materialized steps: at 100 TB the
+    * corpus is read once.
+    */
+  def corpusManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val permille = mixturePermille(col("source"))
+    val bucket = pmod(
+      pmod(col("doc_id"), lit(1000000007L)) * lit(KnuthMult), lit(1000L))
+    val kept = Tables.load(spark, sfDir, "documents")
+      .filter(bucket < permille)
+    val scrubbed = scrub(kept, passthrough = Seq("source"))
+      .select(col("doc_id"), col("scrubbed").as("text"), col("source"))
+    Present.smallSorted(
+      chunk(scrubbed, passthrough = Seq("source")), "doc_id", "chunk_id")
   }
 
   /** PII scrubbing: mask email addresses and long digit runs — the
@@ -147,15 +182,17 @@ object Pipeline {
     * writes unsorted; the sorted wrapper above is bench/audit
     * presentation.
     */
-  private[graft] def scrub(docs: DataFrame): DataFrame = {
+  private[graft] def scrub(docs: DataFrame,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val digits = "[0-9]{6,}"
     val emailMasked = regexp_replace(col("text"), email, "<EMAIL>")
-    docs.select(col("doc_id"),
-      (regexp_count(col("text"), lit(email)) +
+    docs.select(col("doc_id")
+      +: (regexp_count(col("text"), lit(email)) +
         regexp_count(emailMasked, lit(digits))).cast("long")
-        .as("n_redactions"),
-      regexp_replace(emailMasked, digits, "<NUM>").as("scrubbed"))
+        .as("n_redactions")
+      +: regexp_replace(emailMasked, digits, "<NUM>").as("scrubbed")
+      +: passthrough.map(col): _*)
   }
 
   /** Per-language quality-quartile filter: keep documents whose

@@ -253,6 +253,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q58: sample + scrub + chunk fuse into one scan, one exchange") {
+    val plan = graft.operators.Pipeline.corpusManifest(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the mixture filter, both regex rewrites, tokenization and the
+    // chunk explode all live in the scan stage; the only exchange is
+    // the single-partition presentation sort
+    val exchanges = "Exchange".r.findAllMatchIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 exchange:\n$plan")
+    assert(!plan.contains("Join"), s"no join expected:\n$plan")
+    val scans = "FileScan".r.findAllMatchIn(plan).size
+    assert(scans == 1, s"expected one corpus scan:\n$plan")
+  }
+
   test("q22: dedup shuffles content hashes, not document bodies") {
     val plan = planOf(graft.operators.Dedup.exactDedup(spark, sf))
     // the rows crossing the shuffle are the partial aggregate's output

@@ -77,13 +77,8 @@ object Pipeline {
   def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val permille = mixturePermille(col("source"))
-    // reduce mod 1e9+7 BEFORE the Knuth multiply: the reduced id stays
-    // ≤ ~1e9, so the product ≤ ~2.7e18 < Long.Max — no ANSI overflow at
-    // any corpus size (a raw doc_id * 2^32/φ overflows past id≈3.5e9)
-    val bucket = pmod(
-      pmod(col("doc_id"), lit(1000000007L)) * lit(KnuthMult), lit(1000L))
     docs
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", mixtureBucket(col("doc_id")))
       .filter(col("bucket") < permille)
       .select(col("doc_id"), col("source"), col("lang"),
         permille.as("target_permille"))
@@ -94,6 +89,15 @@ object Pipeline {
     * accept test from sequential doc_ids.
     */
   val KnuthMult = 2654435761L
+
+  /** The mixture accept bucket, shared by [[mixtureSample]] and
+    * [[corpusManifest]] (and replayed by both oracles). Reduce mod
+    * 1e9+7 BEFORE the Knuth multiply: the reduced id stays ≤ ~1e9, so
+    * the product ≤ ~2.7e18 < Long.Max — no ANSI overflow at any corpus
+    * size (a raw doc_id · 2^32/φ overflows past id ≈ 3.5e9).
+    */
+  private def mixtureBucket(docId: org.apache.spark.sql.Column) =
+    pmod(pmod(docId, lit(1000000007L)) * lit(KnuthMult), lit(1000L))
 
   /** Target mixture: heavy sources kept at 90%, mid at 50%, tail at
     * 20% — the CASE both engines replay verbatim.
@@ -155,16 +159,23 @@ object Pipeline {
     * column expressions rather than materialized steps: at 100 TB the
     * corpus is read once.
     */
-  def corpusManifest(spark: SparkSession, sfDir: String): DataFrame = {
-    val permille = mixturePermille(col("source"))
-    val bucket = pmod(
-      pmod(col("doc_id"), lit(1000000007L)) * lit(KnuthMult), lit(1000L))
+  def corpusManifest(spark: SparkSession, sfDir: String): DataFrame =
+    // presentation sort for the audit/bench manifest (thousands of
+    // rows at test SF); a production 100 TB run writes
+    // [[manifestUnsorted]] partition-parallel with no global order
+    Present.smallSorted(manifestUnsorted(spark, sfDir),
+      "doc_id", "chunk_id")
+
+  /** [[corpusManifest]] without the presentation sort — the form a
+    * full-scale manifest write uses (one scan, zero exchanges).
+    */
+  private[graft] def manifestUnsorted(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val kept = Tables.load(spark, sfDir, "documents")
-      .filter(bucket < permille)
+      .filter(mixtureBucket(col("doc_id")) < mixturePermille(col("source")))
     val scrubbed = scrub(kept, passthrough = Seq("source"))
       .select(col("doc_id"), col("scrubbed").as("text"), col("source"))
-    Present.smallSorted(
-      chunk(scrubbed, passthrough = Seq("source")), "doc_id", "chunk_id")
+    chunk(scrubbed, passthrough = Seq("source"))
   }
 
   /** PII scrubbing: mask email addresses and long digit runs — the

@@ -254,8 +254,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q58: sample + scrub + chunk fuse into one scan, one exchange") {
-    val plan = graft.operators.Pipeline.corpusManifest(spark, sf)
-      .queryExecution.executedPlan.toString
+    val plan = planOf(graft.operators.Pipeline.corpusManifest(spark, sf))
     // the mixture filter, both regex rewrites, tokenization and the
     // chunk explode all live in the scan stage; the only exchange is
     // the single-partition presentation sort

@@ -114,6 +114,9 @@ object SparkEntry {
     // fused plan — composition is the point; each stage is separately
     // oracle-proven by q52/q57/q56
     "q58_corpus_manifest" -> (operators.Pipeline.corpusManifest _),
+    // range join via grid-cell bucketing (equality join + exact
+    // verify) — the oracle replays the naive BETWEEN join
+    "q59_range_join" -> (operators.RangeJoin.eventValueBands _),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -275,6 +278,16 @@ object SparkEntry {
         |      FROM orders)
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+    "q59_range_join" ->
+      """WITH bands AS (SELECT * FROM (VALUES
+        |    (CAST(0 AS BIGINT), 0.0, 1.0), (1, 1.0, 2.0), (2, 2.0, 5.0),
+        |    (3, 5.0, 10.0), (4, 10.0, 20.0), (5, 20.0, 50.0),
+        |    (6, 50.0, 100.0), (7, 100.0, 200.0), (8, 200.0, 500.0))
+        |  AS t(band_id, lo, hi))
+        |SELECT band_id, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band_id
+        |ORDER BY band_id""".stripMargin,
     "q58_corpus_manifest" ->
       """WITH kept AS (
         |  SELECT doc_id, source,

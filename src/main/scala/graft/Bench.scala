@@ -4,12 +4,14 @@ package graft
   * trainer.py:318-399). Each query gets one untimed warm-up execution
   * (codegen compilation, broadcast builds, FS cache) and two timed
   * runs of which the MINIMUM is reported — steady-state throughput,
-  * which is what a resident engine delivers; the min discards
-  * one-off interference (GC pauses, co-tenant CPU spikes) that a
-  * single sample would bake into the number. The SQL cache is cleared
-  * between queries so persisted intermediates never bleed across
-  * measurements (or accumulate). Prints exactly one JSON line for the
-  * driver.
+  * which is what a resident engine delivers. The two timed samples
+  * come from two INTERLEAVED full passes over the suite, not
+  * back-to-back runs: a multi-second co-tenant interference window
+  * then lands on DIFFERENT queries in each pass, so the per-query min
+  * discards it — back-to-back samples would both sit inside the same
+  * window. The SQL cache is cleared after every execution so persisted
+  * intermediates never bleed across measurements (or accumulate).
+  * Prints exactly one JSON line for the driver.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,19 +31,27 @@ object Bench {
     // queries would be benched without their sort cost
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try {
-        run(fn(spark, sfDir)) // warm-up: codegen + broadcasts + page cache
-        (1 to 2).map { _ =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val failed = scala.collection.mutable.Set.empty[String]
+    def timedPass(timed: Boolean): Map[String, Double] =
+      names.filterNot(failed).map { name =>
+        val t = try {
           val t0 = System.nanoTime()
-          run(fn(spark, sfDir))
+          run(SparkEntry.queries(name)(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
-        }.min
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0
-      } finally spark.catalog.clearCache()
-      name -> t
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
+          -1.0
+        } finally spark.catalog.clearCache()
+        name -> t
+      }.toMap
+    timedPass(timed = false) // warm-up pass: codegen + broadcasts + FS cache
+    val pass1 = timedPass(timed = true)
+    val pass2 = timedPass(timed = true)
+    val results = names.map { n =>
+      val samples = Seq(pass1.get(n), pass2.get(n)).flatten.filter(_ >= 0)
+      n -> (if (failed(n) || samples.isEmpty) -1.0 else samples.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

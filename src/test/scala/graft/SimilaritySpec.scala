@@ -136,6 +136,28 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(cos.getDouble(0) - cos.getDouble(1)) < 0.02)
   }
 
+  test("quantize_i8: property — per-element error bounded by half a step") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters, Passed}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+    val prop = Prop.forAll(vecGen) { v =>
+      val mx = v.map(math.abs).max
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal
+        .create(v, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+      val codes = graft.functions.QuantizeI8(lit).eval(null)
+        .asInstanceOf[ArrayData].toByteArray()
+      if (mx == 0) codes.forall(_ == 0)
+      else codes.zip(v).forall { case (c, x) =>
+        // dequantized value within half a quantization step (+eps)
+        math.abs(c * mx / 127.0 - x) <= mx / 127.0 * 0.5 + 1e-9 * mx
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.status == Passed, res.status.toString)
+  }
+
   test("quantizedTopK recalls most of the exact float top-k") {
     val exact = Similarity.cosineTopK(spark, sf, 0L, 20)
       .select("vec_id").collect().map(_.getLong(0)).toSet

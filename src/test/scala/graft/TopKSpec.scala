@@ -39,6 +39,29 @@ class TopKSpec extends SparkSpec {
     assert(top.toSeq == Seq(2L, 5L))
   }
 
+  test("topk_rows: property — matches sort-and-take on seeded random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7L)
+    // heavy duplication in both group and ord so ties are common
+    val rows = Seq.fill(4000)(
+      (rng.nextInt(40).toLong, rng.nextInt(12).toDouble, rng.nextInt(500).toLong))
+    val want: Map[Long, Seq[Long]] = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).distinct
+        .sortBy { case (ord, id) => (-ord, id) }.take(3).map(_._2)
+    }
+    // distinct input so the reference's take(3) is well-defined under
+    // ties (duplicate (ord,id) rows would make either copy acceptable)
+    val got = rows.distinct.toDF("g", "ord", "id")
+      .groupBy("g")
+      .agg(topk_rows(col("ord"), col("id"), struct(col("id")), 3).as("t"))
+      .select(col("g"), col("t.id").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, ids) =>
+      assert(ids == want(g), s"group $g: got $ids want ${want(g)}")
+    }
+  }
+
   test("q53 plan: partial top-k aggregation, no window, no fact-table sort") {
     val plan = OlapQueries.topOrdersPerCustomerAgg(spark, sf)
       .queryExecution.executedPlan.toString

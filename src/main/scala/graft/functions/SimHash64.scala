@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -22,7 +21,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * the fold itself, not the dispatch.
   */
 case class SimHash64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = LongType
 

@@ -85,12 +85,42 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** doGenCode for unary kernels whose logic lives in `nullSafeEval`:
+  * embeds the expression instance as a codegen reference object and
+  * calls it per row — one virtual call with the child evaluated by
+  * generated code. The point is NOT the call itself but the span:
+  * `CollapseCodegenStages` excludes any operator containing a
+  * [[CodegenFallback]] expression from whole-stage codegen, so one
+  * fallback kernel in a projection would demote every expression in
+  * that stage to the interpreted path.
+  */
+trait UnaryKernelCodegen extends UnaryExpression {
+
+  /** Public bridge so generated code can reach the kernel. */
+  final def kernel(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen
+      .CodeGenerator.javaType(dataType)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = ($javaType) $ref.kernel($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+}
+
 /** `xxhash64_array(array<string>) → array<long>` — xxhash64(seed 42)
   * of each element; identical values to `transform(a, s ->
   * xxhash64(s))` without the per-element lambda dispatch.
   */
 case class XxHash64Array(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -126,7 +156,7 @@ case class XxHash64Array(child: Expression)
   * wrapping adds — instead of k full array traversals.
   */
 case class MinHashSignature(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with UnaryKernelCodegen {
 
   require(k > 0, "k must be positive")
 
@@ -338,7 +368,7 @@ case class IntersectCountAtLeast(first: Expression, second: Expression,
   * (mirroring wordShingles' short-doc guard).
   */
 case class WordNGramHashes(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with UnaryKernelCodegen {
 
   require(n > 0, "n must be positive")
 
@@ -398,7 +428,7 @@ case class WordNGramHashes(child: Expression, n: Int)
   * dequantization and no stored scale ([[DotProductI8]]).
   */
 case class QuantizeI8(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
 
@@ -517,7 +547,7 @@ case class DotProductI8(left: Expression, right: Expression)
   */
 case class RandomProjectionBandKeys(child: Expression,
     planes: Seq[Seq[Double]], bandBits: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with UnaryKernelCodegen {
 
   require(bandBits > 0 && bandBits <= 31, "bandBits must be in [1,31]")
   require(planes.nonEmpty && planes.size % bandBits == 0,

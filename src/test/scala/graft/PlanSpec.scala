@@ -63,6 +63,45 @@ class PlanSpec extends SparkSpec {
       .find(l => l.contains("Project") && l.contains("dot_product")).get
     assert(dotLine.trim.matches("""^[+:\-\s]*\*\(\d+\).*"""),
       s"dot_product Project not codegen'd: $dotLine")
+
+    // the round-2 kernels must stay inside the whole-stage span too
+    // (args derive from real columns — all-literal forms constant-fold
+    // away at plan time and prove nothing)
+    def assertCodegen(expr: org.apache.spark.sql.Column, tag: String): Unit = {
+      val p = planOf(graft.sources.Tables.load(spark, sf, "documents")
+        .select(expr.as("x")))
+      val line = p.linesIterator
+        .find(l => l.contains("Project") && l.contains(tag))
+        .getOrElse(fail(s"no Project with $tag in:\n$p"))
+      assert(line.trim.matches("""^[+:\-\s]*\*\(\d+\).*"""),
+        s"$tag Project not codegen'd: $line")
+    }
+    assertCodegen(
+      graft.functions.TextKernels.poly_fingerprint(col("text")),
+      "poly_fingerprint")
+    assertCodegen(
+      graft.functions.TextKernels.lang_id(col("text")), "lang_id")
+    assertCodegen(
+      graft.functions.VectorMath.intersect_count_at_least(
+        array(col("n_chars")), array(col("n_chars")), lit(0L)),
+      "intersect_count_at_least")
+    assertCodegen(
+      graft.functions.VectorMath.dot_product_i8(
+        graft.functions.VectorMath.quantize_i8(
+          array(col("n_chars").cast("double"))),
+        graft.functions.VectorMath.quantize_i8(
+          array(col("n_chars").cast("double")))),
+      "dot_product_i8")
+    // the shingle hot path: one CodegenFallback here would demote the
+    // whole scan-stage projection of every dedup pipeline
+    assertCodegen(
+      graft.functions.SimHashFunctions.simhash64(
+        graft.functions.VectorMath.word_ngram_hashes(col("text"), 3)),
+      "simhash64")
+    assertCodegen(
+      graft.functions.VectorMath.minhash_signature(
+        graft.functions.VectorMath.word_ngram_hashes(col("text"), 3), 8),
+      "minhash_signature")
   }
 
   test("bucketed co-located join runs with no shuffle (SCALE.md claim)") {

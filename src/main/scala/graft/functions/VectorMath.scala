@@ -431,6 +431,8 @@ case class QuantizeI8(child: Expression)
   extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  // null even for a non-null vector: non-finite or null ELEMENTS
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

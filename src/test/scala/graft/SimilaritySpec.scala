@@ -136,6 +136,20 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(cos.getDouble(0) - cos.getDouble(1)) < 0.02)
   }
 
+  test("quantize_i8: non-finite elements yield NULL, even from non-nullable input") {
+    import spark.implicits._
+    import graft.functions.VectorMath.quantize_i8
+    // array(non-nullable cols) is a NON-nullable child — the kernel
+    // must still be able to report null (and the codegen path must
+    // compile) when an element is NaN/Inf
+    val rows = Seq((1.0, 2.0), (1.0, Double.NaN), (Double.PositiveInfinity, 0.0))
+      .toDF("a", "b")
+      .select(quantize_i8(array(col("a"), col("b"))).as("q")).collect()
+    assert(!rows(0).isNullAt(0))
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).isNullAt(0))
+  }
+
   test("quantize_i8: property — per-element error bounded by half a step") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check, Parameters, Passed}

@@ -67,14 +67,14 @@ object SparkEntry {
     // replay; recall vs the exact top-k is unit-tested (SimilaritySpec).
     "q28_ivf_topk" -> ((s: SparkSession, d: String) =>
       operators.Similarity.ivfTopK(s, d)),
-    // LSH-bucketed twin of q27: random-hyperplane bands, equality
-    // joins only. 64 bands of 4 bits reach full recall at this
-    // corpus's low (τ=0.4) threshold — verified against the exact
-    // pair set at sf0.01 AND sf0.1 (32 bands missed 5/920 at sf0.1) —
-    // so the exact oracle applies verbatim.
-    "q50_embedding_lsh_pairs" -> ((s: SparkSession, d: String) =>
-      operators.Similarity.embeddingLshPairs(s, d, threshold = 0.4,
-        numPlanes = 256, bandBits = 4)),
+    // distributed twin of q27: grid-blocked exact self-join (equality
+    // shuffle joins on the block-pair cell, each pair computed once —
+    // no BNLJ, no full-corpus broadcast). Exact, so q27's oracle
+    // applies verbatim. LSH (Similarity.lshPairs) stays the τ≥0.8
+    // tool; at this corpus's τ=0.4 the background reaches 0.3999 and
+    // angular LSH cannot separate — see SCALE.md.
+    "q50_embedding_pairs_blocked" -> ((s: SparkSession, d: String) =>
+      operators.Similarity.blockedEmbeddingPairs(s, d, threshold = 0.4)),
     "q29_token_stats" -> (operators.TextQueries.tokenStats _),
     "q30_quality_scores" -> (operators.TextQueries.qualityScores _),
     // rows-only: heuristic language ID (accuracy unit-tested on real
@@ -443,7 +443,7 @@ object SparkEntry {
         |    (sqrt(list_dot_product(a.v, a.v)) *
         |     sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
         |ORDER BY ai, bi""".stripMargin,
-    "q50_embedding_lsh_pairs" ->
+    "q50_embedding_pairs_blocked" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS ai, b.vec_id AS bi,
         |  round(list_dot_product(a.v, b.v) /

@@ -87,6 +87,59 @@ object Similarity {
     Present.smallSorted(pairs, "ai", "bi")
   }
 
+  /** Exact embedding near-duplicate pairs via a grid-blocked
+    * self-join — the scale path for the [[embeddingPairs]] answer at
+    * LOW thresholds, where angular LSH cannot separate τ from the
+    * background (this corpus plants near-dups at cosine 0.4–0.5 over
+    * a background that reaches 0.3999: at τ=0.4 every LSH operating
+    * point either misses pairs or candidates nearly everything, so
+    * exact-but-distributed is the honest algorithm; [[lshPairs]]
+    * remains the right tool when τ ≥ ~0.8).
+    *
+    * Shape: vectors land in one of `numBlocks` blocks by vec_id; the
+    * B(B+1)/2 unordered block pairs form a tiny broadcast grid; each
+    * vector replicates to its grid cells and the all-pairs work
+    * distributes as ONE equality shuffle join on the cell id — no
+    * BroadcastNestedLoopJoin, no full-corpus broadcast, each
+    * unordered pair computed exactly once (off-diagonal cells pair
+    * disjoint blocks; diagonal cells keep `lid < rid`). Shuffle
+    * volume is O(n·B) rows while the n²d/2 FLOPs spread over
+    * B(B+1)/2 independent tasks — B is the granularity knob a
+    * 1000-executor cluster turns (B ≈ √(2·targetTasks)), and the
+    * answer stays bit-identical to the brute-force oracle.
+    */
+  def blockedEmbeddingPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4, numBlocks: Int = 8): DataFrame =
+    blockedPairs(embeddingsWithNorm(spark, sfDir)
+      .select("vec_id", "v", "nrm"), threshold, numBlocks)
+
+  /** [[blockedEmbeddingPairs]] over any (vec_id, v: array<double>,
+    * nrm) frame — the corpus-agnostic form.
+    */
+  def blockedPairs(vectors: DataFrame, threshold: Double,
+      numBlocks: Int = 8): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val grid = (for { i <- 0 until numBlocks; j <- i until numBlocks }
+      yield (i, j, i * numBlocks + j)).toDF("blo", "bhi", "cell")
+    val e = vectors.withColumn("blk",
+      pmod(col("vec_id"), lit(numBlocks.toLong)).cast("int"))
+    val l = e.join(broadcast(grid), col("blk") === col("blo"))
+      .select(col("cell"), col("blk").as("lblk"), col("vec_id").as("lid"),
+        col("v").as("lv"), col("nrm").as("lnrm"))
+    val r = e.join(broadcast(grid), col("blk") === col("bhi"))
+      .select(col("cell").as("rcell"), col("blk").as("rblk"),
+        col("vec_id").as("rid"), col("v").as("rv"), col("nrm").as("rnrm"))
+    val pairs = l.join(r, col("cell") === col("rcell") &&
+        (col("lblk") < col("rblk") || col("lid") < col("rid")))
+      .select(least(col("lid"), col("rid")).as("ai"),
+        greatest(col("lid"), col("rid")).as("bi"),
+        round(cosinePrenormed(dot_product(col("lv"), col("rv")),
+          col("lnrm"), col("rnrm")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    Present.smallSorted(pairs, "ai", "bi")
+  }
+
   /** Embedding near-duplicate pairs via random-hyperplane (SimHash)
     * LSH — the bucketed scale path for what [[embeddingPairs]] does by
     * brute force. Plan shape mirrors [[Dedup.minhashPairs]]: signature

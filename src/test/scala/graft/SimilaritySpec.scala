@@ -88,16 +88,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("embeddingLshPairs: full recall vs brute force at the q50 point") {
+  test("blockedEmbeddingPairs ≡ brute force (every pair, exactly once)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val exact = Similarity.embeddingPairs(spark, sf, 0.4)
+      .collect().map(key).toSeq
+    val blocked = Similarity.blockedEmbeddingPairs(spark, sf, 0.4)
+      .collect().map(key).toSeq
+    // Seq equality (not Set): a pair double-counted by the grid would
+    // surface as a duplicate row here
+    assert(blocked == exact, s"blocked ≠ exact:\n${blocked.diff(exact)}")
+    // block count must not change the answer (grid shape is a pure
+    // granularity knob)
+    val b3 = Similarity.blockedEmbeddingPairs(spark, sf, 0.4, numBlocks = 3)
+      .collect().map(key).toSeq
+    assert(b3 == exact)
+  }
+
+  test("embeddingLshPairs: full recall vs brute force at τ=0.4") {
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
     val exact = Similarity.embeddingPairs(spark, sf, 0.4)
       .select("ai", "bi").collect().map(key).toSet
     val lsh = Similarity.embeddingLshPairs(spark, sf, 0.4, 256, 4)
       .select("ai", "bi").collect().map(key).toSet
-    // exact-cosine verification ⇒ lsh ⊆ exact always; at the q50
-    // point (64 bands of 4 bits) a τ=0.4 pair shares a band with
-    // p ≈ 1-(1-0.631^4)^64 ≈ 0.99998 — full recall verified here and
-    // against the 920-pair exact set at sf0.1 (32 bands missed 5)
+    // exact-cosine verification ⇒ lsh ⊆ exact always; at 64 bands of
+    // 4 bits a τ=0.4 pair shares a band with p ≈ 1-(1-0.631^4)^64 ≈
+    // 0.99998 — but the candidate rate at this weakly-separated
+    // threshold is why q50 ships the blocked-exact path instead
     assert(lsh.subsetOf(exact))
     assert(lsh == exact, s"missed ${exact -- lsh}")
   }
@@ -187,6 +204,14 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"LSH pair path must be equality-join bucketed:\n$plan")
     assert(plan.contains("random_projection_band_keys"))
+  }
+
+  test("blockedEmbeddingPairs plan: equality join on the grid cell, no BNLJ") {
+    val plan = Similarity.blockedEmbeddingPairs(spark, sf, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"blocked pair path must be an equality join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("lshPairs production regime: planted near-dups at bandBits=8") {

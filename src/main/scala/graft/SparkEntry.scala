@@ -117,6 +117,20 @@ object SparkEntry {
     // range join via grid-cell bucketing (equality join + exact
     // verify) — the oracle replays the naive BETWEEN join
     "q59_range_join" -> (operators.RangeJoin.eventValueBands _),
+    // PPJoin-family prefix filter: df-ordered prefixes over an
+    // inverted index — blocking-free exact Jaccard pairs (the scale
+    // path with no length-reach limit; oracle is the naive O(n²) form)
+    "q60_prefix_jaccard_pairs" -> ((s: SparkSession, d: String) =>
+      operators.Dedup.prefixJaccardPairs(s, d)),
+    // batch twin of the streaming first-seen dedup (EventStreams.
+    // firstSeenStream; StreamingSpec proves stream ≡ batch) —
+    // deterministic argmin via lexicographic struct-min
+    "q61_first_events" -> (operators.OlapQueries.firstEvents _),
+    // q48 re-planned through the mergeable Bloom sketch: scan-fused
+    // probe prefilter + exact verify join — same exact answer, so the
+    // oracle is q48's verbatim
+    "q62_bloom_contamination" -> ((s: SparkSession, d: String) =>
+      operators.Pipeline.bloomContamination(s, d)),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -686,7 +700,63 @@ object SparkEntry {
       """SELECT event_type AS value, count(*) AS cnt
         |FROM events
         |GROUP BY event_type
-        |ORDER BY cnt DESC, value""".stripMargin
+        |ORDER BY cnt DESC, value""".stripMargin,
+    // blocking-free brute force — the exact set q60's prefix filter
+    // must reproduce (q25's oracle keeps its length-block semantics;
+    // this one has none)
+    "q60_prefix_jaccard_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) >= 3
+        |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, len(ws) - 1)]
+        |      ELSE [text] END) AS sh
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |        FROM documents)
+        |)
+        |SELECT ai, bi, jaccard FROM (
+        |  SELECT a.doc_id AS ai, b.doc_id AS bi,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |          4) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |)
+        |WHERE jaccard >= 0.8
+        |ORDER BY ai, bi""".stripMargin,
+    // order by µs-truncated time (Spark's ts is nanos div 1000) so a
+    // sub-µs difference can't flip the argmin between engines
+    "q61_first_events" ->
+      """SELECT user_id, event_type,
+        |  epoch_us(ts) AS first_ts_us,
+        |  event_id AS first_event_id,
+        |  value AS first_value
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, event_type
+        |  ORDER BY epoch_us(ts), event_id) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    // q48's oracle verbatim: the bloom prefilter + exact verify is a
+    // pure plan transform, not a semantics change
+    "q62_bloom_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) >= 8
+        |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |            w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+        |            w[i+6] || ' ' || w[i+7]
+        |            for i in range(1, len(w) - 6)]
+        |      ELSE [text] END) AS sh
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+        |        FROM documents)
+        |), eval_grams AS (
+        |  SELECT DISTINCT unnest(sh) AS gram FROM g WHERE doc_id < 10
+        |), train_grams AS (
+        |  SELECT doc_id, unnest(sh) AS gram FROM g WHERE doc_id >= 10
+        |)
+        |SELECT doc_id, count(*) AS n_contaminated_grams
+        |FROM train_grams JOIN eval_grams USING (gram)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }
 

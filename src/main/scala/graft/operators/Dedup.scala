@@ -208,6 +208,80 @@ object Dedup {
     Present.smallSorted(kept, "doc_id")
   }
 
+  // ---- prefix-filtered inverted-index join (PPJoin family) -------------
+
+  /** Exact Jaccard near-dup pairs via df-ordered PREFIX FILTERING over
+    * an inverted index — the blocking-free scale path for the
+    * [[ngramJaccardPairs]] answer (and the classic exact set-similarity
+    * self-join: Chaudhuri/Bayardo's prefix filter, the PPJoin family).
+    *
+    * Principle: order every document's shingles by a single global
+    * total order — here (document frequency, hash), rarest first. If
+    * J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and two sets with
+    * overlap ≥ α must collide within their first |X|−α+1 tokens — so
+    * indexing only each doc's PREFIX (the ~(1−τ)·|X|+1 rarest
+    * shingles) finds every qualifying pair. Candidates are generated
+    * by an equality self-join on prefix tokens (hash join, never
+    * O(n²)) and verified with the early-exit merge walk. Rare-first
+    * ordering is what bounds the hot-token blowup: a shingle shared by
+    * half the corpus lands in nobody's prefix.
+    *
+    * Scale shape: one df aggregate over exploded shingles (token-
+    * partitioned, mergeable), one join to order prefixes, one
+    * candidate join on prefix tokens, one verify join — all equality
+    * shuffles. Unlike the length-blocked [[ngramJaccardPairs]] this
+    * has no ±64-char reach limit, so it is exact for arbitrarily long
+    * documents; the prefix margin uses the same τ−1e-4 slack as the
+    * verifier, so no pair the round(j,4)≥τ output filter can accept is
+    * ever pruned.
+    */
+  def prefixJaccardPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val t = threshold - 1e-4
+    // per-row once: distinct shingle hashes, value-sorted for the
+    // merge-walk verifier, plus the set size
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        array_sort(shingleHashes(col("text"))).as("hss"))
+      .withColumn("sz", size(col("hss")))
+      .persist() // read by df agg, prefix build, and both verify sides
+
+    // global document frequency per shingle — the rare-first key
+    val dfreq = docs.select(explode(col("hss")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+
+    // each doc's prefix: the (sz − ⌈t·sz⌉ + 1) rarest shingles under
+    // the (df, h) total order
+    val prefix = docs
+      .select(col("doc_id"), col("sz"), explode(col("hss")).as("h"))
+      .join(dfreq, "h")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h"))))
+        .as("ordered"))
+      .select(col("doc_id"), col("sz"),
+        explode(slice(col("ordered"), lit(1),
+          (col("sz") - ceil(col("sz") * t) + 1).cast("int"))).as("tok"))
+      .select(col("doc_id"), col("sz"), col("tok.h").as("h"))
+
+    // candidates: docs sharing ≥1 prefix token, with the size-ratio
+    // prune (J ≤ min/max) applied inside the join
+    val candidates = prefix.as("l").join(prefix.as("r"),
+        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id") &&
+          least(col("l.sz"), col("r.sz")).cast("double") /
+            greatest(col("l.sz"), col("r.sz")) >= t)
+      .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"))
+      .distinct()
+
+    val verified = candidates
+      .join(docs.as("sa"), col("ai") === col("sa.doc_id"))
+      .join(docs.as("sb"), col("bi") === col("sb.doc_id"))
+      .select(col("ai"), col("bi"),
+        thresholdedJaccard(col("sa.hss"), col("sb.hss"),
+          col("sa.sz"), col("sb.sz"), threshold).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    Present.smallSorted(verified, "ai", "bi")
+  }
+
   // ---- cluster resolution ----------------------------------------------
 
   /** Resolve near-dup pairs into clusters and pick one representative

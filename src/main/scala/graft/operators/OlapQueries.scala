@@ -261,4 +261,23 @@ object OlapQueries {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
       .orderBy("hour_start", "event_type")
+
+  /** First occurrence per (user, event_type) — "keep the earliest
+    * record per key", the batch twin of the streaming first-seen dedup
+    * ([[graft.streaming.EventStreams.firstSeenStream]]; StreamingSpec
+    * proves stream ≡ batch). One argmin aggregate: `min` over a
+    * (ts, event_id, value) struct is the lexicographic minimum, so the
+    * tie-break on equal timestamps is the unique event_id —
+    * deterministic in any engine, unlike dropDuplicates. Map-side
+    * partial min makes the shuffle one row per key per partition.
+    */
+  def firstEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("f"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("f.ts")).as("first_ts_us"),
+        col("f.event_id").as("first_event_id"),
+        col("f.value").as("first_value"))
+      .orderBy("user_id", "event_type")
 }

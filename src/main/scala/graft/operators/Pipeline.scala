@@ -64,6 +64,42 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** [[contamination]] re-planned through a Bloom-filter prefilter —
+    * the shape decontamination takes when the held-out set is too big
+    * to ship as a broadcast hash relation. The eval side aggregates
+    * into a fixed-size bitset ([[graft.functions.BloomAgg]]: merge is
+    * bitwise OR, so it tree-reduces and the shuffle moves numBits/8
+    * bytes per partial whatever the gram count); the collected sketch
+    * becomes a literal probe fused into the training-side SCAN
+    * ([[graft.functions.BloomMightContain]], codegen'd), so the
+    * exploded grams that survive to the exact-verify join are only the
+    * bloom hits — at production contamination rates (≪1%) the join
+    * input shrinks by the FPR, ~1e-5 here, instead of shuffling every
+    * gram. The verify join makes the answer EXACT (bloom false
+    * positives are discarded), so q48's oracle applies verbatim.
+    */
+  def bloomContamination(spark: SparkSession, sfDir: String,
+      evalCount: Long = 10, n: Int = 8): DataFrame = {
+    import graft.functions.BloomFunctions.{bloom_agg, bloom_might_contain}
+    val docs = Tables.load(spark, sfDir, "documents")
+    val gramHashes = graft.functions.VectorMath
+      .word_ngram_hashes(col("text"), n)
+    val evalGrams = docs.filter(col("doc_id") < evalCount)
+      .select(explode(gramHashes).as("gram"))
+      .distinct()
+    // one tiny aggregate job → the query parameter (like queryVector);
+    // at scale this is the precomputed per-benchmark sketch artifact
+    val sketch = evalGrams.agg(bloom_agg(col("gram")).as("b"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val trainGrams = docs.filter(col("doc_id") >= evalCount)
+      .select(col("doc_id"), explode(gramHashes).as("gram"))
+      .filter(bloom_might_contain(sketch, col("gram")))
+    trainGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic mixture sampling — the "data mixing" step of
     * training-set assembly: each source is downsampled to a target
     * weight by a pure-arithmetic accept test,

@@ -81,6 +81,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word_ngram_hashes(text, n)")
       }))
     e.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[graft.functions.BloomAgg].getName, "bloom_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => graft.functions.BloomAgg(c, 1 << 20, 7)
+        case Seq(c, Literal(m: Int, _), Literal(k: Int, _)) =>
+          graft.functions.BloomAgg(c, m, k)
+        case _ => throw new IllegalArgumentException(
+          "bloom_agg(col[, numBits, numHashes])")
+      }))
+    scalar("bloom_might_contain",
+      classOf[graft.functions.BloomMightContain], 2,
+      es => graft.functions.BloomMightContain(es(0), es(1)))
+    e.injectFunction((
       new FunctionIdentifier("topk_rows"),
       new ExpressionInfo(classOf[TopKRows].getName, "topk_rows"),
       (exprs: Seq[Expression]) => exprs match {

@@ -103,6 +103,64 @@ object EventStreams {
       }
   }
 
+  /** A key's earliest-seen record, emitted once it is final. */
+  case class FirstSeen(key: String, tsUs: Long, id: Long, value: Double)
+
+  /** Streaming exact first-seen dedup — the online form of "keep the
+    * earliest record per key" (batch twin:
+    * [[graft.operators.OlapQueries.firstEvents]]). Per-key state holds
+    * the (event-time, id)-minimal record seen so far; the record is
+    * FINAL once the watermark passes its event time (no
+    * earlier-timestamped record can still arrive, by the watermark
+    * contract), at which point the event-time timeout emits it in
+    * append mode and removes the state — so state stays bounded by the
+    * number of keys inside the watermark horizon, not the stream
+    * length. Records of a key arriving after its first-seen was
+    * emitted are later-timestamped by construction and are dropped
+    * with no re-emission only if they arrive before the state is
+    * removed; afterwards the key would re-emit — the standard
+    * dedup-within-watermark contract (same as Spark's
+    * dropDuplicatesWithinWatermark), which a 100 TB/day pipeline pairs
+    * with a daily exact-dedup compaction.
+    *
+    * Input: (key, eventTimeMicros, id, value).
+    */
+  def firstSeenStream(records: org.apache.spark.sql.Dataset[
+      (String, Long, Long, Double)])
+      : org.apache.spark.sql.Dataset[FirstSeen] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = records.sparkSession
+    import spark.implicits._
+    val withEventTime = records.toDF("key", "us", "id", "value")
+      .withColumn("_et", timestamp_micros(col("us")))
+      .withWatermark("_et", "0 seconds")
+      .as[(String, Long, Long, Double, java.sql.Timestamp)]
+    withEventTime.groupByKey(_._1)
+      .flatMapGroupsWithState[FirstSeen, FirstSeen](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long, Double, java.sql.Timestamp)],
+         state: GroupState[FirstSeen]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(s)
+          } else {
+            val candidates =
+              rows.map(r => FirstSeen(key, r._2, r._3, r._4)) ++
+                state.getOption.iterator
+            val best = candidates.minBy(r => (r.tsUs, r.id))
+            state.update(best)
+            // final once the watermark passes best.tsUs; clamp to stay
+            // ahead of the current watermark (a late-but-admitted row
+            // may carry an event time the watermark already passed)
+            state.setTimeoutTimestamp(
+              math.max(best.tsUs / 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming run over the events parquet (file source), memory sink.
     * `maxFilesPerTrigger=1` makes the file feed arrive as discrete
     * micro-batches. Returns the started query; callers drive it with

@@ -108,6 +108,21 @@ class DedupSpec extends SparkSpec {
       s"missed ${truth -- found}, extra ${found -- truth}")
   }
 
+  test("prefixJaccardPairs ≡ blocking-free brute force, equality-join plan") {
+    val truth = bruteForcePairs(0.8).select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = Dedup.prefixJaccardPairs(spark, sf)
+    val found = q.select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // prefix filtering is exact (not probabilistic): the df-ordered
+    // prefix lemma guarantees every j≥τ pair shares a prefix token
+    assert(found == truth,
+      s"missed ${truth -- found}, extra ${found -- truth}")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("simhashPairs: candidates agree with brute-force hamming") {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"),

@@ -149,6 +149,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("firstSeenStream ≡ batch argmin (q61 twin) across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real corpus rows: (user/event_type key, event-time µs, id, value)
+    val rows = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (s"${r.getLong(0)}/${r.getString(1)}", r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long, Double)]
+    // split into two micro-batches so per-key minima genuinely merge
+    // across batches (not a single-batch degenerate run)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toSeq)
+    mem.addData(b2.toSeq)
+    val q = EventStreams.firstSeenStream(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("first_seen_test").start()
+    try {
+      q.processAllAvailable()
+      // sentinel far past every event pushes the watermark over every
+      // key's minimum -> all first-seen states become final and emit
+      val flushTs = rows.map(_._2).max + 3600L * 1000000
+      mem.addData(("~flush", flushTs, -1L, 0.0))
+      q.processAllAvailable()
+      mem.addData(("~flush", flushTs + 1, -2L, 0.0)) // timeouts evaluate
+      q.processAllAvailable()
+      val streamed = spark.table("first_seen_test")
+        .as[EventStreams.FirstSeen].collect()
+        .filter(_.key != "~flush")
+        .map(f => (f.key, f.tsUs, f.id, f.value)).toSet
+      val batch = rows.groupBy(_._1).map { case (_, rs) =>
+        rs.minBy(r => (r._2, r._3))
+      }.toSet
+      assert(streamed == batch,
+        s"missing ${batch -- streamed}, extra ${streamed -- batch}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("q20 batch query equals the shared streaming transform") {
     val viaOlap = OlapQueries.hourlyEventStats(spark, sf)
       .collect().map(_.toSeq).toSet

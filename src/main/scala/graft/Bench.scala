@@ -2,16 +2,19 @@ package graft
 
 /** Per-query wall-clock bench (the reference's reader-benchmark role,
   * trainer.py:318-399). Each query gets one untimed warm-up execution
-  * (codegen compilation, broadcast builds, FS cache) and two timed
+  * (codegen compilation, broadcast builds, FS cache) and three timed
   * runs of which the MINIMUM is reported — steady-state throughput,
-  * which is what a resident engine delivers. The two timed samples
-  * come from two INTERLEAVED full passes over the suite, not
+  * which is what a resident engine delivers. The timed samples come
+  * from three INTERLEAVED full passes over the suite, not
   * back-to-back runs: a multi-second co-tenant interference window
   * then lands on DIFFERENT queries in each pass, so the per-query min
   * discards it — back-to-back samples would both sit inside the same
-  * window. The SQL cache is cleared after every execution so persisted
-  * intermediates never bleed across measurements (or accumulate).
-  * Prints exactly one JSON line for the driver.
+  * window. (This container sees hypervisor-level steal that can
+  * inflate a whole pass ~2×; with three passes the min survives one
+  * entirely-slow pass.) The SQL cache is cleared after every
+  * execution so persisted intermediates never bleed across
+  * measurements (or accumulate). Prints exactly one JSON line for the
+  * driver.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,10 +50,9 @@ object Bench {
         name -> t
       }.toMap
     timedPass(timed = false) // warm-up pass: codegen + broadcasts + FS cache
-    val pass1 = timedPass(timed = true)
-    val pass2 = timedPass(timed = true)
+    val passes = Seq.fill(3)(timedPass(timed = true))
     val results = names.map { n =>
-      val samples = Seq(pass1.get(n), pass2.get(n)).flatten.filter(_ >= 0)
+      val samples = passes.flatMap(_.get(n)).filter(_ >= 0)
       n -> (if (failed(n) || samples.isEmpty) -1.0 else samples.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

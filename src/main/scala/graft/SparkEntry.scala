@@ -131,6 +131,10 @@ object SparkEntry {
     // oracle is q48's verbatim
     "q62_bloom_contamination" -> ((s: SparkSession, d: String) =>
       operators.Pipeline.bloomContamination(s, d)),
+    // exact-k-per-stratum sampling via the bounded topk_rows aggregate
+    // (map-side ≤k rows per language; portable arithmetic priority)
+    "q63_stratified_sample" -> ((s: SparkSession, d: String) =>
+      operators.Pipeline.stratifiedSample(s, d)),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -756,7 +760,15 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_contaminated_grams
         |FROM train_grams JOIN eval_grams USING (gram)
         |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q63_stratified_sample" ->
+      """SELECT lang, doc_id, priority FROM (
+        |  SELECT lang, doc_id,
+        |    ((doc_id % 1000000007) * 2654435761) % 1000000007 AS priority
+        |  FROM documents)
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY lang ORDER BY priority, doc_id) <= 25
+        |ORDER BY lang, priority, doc_id""".stripMargin
   )
 }
 

@@ -145,6 +145,36 @@ object Pipeline {
       .otherwise(lit(200L))
   }
 
+  /** Deterministic stratified sample: the EXACT `k` documents per
+    * language with the smallest arithmetic-hash priority — the
+    * "balanced per-stratum subset" step (per-language eval sets,
+    * calibration corpora), complementing [[mixtureSample]]'s
+    * rate-based mixing. Planned through the bounded
+    * [[graft.functions.TopKRows]] aggregate: each map task reduces its
+    * slice to ≤ k rows per language BEFORE the exchange — the shuffle
+    * carries O(k·strata) rows and no window ever sorts the corpus.
+    * The priority is the same Knuth-multiplicative arithmetic as the
+    * mixture bucket (no engine-specific hash), so any engine replays
+    * the identical sample and re-drawing with a different k is a
+    * metadata change.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+      k: Int = 25): DataFrame = {
+    val priority = pmod(
+      pmod(col("doc_id"), lit(1000000007L)) * lit(KnuthMult),
+      lit(1000000007L))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), priority.as("priority"))
+      .groupBy("lang")
+      .agg(graft.functions.TopKFunctions.topk_rows(
+        -col("priority").cast("double"), col("doc_id"),
+        struct(col("doc_id"), col("priority")), k).as("top"))
+      .select(col("lang"), explode(col("top")).as("r"))
+      .select(col("lang"), col("r.doc_id").as("doc_id"),
+        col("r.priority").as("priority"))
+      .orderBy("lang", "priority", "doc_id")
+  }
+
   /** Sliding-window document chunking: each document becomes
     * ceil-ish(n/stride) overlapping windows of `chunkTokens` tokens
     * (stride = chunkTokens − overlap) — the split-long-docs step

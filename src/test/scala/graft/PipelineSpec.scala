@@ -56,6 +56,31 @@ class PipelineSpec extends SparkSpec {
     assert(df.filter(col("doc_id") < 10).count() == 0)
   }
 
+  test("stratifiedSample: exact k per stratum, equals the window spelling") {
+    val k = 7
+    val got = Pipeline.stratifiedSample(spark, sf, k)
+    val byLang = got.collect().groupBy(_.getString(0))
+    val langSizes = Tables.load(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == math.min(k.toLong, langSizes(lang)),
+        s"$lang: ${rows.length} rows")
+    }
+    // the bounded-aggregate plan must reproduce the window spelling
+    val priority = pmod(
+      pmod(col("doc_id"), lit(1000000007L)) * lit(Pipeline.KnuthMult),
+      lit(1000000007L))
+    val viaWindow = Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("doc_id"), priority.as("priority"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("priority"), col("doc_id"))))
+      .filter(col("rn") <= k).drop("rn")
+      .collect().map(_.toSeq).toSet
+    assert(got.collect().map(_.toSeq).toSet == viaWindow)
+  }
+
   test("chunkDocuments: windows cover every token with the right overlap") {
     val chunks = Pipeline.chunkDocuments(spark, sf, chunkTokens = 64,
       overlap = 16).collect()

@@ -119,18 +119,25 @@ object Dedup {
       .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"))
       .distinct()
 
-    // verification joins on sorted hash arrays: early-exit merge walk
-    // (bail as soon as the remaining elements can't reach the
-    // threshold-implied minimum intersection)
-    val sh = docs
+    verifyJaccard(candidates, docs, threshold)
+  }
+
+  /** The shared exact-verification stage: join (ai, bi) candidates
+    * back to the per-doc sorted hash arrays and keep pairs whose
+    * early-exit merge-walk Jaccard reaches the threshold. One body for
+    * every candidate generator (MinHash LSH, prefix filter), so the
+    * slack/rounding contract in [[thresholdedJaccard]] cannot drift
+    * between paths. `docs` must carry (doc_id, hss sorted, sz).
+    */
+  private def verifyJaccard(candidates: DataFrame, docs: DataFrame,
+      threshold: Double): DataFrame =
     candidates
-      .join(sh.as("sa"), col("ai") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("bi") === col("sb.doc_id"))
+      .join(docs.as("sa"), col("ai") === col("sa.doc_id"))
+      .join(docs.as("sb"), col("bi") === col("sb.doc_id"))
       .select(col("ai"), col("bi"),
         thresholdedJaccard(col("sa.hss"), col("sb.hss"),
           col("sa.sz"), col("sb.sz"), threshold).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Exact Jaccard of two sorted hash arrays, or NULL when it is
     * provably below `threshold` — the NULL branch exits the merge walk
@@ -272,14 +279,8 @@ object Dedup {
       .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"))
       .distinct()
 
-    val verified = candidates
-      .join(docs.as("sa"), col("ai") === col("sa.doc_id"))
-      .join(docs.as("sb"), col("bi") === col("sb.doc_id"))
-      .select(col("ai"), col("bi"),
-        thresholdedJaccard(col("sa.hss"), col("sb.hss"),
-          col("sa.sz"), col("sb.sz"), threshold).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-    Present.smallSorted(verified, "ai", "bi")
+    Present.smallSorted(verifyJaccard(candidates, docs, threshold),
+      "ai", "bi")
   }
 
   // ---- cluster resolution ----------------------------------------------

@@ -46,10 +46,21 @@ object Pipeline {
     * one row per contaminated training doc with its overlap count.
     */
   def contamination(spark: SparkSession, sfDir: String,
-      evalCount: Long = 10, n: Int = 8): DataFrame = {
-    // grams are compared as 64-bit hashes (single-pass kernel) — same
-    // overlap counts as string grams w.h.p.; the oracle replays the
-    // string form
+      evalCount: Long = 10, n: Int = 8): DataFrame =
+    contaminationPlan(spark, sfDir, evalCount, n, (train, _) => train)
+
+  /** The shared decontamination plan: eval-side distinct grams, a
+    * train-side gram explosion run through `prefilter(trainGrams,
+    * evalGrams)`, then the exact verify join + per-doc count. Grams
+    * are compared as 64-bit hashes (single-pass kernel) — same overlap
+    * counts as string grams w.h.p.; the oracle replays the string
+    * form. [[contamination]] passes the identity prefilter;
+    * [[bloomContamination]] inserts the sketch probe — one body, so
+    * the two spellings cannot drift.
+    */
+  private def contaminationPlan(spark: SparkSession, sfDir: String,
+      evalCount: Long, n: Int,
+      prefilter: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val gramHashes = graft.functions.VectorMath
       .word_ngram_hashes(col("text"), n)
@@ -58,7 +69,8 @@ object Pipeline {
       .distinct()
     val trainGrams = docs.filter(col("doc_id") >= evalCount)
       .select(col("doc_id"), explode(gramHashes).as("gram"))
-    trainGrams.join(broadcast(evalGrams), Seq("gram"))
+    prefilter(trainGrams, evalGrams)
+      .join(broadcast(evalGrams), Seq("gram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_contaminated_grams"))
       .orderBy("doc_id")
@@ -79,26 +91,16 @@ object Pipeline {
     * positives are discarded), so q48's oracle applies verbatim.
     */
   def bloomContamination(spark: SparkSession, sfDir: String,
-      evalCount: Long = 10, n: Int = 8): DataFrame = {
-    import graft.functions.BloomFunctions.{bloom_agg, bloom_might_contain}
-    val docs = Tables.load(spark, sfDir, "documents")
-    val gramHashes = graft.functions.VectorMath
-      .word_ngram_hashes(col("text"), n)
-    val evalGrams = docs.filter(col("doc_id") < evalCount)
-      .select(explode(gramHashes).as("gram"))
-      .distinct()
-    // one tiny aggregate job → the query parameter (like queryVector);
-    // at scale this is the precomputed per-benchmark sketch artifact
-    val sketch = evalGrams.agg(bloom_agg(col("gram")).as("b"))
-      .collect()(0).getAs[Array[Byte]](0)
-    val trainGrams = docs.filter(col("doc_id") >= evalCount)
-      .select(col("doc_id"), explode(gramHashes).as("gram"))
-      .filter(bloom_might_contain(sketch, col("gram")))
-    trainGrams.join(broadcast(evalGrams), Seq("gram"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_contaminated_grams"))
-      .orderBy("doc_id")
-  }
+      evalCount: Long = 10, n: Int = 8): DataFrame =
+    contaminationPlan(spark, sfDir, evalCount, n, { (train, evalGrams) =>
+      import graft.functions.BloomFunctions.{bloom_agg, bloom_might_contain}
+      // one tiny aggregate job → the query parameter (like
+      // queryVector); at scale this is the precomputed per-benchmark
+      // sketch artifact
+      val sketch = evalGrams.agg(bloom_agg(col("gram")).as("b"))
+        .collect()(0).getAs[Array[Byte]](0)
+      train.filter(bloom_might_contain(sketch, col("gram")))
+    })
 
   /** Deterministic mixture sampling — the "data mixing" step of
     * training-set assembly: each source is downsampled to a target

@@ -115,25 +115,31 @@ object EventStreams {
     * contract), at which point the event-time timeout emits it in
     * append mode and removes the state — so state stays bounded by the
     * number of keys inside the watermark horizon, not the stream
-    * length. Records of a key arriving after its first-seen was
-    * emitted are later-timestamped by construction and are dropped
-    * with no re-emission only if they arrive before the state is
-    * removed; afterwards the key would re-emit — the standard
-    * dedup-within-watermark contract (same as Spark's
-    * dropDuplicatesWithinWatermark), which a 100 TB/day pipeline pairs
-    * with a daily exact-dedup compaction.
+    * length.
+    *
+    * `delay` is the out-of-order tolerance: stream ≡ batch argmin
+    * exactly as long as no record arrives more than `delay` behind the
+    * stream's maximum event time — records later than that are dropped
+    * by the engine before the state function runs (the standard
+    * watermark contract: the tolerance is bought with state lifetime).
+    * Records of a key arriving after its first-seen was emitted are
+    * later-timestamped by construction and are ignored only while some
+    * state still exists; afterwards the key would re-emit — the same
+    * contract as Spark's dropDuplicatesWithinWatermark, which a
+    * 100 TB/day pipeline pairs with a daily exact-dedup compaction.
     *
     * Input: (key, eventTimeMicros, id, value).
     */
   def firstSeenStream(records: org.apache.spark.sql.Dataset[
-      (String, Long, Long, Double)])
+      (String, Long, Long, Double)],
+      delay: String = "1 hour")
       : org.apache.spark.sql.Dataset[FirstSeen] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = records.sparkSession
     import spark.implicits._
     val withEventTime = records.toDF("key", "us", "id", "value")
       .withColumn("_et", timestamp_micros(col("us")))
-      .withWatermark("_et", "0 seconds")
+      .withWatermark("_et", delay)
       .as[(String, Long, Long, Double, java.sql.Timestamp)]
     withEventTime.groupByKey(_._1)
       .flatMapGroupsWithState[FirstSeen, FirstSeen](

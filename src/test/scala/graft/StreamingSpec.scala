@@ -163,19 +163,27 @@ class StreamingSpec extends SparkSpec {
         r.getLong(3), r.getDouble(4)))
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(String, Long, Long, Double)]
-    // split into two micro-batches so per-key minima genuinely merge
-    // across batches (not a single-batch degenerate run)
+    // delay must cover the fixture's full event-time spread: the rows
+    // are split arbitrarily, so batch 2 carries records far behind
+    // batch 1's max event time — a shorter delay would drop them as
+    // late (the documented watermark contract)
+    val dayUs = 86400L * 1000000
+    val delayDays = 400L
     val (b1, b2) = rows.splitAt(rows.length / 2)
-    mem.addData(b1.toSeq)
-    mem.addData(b2.toSeq)
-    val q = EventStreams.firstSeenStream(mem.toDS())
+    val q = EventStreams.firstSeenStream(mem.toDS(), s"$delayDays days")
       .writeStream.outputMode("append")
       .format("memory").queryName("first_seen_test").start()
     try {
+      // two REAL micro-batches (addData after start + drain, not
+      // before start, which would coalesce into one): batch 2's keys
+      // find existing state, so the cross-batch min-merge branch runs
+      mem.addData(b1.toSeq)
       q.processAllAvailable()
-      // sentinel far past every event pushes the watermark over every
-      // key's minimum -> all first-seen states become final and emit
-      val flushTs = rows.map(_._2).max + 3600L * 1000000
+      mem.addData(b2.toSeq)
+      q.processAllAvailable()
+      // sentinel far past every event + delay pushes the watermark
+      // over every key's minimum -> all first-seen states finalize
+      val flushTs = rows.map(_._2).max + (delayDays + 1) * dayUs
       mem.addData(("~flush", flushTs, -1L, 0.0))
       q.processAllAvailable()
       mem.addData(("~flush", flushTs + 1, -2L, 0.0)) // timeouts evaluate

@@ -135,6 +135,22 @@ object SparkEntry {
     // (map-side ≤k rows per language; portable arithmetic priority)
     "q63_stratified_sample" -> ((s: SparkSession, d: String) =>
       operators.Pipeline.stratifiedSample(s, d)),
+    "q64_unigram_lm" -> (operators.TextQueries.unigramLogProb _),
+    // cume_dist without a corpus-wide window: per-value counts →
+    // sharded prefix sum over the NDV-sized frame → broadcast join
+    // back; the oracle IS the window spelling, so the rewrite is
+    // hash-proven equivalent
+    "q65_length_cdf" -> (operators.TextQueries.lengthCdf _),
+    "q66_repetition_stats" -> (operators.TextQueries.repetitionStats _),
+    "q67_incremental_dedup" -> (operators.Dedup.incrementalDedup _),
+    "q68_time_window_avg" -> (operators.OlapQueries.timeWindowAvg _),
+    "q69_pivot_events" -> (operators.OlapQueries.pivotEventCounts _),
+    // span-level (substring) dedup: sha2 span keys shuffle, the oracle
+    // groups on the raw span text — collision-free either way
+    "q70_dup_spans" -> ((s: SparkSession, d: String) =>
+      operators.Dedup.dupSpans(s, d)),
+    "q71_hashed_tfidf" -> ((s: SparkSession, d: String) =>
+      operators.TextQueries.hashedTfIdf(s, d)),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -768,7 +784,109 @@ object SparkEntry {
         |  FROM documents)
         |QUALIFY row_number() OVER (
         |  PARTITION BY lang ORDER BY priority, doc_id) <= 25
-        |ORDER BY lang, priority, doc_id""".stripMargin
+        |ORDER BY lang, priority, doc_id""".stripMargin,
+    "q64_unigram_lm" ->
+      """WITH w AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  WHERE w <> ''),
+        |c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+        |t AS (SELECT sum(cnt)::DOUBLE AS total FROM c)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(cnt::DOUBLE / total)), 4) AS avg_logprob
+        |FROM w JOIN c USING (w), t
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // the window spelling the distributed counts+prefix-sum plan must
+    // reproduce exactly
+    "q65_length_cdf" ->
+      """SELECT doc_id, n_chars,
+        |  round(cume_dist() OVER (ORDER BY n_chars), 4) AS len_cdf
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q66_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, ws,
+        |        CASE WHEN len(ws) >= 2
+        |          THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+        |          ELSE [text] END AS grams
+        |      FROM t),
+        |c AS (SELECT doc_id, gm, count(*) AS c
+        |      FROM (SELECT doc_id, unnest(grams) AS gm FROM g)
+        |      GROUP BY doc_id, gm),
+        |m AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c
+        |      GROUP BY doc_id)
+        |SELECT g.doc_id AS doc_id,
+        |  round(mx::DOUBLE / tot, 4) AS top_bigram_frac,
+        |  round(1 - len(list_distinct(ws))::DOUBLE / len(ws), 4)
+        |    AS dup_token_frac
+        |FROM g JOIN m ON g.doc_id = m.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+    "q67_incremental_dedup" ->
+      """SELECT doc_id, source, lang, n_chars
+        |FROM documents i
+        |WHERE i.source NOT IN ('src0','src1','src2','src3','src4',
+        |                       'src5','src6','src7','src8','src9')
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents e
+        |    WHERE e.source IN ('src0','src1','src2','src3','src4',
+        |                       'src5','src6','src7','src8','src9')
+        |      AND e.text = i.text)
+        |ORDER BY doc_id""".stripMargin,
+    "q68_time_window_avg" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        |  count(*) OVER w AS n_1h,
+        |  round(avg(value) OVER w, 4) AS avg_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q69_pivot_events" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q70_dup_spans" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(ws) >= 8
+        |          THEN [array_to_string(ws[i:i+7], ' ')
+        |                for i in range(1, len(ws) - 6)]
+        |          ELSE [text] END AS grams
+        |      FROM t),
+        |s AS (SELECT doc_id, unnest(grams) AS span,
+        |             unnest(range(0, len(grams))) AS pos
+        |      FROM g),
+        |d AS (SELECT span FROM s GROUP BY span
+        |      HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT s.doc_id AS doc_id, s.pos AS pos
+        |FROM s JOIN d USING (span)
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q71_hashed_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |tf AS (SELECT doc_id,
+        |         list_reduce(
+        |           list_prepend(7::BIGINT,
+        |             [ascii(c) for c in string_split(w, '')]),
+        |           (acc, c) -> (acc * 31 + c) % 1000000007) % 64 AS bucket,
+        |         count(*) AS tf
+        |       FROM w WHERE w <> ''
+        |       GROUP BY doc_id, bucket),
+        |df AS (SELECT bucket, count(*) AS df FROM tf GROUP BY bucket),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+        |SELECT doc_id, bucket, tf,
+        |  round(tf * ln(n_docs / df), 4) AS tfidf
+        |FROM tf JOIN df USING (bucket), n
+        |ORDER BY doc_id, bucket""".stripMargin
   )
 }
 

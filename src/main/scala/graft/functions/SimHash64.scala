@@ -17,8 +17,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * A custom Catalyst Expression (not a UDF): the 64-counter fold over
   * the array is imperative, which column functions express poorly, and
   * an Expression keeps null semantics and avoids serialization of a
-  * closure per row. CodegenFallback is acceptable here — the cost is
-  * the fold itself, not the dispatch.
+  * closure per row. [[UnaryKernelCodegen]] keeps the surrounding
+  * stage inside whole-stage codegen — one kernel call per row, the
+  * cost is the fold itself, not the dispatch.
   */
 case class SimHash64(child: Expression)
   extends UnaryExpression with UnaryKernelCodegen {

@@ -73,6 +73,41 @@ case class LangIdHeuristic(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `bigram_mode_count(string) → long` — the multiplicity of the most
+  * frequent adjacent word bigram of a single-space-separated text
+  * (texts with fewer than two tokens count their single whole-text
+  * gram once). One token walk with a per-row hash map — the
+  * repetition filter's hot kernel. The composable spelling
+  * (`aggregate` over the sorted gram array) is NOT codegen-safe: a
+  * primitive-typed fold accumulator makes Janino cast Object→long,
+  * which drops the whole projection to interpreter mode; a static
+  * primitive-returning kernel stays inside whole-stage codegen.
+  */
+case class BigramModeCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bigram_mode_count requires string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bigramModeCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.bigramModeCount($c)")
+
+  override def prettyName: String = "bigram_mode_count"
+  override protected def withNewChildInternal(c: Expression): BigramModeCount =
+    copy(child = c)
+}
+
 object TextKernels {
 
   // profile sets in ascending language-code order — the argmax scans
@@ -147,6 +182,29 @@ object TextKernels {
     fp
   }
 
+  /** The bigram-mode walk — static so generated code calls it directly.
+    * Tokenization is `split(text, " ", -1)` (trailing empties kept),
+    * matching Spark's `split` and DuckDB's `string_split` exactly;
+    * bigram equality as a joined string equals pair equality because
+    * tokens cannot contain the separator.
+    */
+  def bigramModeCount(s: UTF8String): Long = {
+    val words = s.toString.split(" ", -1)
+    if (words.length < 2) return 1L
+    val counts = new java.util.HashMap[String, Integer]()
+    val sb = new java.lang.StringBuilder(48)
+    var best = 0
+    var i = 0
+    while (i < words.length - 1) {
+      sb.setLength(0)
+      sb.append(words(i)).append(' ').append(words(i + 1))
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
   def poly_fingerprint(text: Column): Column =
     GraftColumnBridge.column(
       PolyFingerprint(GraftColumnBridge.expression(text)))
@@ -154,4 +212,8 @@ object TextKernels {
   def lang_id(text: Column): Column =
     GraftColumnBridge.column(
       LangIdHeuristic(GraftColumnBridge.expression(text)))
+
+  def bigram_mode_count(text: Column): Column =
+    GraftColumnBridge.column(
+      BigramModeCount(GraftColumnBridge.expression(text)))
 }

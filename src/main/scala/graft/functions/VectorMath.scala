@@ -104,13 +104,24 @@ trait UnaryKernelCodegen extends UnaryExpression {
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     val ref = ctx.addReferenceObj("kernel", this)
-    val javaType = org.apache.spark.sql.catalyst.expressions.codegen
-      .CodeGenerator.javaType(dataType)
+    val cg = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val javaType = cg.javaType(dataType)
     nullSafeCodeGen(ctx, ev, c => {
-      s"""
-         |${ev.value} = ($javaType) $ref.kernel($c);
-         |${ev.isNull} = ${ev.value} == null;
-       """.stripMargin
+      if (cg.isPrimitiveType(dataType)) {
+        // Janino rejects a direct Object→primitive cast ("Cannot cast
+        // Object to long"), which would silently drop the whole stage
+        // to interpreter mode — cast to the box, then unbox. The
+        // kernel's contract for primitive results is non-null output
+        // for non-null input (nullSafeCodeGen already guards the
+        // input), so no null flag to maintain.
+        s"${ev.value} = ((${cg.boxedType(dataType)}) $ref.kernel($c))" +
+          s".${javaType}Value();"
+      } else {
+        s"""
+           |${ev.value} = ($javaType) $ref.kernel($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      }
     })
   }
 }

@@ -54,6 +54,68 @@ object Dedup {
       .select("keep_doc_id", "n_copies")
       .orderBy("keep_doc_id")
 
+  /** Incremental dedup: admit only the incoming documents (sources
+    * src10–src19 play the "new crawl") whose content does not already
+    * exist in the reference corpus (src0–src9). One anti-join on
+    * sha2(text) — both sides shuffle 32-byte hashes, never bodies, and
+    * at production scale the existing side is the persisted hash
+    * manifest of the corpus (written once, reused every batch), so
+    * admitting a new crawl costs one scan of the BATCH, not of the
+    * corpus. Intra-batch duplicates are [[exactDedup]]'s job; this is
+    * the batch-vs-corpus step that makes dedup incremental rather than
+    * a full recluster per crawl.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val existingSrcs = (0 to 9).map(i => s"src$i")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val existingHashes = docs
+      .filter(col("source").isin(existingSrcs: _*))
+      .select(sha2(col("text"), 256).as("content_hash"))
+      .distinct()
+    docs
+      .filter(!col("source").isin(existingSrcs: _*))
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .join(existingHashes, Seq("content_hash"), "left_anti")
+      .select("doc_id", "source", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Duplicated-span detection — substring-level dedup in the shape of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): every n-word span that also appears in ANOTHER
+    * document, reported as (doc_id, span position) — the spans a
+    * span-level excision pass would cut, where document-level dedup
+    * (q22–q25) would keep both documents and the boilerplate inside
+    * them. Docs shorter than n words contribute their whole text as
+    * span 0, so no document is exempt.
+    *
+    * What shuffles is sha2-256 of each span (32 bytes, collision-free
+    * for dedup purposes), never the span text: one map-side-combined
+    * distinct-doc count per span key, the ≥2-doc keys semi-joined back
+    * onto the positioned spans. Two hash-key exchanges total at any
+    * corpus size; the oracle replays it grouping on the raw span text.
+    */
+  def dupSpans(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame = {
+    val ws = split(col("text"), " ")
+    val grams = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ",
+          (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
+      .otherwise(array(col("text")))
+    val spans = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        sha2(col("span"), 256).as("key"))
+      .persist() // both the key count and the semi-join probe read it
+    val dupKeys = spans.groupBy("key")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("key")
+    spans.join(dupKeys, Seq("key"), "left_semi")
+      .select("doc_id", "pos")
+      .orderBy("doc_id", "pos")
+  }
+
   // ---- MinHash + LSH ---------------------------------------------------
 
   /** 72 minhashes in 12 bands × 6 rows — LSH threshold ≈ 0.66. At

@@ -262,6 +262,45 @@ object OlapQueries {
         col("n"), col("total_value"))
       .orderBy("hour_start", "event_type")
 
+  /** Time-range sliding window: each event's trailing-1-hour mean and
+    * count over its user's stream — a RANGE frame over event-time µs,
+    * not a ROWS frame, so the window is defined by the clock, and ties
+    * on the same microsecond share one frame (order within a tie can
+    * never change the answer — the determinism RANGE buys over ROWS).
+    * One shuffle on user_id + per-partition sort; the frame bound is
+    * arithmetic on the sorted run, no second pass.
+    */
+  def timeWindowAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-hourUs, Window.currentRow)
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("avg_1h", round(avg("value").over(w), 4))
+      .orderBy("event_id")
+  }
+
+  /** Pivot (long → wide): per-user event-type counts as columns. The
+    * pivot values are DECLARED, not discovered — at 100 TB the
+    * two-jobs-to-find-the-columns form (`pivot(col)` with no value
+    * list) is an extra full scan; with the list, this is one partial-
+    * aggregating shuffle exactly like any group-by, and absent
+    * combinations surface as NULL → coalesced to 0 so the wide row is
+    * dense. The oracle replays it as count(*) FILTER columns.
+    */
+  def pivotEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.load(spark, sfDir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("user_id")
+  }
+
   /** First occurrence per (user, event_type) — "keep the earliest
     * record per key", the batch twin of the streaming first-seen dedup
     * ([[graft.streaming.EventStreams.firstSeenStream]]; StreamingSpec

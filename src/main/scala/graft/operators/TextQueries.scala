@@ -69,11 +69,115 @@ object TextQueries {
     */
   def hashedTf(spark: SparkSession, sfDir: String,
       dim: Int = 64): DataFrame =
+    rawTf(spark, sfDir, dim).orderBy("doc_id", "bucket")
+
+  /** The (doc, bucket, tf) frame hashedTf and hashedTfIdf share. */
+  private def rawTf(spark: SparkSession, sfDir: String,
+      dim: Int): DataFrame =
     Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .withColumn("bucket",
         pmod(fingerprint(col("w")), lit(dim.toLong)))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+
+  /** Hashed TF-IDF: the q54 term frequencies weighted by inverse
+    * document frequency — tf·ln(N/df) per (doc, bucket). The df table
+    * is bucket-sized (≤ dim rows: tf rows are already distinct per
+    * (doc, bucket), so df is a plain count) and N is one scalar; both
+    * broadcast onto the tf frame, which is computed once and persisted
+    * across its two readers. At any corpus size the only full-data
+    * exchange is the tf aggregation itself.
+    */
+  def hashedTfIdf(spark: SparkSession, sfDir: String,
+      dim: Int = 64): DataFrame = {
+    val tf = rawTf(spark, sfDir, dim).persist()
+    val df = tf.groupBy("bucket").agg(count(lit(1)).as("df"))
+    val n = Tables.load(spark, sfDir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), Seq("bucket"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("bucket"), col("tf"),
+        round(col("tf") *
+          log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
       .orderBy("doc_id", "bucket")
+  }
+
+  /** Unigram language-model scoring: each document's mean token
+    * log-likelihood under the corpus's own unigram distribution — the
+    * cheap "fluency" quality signal (a document of corpus-typical
+    * words scores high; rare-token soup scores low). Two aggregation
+    * passes over the exploded tokens: (1) corpus token counts — vocab-
+    * sized, map-side combined, persisted because both the total and the
+    * scoring join read it; (2) token→count join + per-doc mean of
+    * ln(cnt/total). The count table is broadcast here (this vocabulary
+    * fits); when a real corpus's vocab outgrows the broadcast
+    * threshold, drop the hint and the same plan shuffles tokens once —
+    * or keep the `freq_topk` head vocabulary broadcast and smooth the
+    * tail as OOV.
+    */
+  def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt")).persist()
+    val total = counts.agg(sum("cnt").as("total"))
+    toks.join(broadcast(counts), Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / col("total"))), 4)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact empirical CDF of document length WITHOUT a window over the
+    * corpus: cume_dist spelled as per-value counts (one map-side-
+    * combined aggregate, NDV-sized output) → sharded prefix sum over
+    * the distinct values ([[PrefixSum]] — never a single-partition
+    * WindowExec) → broadcast join back onto the scan. The corpus is
+    * ranked in one shuffle of NDV rows where the window spelling
+    * sorts every row; the oracle replays the window spelling
+    * (`cume_dist() OVER (ORDER BY n_chars)`), so the rewrite is
+    * hash-proven equivalent.
+    */
+  def lengthCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val counts = docs.groupBy("n_chars").agg(count(lit(1)).as("c")).persist()
+    val cdf = PrefixSum.withGlobalCumSum(counts, "n_chars", col("c"), "cum",
+      shardWidth = 64)
+    val total = counts.agg(sum("c").as("total"))
+    docs
+      .join(broadcast(cdf.select(col("n_chars"), col("cum"))), Seq("n_chars"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_chars"),
+        round(col("cum") / col("total"), 4).as("len_cdf"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition metrics: the fraction of a document made
+    * of its single most-frequent word bigram, and the duplicate-token
+    * fraction (1 − type/token ratio) — the intra-document repetition
+    * filters that catch boilerplate and generation loops. The bigram
+    * mode is computed per row by the [[graft.functions.BigramModeCount]]
+    * kernel (one token walk, per-row hash map), so the whole pass is
+    * column expressions fused into the scan — no explode, no shuffle at
+    * any corpus size. The oracle replays it as unnest + GROUP BY + max.
+    * (The composable `aggregate`-fold spelling is not codegen-safe —
+    * see the kernel's scaladoc.)
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val nGrams = when(size(ws) >= 2, size(ws) - 1).otherwise(lit(1))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        round(graft.functions.TextKernels.bigram_mode_count(col("text"))
+          .cast("double") / nGrams, 4)
+          .as("top_bigram_frac"),
+        round(lit(1.0) -
+          size(array_distinct(ws)).cast("double") / size(ws), 4)
+          .as("dup_token_frac"))
+      .orderBy("doc_id")
+  }
 }

@@ -72,6 +72,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => PolyFingerprint(es(0)))
     scalar("lang_id", classOf[LangIdHeuristic], 1,
       es => LangIdHeuristic(es(0)))
+    scalar("bigram_mode_count", classOf[BigramModeCount], 1,
+      es => BigramModeCount(es(0)))
     e.injectFunction((
       new FunctionIdentifier("word_ngram_hashes"),
       new ExpressionInfo(classOf[WordNGramHashes].getName, "word_ngram_hashes"),

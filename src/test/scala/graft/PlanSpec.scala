@@ -104,6 +104,33 @@ class PlanSpec extends SparkSpec {
       "minhash_signature")
   }
 
+  test("kernel expressions COMPILE under codegen, not just plan for it") {
+    // The *(n) marker only proves the planner CHOSE codegen; a Janino
+    // compile failure at runtime silently falls back to interpreter
+    // mode (simhash64 did exactly this until the primitive-unbox fix
+    // in UnaryKernelCodegen). Generating the projection directly makes
+    // a compile failure throw, and the value must equal eval().
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val arrIn = BoundReference(0, ArrayType(LongType), nullable = true)
+    val sim = graft.functions.SimHash64(arrIn)
+    val simProj = GenerateUnsafeProjection.generate(Seq(sim))
+    val arrRow = InternalRow(new GenericArrayData(Array(7L, 7L, 12L)))
+    assert(simProj(arrRow).getLong(0) == sim.eval(arrRow))
+
+    val strIn = BoundReference(0, StringType, nullable = true)
+    val mode = graft.functions.BigramModeCount(strIn)
+    val modeProj = GenerateUnsafeProjection.generate(Seq(mode))
+    val strRow = InternalRow(UTF8String.fromString("a b a b a"))
+    assert(modeProj(strRow).getLong(0) == 2L)
+    assert(mode.eval(strRow) == 2L)
+  }
+
   test("bucketed co-located join runs with no shuffle (SCALE.md claim)") {
     val tmp = java.nio.file.Files.createTempDirectory("bucketed").toString
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -151,6 +151,10 @@ object SparkEntry {
       operators.Dedup.dupSpans(s, d)),
     "q71_hashed_tfidf" -> ((s: SparkSession, d: String) =>
       operators.TextQueries.hashedTfIdf(s, d)),
+    // vector centroid per label: mergeable O(dim) aggregate state, the
+    // (labels × dim) result exploded only AFTER aggregation
+    "q72_label_centroids" -> (operators.Similarity.labelCentroids _),
+    "q73_interleave" -> (operators.Pipeline.interleaveBySource _),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -886,7 +890,31 @@ object SparkEntry {
         |SELECT doc_id, bucket, tf,
         |  round(tf * ln(n_docs / df), 4) AS tfidf
         |FROM tf JOIN df USING (bucket), n
-        |ORDER BY doc_id, bucket""".stripMargin
+        |ORDER BY doc_id, bucket""".stripMargin,
+    "q72_label_centroids" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v,
+        |             unnest(range(0, len(embedding))) AS dim
+        |           FROM embeddings),
+        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings
+        |      GROUP BY label)
+        |SELECT e.label AS label, dim, round(avg(v), 4) AS value, n_vecs
+        |FROM e JOIN n USING (label)
+        |GROUP BY e.label, dim, n_vecs
+        |ORDER BY label, dim""".stripMargin,
+    "q73_interleave" ->
+      """WITH s AS (SELECT source,
+        |             row_number() OVER (ORDER BY source) - 1 AS src_idx,
+        |             count(*) OVER () AS n_src
+        |           FROM (SELECT DISTINCT source FROM documents)),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY (doc_id % 1000000007) * 2654435761
+        |                     % 1000000007, doc_id) - 1 AS rn
+        |      FROM documents)
+        |SELECT doc_id, r.source AS source,
+        |  rn * n_src + src_idx AS interleave_pos
+        |FROM r JOIN s ON r.source = s.source
+        |ORDER BY interleave_pos""".stripMargin
   )
 }
 

@@ -177,6 +177,45 @@ object Pipeline {
       .orderBy("lang", "priority", "doc_id")
   }
 
+  /** Deterministic round-robin interleave across sources — the epoch
+    * mixing step (the reference's interleave role, trainer.py's
+    * parallel-split reads composed into one order): documents of each
+    * source are ranked by the portable Knuth-hash priority, and the
+    * global epoch position is rank·nSources + sourceIndex, so sources
+    * alternate 1:1:…:1 until each runs out and any engine (or re-run)
+    * emits the identical order. One shuffle (the per-source rank
+    * window) plus a broadcast of the tiny source-index dim; the epoch
+    * position is pure arithmetic — no global sort materializes the
+    * epoch, consumers range-read by `interleave_pos`. (An exhausted
+    * source simply leaves gaps in the position sequence — order, not
+    * density, is the contract.)
+    */
+  def interleaveBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sfDir, "documents")
+    // tiny dim: one row per source, dense index by sorted name (the
+    // same collect-a-parameter pattern as Similarity.queryVector)
+    val srcIdx = docs.select("source").distinct()
+      .collect().map(_.getString(0)).sorted.zipWithIndex
+    val nSrc = srcIdx.length
+    val idxDf = spark.createDataFrame(
+      srcIdx.toSeq.map { case (s, i) => (s, i.toLong) })
+      .toDF("source", "src_idx")
+    val priority = pmod(
+      pmod(col("doc_id"), lit(1000000007L)) * lit(KnuthMult),
+      lit(1000000007L))
+    docs
+      .select(col("doc_id"), col("source"), priority.as("priority"))
+      .join(broadcast(idxDf), Seq("source"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("priority"), col("doc_id"))) - 1)
+      .select(col("doc_id"), col("source"),
+        (col("rn").cast("long") * nSrc + col("src_idx"))
+          .as("interleave_pos"))
+      .orderBy("interleave_pos")
+  }
+
   /** Sliding-window document chunking: each document becomes
     * ceil-ish(n/stride) overlapping windows of `chunkTokens` tokens
     * (stride = chunkTokens − overlap) — the split-long-docs step

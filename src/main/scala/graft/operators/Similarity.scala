@@ -218,6 +218,34 @@ object Similarity {
     * quantized scores bit-portable (oracle-replayable), unlike float
     * accumulation. Recall vs the exact float top-k is spec'd.
     */
+  /** Per-label embedding centroids — the vector aggregation a
+    * clustering / routing / quality-probe pipeline sits on. The mean
+    * vector is computed by ML's `Summarizer` aggregate (mergeable
+    * O(dim) sum+count state per group — the same shape as a hand-rolled
+    * TypedImperativeAggregate, already codegen-compatible), so the
+    * corpus shuffles ONE partial state per (task, label), never the
+    * 64× row explosion of the unnest-and-regroup spelling. The result
+    * (labels × dim rows) is exploded only AFTER aggregation, because a
+    * result this small is presentation; the oracle replays the
+    * unnest spelling, which is exactly what the plan must avoid doing
+    * to the full corpus.
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("label"),
+        array_to_vector(col("embedding").cast("array<double>")).as("v"))
+      .groupBy("label")
+      .agg(Summarizer.mean(col("v")).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("n_vecs"),
+        posexplode(vector_to_array(col("centroid"))).as(Seq("dim", "value")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        round(col("value"), 4).as("value"), col("n_vecs"))
+      .orderBy("label", "dim")
+  }
+
   def quantizedTopK(spark: SparkSession, sfDir: String,
       vecId: Long = 0L, k: Int = 20): DataFrame = {
     import graft.functions.VectorMath.{dot_product_i8, quantize_i8}

@@ -84,22 +84,21 @@ object TextQueries {
   /** Hashed TF-IDF: the q54 term frequencies weighted by inverse
     * document frequency — tf·ln(N/df) per (doc, bucket). The df table
     * is bucket-sized (≤ dim rows: tf rows are already distinct per
-    * (doc, bucket), so df is a plain count) and N is one scalar; both
-    * broadcast onto the tf frame, which is computed once and persisted
-    * across its two readers. At any corpus size the only full-data
-    * exchange is the tf aggregation itself.
+    * (doc, bucket), so df is a plain count), broadcast onto the tf
+    * frame, which is computed once and persisted across its two
+    * readers; the corpus size N is a collected parameter (a scalar
+    * crossJoin would plan as a 1-row BroadcastNestedLoopJoin). At any
+    * corpus size the only full-data exchange is the tf aggregation.
     */
   def hashedTfIdf(spark: SparkSession, sfDir: String,
       dim: Int = 64): DataFrame = {
     val tf = rawTf(spark, sfDir, dim).persist()
     val df = tf.groupBy("bucket").agg(count(lit(1)).as("df"))
-    val n = Tables.load(spark, sfDir, "documents")
-      .agg(count(lit(1)).as("n_docs"))
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
     tf.join(broadcast(df), Seq("bucket"))
-      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("bucket"), col("tf"),
         round(col("tf") *
-          log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+          log(lit(nDocs.toDouble) / col("df")), 4).as("tfidf"))
       .orderBy("doc_id", "bucket")
   }
 
@@ -114,19 +113,22 @@ object TextQueries {
     * fits); when a real corpus's vocab outgrows the broadcast
     * threshold, drop the hint and the same plan shuffles tokens once —
     * or keep the `freq_topk` head vocabulary broadcast and smooth the
-    * tail as OOV.
+    * tail as OOV. The grand total is collected as a parameter (one
+    * vocab-sized aggregate over the persisted counts) rather than
+    * cross-joined — a scalar crossJoin plans as a 1-row
+    * BroadcastNestedLoopJoin, and the no-BNLJ invariant is worth one
+    * tiny job.
     */
   def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
     val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt")).persist()
-    val total = counts.agg(sum("cnt").as("total"))
+    val total = counts.agg(sum("cnt")).collect()(0).getLong(0)
     toks.join(broadcast(counts), Seq("w"))
-      .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(col("cnt").cast("double") / col("total"))), 4)
+        round(avg(log(col("cnt").cast("double") / lit(total.toDouble))), 4)
           .as("avg_logprob"))
       .orderBy("doc_id")
   }
@@ -147,12 +149,14 @@ object TextQueries {
     val counts = docs.groupBy("n_chars").agg(count(lit(1)).as("c")).persist()
     val cdf = PrefixSum.withGlobalCumSum(counts, "n_chars", col("c"), "cum",
       shardWidth = 64)
-    val total = counts.agg(sum("c").as("total"))
+    // the corpus size is a collected parameter (NDV-sized aggregate
+    // over the persisted counts), not a scalar crossJoin — which would
+    // plan as a 1-row BroadcastNestedLoopJoin
+    val total = counts.agg(sum("c")).collect()(0).getLong(0)
     docs
       .join(broadcast(cdf.select(col("n_chars"), col("cum"))), Seq("n_chars"))
-      .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_chars"),
-        round(col("cum") / col("total"), 4).as("len_cdf"))
+        round(col("cum") / lit(total.toDouble), 4).as("len_cdf"))
       .orderBy("doc_id")
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, OlapQueries, TextQueries}
+import graft.operators.{Dedup, OlapQueries, Similarity, TextQueries}
 import graft.sources.Tables
 
 /** q64–q69: each distributed rewrite is proven against an independent
@@ -214,5 +214,56 @@ class CorpusQueriesSpec extends SparkSpec {
     // a bucket present in every document weighs ~0 iff df == N; all
     // weights are non-negative (df ≤ N always)
     assert(got.filter(col("tfidf") < 0).count() == 0)
+  }
+
+  test("q72 centroids ≡ unnest-and-regroup; corpus aggregates un-exploded") {
+    val got = Similarity.labelCentroids(spark, sf)
+    val want = Tables.load(spark, sf, "embeddings")
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(avg("v").as("value"), count(lit(1)).as("n_vecs"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1).toLong) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val rows = got.collect()
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val (wVal, wN) = want((r.getInt(0), r.getLong(1)))
+      // Summarizer and the explode spelling sum in different orders;
+      // r's value is rounded to 4 decimals
+      assert(math.abs(r.getDouble(2) - wVal) < 1.1e-4,
+        s"label ${r.getInt(0)} dim ${r.getLong(1)}")
+      assert(r.getLong(3) == wN)
+    }
+    // the plan's point: the explode sits ABOVE the aggregation — the
+    // corpus shuffles O(dim) centroid states, never dim× its rows
+    val plan = got.queryExecution.executedPlan.toString
+    val gen = plan.indexOf("Generate")
+    val agg = plan.indexOf("ObjectHashAggregate")
+    assert(gen >= 0 && agg >= 0 && gen < agg,
+      s"explode must follow aggregation:\n$plan")
+  }
+
+  test("q73 interleave: round-robin by source, priority-ordered, total") {
+    val got = operators.Pipeline.interleaveBySource(spark, sf)
+    val rows = got.collect()
+    val docs = Tables.load(spark, sf, "documents")
+    assert(rows.length == docs.count()) // every doc placed exactly once
+    assert(rows.map(_.getLong(2)).distinct.length == rows.length)
+    val srcs = rows.map(_.getString(1)).distinct.sorted
+    val idx = srcs.zipWithIndex.toMap
+    // alternation contract: position mod nSources recovers the source
+    rows.foreach(r => assert(
+      r.getLong(2) % srcs.length == idx(r.getString(1)),
+      s"doc ${r.getLong(0)} pos ${r.getLong(2)} src ${r.getString(1)}"))
+    // within a source, epoch order == the portable hash-priority order
+    val prio = (id: Long) => ((id % 1000000007L) *
+      operators.Pipeline.KnuthMult) % 1000000007L
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val byPos = rs.sortBy(_.getLong(2)).map(r => prio(r.getLong(0)))
+      assert(byPos.zip(byPos.tail).forall { case (a, b) => a <= b })
+    }
   }
 }

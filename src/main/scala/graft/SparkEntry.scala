@@ -145,8 +145,8 @@ object SparkEntry {
     "q67_incremental_dedup" -> (operators.Dedup.incrementalDedup _),
     "q68_time_window_avg" -> (operators.OlapQueries.timeWindowAvg _),
     "q69_pivot_events" -> (operators.OlapQueries.pivotEventCounts _),
-    // span-level (substring) dedup: sha2 span keys shuffle, the oracle
-    // groups on the raw span text — collision-free either way
+    // span-level (substring) dedup: 128-bit hashed span keys shuffle,
+    // the oracle groups on the raw span text
     "q70_dup_spans" -> ((s: SparkSession, d: String) =>
       operators.Dedup.dupSpans(s, d)),
     "q71_hashed_tfidf" -> ((s: SparkSession, d: String) =>
@@ -823,7 +823,8 @@ object SparkEntry {
         |m AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c
         |      GROUP BY doc_id)
         |SELECT g.doc_id AS doc_id,
-        |  round(mx::DOUBLE / tot, 4) AS top_bigram_frac,
+        |  CASE WHEN ws IS NULL THEN NULL
+        |    ELSE round(mx::DOUBLE / tot, 4) END AS top_bigram_frac,
         |  round(1 - len(list_distinct(ws))::DOUBLE / len(ws), 4)
         |    AS dup_token_frac
         |FROM g JOIN m ON g.doc_id = m.doc_id

@@ -373,12 +373,19 @@ case class IntersectCountAtLeast(first: Expression, second: Expression,
   * text, in one pass: split, build each gram, hash, dedupe. Produces
   * exactly the same hash values as
   * `xxhash64_array(array_distinct(wordShingles(text, n)))` (same
-  * concatenation, same seed), without materializing the gram strings
-  * through per-element lambda dispatch — the shingle pipelines'
-  * dominant cost. Texts with fewer than n words hash the whole text
-  * (mirroring wordShingles' short-doc guard).
+  * concatenation, same default seed), without materializing the gram
+  * strings through per-element lambda dispatch — the shingle
+  * pipelines' dominant cost (measured ~20× on the sf0.1 span scan).
+  * Texts with fewer than n words hash the whole text (mirroring
+  * wordShingles' short-doc guard).
+  *
+  * `distinct = false` keeps EVERY gram at its position (index i =
+  * the gram starting at word i) — the positioned form span-level
+  * dedup explodes; an explicit `seed` makes two runs two independent
+  * 64-bit draws per gram (a 128-bit combined key).
   */
-case class WordNGramHashes(child: Expression, n: Int)
+case class WordNGramHashes(child: Expression, n: Int, seed: Long = 42L,
+    distinct: Boolean = true)
   extends UnaryExpression with UnaryKernelCodegen {
 
   require(n > 0, "n must be positive")
@@ -395,28 +402,33 @@ case class WordNGramHashes(child: Expression, n: Int)
     val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       .toString
     val words = text.split(" ", -1)
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    if (words.length < n) {
-      seen.add(XxHash64Function.hash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(text),
-        StringType, 42L))
-    } else {
-      val sb = new java.lang.StringBuilder(64)
-      var i = 0
-      while (i <= words.length - n) {
-        sb.setLength(0)
-        var k = 0
-        while (k < n) {
-          if (k > 0) sb.append(' ')
-          sb.append(words(i + k))
-          k += 1
+    val hashes =
+      if (words.length < n) {
+        Array(XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text),
+          StringType, seed))
+      } else {
+        val out = new Array[Long](words.length - n + 1)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i <= words.length - n) {
+          sb.setLength(0)
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(words(i + k))
+            k += 1
+          }
+          out(i) = XxHash64Function.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString),
+            StringType, seed)
+          i += 1
         }
-        seen.add(XxHash64Function.hash(
-          org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString),
-          StringType, 42L))
-        i += 1
+        out
       }
-    }
+    if (!distinct) return new GenericArrayData(hashes)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    hashes.foreach(seen.add(_))
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var j = 0
@@ -642,6 +654,13 @@ object VectorMath {
 
   def word_ngram_hashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordNGramHashes(e(text), n))
+
+  /** Positioned (non-distinct) gram hashes under an explicit seed —
+    * index i is the gram starting at word i.
+    */
+  def word_ngram_hashes_all(text: Column, n: Int, seed: Long): Column =
+    GraftColumnBridge.column(
+      WordNGramHashes(e(text), n, seed, distinct = false))
 
   def random_projection_band_keys(vec: Column, planes: Seq[Seq[Double]],
       bandBits: Int): Column =

@@ -23,12 +23,19 @@ object Dedup {
     * column. Shingles (not unigrams) carry word order, which is what
     * distinguishes near-duplicates in a small-vocabulary corpus.
     */
-  def wordShingles(text: Column, n: Int = 3): Column = {
+  def wordShingles(text: Column, n: Int = 3): Column =
+    array_distinct(wordGrams(text, n))
+
+  /** The positioned (non-distinct) n-gram builder [[wordShingles]] and
+    * [[dupSpans]] share: gram i covers words i..i+n−1; texts shorter
+    * than n words contribute the whole text as gram 0.
+    */
+  private[operators] def wordGrams(text: Column, n: Int): Column = {
     val ws = split(text, " ")
     val grams = transform(
       sequence(lit(0), size(ws) - n),
       i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
-    array_distinct(when(size(ws) >= n, grams).otherwise(array(text)))
+    when(size(ws) >= n, grams).otherwise(array(text))
   }
 
   /** xxhash64 of each distinct shingle — the 64-bit feature space
@@ -89,29 +96,35 @@ object Dedup {
     * them. Docs shorter than n words contribute their whole text as
     * span 0, so no document is exempt.
     *
-    * What shuffles is sha2-256 of each span (32 bytes, collision-free
-    * for dedup purposes), never the span text: one map-side-combined
+    * What shuffles is a 128-bit span key — two independently-seeded
+    * xxhash64 values (collision odds ~spans²/2¹²⁹: zero even at 10¹²
+    * spans), 16 bytes, never the span text: one map-side-combined
     * distinct-doc count per span key, the ≥2-doc keys semi-joined back
     * onto the positioned spans. Two hash-key exchanges total at any
     * corpus size; the oracle replays it grouping on the raw span text.
+    * The keys come from two seeded [[graft.functions.WordNGramHashes]]
+    * runs — building span STRINGS through per-element lambda dispatch
+    * (transform + 8×element_at + concat per span) measured ~8 s over
+    * sf0.1's 471k spans where the two kernel passes take ~0.7 s, and
+    * sha2 keying would pay a per-call MessageDigest on top.
     */
   def dupSpans(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame = {
-    val ws = split(col("text"), " ")
-    val grams = when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ",
-          (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
-      .otherwise(array(col("text")))
+    val h1 = graft.functions.VectorMath
+      .word_ngram_hashes_all(col("text"), n, 42L)
+    val h2 = graft.functions.VectorMath
+      .word_ngram_hashes_all(col("text"), n, 0x9e3779b97f4a7c15L)
     val spans = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "span")))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(h1.as("k1"), h2.as("k2")))
+          .as(Seq("pos", "ks")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        sha2(col("span"), 256).as("key"))
+        col("ks.k1").as("k1"), col("ks.k2").as("k2"))
       .persist() // both the key count and the semi-join probe read it
-    val dupKeys = spans.groupBy("key")
+    val dupKeys = spans.groupBy("k1", "k2")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select("key")
-    spans.join(dupKeys, Seq("key"), "left_semi")
+      .select("k1", "k2")
+    spans.join(dupKeys, Seq("k1", "k2"), "left_semi")
       .select("doc_id", "pos")
       .orderBy("doc_id", "pos")
   }

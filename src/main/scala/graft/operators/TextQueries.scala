@@ -124,7 +124,10 @@ object TextQueries {
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
     val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt")).persist()
-    val total = counts.agg(sum("cnt")).collect()(0).getLong(0)
+    // sum() over an empty corpus is null; default 1 keeps the (empty)
+    // result frame constructible instead of NPE-ing here
+    val total = Option(counts.agg(sum("cnt")).collect()(0).get(0))
+      .fold(1L)(_.asInstanceOf[Long])
     toks.join(broadcast(counts), Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -151,8 +154,10 @@ object TextQueries {
       shardWidth = 64)
     // the corpus size is a collected parameter (NDV-sized aggregate
     // over the persisted counts), not a scalar crossJoin — which would
-    // plan as a 1-row BroadcastNestedLoopJoin
-    val total = counts.agg(sum("c")).collect()(0).getLong(0)
+    // plan as a 1-row BroadcastNestedLoopJoin; sum() over an empty
+    // corpus is null → default 1 keeps the empty frame constructible
+    val total = Option(counts.agg(sum("c")).collect()(0).get(0))
+      .fold(1L)(_.asInstanceOf[Long])
     docs
       .join(broadcast(cdf.select(col("n_chars"), col("cum"))), Seq("n_chars"))
       .select(col("doc_id"), col("n_chars"),

@@ -108,6 +108,10 @@ class CorpusQueriesSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT bigram_mode_count('a b a b a')")
       .collect()(0).getLong(0)
     assert(viaSql == 2L)
+    // NULL in → NULL out (the oracle mirrors this with an explicit
+    // CASE — DuckDB's unnest([NULL]) path would otherwise emit 1.0)
+    assert(spark.sql("SELECT bigram_mode_count(CAST(NULL AS STRING))")
+      .collect()(0).isNullAt(0))
   }
 
   test("q67 incremental dedup: only new-source docs, none content-known") {

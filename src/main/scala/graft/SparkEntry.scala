@@ -155,6 +155,26 @@ object SparkEntry {
     // (labels × dim) result exploded only AFTER aggregation
     "q72_label_centroids" -> (operators.Similarity.labelCentroids _),
     "q73_interleave" -> (operators.Pipeline.interleaveBySource _),
+    // batch k-NN join: broadcast probe batch × one corpus scan, per-
+    // query top-k through the bounded topk_rows aggregate (shuffle =
+    // O(k·queries) rows, no window sort)
+    "q74_knn_join" -> ((s: SparkSession, d: String) =>
+      operators.Similarity.knnJoin(s, d)),
+    // StringIndexer fit: dense frequency-ranked term ids with NO
+    // corpus-wide window — (freq, first-letter) sub-shards + collected
+    // offsets; the oracle IS the global-window spelling
+    "q75_vocab_index" -> (operators.TextQueries.vocabIndex _),
+    // StringIndexer transform: docs rewritten as (doc_id, pos, term_id)
+    // under the broadcast q75 vocabulary
+    "q76_token_ids" -> (operators.TextQueries.encodeTokens _),
+    // SemDeDup: corpus surviving embedding-space near-dup removal —
+    // blocked exact pairs -> connected components -> keep min id; the
+    // oracle replays the component rule as a recursive-CTE closure
+    "q77_semantic_kept" -> ((s: SparkSession, d: String) =>
+      operators.Similarity.semanticKept(s, d)),
+    // TPC-H Q5 shape: six-table join with the cross-branch
+    // c_nationkey = s_nationkey predicate; dims broadcast, facts shuffle
+    "q78_local_supplier_volume" -> (operators.OlapQueries.localSupplierVolume _),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -915,7 +935,82 @@ object SparkEntry {
         |SELECT doc_id, r.source AS source,
         |  rn * n_src + src_idx AS interleave_pos
         |FROM r JOIN s ON r.source = s.source
-        |ORDER BY interleave_pos""".stripMargin
+        |ORDER BY interleave_pos""".stripMargin,
+    "q74_knn_join" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id AS neighbor_id,
+        |    round(list_dot_product(e.v, q.qv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) *
+        |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+        |  FROM e, q WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, cosine, rk FROM ranked
+        |WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
+    "q75_vocab_index" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |counts AS (SELECT term, count(*) AS freq FROM w
+        |           WHERE term <> '' GROUP BY term)
+        |SELECT term,
+        |  row_number() OVER (ORDER BY freq DESC, term) AS term_id,
+        |  freq
+        |FROM counts
+        |ORDER BY term_id""".stripMargin,
+    "q76_token_ids" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS term,
+        |        unnest(range(0, len(ws))) AS pos
+        |      FROM s),
+        |counts AS (SELECT term, count(*) AS freq FROM t
+        |           WHERE term <> '' GROUP BY term),
+        |v AS (SELECT term,
+        |        row_number() OVER (ORDER BY freq DESC, term) AS term_id
+        |      FROM counts)
+        |SELECT t.doc_id, t.pos, v.term_id
+        |FROM t JOIN v USING (term)
+        |WHERE t.term <> ''
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q77_semantic_kept" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS ai, b.vec_id AS bi
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) *
+        |         sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4),
+        |edges AS (SELECT ai AS a, bi AS b FROM p
+        |          UNION ALL SELECT bi, ai FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.a, edges.b FROM reach
+        |  JOIN edges ON reach.b = edges.a)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT a FROM reach WHERE b < a)
+        |ORDER BY vec_id""".stripMargin,
+    "q78_local_supplier_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin
   )
 }
 

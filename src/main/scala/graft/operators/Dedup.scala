@@ -362,13 +362,30 @@ object Dedup {
 
   /** Resolve near-dup pairs into clusters and pick one representative
     * per cluster (the minimum doc_id) — the "keep one copy" step a
-    * production dedup pipeline ends with. Min-label propagation over
-    * the pair graph: each doc repeatedly adopts the smallest label in
-    * its neighborhood until fixpoint. Iterations = graph diameter
-    * (near-dup clusters are tiny chains, so 2-4); each iteration is
-    * one aggregate + one join, all equality-keyed.
+    * production dedup pipeline ends with.
+    *
+    * Two regimes, cut over on the materialized edge count — the shape
+    * of every production connected-components job (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): iterate
+    * distributed only while the graph is too big to hold, and FINISH
+    * locally once it contracts under the limit, because each
+    * distributed round costs a full scheduler round-trip that a
+    * single-task union-find beats by orders of magnitude.
+    *
+    *  - edges ≤ `localEdgeLimit` (default 4M ≈ 64 MB of longs): the
+    *    checkpointed pair list is collected, union-found on the driver
+    *    (path-halving + min-root merge), and the labels parallelize
+    *    back — 2 jobs total. The near-dup pair list of even a large
+    *    corpus usually lands here: pairs are the OUTPUT of LSH
+    *    pruning, not the corpus.
+    *  - above the limit: min-label propagation with pointer jumping —
+    *    each doc repeatedly adopts the smallest label in its
+    *    neighborhood; rounds = O(log diameter), one materializing job
+    *    per round, all equality-keyed shuffles on the (tiny) label
+    *    frame.
     */
-  def resolveClusters(pairs: DataFrame): DataFrame = {
+  def resolveClusters(pairs: DataFrame,
+      localEdgeLimit: Long = 4000000L): DataFrame = {
     // One eager materialization of the pair list — everything
     // downstream reads these checkpointed blocks; the LSH pipeline
     // that produced them never re-runs.
@@ -378,6 +395,7 @@ object Dedup {
     // task), never a hardcoded constant: the near-dup graph is ≪ the
     // corpus but still grows with it.
     val nPairs = p.count()
+    if (nPairs <= localEdgeLimit) return resolveClustersLocal(p)
     val graphParts = math.max(1, math.min(1024, (nPairs / 1000000L).toInt + 1))
     // Hash-partition edges by the join side (b) once, before the
     // checkpoint: localCheckpoint preserves outputPartitioning, so the
@@ -416,9 +434,9 @@ object Dedup {
         .select(col("id"), col("old"),
           least(col("label"), coalesce(col("llabel"), col("label")))
             .as("label"))
-        .localCheckpoint(true)
-      // convergence probe over the just-checkpointed tiny frame — a
-      // metadata-cost job, not a recomputation
+        .localCheckpoint(false) // lazy: the count below materializes it
+      // convergence probe IS the materializing action — one Spark job
+      // per round, not a checkpoint job plus a count job
       changed = updated.filter(col("label") =!= col("old")).count()
       labels = updated.drop("old")
       iter += 1
@@ -430,6 +448,36 @@ object Dedup {
       s"resolveClusters did not converge in $maxIter iterations " +
         s"($changed labels still changing) — component diameter too large")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .withColumn("keep", col("doc_id") === col("cluster_rep"))
+  }
+
+  /** The contracted-graph finish: union-find over a collected edge
+    * list. Same contract as the distributed loop — (doc_id,
+    * cluster_rep = component min, keep) for every node that appears in
+    * a pair.
+    */
+  private def resolveClustersLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      // path halving
+      var c = x
+      while (parent.getOrElse(c, c) != r) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    val out = nodes.toSeq.map(id => (id, find(id)))
+    spark.createDataset(out).toDF("doc_id", "cluster_rep")
       .withColumn("keep", col("doc_id") === col("cluster_rep"))
   }
 

@@ -215,6 +215,42 @@ object OlapQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** TPC-H Q5-shaped local-supplier-volume query: the six-table join
+    * (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with
+    * the "local" twist — revenue counts only where the customer's
+    * nation equals the supplier's nation, a cross-branch equality that
+    * lands as an extra join predicate, not a post-filter. Join
+    * strategy by size class: nation/region are hinted broadcasts
+    * (true dims at any SF); customer and supplier carry no hint, so
+    * Catalyst/AQE broadcasts them while they fit and degrades to
+    * shuffle joins when a real corpus outgrows the threshold — the
+    * fact-side shuffles (l_orderkey, then o_custkey) are the only
+    * unavoidable exchanges at 100 TB. Both selective filters (region
+    * name, one order year) push into the scans.
+    */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val cust = Tables.load(spark, sfDir, "customer")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val nat = Tables.load(spark, sfDir, "nation")
+    val reg = Tables.load(spark, sfDir, "region")
+      .filter(col("r_name") === "ASIA")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
   /** TPC-H Q3-shaped shipping-priority query: segment-filtered
     * customer ⋈ orders ⋈ lineitem, revenue per order, top 10. The
     * realistic mixed-selectivity OLAP probe: two pushed-down filters,

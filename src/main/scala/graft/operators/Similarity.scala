@@ -72,6 +72,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch k-NN join: for each vector in a small query set, the k
+    * nearest corpus vectors by cosine. The query set broadcasts (it is
+    * the small side by construction — a probe batch, not a corpus), so
+    * the corpus is scanned ONCE with no shuffle of vectors at all; the
+    * per-query top-k runs through the bounded [[graft.functions.TopKRows]]
+    * aggregate, so each map task reduces its corpus slice to ≤ k rows
+    * per query before the exchange — the shuffle carries
+    * O(k · queries) rows, never the n·q scored pairs, and no sort runs.
+    * At 100 TB this is the retrieval shape: broadcast the probe batch,
+    * one scan, k·q rows out. Ranks are deterministic: rounded cosine
+    * descending, neighbor id ascending — exactly the oracle's
+    * row_number ordering.
+    */
+  def knnJoin(spark: SparkSession, sfDir: String,
+      numQueries: Int = 8, k: Int = 5): DataFrame = {
+    val e = embeddingsWithNorm(spark, sfDir).select("vec_id", "v", "nrm")
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosinePrenormed(dot_product(col("v"), col("qv")),
+          col("nrm"), col("qnrm")), 4).as("cosine"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKFunctions.topk_rows(
+        col("cosine"), col("vec_id"),
+        struct(col("vec_id"), col("cosine")), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.vec_id").as("neighbor_id"),
+        col("col.cosine").as("cosine"),
+        (col("pos") + 1).cast("int").as("rk"))
+      .orderBy("q_id", "rk")
+  }
+
   /** Exact embedding near-duplicate pairs: all (ai<bi) with cosine ≥
     * threshold. O(n²) by design — this is the oracle-checkable exact
     * form; [[ivfTopK]] is the scale path.
@@ -117,7 +151,12 @@ object Similarity {
     * nrm) frame — the corpus-agnostic form.
     */
   def blockedPairs(vectors: DataFrame, threshold: Double,
-      numBlocks: Int = 8): DataFrame = {
+      numBlocks: Int = 8): DataFrame =
+    Present.smallSorted(
+      blockedPairsUnsorted(vectors, threshold, numBlocks), "ai", "bi")
+
+  private[operators] def blockedPairsUnsorted(vectors: DataFrame,
+      threshold: Double, numBlocks: Int): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val grid = (for { i <- 0 until numBlocks; j <- i until numBlocks }
@@ -137,7 +176,35 @@ object Similarity {
         round(cosinePrenormed(dot_product(col("lv"), col("rv")),
           col("lnrm"), col("rnrm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
-    Present.smallSorted(pairs, "ai", "bi")
+    pairs
+  }
+
+  /** SemDeDup-shaped semantic dedup: the corpus that SURVIVES
+    * embedding-space near-duplicate removal. Pairs above the cosine
+    * threshold come from the grid-blocked exact self-join
+    * ([[blockedPairs]] — distributed, no BNLJ), connected components
+    * resolve through [[Dedup.resolveClusters]] (min-id label
+    * propagation with pointer jumping), and each component keeps its
+    * smallest vec_id; singletons are implicitly kept. This is the
+    * embedding twin of [[Dedup.keptCorpus]] — dedup at the semantic
+    * layer the text operators can't see. The oracle replays the
+    * component rule as a recursive-CTE transitive closure (a node is
+    * dropped iff it can reach a smaller node), so the distributed
+    * graph iteration is hash-proven against declarative SQL.
+    */
+  def semanticKept(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4, numBlocks: Int = 8): DataFrame = {
+    // unsorted pair feed: resolveClusters checkpoints it immediately,
+    // so the presentation sort would be pure waste
+    val pairs = blockedPairsUnsorted(embeddingsWithNorm(spark, sfDir)
+      .select("vec_id", "v", "nrm"), threshold, numBlocks)
+    val removed = Dedup.resolveClusters(pairs)
+      .filter(!col("keep"))
+      .select(col("doc_id").as("vec_id"))
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .join(removed, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
   }
 
   /** Embedding near-duplicate pairs via random-hyperplane (SimHash)

@@ -165,6 +165,71 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Frequency-ranked vocabulary (StringIndexer's fit step): every
+    * term gets a dense 1-based id ordered by (freq desc, term asc) —
+    * the id assignment a tokenizer/embedding table consumes. The rank
+    * is a TOTAL order over the vocab, but no corpus-wide window runs:
+    * rows shard by (freq, first-letter-of-term) — a pure function of
+    * the data whose bucket order ((freq desc, prefix asc)) refines the
+    * target order, so per-shard offsets are an exclusive prefix scan
+    * over the collected shard sizes (metadata-scale: |distinct freqs| ×
+    * |alphabet|, the same collect PrefixSum does), and the within-shard
+    * row_number window is PARTITIONED — parallel, skew-bounded even
+    * though half a real vocabulary is hapax legomena (freq=1 alone
+    * would be one giant window partition; the letter sub-shard splits
+    * it). The oracle replays the plain `row_number() OVER (ORDER BY
+    * freq DESC, term)` spelling, so the sharded rank is hash-proven
+    * equivalent.
+    */
+  def vocabIndex(spark: SparkSession, sfDir: String): DataFrame =
+    rankedVocab(spark, sfDir).orderBy("term_id")
+
+  /** The (term, term_id, freq) frame vocabIndex and encodeTokens
+    * share, unsorted.
+    */
+  private def rankedVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val counts = Tables.load(spark, sfDir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .withColumn("pfx", substring(col("term"), 1, 1))
+    // shard sizes: one row per (freq, first letter) — metadata-scale
+    val sizes = counts.groupBy("freq", "pfx").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy { case (f, p, _) => (-f, p) }
+    var running = 0L
+    val offsets = sizes.map { case (f, p, n) =>
+      val o = running; running += n; (f, p, o)
+    }.toSeq.toDF("freq", "pfx", "off")
+    val w = Window.partitionBy("freq", "pfx").orderBy("term")
+    counts.join(broadcast(offsets), Seq("freq", "pfx"))
+      .withColumn("term_id", col("off") + row_number().over(w))
+      .select(col("term"), col("term_id"), col("freq"))
+  }
+
+  /** Token-id encoding (StringIndexer's transform step): each document
+    * rewritten as (doc_id, pos, term_id) triples under the
+    * [[vocabIndex]] vocabulary — the corpus a training pipeline
+    * actually feeds the model. Positions come from the ORIGINAL token
+    * array (posexplode before the empty-token filter), so ids stay
+    * aligned with the raw text. The vocabulary is broadcast (it fits
+    * here; past the broadcast threshold the same plan shuffles tokens
+    * by term once — the corpus-side exchange is unavoidable when the
+    * vocab can't ship to every task).
+    */
+  def encodeTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    toks.join(broadcast(rankedVocab(spark, sfDir).select("term", "term_id")),
+        Seq("term"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("term_id"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Gopher-style repetition metrics: the fraction of a document made
     * of its single most-frequent word bigram, and the duplicate-token
     * fraction (1 − type/token ratio) — the intra-document repetition

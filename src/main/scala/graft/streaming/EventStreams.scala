@@ -167,6 +167,17 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment join: each micro-batch of events joined
+    * against a STATIC dimension frame (broadcast — the dim re-reads per
+    * micro-batch, so at scale pin it small or cached). Stateless: no
+    * watermark, no state store; append mode streams it unchanged. This
+    * is the online half of the reference's categorical lookup —
+    * the same `enrich` call runs on a batch frame (StreamingSpec
+    * proves stream ≡ batch), which is Spark's unified-plan contract.
+    */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+
   /** Streaming run over the events parquet (file source), memory sink.
     * `maxFilesPerTrigger=1` makes the file feed arrive as discrete
     * micro-batches. Returns the started query; callers drive it with

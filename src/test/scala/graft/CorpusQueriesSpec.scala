@@ -270,4 +270,57 @@ class CorpusQueriesSpec extends SparkSpec {
       assert(byPos.zip(byPos.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  test("q75 vocab index ≡ global-window rank; ids dense, no global window") {
+    val got = TextQueries.vocabIndex(spark, sf)
+    val rows = got.collect()
+    // dense 1..|V| ids, ordered by (freq desc, term asc)
+    assert(rows.map(_.getLong(1)).toSeq == (1L to rows.length).toSeq)
+    val byRank = rows.map(r => (r.getLong(2), r.getString(0)))
+    byRank.zip(byRank.tail).foreach { case ((f1, t1), (f2, t2)) =>
+      assert(f1 > f2 || (f1 == f2 && t1 < t2), s"($f1,$t1) !< ($f2,$t2)")
+    }
+    // ≡ the corpus-wide window spelling it exists to avoid
+    val counts = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val viaWindow = counts
+      .withColumn("term_id",
+        row_number().over(Window.orderBy(desc("freq"), asc("term")))
+          .cast("long"))
+      .select("term", "term_id", "freq")
+    assert(rows.map(_.toSeq).toSet == viaWindow.collect().map(_.toSeq).toSet)
+    // every WindowExec in the sharded plan carries a partition spec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case s: QueryStageExec => allNodes(s.plan)
+      case _ => p.children.flatMap(allNodes)
+    })
+    val windows = allNodes(got.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the per-(freq, letter) window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"un-partitioned WindowExec:\n${got.queryExecution.executedPlan}")
+  }
+
+  test("q76 token ids: alignment, vocab consistency, original positions") {
+    val got = TextQueries.encodeTokens(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vocab = TextQueries.vocabIndex(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exact expected triples: original-array positions, empties skipped
+    val want = texts.toSeq.flatMap { case (id, t) =>
+      t.split(" ", -1).zipWithIndex.collect {
+        case (w, i) if w.nonEmpty => (id, i.toLong, vocab(w))
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == want)
+  }
 }

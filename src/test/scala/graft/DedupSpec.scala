@@ -144,13 +144,27 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     // two clusters: {1,2,3} via chain 1-2, 2-3; {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ai", "bi")
-    val got = Dedup.resolveClusters(pairs).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
-    assert(got(1L) == ((1L, true)))
-    assert(got(2L) == ((1L, false)))
-    assert(got(3L) == ((1L, false))) // transitive: never saw 1 directly
-    assert(got(10L) == ((10L, true)))
-    assert(got(11L) == ((10L, false)))
+    // both regimes must implement the same contract: the local
+    // union-find finish (default cutover) and the distributed
+    // min-label loop (forced by localEdgeLimit = 0)
+    for (limit <- Seq(4000000L, 0L)) {
+      val got = Dedup.resolveClusters(pairs, localEdgeLimit = limit)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(got(1L) == ((1L, true)), s"limit=$limit")
+      assert(got(2L) == ((1L, false)), s"limit=$limit")
+      assert(got(3L) == ((1L, false)), s"limit=$limit") // transitive
+      assert(got(10L) == ((10L, true)), s"limit=$limit")
+      assert(got(11L) == ((10L, false)), s"limit=$limit")
+    }
+  }
+
+  test("resolveClusters: local finish ≡ distributed loop on real pairs") {
+    val pairs = Dedup.minhashPairs(spark, sf).select("ai", "bi")
+    def run(limit: Long) =
+      Dedup.resolveClusters(pairs, localEdgeLimit = limit).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(run(4000000L) == run(0L))
   }
 
   test("dedupDecisions: every cluster keeps exactly one doc") {

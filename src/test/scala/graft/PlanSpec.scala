@@ -186,6 +186,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("GreaterThan(l_shipdate"), s"lineitem filter not pushed:\n$plan")
   }
 
+  test("q78 local supplier volume: filters push down, dims broadcast, result sane") {
+    val df = graft.operators.OlapQueries.localSupplierVolume(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-year filter not pushed:\n$plan")
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      s"region filter not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast dims:\n$plan")
+    // the cross-branch c_nationkey = s_nationkey predicate must bind as
+    // a join condition (an extra equality key), not a post-join Filter
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // replica: plain filter spelling on the collected join
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val ord = graft.sources.Tables.load(spark, sf, "orders")
+    val cust = graft.sources.Tables.load(spark, sf, "customer")
+    val supp = graft.sources.Tables.load(spark, sf, "supplier")
+    val nat = graft.sources.Tables.load(spark, sf, "nation")
+    val reg = graft.sources.Tables.load(spark, sf, "region")
+    import org.apache.spark.sql.functions.{col, lit, sum, round => rnd}
+    val want = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .filter(col("c_nationkey") === col("s_nationkey") &&
+        col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy("n_name")
+      .agg(rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSet == want)
+  }
+
   test("GraftAnalyze sketch stats steer the join strategy under CBO") {
     import org.apache.spark.sql.functions.col
     val keys = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")

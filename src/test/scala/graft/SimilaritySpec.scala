@@ -214,6 +214,62 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("knnJoin ≡ window spelling; plan has no window sort") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Similarity.knnJoin(spark, sf, numQueries = 8, k = 5)
+    val rows = got.collect()
+    assert(rows.length == 8 * 5)
+    // the composable spelling: score all pairs, row_number window
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    val expected = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(Similarity.cosine(col("v"), col("qv")), 4).as("cosine"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 5)
+      .orderBy("q_id", "rk")
+      .collect()
+    assert(rows.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+    // the point of the aggregate: no WindowExec anywhere in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"knnJoin must not window-sort:\n$plan")
+  }
+
+  test("q77 semanticKept ≡ union-find over exact pairs; singletons kept") {
+    val kept = Similarity.semanticKept(spark, sf, 0.4).collect()
+      .map(_.getLong(0)).toSet
+    // independent replica: union-find on the brute-force pair list
+    val pairs = Similarity.embeddingPairs(spark, sf, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val all = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = all.filter(id => find(id) == id)
+    assert(kept == want,
+      s"extra=${kept -- want} missing=${want -- kept}")
+    // every dropped vector has a kept near-neighbor (the dedup contract)
+    val dropped = all -- kept
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    dropped.foreach { d =>
+      assert(find(d) != d && kept.contains(find(d)),
+        s"dropped $d has no kept representative")
+    }
+    assert(dropped.forall(d => adj(d).nonEmpty))
+  }
+
   test("lshPairs production regime: planted near-dups at bandBits=8") {
     import spark.implicits._
     // 60 well-spread base vectors + a planted >0.9-cosine near-dup of

@@ -36,6 +36,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join ≡ batch join (stateless, append mode)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dim = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue")).toDF("event_type", "category")
+    val raw = spark.readStream.schema(Tables.eventsOnDisk)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+    val enriched = EventStreams.enrich(
+        EventStreams.normalize(raw), dim)
+      .select("event_id", "event_type", "category")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_stream_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_stream_test")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStreams.enrich(Tables.load(spark, sf, "events"), dim)
+        .select("event_id", "event_type", "category")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      // left join: unmapped types survive with a null category
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("freq_topk sketch is valid streaming state (stream ≡ batch)") {
     import org.apache.spark.sql.functions.col
     // a mergeable TypedImperativeAggregate doubles as incremental

@@ -175,6 +175,27 @@ object SparkEntry {
     // TPC-H Q5 shape: six-table join with the cross-branch
     // c_nationkey = s_nationkey predicate; dims broadcast, facts shuffle
     "q78_local_supplier_volume" -> (operators.OlapQueries.localSupplierVolume _),
+    // temperature-balanced language resampling (the mC4/XLM-R recipe):
+    // NDV-sized rate table broadcast onto one corpus scan; the accept
+    // test is the deterministic Knuth bucket, fused into the scan
+    "q79_temperature_resample" -> ((s: SparkSession, d: String) =>
+      operators.Pipeline.temperatureResample(s, d)),
+    // Z-order layout manifest: Morton key as pure column arithmetic +
+    // per-bucket min/max boxes — the data-skipping stats a clustered
+    // write carries; each bucket's box provably spans < 2^9 per dim
+    "q80_zorder_manifest" -> ((s: SparkSession, d: String) =>
+      operators.Layout.zorderManifest(s, d)),
+    // click→purchase attribution: user-equality join with the time
+    // bound as a post-join predicate (no nested loop); batch twin of
+    // the stream-stream interval join in EventStreams
+    "q81_attribution" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.purchaseAttribution(s, d)),
+    // TPC-H Q17 shape via a partitioned window: one lineitem scan and
+    // one shuffle where decorrelated subqueries scan the fact twice
+    "q82_small_qty_revenue" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.smallQuantityRevenue(s, d)),
+    // conversion funnel: conditional argmin per stage in one scan
+    "q83_funnel" -> (operators.OlapQueries.eventFunnel _),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -1010,7 +1031,70 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q79_temperature_resample" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |rates AS (
+        |  SELECT lang, greatest(1, CAST(round(1000 * sqrt(
+        |      (SELECT min(n_docs) FROM counts)::DOUBLE / n_docs))
+        |    AS BIGINT)) AS keep_permille
+        |  FROM counts)
+        |SELECT d.doc_id, d.lang, r.keep_permille
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE ((d.doc_id % 1000000007) * 2654435761) % 1000
+        |      < r.keep_permille
+        |ORDER BY d.doc_id""".stripMargin,
+    "q80_zorder_manifest" -> {
+      // the same 16+16-bit Morton interleave Layout.zorderKey builds
+      // as Column arithmetic, generated here as SQL bit terms
+      val zx = (0 until 16).map(i => s"(((ck >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      val zy = (0 until 16).map(i => s"(((day >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH pts AS (
+         |  SELECT (o_custkey & 65535) AS ck,
+         |    (date_diff('day', DATE '1970-01-01',
+         |       CAST(o_orderdate AS DATE)) & 65535) AS day
+         |  FROM orders),
+         |z AS (SELECT ck, day, ($zx) + ($zy) AS zkey FROM pts)
+         |SELECT (zkey >> 18) AS z_bucket, count(*) AS n_rows,
+         |  min(ck) AS min_ck, max(ck) AS max_ck,
+         |  min(day) AS min_day, max(day) AS max_day
+         |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
+    },
+    "q81_attribution" ->
+      """SELECT p.user_id, p.event_id,
+        |  epoch_us(p.ts) AS ts_us,
+        |  round(p.value, 4) AS value,
+        |  count(c.ts) AS n_clicks_1h
+        |FROM events p LEFT JOIN events c
+        |  ON c.event_type = 'click' AND c.user_id = p.user_id
+        |  AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 60 MINUTE
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.user_id, p.event_id, p.ts, p.value
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+    "q82_small_qty_revenue" ->
+      """WITH l AS (
+        |  SELECT l_quantity, l_extendedprice,
+        |    avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        |  FROM lineitem)
+        |SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM l WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q83_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS view_ts,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS click_ts,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |      AS purchase_ts
+        |  FROM events GROUP BY user_id)
+        |SELECT count(view_ts) AS n_view,
+        |  count(CASE WHEN click_ts >= view_ts THEN 1 END) AS n_view_click,
+        |  count(CASE WHEN click_ts >= view_ts
+        |    AND purchase_ts >= click_ts THEN 1 END) AS n_full_funnel
+        |FROM per_user""".stripMargin
   )
 }
 

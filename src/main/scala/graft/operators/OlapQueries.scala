@@ -355,4 +355,74 @@ object OlapQueries {
         col("f.event_id").as("first_event_id"),
         col("f.value").as("first_value"))
       .orderBy("user_id", "event_type")
+
+  /** Click→purchase attribution: for each purchase, the count and
+    * value of the same user's clicks in the trailing `windowMinutes`.
+    * The join key is the user-id EQUALITY — the time bound is a
+    * post-join predicate — so this plans as one shuffle on user_id
+    * (never a nested-loop over time), and per-user event counts are
+    * small enough that the within-user pairing is cheap at any corpus
+    * size; a skewed power-user key is AQE's problem, not a plan
+    * rewrite. The batch twin of the stream-stream interval join
+    * ([[graft.streaming.EventStreams]] attribution stream; watermarks
+    * bound the same window state-side).
+    */
+  def purchaseAttribution(spark: SparkSession, sfDir: String,
+      windowMinutes: Int = 60): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    purchases
+      .join(clicks, col("user_id") === col("c_user") &&
+        col("c_ts") <= col("ts") &&
+        col("c_ts") > col("ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left")
+      .groupBy(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .agg(count(col("c_ts")).as("n_clicks_1h"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value"), 4).as("value"), col("n_clicks_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** TPC-H Q17 shape — revenue lost to small-quantity orders: line
+    * items under `frac` of their part's average quantity. The
+    * correlated `avg` is a window partitioned by l_partkey: ONE scan
+    * of lineitem and one shuffle, where the textbook correlated
+    * subquery (and Catalyst's decorrelation of it) scans the fact
+    * table twice and joins. Per-part groups are bounded, so the
+    * window never sees a corpus-ordered sort.
+    */
+  def smallQuantityRevenue(spark: SparkSession, sfDir: String,
+      frac: Double = 0.2): DataFrame = {
+    val perPart = Window.partitionBy("l_partkey")
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(perPart))
+      .filter(col("l_quantity") < lit(frac) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** Conversion funnel: users advance view → click → purchase, each
+    * stage ordered by the user's FIRST timestamp of that type. One
+    * conditional-min aggregate per stage in a single scan+shuffle
+    * (min over (ts, event_id) structs — deterministic on ties), then
+    * a per-stage ordered-progress count over the per-user rows. The
+    * result is |stages| rows; no joins, no windows.
+    */
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    def firstTs(t: String) =
+      min(when(col("event_type") === t, col("ts"))).as(s"${t}_ts")
+    val perUser = Tables.load(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+    perUser.agg(
+      count(col("view_ts")).as("n_view"),
+      count(when(col("click_ts") >= col("view_ts"), 1)).as("n_view_click"),
+      count(when(col("click_ts") >= col("view_ts") &&
+        col("purchase_ts") >= col("click_ts"), 1)).as("n_full_funnel"))
+  }
 }

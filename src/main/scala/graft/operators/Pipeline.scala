@@ -147,6 +147,39 @@ object Pipeline {
       .otherwise(lit(200L))
   }
 
+  /** Temperature-balanced language resampling (the mC4 / XLM-R
+    * recipe): languages are kept at rate (n_min/n_lang)^(1-α), so at
+    * α=0.5 a language 4× the smallest is downsampled 2× — flattening
+    * the language distribution toward uniform without touching the
+    * rarest one. The per-language counts are an NDV-sized aggregate
+    * (one map-side-combined scan of the lang column only); the rate
+    * table is broadcast back onto the corpus, and the accept test is
+    * the same deterministic Knuth-hash bucket as [[mixtureSample]] —
+    * a scan-fused predicate, no RNG state, identically replayable by
+    * any engine. Rates are fixed as integer permille (IEEE sqrt +
+    * round are bit-identical across engines) so the hash compare is
+    * exact. At 100 TB: a full-corpus re-balance is one pruned column
+    * scan plus a broadcast of |languages| rows.
+    */
+  def temperatureResample(spark: SparkSession, sfDir: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha == 0.5,
+      "rate permille is sqrt-based; other α need a pow() oracle twin")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_docs")).as("n_min"))))
+      .select(col("lang"), greatest(lit(1L),
+        round(lit(1000.0) *
+          sqrt(col("n_min").cast("double") / col("n_docs")), 0)
+          .cast("long")).as("keep_permille"))
+    docs.join(broadcast(rates), "lang")
+      .filter(mixtureBucket(col("doc_id")) < col("keep_permille"))
+      .select(col("doc_id"), col("lang"), col("keep_permille"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified sample: the EXACT `k` documents per
     * language with the smallest arithmetic-hash priority — the
     * "balanced per-stratum subset" step (per-language eval sets,

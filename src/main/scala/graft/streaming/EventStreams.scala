@@ -178,6 +178,36 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("event_type"), "left")
 
+  /** Stream-stream interval join (§2.10's last missing shape): each
+    * purchase paired with the same user's clicks in the trailing
+    * `windowMinutes`. The equality key (user_id) makes it a
+    * state-store hash join, and the time-range predicate plus BOTH
+    * sides' watermarks is what lets the engine evict state — a click
+    * older than watermark−window can never match a future purchase, so
+    * per-side state is bounded by `delay`+window of stream time, not
+    * stream length. On batch inputs the watermarks are no-ops and the
+    * identical plan is the pair form of
+    * [[graft.operators.OlapQueries.purchaseAttribution]] —
+    * StreamingSpec proves stream ≡ batch.
+    */
+  def attributionPairs(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 60, delay: String = "2 hours"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", delay)
+    val p = purchases.select(col("user_id"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", delay)
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") -
+          expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"),
+        unix_micros(col("c_ts")).as("c_ts_us"),
+        round(col("value"), 4).as("value"))
+  }
+
   /** Streaming run over the events parquet (file source), memory sink.
     * `maxFilesPerTrigger=1` makes the file feed arrive as discrete
     * micro-batches. Returns the started query; callers drive it with

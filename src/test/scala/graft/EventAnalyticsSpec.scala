@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.OlapQueries
+import graft.sources.Tables
+
+/** Attribution, funnel, and the Q17 window rewrite — each checked
+  * against an independent driver-side recomputation of the same
+  * semantics on the sf0.001 fixture (the DuckDB oracle re-proves them
+  * at sf0.01).
+  */
+class EventAnalyticsSpec extends SparkSpec {
+
+  private lazy val events = Tables.load(spark, sf, "events")
+    .select("user_id", "event_id", "ts", "event_type", "value")
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1),
+      r.getTimestamp(2).getTime * 1000 +
+        (r.getTimestamp(2).getNanos / 1000) % 1000,
+      r.getString(3), r.getDouble(4)))
+
+  test("purchaseAttribution matches a naive recomputation") {
+    val clicks = events.filter(_._4 == "click")
+    val purchases = events.filter(_._4 == "purchase")
+    val expected = purchases.map { p =>
+      val n = clicks.count(c => c._1 == p._1 &&
+        c._3 <= p._3 && c._3 > p._3 - 3600L * 1000000L)
+      ((p._1, p._2), n.toLong)
+    }.toMap
+    val got = OlapQueries.purchaseAttribution(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(got.size == purchases.length)
+    assert(got == expected)
+  }
+
+  test("eventFunnel stages are ordered and match a naive recomputation") {
+    val byUser = events.groupBy(_._1)
+    def firstTs(evs: Array[(Long, Long, Long, String, Double)], t: String) =
+      evs.filter(_._4 == t).map(_._3).minOption
+    var (nView, nViewClick, nFull) = (0L, 0L, 0L)
+    byUser.values.foreach { evs =>
+      val arr = evs.toArray
+      (firstTs(arr, "view"), firstTs(arr, "click"),
+        firstTs(arr, "purchase")) match {
+        case (Some(v), c, p) =>
+          nView += 1
+          if (c.exists(_ >= v)) {
+            nViewClick += 1
+            if (c.exists(cv => p.exists(_ >= cv))) nFull += 1
+          }
+        case _ =>
+      }
+    }
+    val r = OlapQueries.eventFunnel(spark, sf).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((nView, nViewClick, nFull)))
+    assert(r.getLong(0) >= r.getLong(1) && r.getLong(1) >= r.getLong(2))
+    assert(r.getLong(2) > 0, "fixture should have full-funnel users")
+  }
+
+  test("smallQuantityRevenue matches a naive recomputation") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val avg = li.groupBy(_._1).map { case (k, g) =>
+      k -> g.map(_._2).sum / g.size
+    }
+    val small = li.filter(l => l._2 < 0.2 * avg(l._1))
+    val expected = BigDecimal(small.map(_._3).sum / 7.0)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val r = OlapQueries.smallQuantityRevenue(spark, sf).collect().head
+    assert(r.getLong(1) == small.length.toLong)
+    assert(math.abs(r.getDouble(0) - expected.toDouble) < 0.02,
+      s"revenue ${r.getDouble(0)} vs naive $expected")
+  }
+}

@@ -27,6 +27,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("temperatureResample flattens the language distribution") {
+    val docs = Tables.load(spark, sf, "documents")
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    val kept = Pipeline.temperatureResample(spark, sf).collect()
+    // rate follows (n_min/n_lang)^(1-α) with α=0.5, fixed as permille
+    val permille = kept.map(r => r.getString(1) -> r.getLong(2)).toMap
+    permille.foreach { case (lang, p) =>
+      val expect = math.max(1L,
+        math.round(1000.0 * math.sqrt(nMin.toDouble / counts(lang))))
+      assert(p == expect, s"$lang permille $p != $expect")
+    }
+    // the rarest language is kept in full
+    val rarest = counts.minBy(_._2)._1
+    assert(permille(rarest) == 1000L)
+    val keptCounts = kept.groupBy(_.getString(1)).view
+      .mapValues(_.length.toLong).toMap
+    assert(keptCounts(rarest) == counts(rarest))
+    // resampling must flatten: the max/min kept ratio shrinks vs raw
+    val rawRatio = counts.values.max.toDouble / counts.values.min
+    val keptRatio =
+      keptCounts.values.max.toDouble / keptCounts.values.min
+    assert(keptRatio < rawRatio,
+      s"kept ratio $keptRatio not flatter than raw $rawRatio")
+  }
+
   test("contamination: planted overlap is detected, clean docs are not") {
     import spark.implicits._
     // craft a corpus in-test: doc 0 is "eval"; doc 10 copies 8 of its

@@ -378,4 +378,40 @@ class PlanSpec extends SparkSpec {
     assert(!output.contains("text#"),
       s"document body crosses the shuffle: $partialLine")
   }
+
+  test("q81: attribution joins hash on user_id, never nested-loop") {
+    val plan = planOf(OlapQueries.purchaseAttribution(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"time-range join fell back to nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"no hash/merge join on user_id:\n$plan")
+  }
+
+  test("q82: Q17 shape is one lineitem scan (window, not self-join)") {
+    val plan = planOf(OlapQueries.smallQuantityRevenue(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"fact table scanned more than once:\n$plan")
+    assert(!plan.contains("Join"), s"decorrelated self-join crept in:\n$plan")
+    // the window is partitioned (never a global sort)
+    assert(!plan.contains("Window [") ||
+      plan.contains("windowspecdefinition(l_partkey"),
+      s"window lost its partitioning:\n$plan")
+  }
+
+  test("q79/q80/q83: single-scan aggregates, broadcast-only joins") {
+    val resample = planOf(graft.operators.Pipeline.temperatureResample(spark, sf))
+    assert(resample.contains("BroadcastHashJoin") &&
+      !resample.contains("SortMergeJoin"),
+      s"rate table not broadcast:\n$resample")
+    val manifest = planOf(graft.operators.Layout.zorderManifest(spark, sf))
+    assert("Scan parquet".r.findAllIn(manifest).size == 1 &&
+      !manifest.contains("Join"),
+      s"manifest should be one scan + one agg:\n$manifest")
+    val funnel = planOf(OlapQueries.eventFunnel(spark, sf))
+    assert("Scan parquet".r.findAllIn(funnel).size == 1 &&
+      !funnel.contains("Join"),
+      s"funnel should be one scan + two aggs:\n$funnel")
+  }
 }

@@ -226,6 +226,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution interval join ≡ batch, ≡ q81 counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros, unix_micros}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val clicks = ev.filter(_._4 == "click").map(r => (r._1, r._2, r._3, r._5))
+    val purchases = ev.filter(_._4 == "purchase")
+      .map(r => (r._1, r._2, r._3, r._5))
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("user_id", "event_id", "us", "value")
+        .withColumn("ts", timestamp_micros(col("us")))
+    // delay covers the fixture's full event-time spread — the split
+    // into micro-batches is arbitrary, so late-vs-watermark rows would
+    // otherwise be dropped (same contract note as firstSeenStream)
+    val delay = "4000 days"
+    val cMem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, Double)]
+    val pMem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, Double)]
+    val joined = EventStreams.attributionPairs(
+      withTs(cMem.toDS().toDF()), withTs(pMem.toDS().toDF()), delay = delay)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_stream_test").start()
+    try {
+      val (c1, c2) = clicks.splitAt(clicks.length / 2)
+      val (p1, p2) = purchases.splitAt(purchases.length / 2)
+      cMem.addData(c1.toSeq); pMem.addData(p1.toSeq)
+      q.processAllAvailable()
+      cMem.addData(c2.toSeq); pMem.addData(p2.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_stream_test").collect()
+        .map(_.toSeq).toSet
+      val batch = EventStreams.attributionPairs(
+        withTs(clicks.toSeq.toDF()), withTs(purchases.toSeq.toDF()),
+        delay = delay).collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"missing ${batch -- streamed}, extra ${streamed -- batch}")
+      assert(streamed.nonEmpty)
+      // the pair counts are exactly q81's per-purchase click counts
+      val pairCounts = streamed.toSeq.groupBy(r => (r(0), r(1)))
+        .view.mapValues(_.size.toLong).toMap
+      OlapQueries.purchaseAttribution(spark, sf).collect().foreach { r =>
+        val n = pairCounts.getOrElse((r.getLong(0), r.getLong(1)), 0L)
+        assert(n == r.getLong(4),
+          s"purchase ${r.getLong(1)}: stream pairs $n vs q81 ${r.getLong(4)}")
+      }
+    } finally q.stop()
+  }
+
   test("q20 batch query equals the shared streaming transform") {
     val viaOlap = OlapQueries.hourlyEventStats(spark, sf)
       .collect().map(_.toSeq).toSet

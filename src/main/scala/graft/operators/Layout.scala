@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Expression, Literal, ShiftLeft, ShiftRight}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.sources.Tables
 
 /** Data-layout clustering: Z-order (Morton) keys and the file-level
@@ -17,17 +19,46 @@ import graft.sources.Tables
 object Layout {
 
   /** Morton code over the low `bits` of two non-negative longs: bit i
-    * of `x` lands at position 2i, bit i of `y` at 2i+1. Pure column
-    * arithmetic (shift/and/or) — whole-stage-codegen'd, no UDF, and
-    * replayable verbatim by any SQL engine. 16+16 bits keeps the key
-    * in 32 bits; production layouts range-partition on this key at
-    * write time.
+    * of `x` lands at position 2i, bit i of `y` at 2i+1. Pure shift/and
+    * arithmetic (no custom Expression, no UDF) — whole-stage-codegen'd
+    * and replayable verbatim by any SQL engine. 16+16 bits keeps the
+    * key in 32 bits; production layouts range-partition on this key at
+    * write time. Built as a Catalyst tree (not the Column DSL) so the
+    * SQL registration in GraftExtensions can emit it directly.
     */
-  def zorderKey(x: Column, y: Column, bits: Int = 16): Column =
+  private[graft] def zorderExpr(x: Expression, y: Expression,
+      bits: Int = 16): Expression = {
+    val xl = Cast(x, LongType)
+    val yl = Cast(y, LongType)
+    def bit(v: Expression, i: Int, pos: Int): Expression =
+      ShiftLeft(BitwiseAnd(ShiftRight(v, Literal(i)), Literal(1L)),
+        Literal(pos))
     (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+      Add(bit(xl, i, 2 * i), bit(yl, i, 2 * i + 1))
+    }.reduce(Add(_, _))
+  }
+
+  def zorderKey(x: Column, y: Column, bits: Int = 16): Column =
+    GraftColumnBridge.column(zorderExpr(
+      GraftColumnBridge.expression(x), GraftColumnBridge.expression(y),
+      bits))
+
+  /** The write side of the story: range-partition on the Morton key
+    * and sort within partitions, so every output file covers a
+    * contiguous zkey range — i.e. a tight bounding box in both
+    * dimensions — and carries parquet min/max stats to match. This is
+    * the OPTIMIZE ZORDER of table formats, spelled in two public
+    * DataFrame calls; at 100 TB the range exchange samples boundaries
+    * from the key distribution, so files come out size-balanced
+    * whatever the data skew. The zkey column is kept in the output:
+    * it is the clustering metadata a reader range-filters on.
+    */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+      path: String, nFiles: Int): Unit =
+    df.withColumn("zkey", zorderKey(col(xCol), col(yCol)))
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(path)
 
   /** The data-skipping manifest a Z-ordered write of `orders` would
     * carry: cluster on zorder(custkey, order-day), split the key space

@@ -96,6 +96,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     scalar("bloom_might_contain",
       classOf[graft.functions.BloomMightContain], 2,
       es => graft.functions.BloomMightContain(es(0), es(1)))
+    // layout key: composed shift/and arithmetic (no custom Expression
+    // class), exposed so SQL users cluster writes the same way the
+    // Column API does
+    e.injectFunction((
+      new FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(
+        graft.operators.Layout.getClass.getName, "zorder_key"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "zorder_key(x, y)")
+        graft.operators.Layout.zorderExpr(exprs(0), exprs(1))
+      }))
     e.injectFunction((
       new FunctionIdentifier("topk_rows"),
       new ExpressionInfo(classOf[TopKRows].getName, "topk_rows"),

@@ -51,4 +51,83 @@ class LayoutSpec extends SparkSpec {
     val ids = m.map(_.getLong(0))
     assert(ids.distinct.length == ids.length)
   }
+
+  test("z-ordered write: a 2-D query box prunes most files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder")
+      .toString
+    val orders = Tables.load(spark, sf, "orders").select(
+      col("o_orderkey"),
+      col("o_custkey").bitwiseAND(lit(65535L)).as("ck"),
+      datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+        .bitwiseAND(lit(65535L)).as("day"))
+    Layout.writeZOrdered(orders, "ck", "day", s"$tmp/z", nFiles = 8)
+    val boxes = spark.read.parquet(s"$tmp/z")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("day").as("dmin"), max("day").as("dmax"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(boxes.length >= 4, s"expected several files, got ${boxes.length}")
+    assert(boxes.map(_.getLong(3)).sum == orders.count())
+    // a day-window of 1/8 the global range must intersect a minority
+    // of the per-file boxes — the pruning the layout exists for (a
+    // row-order write spreads every day across every file)
+    val days = orders.select(min("day"), max("day")).collect().head
+    val (gmin, gmax) = (days.getLong(0), days.getLong(1))
+    val lo = gmin + (gmax - gmin) * 7 / 16
+    val hi = lo + (gmax - gmin) / 8
+    val hit = boxes.count(b => b.getLong(1) <= hi && b.getLong(2) >= lo)
+    assert(hit <= boxes.length / 2,
+      s"query box hit $hit of ${boxes.length} files — layout not clustering")
+  }
+
+  test("bucketed tables join with zero exchanges") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket")
+      .toString
+    val prevThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.load(spark, sf, "orders")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$tmp/b_orders").mode("overwrite")
+        .saveAsTable("b_orders")
+      Tables.load(spark, sf, "customer")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$tmp/b_cust").mode("overwrite")
+        .saveAsTable("b_cust")
+      val j = spark.table("b_orders").join(spark.table("b_cust"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      // co-bucketed layout: the join reads both sides pre-partitioned
+      // on the key — no shuffle OR broadcast materializes (the write
+      // amortized them), which is the bucketing contract at 100 TB
+      assert(plan.contains("SortMergeJoin"), s"not a merge join:\n$plan")
+      assert(!plan.contains("Exchange"), s"exchange crept in:\n$plan")
+      assert(j.count() ==
+        Tables.load(spark, sf, "orders").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_cust")
+    }
+  }
+
+  test("zorder_key is SQL-registered (same plan as the Column form)") {
+    Tables.load(spark, sf, "orders").limit(100)
+      .createOrReplaceTempView("layout_orders")
+    val viaSql = spark.sql(
+      """SELECT o_orderkey,
+        |  zorder_key(o_custkey & 65535,
+        |    CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)
+        |      & 65535) AS z
+        |FROM layout_orders""".stripMargin).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaColumn = spark.table("layout_orders")
+      .select(col("o_orderkey"), Layout.zorderKey(
+        col("o_custkey").bitwiseAND(lit(65535L)),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .bitwiseAND(lit(65535L))).as("z")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaColumn && viaSql.nonEmpty)
+  }
 }

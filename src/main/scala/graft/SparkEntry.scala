@@ -196,6 +196,20 @@ object SparkEntry {
       operators.OlapQueries.smallQuantityRevenue(s, d)),
     // conversion funnel: conditional argmin per stage in one scan
     "q83_funnel" -> (operators.OlapQueries.eventFunnel _),
+    // TPC-H Q18 shape: HAVING aggregate on the fact key, tiny survivor
+    // set joins back — map-side combine keeps the shuffle narrow
+    "q84_large_orders" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.largeOrders(s, d)),
+    // TPC-H Q14 shape: conditional aggregate over one broadcast join
+    "q85_promo_revenue" -> (operators.OlapQueries.promoRevenue _),
+    // TPC-H Q19 shape: OR-of-ANDs residual inside one broadcast join
+    "q86_disjunctive_revenue" -> (operators.OlapQueries.disjunctiveRevenue _),
+    // TPC-H Q22 shape: scalar-subquery broadcast + left-anti join
+    "q87_idle_rich_customers" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.idleRichCustomers(s, d)),
+    // TPC-H Q4 shape: EXISTS as a left-semi join with a residual
+    "q88_priority_waiting" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.priorityWaitingOrders(s, d)),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -1094,7 +1108,58 @@ object SparkEntry {
         |  count(CASE WHEN click_ts >= view_ts THEN 1 END) AS n_view_click,
         |  count(CASE WHEN click_ts >= view_ts
         |    AND purchase_ts >= click_ts THEN 1 END) AS n_full_funnel
-        |FROM per_user""".stripMargin
+        |FROM per_user""".stripMargin,
+    "q84_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING round(sum(l_quantity), 4) > 150) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q85_promo_revenue" ->
+      """SELECT round(100.0 *
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+        |  sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin,
+    "q86_disjunctive_revenue" ->
+      """SELECT count(*) AS n_lines,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#4' AND l_quantity BETWEEN 1 AND 11
+        |       AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 10 AND 20
+        |       AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 20 AND 30
+        |       AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "q87_idle_rich_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q88_priority_waiting" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 240 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }
 

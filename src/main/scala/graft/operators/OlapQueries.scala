@@ -406,6 +406,122 @@ object OlapQueries {
         count(lit(1)).as("n_small"))
   }
 
+  /** TPC-H Q18 shape — large-quantity orders: orders whose total line
+    * quantity exceeds `minQty`, with their customer, largest first.
+    * The HAVING aggregate shuffles compact (orderkey, partial-sum)
+    * pairs — map-side combine reduces each task's slice to one row per
+    * order before the exchange — and only the tiny survivor set joins
+    * back to orders (same key, so AQE can plan it off the aggregate's
+    * partitioning) and to customer (unhinted: broadcast while it fits,
+    * shuffle when a real corpus outgrows the threshold). Top-100 is
+    * TakeOrderedAndProject — never a global sort.
+    */
+  def largeOrders(spark: SparkSession, sfDir: String,
+      minQty: Double = 150.0): DataFrame = {
+    val bigOrders = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    val ord = Tables.load(spark, sfDir, "orders")
+    val cust = Tables.load(spark, sfDir, "customer")
+    ord.join(bigOrders, ord("o_orderkey") === bigOrders("l_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q14 shape — promotion revenue share: the percentage of one
+    * month's discounted revenue from PROMO-type parts. One pushed-down
+    * date range confines the fact scan, the part dim broadcasts, and
+    * both sums ride a single conditional aggregate — one scan, zero
+    * fact shuffles.
+    */
+  def promoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-02-01").cast("timestamp")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+    val part = Tables.load(spark, sfDir, "part")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+        sum(rev), 4).as("promo_pct"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive predicate join: revenue from line
+    * items matching any of three (brand, quantity-band, size-band)
+    * clauses. The OR-of-ANDs mixes columns from both sides, so it
+    * cannot split into per-side pushdowns — it evaluates as the join's
+    * residual filter inside one broadcast hash join on partkey; the
+    * fact table is scanned once and never shuffled.
+    */
+  def disjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    val clause1 = col("p_brand") === "Brand#4" &&
+      col("l_quantity").between(1, 11) && col("p_size").between(1, 5)
+    val clause2 = col("p_brand") === "Brand#19" &&
+      col("l_quantity").between(10, 20) && col("p_size").between(1, 10)
+    val clause3 = col("p_brand") === "Brand#2" &&
+      col("l_quantity").between(20, 30) && col("p_size").between(1, 15)
+    li.join(broadcast(part),
+        li("l_partkey") === part("p_partkey") && (clause1 || clause2 || clause3))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
+  /** TPC-H Q22 shape — well-funded idle customers: above-average
+    * balance, no order since `since`, grouped by market segment. The
+    * global average is a one-row aggregate broadcast back over the
+    * customer scan (a 1-row BroadcastNestedLoopJoin — the scalar-
+    * subquery pattern, constant cost at any scale); the "no recent
+    * order" test is a left-anti join against the date-pruned order
+    * keys, never a NOT IN materialization.
+    */
+  def idleRichCustomers(spark: SparkSession, sfDir: String,
+      since: String = "1999-01-01"): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg("c_acctbal").as("avg_bal"))
+    val recent = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit(since).cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** TPC-H Q4 shape — orders with a late shipment, counted by
+    * priority: one year of orders semi-joined to line items shipping
+    * more than `lateDays` after the order date. EXISTS plans as a
+    * left-semi hash join on orderkey (the date comparison is its
+    * residual), so each order contributes at most once no matter how
+    * many lines are late, and nothing wider than (orderkey, shipdate)
+    * shuffles on the fact side.
+    */
+  def priorityWaitingOrders(spark: SparkSession, sfDir: String,
+      lateDays: Int = 240): DataFrame = {
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_shipdate")
+    ord.join(li, ord("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > ord("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Conversion funnel: users advance view → click → purchase, each
     * stage ordered by the user's FIRST timestamp of that type. One
     * conditional-min aggregate per stage in a single scan+shuffle

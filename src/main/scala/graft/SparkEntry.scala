@@ -210,6 +210,25 @@ object SparkEntry {
     // TPC-H Q4 shape: EXISTS as a left-semi join with a residual
     "q88_priority_waiting" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.priorityWaitingOrders(s, d)),
+    // per-source contamination rates: q48's broadcast-gram plan + one
+    // narrow left join — the decontamination audit's summary table
+    "q89_contamination_rate" -> ((s: SparkSession, d: String) =>
+      operators.Pipeline.contaminationRate(s, d)),
+    // composite quality gate: three portable signals, per-reason
+    // reject tallies, one map-side-combined aggregate over one scan
+    "q90_quality_gate" -> ((s: SparkSession, d: String) =>
+      operators.Pipeline.qualityGate(s, d)),
+    // one pair-merge iteration of BPE-style tokenizer training: top
+    // adjacent-pair counts via explode + partial-agg + rank-limit
+    "q91_bpe_merges" -> ((s: SparkSession, d: String) =>
+      operators.TextQueries.bpeMergeCandidates(s, d)),
+    // dedup audit: cluster-size histogram of the exact-Jaccard pair
+    // graph; oracle replays components as a recursive CTE
+    "q92_cluster_sizes" -> (operators.Dedup.clusterSizes _),
+    // per-source caps: quality-ranked keep-k through the bounded
+    // topk_rows aggregate — no corpus-wide window sort
+    "q93_source_caps" -> ((s: SparkSession, d: String) =>
+      operators.Pipeline.sourceCaps(s, d)),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -1159,7 +1178,133 @@ object SparkEntry {
         |    WHERE l_orderkey = o_orderkey
         |      AND l_shipdate > o_orderdate + INTERVAL 240 DAY)
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q89_contamination_rate" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(w) >= 8
+        |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |            w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+        |            w[i+6] || ' ' || w[i+7]
+        |            for i in range(1, len(w) - 6)]
+        |      ELSE [text] END) AS sh
+        |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS w
+        |        FROM documents)
+        |), eval_grams AS (
+        |  SELECT DISTINCT unnest(sh) AS gram FROM g WHERE doc_id < 10
+        |), hits AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM (SELECT doc_id, unnest(sh) AS gram FROM g
+        |        WHERE doc_id >= 10) t
+        |  JOIN eval_grams USING (gram)
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_contaminated,
+        |  round(CAST(sum(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 4) AS rate
+        |FROM g LEFT JOIN hits USING (doc_id)
+        |WHERE g.doc_id >= 10
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "q90_quality_gate" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    len(ws) AS nt,
+        |    len(list_distinct(ws))::DOUBLE / len(ws) AS dr,
+        |    floor((0.4 * least(len(list_filter(ws, w -> w IN ('the', 'a')))
+        |             ::DOUBLE / len(ws) * 8, 1.0) +
+        |           0.3 * least(len(ws)::DOUBLE / 100, 1.0) +
+        |           0.3 * (len(list_distinct(ws))::DOUBLE / len(ws)))
+        |          * 10000 + 0.5) / 10000 AS q
+        |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_too_short,
+        |  CAST(sum(CASE WHEN q < 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_quality,
+        |  CAST(sum(CASE WHEN dr < 0.33 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repetitive,
+        |  CAST(sum(CASE WHEN nt >= 20 AND q >= 0.35 AND dr >= 0.33
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM s
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "q91_bpe_merges" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), pairs AS (
+        |  SELECT unnest([w[i] || ' ' || w[i+1]
+        |                 for i in range(1, len(w))]) AS pair
+        |  FROM t
+        |)
+        |SELECT pair, count(*) AS n
+        |FROM pairs
+        |GROUP BY pair
+        |ORDER BY n DESC, pair
+        |LIMIT 20""".stripMargin,
+    "q92_cluster_sizes" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) >= 3
+        |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, len(ws) - 1)]
+        |      ELSE [text] END) AS sh,
+        |    CAST(floor(n_chars / 32.0) AS BIGINT) AS blk
+        |  FROM (SELECT doc_id, text, n_chars,
+        |          string_split(text, ' ') AS ws FROM documents)
+        |), p AS (
+        |  SELECT ai, bi FROM (
+        |    SELECT a.doc_id AS ai, b.doc_id AS bi,
+        |      round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |        4) AS jaccard
+        |    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |    UNION ALL
+        |    SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id),
+        |      round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |        4)
+        |    FROM d a JOIN d b ON a.blk + 1 = b.blk
+        |  ) WHERE jaccard >= 0.8
+        |), edges AS (
+        |  SELECT ai AS a, bi AS b FROM p UNION ALL SELECT bi, ai FROM p
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.a, edges.b FROM reach
+        |  JOIN edges ON reach.b = edges.a
+        |), rep AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+        |  FROM reach GROUP BY a
+        |), sizes AS (
+        |  SELECT cluster_rep, count(*) AS cluster_size FROM rep
+        |  GROUP BY cluster_rep
+        |)
+        |SELECT cluster_size, count(*) AS n_clusters
+        |FROM sizes
+        |GROUP BY cluster_size
+        |ORDER BY cluster_size""".stripMargin,
+    "q93_source_caps" ->
+      """WITH s AS (
+        |  SELECT source, doc_id,
+        |    floor((0.4 * least(len(list_filter(ws, w -> w IN ('the', 'a')))
+        |             ::DOUBLE / len(ws) * 8, 1.0) +
+        |           0.3 * least(len(ws)::DOUBLE / 100, 1.0) +
+        |           0.3 * (len(list_distinct(ws))::DOUBLE / len(ws)))
+        |          * 10000 + 0.5) / 10000 AS quality
+        |  FROM (SELECT source, doc_id, string_split(text, ' ') AS ws
+        |        FROM documents)
+        |)
+        |SELECT source, doc_id, quality,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id) AS INTEGER) AS rk
+        |FROM s
+        |QUALIFY rk <= 10
+        |ORDER BY source, rk""".stripMargin
   )
 }
 

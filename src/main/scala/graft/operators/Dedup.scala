@@ -489,6 +489,23 @@ object Dedup {
     Present.smallSorted(
       resolveClusters(minhashPairsUnsorted(spark, sfDir)), "doc_id")
 
+  /** Near-dup cluster size histogram — the audit view of a dedup run:
+    * how many clusters of each size the pair graph resolves into
+    * (size ≥ 2 by construction; singletons never enter the graph).
+    * Two NDV-sized aggregates over [[resolveClusters]]' label frame —
+    * the corpus itself is only scanned by the pair pipeline. The
+    * oracle replays the exact pair set (q25's blocked Jaccard) through
+    * a recursive-CTE transitive closure, so the distributed graph
+    * resolution is hash-proven against declarative SQL.
+    */
+  def clusterSizes(spark: SparkSession, sfDir: String): DataFrame =
+    resolveClusters(ngramJaccardPairsUnsorted(spark, sfDir))
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   // ---- exact n-gram Jaccard (oracle-checkable) -------------------------
 
   /** Exact word-3-gram Jaccard near-dup pairs, blocked on a length

@@ -102,6 +102,85 @@ object Pipeline {
       train.filter(bloom_might_contain(sketch, col("gram")))
     })
 
+  /** Per-source contamination report: the fraction of each source's
+    * training documents sharing any word `n`-gram with the held-out
+    * set — the go/no-go summary a decontamination audit ends with
+    * (per-doc detail is [[contamination]]). The contaminated-doc set
+    * rides the same broadcast-gram plan; the per-source rate is then
+    * one aggregate over the corpus scan with a LEFT join against that
+    * (tiny) doc list, so the whole report costs the q48 pass plus one
+    * narrow join however large the corpus is.
+    */
+  def contaminationRate(spark: SparkSession, sfDir: String,
+      evalCount: Long = 10, n: Int = 8): DataFrame = {
+    val contaminated = contaminationPlan(spark, sfDir, evalCount, n,
+        (train, _) => train)
+      .select(col("doc_id"), lit(1L).as("hit"))
+    Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") >= evalCount)
+      .select("doc_id", "source")
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("rate",
+        round(col("n_contaminated").cast("double") / col("n_docs"), 4))
+      .orderBy("source")
+  }
+
+  /** Composite quality gate — the keep/drop decision of a heuristic
+    * pre-training filter, reported per source with per-reason reject
+    * counts (reasons overlap, so they are tallied independently; a doc
+    * is kept iff it clears every bar). All three signals are
+    * engine-portable column arithmetic fused into ONE corpus scan —
+    * one map-side-combined aggregate, no joins, no windows; the gate
+    * thresholds arrive as literals so re-tuning the filter is a
+    * constant change, not a new pipeline.
+    */
+  def qualityGate(spark: SparkSession, sfDir: String,
+      minTokens: Int = 20, minQuality: Double = 0.35,
+      minDistinct: Double = 0.33): DataFrame = {
+    val nt = TextAnalysis.tokenCount(col("text"))
+    val q = TextAnalysis.qualityScore(col("text"), TextQueries.Stopwords)
+    val dr = TextAnalysis.distinctRatio(col("text"))
+    def tally(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("source"), nt.as("nt"), q.as("q"), dr.as("dr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        tally(col("nt") < minTokens).as("n_too_short"),
+        tally(col("q") < minQuality).as("n_low_quality"),
+        tally(col("dr") < minDistinct).as("n_repetitive"),
+        tally(col("nt") >= minTokens && col("q") >= minQuality &&
+          col("dr") >= minDistinct).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** Per-source document caps — "no source dominates the mix": keep at
+    * most `k` documents per source, ranked by quality (doc_id breaks
+    * ties). Same bounded-aggregate shape as [[stratifiedSample]]: the
+    * [[graft.functions.TopKRows]] aggregate reduces every map task's
+    * slice to ≤ k rows per source BEFORE the exchange, so the shuffle
+    * carries O(k · sources) rows and no corpus-wide window sort ever
+    * runs — the production form of per-domain caps at 100 TB.
+    */
+  def sourceCaps(spark: SparkSession, sfDir: String,
+      k: Int = 10): DataFrame = {
+    val q = TextAnalysis.qualityScore(col("text"), TextQueries.Stopwords)
+    Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"), q.as("quality"))
+      .groupBy("source")
+      .agg(graft.functions.TopKFunctions.topk_rows(
+        col("quality"), col("doc_id"),
+        struct(col("doc_id"), col("quality")), k).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), col("col.doc_id").as("doc_id"),
+        col("col.quality").as("quality"),
+        (col("pos") + 1).cast("int").as("rk"))
+      .orderBy("source", "rk")
+  }
+
   /** Deterministic mixture sampling — the "data mixing" step of
     * training-set assembly: each source is downsampled to a target
     * weight by a pure-arithmetic accept test,

@@ -241,6 +241,28 @@ object TextQueries {
     * (The composable `aggregate`-fold spelling is not codegen-safe —
     * see the kernel's scaladoc.)
     */
+  /** One iteration of pair-merge tokenizer training (the BPE outer
+    * loop at word granularity): the corpus-wide top-`k` adjacent token
+    * pairs — the candidates the next merge would adopt. Positioned
+    * word bigrams ([[Dedup.wordGrams]]) explode into one map-side-
+    * combined count; the top-k is rank-then-limit over the (vocab²-
+    * bounded, in practice vocab-sized) pair table, so the corpus
+    * shuffles only partial counts. Docs under two tokens carry no
+    * pair and are filtered before the explode. A full BPE train is
+    * this query in a loop with the merge applied between rounds; each
+    * iteration stays one scan + one narrow aggregate at any corpus
+    * size.
+    */
+  def bpeMergeCandidates(spark: SparkSession, sfDir: String,
+      k: Int = 20): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(explode(Dedup.wordGrams(col("text"), 2)).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(k)
+
   def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
     val ws = tokens(col("text"))
     val nGrams = when(size(ws) >= 2, size(ws) - 1).otherwise(lit(1))

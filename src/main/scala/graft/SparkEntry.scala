@@ -229,6 +229,26 @@ object SparkEntry {
     // topk_rows aggregate — no corpus-wide window sort
     "q93_source_caps" -> ((s: SparkSession, d: String) =>
       operators.Pipeline.sourceCaps(s, d)),
+    // manifest MERGE: full-outer join on content hash — the
+    // Delta/Iceberg-shaped upsert of incremental corpus maintenance
+    "q94_merge_manifest" -> (operators.Pipeline.mergeManifest _),
+    // the ranking-window surface (ntile/percent_rank/cume_dist/lead/
+    // first/nth) fused into one WindowExec pass
+    "q95_window_suite" -> (operators.OlapQueries.windowSuite _),
+    // q35 re-planned without collect_list state: fixed-point counts +
+    // sharded prefix sum + broadcast rank probes — same oracle
+    "q96_percentiles_distributed" ->
+      (operators.Percentiles.quantityPercentilesDistributed _),
+    // TPC-H Q1 verbatim: eight map-side-combinable aggregates over one
+    // pushed-down fact scan
+    "q97_pricing_summary" -> (operators.OlapQueries.pricingSummary _),
+    // retention triangle: first-month argmin + distinct activity +
+    // one user-keyed join; month math is post-join arithmetic
+    "q98_cohort_retention" -> (operators.OlapQueries.cohortRetention _),
+    // ingest gate + first-occurrence dedup in one argmin aggregate;
+    // the streaming twin admits the same rows (StreamingSpec)
+    "q99_corpus_admission" -> ((s: SparkSession, d: String) =>
+      operators.Pipeline.corpusAdmission(s, d)),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -1304,7 +1324,104 @@ object SparkEntry {
         |    ORDER BY quality DESC, doc_id) AS INTEGER) AS rk
         |FROM s
         |QUALIFY rk <= 10
-        |ORDER BY source, rk""".stripMargin
+        |ORDER BY source, rk""".stripMargin,
+    "q94_merge_manifest" ->
+      """WITH e AS (
+        |  SELECT sha256(text) AS content_hash, min(doc_id) AS old_id,
+        |    count(*) AS old_copies
+        |  FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3','src4',
+        |                   'src5','src6','src7','src8','src9')
+        |  GROUP BY 1
+        |), b AS (
+        |  SELECT sha256(text) AS content_hash, min(doc_id) AS new_id,
+        |    count(*) AS new_copies
+        |  FROM documents
+        |  WHERE source NOT IN ('src0','src1','src2','src3','src4',
+        |                       'src5','src6','src7','src8','src9')
+        |  GROUP BY 1
+        |)
+        |SELECT coalesce(old_id, new_id) AS canonical_id,
+        |  CASE WHEN new_id IS NULL THEN 'keep'
+        |       WHEN old_id IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action,
+        |  CAST(coalesce(old_copies, 0) + coalesce(new_copies, 0)
+        |       AS BIGINT) AS n_copies
+        |FROM e FULL JOIN b USING (content_hash)
+        |ORDER BY canonical_id""".stripMargin,
+    "q95_window_suite" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cdist,
+        |  lead(value, 1) OVER w AS next_value,
+        |  first_value(value) OVER wf AS first_value,
+        |  nth_value(value, 3) OVER wf AS third_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+        |  wf AS (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING
+        |         AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+    // same interpolation semantics as q35's oracle, over the
+    // bounded-NDV measures the operator targets (see Percentiles
+    // crossover note); the price path is spec-tested
+    "q96_percentiles_distributed" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+        |  round(quantile_cont(l_discount, 0.5), 4) AS p50_disc
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q97_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |    AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+        |    AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q98_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('week', ts) AS w FROM events
+        |), cohorts AS (
+        |  SELECT user_id, min(w) AS cohort FROM ev GROUP BY user_id
+        |), activity AS (
+        |  SELECT DISTINCT user_id, w FROM ev
+        |)
+        |SELECT cohort,
+        |  CAST(datediff('day', cohort, w) / 7 AS INTEGER) AS week_offset,
+        |  count(*) AS n_active
+        |FROM activity JOIN cohorts USING (user_id)
+        |GROUP BY cohort, week_offset
+        |ORDER BY cohort, week_offset""".stripMargin,
+    "q99_corpus_admission" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, source, n_chars, sha256(text) AS h,
+        |    len(ws) AS nt,
+        |    len(list_distinct(ws))::DOUBLE / len(ws) AS dr,
+        |    floor((0.4 * least(len(list_filter(ws, w -> w IN ('the', 'a')))
+        |             ::DOUBLE / len(ws) * 8, 1.0) +
+        |           0.3 * least(len(ws)::DOUBLE / 100, 1.0) +
+        |           0.3 * (len(list_distinct(ws))::DOUBLE / len(ws)))
+        |          * 10000 + 0.5) / 10000 AS q
+        |  FROM (SELECT doc_id, lang, source, n_chars, text,
+        |          string_split(text, ' ') AS ws FROM documents)
+        |)
+        |SELECT doc_id, lang, source, n_chars
+        |FROM s
+        |WHERE nt >= 20 AND q >= 0.35 AND dr >= 0.33
+        |QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin
   )
 }
 

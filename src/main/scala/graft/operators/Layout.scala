@@ -71,6 +71,57 @@ object Layout {
     * buckets. The aggregation is one scan + one NDV-sized shuffle;
     * nothing here is corpus-ordered.
     */
+  /** Hive-style partitioned write — the coarse layout primitive that
+    * precedes clustering: one directory per `partCol` value, so an
+    * equality/IN predicate on it never opens a non-matching file (the
+    * reader proves it from directory names alone — `PartitionFilters`
+    * in the scan, zero data IO for pruned partitions). The 100 TB
+    * rule of thumb: partition by the low-NDV routing column (date,
+    * language, source), Z-order within partitions by the query
+    * columns; too high an NDV shatters the table into small files,
+    * which is why content-hash keys get [[bloomManifest]] instead.
+    */
+  def writePartitioned(df: DataFrame, partCol: String,
+      path: String): Unit =
+    df.write.partitionBy(partCol).mode("overwrite").parquet(path)
+
+  /** Bloom data-skipping manifest for point lookups on a high-NDV key
+    * (the content-hash case partitioning can't serve): one mergeable
+    * [[graft.functions.BloomAgg]] bitset per file bucket, built in a
+    * single scan. A reader answers "which buckets might hold key K"
+    * from the manifest alone — no false negatives by construction,
+    * false positives bounded by the sketch's FPR — so a point lookup
+    * reads ~1 bucket instead of the corpus. This is the file-level
+    * bloom index of table formats, spelled as one group-by.
+    */
+  def bloomManifest(df: DataFrame, keyCol: String, bucketCol: String,
+      numBits: Int = 1 << 17, numHashes: Int = 5): DataFrame = {
+    import graft.functions.BloomFunctions.bloom_agg
+    df.groupBy(col(bucketCol).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        bloom_agg(col(keyCol), numBits, numHashes).as("key_filter"))
+  }
+
+  /** The read side of [[bloomManifest]]: the buckets whose filter
+    * might contain `key`. Manifest pruning is a PLANNER step — table
+    * formats evaluate data-skipping indexes on the driver against
+    * files-sized metadata before any task launches — so this collects
+    * the manifest (metadata-scale) and probes each bucket's sketch
+    * with the same [[graft.functions.BloomMightContain]] kernel the
+    * scan-fused probe uses. Returns (bucket, n_rows) of survivors.
+    */
+  def pruneBuckets(manifest: DataFrame, key: Long): Seq[(Long, Long)] =
+    manifest.select("bucket", "n_rows", "key_filter").collect().toSeq
+      .filter { r =>
+        graft.functions.BloomMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal
+            .create(r.getAs[Array[Byte]](2),
+              org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.catalyst.expressions.Literal(key))
+          .eval(null).asInstanceOf[Boolean]
+      }
+      .map(r => (r.getLong(0), r.getLong(1)))
+
   def zorderManifest(spark: SparkSession, sfDir: String,
       bucketShift: Int = 18): DataFrame = {
     val x = col("o_custkey").bitwiseAND(lit(65535L))

@@ -522,6 +522,77 @@ object OlapQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q1 — the pricing summary report verbatim: eight aggregates
+    * per (returnflag, linestatus) over one date-filtered fact scan.
+    * The canonical columnar-scan benchmark: predicate pushed to the
+    * parquet reader, every aggregate map-side combinable, grouping
+    * cardinality ~6 — the shuffle carries a handful of partial-agg
+    * rows per task at any corpus size.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(disc), 2).as("sum_disc_price"),
+        round(sum(disc * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Cohort retention: users bucketed by their first-activity week,
+    * counted as active at each week offset since — the standard
+    * product-analytics retention triangle (weekly grain: both engines
+    * truncate weeks to Monday, and the offset is exact day arithmetic
+    * /7 between week starts). Two aggregates and one equality join on
+    * user_id: per-user first week (map-side argmin), distinct (user,
+    * week) activity, join, count by (cohort, offset). No windows, no
+    * self-join over time — the week math is column arithmetic after
+    * the join.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+    val cohorts = ev.groupBy("user_id").agg(min("w").as("cohort"))
+    ev.distinct()
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort"),
+        (datediff(col("w"), col("cohort")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  /** The ranking-window surface in one pass: ntile quartiles,
+    * percent_rank, cume_dist, lead, and first/nth value over the full
+    * partition frame — every rank flavor SQL analytics leans on,
+    * sharing ONE shuffle on user_id and one per-partition sort
+    * (Catalyst fuses same-spec window functions into a single
+    * WindowExec). Per-user partitions are bounded, so no global-order
+    * window exists at any corpus size; event_id makes every ordering
+    * tie-free and both engines agree exactly.
+    */
+  def windowSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cdist"),
+        lead("value", 1).over(w).as("next_value"),
+        first("value").over(full).as("first_value"),
+        nth_value(col("value"), 3).over(full).as("third_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Conversion funnel: users advance view → click → purchase, each
     * stage ordered by the user's FIRST timestamp of that type. One
     * conditional-min aggregate per stage in a single scan+shuffle

@@ -181,6 +181,66 @@ object Pipeline {
       .orderBy("source", "rk")
   }
 
+  /** Manifest MERGE — the upsert step of incremental corpus
+    * maintenance: reconcile the existing corpus manifest (sources
+    * src0–src9) with a new batch (src10+) by content hash, tagging
+    * every content row `keep` (existing only), `insert` (batch only),
+    * or `update` (both — the batch re-observed known content). One
+    * full-outer hash join on sha2(text): both sides shuffle 32-byte
+    * hashes with pre-aggregated counts, never document bodies — the
+    * same MERGE-on-key shape a Delta/Iceberg upsert compiles to, so
+    * at 100 TB the cost is two manifest-sized exchanges however large
+    * the corpus text is.
+    */
+  def mergeManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val existingSrcs = (0 to 9).map(i => s"src$i")
+    val docs = Tables.load(spark, sfDir, "documents")
+    def side(pred: org.apache.spark.sql.Column, idAlias: String,
+        nAlias: String) =
+      docs.filter(pred)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min("doc_id").as(idAlias), count(lit(1)).as(nAlias))
+    val existing = side(col("source").isin(existingSrcs: _*),
+      "old_id", "old_copies")
+    val batch = side(!col("source").isin(existingSrcs: _*),
+      "new_id", "new_copies")
+    existing.join(batch, Seq("content_hash"), "full_outer")
+      .select(
+        coalesce(col("old_id"), col("new_id")).as("canonical_id"),
+        when(col("new_id").isNull, "keep")
+          .when(col("old_id").isNull, "insert")
+          .otherwise("update").as("action"),
+        (coalesce(col("old_copies"), lit(0L)) +
+          coalesce(col("new_copies"), lit(0L))).as("n_copies"))
+      .orderBy("canonical_id")
+  }
+
+  /** Corpus admission — the gate + dedup composition an ingest
+    * pipeline runs per crawl: documents that clear the
+    * [[qualityGate]] bars AND are the first occurrence (min doc_id)
+    * of their content hash among gated docs. One scan-fused filter,
+    * one argmin aggregate on sha2(text) — hashes shuffle, bodies
+    * don't. The streaming twin
+    * ([[graft.streaming.CorpusStreams.admissionStream]]) admits the
+    * same rows online via the first-seen state primitive;
+    * StreamingSpec proves stream ≡ batch.
+    */
+  def corpusAdmission(spark: SparkSession, sfDir: String,
+      minTokens: Int = 20, minQuality: Double = 0.35,
+      minDistinct: Double = 0.33): DataFrame = {
+    val nt = TextAnalysis.tokenCount(col("text"))
+    val q = TextAnalysis.qualityScore(col("text"), TextQueries.Stopwords)
+    val dr = TextAnalysis.distinctRatio(col("text"))
+    Tables.load(spark, sfDir, "documents")
+      .filter(nt >= minTokens && q >= minQuality && dr >= minDistinct)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.lang").as("lang"),
+        col("f.source").as("source"), col("f.n_chars").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic mixture sampling — the "data mixing" step of
     * training-set assembly: each source is downsampled to a target
     * weight by a pure-arithmetic accept test,

@@ -248,16 +248,19 @@ object TextQueries {
     * combined count; the top-k is rank-then-limit over the (vocab²-
     * bounded, in practice vocab-sized) pair table, so the corpus
     * shuffles only partial counts. Docs under two tokens carry no
-    * pair and are filtered before the explode. A full BPE train is
-    * this query in a loop with the merge applied between rounds; each
-    * iteration stays one scan + one narrow aggregate at any corpus
-    * size.
+    * pair and contribute an empty array (the explode drops them). A
+    * full BPE train is this query in a loop with the merge applied
+    * between rounds; each iteration stays one scan + one narrow
+    * aggregate at any corpus size. Pairs come from the one-pass
+    * [[graft.functions.WordBigrams]] kernel — the `transform` +
+    * `element_at` spelling is an interpreted HOF per gram and
+    * measured ~7× slower on the sf0.1 scan.
     */
   def bpeMergeCandidates(spark: SparkSession, sfDir: String,
       k: Int = 20): DataFrame =
     Tables.load(spark, sfDir, "documents")
-      .filter(size(tokens(col("text"))) >= 2)
-      .select(explode(Dedup.wordGrams(col("text"), 2)).as("pair"))
+      .select(explode(graft.functions.TextKernels
+        .word_bigrams(col("text"))).as("pair"))
       .groupBy("pair")
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("pair"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{HllDistinct, HllSketch}
+import graft.functions.{HllDistinct, HllSketch, TextAnalysis}
 
 /** The engine's Catalyst plugin (the `BASELINE.json` north star:
   * "Spark SQL with custom cardinality estimator plugin").
@@ -74,6 +74,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => LangIdHeuristic(es(0)))
     scalar("bigram_mode_count", classOf[BigramModeCount], 1,
       es => BigramModeCount(es(0)))
+    scalar("word_bigrams", classOf[WordBigrams], 1,
+      es => WordBigrams(es(0)))
     e.injectFunction((
       new FunctionIdentifier("word_ngram_hashes"),
       new ExpressionInfo(classOf[WordNGramHashes].getName, "word_ngram_hashes"),
@@ -116,7 +118,68 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "topk_rows(ord, tie, payload, k)")
       }))
+    // text scoring surface: raw Catalyst trees (like zorder_key — the
+    // Column DSL's node wrappers are unevaluable when emitted from a
+    // function builder), frozen at the engine's stopword list so SQL
+    // and Column users compute the identical gate signals
+    def composed(name: String, build: Expression => Expression): Unit =
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(TextAnalysis.getClass.getName, name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, s"$name(text)")
+          build(exprs(0))
+        }))
+    composed("token_count", TextScoringExprs.tokenCount)
+    composed("distinct_ratio", TextScoringExprs.distinctRatio)
+    composed("stopword_ratio", TextScoringExprs.stopwordRatio)
+    composed("quality_score", TextScoringExprs.qualityScore)
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
+  }
+}
+
+/** The text-scoring formulas as raw Catalyst trees — the same IEEE
+  * operation sequence as [[graft.functions.TextAnalysis]]'s Column
+  * forms (equivalence is spec-tested), so SQL and Column callers get
+  * bit-identical scores. Built directly because a function builder
+  * must return an evaluable Expression, and round-tripping a composed
+  * Column through the bridge yields unresolvable column nodes.
+  */
+private[plans] object TextScoringExprs {
+  import org.apache.spark.sql.catalyst.expressions._
+
+  private def tokens(t: Expression): Expression =
+    StringSplit(t, Literal(" "), Literal(-1))
+  private def dbl(e: Expression): Expression =
+    Cast(e, org.apache.spark.sql.types.DoubleType)
+
+  def tokenCount(t: Expression): Expression = Size(tokens(t))
+
+  def distinctRatio(t: Expression): Expression = {
+    val ws = tokens(t)
+    Divide(dbl(Size(ArrayDistinct(ws))), dbl(Size(ws)))
+  }
+
+  def stopwordRatio(t: Expression): Expression = {
+    val ws = tokens(t)
+    val w = UnresolvedNamedLambdaVariable(Seq("w"))
+    val hits = ArrayFilter(ws, LambdaFunction(
+      In(w, graft.operators.TextQueries.Stopwords
+        .map(s => Literal(s)).toSeq), Seq(w)))
+    Divide(dbl(Size(hits)), dbl(Size(tokens(t))))
+  }
+
+  def qualityScore(t: Expression): Expression = {
+    val q = Add(
+      Add(
+        Multiply(Literal(0.4),
+          Least(Seq(Multiply(stopwordRatio(t), Literal(8)), Literal(1.0)))),
+        Multiply(Literal(0.3),
+          Least(Seq(Divide(dbl(tokenCount(t)), Literal(100)),
+            Literal(1.0))))),
+      Multiply(Literal(0.3), distinctRatio(t)))
+    Divide(Floor(Add(Multiply(q, Literal(10000)), Literal(0.5))),
+      Literal(10000))
   }
 }
 

@@ -130,4 +130,52 @@ class LayoutSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaSql == viaColumn && viaSql.nonEmpty)
   }
+
+  test("partitioned write: equality predicate prunes to PartitionFilters") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part")
+      .toString
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars")
+    Layout.writePartitioned(docs, "lang", s"$tmp/by_lang")
+    val back = spark.read.parquet(s"$tmp/by_lang")
+      .filter(col("lang") === "en")
+    val plan = back.queryExecution.executedPlan.toString
+    // directory-level pruning: the predicate must land in
+    // PartitionFilters (metadata-only), not PushedFilters (data IO)
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"),
+      s"lang predicate not a partition filter:\n$plan")
+    // layout on disk: one lang=<v> directory per value, and the en
+    // directory alone holds exactly the filtered rows
+    val dirs = new java.io.File(s"$tmp/by_lang").listFiles()
+      .map(_.getName).filter(_.startsWith("lang="))
+    assert(dirs.length >= 3, s"expected per-lang dirs, got ${dirs.toSeq}")
+    val expected = docs.filter(col("lang") === "en").count()
+    assert(spark.read.parquet(s"$tmp/by_lang/lang=en").count() == expected)
+    assert(back.count() == expected && expected > 0)
+  }
+
+  test("bloom manifest: point lookup prunes to ~1 bucket, no false negatives") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(xxhash64(col("text")).as("key"),
+        pmod(col("doc_id"), lit(16L)).as("file_bucket"))
+      .persist()
+    val manifest = Layout.bloomManifest(docs, "key", "file_bucket",
+      numBits = 1 << 16, numHashes = 5).persist()
+    try {
+      val probes = docs.limit(20).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      probes.foreach { case (key, trueBucket) =>
+        val hit = Layout.pruneBuckets(manifest, key)
+        assert(hit.exists(_._1 == trueBucket),
+          s"false negative: bucket $trueBucket for key $key")
+        assert(hit.length <= 4,
+          s"pruning too weak: ${hit.length} of 16 buckets survive")
+      }
+      // a key that exists nowhere prunes (nearly) everything
+      val ghost = Layout.pruneBuckets(manifest, -987654321L)
+      assert(ghost.length <= 2, s"ghost key hit ${ghost.length} buckets")
+    } finally { docs.unpersist(); manifest.unpersist() }
+  }
 }

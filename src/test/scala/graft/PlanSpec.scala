@@ -129,6 +129,18 @@ class PlanSpec extends SparkSpec {
     val strRow = InternalRow(UTF8String.fromString("a b a b a"))
     assert(modeProj(strRow).getLong(0) == 2L)
     assert(mode.eval(strRow) == 2L)
+
+    val wb = graft.functions.WordBigrams(strIn)
+    val wbProj = GenerateUnsafeProjection.generate(Seq(wb))
+    val got = wbProj(strRow).getArray(0)
+    assert((0 until got.numElements())
+      .map(i => got.getUTF8String(i).toString) ==
+      Seq("a b", "b a", "a b", "b a"))
+    // <2 words -> empty array (explode drops the row); "" is one word
+    assert(wbProj(InternalRow(UTF8String.fromString("solo")))
+      .getArray(0).numElements() == 0)
+    assert(wbProj(InternalRow(UTF8String.fromString("")))
+      .getArray(0).numElements() == 0)
   }
 
   test("bucketed co-located join runs with no shuffle (SCALE.md claim)") {

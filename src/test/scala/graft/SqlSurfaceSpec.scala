@@ -50,4 +50,32 @@ class SqlSurfaceSpec extends SparkSpec {
     val hh = r.getSeq[org.apache.spark.sql.Row](1)
     assert(hh.head.getString(0) == "a" && hh.head.getLong(1) == 2L)
   }
+
+  test("text scoring functions are SQL-registered ≡ the Column forms") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextAnalysis
+    graft.sources.Tables.load(spark, sf, "documents").limit(50)
+      .createOrReplaceTempView("sql_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, token_count(text) AS nt,
+        |  distinct_ratio(text) AS dr, stopword_ratio(text) AS sw,
+        |  quality_score(text) AS q
+        |FROM sql_docs""".stripMargin).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val viaColumn = spark.table("sql_docs")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("nt"),
+        TextAnalysis.distinctRatio(col("text")).as("dr"),
+        TextAnalysis.stopwordRatio(col("text"),
+          graft.operators.TextQueries.Stopwords).as("sw"),
+        TextAnalysis.qualityScore(col("text"),
+          graft.operators.TextQueries.Stopwords).as("q"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(viaSql == viaColumn && viaSql.nonEmpty)
+  }
 }

@@ -246,9 +246,14 @@ object SparkEntry {
     // one user-keyed join; month math is post-join arithmetic
     "q98_cohort_retention" -> (operators.OlapQueries.cohortRetention _),
     // ingest gate + first-occurrence dedup in one argmin aggregate;
-    // the streaming twin admits the same rows (StreamingSpec)
+    // the streaming twin admits the same rows (RetentionAdmissionSpec)
     "q99_corpus_admission" -> ((s: SparkSession, d: String) =>
       operators.Pipeline.corpusAdmission(s, d)),
+    // the capstone composition: admission → temperature resample →
+    // token packing as one fused plan; the oracle replays the whole
+    // line as a CTE chain
+    "q100_training_mix" -> ((s: SparkSession, d: String) =>
+      operators.Pipeline.trainingMix(s, d)),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -1421,7 +1426,48 @@ object SparkEntry {
         |FROM s
         |WHERE nt >= 20 AND q >= 0.35 AND dr >= 0.33
         |QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q100_training_mix" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, sha256(text) AS h,
+        |    CAST(len(ws) AS BIGINT) AS nt,
+        |    len(list_distinct(ws))::DOUBLE / len(ws) AS dr,
+        |    floor((0.4 * least(len(list_filter(ws, w -> w IN ('the', 'a')))
+        |             ::DOUBLE / len(ws) * 8, 1.0) +
+        |           0.3 * least(len(ws)::DOUBLE / 100, 1.0) +
+        |           0.3 * (len(list_distinct(ws))::DOUBLE / len(ws)))
+        |          * 10000 + 0.5) / 10000 AS q
+        |  FROM (SELECT doc_id, lang, text,
+        |          string_split(text, ' ') AS ws FROM documents)
+        |), admitted AS (
+        |  SELECT doc_id, lang, nt FROM s
+        |  WHERE nt >= 20 AND q >= 0.35 AND dr >= 0.33
+        |  QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+        |), counts AS (
+        |  SELECT lang, count(*) AS n_docs FROM admitted GROUP BY lang
+        |), rates AS (
+        |  SELECT lang, greatest(1, CAST(round(1000 * sqrt(
+        |      (SELECT min(n_docs) FROM counts)::DOUBLE / n_docs))
+        |    AS BIGINT)) AS keep_permille
+        |  FROM counts
+        |), accepted AS (
+        |  SELECT a.doc_id, a.nt
+        |  FROM admitted a JOIN rates r USING (lang)
+        |  WHERE ((a.doc_id % 1000000007) * 2654435761) % 1000
+        |        < r.keep_permille
+        |), packed AS (
+        |  SELECT doc_id, nt,
+        |    CAST(floor((sum(nt) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+        |      / 512.0) AS BIGINT) AS pack_id
+        |  FROM accepted
+        |)
+        |SELECT pack_id, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM packed
+        |GROUP BY pack_id
+        |ORDER BY pack_id""".stripMargin
   )
 }
 

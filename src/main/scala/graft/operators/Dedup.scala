@@ -56,7 +56,7 @@ object Dedup {
     */
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
-      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .groupBy(unhex(sha2(col("text"), 256)).as("content_hash"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .select("keep_doc_id", "n_copies")
       .orderBy("keep_doc_id")
@@ -77,11 +77,11 @@ object Dedup {
     val docs = Tables.load(spark, sfDir, "documents")
     val existingHashes = docs
       .filter(col("source").isin(existingSrcs: _*))
-      .select(sha2(col("text"), 256).as("content_hash"))
+      .select(unhex(sha2(col("text"), 256)).as("content_hash"))
       .distinct()
     docs
       .filter(!col("source").isin(existingSrcs: _*))
-      .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("content_hash", unhex(sha2(col("text"), 256)))
       .join(existingHashes, Seq("content_hash"), "left_anti")
       .select("doc_id", "source", "lang", "n_chars")
       .orderBy("doc_id")

@@ -106,21 +106,30 @@ object Layout {
     * might contain `key`. Manifest pruning is a PLANNER step — table
     * formats evaluate data-skipping indexes on the driver against
     * files-sized metadata before any task launches — so this collects
-    * the manifest (metadata-scale) and probes each bucket's sketch
-    * with the same [[graft.functions.BloomMightContain]] kernel the
-    * scan-fused probe uses. Returns (bucket, n_rows) of survivors.
+    * the manifest (metadata-scale) once and probes each bucket's
+    * deserialized bitset directly through
+    * [[graft.functions.BloomKernel]] (the same math the scan-fused
+    * probe compiles). Point-lookup loops should collect the manifest
+    * once themselves and reuse [[probeBuckets]]. Returns
+    * (bucket, n_rows) of survivors.
     */
   def pruneBuckets(manifest: DataFrame, key: Long): Seq[(Long, Long)] =
-    manifest.select("bucket", "n_rows", "key_filter").collect().toSeq
-      .filter { r =>
-        graft.functions.BloomMightContain(
-          org.apache.spark.sql.catalyst.expressions.Literal
-            .create(r.getAs[Array[Byte]](2),
-              org.apache.spark.sql.types.BinaryType),
-          org.apache.spark.sql.catalyst.expressions.Literal(key))
-          .eval(null).asInstanceOf[Boolean]
-      }
-      .map(r => (r.getLong(0), r.getLong(1)))
+    probeBuckets(manifest.select("bucket", "n_rows", "key_filter")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2))),
+      key)
+
+  /** [[pruneBuckets]] over an already-collected manifest — each
+    * bucket's bitset deserializes once per call, no expression
+    * objects per bucket.
+    */
+  def probeBuckets(manifest: Seq[(Long, Long, Array[Byte])],
+      key: Long): Seq[(Long, Long)] =
+    manifest.filter { case (_, _, bytes) =>
+      val (bits, numBits, numHashes) =
+        graft.functions.BloomKernel.deserialize(bytes)
+      graft.functions.BloomKernel.contains(bits, numBits, numHashes, key)
+    }.map(t => (t._1, t._2))
 
   def zorderManifest(spark: SparkSession, sfDir: String,
       bucketShift: Int = 18): DataFrame = {

@@ -119,6 +119,9 @@ object Percentiles {
           round(m.value * m.scale).cast("long").as("v"))
       }: _*)).as("m"))
       .select(col("grp"), col("m.tag").as("tag"), col("m.v").as("v"))
+      // percentile()/quantile_cont ignore NULL inputs — so does this
+      // (a NULL v would also null the stripe key and break PrefixSum)
+      .filter(col("v").isNotNull)
     val counts = melted.groupBy("grp", "tag", "v")
       .agg(count(lit(1)).as("cnt"))
       .persist()
@@ -170,11 +173,19 @@ object Percentiles {
     // rank-range probe: pos ∈ (gcum − cnt, gcum] picks the value at
     // that global rank; the probe side is stripes×targets×2 rows →
     // broadcast, so selection is one scan of the NDV table
-    cum.join(broadcast(probes),
+    val out = cum.join(broadcast(probes),
         col("grp") === col("pgrp") && col("tag") === col("ptag") &&
           col("pos") > col("gcum") - col("cnt") && col("pos") <= col("gcum"))
       .groupBy("grp", "target")
       .agg(sum(col("weight") * col("v").cast("double") / col("mscale"))
         .as("result"))
+    // the report is stripes×targets rows — materialize it, then drop
+    // the two NDV-sized caches deterministically (a lazy return would
+    // leak them until RDD GC across repeated invocations)
+    val rows = out.collect().toSeq
+    counts.unpersist(false)
+    cum.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 }

@@ -186,10 +186,11 @@ object Pipeline {
     * src0–src9) with a new batch (src10+) by content hash, tagging
     * every content row `keep` (existing only), `insert` (batch only),
     * or `update` (both — the batch re-observed known content). One
-    * full-outer hash join on sha2(text): both sides shuffle 32-byte
-    * hashes with pre-aggregated counts, never document bodies — the
-    * same MERGE-on-key shape a Delta/Iceberg upsert compiles to, so
-    * at 100 TB the cost is two manifest-sized exchanges however large
+    * full-outer hash join on unhex(sha2(text)): both sides shuffle
+    * the raw 32-byte binary digest (not its 64-char hex rendering)
+    * with pre-aggregated counts, never document bodies — the same
+    * MERGE-on-key shape a Delta/Iceberg upsert compiles to, so at
+    * 100 TB the cost is two manifest-sized exchanges however large
     * the corpus text is.
     */
   def mergeManifest(spark: SparkSession, sfDir: String): DataFrame = {
@@ -198,7 +199,7 @@ object Pipeline {
     def side(pred: org.apache.spark.sql.Column, idAlias: String,
         nAlias: String) =
       docs.filter(pred)
-        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .groupBy(unhex(sha2(col("text"), 256)).as("content_hash"))
         .agg(min("doc_id").as(idAlias), count(lit(1)).as(nAlias))
     val existing = side(col("source").isin(existingSrcs: _*),
       "old_id", "old_copies")
@@ -223,7 +224,7 @@ object Pipeline {
     * don't. The streaming twin
     * ([[graft.streaming.CorpusStreams.admissionStream]]) admits the
     * same rows online via the first-seen state primitive;
-    * StreamingSpec proves stream ≡ batch.
+    * RetentionAdmissionSpec proves stream ≡ batch.
     */
   def corpusAdmission(spark: SparkSession, sfDir: String,
       minTokens: Int = 20, minQuality: Double = 0.35,
@@ -233,12 +234,63 @@ object Pipeline {
     val dr = TextAnalysis.distinctRatio(col("text"))
     Tables.load(spark, sfDir, "documents")
       .filter(nt >= minTokens && q >= minQuality && dr >= minDistinct)
-      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .groupBy(unhex(sha2(col("text"), 256)).as("content_hash"))
       .agg(min(struct(col("doc_id"), col("lang"), col("source"),
         col("n_chars"))).as("f"))
       .select(col("f.doc_id").as("doc_id"), col("f.lang").as("lang"),
         col("f.source").as("source"), col("f.n_chars").as("n_chars"))
       .orderBy("doc_id")
+  }
+
+  /** The training-mix capstone — the whole assembly line from raw
+    * crawl to packed sequences as ONE fused plan, composing only
+    * stages already oracle-proven alone:
+    *
+    *  1. admission (q99): scan-fused quality gate + first-occurrence
+    *     argmin on the binary content hash;
+    *  2. temperature resampling (q79): per-language keep rates from
+    *     the ADMITTED set (an NDV-sized broadcast), accept test as
+    *     stateless arithmetic on doc_id;
+    *  3. token packing (q47): sharded two-pass prefix sum over the
+    *     survivors — no single-partition window.
+    *
+    * Everything between the corpus scan and the pack manifest
+    * shuffles digests, NDV-sized tables, or per-shard partials —
+    * never text — so the composition inherits each stage's 100 TB
+    * shape. Every stage is engine-portable arithmetic, so the oracle
+    * replays the entire pipeline as one CTE chain and hash-compares
+    * the final manifest.
+    */
+  def trainingMix(spark: SparkSession, sfDir: String,
+      minTokens: Int = 20, minQuality: Double = 0.35,
+      minDistinct: Double = 0.33, budget: Int = 512): DataFrame = {
+    val nt = TextAnalysis.tokenCount(col("text"))
+    val q = TextAnalysis.qualityScore(col("text"), TextQueries.Stopwords)
+    val dr = TextAnalysis.distinctRatio(col("text"))
+    val admitted = Tables.load(spark, sfDir, "documents")
+      .filter(nt >= minTokens && q >= minQuality && dr >= minDistinct)
+      .groupBy(unhex(sha2(col("text"), 256)).as("content_hash"))
+      .agg(min(struct(col("doc_id"), col("lang"),
+        nt.cast("long").as("n_tokens"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.lang").as("lang"),
+        col("f.n_tokens").as("n_tokens"))
+    val counts = admitted.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_docs")).as("n_min"))))
+      .select(col("lang"), greatest(lit(1L),
+        round(lit(1000.0) *
+          sqrt(col("n_min").cast("double") / col("n_docs")), 0)
+          .cast("long")).as("keep_permille"))
+    val accepted = admitted.join(broadcast(rates), "lang")
+      .filter(mixtureBucket(col("doc_id")) < col("keep_permille"))
+      .select("doc_id", "n_tokens")
+    PrefixSum.withGlobalCumSum(accepted, "doc_id", col("n_tokens"),
+        "cum", shardWidth = 4096)
+      .withColumn("pack_id", floor((col("cum") - 1) / budget))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("pack_id")
   }
 
   /** Deterministic mixture sampling — the "data mixing" step of

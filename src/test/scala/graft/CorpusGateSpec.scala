@@ -114,6 +114,42 @@ class CorpusGateSpec extends SparkSpec {
     assert(got.keys.forall(_ >= 2), "clusters are ≥2 by construction")
   }
 
+  test("q100 trainingMix ≡ the composed naive pipeline") {
+    val full = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // stage 1: gate + first occurrence per text
+    def passes(text: String): Boolean = {
+      val ws = words(text)
+      val dr = ws.distinct.length.toDouble / ws.length
+      ws.length >= 20 && quality(text) >= 0.35 && dr >= 0.33
+    }
+    val admitted = full.filter(d => passes(d._2))
+      .groupBy(_._2).values.map(_.minBy(_._1)).toSeq
+    // stage 2: per-lang permille rates over the ADMITTED set
+    val counts = admitted.groupBy(_._3).view.mapValues(_.size).toMap
+    val nMin = counts.values.min
+    def permille(lang: String): Long = math.max(1L,
+      math.round(1000.0 * math.sqrt(nMin.toDouble / counts(lang))))
+    val accepted = admitted.filter(d =>
+      ((d._1 % 1000000007L) * 2654435761L) % 1000L < permille(d._3))
+      .map(d => (d._1, words(d._2).length.toLong)).sortBy(_._1)
+    // stage 3: greedy cumulative packing
+    var cum = 0L
+    val expected = accepted.map { case (id, nt) =>
+      cum += nt; (math.floor((cum - 1).toDouble / 512).toLong, id, nt)
+    }.groupBy(_._1).toSeq.map { case (pack, g) =>
+      (pack, g.size.toLong, g.map(_._3).sum,
+        g.map(_._2).min, g.map(_._2).max)
+    }.sortBy(_._1)
+    val got = Pipeline.trainingMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.map(_._1) == got.indices.map(_.toLong),
+      "pack ids must be contiguous from 0")
+  }
+
   test("q93 sourceCaps keeps the k best-quality docs per source") {
     val k = 10
     val expected = docs.groupBy(_._3).toSeq.flatMap { case (src, g) =>

@@ -72,14 +72,18 @@ class RetentionAdmissionSpec extends SparkSpec {
     val docs = Tables.load(spark, sf, "documents")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    def gatePass(text: String): Boolean = {
+    def gateSignals(text: String): (Int, Double, Double) = {
       val ws = text.split(" ", -1)
       val swr = ws.count(w => w == "the" || w == "a").toDouble / ws.length
       val dr = ws.distinct.length.toDouble / ws.length
       val q = math.floor((0.4 * math.min(swr * 8, 1.0) +
         0.3 * math.min(ws.length.toDouble / 100, 1.0) + 0.3 * dr) *
         10000 + 0.5) / 10000
-      ws.length >= 20 && q >= 0.35 && dr >= 0.33
+      (ws.length, q, dr)
+    }
+    def gatePass(text: String): Boolean = {
+      val (nt, q, dr) = gateSignals(text)
+      nt >= 20 && q >= 0.35 && dr >= 0.33
     }
     val gated = docs.filter(d => gatePass(d._2))
     val expected = gated.groupBy(_._2).values.map(_.map(_._1).min).toSet
@@ -88,18 +92,22 @@ class RetentionAdmissionSpec extends SparkSpec {
     assert(batchIds == expected)
     assert(batchIds.size < docs.length, "admission must reject something")
 
-    // streaming twin over the same rows: (hash, arrivalUs, doc_id,
-    // quality-proxy). Arrival clock = 1 day + doc_id seconds (strictly
-    // positive, ordered by doc_id). The gate already ran (stateless),
-    // so quality is 1.0 for all fed rows — the stream's job here is
-    // the first-seen dedup.
+    // streaming twin over the WHOLE corpus — gate unfiltered: every
+    // doc is fed with its real (nTokens, quality, distinctRatio)
+    // signals, so the stream's own gate must reject what the batch
+    // gate rejects. Arrival clock = 1 day + doc_id seconds (strictly
+    // positive, ordered by doc_id).
     val dayUs = 86400L * 1000000L
-    val feed = gated.map(d => (java.security.MessageDigest
-      .getInstance("SHA-256").digest(d._2.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString, dayUs + d._1 * 1000000L, d._1, 1.0))
+    val feed = docs.map { d =>
+      val (nt, q, dr) = gateSignals(d._2)
+      (java.security.MessageDigest
+        .getInstance("SHA-256").digest(d._2.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString,
+        dayUs + d._1 * 1000000L, d._1, nt, q, dr)
+    }
     val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(String, Long, Long, Double)]
-    val q = CorpusStreams.admissionStream(mem.toDS(), 0.5, "365 days")
+      .MemoryStream[(String, Long, Long, Int, Double, Double)]
+    val q = CorpusStreams.admissionStream(mem.toDS(), delay = "365 days")
       .writeStream.outputMode("append")
       .format("memory").queryName("admission_test").start()
     try {
@@ -110,9 +118,9 @@ class RetentionAdmissionSpec extends SparkSpec {
       q.processAllAvailable()
       // flush: a sentinel far past every arrival clock finalizes state
       val flush = feed.map(_._2).max + 366L * dayUs
-      mem.addData(("~flush", flush, -1L, 0.9))
+      mem.addData(("~flush", flush, -1L, 99, 0.9, 0.9))
       q.processAllAvailable()
-      mem.addData(("~flush2", flush + 1, -2L, 0.9))
+      mem.addData(("~flush2", flush + 1, -2L, 99, 0.9, 0.9))
       q.processAllAvailable()
       val streamed = spark.table("admission_test").as[AdmittedDoc]
         .collect().filterNot(_.contentHash.startsWith("~"))

@@ -254,6 +254,10 @@ object SparkEntry {
     // line as a CTE chain
     "q100_training_mix" -> ((s: SparkSession, d: String) =>
       operators.Pipeline.trainingMix(s, d)),
+    // REAL image decode (pure-JVM netpbm P6 codec) over valid PPM
+    // payloads; the oracle replays the synthesis arithmetic, so a
+    // header-parse or raster-stride bug breaks the hash compare
+    "q101_image_decode" -> (multimodal.Multimodal.decodeImages _),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -1467,7 +1471,25 @@ object SparkEntry {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM packed
         |GROUP BY pack_id
-        |ORDER BY pack_id""".stripMargin
+        |ORDER BY pack_id""".stripMargin,
+    // replays the image SYNTHESIS (pad/truncate text to the 8×8 RGB
+    // raster) and averages each channel stride — Spark's side parses
+    // the actual PPM bytes, so the two agree only if the decoder
+    // reads the header and strides the raster correctly
+    "q101_image_decode" ->
+      """SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+        |  round(list_aggregate(
+        |    [ascii(substr(p, 3*i+1, 1)) for i in range(0, 64)],
+        |    'avg'), 4) AS mean_r,
+        |  round(list_aggregate(
+        |    [ascii(substr(p, 3*i+2, 1)) for i in range(0, 64)],
+        |    'avg'), 4) AS mean_g,
+        |  round(list_aggregate(
+        |    [ascii(substr(p, 3*i+3, 1)) for i in range(0, 64)],
+        |    'avg'), 4) AS mean_b
+        |FROM (SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS p
+        |      FROM documents WHERE doc_id % 3 = 0)
+        |ORDER BY media_id""".stripMargin
   )
 }
 

@@ -57,6 +57,71 @@ object Multimodal {
     }
   }
 
+  /** A REAL image codec — netpbm P6 (binary PPM), implemented in pure
+    * JVM bytes so no native libraries are required: magic check,
+    * whitespace/comment-tolerant header scan (width, height, maxval),
+    * then channel means over the RGB raster. PPM is a genuine
+    * interchange format (netpbm/ImageMagick read the same bytes);
+    * this is the "decode" step of the multimodal pipeline made real
+    * where heavier codecs (JPEG/PNG) would need libs this container
+    * lacks. Malformed payloads (wrong magic, truncated raster,
+    * oversized dims) return None rather than throwing — a decode
+    * pass over a dirty corpus must skip, not die.
+    */
+  object PpmCodec {
+    val MaxDim = 1 << 14
+
+    case class Decoded(width: Int, height: Int,
+        meanR: Double, meanG: Double, meanB: Double)
+
+    def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3, "raster size mismatch")
+      s"P6\n$width $height\n255\n".getBytes("US-ASCII") ++ rgb
+    }
+
+    def decode(payload: Array[Byte]): Option[Decoded] = {
+      var i = 0
+      def skipSpaceAndComments(): Unit = {
+        var go = true
+        while (go && i < payload.length) {
+          val c = payload(i)
+          if (c == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+          else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
+          else go = false
+        }
+      }
+      def int(): Int = {
+        skipSpaceAndComments()
+        var v = 0; var any = false
+        while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+          v = v * 10 + (payload(i) - '0'); i += 1; any = true
+          if (v > MaxDim * MaxDim) return -1
+        }
+        if (any) v else -1
+      }
+      if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+        return None
+      i = 2
+      val (w, h, maxval) = (int(), int(), int())
+      if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim || maxval != 255)
+        return None
+      i += 1 // exactly one whitespace byte separates header and raster
+      val need = w.toLong * h * 3
+      if (payload.length - i < need) return None
+      var (r, g, b) = (0L, 0L, 0L)
+      var p = i
+      val end = i + need.toInt
+      while (p < end) {
+        r += payload(p) & 0xFF
+        g += payload(p + 1) & 0xFF
+        b += payload(p + 2) & 0xFF
+        p += 3
+      }
+      val n = (w.toLong * h).toDouble
+      Some(Decoded(w, h, r / n, g / n, b / n))
+    }
+  }
+
   /** The media table, synthesized from documents (text bytes play the
     * payload role — the testdata ships no real media). Demonstrates
     * the schema contract: id + type tag + binary + declared metadata.
@@ -113,6 +178,49 @@ object Multimodal {
           .as("f"))
       .select(col("media_id"), col("f.chunk_idx").as("chunk_idx"),
         length(col("f.frame")).as("frame_bytes"))
+  }
+
+  /** An image corpus with VALID P6 payloads: each "image" doc's text
+    * bytes (padded/truncated to an 8×8 RGB raster) wrapped in a real
+    * PPM header. Deterministic construction, so the decode pass is
+    * oracle-replayable: DuckDB recomputes the channel means straight
+    * from the text arithmetic while Spark's side actually parses the
+    * image bytes — if the parser misread the header or mis-strode the
+    * raster, every mean would shift and the hash compare would fail.
+    */
+  def imageTable(spark: SparkSession, sfDir: String,
+      width: Int = 8, height: Int = 8): DataFrame = {
+    val rasterLen = width * height * 3
+    val header = lit(s"P6\n$width $height\n255\n".getBytes("US-ASCII"))
+    Tables.load(spark, sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id").as("media_id"),
+        concat(header,
+          rpad(substring(col("text"), 1, rasterLen), rasterLen, " ")
+            .cast("binary")).as("payload"))
+  }
+
+  /** Batched REAL decode over [[imageTable]]: per-image dimensions and
+    * channel means from [[PpmCodec.decode]] — same mapPartitions batch
+    * shape as [[extractFeatures]], undecodable payloads skipped.
+    */
+  def decodeImages(spark: SparkSession, sfDir: String): DataFrame = {
+    val images = imageTable(spark, sfDir)
+    import spark.implicits._
+    images.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.iterator.flatMap { case (id, bytes) =>
+          PpmCodec.decode(bytes).map(d =>
+            (id, d.width, d.height, d.meanR, d.meanG, d.meanB))
+        })
+      }
+      .toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
+      .orderBy("media_id")
   }
 
   /** Oracle-checkable metadata pass: payload length + content digest —

@@ -49,6 +49,48 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getInt(2) == 32))
   }
 
+  test("PpmCodec round-trips and rejects malformed payloads") {
+    import graft.multimodal.Multimodal.PpmCodec
+    val rgb = Array.tabulate(8 * 8 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val img = PpmCodec.encode(8, 8, rgb)
+    val d = PpmCodec.decode(img).get
+    assert(d.width == 8 && d.height == 8)
+    def mean(ch: Int) =
+      rgb.indices.filter(_ % 3 == ch).map(rgb(_) & 0xFF).sum / 64.0
+    assert(d.meanR == mean(0) && d.meanG == mean(1) && d.meanB == mean(2))
+    // comment-tolerant header (the netpbm spec allows # lines)
+    val commented = "P6\n# a comment\n8 8\n255\n".getBytes("US-ASCII") ++ rgb
+    assert(PpmCodec.decode(commented).contains(d))
+    // malformed: wrong magic, truncated raster, absurd dims, bad maxval
+    assert(PpmCodec.decode("P5\n8 8\n255\n".getBytes ++ rgb).isEmpty)
+    assert(PpmCodec.decode(img.dropRight(1)).isEmpty)
+    assert(PpmCodec.decode("P6\n99999999 8\n255\n".getBytes ++ rgb).isEmpty)
+    assert(PpmCodec.decode("P6\n8 8\n65535\n".getBytes ++ rgb).isEmpty)
+    assert(PpmCodec.decode(Array.empty[Byte]).isEmpty)
+  }
+
+  test("decodeImages: real parse agrees with the synthesis arithmetic") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 3 == 0)
+    val expected = docs.map { case (id, text) =>
+      val raster = text.take(192).padTo(192, ' ').map(_.toInt)
+      def mean(ch: Int) = {
+        val v = raster.indices.filter(_ % 3 == ch).map(raster(_)).sum / 64.0
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      (id, 8, 8, mean(0), mean(1), mean(2))
+    }.sortBy(_._1)
+    val got = graft.multimodal.Multimodal.decodeImages(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("payload pruning: metadata-only projection skips the binary column") {
     val plan = Multimodal.mediaTable(spark, sf).toDF()
       .select("media_id", "declared_bytes")

@@ -258,6 +258,27 @@ object SparkEntry {
     // payloads; the oracle replays the synthesis arithmetic, so a
     // header-parse or raster-stride bug breaks the hash compare
     "q101_image_decode" -> (multimodal.Multimodal.decodeImages _),
+    // TPC-H Q7/Q8/Q9/Q10/Q13/Q15 shapes — one fact shuffle each, every
+    // dim broadcast; verbatim SQL oracles
+    "q102_volume_shipping" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.volumeShipping(s, d)),
+    "q103_market_share" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.marketShare(s, d)),
+    "q104_product_profit" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.productProfit(s, d)),
+    "q105_returned_items" -> (operators.OlapQueries.returnedItems _),
+    "q106_order_distribution" ->
+      (operators.OlapQueries.orderCountDistribution _),
+    "q107_top_supplier" -> (operators.OlapQueries.topSupplier _),
+    // S2's genuine form: TFRecord-framed gzipped record files through
+    // the recordstream DSv2 connector, write → read → parse → agg; the
+    // oracle aggregates the parquet original, so the hash compare
+    // proves the record framing lossless
+    "q108_recordstream" -> (operators.CoreQueries.recordStreamAgg _),
+    // overlapping windows through the SAME transform the stream runs
+    // (StreamingSpec proves stream ≡ batch); the oracle replays the
+    // 2-windows-per-event assignment as a self-union
+    "q109_sliding_windows" -> (operators.OlapQueries.slidingEventStats _),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -1489,7 +1510,107 @@ object SparkEntry {
         |    'avg'), 4) AS mean_b
         |FROM (SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS p
         |      FROM documents WHERE doc_id % 3 = 0)
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+    "q102_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON supplier.s_nationkey = n1.n_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON customer.c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
+        |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q103_market_share" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  round(sum(CASE WHEN n1.n_name = 'NATION_3'
+        |                 THEN l_extendedprice * (1 - l_discount)
+        |                 ELSE 0.0 END) /
+        |        sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON supplier.s_nationkey = n1.n_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON customer.c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q104_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |            - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2
+        |ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "q105_returned_items" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q106_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q107_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q108_recordstream" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "q109_sliding_windows" ->
+      """WITH slid AS (
+        |  SELECT date_trunc('hour', ts) AS win_start, event_type, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type,
+        |    value
+        |  FROM events
+        |)
+        |SELECT win_start, event_type, count(*) AS n,
+        |  round(sum(value), 4) AS total_value
+        |FROM slid
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin
   )
 }
 

@@ -189,4 +189,39 @@ object CoreQueries {
         round(sum("value"), 4).as("batch_value"))
       .orderBy("batch_id")
   }
+
+  /** S2 in its genuine form (reference trainer.py:185-186: gzipped
+    * TFRecord streams) — round 1 mapped raw record scans to
+    * `binaryFile`, which reads whole files; the `recordstream` DSv2
+    * connector ([[graft.sources.RecordStreamSource]]) reads the
+    * records INSIDE them, TFRecord-framed (length + masked-crc32c)
+    * and gzipped. This query drives the full loop: write the
+    * documents table through the DSv2 sink (one file per task), read
+    * it back through the DSv2 scan (one partition per file — the
+    * reference's file-count parallelism, M4), parse the payloads
+    * downstream (P3's parse role), aggregate per language. The oracle
+    * computes the same aggregate from the parquet table, so the hash
+    * compare proves the frame→checksum→read→parse path lossless.
+    */
+  def recordStreamAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-recordstream-q108").getAbsolutePath
+    Tables.load(spark, sfDir, "documents")
+      .select(encode(concat_ws("\t",
+        col("doc_id"), col("lang"), col("text")), "UTF-8").as("value"))
+      .write.format("recordstream").mode("overwrite").save(dir)
+    // limit=3: the first two fields are tab-free keys, so any tabs in
+    // the text body stay intact
+    spark.read.format("recordstream").load(dir)
+      .select(split(decode(col("value"), "UTF-8"), "\t", 3).as("f"))
+      .select(
+        element_at(col("f"), 1).cast("long").as("doc_id"),
+        element_at(col("f"), 2).as("lang"),
+        element_at(col("f"), 3).as("text"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").as("sum_ids"),
+        sum(length(col("text"))).as("sum_chars"))
+      .orderBy("lang")
+  }
 }

@@ -298,6 +298,18 @@ object OlapQueries {
         col("n"), col("total_value"))
       .orderBy("hour_start", "event_type")
 
+  /** Sliding (overlapping) tumbling-window twin of q20: 2-hour windows
+    * every hour via [[graft.streaming.EventStreams.slidingAgg]] — the
+    * SAME transform object the streaming path runs (StreamingSpec
+    * proves stream ≡ batch), ordered here for the oracle. The oracle
+    * replays the two-window assignment as a self-union, which is what
+    * Spark's window() expansion saves.
+    */
+  def slidingEventStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStreams
+      .slidingAgg(Tables.load(spark, sfDir, "events"))
+      .orderBy("win_start", "event_type")
+
   /** Time-range sliding window: each event's trailing-1-hour mean and
     * count over its user's stream — a RANGE frame over event-time µs,
     * not a ROWS frame, so the window is defined by the clock, and ties
@@ -591,6 +603,167 @@ object OlapQueries {
         first("value").over(full).as("first_value"),
         nth_value(col("value"), 3).over(full).as("third_value"))
       .orderBy("user_id", "event_id")
+  }
+
+  /** TPC-H Q7 shape — volume shipping between a nation pair: revenue
+    * flowing either direction between two named nations, by supplier
+    * nation, customer nation, and ship year. The two nation dims
+    * broadcast onto supplier and customer (themselves broadcast-sized
+    * next to the facts), so the only big-big work is
+    * lineitem⋈orders on orderkey — one fact shuffle; the pair
+    * predicate evaluates on broadcast-joined columns before the
+    * aggregate. Group cardinality is |pairs|×|years| — tiny forever.
+    */
+  def volumeShipping(spark: SparkSession, sfDir: String,
+      nationA: String = "NATION_3", nationB: String = "NATION_19"): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val cust = Tables.load(spark, sfDir, "customer")
+    val nat = Tables.load(spark, sfDir, "nation")
+    val n1 = nat.select(col("n_nationkey").as("s_nkey"),
+      col("n_name").as("supp_nation"))
+    val n2 = nat.select(col("n_nationkey").as("c_nkey"),
+      col("n_name").as("cust_nation"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(n1), supp("s_nationkey") === col("s_nkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(n2), cust("c_nationkey") === col("c_nkey"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape — market share: the fraction of one region's
+    * customer revenue supplied by one nation, per year. Same join
+    * skeleton as Q7 (one fact shuffle on orderkey, every dim a
+    * broadcast); the share is a conditional aggregate over the joined
+    * rows, so numerator and denominator ride the same pass.
+    */
+  def marketShare(spark: SparkSession, sfDir: String,
+      suppNation: String = "NATION_3", region: String = "EUROPE"): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val cust = Tables.load(spark, sfDir, "customer")
+    val nat = Tables.load(spark, sfDir, "nation")
+    val reg = Tables.load(spark, sfDir, "region")
+    val nSupp = nat.select(col("n_nationkey").as("s_nkey"),
+      col("n_name").as("supp_nation"))
+    val nCust = nat.select(col("n_nationkey").as("c_nkey"),
+      col("n_regionkey").as("c_rkey"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nSupp), supp("s_nationkey") === col("s_nkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nCust), cust("c_nationkey") === col("c_nkey"))
+      .join(broadcast(reg.filter(col("r_name") === region)),
+        col("c_rkey") === col("r_regionkey"))
+      .groupBy(year(col("l_shipdate")).as("l_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === suppNation, rev).otherwise(lit(0.0))) /
+        sum(rev), 4).as("mkt_share"))
+      .orderBy("l_year")
+  }
+
+  /** TPC-H Q9 shape — product-line profit by supplier nation and year
+    * over a name-pattern part subset. The fixture has no partsupp
+    * table, so supply cost is proxied from the part dim
+    * (p_retailprice × quantity × 0.5) — the plan shape is the point:
+    * the LIKE filter prunes the part dim BEFORE it broadcasts, the
+    * fact scans once, and profit is column arithmetic inside one
+    * aggregate.
+    */
+  def productProfit(spark: SparkSession, sfDir: String,
+      pattern: String = "%widget%"): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val nat = Tables.load(spark, sfDir, "nation")
+    val part = Tables.load(spark, sfDir, "part")
+      .filter(col("p_name").like(pattern))
+    val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      lit(0.5) * col("p_retailprice") * col("l_quantity")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).as("o_year"))
+      .agg(round(sum(amount), 2).as("sum_profit"))
+      .orderBy(asc("nation"), desc("o_year"))
+  }
+
+  /** TPC-H Q10 shape — returned-item reporting: the 20 customers who
+    * returned the most revenue in a two-quarter window. Date range
+    * pushes to the orders scan, the returnflag residual to lineitem's;
+    * lineitem⋈orders shuffles on orderkey once, customer+nation
+    * broadcast, and the top-20 is TakeOrderedAndProject.
+    */
+  def returnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val cust = Tables.load(spark, sfDir, "customer")
+    val nat = Tables.load(spark, sfDir, "nation")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: how many
+    * customers placed k non-urgent orders, INCLUDING the zero bucket.
+    * The left outer join keeps orderless customers (count(o_orderkey)
+    * counts only matches — the outer-join-then-count idiom); the
+    * second aggregate reduces NDV-sized (custkey, count) pairs to a
+    * ~dozen-row histogram. Two shuffles, both on keys that shrink.
+    */
+  def orderCountDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+    val perCust = cust.join(ord,
+        cust("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** TPC-H Q15 shape — top supplier(s): suppliers whose quarterly
+    * revenue equals the maximum. The per-supplier revenue view
+    * aggregates the date-pruned fact once (supplier NDV rows); the
+    * max is a 1-row broadcast back over that view (the scalar-subquery
+    * plan), and ties all surface — no arbitrary pick.
+    */
+  def topSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val revenue = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val maxRev = revenue.agg(max("total_revenue").as("max_revenue"))
+    val supp = Tables.load(spark, sfDir, "supplier")
+    revenue.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(supp), col("l_suppkey") === supp("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
   }
 
   /** Conversion funnel: users advance view → click → purchase, each

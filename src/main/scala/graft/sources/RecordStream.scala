@@ -1,0 +1,360 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream,
+  DataOutputStream, EOFException, InputStream, OutputStream}
+import java.util.OptionalLong
+import java.util.zip.{CRC32C, GZIPInputStream, GZIPOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
+  SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** The record-stream framing: TFRecord-compatible length-prefixed
+  * records (the reference's S2 scan reads exactly this shape —
+  * gzipped TFRecord streams, trainer.py:185-186). Each record is
+  *
+  *   uint64 length (little-endian) | uint32 masked crc32c of the
+  *   length bytes | payload | uint32 masked crc32c of the payload
+  *
+  * with TensorFlow's published crc mask ((c >> 15 | c << 17) +
+  * 0xa282ead8). Corruption anywhere breaks a checksum and the reader
+  * throws with file/record context instead of yielding garbage.
+  */
+object RecordStream {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("value", BinaryType, nullable = false)))
+
+  private val CrcMaskDelta = 0xa282ead8
+
+  private def maskedCrc(bytes: Array[Byte]): Int = {
+    val c = new CRC32C
+    c.update(bytes, 0, bytes.length)
+    val crc = c.getValue.toInt
+    ((crc >>> 15) | (crc << 17)) + CrcMaskDelta
+  }
+
+  private def leLong(v: Long): Array[Byte] = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    b
+  }
+
+  private def readLeLong(b: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= (b(i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  def writeRecord(out: DataOutputStream, payload: Array[Byte]): Unit = {
+    val len = leLong(payload.length.toLong)
+    out.write(len)
+    out.writeInt(maskedCrc(len))
+    out.write(payload)
+    out.writeInt(maskedCrc(payload))
+  }
+
+  /** Reads one record; None at clean EOF; throws on truncation or a
+    * checksum mismatch.
+    */
+  def readRecord(in: DataInputStream, context: => String): Option[Array[Byte]] = {
+    val lenBytes = new Array[Byte](8)
+    val first = in.read(lenBytes, 0, 1)
+    if (first < 0) return None
+    in.readFully(lenBytes, 1, 7)
+    val lenCrc = in.readInt()
+    if (lenCrc != maskedCrc(lenBytes))
+      throw new java.io.IOException(s"corrupt record length at $context")
+    val len = readLeLong(lenBytes)
+    if (len < 0 || len > Int.MaxValue)
+      throw new java.io.IOException(s"implausible record length $len at $context")
+    val payload = new Array[Byte](len.toInt)
+    try in.readFully(payload)
+    catch { case _: EOFException =>
+      throw new java.io.IOException(s"truncated record at $context")
+    }
+    val dataCrc = in.readInt()
+    if (dataCrc != maskedCrc(payload))
+      throw new java.io.IOException(s"corrupt record payload at $context")
+    Some(payload)
+  }
+
+  def openRead(raw: InputStream, gz: Boolean): DataInputStream =
+    new DataInputStream(
+      if (gz) new BufferedInputStream(new GZIPInputStream(raw), 1 << 16)
+      else new BufferedInputStream(raw, 1 << 16))
+
+  def openWrite(raw: OutputStream, gz: Boolean): DataOutputStream =
+    new DataOutputStream(
+      if (gz) new BufferedOutputStream(new GZIPOutputStream(raw), 1 << 16)
+      else new BufferedOutputStream(raw, 1 << 16))
+}
+
+/** DataSource V2 connector for record-stream files (SURVEY.md §2.1 S2
+  * in its genuine form — the round-1 `binaryFile` mapping read whole
+  * files; this reads the records INSIDE them). Spark-first shape:
+  *
+  *  - read: one InputPartition per data file. A gzipped record stream
+  *    has no sync markers, so a file is the unit of parallelism — the
+  *    reference accepts the same constraint and drives parallelism by
+  *    file count (`cycle_length`-way interleave, trainer.py:216-219);
+  *    the write side emits one file per task for the same reason.
+  *  - column pruning: SupportsPushDownRequiredColumns — a `value`-only
+  *    projection never materializes path strings; a metadata-only
+  *    count never copies payloads.
+  *  - stats: SupportsReportStatistics reports on-disk bytes so the
+  *    planner can make broadcast decisions about record-stream scans
+  *    (the same CatalogStatistics channel GraftAnalyze feeds).
+  *  - write: each task streams its partition to `part-NNNNN-uuid` under
+  *    a hidden staging dir; commit renames into place, abort deletes —
+  *    a failed job never leaves half-written visible files.
+  *
+  * Registered as `recordstream` via DataSourceRegister; the payload is
+  * opaque bytes, so there is deliberately no filter pushdown (nothing
+  * row-level exists to push; parse happens downstream, P3-style).
+  */
+class RecordStreamSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "recordstream"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RecordStream.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "recordstream requires a path (load(dir) / save(dir))")
+    new RecordStreamTable(path,
+      !"none".equalsIgnoreCase(properties.getOrDefault("compression", "gzip")))
+  }
+}
+
+class RecordStreamTable(dir: String, gzip: Boolean)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"recordstream(`$dir`)"
+  override def schema(): StructType = RecordStream.schema
+  // ACCEPT_ANY_SCHEMA: writes carry ONE binary column (validated in
+  // the WriteBuilder), not the 3-column read schema — path/offset are
+  // read-side metadata the writer derives, exactly like a file source
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RecordStreamScanBuilder(dir)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new RecordStreamWriteBuilder(dir, gzip, info)
+}
+
+final case class RecordFilePartition(path: String, bytes: Long)
+  extends InputPartition
+
+class RecordStreamScanBuilder(dir: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = RecordStream.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val conf = new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active
+        .sessionState.newHadoopConf())
+    new RecordStreamScan(dir, required, conf)
+  }
+}
+
+class RecordStreamScan(dir: String, required: StructType,
+    conf: SerializableConfiguration)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private lazy val files: Array[RecordFilePartition] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+      .map(s => RecordFilePartition(s.getPath.toString, s.getLen))
+  }
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => f: InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RecordStreamReaderFactory(required, conf)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(files.map(_.bytes).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  override def description(): String = s"recordstream $dir"
+}
+
+class RecordStreamReaderFactory(required: StructType,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new RecordStreamReader(p.asInstanceOf[RecordFilePartition], required,
+      conf)
+}
+
+class RecordStreamReader(part: RecordFilePartition, required: StructType,
+    conf: SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+
+  private val needPath = required.fieldNames.contains("path")
+  // field order in the output row must follow the PRUNED schema
+  private val fieldOrder: Array[String] = required.fieldNames
+
+  private val hPath = new Path(part.path)
+  private val in = RecordStream.openRead(
+    hPath.getFileSystem(conf.value).open(hPath),
+    part.path.endsWith(".gz"))
+  private val pathUtf8 =
+    if (needPath) UTF8String.fromString(part.path) else null
+
+  private var offset = -1L
+  private var current: Array[Byte] = _
+
+  override def next(): Boolean =
+    RecordStream.readRecord(in, s"${part.path} record ${offset + 1}") match {
+      case Some(p) => current = p; offset += 1; true
+      case None => false
+    }
+
+  override def get(): InternalRow = {
+    val values = fieldOrder.map {
+      case "path" => pathUtf8
+      case "offset" => java.lang.Long.valueOf(offset)
+      case "value" => current
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def close(): Unit = in.close()
+}
+
+class RecordStreamWriteBuilder(dir: String, gzip: Boolean,
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val s = info.schema()
+    require(s.length == 1 && s.head.dataType == BinaryType,
+      s"recordstream writes a single binary column (got ${s.simpleString}); " +
+        "serialize rows first, e.g. select(to_json(struct(*)).cast('binary'))")
+    val conf = new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active
+        .sessionState.newHadoopConf())
+    new RecordStreamWrite(dir, gzip, doTruncate, info.queryId(), conf)
+  }
+}
+
+final case class RecordFileCommit(tempPath: String, finalName: String)
+  extends WriterCommitMessage
+
+class RecordStreamWrite(dir: String, gzip: Boolean, truncate: Boolean,
+    queryId: String, conf: SerializableConfiguration)
+    extends Write with BatchWrite {
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new RecordStreamWriterFactory(dir, gzip, queryId, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf.value)
+    if (truncate && fs.exists(base)) {
+      fs.listStatus(base).foreach { s =>
+        if (s.isFile && !s.getPath.getName.startsWith("."))
+          fs.delete(s.getPath, false)
+      }
+    }
+    fs.mkdirs(base)
+    messages.foreach { case RecordFileCommit(temp, name) =>
+      val src = new Path(temp)
+      if (fs.exists(src)) fs.rename(src, new Path(base, name))
+    }
+    // clean the staging dir if empty
+    val staging = new Path(base, ".staging")
+    if (fs.exists(staging) && fs.listStatus(staging).isEmpty)
+      fs.delete(staging, false)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf.value)
+    messages.filter(_ != null).foreach { case RecordFileCommit(temp, _) =>
+      val p = new Path(temp)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+  }
+}
+
+class RecordStreamWriterFactory(dir: String, gzip: Boolean, queryId: String,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new RecordStreamWriter(dir, gzip, queryId, partitionId, taskId, conf)
+}
+
+class RecordStreamWriter(dir: String, gzip: Boolean, queryId: String,
+    partitionId: Int, taskId: Long, conf: SerializableConfiguration)
+    extends DataWriter[InternalRow] {
+
+  private val ext = if (gzip) ".records.gz" else ".records"
+  // the write's queryId keys the names so two appends to the same
+  // directory never collide on rename
+  private val finalName = f"part-$partitionId%05d-$queryId$ext"
+  private val tempPath =
+    new Path(new Path(dir, ".staging"), f"$finalName-attempt-$taskId")
+  private val fs = tempPath.getFileSystem(conf.value)
+  private val out = RecordStream.openWrite(fs.create(tempPath, true), gzip)
+
+  override def write(row: InternalRow): Unit =
+    RecordStream.writeRecord(out, row.getBinary(0))
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    // empty partitions still commit their (empty) file — a reread of
+    // the directory must not depend on which partitions had rows
+    RecordFileCommit(tempPath.toString, finalName)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    if (fs.exists(tempPath)) fs.delete(tempPath, false)
+  }
+
+  override def close(): Unit = ()
+}

@@ -39,6 +39,21 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Sliding (overlapping) event-time windows: 2-hour windows advancing
+    * hourly, so each event contributes to exactly two windows — Spark
+    * expands the assignment inside the aggregate (no self-union pass).
+    * Identical plan batch or stream; in a stream the watermark bounds
+    * state to the windows the clock can still touch (window length +
+    * delay), independent of stream length.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** A live session being accumulated by [[sessionizeStream]]. */
   case class SessionState(start: Long, lastUs: Long, nEvents: Long)
 

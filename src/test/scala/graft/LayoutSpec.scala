@@ -156,6 +156,49 @@ class LayoutSpec extends SparkSpec {
     assert(back.count() == expected && expected > 0)
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val fact0 = Tables.load(spark, sf, "orders")
+      .withColumn("bucket", pmod(col("o_custkey"), lit(8L)))
+    Layout.writePartitioned(fact0, "bucket", s"$tmp/fact")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    // the dim filter is on a NON-partition column, so only runtime
+    // pruning (subquery on the broadcast result) can skip fact dirs
+    val dim = Tables.load(spark, sf, "customer")
+      .withColumn("bucket", pmod(col("c_custkey"), lit(8L)))
+      .filter(col("c_custkey") <= 2)
+    val joined = fact.join(broadcast(dim), Seq("bucket"))
+      .select(col("o_orderkey"), col("c_custkey"))
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in the fact scan:\n$planStr")
+    val rows = joined.collect()
+    // correctness: identical to the unpartitioned join
+    val expected = fact0.join(dim.select("bucket", "c_custkey"), Seq("bucket"))
+      .count()
+    assert(rows.length.toLong == expected && expected > 0)
+    // runtime effect: the fact scan visited only the dim's ≤3 buckets,
+    // not all 8 partition directories
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p.flatMap {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case s: QueryStageExec => allNodes(s.plan)
+      case other => Seq(other)
+    }
+    val factScan = allNodes(joined.queryExecution.executedPlan)
+      .collectFirst {
+        case s: FileSourceScanExec if s.metrics.contains("numPartitions") &&
+          s.relation.location.rootPaths.exists(_.toString.contains("fact")) => s
+      }
+    assert(factScan.nonEmpty, "fact FileSourceScanExec not found")
+    val visited = factScan.get.metrics("numPartitions").value
+    val dimBuckets = dim.select("bucket").distinct().count()
+    assert(visited == dimBuckets && visited < 8,
+      s"DPP should visit $dimBuckets of 8 partitions, visited $visited")
+  }
+
   test("bloom manifest: point lookup prunes to ~1 bucket, no false negatives") {
     val docs = Tables.load(spark, sf, "documents")
       .select(xxhash64(col("text")).as("key"),

@@ -19,6 +19,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding-window agg equals the batch twin") {
+    val raw = spark.readStream.schema(Tables.eventsOnDisk)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+    val q = EventStreams.slidingAgg(EventStreams.normalize(raw))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_stream_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_stream_test")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStreams.slidingAgg(Tables.load(spark, sf, "events"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: ${streamed.diff(batch)} | ${batch.diff(streamed)}")
+      assert(streamed.nonEmpty)
+      // every event lands in exactly two windows
+      val nAssigned = spark.table("sliding_stream_test")
+        .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0)
+      assert(nAssigned == 2 * Tables.load(spark, sf, "events").count())
+    } finally q.stop()
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark on event ids") {
     val raw = spark.readStream.schema(Tables.eventsOnDisk)
       .option("pathGlobFilter", "events.parquet").parquet(sf)

@@ -4,11 +4,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.OlapQueries
 import graft.sources.Tables
 
-/** TPC-H Q18/Q14/Q19/Q22/Q4 shapes (q84–q88) — each checked against an
-  * independent driver-side recomputation on the sf0.001 fixture (the
-  * DuckDB oracle re-proves them at sf0.01), plus plan-shape asserts:
-  * the dims broadcast, EXISTS stays a semi join, and nothing degrades
-  * to a cartesian product.
+/** TPC-H Q18/Q14/Q19/Q22/Q4 shapes (q84–q88) and Q7/Q8/Q9/Q10/Q13/Q15
+  * shapes (q102–q107) — each checked against an independent
+  * driver-side recomputation on the sf0.001 fixture (the DuckDB oracle
+  * re-proves them at sf0.01), plus plan-shape asserts: the dims
+  * broadcast, EXISTS stays a semi join, outer joins stay outer, and
+  * nothing degrades to a cartesian product.
   */
 class TpchShapesSpec extends SparkSpec {
 
@@ -122,6 +123,186 @@ class TpchShapesSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == expected)
     assert(lateOrders.nonEmpty)
+  }
+
+  private lazy val lineitemSupp = Tables.load(spark, sf, "lineitem")
+    .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_shipdate", "l_returnflag")
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5), r.getTimestamp(6).getTime,
+      r.getString(7)))
+
+  private lazy val supplier = Tables.load(spark, sf, "supplier")
+    .collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+
+  private lazy val nation = Tables.load(spark, sf, "nation")
+    .collect()
+    .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+
+  private lazy val custFull = Tables.load(spark, sf, "customer")
+    .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    .collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+
+  private def utcYear(ms: Long): Int =
+    java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneOffset.UTC).getYear
+
+  private def round2(d: Double): Double =
+    BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q102 volumeShipping matches a naive recomputation") {
+    val suppNation = supplier.map(s =>
+      s._1 -> nation.find(_._1 == s._3).get._2).toMap
+    val custNation = custFull.map(c =>
+      c._1 -> nation.find(_._1 == c._3).get._2).toMap
+    val orderCust = orders.map(o => o._1 -> o._2).toMap
+    val expected = lineitemSupp
+      .map(l => (suppNation(l._3), custNation(orderCust(l._1)),
+        utcYear(l._7), l._5 * (1 - l._6)))
+      .filter(t =>
+        (t._1 == "NATION_3" && t._2 == "NATION_19") ||
+        (t._1 == "NATION_19" && t._2 == "NATION_3"))
+      .groupBy(t => (t._1, t._2, t._3)).view
+      .mapValues(g => round2(g.map(_._4).sum)).toMap
+    val got = OlapQueries.volumeShipping(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    assert(got.nonEmpty, "nation pair should trade in the fixture")
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - expected(k)) < 0.02, s"$k: $v vs ${expected(k)}")
+    }
+  }
+
+  test("q103 marketShare matches a naive recomputation") {
+    val suppNation = supplier.map(s =>
+      s._1 -> nation.find(_._1 == s._3).get._2).toMap
+    // EUROPE = r_regionkey of 'EUROPE'; customer nations in that region
+    val europeNations = nation.filter(_._3 == 3).map(_._1).toSet
+    val custInEurope = custFull.filter(c => europeNations.contains(c._3))
+      .map(_._1).toSet
+    val orderCust = orders.map(o => o._1 -> o._2).toMap
+    val rows = lineitemSupp
+      .filter(l => custInEurope.contains(orderCust(l._1)))
+      .map(l => (utcYear(l._7), suppNation(l._3), l._5 * (1 - l._6)))
+    val expected = rows.groupBy(_._1).view.mapValues { g =>
+      val num = g.filter(_._2 == "NATION_3").map(_._3).sum
+      val den = g.map(_._3).sum
+      round4(num / den)
+    }.toMap
+    val got = OlapQueries.marketShare(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty, "EUROPE should have revenue in the fixture")
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (y, v) =>
+      assert(math.abs(v - expected(y)) < 1e-3, s"year $y: $v vs ${expected(y)}")
+    }
+  }
+
+  test("q104 productProfit matches a naive recomputation") {
+    val partName = Tables.load(spark, sf, "part")
+      .select("p_partkey", "p_name", "p_retailprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val widget = partName.filter(_._2.contains("widget"))
+      .map(p => p._1 -> p._3).toMap
+    val suppNation = supplier.map(s =>
+      s._1 -> nation.find(_._1 == s._3).get._2).toMap
+    val expected = lineitemSupp
+      .filter(l => widget.contains(l._2))
+      .map(l => ((suppNation(l._3), utcYear(l._7)),
+        l._5 * (1 - l._6) - 0.5 * widget(l._2) * l._4))
+      .groupBy(_._1).view
+      .mapValues(g => round2(g.map(_._2).sum)).toMap
+    val got = OlapQueries.productProfit(spark, sf).collect()
+    val gotMap = got.map(r =>
+      (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(gotMap.keySet == expected.keySet)
+    gotMap.foreach { case (k, v) =>
+      assert(math.abs(v - expected(k)) < 0.02, s"$k: $v vs ${expected(k)}")
+    }
+    // ordering: nation asc, year desc
+    val keys = got.map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(keys == keys.sortBy(k => (k._1, -k._2)))
+  }
+
+  test("q105 returnedItems matches a naive recomputation and ordering") {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime
+    val hi = java.sql.Timestamp.valueOf("1996-07-01 00:00:00").getTime
+    val windowOrders = orders.filter(o => o._4 >= lo && o._4 < hi)
+      .map(o => o._1 -> o._2).toMap
+    val byCust = custFull.map(c => c._1 -> c).toMap
+    val natName = nation.map(n => n._1 -> n._2).toMap
+    val expected = lineitemSupp
+      .filter(l => l._8 == "R" && windowOrders.contains(l._1))
+      .map(l => (windowOrders(l._1), l._5 * (1 - l._6)))
+      .groupBy(_._1).view
+      .mapValues(g => round2(g.map(_._2).sum)).toSeq
+      .map { case (ck, rev) =>
+        val c = byCust(ck)
+        (ck, c._2, natName(c._3), c._4, rev)
+      }
+      .sortBy(t => (-t._5, t._1))
+      .take(20)
+    val got = OlapQueries.returnedItems(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("q106 orderCountDistribution covers every customer incl. zero bucket") {
+    val nonUrgent = orders.filter(_._5 != "1-URGENT")
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val counts = custFull.map(c => nonUrgent.getOrElse(c._1, 0L))
+    val expected = counts.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val got = OlapQueries.orderCountDistribution(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toMap == expected)
+    assert(got.map(_._2).sum == custFull.length.toLong,
+      "histogram must cover every customer")
+    // ordering: custdist desc, c_count desc
+    val keys = got.map { case (c, d) => (-d, -c) }.toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("q107 topSupplier returns exactly the max-revenue supplier(s)") {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime
+    val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00").getTime
+    val revBySupp = lineitemSupp
+      .filter(l => l._7 >= lo && l._7 < hi)
+      .groupBy(_._3).view
+      .mapValues(g => round2(g.map(l => l._5 * (1 - l._6)).sum)).toMap
+    val maxRev = revBySupp.values.max
+    val expected = revBySupp.filter(_._2 == maxRev).keySet
+    val got = OlapQueries.topSupplier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.map(_._1).toSet == expected)
+    got.foreach(t => assert(math.abs(t._2 - maxRev) < 0.005))
+  }
+
+  test("q102–q107 plan shapes: dims broadcast, no cartesian blowup") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    for ((name, df) <- Seq(
+        "q102" -> OlapQueries.volumeShipping(spark, sf),
+        "q103" -> OlapQueries.marketShare(spark, sf),
+        "q104" -> OlapQueries.productProfit(spark, sf),
+        "q105" -> OlapQueries.returnedItems(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), s"$name dims must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in $name:\n$p")
+    }
+    val p105 = plan(OlapQueries.returnedItems(spark, sf))
+    assert(p105.contains("TakeOrderedAndProject"),
+      s"q105 top-20 must not global-sort:\n$p105")
+    val p106 = plan(OlapQueries.orderCountDistribution(spark, sf))
+    assert(p106.contains("LeftOuter"), s"q106 must keep the outer join:\n$p106")
+    assert(!p106.contains("CartesianProduct"), s"cartesian in q106:\n$p106")
   }
 
   test("q84–q88 plan shapes: semi join stays semi, no cartesian blowup") {

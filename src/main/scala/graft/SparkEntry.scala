@@ -279,6 +279,16 @@ object SparkEntry {
     // (StreamingSpec proves stream ≡ batch); the oracle replays the
     // 2-windows-per-event assignment as a self-union
     "q109_sliding_windows" -> (operators.OlapQueries.slidingEventStats _),
+    // q47's contents half: which docs land in each pack, in order
+    "q110_pack_contents" -> ((s: SparkSession, d: String) =>
+      operators.Pipeline.packContents(s, d)),
+    // TPC-H Q2 shape: groupwise-min join-back, all ties surface
+    "q111_cheapest_shipment" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.cheapestShipment(s, d)),
+    // the native session_window primitive under q39's windowed spelling
+    "q112_session_windows" -> (operators.OlapQueries.sessionWindowStats _),
+    // Markov transition counts over per-user event sequences
+    "q113_event_transitions" -> (operators.OlapQueries.eventTransitions _),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -1610,7 +1620,72 @@ object SparkEntry {
         |  round(sum(value), 4) AS total_value
         |FROM slid
         |GROUP BY win_start, event_type
-        |ORDER BY win_start, event_type""".stripMargin
+        |ORDER BY win_start, event_type""".stripMargin,
+    "q110_pack_contents" ->
+      """SELECT pack_id, count(*) AS n_docs,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |    AS doc_ids
+        |FROM (SELECT doc_id, n_tokens,
+        |        CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+        |          / 512.0) AS BIGINT) AS pack_id
+        |      FROM (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT)
+        |                AS n_tokens
+        |            FROM documents))
+        |GROUP BY pack_id
+        |ORDER BY pack_id""".stripMargin,
+    "q111_cheapest_shipment" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    l_extendedprice / l_quantity AS unit_price
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT l_partkey AS m_partkey, min(unit_price) AS min_price
+        |  FROM li GROUP BY 1
+        |)
+        |SELECT p_partkey, p_name, round(min_price, 4) AS min_unit_price,
+        |  count(*) AS n_min_lines, min(l_suppkey) AS min_suppkey
+        |FROM li
+        |JOIN m ON l_partkey = m_partkey AND unit_price = min_price
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_size <= 5
+        |GROUP BY 1, 2, 3
+        |ORDER BY p_partkey""".stripMargin,
+    "q112_session_windows" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |             >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sid
+        |  FROM x
+        |)
+        |SELECT user_id, min(us) AS start_us,
+        |  max(us) + 1800000000 AS end_us, count(*) AS n_events
+        |FROM s
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+    "q113_event_transitions" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |)
+        |SELECT prev_type, event_type AS next_type,
+        |  count(*) AS n_transitions
+        |FROM x
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
   )
 }
 

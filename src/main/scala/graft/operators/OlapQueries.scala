@@ -766,6 +766,74 @@ object OlapQueries {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q2 shape — groupwise-min join-back: for each small part,
+    * the line items that achieved its minimum unit price (ALL ties
+    * surface, which is why this is a join-back and not an argmin
+    * struct). The per-part min aggregate and the join-back both hash
+    * on l_partkey, so the second exchange reuses the first's
+    * partitioning; the part dim prunes on p_size BEFORE it broadcasts.
+    * Equality on the computed double is safe across engines: each row's
+    * division and the min comparison are order-free IEEE ops, so both
+    * engines qualify exactly the same rows.
+    */
+  def cheapestShipment(spark: SparkSession, sfDir: String,
+      maxSize: Int = 5): DataFrame = {
+    val part = Tables.load(spark, sfDir, "part")
+      .filter(col("p_size") <= maxSize)
+      .select("p_partkey", "p_name")
+    // prune the fact to qualifying parts BEFORE the min aggregate —
+    // the per-part min is unaffected by other parts, so both passes
+    // (aggregate and join-back) only touch qualifying lines
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .join(broadcast(part.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+    val minP = li.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min("unit_price").as("min_price"))
+    li.join(minP, li("l_partkey") === minP("m_partkey") &&
+        li("unit_price") === minP("min_price"))
+      .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"),
+        round(col("min_price"), 4).as("min_unit_price"))
+      .agg(count(lit(1)).as("n_min_lines"),
+        min("l_suppkey").as("min_suppkey"))
+      .orderBy("p_partkey")
+  }
+
+  /** Native session windows (the engine primitive under q39's
+    * gaps-and-islands spelling), through the SAME transform the stream
+    * runs ([[graft.streaming.EventStreams.sessionAgg]] — StreamingSpec
+    * proves stream ≡ batch): `session_window` merges events within the
+    * 30-minute gap inside the aggregate operator itself — no lag
+    * window, no running-sum pass. Session end is last-event + gap
+    * (exclusive), so an event landing exactly on the boundary opens a
+    * NEW session — the oracle replays that with a >= gap break test.
+    */
+  def sessionWindowStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStreams
+      .sessionAgg(Tables.load(spark, sfDir, "events"))
+      .orderBy("user_id", "start_us")
+
+  /** Event-sequence transition counts — the Markov-chain view of the
+    * event stream: each user's ts-ordered events yield (prev → next)
+    * type pairs, counted corpus-wide. One shuffle on user_id for the
+    * lag window (per-user partitions bound the sort at any corpus
+    * size), then a |types|²-cardinality aggregate that map-side
+    * combines to almost nothing. event_id breaks ts ties so both
+    * engines see the same sequence.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Conversion funnel: users advance view → click → purchase, each
     * stage ordered by the user's FIRST timestamp of that type. One
     * conditional-min aggregate per stage in a single scan+shuffle

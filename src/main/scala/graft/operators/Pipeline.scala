@@ -38,6 +38,31 @@ object Pipeline {
       .orderBy("pack_id")
   }
 
+  /** The pack manifest's contents half: which documents land in each
+    * pack, in order — what a sequence-building job consumes downstream
+    * of [[tokenPacking]]'s stats. Same sharded-prefix-sum plan; the
+    * per-pack list is bounded by the token budget (a pack holds at
+    * most `budget` docs), so the collect_list state is O(budget) per
+    * group at any corpus size. Doc ids render as a comma-joined string
+    * (numeric sort, then format) so the oracle compares text, not
+    * engine-specific array encodings.
+    */
+  def packContents(spark: SparkSession, sfDir: String,
+      budget: Int = 512): DataFrame = {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    PrefixSum.withGlobalCumSum(toks, "doc_id", col("n_tokens"), "cum",
+        shardWidth = 4096)
+      .withColumn("pack_id", floor((col("cum") - 1) / budget))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(
+          transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",").as("doc_ids"))
+      .orderBy("pack_id")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * word 8-gram with the held-out set (here: doc_id < `evalCount`
     * plays the benchmark). The eval side's distinct grams are tiny →

@@ -303,7 +303,11 @@ class RecordStreamWrite(dir: String, gzip: Boolean, truncate: Boolean,
     fs.mkdirs(base)
     messages.foreach { case RecordFileCommit(temp, name) =>
       val src = new Path(temp)
-      if (fs.exists(src)) fs.rename(src, new Path(base, name))
+      // a silent rename failure would lose a committed partition —
+      // fail the job instead
+      if (!fs.exists(src) || !fs.rename(src, new Path(base, name)))
+        throw new java.io.IOException(
+          s"recordstream commit: could not move $temp to $name")
     }
     // clean the staging dir if empty
     val staging = new Path(base, ".staging")

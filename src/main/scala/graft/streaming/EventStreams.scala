@@ -54,6 +54,23 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Native session windows: `session_window` merges events within the
+    * gap inside the aggregate operator itself — the engine primitive
+    * under the gaps-and-islands spelling (OlapQueries.userSessions)
+    * and the flatMapGroupsWithState form ([[sessionizeStream]]). Same
+    * plan batch or stream; streaming state holds only OPEN sessions
+    * (closed ones finalize once the watermark passes their end).
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+
   /** A live session being accumulated by [[sessionizeStream]]. */
   case class SessionState(start: Long, lastUs: Long, nEvents: Long)
 

@@ -64,6 +64,20 @@ class AsOfJoinSpec extends SparkSpec {
       "null-key rows matched each other")
   }
 
+  test("fixture assumption: purchases carry no duplicate (user_id, ts)") {
+    // the q38 oracle uses DuckDB ASOF, which picks an unspecified row
+    // on exact-ts ties — the hash compare is sound because the fixture
+    // is tie-free (see asOfStrict's scaladoc); keep that checked here
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dups = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .count()
+    assert(dups == 0L, "duplicate (user_id, ts) purchases would make the q38 oracle tie-ambiguous")
+  }
+
   test("q38: as-of matches a window-free reference computation") {
     // independent oracle: correlated max-prior lookup via a plain join
     // + groupBy (O(n^2/key) — test-scale only)

@@ -19,6 +19,45 @@ class EventAnalyticsSpec extends SparkSpec {
         (r.getTimestamp(2).getNanos / 1000) % 1000,
       r.getString(3), r.getDouble(4)))
 
+  test("q112 sessionWindowStats equals a gaps-and-islands recomputation") {
+    val gap = 1800000000L
+    val expected = events.groupBy(_._1).flatMap { case (u, rows) =>
+      val times = rows.map(_._3).sorted
+      val sessions =
+        scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var start = times.head
+      var last = times.head
+      var n = 1L
+      times.tail.foreach { t =>
+        if (t - last >= gap) {
+          sessions += ((start, last + gap, n)); start = t; n = 0
+        }
+        last = t; n += 1
+      }
+      sessions += ((start, last + gap, n))
+      sessions.map(s => (u, s._1, s._2, s._3))
+    }.toSet
+    val got = OlapQueries.sessionWindowStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected,
+      s"divergence: ${got.diff(expected).take(3)} | ${expected.diff(got).take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  test("q113 eventTransitions equals a naive sequence recomputation") {
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2)).map(_._4)
+      ordered.zip(ordered.tail)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = OlapQueries.eventTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    assert(got.values.sum ==
+      events.length - events.map(_._1).distinct.length,
+      "every user contributes |events|-1 transitions")
+  }
+
   test("purchaseAttribution matches a naive recomputation") {
     val clicks = events.filter(_._4 == "click")
     val purchases = events.filter(_._4 == "purchase")

@@ -27,6 +27,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("packContents agrees with tokenPacking and covers every doc once") {
+    val packs = Pipeline.tokenPacking(spark, sf, budget = 512).collect()
+      .map(p => p.getLong(0) -> (p.getLong(1), p.getLong(3), p.getLong(4)))
+      .toMap
+    val contents = Pipeline.packContents(spark, sf, budget = 512).collect()
+      .map(c => c.getLong(0) -> (c.getLong(1),
+        c.getString(2).split(",").map(_.toLong)))
+      .toMap
+    assert(contents.keySet == packs.keySet)
+    contents.foreach { case (id, (nDocs, ids)) =>
+      val (expN, first, last) = packs(id)
+      assert(nDocs == expN && ids.length.toLong == expN, s"pack $id size")
+      assert(ids.head == first && ids.last == last, s"pack $id bounds")
+      assert(ids.sorted.sameElements(ids), s"pack $id ordering")
+    }
+    // disjoint cover of the whole corpus
+    val all = contents.values.flatMap(_._2).toSeq
+    assert(all.length == all.distinct.length)
+    assert(all.length.toLong ==
+      Tables.load(spark, sf, "documents").count())
+  }
+
   test("temperatureResample flattens the language distribution") {
     val docs = Tables.load(spark, sf, "documents")
     val counts = docs.groupBy("lang").count().collect()

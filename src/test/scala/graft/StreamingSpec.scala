@@ -42,6 +42,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window agg equals the batch twin") {
+    val raw = spark.readStream.schema(Tables.eventsOnDisk)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+    val q = EventStreams.sessionAgg(EventStreams.normalize(raw))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("session_stream_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("session_stream_test")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStreams.sessionAgg(Tables.load(spark, sf, "events"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: ${streamed.diff(batch).take(3)} | ${batch.diff(streamed).take(3)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark on event ids") {
     val raw = spark.readStream.schema(Tables.eventsOnDisk)
       .option("pathGlobFilter", "events.parquet").parquet(sf)

@@ -285,6 +285,35 @@ class TpchShapesSpec extends SparkSpec {
     got.foreach(t => assert(math.abs(t._2 - maxRev) < 0.005))
   }
 
+  test("q111 cheapestShipment matches a naive recomputation incl. ties") {
+    val partInfo = Tables.load(spark, sf, "part")
+      .select("p_partkey", "p_name", "p_size")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val small = partInfo.filter(_._3 <= 5).map(p => p._1 -> p._2).toMap
+    val byPart = lineitemSupp.groupBy(_._2)
+    val expected = small.flatMap { case (pk, name) =>
+      byPart.get(pk).map { ls =>
+        val prices = ls.map(l => (l._5 / l._4, l._3))
+        val minPrice = prices.map(_._1).min
+        val winners = prices.filter(_._1 == minPrice)
+        (pk, name) -> (winners.length.toLong, winners.map(_._2).min,
+          BigDecimal(minPrice).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val got = OlapQueries.cheapestShipment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (n, supp, price)) =>
+      val (en, esupp, eprice) = expected(k)
+      assert(n == en && supp == esupp, s"$k winners")
+      assert(math.abs(price - eprice) < 5e-4, s"$k price")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("q102–q107 plan shapes: dims broadcast, no cartesian blowup") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString

@@ -1589,16 +1589,17 @@ object SparkEntry {
     "q107_top_supplier" ->
       """WITH revenue AS (
         |  SELECT l_suppkey,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2)
-        |      AS total_revenue
+        |    sum(CAST(l_extendedprice * (1 - l_discount)
+        |             AS DECIMAL(18,6))) AS rev_exact
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
         |  GROUP BY l_suppkey
         |)
-        |SELECT s_suppkey, s_name, total_revenue
+        |SELECT s_suppkey, s_name,
+        |  round(CAST(rev_exact AS DOUBLE), 2) AS total_revenue
         |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |WHERE rev_exact = (SELECT max(rev_exact) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
     "q108_recordstream" ->
       """SELECT lang, count(*) AS n_docs,
@@ -1644,7 +1645,9 @@ object SparkEntry {
         |  SELECT l_partkey AS m_partkey, min(unit_price) AS min_price
         |  FROM li GROUP BY 1
         |)
-        |SELECT p_partkey, p_name, round(min_price, 4) AS min_unit_price,
+        |SELECT p_partkey, p_name,
+        |  CAST(round(CAST(min_price AS DECIMAL(18,6)), 4) AS DOUBLE)
+        |    AS min_unit_price,
         |  count(*) AS n_min_lines, min(l_suppkey) AS min_suppkey
         |FROM li
         |JOIN m ON l_partkey = m_partkey AND unit_price = min_price

@@ -204,8 +204,11 @@ object CoreQueries {
     * compare proves the frame→checksum→read→parse path lossless.
     */
   def recordStreamAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    // path keyed by the scale factor so a verify run at one SF can't
+    // clobber a concurrent run (e.g. the test suite) at another
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-recordstream-q108").getAbsolutePath
+      s"graft-recordstream-q108-${new java.io.File(sfDir).getName}")
+      .getAbsolutePath
     Tables.load(spark, sfDir, "documents")
       .select(encode(concat_ws("\t",
         col("doc_id"), col("lang"), col("text")), "UTF-8").as("value"))

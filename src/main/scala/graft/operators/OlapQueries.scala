@@ -748,21 +748,28 @@ object OlapQueries {
     * revenue equals the maximum. The per-supplier revenue view
     * aggregates the date-pruned fact once (supplier NDV rows); the
     * max is a 1-row broadcast back over that view (the scalar-subquery
-    * plan), and ties all surface — no arbitrary pick.
+    * plan), and ties all surface — no arbitrary pick. The revenue that
+    * feeds the =max equality accumulates as DECIMAL: each row's double
+    * product rounds to 6 digits deterministically in both engines, and
+    * decimal summation is exact and order-free — so the winner set
+    * can't flip on partial-aggregation order the way a rounded double
+    * sum could.
     */
   def topSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,6)")
     val revenue = Tables.load(spark, sfDir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("total_revenue"))
-    val maxRev = revenue.agg(max("total_revenue").as("max_revenue"))
+      .agg(sum(rev).as("rev_exact"))
+    val maxRev = revenue.agg(max("rev_exact").as("max_rev"))
     val supp = Tables.load(spark, sfDir, "supplier")
     revenue.crossJoin(broadcast(maxRev))
-      .filter(col("total_revenue") === col("max_revenue"))
+      .filter(col("rev_exact") === col("max_rev"))
       .join(broadcast(supp), col("l_suppkey") === supp("s_suppkey"))
-      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_exact").cast("double"), 2).as("total_revenue"))
       .orderBy("s_suppkey")
   }
 
@@ -794,8 +801,13 @@ object OlapQueries {
     li.join(minP, li("l_partkey") === minP("m_partkey") &&
         li("unit_price") === minP("min_price"))
       .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      // round via DECIMAL: rounding the double directly diverges from
+      // DuckDB when the value sits on a half-boundary of the 4th digit
+      // (seen at sf0.1: 111.10075 → .1007 vs .1008); both engines
+      // rounding the SAME 6-digit decimal agree always
       .groupBy(col("p_partkey"), col("p_name"),
-        round(col("min_price"), 4).as("min_unit_price"))
+        round(col("min_price").cast("decimal(18,6)"), 4).cast("double")
+          .as("min_unit_price"))
       .agg(count(lit(1)).as("n_min_lines"),
         min("l_suppkey").as("min_suppkey"))
       .orderBy("p_partkey")

@@ -15,6 +15,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics,
   SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
   SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -64,34 +65,54 @@ object RecordStream {
     v
   }
 
+  // TFRecord stores BOTH the length and the crc words little-endian;
+  // DataOutputStream.writeInt is big-endian, so the crcs get the same
+  // hand encoding as the length
+  private def writeLeInt(out: DataOutputStream, v: Int): Unit = {
+    out.write(v & 0xff)
+    out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff)
+    out.write((v >>> 24) & 0xff)
+  }
+
+  private def readLeInt(in: DataInputStream, b4: Array[Byte]): Int = {
+    in.readFully(b4)
+    (b4(0) & 0xff) | ((b4(1) & 0xff) << 8) | ((b4(2) & 0xff) << 16) |
+      ((b4(3) & 0xff) << 24)
+  }
+
   def writeRecord(out: DataOutputStream, payload: Array[Byte]): Unit = {
     val len = leLong(payload.length.toLong)
     out.write(len)
-    out.writeInt(maskedCrc(len))
+    writeLeInt(out, maskedCrc(len))
     out.write(payload)
-    out.writeInt(maskedCrc(payload))
+    writeLeInt(out, maskedCrc(payload))
   }
 
-  /** Reads one record; None at clean EOF; throws on truncation or a
-    * checksum mismatch.
+  /** Reads one record; None at clean EOF; throws (with file/record
+    * context) on truncation anywhere in the frame or on a checksum
+    * mismatch.
     */
   def readRecord(in: DataInputStream, context: => String): Option[Array[Byte]] = {
     val lenBytes = new Array[Byte](8)
     val first = in.read(lenBytes, 0, 1)
     if (first < 0) return None
-    in.readFully(lenBytes, 1, 7)
-    val lenCrc = in.readInt()
+    val b4 = new Array[Byte](4)
+    def truncated[A](read: => A): A =
+      try read
+      catch { case _: EOFException =>
+        throw new java.io.IOException(s"truncated record at $context")
+      }
+    truncated(in.readFully(lenBytes, 1, 7))
+    val lenCrc = truncated(readLeInt(in, b4))
     if (lenCrc != maskedCrc(lenBytes))
       throw new java.io.IOException(s"corrupt record length at $context")
     val len = readLeLong(lenBytes)
     if (len < 0 || len > Int.MaxValue)
       throw new java.io.IOException(s"implausible record length $len at $context")
     val payload = new Array[Byte](len.toInt)
-    try in.readFully(payload)
-    catch { case _: EOFException =>
-      throw new java.io.IOException(s"truncated record at $context")
-    }
-    val dataCrc = in.readInt()
+    truncated(in.readFully(payload))
+    val dataCrc = truncated(readLeInt(in, b4))
     if (dataCrc != maskedCrc(payload))
       throw new java.io.IOException(s"corrupt record payload at $context")
     Some(payload)
@@ -157,7 +178,7 @@ class RecordStreamTable(dir: String, gzip: Boolean)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.MICRO_BATCH_READ, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RecordStreamScanBuilder(dir)
@@ -177,15 +198,18 @@ class RecordStreamScanBuilder(dir: String)
     required = requiredSchema
 
   override def build(): Scan = {
+    val session = org.apache.spark.sql.SparkSession.active
     val conf = new SerializableConfiguration(
-      org.apache.spark.sql.SparkSession.active
-        .sessionState.newHadoopConf())
-    new RecordStreamScan(dir, required, conf)
+      session.sessionState.newHadoopConf())
+    // same knob file sources use to de-bias compressed on-disk sizes
+    // before they feed broadcast decisions
+    val compressionFactor = session.sessionState.conf.fileCompressionFactor
+    new RecordStreamScan(dir, required, conf, compressionFactor)
   }
 }
 
 class RecordStreamScan(dir: String, required: StructType,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration, compressionFactor: Double)
     extends Scan with Batch with SupportsReportStatistics {
 
   private lazy val files: Array[RecordFilePartition] = {
@@ -208,13 +232,88 @@ class RecordStreamScan(dir: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new RecordStreamReaderFactory(required, conf)
 
+  /** Streaming read: the directory is an append-only feed (the write
+    * side's queryId-keyed names never collide), an offset is the SET
+    * of files already processed, and each micro-batch reads exactly
+    * the new files — the same seen-files contract as Spark's file
+    * stream source. Reader factory and pruned schema are shared with
+    * the batch path, so stream ≡ batch by construction.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new RecordStreamMicroBatch(dir, required, conf)
+
   override def estimateStatistics(): Statistics = new Statistics {
+    // gzipped files report size × spark.sql.sources.fileCompressionFactor
+    // (the same de-bias file sources apply) so a small-on-disk but
+    // large-in-memory stream doesn't bait the planner into a broadcast
     override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(files.map(_.bytes).sum)
+      OptionalLong.of(files.map { f =>
+        if (f.path.endsWith(".gz")) (f.bytes * compressionFactor).toLong
+        else f.bytes
+      }.sum)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 
   override def description(): String = s"recordstream $dir"
+}
+
+/** Offset = the sorted set of file names already processed. JSON is a
+  * plain array of names (names are writer-generated, quote-free).
+  */
+final case class RecordFilesOffset(names: Seq[String]) extends Offset {
+  override def json(): String =
+    names.sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+}
+
+object RecordFilesOffset {
+  def fromJson(json: String): RecordFilesOffset = {
+    val inner = json.trim.stripPrefix("[").stripSuffix("]").trim
+    if (inner.isEmpty) RecordFilesOffset(Nil)
+    else RecordFilesOffset(
+      inner.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+  }
+}
+
+class RecordStreamMicroBatch(dir: String, required: StructType,
+    conf: SerializableConfiguration) extends MicroBatchStream {
+
+  private def listNow(): Map[String, RecordFilePartition] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => s.getPath.getName ->
+        RecordFilePartition(s.getPath.toString, s.getLen))
+      .toMap
+  }
+
+  override def initialOffset(): Offset = RecordFilesOffset(Nil)
+
+  override def latestOffset(): Offset =
+    RecordFilesOffset(listNow().keys.toSeq.sorted)
+
+  override def deserializeOffset(json: String): Offset =
+    RecordFilesOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[RecordFilesOffset].names.toSet
+    val target = end.asInstanceOf[RecordFilesOffset].names.toSet
+    val current = listNow()
+    (target -- seen).toSeq.sorted
+      .flatMap(current.get)
+      .map(f => f: InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RecordStreamReaderFactory(required, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class RecordStreamReaderFactory(required: StructType,
@@ -228,16 +327,24 @@ class RecordStreamReader(part: RecordFilePartition, required: StructType,
     conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
-  private val needPath = required.fieldNames.contains("path")
-  // field order in the output row must follow the PRUNED schema
-  private val fieldOrder: Array[String] = required.fieldNames
+  // resolve the pruned schema to field codes ONCE — get() runs per
+  // record and must not string-match
+  private val PathField = 0
+  private val OffsetField = 1
+  private val ValueField = 2
+  private val fieldCodes: Array[Int] = required.fieldNames.map {
+    case "path" => PathField
+    case "offset" => OffsetField
+    case "value" => ValueField
+  }
 
   private val hPath = new Path(part.path)
   private val in = RecordStream.openRead(
     hPath.getFileSystem(conf.value).open(hPath),
     part.path.endsWith(".gz"))
   private val pathUtf8 =
-    if (needPath) UTF8String.fromString(part.path) else null
+    if (fieldCodes.contains(PathField)) UTF8String.fromString(part.path)
+    else null
 
   private var offset = -1L
   private var current: Array[Byte] = _
@@ -249,12 +356,17 @@ class RecordStreamReader(part: RecordFilePartition, required: StructType,
     }
 
   override def get(): InternalRow = {
-    val values = fieldOrder.map {
-      case "path" => pathUtf8
-      case "offset" => java.lang.Long.valueOf(offset)
-      case "value" => current
+    val values = new Array[Any](fieldCodes.length)
+    var i = 0
+    while (i < fieldCodes.length) {
+      values(i) = fieldCodes(i) match {
+        case PathField => pathUtf8
+        case OffsetField => offset
+        case ValueField => current
+      }
+      i += 1
     }
-    InternalRow.fromSeq(values.toIndexedSeq)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
   }
 
   override def close(): Unit = in.close()

@@ -18,6 +18,10 @@ class RecordStreamSpec extends SparkSpec {
   private def tmpDir(tag: String): String =
     Files.createTempDirectory(s"graft-rs-$tag").toString
 
+  private def messages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ messages(x.getCause))
+
   private def writePayloads(dir: String, n: Int, parts: Int,
       compression: String = "gzip"): Unit =
     (0 until n).map(i => s"rec-$i").toDF("s")
@@ -90,9 +94,6 @@ class RecordStreamSpec extends SparkSpec {
     val e = intercept[Exception] {
       spark.read.format("recordstream").load(dir).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x =>
-        Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("corrupt record payload")),
       s"expected checksum failure, got: $e")
   }
@@ -108,12 +109,51 @@ class RecordStreamSpec extends SparkSpec {
     val e = intercept[Exception] {
       spark.read.format("recordstream").load(dir).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x =>
-        Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(m =>
       m.contains("truncated record") || m.contains("corrupt record")),
       s"expected truncation failure, got: $e")
+  }
+
+  test("frame layout is TFRecord-compatible: LE length, LE masked crc32c") {
+    // independent byte-level spelling of the published TFRecord frame —
+    // a round-trip test alone cannot catch an endianness regression
+    // because writer and reader would share it
+    val payload = "hello tfrecord".getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    RecordStream.writeRecord(out, payload)
+    out.close()
+    val b = bos.toByteArray
+    val bb = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def mask(crc: Int): Int = ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+    def crc32c(bytes: Array[Byte]): Int = {
+      val c = new java.util.zip.CRC32C
+      c.update(bytes)
+      c.getValue.toInt
+    }
+    assert(b.length == 8 + 4 + payload.length + 4)
+    assert(bb.getLong(0) == payload.length.toLong, "LE uint64 length")
+    assert(bb.getInt(8) == mask(crc32c(b.slice(0, 8))), "LE length crc")
+    assert(b.slice(12, 12 + payload.length).sameElements(payload))
+    assert(bb.getInt(12 + payload.length) == mask(crc32c(payload)),
+      "LE payload crc")
+  }
+
+  test("gz stats scale by spark.sql.sources.fileCompressionFactor") {
+    val dir = tmpDir("statsf")
+    writePayloads(dir, 50, parts = 1)
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(_.length()).sum
+    spark.conf.set("spark.sql.sources.fileCompressionFactor", "3.0")
+    try {
+      val size = spark.read.format("recordstream").load(dir)
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(size == BigInt((onDisk * 3.0).toLong),
+        s"gz size $size should be 3x on-disk $onDisk")
+    } finally
+      spark.conf.set("spark.sql.sources.fileCompressionFactor", "1.0")
   }
 
   test("column pruning reaches the scan; value-only never builds paths") {
@@ -136,6 +176,31 @@ class RecordStreamSpec extends SparkSpec {
     val size = rel.queryExecution.optimizedPlan.stats.sizeInBytes
     assert(size == BigInt(onDisk),
       s"planner stats $size must equal on-disk bytes $onDisk")
+  }
+
+  test("micro-batch streaming read picks up appended files (stream ≡ batch)") {
+    val dir = tmpDir("stream")
+    writePayloads(dir, 5, parts = 1)
+    val q = spark.readStream.format("recordstream").load(dir)
+      .select(decode(col("value"), "UTF-8").as("s"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("recordstream_stream_test").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("recordstream_stream_test").count() == 5L)
+      // append a second generation of files — the next micro-batch
+      // must read ONLY the new ones (offset = seen-file set)
+      (100 until 107).map(i => s"rec-$i").toDF("s").repartition(1)
+        .select(encode(col("s"), "UTF-8").as("value"))
+        .write.format("recordstream").mode("append").save(dir)
+      q.processAllAvailable()
+      val got = spark.table("recordstream_stream_test")
+        .as[String].collect().toSet
+      val batch = spark.read.format("recordstream").load(dir)
+        .select(decode(col("value"), "UTF-8").as("s"))
+        .as[String].collect().toSet
+      assert(got == batch && got.size == 12, s"stream $got vs batch $batch")
+    } finally q.stop()
   }
 
   test("q108 recordstream aggregate equals the parquet-side aggregate") {

@@ -180,8 +180,10 @@ class TpchShapesSpec extends SparkSpec {
   test("q103 marketShare matches a naive recomputation") {
     val suppNation = supplier.map(s =>
       s._1 -> nation.find(_._1 == s._3).get._2).toMap
-    // EUROPE = r_regionkey of 'EUROPE'; customer nations in that region
-    val europeNations = nation.filter(_._3 == 3).map(_._1).toSet
+    val europeKey = Tables.load(spark, sf, "region")
+      .filter(col("r_name") === "EUROPE")
+      .collect().head.getInt(0)
+    val europeNations = nation.filter(_._3 == europeKey).map(_._1).toSet
     val custInEurope = custFull.filter(c => europeNations.contains(c._3))
       .map(_._1).toSet
     val orderCust = orders.map(o => o._1 -> o._2).toMap
@@ -251,7 +253,13 @@ class TpchShapesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getDouble(3), r.getDouble(4)))
     assert(got.nonEmpty)
-    assert(got.toSeq == expected.toSeq)
+    // revenue tolerance (partial-agg summation order), not bit equality
+    assert(got.map(_._1).toSeq == expected.map(_._1).toSeq,
+      "same customers in the same order")
+    got.zip(expected).foreach { case (g, e) =>
+      assert((g._2, g._3, g._4) == (e._2, e._3, e._4), s"row ${g._1}")
+      assert(math.abs(g._5 - e._5) < 0.02, s"revenue of ${g._1}")
+    }
   }
 
   test("q106 orderCountDistribution covers every customer incl. zero bucket") {
@@ -273,16 +281,19 @@ class TpchShapesSpec extends SparkSpec {
   test("q107 topSupplier returns exactly the max-revenue supplier(s)") {
     val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime
     val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00").getTime
+    // mirror the query's decimal(18,6) accumulation: round each row's
+    // double product to 6 digits, sum exactly
     val revBySupp = lineitemSupp
       .filter(l => l._7 >= lo && l._7 < hi)
       .groupBy(_._3).view
-      .mapValues(g => round2(g.map(l => l._5 * (1 - l._6)).sum)).toMap
+      .mapValues(g => g.map(l => BigDecimal(l._5 * (1 - l._6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum).toMap
     val maxRev = revBySupp.values.max
     val expected = revBySupp.filter(_._2 == maxRev).keySet
     val got = OlapQueries.topSupplier(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(2)))
     assert(got.map(_._1).toSet == expected)
-    got.foreach(t => assert(math.abs(t._2 - maxRev) < 0.005))
+    got.foreach(t => assert(math.abs(t._2 - maxRev.toDouble) < 0.005))
   }
 
   test("q111 cheapestShipment matches a naive recomputation incl. ties") {

@@ -289,6 +289,9 @@ object SparkEntry {
     "q112_session_windows" -> (operators.OlapQueries.sessionWindowStats _),
     // Markov transition counts over per-user event sequences
     "q113_event_transitions" -> (operators.OlapQueries.eventTransitions _),
+    // sequence-length bucketing: the padded-batch efficiency report
+    "q114_length_buckets" -> ((s: SparkSession, d: String) =>
+      operators.Pipeline.lengthBuckets(s, d)),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -1688,7 +1691,20 @@ object SparkEntry {
         |FROM x
         |WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "q114_length_buckets" ->
+      """SELECT bucket_len, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(bucket_len * count(*) - sum(n_tokens) AS BIGINT)
+        |    AS pad_waste
+        |FROM (SELECT n_tokens,
+        |        least(2048, CAST(ceil(n_tokens / 64.0) * 64 AS BIGINT))
+        |          AS bucket_len
+        |      FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+        |              AS n_tokens
+        |            FROM documents))
+        |GROUP BY bucket_len
+        |ORDER BY bucket_len""".stripMargin
   )
 }
 

@@ -63,6 +63,30 @@ object Pipeline {
       .orderBy("pack_id")
   }
 
+  /** Sequence-length bucketing — the batch-efficiency report a padded
+    * training loader needs: documents grouped into `step`-token
+    * buckets capped at `cap` (the sequence length), each bucket
+    * reporting its doc count, real tokens, and padding waste
+    * (bucket_len × docs − tokens). One scan, one NDV-bounded
+    * aggregate (≤ cap/step + 1 groups at any corpus size); the waste
+    * column is what a curriculum of bucket-homogeneous batches
+    * eliminates versus padding everything to `cap`.
+    */
+  def lengthBuckets(spark: SparkSession, sfDir: String,
+      step: Int = 64, cap: Int = 2048): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(TextAnalysis.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+      .withColumn("bucket_len",
+        least(lit(cap.toLong),
+          (ceil(col("n_tokens") / step.toDouble) * step).cast("long")))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"))
+      .withColumn("pad_waste",
+        col("bucket_len") * col("n_docs") - col("sum_tokens"))
+      .orderBy("bucket_len")
+
   /** Benchmark decontamination: flag training documents sharing any
     * word 8-gram with the held-out set (here: doc_id < `evalCount`
     * plays the benchmark). The eval side's distinct grams are tiny →

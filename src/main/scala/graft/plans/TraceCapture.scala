@@ -82,6 +82,56 @@ object TraceCapture {
     }
   }
 
+  /** Convert trace lines (the JSONL this listener appends) into ONE
+    * Chrome-trace JSON object — the reference's merged timeline shape
+    * (`trainer.py:360-381` builds exactly this `{"traceEvents": [...]}`
+    * document from per-step traces, and its notebook then loads it
+    * with schema autodetection and flattens `traceEvents` with
+    * UNNEST). Each query becomes a complete event (ph "X") whose args
+    * carry the per-operator output-row counts; TraceSpec runs the
+    * reference's flagship flatten+top-k analysis over this output via
+    * `spark.read.json` — the notebook workload closed over the
+    * engine's own profiler dumps.
+    */
+  def chromeTraceJson(lines: Iterator[String]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val events = new scala.collection.mutable.ArrayBuffer[String]
+    lines.foreach { line =>
+      val root =
+        try mapper.readTree(line)
+        catch { case _: Throwable => null }
+      if (root != null && root.path("event").asText("") == "query") {
+        val name = root.path("name").asText("query")
+        val wallMs = root.path("wall_ms").asLong(0L)
+        val tsMs = root.path("ts_ms").asLong(0L)
+        val sb = new java.lang.StringBuilder(256)
+        sb.append("{\"ph\":\"X\",\"cat\":\"Query\",\"name\":").append(q(name))
+          .append(",\"pid\":0,\"tid\":0,\"ts\":")
+          .append((tsMs - wallMs) * 1000L) // start µs, like the reference's ts
+          .append(",\"dur\":").append(wallMs * 1000L)
+          .append(",\"args\":{")
+        val ops = root.path("operators")
+        var first = true
+        var i = 0
+        while (i < ops.size()) {
+          val op = ops.get(i)
+          val rows = op.path("metrics").path("numOutputRows")
+          if (!rows.isMissingNode) {
+            if (!first) sb.append(',')
+            first = false
+            // disambiguate repeated operators by their walk position
+            sb.append(q(s"${op.path("op").asText("")}#$i"))
+              .append(':').append(rows.asLong(0L))
+          }
+          i += 1
+        }
+        sb.append("}}")
+        events += sb.toString
+      }
+    }
+    events.mkString("{\"traceEvents\": [", ",\n", "]}")
+  }
+
   private[plans] def q(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 2)
     sb.append('"')

@@ -49,6 +49,31 @@ class PipelineSpec extends SparkSpec {
       Tables.load(spark, sf, "documents").count())
   }
 
+  test("lengthBuckets: waste accounting matches a naive recomputation") {
+    val tokenCounts = Tables.load(spark, sf, "documents")
+      .select(graft.functions.TextAnalysis.tokenCount(col("text"))
+        .cast("long").as("n"))
+      .collect().map(_.getLong(0))
+    val expected = tokenCounts
+      .map(n => math.min(2048L, math.ceil(n / 64.0).toLong * 64) -> n)
+      .groupBy(_._1).view
+      .mapValues { g =>
+        val toks = g.map(_._2).sum
+        (g.length.toLong, toks, g.head._1 * g.length - toks)
+      }.toMap
+    val got = Pipeline.lengthBuckets(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected)
+    // totality: every doc in exactly one bucket
+    assert(got.values.map(_._1).sum == tokenCounts.length.toLong)
+    // waste is non-negative except in the capped bucket (docs longer
+    // than the cap "overflow" and report negative padding there)
+    got.foreach { case (len, (_, _, waste)) =>
+      if (len < 2048L) assert(waste >= 0L, s"bucket $len waste $waste")
+    }
+  }
+
   test("temperatureResample flattens the language distribution") {
     val docs = Tables.load(spark, sf, "documents")
     val counts = docs.groupBy("lang").count().collect()

@@ -292,6 +292,10 @@ object SparkEntry {
     // sequence-length bucketing: the padded-batch efficiency report
     "q114_length_buckets" -> ((s: SparkSession, d: String) =>
       operators.Pipeline.lengthBuckets(s, d)),
+    // WITH RECURSIVE date spine + gap-filled monthly aggregates
+    "q115_monthly_spine" -> (operators.SqlQueries.monthlySpine _),
+    // LATERAL correlated LIMIT-1 subquery, decorrelated by Catalyst
+    "q116_top_order_lateral" -> (operators.SqlQueries.topOrderLateral _),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -1704,7 +1708,31 @@ object SparkEntry {
         |              AS n_tokens
         |            FROM documents))
         |GROUP BY bucket_len
-        |ORDER BY bucket_len""".stripMargin
+        |ORDER BY bucket_len""".stripMargin,
+    "q115_monthly_spine" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT TIMESTAMP '1995-01-01'
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < TIMESTAMP '2001-08-01'
+        |)
+        |SELECT m AS month_start,
+        |  count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS total_price
+        |FROM months LEFT JOIN orders
+        |  ON date_trunc('month', o_orderdate) = m
+        |GROUP BY m
+        |ORDER BY m""".stripMargin,
+    "q116_top_order_lateral" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 1
+        |)
+        |ORDER BY c_custkey""".stripMargin
   )
 }
 

@@ -69,4 +69,51 @@ object SqlQueries {
          |WHERE o_totalprice > 2 * cavg
          |ORDER BY o_orderkey""".stripMargin)
   }
+
+  /** Gap-filled monthly order series over a RECURSIVE date spine
+    * (`WITH RECURSIVE`, Spark 4) — the time-series idiom a plain
+    * GROUP BY month (q37) can't express: months with zero orders
+    * surface as explicit zero rows because the spine, not the data,
+    * defines the axis. The recursion is a linear 80-row generator
+    * (one row per level, trivially under the recursion limit); the
+    * fact table joins to it on the truncated month and aggregates.
+    */
+  def monthlySpine(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = view(spark, sfDir, "orders")
+    spark.sql(
+      s"""WITH RECURSIVE months(m) AS (
+         |  SELECT TIMESTAMP '1995-01-01'
+         |  UNION ALL
+         |  SELECT m + INTERVAL 1 MONTH FROM months
+         |  WHERE m < TIMESTAMP '2001-08-01'
+         |)
+         |SELECT m AS month_start,
+         |  count(o_orderkey) AS n_orders,
+         |  round(coalesce(sum(o_totalprice), 0), 2) AS total_price
+         |FROM months LEFT JOIN $ord
+         |  ON date_trunc('MONTH', o_orderdate) = m
+         |GROUP BY m
+         |ORDER BY m""".stripMargin)
+  }
+
+  /** LATERAL correlated subquery (Spark 4): each customer's single
+    * highest-value order. Catalyst decorrelates the per-row LIMIT 1
+    * subquery into a rank-filtered join rather than executing it per
+    * customer — the plan a naive nested-loop engine can't afford at
+    * scale. Tie-broken on orderkey so both engines agree exactly.
+    */
+  def topOrderLateral(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = view(spark, sfDir, "customer")
+    val ord = view(spark, sfDir, "orders")
+    spark.sql(
+      s"""SELECT c_custkey, o_orderkey, o_totalprice
+         |FROM $cust,
+         |LATERAL (
+         |  SELECT o_orderkey, o_totalprice FROM $ord
+         |  WHERE o_custkey = c_custkey
+         |  ORDER BY o_totalprice DESC, o_orderkey
+         |  LIMIT 1
+         |)
+         |ORDER BY c_custkey""".stripMargin)
+  }
 }

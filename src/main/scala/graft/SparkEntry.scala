@@ -1604,7 +1604,7 @@ object SparkEntry {
         |  GROUP BY l_suppkey
         |)
         |SELECT s_suppkey, s_name,
-        |  round(CAST(rev_exact AS DOUBLE), 2) AS total_revenue
+        |  CAST(round(rev_exact, 2) AS DOUBLE) AS total_revenue
         |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
         |WHERE rev_exact = (SELECT max(rev_exact) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,

@@ -204,11 +204,16 @@ object CoreQueries {
     * compare proves the frame→checksum→read→parse path lossless.
     */
   def recordStreamAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    // path keyed by the scale factor so a verify run at one SF can't
-    // clobber a concurrent run (e.g. the test suite) at another
+    // path keyed by a digest of the ABSOLUTE input dir plus the JVM:
+    // two concurrent processes (or two SF dirs sharing a basename)
+    // never write the same directory
+    val keySrc = new java.io.File(sfDir).getAbsolutePath + "@" +
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(keySrc.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft-recordstream-q108-${new java.io.File(sfDir).getName}")
-      .getAbsolutePath
+      s"graft-recordstream-q108-$key").getAbsolutePath
     Tables.load(spark, sfDir, "documents")
       .select(encode(concat_ws("\t",
         col("doc_id"), col("lang"), col("text")), "UTF-8").as("value"))

@@ -768,8 +768,10 @@ object OlapQueries {
     revenue.crossJoin(broadcast(maxRev))
       .filter(col("rev_exact") === col("max_rev"))
       .join(broadcast(supp), col("l_suppkey") === supp("s_suppkey"))
+      // round the DECIMAL, then cast — rounding after the double cast
+      // reintroduces the half-boundary divergence q111 documents
       .select(col("s_suppkey"), col("s_name"),
-        round(col("rev_exact").cast("double"), 2).as("total_revenue"))
+        round(col("rev_exact"), 2).cast("double").as("total_revenue"))
       .orderBy("s_suppkey")
   }
 

@@ -127,6 +127,24 @@ object RecordStream {
     new DataOutputStream(
       if (gz) new BufferedOutputStream(new GZIPOutputStream(raw), 1 << 16)
       else new BufferedOutputStream(raw, 1 << 16))
+
+  /** The ONE directory-listing used by both the batch scan and the
+    * micro-batch stream — stream ≡ batch rests on both paths seeing
+    * the same visible-file set, so the filter must not fork.
+    */
+  def listVisibleFiles(dir: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Map[String, RecordFilePartition] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => s.getPath.getName ->
+        RecordFilePartition(s.getPath.toString, s.getLen))
+      .toMap
+  }
 }
 
 /** DataSource V2 connector for record-stream files (SURVEY.md §2.1 S2
@@ -212,16 +230,9 @@ class RecordStreamScan(dir: String, required: StructType,
     conf: SerializableConfiguration, compressionFactor: Double)
     extends Scan with Batch with SupportsReportStatistics {
 
-  private lazy val files: Array[RecordFilePartition] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(conf.value)
-    if (!fs.exists(p)) Array.empty
-    else fs.listStatus(p)
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.getName)
-      .map(s => RecordFilePartition(s.getPath.toString, s.getLen))
-  }
+  private lazy val files: Array[RecordFilePartition] =
+    RecordStream.listVisibleFiles(dir, conf.value)
+      .toArray.sortBy(_._1).map(_._2)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -258,37 +269,36 @@ class RecordStreamScan(dir: String, required: StructType,
   override def description(): String = s"recordstream $dir"
 }
 
-/** Offset = the sorted set of file names already processed. JSON is a
-  * plain array of names (names are writer-generated, quote-free).
+/** Offset = the sorted set of file names already processed,
+  * serialized as a real JSON array (Jackson both directions — file
+  * names are externally controlled, so hand-rolled quoting would
+  * corrupt the checkpoint on a comma or quote in a name).
   */
 final case class RecordFilesOffset(names: Seq[String]) extends Offset {
-  override def json(): String =
-    names.sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+  override def json(): String = {
+    val arr = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().createArrayNode()
+    names.sorted.foreach(n => arr.add(n))
+    arr.toString
+  }
 }
 
 object RecordFilesOffset {
   def fromJson(json: String): RecordFilesOffset = {
-    val inner = json.trim.stripPrefix("[").stripSuffix("]").trim
-    if (inner.isEmpty) RecordFilesOffset(Nil)
-    else RecordFilesOffset(
-      inner.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+    val node = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().readTree(json)
+    val out = new scala.collection.mutable.ArrayBuffer[String](node.size())
+    var i = 0
+    while (i < node.size()) { out += node.get(i).asText(); i += 1 }
+    RecordFilesOffset(out.toSeq)
   }
 }
 
 class RecordStreamMicroBatch(dir: String, required: StructType,
     conf: SerializableConfiguration) extends MicroBatchStream {
 
-  private def listNow(): Map[String, RecordFilePartition] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(conf.value)
-    if (!fs.exists(p)) Map.empty
-    else fs.listStatus(p)
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .map(s => s.getPath.getName ->
-        RecordFilePartition(s.getPath.toString, s.getLen))
-      .toMap
-  }
+  private def listNow(): Map[String, RecordFilePartition] =
+    RecordStream.listVisibleFiles(dir, conf.value)
 
   override def initialOffset(): Offset = RecordFilesOffset(Nil)
 
@@ -303,10 +313,16 @@ class RecordStreamMicroBatch(dir: String, required: StructType,
     val seen = start.asInstanceOf[RecordFilesOffset].names.toSet
     val target = end.asInstanceOf[RecordFilesOffset].names.toSet
     val current = listNow()
-    (target -- seen).toSeq.sorted
-      .flatMap(current.get)
-      .map(f => f: InputPartition)
-      .toArray
+    val wanted = (target -- seen).toSeq.sorted
+    // a checkpointed-but-vanished file is DATA LOSS, not an empty
+    // batch — fail the query instead of silently advancing past it
+    // (the file-stream-source contract absent ignoreMissingFiles)
+    val missing = wanted.filterNot(current.contains)
+    if (missing.nonEmpty)
+      throw new java.io.IOException(
+        s"recordstream: offset references missing file(s) under $dir: " +
+          missing.mkString(", "))
+    wanted.map(n => current(n): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -203,6 +203,16 @@ class RecordStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming offsets round-trip arbitrary file names") {
+    import graft.sources.RecordFilesOffset
+    val o = RecordFilesOffset(Seq("""a,"b".records""", "plain.records",
+      "unié.records"))
+    val back = RecordFilesOffset.fromJson(o.json())
+    assert(back.names.toSet == o.names.toSet)
+    assert(RecordFilesOffset.fromJson(
+      RecordFilesOffset(Nil).json()).names.isEmpty)
+  }
+
   test("q108 recordstream aggregate equals the parquet-side aggregate") {
     val viaRecords = operators.CoreQueries.recordStreamAgg(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),

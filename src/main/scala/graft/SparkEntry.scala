@@ -296,6 +296,14 @@ object SparkEntry {
     "q115_monthly_spine" -> (operators.SqlQueries.monthlySpine _),
     // LATERAL correlated LIMIT-1 subquery, decorrelated by Catalyst
     "q116_top_order_lateral" -> (operators.SqlQueries.topOrderLateral _),
+    // TPC-H Q6 verbatim: pushed-down conjunctive filter, one global sum
+    "q117_forecast_revenue" -> (operators.OlapQueries.forecastRevenue _),
+    // TPC-H Q12 shape: late-shipment priority counts per line status
+    "q118_late_line_priority" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.lateLinePriority(s, d)),
+    // TPC-H Q21 shape: EXISTS/NOT EXISTS as one two-level aggregate
+    "q119_waiting_supplier" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.waitingSupplier(s, d)),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -1732,7 +1740,43 @@ object SparkEntry {
         |  ORDER BY o_totalprice DESC, o_orderkey
         |  LIMIT 1
         |)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q117_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q118_late_line_priority" ->
+      """SELECT l_linestatus,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |        THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |        THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 100 DAY
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "q119_waiting_supplier" ->
+      """SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 100 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 100 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 50""".stripMargin
   )
 }
 

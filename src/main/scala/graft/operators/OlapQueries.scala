@@ -534,6 +534,93 @@ object OlapQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q6 — the forecasting-revenue-change query verbatim: one
+    * tight conjunctive filter (date range, discount band, quantity
+    * cap) over the fact scan, one global sum. Every predicate is
+    * scan-pushable (parquet row-group min/max stats skip whole
+    * chunks), the aggregate is a single partial-combined double — the
+    * cheapest possible plan shape: zero joins, zero wide shuffles, one
+    * row out at any corpus size.
+    */
+  def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
+  /** TPC-H Q12 shape — late-shipment priority accounting: for each
+    * line status, how many late-shipped lines belong to high-priority
+    * vs other orders. (The fixture has no l_shipmode/l_commitdate;
+    * l_linestatus plays the shipmode role and, as in [[priorityWaitingOrders]],
+    * "late" means shipped > lateDays after the order date.) One
+    * orderkey-partitioned join of the two date columns, conditional
+    * counts ride a single 2-group aggregate — the orders side carries
+    * only (key, date, priority), never the wide row.
+    */
+  def lateLinePriority(spark: SparkSession, sfDir: String,
+      lateDays: Int = 100): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linestatus", "l_shipdate")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val high = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy("l_linestatus")
+      .agg(
+        count(when(high, 1)).as("high_line_count"),
+        count(when(!high, 1)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q21 shape — suppliers who kept orders waiting: the supplier
+    * who was the ONLY late shipper in a finished multi-supplier order,
+    * counted and ranked. The canonical form is a 4-way self-join
+    * (EXISTS another supplier / NOT EXISTS another late supplier);
+    * here both existentials collapse into a two-level orderkey-grouped
+    * aggregate — per (order, supplier) lateness first, then
+    * n_suppliers / n_late_suppliers / the sole late suppkey (valid
+    * exactly when n_late = 1) — so the fact table shuffles ONCE
+    * instead of four times, both levels share the orderkey hash
+    * partitioning (no second exchange), and no COUNT(DISTINCT)
+    * Expand ever multiplies the fact rows. The supplier dim
+    * broadcasts onto the NDV-sized blame table.
+    */
+  def waitingSupplier(spark: SparkSession, sfDir: String,
+      lateDays: Int = 100, topK: Int = 50): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val perSupp = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("was_late"))
+    val perOrder = perSupp
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_supp"),
+        count(when(col("was_late"), 1)).as("n_late"),
+        max(when(col("was_late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    val blamed = perOrder
+      .groupBy(col("late_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+    val supp = Tables.load(spark, sfDir, "supplier")
+      .select("s_suppkey", "s_name")
+    blamed.join(broadcast(supp), "s_suppkey")
+      .select("s_name", "numwait")
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(topK)
+  }
+
   /** TPC-H Q1 — the pricing summary report verbatim: eight aggregates
     * per (returnflag, linestatus) over one date-filtered fact scan.
     * The canonical columnar-scan benchmark: predicate pushed to the

@@ -363,4 +363,74 @@ class TpchShapesSpec extends SparkSpec {
     val idle = plan(OlapQueries.idleRichCustomers(spark, sf))
     assert(idle.contains("LeftAnti"), s"no anti join in q87:\n$idle")
   }
+
+  test("q117 forecastRevenue matches a naive recomputation") {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime
+    val hi = java.sql.Timestamp.valueOf("1997-01-01 00:00:00").getTime
+    val expected = lineitem
+      .filter(l => l._6 >= lo && l._6 < hi &&
+        l._5 >= 0.05 && l._5 <= 0.07 && l._3 < 24)
+      .map(l => l._4 * l._5).sum
+    assert(expected > 0, "fixture should have qualifying revenue")
+    val got = OlapQueries.forecastRevenue(spark, sf).collect().head.getDouble(0)
+    assert(math.abs(got - expected) < 5e-2, s"revenue $got vs $expected")
+    // every predicate must reach the parquet scan
+    val p = OlapQueries.forecastRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate") &&
+      p.contains("l_discount"), s"filters must push down:\n$p")
+  }
+
+  test("q118 lateLinePriority matches a naive recomputation") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linestatus", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val ordMap = orders.map(o => o._1 -> (o._4, o._5)).toMap
+    val lateMs = 100L * 24 * 3600 * 1000
+    val late = li.filter(l => l._3 > ordMap(l._1)._1 + lateMs)
+    val expected = late.groupBy(_._2).view.mapValues { g =>
+      val high = g.count(l =>
+        Set("1-URGENT", "2-HIGH")(ordMap(l._1)._2)).toLong
+      (high, g.length - high)
+    }.toMap
+    val got = OlapQueries.lateLinePriority(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("q119 waitingSupplier matches a naive recomputation") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    val ordF = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val sName = Tables.load(spark, sf, "supplier")
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lateMs = 100L * 24 * 3600 * 1000
+    val blame = li.filter(l => ordF.contains(l._1))
+      .groupBy(_._1).toSeq.flatMap { case (ok, ls) =>
+        val supps = ls.map(_._2).distinct
+        val lateSupps =
+          ls.filter(l => l._3 > ordF(ok) + lateMs).map(_._2).distinct
+        if (supps.length > 1 && lateSupps.length == 1) Some(lateSupps.head)
+        else None
+      }
+    val expected = blame.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case (sk, n) => (sName(sk), n) }
+      .sortBy { case (name, n) => (-n, name) }.take(50)
+    val got = OlapQueries.waitingSupplier(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // the two existentials must NOT appear as extra fact joins or a
+    // COUNT(DISTINCT) Expand — one join, two aggregates, one broadcast
+    val p = OlapQueries.waitingSupplier(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("Expand"),
+      s"q119 must not expand or cross-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"supplier dim must broadcast:\n$p")
+  }
 }

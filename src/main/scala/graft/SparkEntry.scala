@@ -304,6 +304,20 @@ object SparkEntry {
     // TPC-H Q21 shape: EXISTS/NOT EXISTS as one two-level aggregate
     "q119_waiting_supplier" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.waitingSupplier(s, d)),
+    // explicit Lloyd k-means, every iterate oracle-replayable
+    "q120_lloyd_clusters" -> ((s: SparkSession, d: String) =>
+      operators.Similarity.lloydClusters(s, d)),
+    // TPC-H Q16 shape: distinct-supplier breadth per part attribute
+    "q121_part_supplier_counts" -> (operators.OlapQueries.partSupplierCounts _),
+    // embedding near-dup components, per-member oracle via recursive CTE
+    "q123_embedding_clusters" -> ((s: SparkSession, d: String) =>
+      operators.Similarity.embeddingClusters(s, d)),
+    // logistic-regression batch GD, every iterate oracle-replayable
+    "q124_logreg_gd" -> ((s: SparkSession, d: String) =>
+      operators.Estimators.logregGd(s, d)),
+    // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
+    "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.dominantSuppliers(s, d)),
     "q44_string_functions" -> (operators.SqlQueries.stringFunctions _),
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
@@ -1776,7 +1790,167 @@ object SparkEntry {
         |      AND l3.l_shipdate > o_orderdate + INTERVAL 100 DAY)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+    // Lloyd k-means, 3 iterations unrolled: each aN assigns under the
+    // previous centroids (squared-L2, (dist, cid) tie-break), each mN
+    // recomputes per-dimension means rounded to 6 dp (the same quantum
+    // the Spark side rounds at, so both engines walk one trajectory),
+    // each cN keeps the previous centroid for an empty cluster.
+    "q120_lloyd_clusters" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid,
+        |         list_transform(v, x -> round(x, 6)) AS c
+        |       FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, v, cid FROM (
+        |         SELECT e.vec_id, e.v, c0.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, e.v)
+        |               - 2 * list_dot_product(e.v, c0.c)
+        |               + list_dot_product(c0.c, c0.c), c0.cid) AS rn
+        |         FROM e CROSS JOIN c0)
+        |       WHERE rn = 1),
+        |m1 AS (SELECT cid, pos, round(avg(x), 6) AS m FROM (
+        |         SELECT cid, unnest(v) AS x,
+        |           unnest(range(1, len(v) + 1)) AS pos
+        |         FROM a1)
+        |       GROUP BY cid, pos),
+        |c1 AS (SELECT c0.cid, coalesce(l.c, c0.c) AS c
+        |       FROM c0 LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c
+        |                          FROM m1 GROUP BY cid) l USING (cid)),
+        |a2 AS (SELECT vec_id, v, cid FROM (
+        |         SELECT e.vec_id, e.v, c1.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, e.v)
+        |               - 2 * list_dot_product(e.v, c1.c)
+        |               + list_dot_product(c1.c, c1.c), c1.cid) AS rn
+        |         FROM e CROSS JOIN c1)
+        |       WHERE rn = 1),
+        |m2 AS (SELECT cid, pos, round(avg(x), 6) AS m FROM (
+        |         SELECT cid, unnest(v) AS x,
+        |           unnest(range(1, len(v) + 1)) AS pos
+        |         FROM a2)
+        |       GROUP BY cid, pos),
+        |c2 AS (SELECT c1.cid, coalesce(l.c, c1.c) AS c
+        |       FROM c1 LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c
+        |                          FROM m2 GROUP BY cid) l USING (cid)),
+        |a3 AS (SELECT vec_id, v, cid FROM (
+        |         SELECT e.vec_id, e.v, c2.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, e.v)
+        |               - 2 * list_dot_product(e.v, c2.c)
+        |               + list_dot_product(c2.c, c2.c), c2.cid) AS rn
+        |         FROM e CROSS JOIN c2)
+        |       WHERE rn = 1),
+        |m3 AS (SELECT cid, pos, round(avg(x), 6) AS m FROM (
+        |         SELECT cid, unnest(v) AS x,
+        |           unnest(range(1, len(v) + 1)) AS pos
+        |         FROM a3)
+        |       GROUP BY cid, pos),
+        |c3 AS (SELECT c2.cid, coalesce(l.c, c2.c) AS c
+        |       FROM c2 LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c
+        |                          FROM m3 GROUP BY cid) l USING (cid)),
+        |af AS (SELECT vec_id, cid FROM (
+        |         SELECT e.vec_id, c3.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, e.v)
+        |               - 2 * list_dot_product(e.v, c3.c)
+        |               + list_dot_product(c3.c, c3.c), c3.cid) AS rn
+        |         FROM e CROSS JOIN c3)
+        |       WHERE rn = 1),
+        |n3 AS (SELECT cid, round(sqrt(list_dot_product(c, c)), 4)
+        |         AS centroid_norm FROM c3)
+        |SELECT af.cid AS cluster_id, count(*) AS n_vecs, n3.centroid_norm
+        |FROM af JOIN n3 ON af.cid = n3.cid
+        |GROUP BY af.cid, n3.centroid_norm
+        |ORDER BY cluster_id""".stripMargin,
+    "q121_part_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q122_dominant_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM (
+        |    SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty,
+        |      sum(sum(l_quantity))
+        |        OVER (PARTITION BY l_partkey) AS total
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    WHERE p_name LIKE 'large%'
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY l_partkey, l_suppkey)
+        |  WHERE qty > 0.5 * total)
+        |ORDER BY s_name""".stripMargin,
+    "q123_embedding_clusters" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS ai, b.vec_id AS bi
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+        |), edges AS (
+        |  SELECT ai AS a, bi AS b FROM p UNION ALL SELECT bi, ai FROM p
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.a, edges.b FROM reach
+        |  JOIN edges ON reach.b = edges.a
+        |)
+        |SELECT a AS vec_id, least(a, min(b)) AS cluster_rep,
+        |  a = least(a, min(b)) AS keep
+        |FROM reach GROUP BY a
+        |ORDER BY vec_id""".stripMargin,
+    // 3 GD iterations unrolled: gN averages the per-dimension gradient
+    // under the previous weights (rounded 6 dp — the shared trajectory
+    // quantum), wN applies the identical IEEE w − g update; iteration
+    // 1's sigmoid is exactly 0.5 in every engine (w0 = 0).
+    "q124_logreg_gd" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_prepend(1.0, embedding::DOUBLE[]) AS x,
+        |             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+        |           FROM embeddings),
+        |g1 AS (SELECT pos, round(avg(xj * (0.5 - y)), 6) AS g
+        |       FROM (SELECT unnest(x) AS xj,
+        |               unnest(range(1, len(x) + 1)) AS pos, y FROM e)
+        |       GROUP BY pos),
+        |w1 AS (SELECT list(0.0 - g ORDER BY pos) AS w FROM g1),
+        |r2 AS (SELECT x, y,
+        |         1/(1 + exp(-list_dot_product(x, (SELECT w FROM w1)))) - y
+        |           AS r FROM e),
+        |g2 AS (SELECT pos, round(avg(xj * r), 6) AS g
+        |       FROM (SELECT unnest(x) AS xj,
+        |               unnest(range(1, len(x) + 1)) AS pos, r FROM r2)
+        |       GROUP BY pos),
+        |w2 AS (SELECT list(wv - g ORDER BY pos) AS w
+        |       FROM (SELECT unnest(w) AS wv,
+        |               unnest(range(1, len(w) + 1)) AS pos FROM w1)
+        |       JOIN g2 USING (pos)),
+        |r3 AS (SELECT x, y,
+        |         1/(1 + exp(-list_dot_product(x, (SELECT w FROM w2)))) - y
+        |           AS r FROM e),
+        |g3 AS (SELECT pos, round(avg(xj * r), 6) AS g
+        |       FROM (SELECT unnest(x) AS xj,
+        |               unnest(range(1, len(x) + 1)) AS pos, r FROM r3)
+        |       GROUP BY pos),
+        |w3 AS (SELECT list(wv - g ORDER BY pos) AS w
+        |       FROM (SELECT unnest(w) AS wv,
+        |               unnest(range(1, len(w) + 1)) AS pos FROM w2)
+        |       JOIN g3 USING (pos))
+        |SELECT y, CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred,
+        |  count(*) AS n, round(avg(p), 4) AS avg_p
+        |FROM (SELECT y,
+        |        1/(1 + exp(-list_dot_product(x, (SELECT w FROM w3))))
+        |          AS p FROM e)
+        |GROUP BY y, pred
+        |ORDER BY y, pred""".stripMargin
   )
 }
 

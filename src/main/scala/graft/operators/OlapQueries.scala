@@ -954,4 +954,71 @@ object OlapQueries {
       count(when(col("click_ts") >= col("view_ts") &&
         col("purchase_ts") >= col("click_ts"), 1)).as("n_full_funnel"))
   }
+
+  /** TPC-H Q16 shape — supplier breadth per part attribute: how many
+    * distinct eligible suppliers ship each (brand, type, size)
+    * combination, excluding a flagged-supplier blacklist. (The fixture
+    * has no partsupp, so lineitem's (l_partkey, l_suppkey) pairs ARE
+    * the who-supplies-what relation, and — no s_comment — the
+    * complaint blacklist is proxied by low account balance.) Both the
+    * qualifying part dim and the blacklist broadcast, so the fact scan
+    * is pruned map-side BEFORE its only shuffle: the 4-column distinct
+    * (attrs, suppkey), whose partial aggregation dedups map-side. The
+    * count-distinct is spelled distinct-then-count — no Expand ever
+    * multiplies fact rows — and output is bounded by
+    * |brand|·|type|·|size| at any corpus size.
+    */
+  def partSupplierCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.load(spark, sfDir, "part")
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val flagged = Tables.load(spark, sfDir, "supplier")
+      .filter(col("s_acctbal") < 1000).select("s_suppkey")
+    Tables.load(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .select("p_brand", "p_type", "p_size", "l_suppkey").distinct()
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+        asc("p_size"))
+  }
+
+  /** TPC-H Q20 shape — dominant suppliers of a part family: suppliers
+    * who shipped more than `share` of some large-family part's total
+    * quantity in one year. (No partsupp availqty in the fixture, so
+    * Q20's "excess stock" test becomes its dual — a market-dominance
+    * test against the nested per-part total.) The fact scan is pruned
+    * by the pushed date range and the broadcast part family before its
+    * single shuffle onto (partkey, suppkey); the nested aggregate —
+    * per-part totals — is a window over the already-NDV-sized
+    * aggregate, not a second pass over facts; the supplier dim then
+    * semi-joins against the tiny broadcast winner set.
+    */
+  def dominantSuppliers(spark: SparkSession, sfDir: String,
+      namePrefix: String = "large", year: Int = 1996,
+      share: Double = 0.5): DataFrame = {
+    val family = Tables.load(spark, sfDir, "part")
+      .filter(col("p_name").startsWith(namePrefix)).select("p_partkey")
+    val perSupp = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(family), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").as("qty"))
+    val dominant = perSupp
+      .withColumn("total",
+        sum(col("qty")).over(Window.partitionBy("l_partkey")))
+      .filter(col("qty") > lit(share) * col("total"))
+      .select("l_suppkey").distinct()
+    Tables.load(spark, sfDir, "supplier")
+      .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_name")
+  }
 }

@@ -399,4 +399,94 @@ object Similarity {
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }
+
+  /** Near-dup membership for the embedding corpus: the grid-blocked
+    * exact pair graph ([[blockedEmbeddingPairs]]) resolved to
+    * connected components by [[Dedup.resolveClusters]] — every vector
+    * in a near-dup cluster with its component-min representative and
+    * keep flag. Same scale shape as the text-side dedup chain: the
+    * pair graph is ≪ the corpus, label propagation touches only pair
+    * nodes, and the corpus itself is scanned once by the pair stage.
+    * The oracle replays the exact pair set declaratively and closes it
+    * with a recursive-CTE transitive closure, so the distributed graph
+    * resolution is hash-proven per MEMBER — q92 proves the text
+    * graph's histogram; this proves every embedding-side label.
+    */
+  def embeddingClusters(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4, numBlocks: Int = 8): DataFrame =
+    Present.smallSorted(
+      Dedup.resolveClusters(
+        blockedPairsUnsorted(embeddingsWithNorm(spark, sfDir)
+          .select("vec_id", "v", "nrm"), threshold, numBlocks))
+        .select(col("doc_id").as("vec_id"), col("cluster_rep"),
+          col("keep")),
+      "vec_id")
+
+  /** Explicit Lloyd k-means over the embedding corpus — the engine-
+    * portable clustering twin of ML's black-box `KMeans`
+    * ([[ivfAssignments]]): deterministic init (the first k vectors by
+    * id), a fixed number of iterations, squared-L2 assignment with
+    * (distance, cluster-id) tie-break, and centroids rounded to 6 dp
+    * each iterate so any engine replays the identical trajectory
+    * (the rounding quantum is ~10⁷× the cross-partition summation
+    * jitter, exactly the discipline the float aggregates use).
+    *
+    * The distributed shape per iteration is the canonical one:
+    * centroids are model state (k×dim doubles — the collect-a-
+    * parameter pattern), broadcast into ONE corpus scan as literals;
+    * the argmin is a codegen'd `array_min` over per-centroid
+    * `struct(dist, cid)` scores (dist = ‖v‖² − 2·v·c + ‖c‖², the
+    * self-dots precomputed); the mean recompute explodes to (cluster,
+    * dim, x) and partial-aggregates map-side, so the shuffle carries
+    * O(k·dim) partial sums per task, never vectors. At 100 TB each
+    * iteration is one scan + one tiny shuffle — the same cost model
+    * FAISS/Spark-ML train with, but with every step oracle-replayable.
+    *
+    * Empty clusters keep their previous centroid (mirrored by the
+    * oracle's LEFT JOIN + coalesce).
+    */
+  def lloydClusters(spark: SparkSession, sfDir: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = embeddingsAsDouble(spark, sfDir).select("vec_id", "v")
+    // every rounding happens in Spark SQL's own `round` (the one the
+    // oracles are calibrated against), never driver-side arithmetic
+    var centroids: Seq[(Int, Seq[Double])] =
+      e.filter(col("vec_id") < k).orderBy("vec_id")
+        .select(col("vec_id"), expr("transform(v, x -> round(x, 6))"))
+        .collect().toSeq
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
+    def assignment(cents: Seq[(Int, Seq[Double])]): Column = {
+      val scored = cents.map { case (cid, c) =>
+        val cl = typedlit(c)
+        val selfDot = c.foldLeft(0.0)((a, x) => a + x * x)
+        struct(
+          (dot_product(col("v"), col("v")) -
+            lit(2.0) * dot_product(col("v"), cl) + lit(selfDot)).as("d"),
+          lit(cid).as("cid"))
+      }
+      array_min(array(scored: _*)).getField("cid")
+    }
+    for (_ <- 1 to iters) {
+      val means = e.withColumn("cluster", assignment(centroids))
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(round(avg("x"), 6).as("m"))
+        .collect()
+        .groupBy(_.getInt(0)).view
+        .mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        .toMap
+      centroids = centroids.map { case (cid, prev) =>
+        (cid, means.getOrElse(cid, prev))
+      }
+    }
+    val norms = centroids.map { case (cid, c) =>
+      (cid, math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+    }
+    val normDf = spark.createDataFrame(norms).toDF("cluster_id", "nrm")
+    e.withColumn("cluster_id", assignment(centroids))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_vecs"))
+      .join(broadcast(normDf), "cluster_id")
+      .select(col("cluster_id"), col("n_vecs"),
+        round(col("nrm"), 4).as("centroid_norm"))
+      .orderBy("cluster_id")
+  }
 }

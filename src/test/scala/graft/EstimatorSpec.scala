@@ -10,6 +10,44 @@ class EstimatorSpec extends SparkSpec {
     assert(auc > 0.95, s"pipeline failed to learn: AUC=$auc")
   }
 
+  test("q124 logregGd replays a local GD trajectory exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.load(spark, sf, "embeddings")
+      .select(col("embedding").cast("array<double>"), col("label"))
+      .collect()
+      .map(r => (1.0 +: r.getSeq[Double](0).toArray,
+        if (r.getInt(1) >= 5) 1 else 0))
+    val dim = rows.head._1.length
+    var w = Array.fill(dim)(0.0)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def sigma(x: Array[Double]): Double = 1.0 / (1.0 + math.exp(-dot(x, w)))
+    for (_ <- 1 to 3) {
+      val g = Array.tabulate(dim) { j =>
+        r6(rows.map { case (x, y) => x(j) * (sigma(x) - y) }.sum / rows.length)
+      }
+      w = w.lazyZip(g).map((wj, gj) => wj - gj)
+    }
+    val expected = rows.groupBy { case (x, y) =>
+      (y, if (sigma(x) >= 0.5) 1 else 0)
+    }.map { case ((y, pred), g) =>
+      val avgP = BigDecimal(g.map(r => sigma(r._1)).sum / g.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (y, pred, g.length.toLong, avgP)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Estimators.logregGd(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got.map(_._3).sum == rows.length, "every vector scored once")
+    assert(got == expected, s"trajectory diverged:\n$got\nvs\n$expected")
+  }
+
   test("S2: raw binary record scan via binaryFile format") {
     // the gzipped-TFRecord analog (reference trainer.py:185-186):
     // opaque file-as-record reads for formats Spark lacks a reader for

@@ -297,4 +297,75 @@ class SimilaritySpec extends SparkSpec {
     info(s"planted near-dup recall at bandBits=8: $recall")
     assert(recall >= 0.95, s"recall collapsed: $recall")
   }
+
+  test("q123 embeddingClusters matches a local union-find over the pairs") {
+    val pairs = Similarity.blockedEmbeddingPairs(spark, sf, threshold = 0.4)
+      .select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should have near-dup pairs at τ=0.4")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(id => (id, find(id), id == find(id)))
+      .sortBy(_._1).toSeq
+    val got = Similarity.embeddingClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == expected, s"membership diverged:\n$got\nvs\n$expected")
+    // the representative is the component minimum, so it is a member
+    val reps = got.map(_._2).toSet
+    assert(reps.subsetOf(got.map(_._1).toSet))
+  }
+
+  test("q120 lloydClusters replays a local Lloyd trajectory exactly") {
+    import graft.sources.Tables
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val k = 8
+    var cents: Map[Int, Array[Double]] = vecs.filter(_._1 < k)
+      .map { case (id, v) => id.toInt -> v.map(r6) }.toMap
+    // same distance formula and summation order as the operator:
+    // ‖v‖² − 2·v·c + ‖c‖², dots left-folded over array order
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def assign(v: Array[Double]): Int =
+      (0 until k).map { cid =>
+        val c = cents(cid)
+        (dot(v, v) - 2.0 * dot(v, c) + dot(c, c), cid)
+      }.min._2
+    for (_ <- 1 to 3) {
+      val byCluster = vecs.groupBy { case (_, v) => assign(v) }
+      cents = cents.map { case (cid, prev) =>
+        cid -> byCluster.get(cid).fold(prev) { members =>
+          val dim = members.head._2.length
+          Array.tabulate(dim) { d =>
+            r6(members.map(_._2(d)).sum / members.length)
+          }
+        }
+      }
+    }
+    val expected = vecs.groupBy { case (_, v) => assign(v) }.toSeq
+      .map { case (cid, members) =>
+        val nrm = BigDecimal(math.sqrt(dot(cents(cid), cents(cid))))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (cid, members.length.toLong, nrm)
+      }.sortBy(_._1)
+    val got = operators.Similarity.lloydClusters(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._2).sum == vecs.length, "every vector assigned once")
+    assert(got == expected, s"trajectory diverged:\n$got\nvs\n$expected")
+  }
 }

@@ -433,4 +433,60 @@ class TpchShapesSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"supplier dim must broadcast:\n$p")
   }
+
+  test("q121 partSupplierCounts matches a naive recomputation") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = Set(1, 4, 7, 10, 13, 16, 19, 22)
+    val partOk = part.filter(p => p._2 != "Brand#13" && p._3 != "PROMO" &&
+      sizes(p._4)).map(p => p._1 -> ((p._2, p._3, p._4))).toMap
+    val flagged = Tables.load(spark, sf, "supplier")
+      .filter(col("s_acctbal") < 1000).select("s_suppkey").collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "blacklist must exclude someone")
+    val expected = li.filter(l => partOk.contains(l._1) && !flagged(l._2))
+      .map(l => (partOk(l._1), l._2)).distinct
+      .groupBy(_._1).view.mapValues(_.length.toLong).toSeq
+      .map { case ((b, t, s), n) => (b, t, s, n) }
+      .sortBy { case (b, t, s, n) => (-n, b, t, s) }
+    val got = OlapQueries.partSupplierCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+    // distinct-then-count spelling: no Expand; both dims broadcast
+    val p = OlapQueries.partSupplierCounts(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), s"q121 must not Expand:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+  }
+
+  test("q122 dominantSuppliers matches a naive recomputation") {
+    val pName = Tables.load(spark, sf, "part")
+      .select("p_partkey", "p_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getTimestamp(3).getTime))
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime
+    val hi = java.sql.Timestamp.valueOf("1997-01-01 00:00:00").getTime
+    val qual = li.filter(l => pName(l._1).startsWith("large") &&
+      l._4 >= lo && l._4 < hi)
+    val perPart = qual.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val winners = qual.groupBy(l => (l._1, l._2)).collect {
+      case ((pk, sk), ls) if ls.map(_._3).sum > 0.5 * perPart(pk) => sk
+    }.toSet
+    val sName = Tables.load(spark, sf, "supplier")
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = winners.toSeq.map(sk => (sk, sName(sk))).sortBy(_._2)
+    val got = OlapQueries.dominantSuppliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == expected && got.nonEmpty)
+    val p = OlapQueries.dominantSuppliers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"q122 cross-joined:\n$p")
+    assert(p.contains("LeftSemi"), s"winner set must semi-join:\n$p")
+  }
 }

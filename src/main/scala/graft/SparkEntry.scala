@@ -315,6 +315,16 @@ object SparkEntry {
     // logistic-regression batch GD, every iterate oracle-replayable
     "q124_logreg_gd" -> ((s: SparkSession, d: String) =>
       operators.Estimators.logregGd(s, d)),
+    // PCA power iteration: covariance-free distributed matvec
+    "q125_pca_projection" -> ((s: SparkSession, d: String) =>
+      operators.Similarity.pcaPowerIteration(s, d)),
+    // Naive Bayes language ID: pivoted broadcast model, one apply pass
+    "q126_naive_bayes" -> (operators.TextQueries.naiveBayesLang _),
+    // SCD2: change-log → validity intervals, one shared window pass
+    "q127_scd2_intervals" -> (operators.OlapQueries.scd2Intervals _),
+    // Count-Min sketch with engine-portable hashes, audited vs exact
+    "q128_countmin" -> ((s: SparkSession, d: String) =>
+      operators.TextQueries.countMinEstimates(s, d)),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -1950,7 +1960,131 @@ object SparkEntry {
         |        1/(1 + exp(-list_dot_product(x, (SELECT w FROM w3))))
         |          AS p FROM e)
         |GROUP BY y, pred
-        |ORDER BY y, pred""".stripMargin
+        |ORDER BY y, pred""".stripMargin,
+    // 3 power iterations unrolled: uN = Σ c·(c·v) per dimension under
+    // the previous iterate, vN = round(uN/‖uN‖, 6) — the same 6 dp
+    // trajectory quantum the Spark side rounds at; the mean vector
+    // centers both engines identically.
+    "q125_pca_projection" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x, label
+        |           FROM embeddings),
+        |m AS (SELECT list(mu ORDER BY pos) AS m FROM (
+        |        SELECT pos, round(avg(xj), 6) AS mu
+        |        FROM (SELECT unnest(x) AS xj,
+        |                unnest(range(1, len(x) + 1)) AS pos FROM e)
+        |        GROUP BY pos)),
+        |d AS (SELECT vec_id, label,
+        |        list_transform(list_zip(x, m.m), t -> t[1] - t[2]) AS c
+        |      FROM e, m),
+        |v0 AS (SELECT list_transform(m, y -> round(1/sqrt(len(m)), 6))
+        |         AS v FROM m),
+        |u1 AS (SELECT pos, sum(cj * s) AS u FROM (
+        |         SELECT unnest(c) AS cj,
+        |           unnest(range(1, len(c) + 1)) AS pos,
+        |           list_dot_product(d.c, v0.v) AS s
+        |         FROM d, v0)
+        |       GROUP BY pos),
+        |v1 AS (SELECT list(round(u / nrm, 6) ORDER BY pos) AS v
+        |       FROM u1, (SELECT sqrt(sum(u*u)) AS nrm FROM u1)),
+        |u2 AS (SELECT pos, sum(cj * s) AS u FROM (
+        |         SELECT unnest(c) AS cj,
+        |           unnest(range(1, len(c) + 1)) AS pos,
+        |           list_dot_product(d.c, v1.v) AS s
+        |         FROM d, v1)
+        |       GROUP BY pos),
+        |v2 AS (SELECT list(round(u / nrm, 6) ORDER BY pos) AS v
+        |       FROM u2, (SELECT sqrt(sum(u*u)) AS nrm FROM u2)),
+        |u3 AS (SELECT pos, sum(cj * s) AS u FROM (
+        |         SELECT unnest(c) AS cj,
+        |           unnest(range(1, len(c) + 1)) AS pos,
+        |           list_dot_product(d.c, v2.v) AS s
+        |         FROM d, v2)
+        |       GROUP BY pos),
+        |v3 AS (SELECT list(round(u / nrm, 6) ORDER BY pos) AS v
+        |       FROM u3, (SELECT sqrt(sum(u*u)) AS nrm FROM u3))
+        |SELECT label, count(*) AS n,
+        |  round(avg(p), 4) AS avg_proj,
+        |  round(avg(p*p), 4) AS avg_proj_sq
+        |FROM (SELECT d.label, list_dot_product(d.c, v3.v) AS p
+        |      FROM d, v3)
+        |GROUP BY label
+        |ORDER BY label""".stripMargin,
+    // multinomial NB with Laplace α=1; scores round to 6 dp (top-2
+    // margin ~3e-3 ≫ ln noise); ties break (score DESC, lang ASC)
+    "q126_naive_bayes" ->
+      """WITH t AS (SELECT doc_id, lang, w FROM (
+        |             SELECT doc_id, lang,
+        |               unnest(string_split(text, ' ')) AS w
+        |             FROM documents) WHERE w <> ''),
+        |pri AS (SELECT lang,
+        |          ln(count(*) /
+        |             (SELECT count(*)::DOUBLE FROM documents)) AS lp
+        |        FROM documents GROUP BY lang),
+        |ntok AS (SELECT lang, count(*) AS ntok FROM t GROUP BY lang),
+        |v AS (SELECT count(DISTINCT w) AS v FROM t),
+        |wc AS (SELECT lang, w, count(*) AS c FROM t GROUP BY lang, w),
+        |s AS (SELECT t.doc_id, t.lang AS true_lang, ntok.lang AS cl,
+        |        ln((coalesce(wc.c, 0) + 1.0) / (ntok.ntok + v.v)) AS lp
+        |      FROM t CROSS JOIN ntok CROSS JOIN v
+        |      LEFT JOIN wc ON wc.lang = ntok.lang AND wc.w = t.w),
+        |sc AS (SELECT s.doc_id, s.true_lang, s.cl,
+        |         round(sum(s.lp) + any_value(pri.lp), 6) AS score
+        |       FROM s JOIN pri ON pri.lang = s.cl
+        |       GROUP BY s.doc_id, s.true_lang, s.cl),
+        |rk AS (SELECT doc_id, true_lang, cl, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, cl) AS rn
+        |       FROM sc)
+        |SELECT true_lang AS lang, cl AS pred_lang, count(*) AS n
+        |FROM rk WHERE rn = 1
+        |GROUP BY true_lang, cl
+        |ORDER BY lang, pred_lang""".stripMargin,
+    "q127_scd2_intervals" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, ts, event_type FROM o
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS valid_to
+        |FROM c
+        |ORDER BY user_id, valid_from""".stripMargin,
+    // the oracle rebuilds the ENTIRE sketch — same polynomial
+    // fingerprint fold, same (a·fp+b mod p) mod width row hashes —
+    // so every counter is cross-engine identical, not just the output
+    "q128_countmin" ->
+      """WITH t AS (SELECT w FROM (
+        |             SELECT unnest(string_split(text, ' ')) AS w
+        |             FROM documents) WHERE w <> ''),
+        |c AS (SELECT w,
+        |        list_reduce(
+        |          list_prepend(7::BIGINT,
+        |            [ascii(ch) for ch in string_split(w, '')]),
+        |          (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fp,
+        |        count(*) AS cnt
+        |      FROM t GROUP BY w),
+        |params AS (SELECT * FROM (VALUES
+        |  (0, 982451653::BIGINT, 7::BIGINT),
+        |  (1, 735632797::BIGINT, 11::BIGINT),
+        |  (2, 352654597::BIGINT, 13::BIGINT),
+        |  (3, 97::BIGINT, 17::BIGINT)) AS p(row_i, a, b)),
+        |buckets AS (SELECT c.w, c.cnt, p.row_i,
+        |              ((p.a * c.fp + p.b) % 1000000007) % 64 AS bucket
+        |            FROM c CROSS JOIN params p),
+        |sketch AS (SELECT row_i, bucket,
+        |             CAST(sum(cnt) AS BIGINT) AS counter
+        |           FROM buckets GROUP BY row_i, bucket),
+        |probes AS (SELECT w FROM c ORDER BY cnt DESC, w LIMIT 20)
+        |SELECT b.w, max(b.cnt) AS exact_cnt, min(s.counter) AS cm_est
+        |FROM buckets b
+        |JOIN sketch s ON b.row_i = s.row_i AND b.bucket = s.bucket
+        |WHERE b.w IN (SELECT w FROM probes)
+        |GROUP BY b.w
+        |ORDER BY exact_cnt DESC, w""".stripMargin
   )
 }
 

@@ -955,6 +955,31 @@ object OlapQueries {
         col("purchase_ts") >= col("click_ts"), 1)).as("n_full_funnel"))
   }
 
+  /** SCD2 interval compaction — the change-log → slowly-changing-
+    * dimension build: each user's event stream collapses to validity
+    * intervals [valid_from, valid_to) of their state (event_type),
+    * keeping only rows where the state actually CHANGED; the open
+    * current state has NULL valid_to. Both windows (change detection
+    * lag, interval-close lead) share one (user, (ts, event_id))
+    * partitioning+ordering, so the fact shuffles and sorts ONCE —
+    * per-user state, never a corpus-wide window. The (ts, event_id)
+    * tie-break makes the compaction deterministic under same-instant
+    * events. This is the standard warehouse dimension-history
+    * operator (type-2 SCD) expressed as two stacked windows.
+    */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"))
+      .orderBy("user_id", "valid_from")
+  }
+
   /** TPC-H Q16 shape — supplier breadth per part attribute: how many
     * distinct eligible suppliers ship each (brand, type, size)
     * combination, excluding a flagged-supplier blacklist. (The fixture

@@ -422,6 +422,52 @@ object Similarity {
           col("keep")),
       "vec_id")
 
+  /** PCA top principal component by power iteration — distributed
+    * linear algebra as declarative aggregates, every iterate
+    * oracle-replayable like [[lloydClusters]]. The covariance matrix
+    * is never materialized: each iteration computes Σᵢ cᵢ(cᵢ·v) — one
+    * corpus scan where the matvec is a codegen'd dot against the
+    * broadcast iterate plus a posexplode → per-dimension sum whose
+    * partial aggregation reduces each task to `dim` sums before the
+    * shuffle. Model state (mean vector, iterate) is dim doubles on the
+    * driver — the collect-a-parameter pattern — and every iterate is
+    * normalized then rounded to 6 dp (quantum ≫ summation jitter), so
+    * any engine walks one trajectory. Output: per-label projection
+    * stats onto the learned component — the "does the embedding space
+    * separate the classes" audit view.
+    */
+  def pcaPowerIteration(spark: SparkSession, sfDir: String,
+      iters: Int = 3): DataFrame = {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e = embeddingsAsDouble(spark, sfDir)
+      .select(col("vec_id"), col("v").as("x"), col("label"))
+    val m: Seq[Double] = e
+      .select(posexplode(col("x")).as(Seq("pos", "xj")))
+      .groupBy("pos").agg(round(avg("xj"), 6).as("mu"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).map(_._2).toSeq
+    val dim = m.length
+    val centered = e.withColumn("c",
+      zip_with(col("x"), typedlit(m), (a, b) => a - b))
+    var vIter: Seq[Double] = Seq.fill(dim)(r6(1.0 / math.sqrt(dim.toDouble)))
+    for (_ <- 1 to iters) {
+      val u = centered
+        .withColumn("s", dot_product(col("c"), typedlit(vIter)))
+        .select(posexplode(col("c")).as(Seq("pos", "cj")), col("s"))
+        .groupBy("pos").agg(sum(col("cj") * col("s")).as("u"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1)))
+        .sortBy(_._1).map(_._2)
+      val nrm = math.sqrt(u.foldLeft(0.0)((a, x) => a + x * x))
+      vIter = u.map(x => r6(x / nrm)).toSeq
+    }
+    centered.withColumn("p", dot_product(col("c"), typedlit(vIter)))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg("p"), 4).as("avg_proj"),
+        round(avg(col("p") * col("p")), 4).as("avg_proj_sq"))
+      .orderBy("label")
+  }
+
   /** Explicit Lloyd k-means over the embedding corpus — the engine-
     * portable clustering twin of ML's black-box `KMeans`
     * ([[ivfAssignments]]): deterministic init (the first k vectors by

@@ -279,4 +279,95 @@ object TextQueries {
           .as("dup_token_frac"))
       .orderBy("doc_id")
   }
+
+  /** Multinomial Naive Bayes language classifier (Laplace α=1),
+    * trained and applied on the corpus itself — the classic generative
+    * text model as two aggregates and one broadcast join, no ML
+    * library. Model build: class priors and token totals are a
+    * |langs|-row collect (model state — the parameter pattern), the
+    * vocabulary-sized per-token class counts PIVOT to one column per
+    * class so the whole model broadcasts as a single vocab-keyed
+    * frame. Apply: ONE pass over the exploded corpus — each token
+    * joins the broadcast model row, per-class log-likelihoods sum in
+    * the same doc-grouped aggregate (partial aggregation reduces every
+    * task to |langs| sums per doc before the shuffle), and the argmax
+    * is a codegen'd array_min over (−score, lang) structs, so the
+    * tie-break (highest score, then lang ascending) is explicit and
+    * engine-portable. Scores round to 6 dp — the fixture's smallest
+    * top-2 margin is ~3e-3, six orders above cross-engine ln noise.
+    * Output: the (true lang × predicted lang) confusion matrix.
+    */
+  def naiveBayesLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text")
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val nDocsByLang = docs.groupBy("lang").agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nToksByLang = toks.groupBy("lang").agg(count(lit(1)).as("nt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = toks.select("w").distinct().count()
+    val nDocs = nDocsByLang.values.sum
+    val langs = nDocsByLang.keys.toSeq.sorted
+    val model = toks.groupBy("w").pivot("lang", langs).agg(count(lit(1)))
+    val scoreCols = langs.map { l =>
+      val prior = math.log(nDocsByLang(l).toDouble / nDocs)
+      val denom = (nToksByLang(l) + vocab).toDouble
+      round(
+        sum(log((coalesce(col(s"`$l`"), lit(0L)).cast("double") + 1.0) /
+          lit(denom))) + lit(prior), 6).as(s"score_$l")
+    }
+    val perDoc = toks.join(broadcast(model), Seq("w"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val best = array_min(array(langs.map(l =>
+      struct((-col(s"score_$l")).as("ns"), lit(l).as("pl"))): _*))
+    perDoc.select(col("lang"), best.getField("pl").as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Count-Min sketch over the token stream, audited against exact
+    * counts — the point-frequency member of the sketch family (HLL =
+    * NDV, Misra–Gries = top-k, Bloom = membership). Four counter rows
+    * of `width` buckets, hashed by pairwise-independent
+    * (aᵢ·fp + bᵢ mod p) mod width over the SAME portable polynomial
+    * fingerprint the oracle replays character by character — so unlike
+    * a library sketch, every counter is engine-portable and the whole
+    * structure hash-compares. Counter addition is associative, so the
+    * sketch builds from the vocabulary-sized count table (one corpus
+    * shuffle) rather than per-token increments — identical counters,
+    * strictly cheaper; at stream scale the same d×width array IS the
+    * per-task partial aggregate. Output: the top-k tokens with exact
+    * count and CM estimate (est ≥ exact always; equality whenever no
+    * bucket collision survives the row-wise min).
+    */
+  def countMinEstimates(spark: SparkSession, sfDir: String,
+      width: Int = 64, topK: Int = 20): DataFrame = {
+    val P = 1000000007L
+    val A = Seq(982451653L, 735632797L, 352654597L, 97L)
+    val B = Seq(7L, 11L, 13L, 17L)
+    val counts = Tables.load(spark, sfDir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("fp", fingerprint(col("w")))
+      .groupBy("w", "fp").agg(count(lit(1)).as("cnt")).persist()
+    def bucket(i: Int) =
+      pmod((lit(A(i)) * col("fp") + lit(B(i))) % lit(P), lit(width.toLong))
+    val rows = A.indices.map { i =>
+      counts.select(lit(i).as("row_i"), bucket(i).as("bucket"), col("cnt"))
+    }.reduce(_ unionByName _)
+    val sketch = rows.groupBy("row_i", "bucket")
+      .agg(sum("cnt").as("counter"))
+    val probes = counts.orderBy(desc("cnt"), asc("w")).limit(topK)
+    val probeBuckets = A.indices.map { i =>
+      probes.select(col("w"), col("cnt"), lit(i).as("row_i"),
+        bucket(i).as("bucket"))
+    }.reduce(_ unionByName _)
+    probeBuckets.join(broadcast(sketch), Seq("row_i", "bucket"))
+      .groupBy("w")
+      .agg(max("cnt").as("exact_cnt"), min("counter").as("cm_est"))
+      .orderBy(desc("exact_cnt"), asc("w"))
+  }
 }

@@ -112,4 +112,39 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - expected.toDouble) < 0.02,
       s"revenue ${r.getDouble(0)} vs naive $expected")
   }
+
+  test("q127 scd2Intervals equals a naive change-log compaction") {
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      val changes = ordered.headOption.toSeq ++
+        ordered.zip(ordered.tail).collect {
+          case (p, c) if p._4 != c._4 => c
+        }
+      val tos: Seq[Option[Long]] =
+        changes.drop(1).map(c => Some(c._3)) :+ None
+      changes.zip(tos).map { case (c, to) => (u, c._4, c._3, to) }
+    }.toSet
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val got = OlapQueries.scd2Intervals(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), micros(r.getTimestamp(2)),
+        Option(r.getTimestamp(3)).map(micros)))
+      .toSet
+    assert(got == expected,
+      s"divergence: ${got.diff(expected).take(3)} | ${expected.diff(got).take(3)}")
+    // exactly one open (NULL valid_to) interval per user
+    val opens = got.toSeq.filter(_._4.isEmpty)
+    assert(opens.map(_._1).distinct.length == opens.length &&
+      opens.length == events.map(_._1).distinct.length)
+    // both windows share one partitioning: a single exchange and sort
+    val plan = OlapQueries.scd2Intervals(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nonPresentationSorts =
+      "\\[user_id.* ASC NULLS FIRST, ts.* ASC NULLS FIRST, event_id".r
+        .findAllIn(plan).length
+    assert(nonPresentationSorts >= 1 &&
+      plan.sliding("hashpartitioning(user_id".length)
+        .count(_ == "hashpartitioning(user_id") == 1,
+      s"windows must share one user_id exchange:\n$plan")
+  }
 }

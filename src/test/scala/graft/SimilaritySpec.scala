@@ -324,6 +324,49 @@ class SimilaritySpec extends SparkSpec {
     assert(reps.subsetOf(got.map(_._1).toSet))
   }
 
+  test("q125 pcaPowerIteration replays a local power-iteration trajectory") {
+    import graft.sources.Tables
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.load(spark, sf, "embeddings")
+      .select(col("embedding").cast("array<double>"), col("label"))
+      .collect().map(r => (r.getSeq[Double](0).toArray, r.getInt(1)))
+    val dim = rows.head._1.length
+    val mean = Array.tabulate(dim)(j =>
+      r6(rows.map(_._1(j)).sum / rows.length))
+    val cs = rows.map { case (x, l) =>
+      (x.lazyZip(mean).map(_ - _).toArray, l)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    var v = Array.fill(dim)(r6(1.0 / math.sqrt(dim.toDouble)))
+    for (_ <- 1 to 3) {
+      val u = Array.tabulate(dim) { j =>
+        cs.map { case (c, _) => c(j) * dot(c, v) }.sum
+      }
+      val nrm = math.sqrt(u.foldLeft(0.0)((a, x) => a + x * x))
+      v = u.map(x => r6(x / nrm))
+    }
+    val expected = cs.groupBy(_._2).map { case (l, g) =>
+      val ps = g.map { case (c, _) => dot(c, v) }
+      (l, g.length.toLong, r4(ps.sum / ps.length),
+        r4(ps.map(p => p * p).sum / ps.length))
+    }.toSeq.sortBy(_._1)
+    val got = Similarity.pcaPowerIteration(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got.map(_._2).sum == rows.length, "every vector projected once")
+    assert(got == expected, s"trajectory diverged:\n$got\nvs\n$expected")
+    // a power iterate is unit-length up to the rounding quantum
+    val vn = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    assert(math.abs(vn - 1.0) < 1e-4, s"iterate not normalized: $vn")
+  }
+
   test("q120 lloydClusters replays a local Lloyd trajectory exactly") {
     import graft.sources.Tables
     def r6(x: Double): Double =

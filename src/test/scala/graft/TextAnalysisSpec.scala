@@ -6,6 +6,72 @@ import graft.operators.TextQueries
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("q126 naiveBayesLang replays a local NB computation exactly") {
+    import graft.sources.Tables
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).toSeq))
+    val withToks = docs.filter(_._3.nonEmpty)
+    val nDocs = docs.length
+    val nd = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    val nt = withToks.groupBy(_._2).view.mapValues(_.map(_._3.length).sum)
+      .toMap
+    val vocab = withToks.flatMap(_._3).distinct.length
+    val wc = withToks.flatMap { case (_, l, ws) => ws.map(w => (l, w)) }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val langs = nd.keys.toSeq.sorted
+    def score(ws: Seq[String], l: String): Double = r6(
+      ws.map(w => math.log((wc.getOrElse((l, w), 0) + 1.0) /
+        (nt(l) + vocab))).sum + math.log(nd(l).toDouble / nDocs))
+    val expected = withToks.map { case (_, trueLang, ws) =>
+      val pred = langs.minBy(l => (-score(ws, l), l))
+      (trueLang, pred)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((t, p), n) => (t, p, n) }.sortBy(t => (t._1, t._2))
+    val got = TextQueries.naiveBayesLang(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got.map(_._3).sum == withToks.length, "every doc classified once")
+    assert(got == expected, s"NB diverged:\n$got\nvs\n$expected")
+    // the model must learn more than the prior on the majority class
+    val correct = got.collect { case (t, p, n) if t == p => n }.sum
+    assert(correct > 0, "no correct classifications at all")
+  }
+
+  test("q128 countMinEstimates replays a local sketch; est ≥ exact always") {
+    import graft.sources.Tables
+    val P = 1000000007L
+    val A = Seq(982451653L, 735632797L, 352654597L, 97L)
+    val B = Seq(7L, 11L, 13L, 17L)
+    val width = 64L
+    def fp(w: String): Long =
+      w.codePoints().toArray.foldLeft(7L)((acc, c) => (acc * 31 + c) % P)
+    val toks = Tables.load(spark, sf, "documents")
+      .select("text").collect().flatMap(_.getString(0).split(" "))
+      .filter(_.nonEmpty)
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sketch = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    exact.foreach { case (w, cnt) =>
+      A.indices.foreach { i =>
+        val b = ((A(i) * fp(w) + B(i)) % P) % width
+        sketch((i, b)) = sketch.getOrElse((i, b), 0L) + cnt
+      }
+    }
+    val probes = exact.toSeq.sortBy { case (w, c) => (-c, w) }.take(20)
+    val expected = probes.map { case (w, cnt) =>
+      val est = A.indices.map(i =>
+        sketch((i, ((A(i) * fp(w) + B(i)) % P) % width))).min
+      (w, cnt, est)
+    }.sortBy { case (w, c, _) => (-c, w) }
+    val got = TextQueries.countMinEstimates(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"sketch diverged:\n$got\nvs\n$expected")
+    assert(got.forall { case (_, ex, est) => est >= ex },
+      "CM must never underestimate")
+  }
+
   test("fingerprint kernel: property — matches a codepoint fold on random unicode") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check, Parameters, Passed}

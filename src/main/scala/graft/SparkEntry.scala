@@ -1887,8 +1887,9 @@ object SparkEntry {
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE s_suppkey IN (
         |  SELECT l_suppkey FROM (
-        |    SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty,
-        |      sum(sum(l_quantity))
+        |    SELECT l_partkey, l_suppkey,
+        |      sum(CAST(l_quantity AS DECIMAL(20,4))) AS qty,
+        |      sum(sum(CAST(l_quantity AS DECIMAL(20,4))))
         |        OVER (PARTITION BY l_partkey) AS total
         |    FROM lineitem JOIN part ON l_partkey = p_partkey
         |    WHERE p_name LIKE 'large%'

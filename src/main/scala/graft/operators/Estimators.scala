@@ -105,7 +105,9 @@ object Estimators {
         concat(array(lit(1.0)), col("embedding").cast("array<double>"))
           .as("x"),
         when(col("label") >= 5, 1).otherwise(0).as("y"))
-    val dim = e.select(max(size(col("x")))).collect()(0).getInt(0)
+    // the feature width is constant (bias ⊕ fixed-dim embedding): one
+    // row answers it — never a corpus-wide aggregate
+    val dim = e.select(size(col("x"))).head.getInt(0)
     var w: Seq[Double] = Seq.fill(dim)(0.0)
     def sigma(wl: Column): Column =
       lit(1.0) / (lit(1.0) + exp(-dot_product(col("x"), wl)))

@@ -1028,17 +1028,21 @@ object OlapQueries {
       share: Double = 0.5): DataFrame = {
     val family = Tables.load(spark, sfDir, "part")
       .filter(col("p_name").startsWith(namePrefix)).select("p_partkey")
+    // DECIMAL keeps the share comparison order-free and cross-engine
+    // exact (the q107/q111 discipline): double partial sums would make
+    // a near-boundary (supplier, part) pair partition-order dependent
     val perSupp = Tables.load(spark, sfDir, "lineitem")
       .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
         col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
       .select("l_partkey", "l_suppkey", "l_quantity")
       .join(broadcast(family), col("l_partkey") === col("p_partkey"))
       .groupBy("l_partkey", "l_suppkey")
-      .agg(sum("l_quantity").as("qty"))
+      .agg(sum(col("l_quantity").cast("decimal(20,4)")).as("qty"))
     val dominant = perSupp
       .withColumn("total",
         sum(col("qty")).over(Window.partitionBy("l_partkey")))
-      .filter(col("qty") > lit(share) * col("total"))
+      .filter(col("qty") >
+        lit(share).cast("decimal(11,6)") * col("total"))
       .select("l_suppkey").distinct()
     Tables.load(spark, sfDir, "supplier")
       .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"),

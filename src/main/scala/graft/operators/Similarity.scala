@@ -194,11 +194,8 @@ object Similarity {
     */
   def semanticKept(spark: SparkSession, sfDir: String,
       threshold: Double = 0.4, numBlocks: Int = 8): DataFrame = {
-    // unsorted pair feed: resolveClusters checkpoints it immediately,
-    // so the presentation sort would be pure waste
-    val pairs = blockedPairsUnsorted(embeddingsWithNorm(spark, sfDir)
-      .select("vec_id", "v", "nrm"), threshold, numBlocks)
-    val removed = Dedup.resolveClusters(pairs)
+    val removed = Dedup.resolveClusters(
+      embeddingPairFeed(spark, sfDir, threshold, numBlocks))
       .filter(!col("keep"))
       .select(col("doc_id").as("vec_id"))
     Tables.load(spark, sfDir, "embeddings")
@@ -416,11 +413,20 @@ object Similarity {
       threshold: Double = 0.4, numBlocks: Int = 8): DataFrame =
     Present.smallSorted(
       Dedup.resolveClusters(
-        blockedPairsUnsorted(embeddingsWithNorm(spark, sfDir)
-          .select("vec_id", "v", "nrm"), threshold, numBlocks))
+        embeddingPairFeed(spark, sfDir, threshold, numBlocks))
         .select(col("doc_id").as("vec_id"), col("cluster_rep"),
           col("keep")),
       "vec_id")
+
+  /** The ONE unsorted exact pair feed [[semanticKept]] and
+    * [[embeddingClusters]] resolve — a change to the embedding pair
+    * graph cannot fork between them. Unsorted because resolveClusters
+    * checkpoints it immediately: a presentation sort would be waste.
+    */
+  private def embeddingPairFeed(spark: SparkSession, sfDir: String,
+      threshold: Double, numBlocks: Int): DataFrame =
+    blockedPairsUnsorted(embeddingsWithNorm(spark, sfDir)
+      .select("vec_id", "v", "nrm"), threshold, numBlocks)
 
   /** PCA top principal component by power iteration — distributed
     * linear algebra as declarative aggregates, every iterate
@@ -438,8 +444,13 @@ object Similarity {
     */
   def pcaPowerIteration(spark: SparkSession, sfDir: String,
       iters: Int = 3): DataFrame = {
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // every iterate rounding goes through Spark SQL's own `round` (the
+    // function the oracles are calibrated against — the same
+    // discipline as [[lloydClusters]]): a 1-row local-relation job per
+    // iterate, microseconds, no scan
+    def roundVec(xs: Seq[Double]): Seq[Double] =
+      spark.range(1).select(transform(typedlit(xs),
+        x => round(x, 6)).as("v")).head.getSeq[Double](0)
     val e = embeddingsAsDouble(spark, sfDir)
       .select(col("vec_id"), col("v").as("x"), col("label"))
     val m: Seq[Double] = e
@@ -450,7 +461,8 @@ object Similarity {
     val dim = m.length
     val centered = e.withColumn("c",
       zip_with(col("x"), typedlit(m), (a, b) => a - b))
-    var vIter: Seq[Double] = Seq.fill(dim)(r6(1.0 / math.sqrt(dim.toDouble)))
+    var vIter: Seq[Double] =
+      roundVec(Seq.fill(dim)(1.0 / math.sqrt(dim.toDouble)))
     for (_ <- 1 to iters) {
       val u = centered
         .withColumn("s", dot_product(col("c"), typedlit(vIter)))
@@ -459,7 +471,7 @@ object Similarity {
         .collect().map(r => (r.getInt(0), r.getDouble(1)))
         .sortBy(_._1).map(_._2)
       val nrm = math.sqrt(u.foldLeft(0.0)((a, x) => a + x * x))
-      vIter = u.map(x => r6(x / nrm)).toSeq
+      vIter = roundVec(u.map(_ / nrm).toSeq)
     }
     centered.withColumn("p", dot_product(col("c"), typedlit(vIter)))
       .groupBy("label")

@@ -309,7 +309,10 @@ object TextQueries {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val vocab = toks.select("w").distinct().count()
     val nDocs = nDocsByLang.values.sum
-    val langs = nDocsByLang.keys.toSeq.sorted
+    // candidate classes come from the TOKEN-bearing corpus (the oracle's
+    // ntok CTE): a lang whose docs are all empty has no likelihood model
+    // and must not appear as a candidate (nToksByLang has no key for it)
+    val langs = nToksByLang.keys.toSeq.sorted
     val model = toks.groupBy("w").pivot("lang", langs).agg(count(lit(1)))
     val scoreCols = langs.map { l =>
       val prior = math.log(nDocsByLang(l).toDouble / nDocs)

@@ -325,6 +325,8 @@ object SparkEntry {
     // Count-Min sketch with engine-portable hashes, audited vs exact
     "q128_countmin" -> ((s: SparkSession, d: String) =>
       operators.TextQueries.countMinEstimates(s, d)),
+    // closed-form per-key OLS: fit = two aggregates, never iterate
+    "q129_revenue_trend" -> (operators.OlapQueries.revenueTrend _),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -2085,7 +2087,26 @@ object SparkEntry {
         |JOIN sketch s ON b.row_i = s.row_i AND b.bucket = s.bucket
         |WHERE b.w IN (SELECT w FROM probes)
         |GROUP BY b.w
-        |ORDER BY exact_cnt DESC, w""".stripMargin
+        |ORDER BY exact_cnt DESC, w""".stripMargin,
+    // monthly cells summed in DECIMAL (partition-order exact), the x
+    // side in integer arithmetic; slope rounds at 4 dp ≫ Σxy noise
+    "q129_revenue_trend" ->
+      """WITH m AS (
+        |  SELECT c_mktsegment AS segment,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 23940 AS mi,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+        |      AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY segment, mi),
+        |a AS (
+        |  SELECT segment, count(*) AS n, sum(mi) AS sx,
+        |    sum(mi * mi) AS sxx, sum(y) AS sy, sum(mi * y) AS sxy
+        |  FROM m GROUP BY segment)
+        |SELECT segment, CAST(n AS BIGINT) AS n_months,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+        |  round(sy / n, 2) AS avg_monthly_rev
+        |FROM a
+        |ORDER BY segment""".stripMargin
   )
 }
 

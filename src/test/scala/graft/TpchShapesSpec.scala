@@ -461,6 +461,43 @@ class TpchShapesSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
   }
 
+  test("q129 revenueTrend matches a naive OLS recomputation") {
+    val segOf = customer.map(c => c._1 -> c._4).toMap
+    def mi(ms: Long): Long = {
+      val d = java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      d.getYear.toLong * 12 + d.getMonthValue - 23940
+    }
+    val cells = orders.groupBy(o => (segOf(o._2), mi(o._4))).map {
+      case ((seg, m), os) =>
+        (seg, m, os.map(o => BigDecimal(o._3)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    }.toSeq
+    val expected = cells.groupBy(_._1).map { case (seg, cs) =>
+      val n = cs.size.toDouble
+      val sx = cs.map(_._2).sum.toDouble
+      val sxx = cs.map(c => c._2 * c._2).sum.toDouble
+      val sy = cs.map(_._3).sum
+      val sxy = cs.map(c => c._2 * c._3).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (seg, cs.size.toLong, slope, sy / n)
+    }.toSeq.sortBy(_._1)
+    val got = OlapQueries.revenueTrend(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got.map(g => (g._1, g._2)) ==
+      expected.map(e => (e._1, e._2)), "segments or month counts differ")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) <= 1e-3, s"slope ${g._3} vs ${e._3}")
+      assert(math.abs(g._4 - e._4) <= 0.01,
+        s"avg_monthly_rev ${g._4} vs ${e._4}")
+    }
+    // one fact shuffle + one NDV-sized aggregate; customer broadcasts
+    val p = OlapQueries.revenueTrend(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"dim must broadcast:\n$p")
+  }
+
   test("q122 dominantSuppliers matches a naive recomputation") {
     val pName = Tables.load(spark, sf, "part")
       .select("p_partkey", "p_name").collect()

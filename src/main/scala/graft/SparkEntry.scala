@@ -327,6 +327,9 @@ object SparkEntry {
       operators.TextQueries.countMinEstimates(s, d)),
     // closed-form per-key OLS: fit = two aggregates, never iterate
     "q129_revenue_trend" -> (operators.OlapQueries.revenueTrend _),
+    // exact-k weighted sample: priority = hash/weight, bounded top-k
+    "q130_weighted_sample" -> ((s: SparkSession, d: String) =>
+      operators.Pipeline.weightedSample(s, d)),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -2106,7 +2109,32 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
         |  round(sy / n, 2) AS avg_monthly_rev
         |FROM a
-        |ORDER BY segment""".stripMargin
+        |ORDER BY segment""".stripMargin,
+    // priority = integer hash scaled to [0,1e6) over the mixture
+    // weight — one IEEE division, no libm: bit-identical cross-engine
+    "q130_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE
+        |      WHEN source IN ('src0','src1','src2','src3','src4')
+        |        THEN 900
+        |      WHEN source IN ('src5','src6','src7','src8','src9')
+        |        THEN 500
+        |      ELSE 200 END AS BIGINT) AS weight_permille,
+        |    CAST(((doc_id % 1000000007) * 2654435761) % 1000000
+        |      AS DOUBLE) /
+        |    CAST(CASE
+        |      WHEN source IN ('src0','src1','src2','src3','src4')
+        |        THEN 900
+        |      WHEN source IN ('src5','src6','src7','src8','src9')
+        |        THEN 500
+        |      ELSE 200 END AS DOUBLE) AS priority
+        |  FROM documents)
+        |SELECT doc_id, source, weight_permille,
+        |  round(priority, 4) AS priority
+        |FROM s
+        |ORDER BY s.priority, doc_id
+        |LIMIT 200""".stripMargin
   )
 }
 

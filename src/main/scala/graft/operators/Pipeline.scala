@@ -363,6 +363,32 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Weighted sample of EXACT size k via priority (sequential
+    * Poisson) sampling: each doc draws priority u/w — u the portable
+    * integer hash of its id scaled to [0, 1e6), w its source's
+    * mixture weight — and the k smallest priorities win, so inclusion
+    * probability scales with weight but the output size is fixed
+    * (unlike the rate-based [[mixtureSample]], which is expected-size).
+    * One bounded top-k (TakeOrderedAndProject: every task keeps k
+    * rows, the driver merges — no corpus sort) over one scan. The
+    * priority arithmetic is integer hashing plus ONE IEEE division —
+    * bit-identical in any engine, no libm anywhere — so the sample is
+    * exactly reproducible cross-engine, ties broken by doc_id.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String,
+      k: Int = 200): DataFrame = {
+    val u = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(KnuthMult),
+      lit(1000000L))
+    val w = mixturePermille(col("source"))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), w.as("weight_permille"),
+        (u.cast("double") / w.cast("double")).as("priority"))
+      .orderBy(asc("priority"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("weight_permille"),
+        round(col("priority"), 4).as("priority"))
+  }
+
   /** Knuth's 2^32/φ multiplicative-hash constant — decorrelates the
     * accept test from sequential doc_ids.
     */

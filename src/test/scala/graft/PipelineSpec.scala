@@ -6,6 +6,40 @@ import graft.sources.Tables
 
 class PipelineSpec extends SparkSpec {
 
+  test("q130 weightedSample replays locally; inclusion tracks weight") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def wOf(s: String): Long =
+      if (Set("src0", "src1", "src2", "src3", "src4")(s)) 900L
+      else if (Set("src5", "src6", "src7", "src8", "src9")(s)) 500L
+      else 200L
+    val scored = docs.map { case (id, src) =>
+      val u = ((id % 1000000007L) * 2654435761L) % 1000000L
+      (id, src, wOf(src), u.toDouble / wOf(src).toDouble)
+    }
+    val expected = scored.sortBy(t => (t._4, t._1)).take(200)
+      .map(t => (t._1, t._2, t._3, BigDecimal(t._4)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq
+    val got = Pipeline.weightedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected, s"sample diverged:\n${got.take(5)}\nvs\n${
+      expected.take(5)}")
+    // inclusion probability must track the weight ordering
+    val corpus = docs.groupBy(d => wOf(d._2)).view
+      .mapValues(_.length.toDouble)
+    val sampled = got.groupBy(_._3).view.mapValues(_.length.toDouble)
+    def rate(w: Long): Double = sampled.getOrElse(w, 0.0) / corpus(w)
+    assert(rate(900L) > rate(200L),
+      s"900‰ rate ${rate(900L)} not above 200‰ rate ${rate(200L)}")
+    // bounded top-k: every task keeps k rows, no corpus sort
+    val p = Pipeline.weightedSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"must plan as bounded top-k:\n$p")
+  }
+
   test("tokenPacking: packs partition the corpus, budget-bounded") {
     val packs = Pipeline.tokenPacking(spark, sf, budget = 512).collect()
     val totalDocs = packs.map(_.getLong(1)).sum

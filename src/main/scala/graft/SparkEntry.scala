@@ -2106,30 +2106,29 @@ object SparkEntry {
         |    sum(mi * mi) AS sxx, sum(y) AS sy, sum(mi * y) AS sxy
         |  FROM m GROUP BY segment)
         |SELECT segment, CAST(n AS BIGINT) AS n_months,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
-        |  round(sy / n, 2) AS avg_monthly_rev
+        |  CASE WHEN n * sxx - sx * sx <> 0
+        |    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+        |    END AS slope,
+        |  floor(sy * 100 / n + 0.5) / 100 AS avg_monthly_rev
         |FROM a
         |ORDER BY segment""".stripMargin,
     // priority = integer hash scaled to [0,1e6) over the mixture
     // weight — one IEEE division, no libm: bit-identical cross-engine
     "q130_weighted_sample" ->
-      """WITH s AS (
+      """WITH w AS (
         |  SELECT doc_id, source,
         |    CAST(CASE
         |      WHEN source IN ('src0','src1','src2','src3','src4')
         |        THEN 900
         |      WHEN source IN ('src5','src6','src7','src8','src9')
         |        THEN 500
-        |      ELSE 200 END AS BIGINT) AS weight_permille,
-        |    CAST(((doc_id % 1000000007) * 2654435761) % 1000000
-        |      AS DOUBLE) /
-        |    CAST(CASE
-        |      WHEN source IN ('src0','src1','src2','src3','src4')
-        |        THEN 900
-        |      WHEN source IN ('src5','src6','src7','src8','src9')
-        |        THEN 500
-        |      ELSE 200 END AS DOUBLE) AS priority
-        |  FROM documents)
+        |      ELSE 200 END AS BIGINT) AS weight_permille
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, weight_permille,
+        |    CAST(((doc_id % 1000000007) * 2654435761) % 1000000 + 1
+        |      AS DOUBLE) / CAST(weight_permille AS DOUBLE) AS priority
+        |  FROM w)
         |SELECT doc_id, source, weight_permille,
         |  round(priority, 4) AS priority
         |FROM s

@@ -992,9 +992,18 @@ object OlapQueries {
         sum(col("mi") * col("mi")).as("sxx"),
         sum(col("y")).as("sy"), sum(col("mi") * col("y")).as("sxy"))
       .select(col("segment"), col("n").as("n_months"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
-        round(col("sy") / col("n"), 2).as("avg_monthly_rev"))
+        // a single-cell segment has zero x-variance: slope is
+        // undefined — NULL in both engines, never NaN-vs-NULL
+        when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 4))
+          .as("slope"),
+        // tie-proof 2 dp HALF_UP: sy is an exact 2 dp decimal (cents
+        // < 2^53), so floor(x·100 + 0.5)/100 is the same bits in any
+        // engine — round(double, 2) disagrees across engines exactly
+        // at .005 ties
+        (floor(col("sy") * 100 / col("n") + lit(0.5)) / 100)
+          .as("avg_monthly_rev"))
       .orderBy("segment")
   }
 

@@ -377,8 +377,10 @@ object Pipeline {
     */
   def weightedSample(spark: SparkSession, sfDir: String,
       k: Int = 200): DataFrame = {
-    val u = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(KnuthMult),
-      lit(1000000L))
+    // +1 maps u to [1, 1e6]: u = 0 would give priority 0.0, a
+    // guaranteed slot regardless of weight (sequential Poisson needs
+    // u in (0, 1])
+    val u = knuthBucket(col("doc_id"), 1000000L) + lit(1L)
     val w = mixturePermille(col("source"))
     Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), w.as("weight_permille"),
@@ -394,14 +396,22 @@ object Pipeline {
     */
   val KnuthMult = 2654435761L
 
+  /** The shared Knuth-multiplicative hash bucket: reduce mod 1e9+7
+    * BEFORE the multiply — the reduced id stays ≤ ~1e9, so the product
+    * ≤ ~2.7e18 < Long.Max — no ANSI overflow at any corpus size (a raw
+    * doc_id · 2^32/φ overflows past id ≈ 3.5e9). Every hash-derived
+    * accept test / priority in this file MUST route through this one
+    * helper (moduli differ; the overflow discipline must not).
+    */
+  private def knuthBucket(docId: org.apache.spark.sql.Column,
+      modulus: Long) =
+    pmod(pmod(docId, lit(1000000007L)) * lit(KnuthMult), lit(modulus))
+
   /** The mixture accept bucket, shared by [[mixtureSample]] and
-    * [[corpusManifest]] (and replayed by both oracles). Reduce mod
-    * 1e9+7 BEFORE the Knuth multiply: the reduced id stays ≤ ~1e9, so
-    * the product ≤ ~2.7e18 < Long.Max — no ANSI overflow at any corpus
-    * size (a raw doc_id · 2^32/φ overflows past id ≈ 3.5e9).
+    * [[corpusManifest]] (and replayed by both oracles).
     */
   private def mixtureBucket(docId: org.apache.spark.sql.Column) =
-    pmod(pmod(docId, lit(1000000007L)) * lit(KnuthMult), lit(1000L))
+    knuthBucket(docId, 1000L)
 
   /** Target mixture: heavy sources kept at 90%, mid at 50%, tail at
     * 20% — the CASE both engines replay verbatim.
@@ -461,9 +471,7 @@ object Pipeline {
     */
   def stratifiedSample(spark: SparkSession, sfDir: String,
       k: Int = 25): DataFrame = {
-    val priority = pmod(
-      pmod(col("doc_id"), lit(1000000007L)) * lit(KnuthMult),
-      lit(1000000007L))
+    val priority = knuthBucket(col("doc_id"), 1000000007L)
     Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), priority.as("priority"))
       .groupBy("lang")
@@ -500,9 +508,7 @@ object Pipeline {
     val idxDf = spark.createDataFrame(
       srcIdx.toSeq.map { case (s, i) => (s, i.toLong) })
       .toDF("source", "src_idx")
-    val priority = pmod(
-      pmod(col("doc_id"), lit(1000000007L)) * lit(KnuthMult),
-      lit(1000000007L))
+    val priority = knuthBucket(col("doc_id"), 1000000007L)
     docs
       .select(col("doc_id"), col("source"), priority.as("priority"))
       .join(broadcast(idxDf), Seq("source"))

@@ -15,7 +15,7 @@ class PipelineSpec extends SparkSpec {
       else if (Set("src5", "src6", "src7", "src8", "src9")(s)) 500L
       else 200L
     val scored = docs.map { case (id, src) =>
-      val u = ((id % 1000000007L) * 2654435761L) % 1000000L
+      val u = ((id % 1000000007L) * 2654435761L) % 1000000L + 1L
       (id, src, wOf(src), u.toDouble / wOf(src).toDouble)
     }
     val expected = scored.sortBy(t => (t._4, t._1)).take(200)

@@ -480,7 +480,7 @@ class TpchShapesSpec extends SparkSpec {
       val sy = cs.map(_._3).sum
       val sxy = cs.map(c => c._2 * c._3).sum
       val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-      (seg, cs.size.toLong, slope, sy / n)
+      (seg, cs.size.toLong, slope, math.floor(sy * 100 / n + 0.5) / 100)
     }.toSeq.sortBy(_._1)
     val got = OlapQueries.revenueTrend(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),

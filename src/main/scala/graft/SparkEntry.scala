@@ -1803,7 +1803,7 @@ object SparkEntry {
         |    WHERE l3.l_orderkey = l1.l_orderkey
         |      AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_shipdate > o_orderdate + INTERVAL 100 DAY)
-        |GROUP BY s_name
+        |GROUP BY s_suppkey, s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 50""".stripMargin,
     // Lloyd k-means, 3 iterations unrolled: each aN assigns under the
@@ -1885,7 +1885,8 @@ object SparkEntry {
         |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
         |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
         |  AND l_suppkey NOT IN
-        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |    (SELECT s_suppkey FROM supplier
+        |     WHERE s_acctbal < 1000 AND s_suppkey IS NOT NULL)
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q122_dominant_suppliers" ->
@@ -2097,19 +2098,21 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT c_mktsegment AS segment,
         |    year(o_orderdate) * 12 + month(o_orderdate) - 23940 AS mi,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
-        |      AS y
+        |    sum(CAST(o_totalprice AS DECIMAL(20,2))) AS ydec
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  GROUP BY segment, mi),
         |a AS (
         |  SELECT segment, count(*) AS n, sum(mi) AS sx,
-        |    sum(mi * mi) AS sxx, sum(y) AS sy, sum(mi * y) AS sxy
+        |    sum(mi * mi) AS sxx, sum(ydec) AS sydec,
+        |    sum(mi * CAST(ydec AS DOUBLE)) AS sxy
         |  FROM m GROUP BY segment)
         |SELECT segment, CAST(n AS BIGINT) AS n_months,
         |  CASE WHEN n * sxx - sx * sx <> 0
-        |    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+        |    THEN round((n * sxy - sx * CAST(sydec AS DOUBLE))
+        |           / (n * sxx - sx * sx), 4)
         |    END AS slope,
-        |  floor(sy * 100 / n + 0.5) / 100 AS avg_monthly_rev
+        |  floor(CAST(sydec * 100 AS DOUBLE) / n + 0.5) / 100
+        |    AS avg_monthly_rev
         |FROM a
         |ORDER BY segment""".stripMargin,
     // priority = integer hash scaled to [0,1e6) over the mixture

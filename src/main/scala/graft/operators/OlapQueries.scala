@@ -985,25 +985,34 @@ object OlapQueries {
         // the 4 dp rounding margin at sf0.1; shifted |x| ≲ 10² doesn't
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) -
           lit(23940)).as("mi"))
-      .agg(sum(col("o_totalprice").cast("decimal(20,2)"))
-        .cast("double").as("y"))
+      // the cell value stays DECIMAL end-to-end; the double rendering
+      // feeds only the OLS cross-moments, where 4 dp rounding absorbs
+      // summation noise
+      .agg(sum(col("o_totalprice").cast("decimal(20,2)")).as("ydec"))
+      .withColumn("y", col("ydec").cast("double"))
     monthly.groupBy("segment")
       .agg(count(lit(1)).as("n"), sum(col("mi")).as("sx"),
         sum(col("mi") * col("mi")).as("sxx"),
-        sum(col("y")).as("sy"), sum(col("mi") * col("y")).as("sxy"))
+        // Σy carried as an exact DECIMAL sum — a double Σ of cells is
+        // partition-order noisy, which could flip the half-cent floor
+        // below on a true .005 tie; only Σxy needs floating point
+        sum(col("ydec")).as("sydec"),
+        sum(col("mi") * col("y")).as("sxy"))
       .select(col("segment"), col("n").as("n_months"),
         // a single-cell segment has zero x-variance: slope is
         // undefined — NULL in both engines, never NaN-vs-NULL
         when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          round((col("n") * col("sxy") -
+              col("sx") * col("sydec").cast("double")) /
             (col("n") * col("sxx") - col("sx") * col("sx")), 4))
           .as("slope"),
-        // tie-proof 2 dp HALF_UP: sy is an exact 2 dp decimal (cents
-        // < 2^53), so floor(x·100 + 0.5)/100 is the same bits in any
-        // engine — round(double, 2) disagrees across engines exactly
-        // at .005 ties
-        (floor(col("sy") * 100 / col("n") + lit(0.5)) / 100)
-          .as("avg_monthly_rev"))
+        // tie-proof 2 dp HALF_UP: sydec·100 is an exact integer-valued
+        // DECIMAL (cents < 2^53 — one deterministic cast to double),
+        // so floor(cents/n + 0.5)/100 is the same bits in any engine —
+        // round(double, 2) disagrees across engines exactly at .005
+        // ties
+        (floor((col("sydec") * 100).cast("double") / col("n") +
+          lit(0.5)) / 100).as("avg_monthly_rev"))
       .orderBy("segment")
   }
 

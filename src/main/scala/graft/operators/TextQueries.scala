@@ -368,9 +368,16 @@ object TextQueries {
       probes.select(col("w"), col("cnt"), lit(i).as("row_i"),
         bucket(i).as("bucket"))
     }.reduce(_ unionByName _)
-    probeBuckets.join(broadcast(sketch), Seq("row_i", "bucket"))
+    val out = probeBuckets.join(broadcast(sketch), Seq("row_i", "bucket"))
       .groupBy("w")
       .agg(max("cnt").as("exact_cnt"), min("counter").as("cm_est"))
       .orderBy(desc("exact_cnt"), asc("w"))
+    // the report is topK rows — materialize it, then drop the
+    // vocab-sized cache deterministically (the Percentiles discipline;
+    // a lazy return would leak it for the session)
+    val report = out.collect().toSeq
+    counts.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(report, 1), out.schema)
   }
 }

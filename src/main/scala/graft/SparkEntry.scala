@@ -330,6 +330,14 @@ object SparkEntry {
     // exact-k weighted sample: priority = hash/weight, bounded top-k
     "q130_weighted_sample" -> ((s: SparkSession, d: String) =>
       operators.Pipeline.weightedSample(s, d)),
+    // TPC-H Q11 shape: nation-scoped part-value shares over one cached
+    // NDV-sized aggregate — completes the 22-query TPC-H shape sweep
+    "q131_important_parts" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.importantPartValues(s, d)),
+    // KMV NDV sketch, audited vs exact: the sketch state (k smallest
+    // distinct portable hashes) is itself oracle-replayable
+    "q132_kmv_vocab" -> ((s: SparkSession, d: String) =>
+      plans.CardinalityEstimator.kmvVocabTable(s, d)),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -2136,7 +2144,51 @@ object SparkEntry {
         |  round(priority, 4) AS priority
         |FROM s
         |ORDER BY s.priority, doc_id
-        |LIMIT 200""".stripMargin
+        |LIMIT 200""".stripMargin,
+    // share test in integer-scaled DECIMAL (value·1000 > total·1): both
+    // engines qualify identical parts regardless of summation order
+    "q131_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice * (1 - l_discount)
+        |        AS DECIMAL(18,6))) AS value_exact
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_19'
+        |  GROUP BY l_partkey),
+        |t AS (SELECT sum(value_exact) AS total_exact FROM v)
+        |SELECT l_partkey AS p_partkey,
+        |  CAST(round(value_exact, 2) AS DOUBLE) AS part_value
+        |FROM v, t
+        |WHERE value_exact * 1000 > total_exact * 1
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+    // the oracle REBUILDS the sketch: distinct portable hashes, k-th
+    // order statistic via row_number, same integer floor division
+    "q132_kmv_vocab" ->
+      """WITH m AS (
+        |  SELECT 'l_orderkey' AS column_name, l_orderkey AS v
+        |  FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+        |d AS (SELECT DISTINCT column_name, v FROM m),
+        |n AS (SELECT column_name, count(*) AS exact_ndv
+        |      FROM d GROUP BY column_name),
+        |h AS (SELECT DISTINCT column_name,
+        |        ((v % 1000000007) * 2654435761) % 1000000007 AS hv
+        |      FROM d),
+        |r AS (SELECT column_name, hv,
+        |        row_number() OVER (PARTITION BY column_name
+        |                           ORDER BY hv) AS rn
+        |      FROM h),
+        |c AS (SELECT column_name, count(*) AS nh
+        |      FROM h GROUP BY column_name),
+        |kth AS (SELECT column_name, hv FROM r WHERE rn = 128)
+        |SELECT n.column_name, CAST(n.exact_ndv AS BIGINT) AS exact_ndv,
+        |  CAST(CASE WHEN c.nh < 128 THEN c.nh
+        |       ELSE CAST(127 AS BIGINT) * 1000000007 // kth.hv END
+        |    AS BIGINT) AS kmv_ndv
+        |FROM n JOIN c USING (column_name) LEFT JOIN kth USING (column_name)
+        |ORDER BY column_name""".stripMargin
   )
 }
 

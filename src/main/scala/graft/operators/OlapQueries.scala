@@ -1111,4 +1111,48 @@ object OlapQueries {
       .select("s_suppkey", "s_name")
       .orderBy("s_name")
   }
+
+  /** TPC-H Q11 shape — important stock of one nation's suppliers: parts
+    * whose summed shipped value from that nation exceeds `permille`/1000
+    * of the nation's total (no partsupp in the fixture, so lineitem's
+    * discounted price plays ps_supplycost·ps_availqty's value role;
+    * reference anchor: trainer.py:91-118's hand-sized importance
+    * table). The nation's suppliers broadcast onto one fact scan; the
+    * per-part values aggregate in DECIMAL (partition-order exact), are
+    * persisted at part-NDV size, and the grand total is a second
+    * aggregate OVER THAT CACHE — the fact never scans twice and no
+    * corpus-wide window materializes. The share test is pure integer-
+    * scaled DECIMAL (value·1000 > total·permille), so both engines
+    * qualify identical parts; output is mathematically ≤ 1000/permille
+    * rows at ANY corpus size (at most that many parts can each hold
+    * more than permille/1000 of the total), so the materialize-then-
+    * unpersist report pattern is scale-safe.
+    */
+  def importantPartValues(spark: SparkSession, sfDir: String,
+      nationName: String = "NATION_19", permille: Int = 1): DataFrame = {
+    val natKey = Tables.load(spark, sfDir, "nation")
+      .filter(col("n_name") === nationName).select("n_nationkey")
+    val supp = Tables.load(spark, sfDir, "supplier")
+      .join(broadcast(natKey), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val value = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,6)")
+    val perPart = Tables.load(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(supp), col("l_suppkey") === supp("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(value).as("value_exact"))
+      .persist()
+    val total = perPart.agg(sum("value_exact").as("total_exact"))
+    val out = perPart.crossJoin(broadcast(total))
+      .filter(col("value_exact") * lit(1000) >
+        col("total_exact") * lit(permille))
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("value_exact"), 2).cast("double").as("part_value"))
+      .orderBy(desc("part_value"), asc("p_partkey"))
+    val report = out.collect().toSeq
+    perPart.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(report, 1), out.schema)
+  }
 }

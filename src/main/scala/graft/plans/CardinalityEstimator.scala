@@ -59,4 +59,38 @@ object CardinalityEstimator {
       .withColumn("n_buckets", col("approx_ndv") * BucketMultiplier)
       .orderBy("column_name")
   }
+
+  /** The vocab table again, through the KMV sketch and AUDITED — per
+    * key column of the fact table: exact NDV next to the
+    * [[graft.functions.KmvNdv]] estimate. Unlike [[vocabTable]]'s HLL
+    * (whose register layout no other engine replays), the KMV state is
+    * just "the k smallest distinct hashes", and the hash here is the
+    * portable (v mod p)·2654435761 mod p integer arithmetic — so the
+    * DuckDB oracle rebuilds the k-th order statistic with a
+    * row_number window and lands on the SAME integer estimate. The
+    * fixture's l_suppkey NDV sits below k, exercising the exact branch;
+    * the other two estimate.
+    *
+    * Production shape: `kmv_ndv` alone is one scan with O(k) state per
+    * (group × column) and map-side partial merge — the exact column
+    * here is the audit, priced like q06's distinct. The melt triples
+    * rows BEFORE the distinct, which is what lets one hash shuffle
+    * dedup all three columns in a single exchange.
+    */
+  def kmvVocabTable(spark: SparkSession, sfDir: String,
+      k: Int = 128): DataFrame = {
+    val P = 1000000007L
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    val melted = Tables.load(spark, sfDir, "lineitem")
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).as("v"))): _*)).as("m"))
+      .select(col("m.column_name").as("column_name"), col("m.v").as("v"))
+    val distinctV = melted.distinct()
+    distinctV
+      .withColumn("h", (col("v") % lit(P)) * lit(2654435761L) % lit(P))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("exact_ndv"),
+        graft.functions.KmvFunctions.kmv_ndv(col("h"), k, P).as("kmv_ndv"))
+      .orderBy("column_name")
+  }
 }

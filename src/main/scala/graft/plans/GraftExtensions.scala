@@ -85,6 +85,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word_ngram_hashes(text, n)")
       }))
     e.injectFunction((
+      new FunctionIdentifier("kmv_ndv"),
+      new ExpressionInfo(
+        classOf[graft.functions.KmvNdv].getName, "kmv_ndv"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, Literal(k: Int, _)) => graft.functions.KmvNdv(c, k)
+        case Seq(c, Literal(k: Int, _), Literal(d: Long, _)) =>
+          graft.functions.KmvNdv(c, k, d)
+        case Seq(c, Literal(k: Int, _), Literal(d: Int, _)) =>
+          graft.functions.KmvNdv(c, k, d.toLong)
+        case _ => throw new IllegalArgumentException(
+          "kmv_ndv(hash, k[, domain])")
+      }))
+    e.injectFunction((
       new FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(
         classOf[graft.functions.BloomAgg].getName, "bloom_agg"),

@@ -526,4 +526,38 @@ class TpchShapesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q122 cross-joined:\n$p")
     assert(p.contains("LeftSemi"), s"winner set must semi-join:\n$p")
   }
+
+  test("q131 importantPartValues matches a naive recomputation") {
+    val natKey = Tables.load(spark, sf, "nation")
+      .filter(col("n_name") === "NATION_19")
+      .select("n_nationkey").collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    val suppIn = Tables.load(spark, sf, "supplier")
+      .select("s_suppkey", "s_nationkey").collect()
+      .filter(r => natKey(r.getAs[Number](1).longValue))
+      .map(_.getAs[Number](0).longValue).toSet
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .collect()
+      .filter(r => suppIn(r.getLong(1)))
+    // the same double-product → DECIMAL(18,6) rounding the query casts
+    def dec(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val perPart = li.groupBy(_.getLong(0)).view.mapValues(rs =>
+      rs.map(r => dec(r.getDouble(2) * (1 - r.getDouble(3)))).sum).toMap
+    val total = perPart.values.sum
+    val expected = perPart.toSeq
+      .filter { case (_, v) => v * 1000 > total }
+      .map { case (pk, v) =>
+        (pk, v.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (pk, v) => (-v, pk) }
+    val got = OlapQueries.importantPartValues(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // output is mathematically bounded: < 1000 parts can each exceed
+    // 1/1000 of the total (the materialize-then-unpersist report
+    // pattern relies on exactly this bound)
+    assert(got.length < 1000)
+  }
 }

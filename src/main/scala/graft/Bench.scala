@@ -55,10 +55,25 @@ object Bench {
       val samples = passes.flatMap(_.get(n)).filter(_ >= 0)
       n -> (if (failed(n) || samples.isEmpty) -1.0 else samples.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4 dp (0.1 ms) per query: full double precision is timer noise
+    // and doubles the line length for nothing
+    def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.map(_._2).filter(_ >= 0)
+    val total = ok.sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Human-readable recap AFTER the contract line: the driver stores
+    // only the last ~2000 chars of output, and the full per-query line
+    // above outgrew that window — this line keeps the headline numbers
+    // inside the stored tail. The "BENCH_SUMMARY " prefix keeps it from
+    // parsing as a bare JSON line (the contract line stays the only one).
+    val median = if (ok.isEmpty) 0.0 else ok.sorted.apply(ok.size / 2)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    println(s"""BENCH_SUMMARY {"total_sec":${f(total)},"n_queries":${ok.size},""" +
+      s""""median_sec":${f(median)},"failed":${failed.size},""" +
+      s""""slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -77,6 +77,63 @@ object Percentiles {
       .orderBy("l_returnflag")
   }
 
+  /** Mergeable bottom-k QUANTILE SKETCH: per-group nearest-rank
+    * quantile estimates from the k rows with the smallest
+    * engine-portable hash priority — a uniform without-replacement
+    * sample whose selection (and therefore every estimate) is exactly
+    * replayable in plain SQL, the quantile sibling of the KMV NDV
+    * sketch (same bottom-k-by-portable-hash state, different payload).
+    *
+    * Where [[percentilesByGroupMulti]] is the EXACT machinery (right
+    * when value NDV ≪ rows), the sketch is the one-pass answer when
+    * neither holds: the bounded [[graft.functions.TopKRows]] aggregate
+    * keeps ≤ k (priority, value) rows per group per map task, so the
+    * shuffle carries O(k·groups) rows off ONE corpus scan at any data
+    * size, the union of two samples re-truncated to k is the sample of
+    * the union (mergeable across partitions, files, or days), and
+    * rank selection runs over k-row groups. Estimate error is the
+    * classic order-statistic bound (rank error O(n/√k)); k trades
+    * accuracy for state like every sketch here.
+    *
+    * The priority is the Knuth-multiplicative hash of the unique line
+    * key (reduce mod P BEFORE the multiply — no overflow at any
+    * corpus size); the estimator is nearest-rank (value at row
+    * ceil(p·n) of the value-sorted sample) — pure selection, no
+    * interpolation arithmetic, so the hash compare is exact.
+    */
+  def sampleQuantiles(spark: SparkSession, sfDir: String,
+      k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = 1000000007L
+    // l_linenumber ∈ [1,7]: ·10 keeps the line key unique and small
+    val rk = col("l_orderkey") * lit(10L) + col("l_linenumber")
+    val sampled = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), rk.as("rk"),
+        (pmod(rk, lit(P)) * lit(2654435761L) % lit(P)).as("pri"),
+        col("l_extendedprice").as("v"))
+      .groupBy("l_returnflag")
+      // ord = −priority: greatest ord ⇒ smallest hash; tie by line key
+      .agg(graft.functions.TopKFunctions.topk_rows(
+        -col("pri").cast("double"), col("rk"),
+        struct(col("v"), col("rk")), k).as("top"))
+      .select(col("l_returnflag"), explode(col("top")).as("s"))
+      .select(col("l_returnflag"), col("s.v").as("v"), col("s.rk").as("rk"))
+    // rank selection inside the ≤k-row groups (partitioned window —
+    // each partition is one group's sample, never the corpus)
+    val w = Window.partitionBy("l_returnflag")
+    val ranked = sampled
+      .withColumn("rv", row_number().over(w.orderBy(col("v"), col("rk"))))
+      .withColumn("n", count(lit(1)).over(w))
+    def pick(p: Double, name: String) =
+      max(when(col("rv") === ceil(lit(p) * col("n")), col("v")))
+        .cast("double").as(name)
+    ranked.groupBy("l_returnflag")
+      .agg(max(col("n")).cast("long").as("n_sample"),
+        pick(0.50, "p50_est"), pick(0.90, "p90_est"),
+        pick(0.99, "p99_est"))
+      .orderBy("l_returnflag")
+  }
+
   /** Single-measure convenience form of [[percentilesByGroupMulti]]:
     * returns (grp, target, result).
     */

@@ -338,6 +338,31 @@ object SparkEntry {
     // distinct portable hashes) is itself oracle-replayable
     "q132_kmv_vocab" -> ((s: SparkSession, d: String) =>
       plans.CardinalityEstimator.kmvVocabTable(s, d)),
+    // bottom-k quantile sketch: bounded per-group sample off one scan,
+    // selection (and estimates) exactly SQL-replayable
+    "q133_sample_quantiles" -> ((s: SparkSession, d: String) =>
+      operators.Percentiles.sampleQuantiles(s, d)),
+    // PageRank on the customer↔supplier trade graph: O(|V|) model
+    // state kept distributed, one shuffle per damped iteration, every
+    // iterate rounded to 6 dp so unrolled CTEs replay the trajectory
+    "q134_trade_rank" -> ((s: SparkSession, d: String) =>
+      operators.PageRank.tradeRank(s, d)),
+    // self-join size (F2) from a 1-in-64 hash sample of the KEY
+    // domain, audited against the exact Σc² — integer arithmetic
+    // end-to-end, so estimate AND error replay in SQL
+    "q135_join_card" -> ((s: SparkSession, d: String) =>
+      plans.CardinalityEstimator.joinCardEstimate(s, d)),
+    // KMV set algebra: union/intersection/Jaccard of two key domains
+    // from bottom-k sketch state (Beyer et al. SIGMOD'07), audited
+    "q136_kmv_setops" -> ((s: SparkSession, d: String) =>
+      plans.CardinalityEstimator.kmvSetAlgebra(s, d)),
+    // time-series densification + LOCF on a generated (segment × day)
+    // spine; fact reduces to spine grain map-side, windows bounded by
+    // |days| per partition — never corpus-sized
+    "q137_locf_fill" -> (operators.OlapQueries.locfFill _),
+    // Pearson matrix from one melted scan of EXACT decimal moments;
+    // the double formula runs on six exact scalars per pair
+    "q138_corr_matrix" -> (operators.OlapQueries.corrMatrix _),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -933,7 +958,8 @@ object SparkEntry {
         |)
         |WHERE jaccard >= 0.8
         |ORDER BY ai, bi""".stripMargin,
-    // order by µs-truncated time (Spark's ts is nanos div 1000) so a
+    // order by µs time (both engines agree at µs under either fixture
+    // ts encoding — see Tables.eventsOnDiskSchema) so a
     // sub-µs difference can't flip the argmin between engines
     "q61_first_events" ->
       """SELECT user_id, event_type,
@@ -2188,7 +2214,181 @@ object SparkEntry {
         |       ELSE CAST(127 AS BIGINT) * 1000000007 // kth.hv END
         |    AS BIGINT) AS kmv_ndv
         |FROM n JOIN c USING (column_name) LEFT JOIN kth USING (column_name)
-        |ORDER BY column_name""".stripMargin
+        |ORDER BY column_name""".stripMargin,
+    // the oracle REBUILDS the bottom-k sample: same portable hash
+    // priority, same (pri, rk) selection order, same nearest-rank pick
+    "q133_sample_quantiles" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    l_orderkey * 10 + l_linenumber AS rk,
+        |    ((l_orderkey * 10 + l_linenumber) % 1000000007)
+        |      * 2654435761 % 1000000007 AS pri,
+        |    l_extendedprice AS v
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, rk, v,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY pri, rk) AS sel
+        |      FROM s),
+        |samp AS (SELECT l_returnflag, v, rk FROM r WHERE sel <= 128),
+        |rv AS (SELECT l_returnflag, v,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY v, rk) AS rv,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |       FROM samp)
+        |SELECT l_returnflag,
+        |  CAST(max(n) AS BIGINT) AS n_sample,
+        |  CAST(max(CASE WHEN rv = ceil(0.50 * n) THEN v END)
+        |    AS DOUBLE) AS p50_est,
+        |  CAST(max(CASE WHEN rv = ceil(0.90 * n) THEN v END)
+        |    AS DOUBLE) AS p90_est,
+        |  CAST(max(CASE WHEN rv = ceil(0.99 * n) THEN v END)
+        |    AS DOUBLE) AS p99_est
+        |FROM rv GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // unrolled power iteration: each rN CTE replays one damped step
+    // (dangling mass + incoming mass), rounded to 6 dp like the Spark
+    // iterate, so the trajectories stay bit-identical engine-to-engine
+    "q134_trade_rank" ->
+      """WITH nodes AS (
+        |  SELECT c_custkey * 2 AS node_id FROM customer
+        |  UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
+        |pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT node_id, CAST(1.0 AS DOUBLE) AS m FROM nodes),
+        |d0 AS (SELECT coalesce(sum(m), 0) AS dang FROM r0
+        |       WHERE node_id NOT IN (SELECT src FROM deg)),
+        |c0 AS (SELECT e.dst AS node_id, sum(r.m / g.outdeg) AS contrib
+        |       FROM edges e JOIN deg g ON e.src = g.src
+        |       JOIN r0 r ON e.src = r.node_id GROUP BY e.dst),
+        |r1 AS (SELECT n.node_id,
+        |         round(0.15 + 0.85 * (coalesce(c.contrib, 0)
+        |           + (SELECT dang FROM d0) / (SELECT n FROM nn)), 6) AS m
+        |       FROM nodes n LEFT JOIN c0 c ON n.node_id = c.node_id),
+        |d1 AS (SELECT coalesce(sum(m), 0) AS dang FROM r1
+        |       WHERE node_id NOT IN (SELECT src FROM deg)),
+        |c1 AS (SELECT e.dst AS node_id, sum(r.m / g.outdeg) AS contrib
+        |       FROM edges e JOIN deg g ON e.src = g.src
+        |       JOIN r1 r ON e.src = r.node_id GROUP BY e.dst),
+        |r2 AS (SELECT n.node_id,
+        |         round(0.15 + 0.85 * (coalesce(c.contrib, 0)
+        |           + (SELECT dang FROM d1) / (SELECT n FROM nn)), 6) AS m
+        |       FROM nodes n LEFT JOIN c1 c ON n.node_id = c.node_id),
+        |d2 AS (SELECT coalesce(sum(m), 0) AS dang FROM r2
+        |       WHERE node_id NOT IN (SELECT src FROM deg)),
+        |c2 AS (SELECT e.dst AS node_id, sum(r.m / g.outdeg) AS contrib
+        |       FROM edges e JOIN deg g ON e.src = g.src
+        |       JOIN r2 r ON e.src = r.node_id GROUP BY e.dst),
+        |r3 AS (SELECT n.node_id,
+        |         round(0.15 + 0.85 * (coalesce(c.contrib, 0)
+        |           + (SELECT dang FROM d2) / (SELECT n FROM nn)), 6) AS m
+        |       FROM nodes n LEFT JOIN c2 c ON n.node_id = c.node_id)
+        |SELECT node_id,
+        |  CASE WHEN node_id % 2 = 0 THEN 'customer'
+        |       ELSE 'supplier' END AS node_type,
+        |  m AS rank_mass
+        |FROM r3 ORDER BY rank_mass DESC, node_id LIMIT 20""".stripMargin,
+    // exact Σc² next to the 1-in-64 key-domain sampled estimate —
+    // HUGEINT sums cast back to BIGINT, floor divisions spelled //
+    "q135_join_card" ->
+      """WITH c AS (
+        |  SELECT l_partkey, count(*) AS c,
+        |    (l_partkey % 1000000007) * 2654435761 % 1000000007 AS h
+        |  FROM lineitem GROUP BY l_partkey),
+        |a AS (
+        |  SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs,
+        |    CAST(coalesce(sum(CASE WHEN h < 1000000007 // 64
+        |      THEN c * c END), 0) * 64 AS BIGINT) AS est_pairs
+        |  FROM c)
+        |SELECT exact_pairs, est_pairs,
+        |  round(CAST(est_pairs - exact_pairs AS DOUBLE)
+        |    / CAST(exact_pairs AS DOUBLE) * 100, 2) AS rel_err_pct
+        |FROM a""".stripMargin,
+    // the oracle rebuilds both sketches: distinct portable hashes per
+    // flag, bottom-min(k,m) of the union via row_number, ρ·U floor math
+    "q136_kmv_setops" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l_returnflag AS f,
+        |    (l_partkey % 1000000007) * 2654435761 % 1000000007 AS h
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |u AS (SELECT h, max(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS ina,
+        |        max(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS inb
+        |      FROM d GROUP BY h),
+        |s AS (SELECT h, ina, inb,
+        |        row_number() OVER (ORDER BY h) AS rn
+        |      FROM u),
+        |st AS (SELECT count(*) AS m, max(h) AS kth,
+        |         CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1
+        |           ELSE 0 END) AS BIGINT) AS nboth
+        |       FROM s WHERE rn <= 256),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS union_exact,
+        |         CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1
+        |           ELSE 0 END) AS BIGINT) AS inter_exact,
+        |         CAST(sum(ina) AS BIGINT) AS n_a_exact,
+        |         CAST(sum(inb) AS BIGINT) AS n_b_exact
+        |       FROM u),
+        |est AS (SELECT m, nboth,
+        |          CASE WHEN m < 256 THEN m
+        |               ELSE CAST(255 AS BIGINT) * 1000000007 // kth
+        |               END AS union_est
+        |        FROM st)
+        |SELECT n_a_exact, n_b_exact, union_exact,
+        |  CAST(union_est AS BIGINT) AS union_est, inter_exact,
+        |  CAST((nboth * union_est) // m AS BIGINT) AS inter_est,
+        |  round(CAST(nboth AS DOUBLE) / CAST(m AS DOUBLE), 4) AS jaccard_est
+        |FROM est, ex""".stripMargin,
+    // the spine regenerates from the same bounds aggregate; LOCF is
+    // last_value IGNORE NULLS over the identical bounded window
+    "q137_locf_fill" ->
+      """WITH b AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+        |    CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |segs AS (SELECT DISTINCT c_mktsegment AS seg FROM customer),
+        |rev AS (
+        |  SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT s.seg, d.day,
+        |  CAST(coalesce(last_value(r.rev IGNORE NULLS) OVER (
+        |    PARTITION BY s.seg ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |    AS DOUBLE) AS rev_filled,
+        |  r.rev IS NOT NULL AS observed
+        |FROM segs s CROSS JOIN days d
+        |LEFT JOIN rev r ON r.seg = s.seg AND r.day = d.day
+        |ORDER BY s.seg, d.day""".stripMargin,
+    // six exact decimal moments per pair, the same double r formula
+    "q138_corr_matrix" ->
+      """WITH m AS (
+        |  SELECT pair, x, y FROM (
+        |    SELECT CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |      CAST(l_discount AS DECIMAL(18,2)) AS disc,
+        |      CAST(l_tax AS DECIMAL(18,2)) AS tax
+        |    FROM lineitem) t,
+        |  LATERAL (VALUES
+        |    ('qty_price', t.qty, t.price), ('qty_disc', t.qty, t.disc),
+        |    ('qty_tax', t.qty, t.tax), ('price_disc', t.price, t.disc),
+        |    ('price_tax', t.price, t.tax), ('disc_tax', t.disc, t.tax))
+        |    AS v(pair, x, y)),
+        |mo AS (
+        |  SELECT pair, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM m GROUP BY pair)
+        |SELECT pair,
+        |  round((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+        |FROM mo ORDER BY pair""".stripMargin
   )
 }
 

@@ -1155,4 +1155,98 @@ object OlapQueries {
     spark.createDataFrame(
       spark.sparkContext.parallelize(report, 1), out.schema)
   }
+
+  /** Time-series DENSIFICATION with last-observation-carried-forward:
+    * daily revenue per market segment on a gapless (segment × day)
+    * spine, empty days filled with the segment's previous observed
+    * value (0.00 before the first observation, flagged `observed`).
+    *
+    * Scale shape: the fact table reduces map-side to the SPINE's
+    * grain (segments × days — dimension-sized, never corpus-sized)
+    * before any join; the spine itself is generated, not scanned
+    * (`sequence` off a 1-row bounds aggregate × a distinct-segment
+    * broadcast). The LOCF window partitions by segment and orders by
+    * day, so every window partition is ≤ |days| rows regardless of
+    * corpus size — a bounded sort, not the single-partition global
+    * window this repo rejects everywhere.
+    *
+    * Revenue sums stay DECIMAL end-to-end (exact under any partition
+    * order); the one double appears after rounding, so both engines
+    * agree bit-for-bit.
+    */
+  def locfFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val rev = orders
+      .join(broadcast(Tables.load(spark, sfDir, "customer")
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val bounds = orders.agg(to_date(min("o_orderdate")).as("lo"),
+      to_date(max("o_orderdate")).as("hi"))
+    val days = bounds.select(explode(sequence(col("lo"), col("hi")))
+      .as("day"))
+    val segs = Tables.load(spark, sfDir, "customer")
+      .select(col("c_mktsegment").as("seg")).distinct()
+    val spine = segs.crossJoin(days)
+    val w = Window.partitionBy("seg").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(rev, Seq("seg", "day"), "left")
+      .withColumn("observed", col("rev").isNotNull)
+      .withColumn("rev_filled",
+        coalesce(last("rev", ignoreNulls = true).over(w),
+          lit(0).cast("decimal(18,2)")).cast("double"))
+      .select(col("seg"), col("day"), col("rev_filled"), col("observed"))
+      .orderBy("seg", "day")
+  }
+
+  /** One-pass Pearson CORRELATION MATRIX over fact measures from
+    * EXACT moments: each measure pair's (n, Σx, Σy, Σxy, Σx², Σy²)
+    * accumulates as DECIMAL — quantities are integers, money is 2 dp,
+    * so every product is an exact 4 dp decimal and the sums are
+    * partition-order independent. The r formula then runs in doubles
+    * on six exact scalars per pair — deterministic in any engine,
+    * where the textbook `corr()` (double running sums) drifts with
+    * partition order.
+    *
+    * Shape: one fact scan melts each row into its measure pairs
+    * (map-side ×|pairs|), ONE map-side-combinable aggregate reduces to
+    * |pairs| rows of moments. No corpus-sized state anywhere; adding a
+    * measure adds a struct literal, not a pass.
+    */
+  def corrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val qty = col("l_quantity").cast("decimal(18,2)")
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    val tax = col("l_tax").cast("decimal(18,2)")
+    val measures = Seq("qty" -> qty, "price" -> price,
+      "disc" -> disc, "tax" -> tax)
+    val pairs = for {
+      (i, (na, a)) <- measures.zipWithIndex.map(_.swap)
+      (nb, b) <- measures.drop(i + 1)
+    } yield struct(lit(s"${na}_$nb").as("pair"),
+      a.as("x"), b.as("y"))
+    val melted = li.select(explode(array(pairs: _*)).as("m"))
+      .select(col("m.pair").as("pair"), col("m.x").as("x"),
+        col("m.y").as("y"))
+    // moments → double BEFORE any combining arithmetic: decimal
+    // multiplies at the precision-38 cap trigger engine-specific scale
+    // reduction, while double arithmetic over six exact scalars is the
+    // same IEEE sequence in both engines
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    melted.groupBy("pair")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("pair"),
+        round((n * d("sxy") - d("sx") * d("sy")) /
+          sqrt((n * d("sxx") - d("sx") * d("sx")) *
+            (n * d("syy") - d("sy") * d("sy"))), 6).as("r"))
+      .orderBy("pair")
+  }
 }

@@ -43,7 +43,13 @@ object PageRank {
     */
   def tradeRank(spark: SparkSession, sfDir: String,
       iters: Int = 3, topK: Int = 20): DataFrame = {
-    val d = 0.85 // damping: the literal both engines parse identically
+    // damping literals spelled separately (0.85 and 0.15), NOT derived
+    // as 1.0 - d: the Scala-computed difference is 0.15000000000000002
+    // while a SQL oracle parsing "0.15" gets 0.1499999999999999944…,
+    // and the iterate formula must be bit-identical in both engines
+    // before its 6 dp rounding.
+    val d = 0.85
+    val oneMinusD = 0.15
     val nodes = Tables.load(spark, sfDir, "customer")
       .select((col("c_custkey") * 2L).as("node_id"))
       .unionAll(Tables.load(spark, sfDir, "supplier")
@@ -76,7 +82,7 @@ object PageRank {
         .agg(sum(col("m") / col("outdeg")).as("contrib"))
       val next = nodes.join(contrib, Seq("node_id"), "left_outer")
         .select(col("node_id"),
-          round(lit(1.0 - d) + lit(d) *
+          round(lit(oneMinusD) + lit(d) *
             (coalesce(col("contrib"), lit(0.0)) + lit(dang) / n), 6)
             .as("m"))
         .persist()

@@ -93,4 +93,116 @@ object CardinalityEstimator {
         graft.functions.KmvFunctions.kmv_ndv(col("h"), k, P).as("kmv_ndv"))
       .orderBy("column_name")
   }
+
+  /** JOIN-SIZE estimation from a deterministic key-domain sample,
+    * audited against the exact answer — the estimator applied to the
+    * question a cost-based planner actually asks: how many rows does
+    * `lineitem ⋈ lineitem ON l_partkey` produce? (Self-join size
+    * Σ c_k² is the classic skew-sensitive cardinality, the second
+    * frequency moment F₂.)
+    *
+    * The estimate samples the KEY DOMAIN, not rows: keys whose
+    * portable hash falls below P/rate form a 1-in-rate pseudo-random
+    * key subset, every occurrence of a sampled key is counted
+    * (per-key counts are EXACT within the sample — row sampling would
+    * bias c² terms down), and Σ c² over the sample scales by `rate`.
+    * At 100 TB the sampled aggregate's hash predicate prunes at the
+    * scan (a pushed integer filter on a key expression), so the
+    * estimator reads ~1/rate of the fact table and shuffles only
+    * sampled keys; the exact twin runs here as the audit column, the
+    * thing the estimate replaces in production.
+    *
+    * Everything is integer arithmetic on deterministic hashes, so the
+    * oracle replays estimate AND error to the last bit.
+    */
+  def joinCardEstimate(spark: SparkSession, sfDir: String,
+      rate: Long = 64L): DataFrame = {
+    val P = 1000000007L
+    val threshold = P / rate // integer floor, replayed as P // rate
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val keyHash = (col("l_partkey") % lit(P)) * lit(2654435761L) % lit(P)
+    val counts = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("h", keyHash)
+    counts.agg(
+        sum(col("c") * col("c")).as("exact_pairs"),
+        (coalesce(sum(when(col("h") < threshold, col("c") * col("c"))),
+          lit(0L)) * rate).as("est_pairs"))
+      .select(col("exact_pairs"), col("est_pairs"),
+        round((col("est_pairs") - col("exact_pairs")).cast("double") /
+          col("exact_pairs").cast("double") * 100, 2).as("rel_err_pct"))
+  }
+
+  /** KMV SET ALGEBRA — union size, intersection size, and Jaccard
+    * between two key domains from bottom-k sketches alone (Beyer et
+    * al., "On synopses for distinct-value estimation under multiset
+    * operations", SIGMOD'07): the k smallest distinct hashes of the
+    * UNION are a uniform sample of it, so the fraction ρ of that
+    * sample present in both sets estimates |A∩B| = ρ·|A∪B|.
+    *
+    * Sets here: parts shipped as returnflag 'R' vs flag 'A' — two
+    * overlapping key domains off one fact scan. Per set the state is
+    * its k smallest distinct hashes (mergeable, O(k)); the union
+    * sketch is the bottom-k of the two states' union — no re-scan.
+    * The audit columns recompute the exact sizes; at 100 TB only the
+    * sketch path runs (one scan, O(k) state), the planner consumes
+    * union/intersection/Jaccard without ever shuffling a key domain.
+    *
+    * Small-domain branch: when the union has ≤ k distinct hashes the
+    * sample IS the union and every estimate turns exact — integer
+    * branches both engines replay identically.
+    */
+  def kmvSetAlgebra(spark: SparkSession, sfDir: String,
+      k: Int = 256): DataFrame = {
+    val P = 1000000007L
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("f"),
+        ((col("l_partkey") % lit(P)) * lit(2654435761L) % lit(P)).as("h"))
+      .filter(col("f").isin("R", "A"))
+    // per-set distinct hash domains (the sketch would keep only the
+    // bottom k of each; keeping the full distinct frame here also
+    // feeds the exact audit columns in one plan)
+    val domains = li.distinct().persist()
+    val a = domains.filter(col("f") === "R").select("h")
+    val b = domains.filter(col("f") === "A").select("h")
+    // bottom-m of the union (m = min(k, |A∪B|)), flagged by membership
+    val union = a.select(col("h"), lit(1).as("ina"), lit(0).as("inb"))
+      .unionAll(b.select(col("h"), lit(0).as("ina"), lit(1).as("inb")))
+      .groupBy("h").agg(max("ina").as("ina"), max("inb").as("inb"))
+    val sample = union
+      .agg(graft.functions.TopKFunctions.topk_rows(
+        -col("h").cast("double"), col("h"),
+        struct(col("h"), col("ina"), col("inb")), k).as("s"))
+      .select(explode(col("s")).as("s"))
+      .select(col("s.h").as("h"), col("s.ina").as("ina"),
+        col("s.inb").as("inb"))
+    val stats = sample.agg(
+      count(lit(1)).as("m"),
+      max("h").as("kth"),
+      sum(when(col("ina") === 1 && col("inb") === 1, 1L)
+        .otherwise(0L)).as("both"))
+    val exact = union.agg(
+      count(lit(1)).as("union_exact"),
+      sum(when(col("ina") === 1 && col("inb") === 1, 1L)
+        .otherwise(0L)).as("inter_exact"),
+      sum(col("ina").cast("long")).as("n_a_exact"),
+      sum(col("inb").cast("long")).as("n_b_exact"))
+    // `div`, never `/`: Spark's `/` on longs is double division, and
+    // the oracle's `//` floor must match to the last bit
+    val out = stats.crossJoin(exact)
+      .withColumn("union_est",
+        when(col("m") < k, col("m"))
+          .otherwise(expr(s"${(k - 1).toLong}L * ${P}L div kth")))
+      .withColumn("inter_est", expr("both * union_est div m"))
+      .select(
+        col("n_a_exact"), col("n_b_exact"),
+        col("union_exact"), col("union_est").cast("long").as("union_est"),
+        col("inter_exact"), col("inter_est").cast("long").as("inter_est"),
+        round(col("both").cast("double") / col("m").cast("double"), 4)
+          .as("jaccard_est"))
+    val rows = out.collect().toSeq // tiny: one row; release the domain cache
+    domains.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
 }

@@ -74,11 +74,14 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** On-disk shape of events: `ts` is parquet TIMESTAMP(NANOS), which
-    * Spark only reads as a raw long (spark.sql.legacy.parquet.nanosAsLong
-    * — set in every session builder). [[load]] converts it to a µs
-    * TimestampType, truncating exactly like DuckDB's ns→µs cast so the
-    * oracle agrees.
+  /** Raw-long shape of events for fixtures whose `ts` is parquet
+    * TIMESTAMP(NANOS), which Spark only reads as a raw long
+    * (spark.sql.legacy.parquet.nanosAsLong — set in every session
+    * builder). Fixture generations have shipped BOTH that encoding and
+    * standard TIMESTAMP(MICROS); [[eventsOnDiskSchema]] sniffs one
+    * parquet footer to decide, and [[load]] normalizes nanos to a µs
+    * TimestampType truncating exactly like DuckDB's ns→µs cast (the
+    * oracle's `epoch_us(ts)` agrees under either encoding).
     */
   val eventsOnDisk: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -106,15 +109,39 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
+  /** The events schema to hand the parquet reader for THIS fixture:
+    * [[eventsOnDisk]] (raw-long ts) when the file stores
+    * TIMESTAMP(NANOS), [[events]] when it stores standard µs. One
+    * footer read — Spark's own inference reports nanos as LongType
+    * under the nanosAsLong flag.
+    */
+  def eventsOnDiskSchema(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema("ts").dataType match {
+      case LongType => eventsOnDisk
+      case _ => events
+    }
+
+  /** Nanos→µs normalization for a frame read with [[eventsOnDisk]];
+    * pass-through when `ts` is already a timestamp (µs fixtures).
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        import org.apache.spark.sql.functions.{expr, timestamp_micros}
+        // integer `div` — double division would lose low bits of an
+        // int64 epoch-nanos value (> 2^53)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select(events.fieldNames
+            .map(org.apache.spark.sql.functions.col).toSeq: _*)
+      case _ => raw
+    }
+
   /** Read one table from an sf directory with its declared schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      import org.apache.spark.sql.functions.{expr, timestamp_micros}
-      // integer `div` — double division would lose low bits of an
-      // int64 epoch-nanos value (> 2^53)
-      spark.read.schema(eventsOnDisk).parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select(events.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      val path = s"$sfDir/events.parquet"
+      normalizeEventTs(
+        spark.read.schema(eventsOnDiskSchema(spark, path)).parquet(path))
     } else {
       spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     }

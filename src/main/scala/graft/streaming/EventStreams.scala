@@ -14,15 +14,13 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** On-disk events schema for the streaming file source — shared with
-    * the batch loader so the two paths can never drift (ts arrives as
-    * raw nanos, converted below).
+  /** Nanos→µs timestamp normalization (shared batch/stream); a no-op
+    * when the fixture already stores µs timestamps — the encoding
+    * branch lives in one place ([[graft.sources.Tables]]) so the two
+    * paths can never drift.
     */
-  private def eventsOnDisk: StructType = graft.sources.Tables.eventsOnDisk
-
-  /** Nanos→µs timestamp normalization (shared batch/stream). */
   def normalize(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.normalizeEventTs(raw)
 
   /** The shared transform: 1-hour tumbling event-time windows with a
     * 2-hour watermark. In append/update output modes the watermark is
@@ -251,9 +249,12 @@ object EventStreams {
     */
   def startHourlyStream(spark: SparkSession, sfDir: String,
       queryName: String, glob: String = "events.parquet"): StreamingQuery = {
-    // the file source wants a directory; glob-filter to the one table
+    // the file source wants a directory; glob-filter to the one table.
+    // The stream needs its schema up front — sniff the fixture's ts
+    // encoding from one batch footer read of the same files.
     val raw = spark.readStream
-      .schema(eventsOnDisk)
+      .schema(graft.sources.Tables.eventsOnDiskSchema(
+        spark, s"$sfDir/$glob"))
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", glob)
       .parquet(sfDir)

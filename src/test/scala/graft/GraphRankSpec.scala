@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{PageRank, Percentiles}
+import graft.sources.Tables
+
+/** PageRank trade graph (q134) and the bottom-k quantile sketch
+  * (q133): conservation/floor/determinism invariants for the ranks,
+  * and a driver-side selection replica for the sketch (the KmvSpec
+  * discipline — recompute the exact sample locally and demand equality).
+  */
+class GraphRankSpec extends SparkSpec {
+
+  private val P = 1000000007L
+
+  test("trade rank: mass conserved, floor respected, output shape") {
+    // topK beyond |V| returns every node — the invariants need them all
+    val all = PageRank.tradeRank(spark, sf, iters = 3, topK = 1000000)
+      .collect()
+    val n = Tables.load(spark, sf, "customer").count() +
+      Tables.load(spark, sf, "supplier").count()
+    assert(all.length == n)
+    val masses = all.map(_.getDouble(2))
+    // each 6 dp round can move a rank by ≤ 5e-7; the damped update
+    // redistributes everything else, so total mass stays ≈ |V|
+    assert(math.abs(masses.sum - n) <= n * 2e-6,
+      s"total mass ${masses.sum} vs |V| $n")
+    // m = 0.15 + 0.85·(nonneg): the teleport floor survives rounding
+    assert(masses.forall(_ >= 0.15 - 1e-9))
+    // parity encodes the node type
+    assert(all.forall(r => r.getString(1) ==
+      (if (r.getLong(0) % 2 == 0) "customer" else "supplier")))
+  }
+
+  test("trade rank: deterministic across runs and sorted desc") {
+    def run() = PageRank.tradeRank(spark, sf, iters = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val a = run()
+    assert(a == run())
+    assert(a.map(-_._2).sameElements(a.map(-_._2).sorted))
+  }
+
+  test("trade rank: caches released after the report materializes") {
+    // delta, not emptiness: the session is shared across suites and
+    // some operators keep session-scoped caches by design
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    PageRank.tradeRank(spark, sf, iters = 1, topK = 5).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"persisted RDDs leaked past tradeRank: $leaked")
+  }
+
+  test("sample quantiles: equals the driver-side selection replica") {
+    val got = Percentiles.sampleQuantiles(spark, sf, k = 128).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val rows = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice").cast("double"))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getLong(1) * 10L + r.getInt(2).toLong, r.getDouble(3)))
+    val expect = rows.groupBy(_._1).map { case (flag, rs) =>
+      val sample = rs
+        .map { case (_, rk, v) => (((rk % P) * 2654435761L) % P, rk, v) }
+        .sortBy(t => (t._1, t._2)).take(128)
+      val byV = sample.map(t => (t._3, t._2)).sortBy(identity)
+      val nS = byV.length
+      def pick(p: Double) = byV(math.ceil(p * nS).toInt - 1)._1
+      flag -> ((nS.toLong, pick(0.50), pick(0.90), pick(0.99)))
+    }
+    assert(got == expect)
+  }
+
+  test("sample quantiles: partition-invariant (mergeable bottom-k)") {
+    val once = Percentiles.sampleQuantiles(spark, sf, k = 64).collect()
+      .map(_.toSeq).toSeq
+    val again = Percentiles.sampleQuantiles(spark, sf, k = 64).collect()
+      .map(_.toSeq).toSeq
+    assert(once == again)
+  }
+
+  test("sample quantiles: estimates bracket the true median loosely") {
+    val exact = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(cast(l_extendedprice as double), " +
+        "array(0.3, 0.7))").as("p"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    Percentiles.sampleQuantiles(spark, sf, k = 128).collect().foreach { r =>
+      val Seq(lo, hi) = exact(r.getString(0)).toSeq
+      val p50 = r.getDouble(2)
+      assert(p50 >= lo && p50 <= hi,
+        s"${r.getString(0)}: p50_est $p50 outside exact [p30,p70]=[$lo,$hi]")
+    }
+  }
+}

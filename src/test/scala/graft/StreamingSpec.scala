@@ -20,7 +20,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming sliding-window agg equals the batch twin") {
-    val raw = spark.readStream.schema(Tables.eventsOnDisk)
+    val raw = spark.readStream.schema(Tables.eventsOnDiskSchema(spark, sf + "/events.parquet"))
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet").parquet(sf)
     val q = EventStreams.slidingAgg(EventStreams.normalize(raw))
@@ -43,7 +43,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("native session_window agg equals the batch twin") {
-    val raw = spark.readStream.schema(Tables.eventsOnDisk)
+    val raw = spark.readStream.schema(Tables.eventsOnDiskSchema(spark, sf + "/events.parquet"))
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet").parquet(sf)
     val q = EventStreams.sessionAgg(EventStreams.normalize(raw))
@@ -62,7 +62,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming dedup: dropDuplicatesWithinWatermark on event ids") {
-    val raw = spark.readStream.schema(Tables.eventsOnDisk)
+    val raw = spark.readStream.schema(Tables.eventsOnDiskSchema(spark, sf + "/events.parquet"))
       .option("pathGlobFilter", "events.parquet").parquet(sf)
     val deduped = EventStreams.normalize(raw)
       .withWatermark("ts", "1 hour")
@@ -83,7 +83,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val dim = Seq(("click", "engagement"), ("view", "engagement"),
       ("purchase", "revenue")).toDF("event_type", "category")
-    val raw = spark.readStream.schema(Tables.eventsOnDisk)
+    val raw = spark.readStream.schema(Tables.eventsOnDiskSchema(spark, sf + "/events.parquet"))
       .option("pathGlobFilter", "events.parquet").parquet(sf)
     val enriched = EventStreams.enrich(
         EventStreams.normalize(raw), dim)
@@ -111,7 +111,7 @@ class StreamingSpec extends SparkSpec {
     // asserted below); with eviction, Misra–Gries counters are
     // update-order dependent and stream/batch may legally differ
     // within the sketch's error bound.
-    val raw = spark.readStream.schema(Tables.eventsOnDisk)
+    val raw = spark.readStream.schema(Tables.eventsOnDiskSchema(spark, sf + "/events.parquet"))
       .option("pathGlobFilter", "events.parquet").parquet(sf)
     val q = raw
       .agg(graft.functions.FreqFunctions.freq_topk(col("event_type"), 8)

@@ -363,6 +363,10 @@ object SparkEntry {
     // Pearson matrix from one melted scan of EXACT decimal moments;
     // the double formula runs on six exact scalars per pair
     "q138_corr_matrix" -> (operators.OlapQueries.corrMatrix _),
+    // PMI collocations: doc-bounded adjacency windows, NDV-sized count
+    // shuffles, min-count pruning before the unigram join-back
+    "q139_pmi_pairs" -> ((s: SparkSession, d: String) =>
+      operators.TextQueries.pmiPairs(s, d)),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -2388,7 +2392,39 @@ object SparkEntry {
         |SELECT pair,
         |  round((n * sxy - sx * sy) /
         |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
-        |FROM mo ORDER BY pair""".stripMargin
+        |FROM mo ORDER BY pair""".stripMargin,
+    // same tokenization as q64 (space split, empties dropped),
+    // adjacency as lead over doc-partitioned position order, identical
+    // double spelling of the PMI expression
+    "q139_pmi_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t AS (
+        |  SELECT doc_id, unnest(ws) AS w,
+        |    unnest(range(1, len(ws) + 1)) AS pos
+        |  FROM d),
+        |f AS (SELECT doc_id, w, pos FROM t WHERE w <> ''),
+        |b0 AS (
+        |  SELECT doc_id, w,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |  FROM f),
+        |bi AS (SELECT least(w, nxt) AS x, greatest(w, nxt) AS y
+        |       FROM b0 WHERE nxt IS NOT NULL AND w <> nxt),
+        |cp AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+        |       FROM bi GROUP BY x, y),
+        |mt AS (SELECT CAST(sum(n_xy) AS BIGINT) AS mm FROM cp),
+        |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY w),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cu)
+        |SELECT cp.x, cp.y, cp.n_xy,
+        |  round(ln(CAST(cp.n_xy AS DOUBLE) * CAST(nt.n AS DOUBLE)
+        |      * CAST(nt.n AS DOUBLE)
+        |    / (CAST(mt.mm AS DOUBLE) * CAST(a.c AS DOUBLE)
+        |      * CAST(b.c AS DOUBLE))), 4) AS pmi
+        |FROM cp
+        |JOIN cu a ON cp.x = a.w
+        |JOIN cu b ON cp.y = b.w, mt, nt
+        |WHERE cp.n_xy >= 5
+        |ORDER BY pmi DESC, cp.x, cp.y LIMIT 20""".stripMargin
   )
 }
 

@@ -380,4 +380,53 @@ object TextQueries {
     spark.createDataFrame(
       spark.sparkContext.parallelize(report, 1), out.schema)
   }
+
+  /** PMI COLLOCATIONS — the statistical phrase detector of an LLM
+    * data pipeline (word2vec-style phrase mining): top unordered
+    * adjacent-token pairs by pointwise mutual information
+    * ln(p(x,y) / (p(x)·p(y))), with a minimum pair count against PMI's
+    * rare-pair bias.
+    *
+    * Scale shape: tokenization explodes map-side; adjacency is a lag
+    * window PARTITIONED BY doc (bounded by document length, never
+    * corpus-sized); pair and unigram counts are map-side-combinable
+    * aggregates whose shuffles carry NDV-sized frames; the two corpus
+    * totals broadcast as 1-row cross joins. The min-count filter
+    * prunes the long tail BEFORE the join back to unigram counts.
+    *
+    * Determinism: counts are exact longs; the one double expression
+    * (ln of a product/quotient of count casts) is spelled identically
+    * in the oracle, and the final order is (rounded pmi, pair) — the
+    * ln-libm discipline q64/q71 established.
+    */
+  def pmiPairs(spark: SparkSession, sfDir: String,
+      minCount: Int = 5, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "w")
+      .filter(col("w") =!= "")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = toks
+      .withColumn("nxt", lead("w", 1).over(byDoc))
+      .filter(col("nxt").isNotNull && col("w") =!= col("nxt"))
+      .select(least(col("w"), col("nxt")).as("x"),
+        greatest(col("w"), col("nxt")).as("y"))
+    val cp = bi.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    val mTot = cp.agg(sum("n_xy").as("mm"))
+    val cu = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val nTot = cu.agg(sum("c").as("n"))
+    cp.filter(col("n_xy") >= minCount)
+      .join(cu.select(col("w").as("x"), col("c").as("cx")), "x")
+      .join(cu.select(col("w").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(mTot))
+      .crossJoin(broadcast(nTot))
+      .select(col("x"), col("y"), col("n_xy"),
+        round(log(col("n_xy").cast("double") * col("n").cast("double") *
+          col("n").cast("double") /
+          (col("mm").cast("double") * col("cx").cast("double") *
+            col("cy").cast("double"))), 4).as("pmi"))
+      .orderBy(desc("pmi"), asc("x"), asc("y"))
+      .limit(topK)
+  }
 }

@@ -367,6 +367,17 @@ object SparkEntry {
     // shuffles, min-count pruning before the unigram join-back
     "q139_pmi_pairs" -> ((s: SparkSession, d: String) =>
       operators.TextQueries.pmiPairs(s, d)),
+    // bipartite 4-cycle census: wedge self-join keyed on the customer,
+    // map-side-combined supplier-pair counts, exact integer C(c,2)
+    "q140_butterflies" -> ((s: SparkSession, d: String) =>
+      operators.PageRank.butterflyCount(s, d)),
+    // chi-square independence on a generated (type × hour) spine —
+    // empty cells contribute their expected mass; counts exact longs
+    "q141_chi_square" -> (operators.OlapQueries.chiSquare _),
+    // Shannon entropy of low-NDV columns, melted into ONE scan;
+    // p·ln p over exact counts, NDV-sized shuffles
+    "q142_column_entropy" -> ((s: SparkSession, d: String) =>
+      plans.CardinalityEstimator.columnEntropy(s, d)),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -2424,7 +2435,71 @@ object SparkEntry {
         |JOIN cu a ON cp.x = a.w
         |JOIN cu b ON cp.y = b.w, mt, nt
         |WHERE cp.n_xy >= 5
-        |ORDER BY pmi DESC, cp.x, cp.y LIMIT 20""".stripMargin
+        |ORDER BY pmi DESC, cp.x, cp.y LIMIT 20""".stripMargin,
+    // identical wedge formulation; HUGEINT sums cast back, // floor
+    "q140_butterflies" ->
+      """WITH p AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |w AS (
+        |  SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM p a JOIN p b ON a.c = b.c AND a.s < b.s
+        |  GROUP BY a.s, b.s)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_edges,
+        |  CAST(sum(cnt) AS BIGINT) AS n_wedges,
+        |  CAST(count(*) AS BIGINT) AS n_supplier_pairs,
+        |  CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS n_butterflies
+        |FROM w""".stripMargin,
+    // the oracle rebuilds the full expected grid (cross join of the
+    // marginals) with the identical double spelling of (n-e)^2/e
+    "q141_chi_square" ->
+      """WITH ev AS (
+        |  SELECT event_type AS t, hour(ts) AS h FROM events),
+        |cells AS (SELECT t, h, CAST(count(*) AS BIGINT) AS n
+        |          FROM ev GROUP BY t, h),
+        |rt AS (SELECT t, CAST(sum(n) AS BIGINT) AS rt
+        |       FROM cells GROUP BY t),
+        |ct AS (SELECT h, CAST(sum(n) AS BIGINT) AS ct
+        |       FROM cells GROUP BY h),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+        |g AS (
+        |  SELECT rt.t, ct.h, rt.rt, ct.ct,
+        |    coalesce(cells.n, 0) AS n
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.t = rt.t AND cells.h = ct.h),
+        |x AS (
+        |  SELECT t, rt, n,
+        |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |      / (SELECT CAST(nn AS DOUBLE) FROM tot) AS e
+        |  FROM g)
+        |SELECT t AS event_type,
+        |  CAST(max(rt) AS BIGINT) AS n_events,
+        |  round(sum((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e)
+        |    / e), 4) AS chi2_part
+        |FROM x GROUP BY t ORDER BY t""".stripMargin,
+    // same melt, same p·ln p double spelling
+    "q142_column_entropy" ->
+      """WITH m AS (
+        |  SELECT 'l_returnflag' AS column_name,
+        |    CAST(l_returnflag AS VARCHAR) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_linestatus',
+        |    CAST(l_linestatus AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_linenumber',
+        |    CAST(l_linenumber AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity',
+        |    CAST(l_quantity AS VARCHAR) FROM lineitem),
+        |c AS (SELECT column_name, v, CAST(count(*) AS BIGINT) AS c
+        |      FROM m GROUP BY column_name, v),
+        |t AS (SELECT column_name, CAST(sum(c) AS BIGINT) AS n
+        |      FROM c GROUP BY column_name)
+        |SELECT c.column_name,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(-sum((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |    * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))), 4)
+        |    AS entropy_nats
+        |FROM c JOIN t USING (column_name)
+        |GROUP BY c.column_name ORDER BY c.column_name""".stripMargin
   )
 }
 

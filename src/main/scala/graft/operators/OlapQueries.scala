@@ -1201,6 +1201,41 @@ object OlapQueries {
       .orderBy("seg", "day")
   }
 
+  /** χ² INDEPENDENCE test between event type and hour-of-day — the
+    * categorical-association profile of an event stream (is traffic
+    * mix time-of-day dependent?). Observed counts are one map-side
+    * combined aggregate; the expected-count grid lives on a generated
+    * (type × hour) spine (cross join of two distinct lists — empty
+    * cells MUST contribute their expected mass, a groupBy over
+    * observed cells alone understates χ²); marginals broadcast as
+    * NDV-sized frames. Every count is an exact long; the one double
+    * expression (n−e)²/e sums over ≤ |hours| cells per type before
+    * the 4 dp round — quantum ≫ the 120-term summation jitter.
+    */
+  def chiSquare(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_type").as("t"), hour(col("ts")).as("h"))
+    val cells = ev.groupBy("t", "h").agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy("t").agg(sum("n").as("rt"))
+    val colTot = cells.groupBy("h").agg(sum("n").as("ct"))
+    val total = cells.agg(sum("n").as("nn"))
+    val spine = rowTot.select("t").crossJoin(colTot.select("h"))
+    spine.join(cells, Seq("t", "h"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .join(broadcast(rowTot), "t")
+      .join(broadcast(colTot), "h")
+      .crossJoin(broadcast(total))
+      .withColumn("e", col("rt").cast("double") *
+        col("ct").cast("double") / col("nn").cast("double"))
+      .withColumn("contrib",
+        (col("n").cast("double") - col("e")) *
+          (col("n").cast("double") - col("e")) / col("e"))
+      .groupBy(col("t").as("event_type"))
+      .agg(max("rt").cast("long").as("n_events"),
+        round(sum("contrib"), 4).as("chi2_part"))
+      .orderBy("event_type")
+  }
+
   /** One-pass Pearson CORRELATION MATRIX over fact measures from
     * EXACT moments: each measure pair's (n, Σx, Σy, Σxy, Σx², Σy²)
     * accumulates as DECIMAL — quantities are integers, money is 2 dp,

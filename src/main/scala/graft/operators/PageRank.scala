@@ -106,4 +106,47 @@ object PageRank {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), out.schema)
   }
+
+  /** BUTTERFLY (bipartite 4-cycle) census of the trade graph — the
+    * clustering motif of bipartite graphs (customer↔supplier here;
+    * triangles cannot exist across a bipartition, so butterflies are
+    * what "clustering" means): two customers sharing two suppliers
+    * close a 4-cycle.
+    *
+    * Wedge formulation, all exact integer arithmetic:
+    * wedges (s₁ < s₂ sharing a customer) come off a self-join of the
+    * distinct trade-pair list keyed on the customer; grouping wedges
+    * by the supplier pair gives per-pair counts c, and each pair
+    * closes C(c,2) butterflies. The wedge stream is Σ_c C(deg(c), 2)
+    * rows — quadratic in per-customer degree, linear in customers —
+    * and reduces map-side to ≤ C(|suppliers|, 2) groups before the
+    * shuffle. At a 100 TB bipartite graph the standard mitigations
+    * (degree-ordered wedge generation, hub-vertex sampling) bolt onto
+    * exactly this plan; the fixture's degrees (~30) keep the exact
+    * census cheap.
+    */
+  def butterflyCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.load(spark, sfDir, "lineitem")
+      .join(Tables.load(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+      .persist() // both sides of the wedge self-join
+    val wedges = pairs.select(col("c"), col("s").as("s1"))
+      .join(pairs.select(col("c"), col("s").as("s2")), "c")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("cnt"))
+    val out = wedges.agg(
+      sum("cnt").as("n_wedges"),
+      count(lit(1)).as("n_supplier_pairs"),
+      // c choose 2 in integer math: c·(c−1) is even, div is exact
+      sum(expr("cnt * (cnt - 1) div 2")).as("n_butterflies"))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_edges"), col("n_wedges"),
+        col("n_supplier_pairs"), col("n_butterflies"))
+    val rows = out.collect().toSeq // 1-row report; release the cache
+    pairs.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
 }

@@ -205,4 +205,33 @@ object CardinalityEstimator {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), out.schema)
   }
+
+  /** Shannon ENTROPY of the categorical columns the estimator already
+    * profiles for NDV — the distribution-shape statistic next to the
+    * count statistic (a planner choosing a dictionary encoding or a
+    * skew mitigation wants both). Per column: H = −Σ p·ln p over the
+    * value distribution, computed from exact long counts (map-side
+    * combined, NDV-sized shuffles); the double ln-sum spans ≤ NDV
+    * terms before the 4 dp round. Melting the low-NDV columns of one
+    * table into (column, value) rows lets a single aggregate profile
+    * them all in one scan.
+    */
+  def columnEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val cols = Seq("l_returnflag", "l_linestatus", "l_linenumber",
+      "l_quantity")
+    val melted = li.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column_name"), col(c).cast("string").as("v")))
+      : _*)).as("m"))
+      .select(col("m.column_name").as("column_name"), col("m.v").as("v"))
+    val counts = melted.groupBy("column_name", "v")
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("column_name").agg(sum("c").as("n"))
+    counts.join(broadcast(totals), "column_name")
+      .withColumn("p", col("c").cast("double") / col("n").cast("double"))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n_distinct"),
+        round(-sum(col("p") * log(col("p"))), 4).as("entropy_nats"))
+      .orderBy("column_name")
+  }
 }

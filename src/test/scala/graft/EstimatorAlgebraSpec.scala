@@ -64,4 +64,57 @@ class EstimatorAlgebraSpec extends SparkSpec {
     val b = CardinalityEstimator.kmvSetAlgebra(spark, sf).collect()(0)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("chi-square: replica over the full expected grid") {
+    val got = graft.operators.OlapQueries.chiSquare(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), hour(col("ts")).as("h"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val cells = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val types = ev.map(_._1).distinct
+    val hours = ev.map(_._2).distinct
+    val rt = types.map(t => t -> ev.count(_._1 == t).toLong).toMap
+    val ct = hours.map(h => h -> ev.count(_._2 == h).toLong).toMap
+    val n = ev.length.toDouble
+    types.foreach { t =>
+      val chi = hours.map { h =>
+        val e = rt(t).toDouble * ct(h).toDouble / n
+        val o = cells.getOrElse((t, h), 0L).toDouble
+        (o - e) * (o - e) / e
+      }.sum
+      val (nEv, chiGot) = got(t)
+      assert(nEv == rt(t))
+      assert(math.abs(chiGot -
+        math.floor(chi * 10000 + 0.5) / 10000) < 1e-9, s"chi2 for $t")
+    }
+  }
+
+  test("column entropy: replica, bounds, and NDV agreement") {
+    val got = CardinalityEstimator.columnEntropy(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set("l_returnflag", "l_linestatus",
+      "l_linenumber", "l_quantity"))
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_linenumber").cast("string"),
+        col("l_quantity").cast("string"))
+      .collect()
+    def check(name: String, vals: Seq[String]): Unit = {
+      val counts = vals.groupBy(identity).view.mapValues(_.size).toMap
+      val n = vals.size.toDouble
+      val h = -counts.values.map { c =>
+        val p = c / n; p * math.log(p)
+      }.sum
+      val (ndv, ent) = got(name)
+      assert(ndv == counts.size, s"$name ndv")
+      assert(math.abs(ent - math.floor(h * 10000 + 0.5) / 10000) < 1e-9,
+        s"$name entropy")
+      assert(ent >= 0 && ent <= math.log(counts.size) + 1e-9)
+    }
+    check("l_returnflag", li.map(_.getString(0)).toSeq)
+    check("l_linestatus", li.map(_.getString(1)).toSeq)
+    check("l_linenumber", li.map(_.getString(2)).toSeq)
+    check("l_quantity", li.map(_.getString(3)).toSeq)
+  }
 }

@@ -80,6 +80,25 @@ class GraphRankSpec extends SparkSpec {
     assert(once == again)
   }
 
+  test("butterflies: equals a local wedge census") {
+    val r = PageRank.butterflyCount(spark, sf).collect()(0)
+    val pairs = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val byCust = pairs.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    val wedge = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byCust.values.foreach { ss =>
+      for (i <- ss.indices; j <- i + 1 until ss.length)
+        wedge((ss(i), ss(j))) = wedge.getOrElse((ss(i), ss(j)), 0L) + 1
+    }
+    assert(r.getLong(0) == pairs.length)
+    assert(r.getLong(1) == wedge.values.sum)
+    assert(r.getLong(2) == wedge.size)
+    assert(r.getLong(3) == wedge.values.map(c => c * (c - 1) / 2).sum)
+  }
+
   test("sample quantiles: estimates bracket the true median loosely") {
     val exact = Tables.load(spark, sf, "lineitem")
       .groupBy("l_returnflag")

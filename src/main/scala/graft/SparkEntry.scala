@@ -378,6 +378,15 @@ object SparkEntry {
     // p·ln p over exact counts, NDV-sized shuffles
     "q142_column_entropy" -> ((s: SparkSession, d: String) =>
       plans.CardinalityEstimator.columnEntropy(s, d)),
+    // Okapi BM25 for a fixed term set: one tokenization pass feeds
+    // lengths and tfs; df and corpus totals broadcast; scoring prunes
+    // to matching docs before any join
+    "q143_bm25_topk" -> ((s: SparkSession, d: String) =>
+      operators.TextQueries.bm25TopK(s, d)),
+    // reciprocal-rank fusion of keyword (BM25) and semantic (cosine)
+    // retrieval — parameter-sized rank windows, full-outer merge
+    "q144_rank_fusion" -> ((s: SparkSession, d: String) =>
+      operators.Similarity.rankFusion(s, d)),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -2499,7 +2508,88 @@ object SparkEntry {
         |    * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))), 4)
         |    AS entropy_nats
         |FROM c JOIN t USING (column_name)
-        |GROUP BY c.column_name ORDER BY c.column_name""".stripMargin
+        |GROUP BY c.column_name ORDER BY c.column_name""".stripMargin,
+    // identical tokenization and literal spelling (2.2 = k1+1,
+    // 0.25 = 1-b); avgdl stays the ntok/nd quotient inline
+    "q143_bm25_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |f AS (SELECT doc_id, w FROM t WHERE w <> ''),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM f GROUP BY doc_id),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |       FROM f WHERE w IN ('join', 'filter', 'scan')
+        |       GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+        |          FROM tf GROUP BY w),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS ntok FROM f)
+        |SELECT tf.doc_id,
+        |  round(sum(
+        |    ln((CAST(nd.nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |      / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |    * (CAST(tf AS DOUBLE) * 2.2
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |        * CAST(dl AS DOUBLE)
+        |        / (CAST(nt.ntok AS DOUBLE) / CAST(nd.nd AS DOUBLE)))))),
+        |    4) AS bm25,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w), nd, nt
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    // both candidate lists rebuilt (q143 at k=50, q26's cosine at
+    // k=50), ranked by the same tie-deterministic orderings, fused
+    // with the identical reciprocal spelling
+    "q144_rank_fusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |f AS (SELECT doc_id, w FROM t WHERE w <> ''),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM f GROUP BY doc_id),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |       FROM f WHERE w IN ('join', 'filter', 'scan')
+        |       GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+        |          FROM tf GROUP BY w),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS ntok FROM f),
+        |bm AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(
+        |      ln((CAST(nd.nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * 2.2
+        |        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |          * CAST(dl AS DOUBLE)
+        |          / (CAST(nt.ntok AS DOUBLE) / CAST(nd.nd AS DOUBLE)))))),
+        |      4) AS bm25
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w), nd, nt
+        |  GROUP BY tf.doc_id
+        |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |kw AS (SELECT doc_id, CAST(row_number() OVER (
+        |         ORDER BY bm25 DESC, doc_id) AS INT) AS kw_rank
+        |       FROM bm),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v FROM e WHERE vec_id = 0),
+        |cs AS (
+        |  SELECT e.vec_id,
+        |    round(list_dot_product(e.v, q.v) /
+        |      (sqrt(list_dot_product(e.v, e.v)) *
+        |       sqrt(list_dot_product(q.v, q.v))), 4) AS cosine
+        |  FROM e, q WHERE e.vec_id <> 0
+        |  ORDER BY cosine DESC, vec_id LIMIT 50),
+        |sem AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (
+        |          ORDER BY cosine DESC, vec_id) AS INT) AS sem_rank
+        |        FROM cs)
+        |SELECT coalesce(kw.doc_id, sem.doc_id) AS doc_id,
+        |  kw_rank, sem_rank,
+        |  round(
+        |    coalesce(1.0 / CAST(kw_rank + 60 AS DOUBLE), 0.0) +
+        |    coalesce(1.0 / CAST(sem_rank + 60 AS DOUBLE), 0.0), 6) AS rrf
+        |FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   )
 }
 

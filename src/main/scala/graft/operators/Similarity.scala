@@ -547,4 +547,40 @@ object Similarity {
         round(col("nrm"), 4).as("centroid_norm"))
       .orderBy("cluster_id")
   }
+
+  /** HYBRID RETRIEVAL by reciprocal-rank fusion — the standard way a
+    * training-data pipeline merges keyword and semantic retrieval
+    * (doc_id and vec_id share the corpus id space): each candidate's
+    * fused score is Σ 1/(60 + rank) over the lists it appears in
+    * (Cormack et al.'s RRF; absent-from-list contributes 0 via the
+    * full-outer join).
+    *
+    * The rank windows are global-order BUT parameter-sized: they rank
+    * the two top-`kLists` candidate lists (≤ 50 rows each — already
+    * reduced by BM25's pruned scoring and cosine's
+    * TakeOrderedAndProject), never a corpus. Ranks are integers off
+    * tie-deterministic orderings, so the one double per row is a sum
+    * of two exact reciprocals — engine-portable to the 6 dp round.
+    */
+  def rankFusion(spark: SparkSession, sfDir: String,
+      kLists: Int = 50, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyword = TextQueries.bm25TopK(spark, sfDir, topK = kLists)
+      .withColumn("kw_rank", row_number().over(
+        Window.orderBy(desc("bm25"), asc("doc_id"))))
+      .select(col("doc_id"), col("kw_rank"))
+    val semantic = cosineTopK(spark, sfDir, k = kLists)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(desc("cosine"), asc("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    keyword.join(semantic, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("kw_rank"), col("sem_rank"),
+        round(
+          coalesce(lit(1.0) / (col("kw_rank") + lit(60)).cast("double"),
+            lit(0.0)) +
+          coalesce(lit(1.0) / (col("sem_rank") + lit(60)).cast("double"),
+            lit(0.0)), 6).as("rrf"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(topK)
+  }
 }

@@ -399,6 +399,49 @@ object TextQueries {
     * in the oracle, and the final order is (rounded pmi, pair) — the
     * ln-libm discipline q64/q71 established.
     */
+  /** BM25 KEYWORD RETRIEVAL — the ranking function tf (q54) and tf-idf
+    * (q71) build toward: Okapi BM25 with document-length normalization
+    * (k1 = 1.2, b = 0.75) for a fixed query-term set, top `topK` docs.
+    *
+    * One tokenization pass feeds doc lengths AND term frequencies; the
+    * per-term document frequencies and the two corpus totals are
+    * NDV-/1-row-sized broadcasts; scoring touches only docs matching a
+    * query term (the tf frame, pruned before any join). Every count is
+    * an exact long; the double score spells its literals (2.2 = k1+1,
+    * 0.25 = 1−b) directly so both engines parse identical constants.
+    */
+  def bm25TopK(spark: SparkSession, sfDir: String,
+      query: Seq[String] = Seq("join", "filter", "scan"),
+      topK: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("w").isin(query: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val nToks = toks.agg(count(lit(1)).as("ntok"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(nToks))
+      .withColumn("idf",
+        log((col("nd").cast("double") - col("df").cast("double")
+          + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("s", col("idf") *
+        (col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+              (col("ntok").cast("double") / col("nd").cast("double"))))))
+      .groupBy("doc_id")
+      .agg(round(sum("s"), 4).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(topK)
+  }
+
   def pmiPairs(spark: SparkSession, sfDir: String,
       minCount: Int = 5, topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -50,7 +50,14 @@ object Plans {
       "q119_waiting_supplier" -> "Q21 shape: both existentials folded into a two-level orderkey aggregate — one fact shuffle, no Expand, broadcast dim",
       "q121_part_supplier_counts" -> "Q16 shape: broadcast dims prune the fact before its only shuffle; distinct-then-count, no Expand",
       "q124_logreg_gd" -> "trained-model apply pass: σ(w·x) against broadcast weight literals, confusion-matrix aggregate — the per-iteration gradient plan has the same scan+posexplode+partial-agg shape",
-      "q126_naive_bayes" -> "NB apply: vocab-keyed pivoted model broadcast onto one exploded-corpus pass; argmax as a codegen'd array_min over (−score, lang) structs")
+      "q126_naive_bayes" -> "NB apply: vocab-keyed pivoted model broadcast onto one exploded-corpus pass; argmax as a codegen'd array_min over (−score, lang) structs",
+      "q133_sample_quantiles" -> "bottom-k quantile sketch: mergeable topk_rows sample off one scan, rank selection inside ≤k-row partitioned windows",
+      "q135_join_card" -> "F2 join-size estimate: exact Σc² and the 1-in-64 hash-sampled twin in one NDV-sized aggregate",
+      "q137_locf_fill" -> "LOCF densification: generated spine × map-side-reduced fact, segment-partitioned carry-forward window",
+      "q139_pmi_pairs" -> "PMI collocations: doc-bounded lag windows, NDV-sized count shuffles, 1-row totals broadcast",
+      "q141_chi_square" -> "chi-square on a generated type×hour spine — marginals broadcast, empty cells carry expected mass",
+      "q143_bm25_topk" -> "BM25: tokenize once for lengths+tfs, df/total broadcasts, pruned scoring, TakeOrderedAndProject top-k",
+      "q144_rank_fusion" -> "RRF hybrid retrieval: two parameter-sized ranked lists full-outer merged — rank windows over ≤50 rows, never a corpus")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans of representative queries\n\n"
     out ++= "Generated by `graft.Plans` at sf0.001. What to look for is\n"

@@ -387,6 +387,13 @@ object SparkEntry {
     // retrieval — parameter-sized rank windows, full-outer merge
     "q144_rank_fusion" -> ((s: SparkSession, d: String) =>
       operators.Similarity.rankFusion(s, d)),
+    // Welch's t between two cohorts: metric quantized to permille ints
+    // so every moment is an exact long; t/df in doubles on 6 scalars
+    "q145_welch_ttest" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.welchTTest(s, d)),
+    // Tukey IQR fences per group over exact fixed-point percentiles;
+    // NDV-sized fence frame broadcast back onto one conditional agg
+    "q146_iqr_outliers" -> (operators.OlapQueries.iqrOutliers _),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -2589,7 +2596,69 @@ object SparkEntry {
         |    coalesce(1.0 / CAST(kw_rank + 60 AS DOUBLE), 0.0) +
         |    coalesce(1.0 / CAST(sem_rank + 60 AS DOUBLE), 0.0), 6) AS rrf
         |FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id
-        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    // identical quantization (round(v*1000) to BIGINT) and the same
+    // double spelling of t and Welch-Satterthwaite df
+    "q145_welch_ttest" ->
+      """WITH ev AS (
+        |  SELECT event_type AS grp,
+        |    CAST(round(value * 1000, 0) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(v) AS BIGINT) AS s,
+        |        CAST(sum(v * v) AS BIGINT) AS ss
+        |      FROM ev GROUP BY grp),
+        |a AS (SELECT n AS na, s AS sa, ss AS ssa FROM m
+        |      WHERE grp = 'click'),
+        |b AS (SELECT n AS nb, s AS sb, ss AS ssb FROM m
+        |      WHERE grp = 'view'),
+        |x AS (SELECT na, nb,
+        |        CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |        CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |        (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE)
+        |          * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+        |          / (CAST(na AS DOUBLE) - 1.0) AS va,
+        |        (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE)
+        |          * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |          / (CAST(nb AS DOUBLE) - 1.0) AS vb
+        |      FROM a, b),
+        |y AS (SELECT na, nb, ma, mb,
+        |        va / CAST(na AS DOUBLE) AS sea,
+        |        vb / CAST(nb AS DOUBLE) AS seb
+        |      FROM x)
+        |SELECT na, nb,
+        |  round(ma / 1000.0, 4) AS mean_a,
+        |  round(mb / 1000.0, 4) AS mean_b,
+        |  round((ma - mb) / sqrt(sea + seb), 4) AS t_stat,
+        |  round((sea + seb) * (sea + seb)
+        |    / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
+        |      + seb * seb / (CAST(nb AS DOUBLE) - 1.0)), 2) AS welch_df
+        |FROM y""".stripMargin,
+    // quantile_cont interpolates like Spark's percentile() on the same
+    // integer cents (the q35/q96 discipline); fences spelled once
+    "q146_iqr_outliers" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |f AS (SELECT l_returnflag,
+        |        quantile_cont(cents, 0.25) AS q1,
+        |        quantile_cont(cents, 0.75) AS q3
+        |      FROM li GROUP BY l_returnflag),
+        |g AS (SELECT l_returnflag,
+        |        q1 - (q3 - q1) * 1.5 AS lo,
+        |        q3 + (q3 - q1) * 1.5 AS hi
+        |      FROM f)
+        |SELECT li.l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN CAST(cents AS DOUBLE) < lo THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN CAST(cents AS DOUBLE) > hi THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_high,
+        |  round(max(lo) / 100.0, 4) AS fence_lo,
+        |  round(max(hi) / 100.0, 4) AS fence_hi
+        |FROM li JOIN g USING (l_returnflag)
+        |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin
   )
 }
 

@@ -1236,6 +1236,82 @@ object OlapQueries {
       .orderBy("event_type")
   }
 
+  /** WELCH'S t-TEST between two event cohorts — the A/B significance
+    * primitive of event analytics, made engine-exact by QUANTIZING the
+    * metric first: value → permille integers (round(v·1000), the q130
+    * discipline), so n, Σx, Σx² are exact longs under any partition
+    * order (a double Σx² over 10⁵ rows carries worst-case summation
+    * error at the rounding quantum — quantization removes the problem
+    * instead of rounding around it). The t statistic and
+    * Welch–Satterthwaite df then run in doubles on six exact scalars.
+    * One scan, one 2-group map-side-combined aggregate.
+    */
+  def welchTTest(spark: SparkSession, sfDir: String,
+      typeA: String = "click", typeB: String = "view"): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type").as("grp"),
+        round(col("value") * 1000, 0).cast("long").as("v"))
+    val m = ev.groupBy("grp").agg(
+      count(lit(1)).as("n"), sum("v").as("s"),
+      sum(col("v") * col("v")).as("ss"))
+    val a = m.filter(col("grp") === typeA)
+      .select(col("n").as("na"), col("s").as("sa"), col("ss").as("ssa"))
+    val b = m.filter(col("grp") === typeB)
+      .select(col("n").as("nb"), col("s").as("sb"), col("ss").as("ssb"))
+    def dbl(c: String) = col(c).cast("double")
+    a.crossJoin(b)
+      .withColumn("ma", dbl("sa") / dbl("na"))
+      .withColumn("mb", dbl("sb") / dbl("nb"))
+      .withColumn("va", (dbl("ssa") - dbl("sa") * dbl("sa") / dbl("na"))
+        / (dbl("na") - lit(1.0)))
+      .withColumn("vb", (dbl("ssb") - dbl("sb") * dbl("sb") / dbl("nb"))
+        / (dbl("nb") - lit(1.0)))
+      .withColumn("sea", col("va") / dbl("na"))
+      .withColumn("seb", col("vb") / dbl("nb"))
+      .select(col("na"), col("nb"),
+        round(col("ma") / lit(1000.0), 4).as("mean_a"),
+        round(col("mb") / lit(1000.0), 4).as("mean_b"),
+        round((col("ma") - col("mb")) / sqrt(col("sea") + col("seb")), 4)
+          .as("t_stat"),
+        round((col("sea") + col("seb")) * (col("sea") + col("seb")) /
+          (col("sea") * col("sea") / (dbl("na") - lit(1.0)) +
+            col("seb") * col("seb") / (dbl("nb") - lit(1.0))), 2)
+          .as("welch_df"))
+  }
+
+  /** IQR OUTLIER fences per group — Tukey's boxplot rule over exact
+    * percentiles on fixed-point money (cents): q1/q3 by linear
+    * interpolation on integers (exact rationals → identical doubles),
+    * fences at 1.5·IQR, then one conditional aggregate counts the
+    * tails. Two passes over one fact scan shape: the percentile
+    * aggregate state is per-group value lists ONLY because the bench
+    * fixture is small — the q96 sharded machinery is the documented
+    * scale path; the fences themselves broadcast back as an NDV-sized
+    * frame.
+    */
+  def iqrOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+    val fences = li.groupBy("l_returnflag")
+      .agg(expr("percentile(cents, 0.25)").as("q1"),
+        expr("percentile(cents, 0.75)").as("q3"))
+      .select(col("l_returnflag"), col("q1"), col("q3"),
+        (col("q1") - (col("q3") - col("q1")) * lit(1.5)).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * lit(1.5)).as("hi"))
+    li.join(broadcast(fences), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents").cast("double") < col("lo"), 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("cents").cast("double") > col("hi"), 1L)
+          .otherwise(0L)).as("n_high"),
+        round(max("lo") / 100.0, 4).as("fence_lo"),
+        round(max("hi") / 100.0, 4).as("fence_hi"))
+      .orderBy("l_returnflag")
+  }
+
   /** One-pass Pearson CORRELATION MATRIX over fact measures from
     * EXACT moments: each measure pair's (n, Σx, Σy, Σxy, Σx², Σy²)
     * accumulates as DECIMAL — quantities are integers, money is 2 dp,
@@ -1252,33 +1328,39 @@ object OlapQueries {
     */
   def corrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
-    val qty = col("l_quantity").cast("decimal(18,2)")
-    val price = col("l_extendedprice").cast("decimal(18,2)")
-    val disc = col("l_discount").cast("decimal(18,2)")
-    val tax = col("l_tax").cast("decimal(18,2)")
-    val measures = Seq("qty" -> qty, "price" -> price,
-      "disc" -> disc, "tax" -> tax)
-    val pairs = for {
-      (i, (na, a)) <- measures.zipWithIndex.map(_.swap)
-      (nb, b) <- measures.drop(i + 1)
+    val measures = Seq(
+      "qty" -> col("l_quantity").cast("decimal(18,2)"),
+      "price" -> col("l_extendedprice").cast("decimal(18,2)"),
+      "disc" -> col("l_discount").cast("decimal(18,2)"),
+      "tax" -> col("l_tax").cast("decimal(18,2)"))
+    // EVERY moment in ONE un-exploded aggregate — 15 decimal sums off
+    // one scan, no 6× row amplification, no 6-group shuffle (a melted
+    // first cut measured 5 s at sf0.1; this shape runs with the scan)
+    val moments =
+      Seq(count(lit(1)).as("n")) ++
+      measures.map { case (nm, c) => sum(c).as(s"s_$nm") } ++
+      measures.map { case (nm, c) => sum(c * c).as(s"ss_$nm") } ++
+      (for {
+        (i, (na, a)) <- measures.zipWithIndex.map(_.swap)
+        (nb, b) <- measures.drop(i + 1)
+      } yield sum(a * b).as(s"x_${na}_$nb"))
+    val wide = li.agg(moments.head, moments.tail: _*)
+    // assemble the 6 pair rows ABOVE the aggregate (a 1-row explode)
+    val pairRows = for {
+      (i, (na, _)) <- measures.zipWithIndex.map(_.swap)
+      (nb, _) <- measures.drop(i + 1)
     } yield struct(lit(s"${na}_$nb").as("pair"),
-      a.as("x"), b.as("y"))
-    val melted = li.select(explode(array(pairs: _*)).as("m"))
-      .select(col("m.pair").as("pair"), col("m.x").as("x"),
-        col("m.y").as("y"))
+      col(s"s_$na").as("sx"), col(s"s_$nb").as("sy"),
+      col(s"x_${na}_$nb").as("sxy"),
+      col(s"ss_$na").as("sxx"), col(s"ss_$nb").as("syy"))
     // moments → double BEFORE any combining arithmetic: decimal
     // multiplies at the precision-38 cap trigger engine-specific scale
     // reduction, while double arithmetic over six exact scalars is the
     // same IEEE sequence in both engines
     val n = col("n").cast("double")
-    def d(c: String) = col(c).cast("double")
-    melted.groupBy("pair")
-      .agg(count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-      .select(col("pair"),
+    def d(c: String) = col(s"m.$c").cast("double")
+    wide.select(col("n"), explode(array(pairRows: _*)).as("m"))
+      .select(col("m.pair").as("pair"),
         round((n * d("sxy") - d("sx") * d("sy")) /
           sqrt((n * d("sxx") - d("sx") * d("sx")) *
             (n * d("syy") - d("sy") * d("sy"))), 6).as("r"))

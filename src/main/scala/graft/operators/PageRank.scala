@@ -132,11 +132,22 @@ object PageRank {
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
       .persist() // both sides of the wedge self-join
+    val out = butterflyCensusPlan(pairs)
+    val rows = out.collect().toSeq // 1-row report; release the cache
+    pairs.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
+  /** The lazy census plan over a (c, s) trade-pair frame — separate so
+    * plan tests can inspect it before the 1-row report materializes.
+    */
+  private[graft] def butterflyCensusPlan(pairs: DataFrame): DataFrame = {
     val wedges = pairs.select(col("c"), col("s").as("s1"))
       .join(pairs.select(col("c"), col("s").as("s2")), "c")
       .filter(col("s1") < col("s2"))
       .groupBy("s1", "s2").agg(count(lit(1)).as("cnt"))
-    val out = wedges.agg(
+    wedges.agg(
       sum("cnt").as("n_wedges"),
       count(lit(1)).as("n_supplier_pairs"),
       // c choose 2 in integer math: c·(c−1) is even, div is exact
@@ -144,9 +155,5 @@ object PageRank {
       .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_edges"))))
       .select(col("n_edges"), col("n_wedges"),
         col("n_supplier_pairs"), col("n_butterflies"))
-    val rows = out.collect().toSeq // 1-row report; release the cache
-    pairs.unpersist(false)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 }

@@ -470,4 +470,60 @@ class PlanSpec extends SparkSpec {
       !funnel.contains("Join"),
       s"funnel should be one scan + two aggs:\n$funnel")
   }
+
+  test("q133 sample quantiles: bounded aggregate, no corpus window") {
+    val plan = planOf(
+      graft.operators.Percentiles.sampleQuantiles(spark, sf))
+    // the sample comes from the mergeable topk_rows aggregate, one scan
+    assert(plan.contains("topk_rows"), s"sketch aggregate missing:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"more than one corpus scan:\n$plan")
+    // the only window runs over the exploded ≤k-row samples, partitioned
+    assert(!plan.contains("Window [") ||
+      plan.contains("windowspecdefinition(l_returnflag"),
+      s"window lost its partitioning:\n$plan")
+  }
+
+  test("q137 locf: every window partitioned, fact reduced before join") {
+    val plan = planOf(graft.operators.OlapQueries.locfFill(spark, sf))
+    assert(!plan.contains("Window [") ||
+      plan.contains("windowspecdefinition(seg"),
+      s"LOCF window lost its segment partitioning:\n$plan")
+    // revenue reduces to spine grain via a partial aggregate before
+    // the spine join (map-side combine present)
+    assert(plan.contains("partial_sum") || plan.contains("partial"),
+      s"no partial aggregation before the spine join:\n$plan")
+  }
+
+  test("q139 pmi / q143 bm25: no cartesian joins, 1-row totals broadcast") {
+    val pmi = planOf(graft.operators.TextQueries.pmiPairs(spark, sf))
+    assert(!pmi.contains("CartesianProduct"),
+      s"pmi plans a cartesian:\n$pmi")
+    assert(pmi.contains("BroadcastNestedLoopJoin") ||
+      pmi.contains("BroadcastExchange"),
+      s"corpus totals are not broadcast:\n$pmi")
+    val bm = planOf(graft.operators.TextQueries.bm25TopK(spark, sf))
+    assert(!bm.contains("CartesianProduct"),
+      s"bm25 plans a cartesian:\n$bm")
+    assert(bm.contains("TakeOrderedAndProject"),
+      s"bm25 top-k is a global sort, not TakeOrdered:\n$bm")
+  }
+
+  test("q140 butterflies: wedge aggregate combines map-side") {
+    val pairs = graft.sources.Tables.load(spark, sf, "lineitem")
+      .join(graft.sources.Tables.load(spark, sf, "orders"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .select(org.apache.spark.sql.functions.col("o_custkey").as("c"),
+        org.apache.spark.sql.functions.col("l_suppkey").as("s"))
+      .distinct()
+    val plan = planOf(
+      graft.operators.PageRank.butterflyCensusPlan(pairs))
+    // the supplier-pair count must partial-aggregate before its
+    // exchange — the wedge stream is the quadratic part
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"wedge counts not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"wedge join planned as cartesian:\n$plan")
+  }
 }

@@ -394,6 +394,14 @@ object SparkEntry {
     // Tukey IQR fences per group over exact fixed-point percentiles;
     // NDV-sized fence frame broadcast back onto one conditional agg
     "q146_iqr_outliers" -> (operators.OlapQueries.iqrOutliers _),
+    // market-basket lift: basket self-join keyed on the order, pair
+    // counts map-side combined, min-support pruning before margins
+    "q147_copurchase_lift" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.copurchaseLift(s, d)),
+    // reliability diagram of the q124 model: broadcast decile
+    // cutpoints, no corpus-wide ntile window
+    "q148_model_calibration" -> ((s: SparkSession, d: String) =>
+      operators.Estimators.calibrationDeciles(s, d)),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -2658,7 +2666,72 @@ object SparkEntry {
         |  round(max(lo) / 100.0, 4) AS fence_lo,
         |  round(max(hi) / 100.0, 4) AS fence_hi
         |FROM li JOIN g USING (l_returnflag)
-        |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin
+        |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin,
+    // identical basket/pair/margin counts; N·c_ab/(c_a·c_b) spelled once
+    "q147_copurchase_lift" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |no AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM b),
+        |pr AS (
+        |  SELECT a.p AS pa, c.p AS pb, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+        |  GROUP BY a.p, c.p HAVING count(*) >= 3),
+        |m AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY p)
+        |SELECT pr.pa, pr.pb, pr.c_ab,
+        |  round(CAST(no.n AS DOUBLE) * CAST(pr.c_ab AS DOUBLE)
+        |    / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE)), 4) AS lift
+        |FROM pr
+        |JOIN m ma ON pr.pa = ma.p
+        |JOIN m mb ON pr.pb = mb.p, no
+        |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    // q124's unrolled training chain, then: p rounded 6 dp, exact
+    // decile cutpoints, bucket by counting cutpoints below p
+    "q148_model_calibration" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_prepend(1.0, embedding::DOUBLE[]) AS x,
+        |             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+        |           FROM embeddings),
+        |g1 AS (SELECT pos, round(avg(xj * (0.5 - y)), 6) AS g
+        |       FROM (SELECT unnest(x) AS xj,
+        |               unnest(range(1, len(x) + 1)) AS pos, y FROM e)
+        |       GROUP BY pos),
+        |w1 AS (SELECT list(0.0 - g ORDER BY pos) AS w FROM g1),
+        |r2 AS (SELECT x, y,
+        |         1/(1 + exp(-list_dot_product(x, (SELECT w FROM w1)))) - y
+        |           AS r FROM e),
+        |g2 AS (SELECT pos, round(avg(xj * r), 6) AS g
+        |       FROM (SELECT unnest(x) AS xj,
+        |               unnest(range(1, len(x) + 1)) AS pos, r FROM r2)
+        |       GROUP BY pos),
+        |w2 AS (SELECT list(wv - g ORDER BY pos) AS w
+        |       FROM (SELECT unnest(w) AS wv,
+        |               unnest(range(1, len(w) + 1)) AS pos FROM w1)
+        |       JOIN g2 USING (pos)),
+        |r3 AS (SELECT x, y,
+        |         1/(1 + exp(-list_dot_product(x, (SELECT w FROM w2)))) - y
+        |           AS r FROM e),
+        |g3 AS (SELECT pos, round(avg(xj * r), 6) AS g
+        |       FROM (SELECT unnest(x) AS xj,
+        |               unnest(range(1, len(x) + 1)) AS pos, r FROM r3)
+        |       GROUP BY pos),
+        |w3 AS (SELECT list(wv - g ORDER BY pos) AS w
+        |       FROM (SELECT unnest(w) AS wv,
+        |               unnest(range(1, len(w) + 1)) AS pos FROM w2)
+        |       JOIN g3 USING (pos)),
+        |p6 AS (SELECT y,
+        |         round(1/(1 + exp(-list_dot_product(x,
+        |           (SELECT w FROM w3)))), 6) AS p6
+        |       FROM e),
+        |cut AS (SELECT quantile_cont(p6,
+        |          [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs FROM p6),
+        |d AS (SELECT y, p6,
+        |        CAST(1 + len(list_filter(cs, c -> p6 > c)) AS INT)
+        |          AS decile
+        |      FROM p6, cut)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(p6), 4) AS avg_p,
+        |  round(avg(CAST(y AS DOUBLE)), 4) AS pos_rate
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin
   )
 }
 

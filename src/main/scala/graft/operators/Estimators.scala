@@ -96,35 +96,86 @@ object Estimators {
     * (min |p − 0.5| margin ≈ 5e-7 at every fixture scale, nine orders
     * above cross-engine exp/summation noise).
     */
-  def logregGd(spark: SparkSession, sfDir: String, lr: Double = 1.0,
-      iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.Column
-    import graft.functions.VectorMath.dot_product
-    val e = Tables.load(spark, sfDir, "embeddings")
+  /** The (bias ⊕ embedding, binary label) training frame shared by the
+    * GD trainer and the calibration report.
+    */
+  private[graft] def logregFeatures(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"),
         concat(array(lit(1.0)), col("embedding").cast("array<double>"))
           .as("x"),
         when(col("label") >= 5, 1).otherwise(0).as("y"))
-    // the feature width is constant (bias ⊕ fixed-dim embedding): one
-    // row answers it — never a corpus-wide aggregate
+
+  /** σ(w·x) over the feature column for broadcast weight literals. */
+  private[graft] def logregSigma(
+      wl: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.VectorMath.dot_product
+    lit(1.0) / (lit(1.0) + exp(-dot_product(col("x"), wl)))
+  }
+
+  /** The trained weight trajectory (collect-a-parameter pattern, one
+    * scan per iteration, gradients rounded 6 dp per iterate).
+    */
+  private[graft] def logregWeights(e: DataFrame, lr: Double,
+      iters: Int): Seq[Double] = {
     val dim = e.select(size(col("x"))).head.getInt(0)
     var w: Seq[Double] = Seq.fill(dim)(0.0)
-    def sigma(wl: Column): Column =
-      lit(1.0) / (lit(1.0) + exp(-dot_product(col("x"), wl)))
     for (_ <- 1 to iters) {
       val grads = e
-        .withColumn("r", sigma(typedlit(w)) - col("y").cast("double"))
+        .withColumn("r", logregSigma(typedlit(w)) - col("y").cast("double"))
         .select(posexplode(col("x")).as(Seq("pos", "xj")), col("r"))
         .groupBy("pos").agg(round(avg(col("xj") * col("r")), 6).as("g"))
         .collect().map(r => (r.getInt(0), r.getDouble(1)))
         .sortBy(_._1).map(_._2).toSeq
       w = w.lazyZip(grads).map((wj, gj) => wj - lr * gj)
     }
+    w
+  }
+
+  def logregGd(spark: SparkSession, sfDir: String, lr: Double = 1.0,
+      iters: Int = 3): DataFrame = {
+    val e = logregFeatures(spark, sfDir)
+    // the feature width is constant (bias ⊕ fixed-dim embedding): one
+    // row answers it — never a corpus-wide aggregate
+    val w = logregWeights(e, lr, iters)
     e.select(col("y"),
-        when(sigma(typedlit(w)) >= 0.5, 1).otherwise(0).as("pred"),
-        sigma(typedlit(w)).as("p"))
+        when(logregSigma(typedlit(w)) >= 0.5, 1).otherwise(0).as("pred"),
+        logregSigma(typedlit(w)).as("p"))
       .groupBy("y", "pred")
       .agg(count(lit(1)).as("n"), round(avg("p"), 4).as("avg_p"))
       .orderBy("y", "pred")
+  }
+
+  /** MODEL CALIBRATION deciles — the reliability diagram of the q124
+    * model as a query: score the corpus with the trained weights,
+    * round p to 6 dp (quantum ≫ cross-libm exp jitter), cut the score
+    * distribution at the nine exact deciles, and report count, mean
+    * predicted p, and observed positive rate per bucket.
+    *
+    * Scale shape: scoring is one codegen'd pass; the nine cutpoints
+    * are a 1-row percentile aggregate BROADCAST back (decile
+    * assignment is nine comparisons against literals via a
+    * higher-order filter — no corpus-wide ntile window, which is the
+    * textbook spelling and the thing that dies at scale); the report
+    * is a 10-group aggregate.
+    */
+  def calibrationDeciles(spark: SparkSession, sfDir: String,
+      lr: Double = 1.0, iters: Int = 3): DataFrame = {
+    val e = logregFeatures(spark, sfDir)
+    val w = logregWeights(e, lr, iters)
+    val scored = e.select(col("y"),
+      round(logregSigma(typedlit(w)), 6).as("p6"))
+    val cuts = scored.agg(expr(
+      "percentile(p6, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("cs"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("decile",
+        lit(1) + size(filter(col("cs"), c => col("p6") > c)))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        round(avg("p6"), 4).as("avg_p"),
+        round(avg(col("y").cast("double")), 4).as("pos_rate"))
+      .orderBy("decile")
   }
 }

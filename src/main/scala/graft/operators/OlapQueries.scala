@@ -1236,6 +1236,44 @@ object OlapQueries {
       .orderBy("event_type")
   }
 
+  /** CO-PURCHASE ASSOCIATION RULES — support and lift for part pairs
+    * appearing in the same order (the market-basket sibling of q139's
+    * PMI: same exact-count skeleton, business-side metrics). Baskets
+    * are DISTINCT (order, part) memberships; the pair stream is a
+    * basket self-join keyed on the order — Σ C(|basket|, 2) rows,
+    * bounded by basket size (TPC-H baskets are ~4 lines), map-side
+    * combined to the pair-NDV before its exchange. Lift
+    * = N·c_ab/(c_a·c_b) over exact longs with the double formula
+    * spelled once; min-support pruning precedes the margin join-back.
+    */
+  def copurchaseLift(spark: SparkSession, sfDir: String,
+      minSupport: Int = 3, topK: Int = 20): DataFrame = {
+    val baskets = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .persist() // both sides of the pair self-join + the margins
+    val nOrders = baskets.select("o").distinct().count()
+    val pairs = baskets.select(col("o"), col("p").as("pa"))
+      .join(baskets.select(col("o"), col("p").as("pb")), "o")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+    val margins = baskets.groupBy("p").agg(count(lit(1)).as("c"))
+    val out = pairs
+      .join(margins.select(col("p").as("pa"), col("c").as("c_a")), "pa")
+      .join(margins.select(col("p").as("pb"), col("c").as("c_b")), "pb")
+      .select(col("pa"), col("pb"), col("c_ab"),
+        round(lit(nOrders).cast("double") * col("c_ab").cast("double") /
+          (col("c_a").cast("double") * col("c_b").cast("double")), 4)
+          .as("lift"))
+      .orderBy(desc("lift"), asc("pa"), asc("pb"))
+      .limit(topK)
+    val rows = out.collect().toSeq
+    baskets.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
   /** WELCH'S t-TEST between two event cohorts — the A/B significance
     * primitive of event analytics, made engine-exact by QUANTIZING the
     * metric first: value → permille integers (round(v·1000), the q130

@@ -39,6 +39,51 @@ class StatTestsSpec extends SparkSpec {
       r.getDouble(5) <= na + nb - 2)
   }
 
+  test("copurchase lift: replica of baskets, margins, and lift") {
+    val got = OlapQueries.copurchaseLift(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2),
+        r.getDouble(3))))
+    val baskets = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = baskets.map(_._1).distinct.length.toDouble
+    val margin = baskets.groupBy(_._2).view.mapValues(_.length.toLong)
+    val pairCount = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.groupBy(_._1).values.foreach { b =>
+      val ps = b.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        pairCount((ps(i), ps(j))) =
+          pairCount.getOrElse((ps(i), ps(j)), 0L) + 1
+    }
+    got.foreach { case ((a, b), (cab, lift)) =>
+      assert(pairCount((a, b)) == cab && cab >= 3)
+      val expect = nOrders * cab / (margin(a) * margin(b))
+      assert(math.abs(lift -
+        math.floor(expect * 10000 + 0.5) / 10000) < 1e-9)
+    }
+    // output is the top slice by (lift desc, pair)
+    val lifts = got.map(_._2._2)
+    assert(lifts.map(-_).sameElements(lifts.map(-_).sorted))
+  }
+
+  test("calibration deciles: cover the corpus, p monotone across buckets") {
+    val rows = graft.operators.Estimators.calibrationDeciles(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val total = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_._2).sum == total, "every row lands in a decile")
+    assert(rows.forall(r => r._1 >= 1 && r._1 <= 10))
+    // mean predicted p must be nondecreasing across deciles
+    val byDecile = rows.sortBy(_._1).map(_._3)
+    assert(byDecile.sameElements(byDecile.sorted),
+      "avg_p not monotone across deciles")
+    // the trained model separates the fixture: top decile is far more
+    // positive than the bottom one
+    val pos = rows.sortBy(_._1).map(_._4)
+    assert(pos.last > pos.head, "no calibration signal")
+  }
+
   test("iqr outliers: fences bracket the bulk, tails counted exactly") {
     val rows = OlapQueries.iqrOutliers(spark, sf).collect()
     assert(rows.length == 3)

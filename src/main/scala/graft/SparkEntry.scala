@@ -402,6 +402,9 @@ object SparkEntry {
     // cutpoints, no corpus-wide ntile window
     "q148_model_calibration" -> ((s: SparkSession, d: String) =>
       operators.Estimators.calibrationDeciles(s, d)),
+    // revenue concentration: rank-weighted Gini over the NDV-sized
+    // customer frame, global rank via the sharded prefix sum
+    "q149_gini_revenue" -> (operators.OlapQueries.giniRevenue _),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -2731,7 +2734,27 @@ object SparkEntry {
         |SELECT decile, CAST(count(*) AS BIGINT) AS n,
         |  round(avg(p6), 4) AS avg_p,
         |  round(avg(CAST(y AS DOUBLE)), 4) AS pos_rate
-        |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    // rank by (cents, custkey) ascending = the composite-key order the
+    // sharded prefix sum walks; same quantization, same double spelling
+    "q149_gini_revenue" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |k AS (SELECT cents,
+        |        row_number() OVER (ORDER BY cents, o_custkey) AS rk
+        |      FROM r),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(cents) AS BIGINT) AS s,
+        |        CAST(sum(rk * cents) AS BIGINT) AS rs
+        |      FROM k)
+        |SELECT n, round(CAST(s AS DOUBLE) / 100, 2) AS total_rev,
+        |  round(2.0 * CAST(rs AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM t""".stripMargin
   )
 }
 

@@ -1236,6 +1236,38 @@ object OlapQueries {
       .orderBy("event_type")
   }
 
+  /** GINI COEFFICIENT of customer revenue — the concentration
+    * statistic of a revenue base (how unequal is spend?), via the
+    * rank-weighted form G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over
+    * revenues ascending.
+    *
+    * The global rank is the repo's sharded [[PrefixSum]] (cumsum of
+    * ones over the composite key cents·10⁶ + custkey — order-
+    * preserving, unique, integer), so NO corpus-wide window exists:
+    * ranking shards by key range, each shard one task. Revenue
+    * quantizes to cents per order before summing (exact longs at any
+    * partition order); rank·cents stays within long range up to
+    * ~10⁹-customer × 10¹⁰-cent bases. The customer frame is NDV-sized
+    * — the fact table reduces map-side first.
+    */
+  def giniRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("cents"))
+    val keyed = rev.withColumn("k",
+      col("cents") * lit(1000000L) + col("o_custkey"))
+    val ranked = PrefixSum.withGlobalCumSum(keyed, "k", lit(1L), "rk",
+      shardWidth = 1L << 30)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    ranked.agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(col("rk") * col("cents")).as("rs"))
+      .select(col("n"),
+        round(d(col("s")) / 100, 2).as("total_rev"),
+        round(lit(2.0) * d(col("rs")) / (d(col("n")) * d(col("s"))) -
+          (d(col("n")) + lit(1.0)) / d(col("n")), 6).as("gini"))
+  }
+
   /** CO-PURCHASE ASSOCIATION RULES — support and lift for part pairs
     * appearing in the same order (the market-basket sibling of q139's
     * PMI: same exact-count skeleton, business-side metrics). Baskets

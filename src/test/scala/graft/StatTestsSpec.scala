@@ -84,6 +84,24 @@ class StatTestsSpec extends SparkSpec {
     assert(pos.last > pos.head, "no calibration signal")
   }
 
+  test("gini: equals the direct rank-weighted formula, sane bounds") {
+    val r = OlapQueries.giniRevenue(spark, sf).collect()(0)
+    val cents = Tables.load(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val sorted = cents.sortBy(t => (t._2, t._1)).map(_._2)
+    val n = sorted.length
+    val s = sorted.sum
+    val rs = sorted.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    assert(r.getLong(0) == n)
+    val gini = 2.0 * rs / (n.toDouble * s) - (n + 1.0) / n
+    assert(math.abs(r.getDouble(2) -
+      math.floor(gini * 1e6 + 0.5) / 1e6) < 1e-9)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+  }
+
   test("iqr outliers: fences bracket the bulk, tails counted exactly") {
     val rows = OlapQueries.iqrOutliers(spark, sf).collect()
     assert(rows.length == 3)

@@ -405,6 +405,10 @@ object SparkEntry {
     // revenue concentration: rank-weighted Gini over the NDV-sized
     // customer frame, global rank via the sharded prefix sum
     "q149_gini_revenue" -> (operators.OlapQueries.giniRevenue _),
+    // funnel latency: first-touch conditional mins in one aggregate,
+    // exact integer-µs deltas, percentile over the user-NDV frame
+    "q150_conversion_latency" ->
+      (operators.OlapQueries.conversionLatency _),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -2754,7 +2758,29 @@ object SparkEntry {
         |  round(2.0 * CAST(rs AS DOUBLE)
         |      / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
         |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+    // same conditional mins, same integer-µs delta, quantile_cont twin
+    "q150_conversion_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id,
+        |        min(CASE WHEN event_type = 'view' THEN us END)
+        |          AS first_view,
+        |        min(CASE WHEN event_type = 'purchase' THEN us END)
+        |          AS first_buy
+        |      FROM ev GROUP BY user_id),
+        |v AS (SELECT first_view, first_buy,
+        |        CASE WHEN first_buy > first_view
+        |          THEN (first_buy - first_view) / 1000000 END AS delta_s
+        |      FROM f WHERE first_view IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_viewers,
+        |  CAST(count(delta_s) AS BIGINT) AS n_converted,
+        |  round(CAST(count(delta_s) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS conversion_rate,
+        |  round(quantile_cont(delta_s, 0.25), 2) AS p25_s,
+        |  round(quantile_cont(delta_s, 0.50), 2) AS p50_s,
+        |  round(quantile_cont(delta_s, 0.90), 2) AS p90_s
+        |FROM v""".stripMargin
   )
 }
 

@@ -1236,6 +1236,40 @@ object OlapQueries {
       .orderBy("event_type")
   }
 
+  /** TIME-TO-CONVERSION percentiles — the funnel-latency report
+    * (how long from a user's first 'view' to their first 'purchase'):
+    * per-user first-touch times come from ONE conditional-min
+    * aggregate over the fact scan (map-side combined, no window),
+    * deltas are exact integer microseconds on the user-NDV-sized
+    * frame, and the percentile report runs over that dimension-sized
+    * frame (the q35/q96 discipline governs bigger delta domains).
+    * Also reports the conversion rate among users who viewed.
+    */
+  def conversionLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val firsts = ev.groupBy("user_id").agg(
+      min(when(col("event_type") === "view", col("us"))).as("first_view"),
+      min(when(col("event_type") === "purchase", col("us")))
+        .as("first_buy"))
+      .filter(col("first_view").isNotNull)
+    val deltas = firsts
+      .withColumn("delta_s",
+        when(col("first_buy") > col("first_view"),
+          (col("first_buy") - col("first_view")) / lit(1000000L)))
+    deltas.agg(
+        count(lit(1)).as("n_viewers"),
+        count(col("delta_s")).as("n_converted"),
+        round(expr("percentile(delta_s, 0.25)"), 2).as("p25_s"),
+        round(expr("percentile(delta_s, 0.50)"), 2).as("p50_s"),
+        round(expr("percentile(delta_s, 0.90)"), 2).as("p90_s"))
+      .select(col("n_viewers"), col("n_converted"),
+        round(col("n_converted").cast("double") /
+          col("n_viewers").cast("double"), 4).as("conversion_rate"),
+        col("p25_s"), col("p50_s"), col("p90_s"))
+  }
+
   /** GINI COEFFICIENT of customer revenue — the concentration
     * statistic of a revenue base (how unequal is spend?), via the
     * rank-weighted form G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over

@@ -84,6 +84,35 @@ class StatTestsSpec extends SparkSpec {
     assert(pos.last > pos.head, "no calibration signal")
   }
 
+  test("conversion latency: replica of first-touch deltas") {
+    val r = OlapQueries.conversionLatency(spark, sf).collect()(0)
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val firsts = ev.groupBy(_._1).view.mapValues { rows =>
+      (rows.filter(_._2 == "view").map(_._3).minOption,
+        rows.filter(_._2 == "purchase").map(_._3).minOption)
+    }.toMap
+    val viewers = firsts.filter(_._2._1.isDefined)
+    val deltas = viewers.values.flatMap {
+      case (Some(v), Some(b)) if b > v => Some((b - v) / 1000000.0)
+      case _ => None
+    }.toSeq.sorted
+    assert(r.getLong(0) == viewers.size)
+    assert(r.getLong(1) == deltas.size)
+    def pct(p: Double): Double = {
+      val pos = p * (deltas.size - 1)
+      val lo = pos.toInt; val g = pos - lo
+      val v = if (lo + 1 < deltas.size)
+        deltas(lo) + g * (deltas(lo + 1) - deltas(lo)) else deltas(lo)
+      math.floor(v * 100 + 0.5) / 100
+    }
+    assert(math.abs(r.getDouble(3) - pct(0.25)) < 1e-9, "p25")
+    assert(math.abs(r.getDouble(4) - pct(0.50)) < 1e-9, "p50")
+    assert(math.abs(r.getDouble(5) - pct(0.90)) < 1e-9, "p90")
+  }
+
   test("gini: equals the direct rank-weighted formula, sane bounds") {
     val r = OlapQueries.giniRevenue(spark, sf).collect()(0)
     val cents = Tables.load(spark, sf, "orders")

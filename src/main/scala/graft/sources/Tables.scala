@@ -113,13 +113,19 @@ object Tables {
     * [[eventsOnDisk]] (raw-long ts) when the file stores
     * TIMESTAMP(NANOS), [[events]] when it stores standard µs. One
     * footer read — Spark's own inference reports nanos as LongType
-    * under the nanosAsLong flag.
+    * under the nanosAsLong flag — memoized per path (fixtures are
+    * immutable within a session; dozens of queries load events and
+    * the bench loads each 4×).
     */
   def eventsOnDiskSchema(spark: SparkSession, path: String): StructType =
-    spark.read.parquet(path).schema("ts").dataType match {
-      case LongType => eventsOnDisk
-      case _ => events
-    }
+    tsEncodingCache.computeIfAbsent(path, p =>
+      spark.read.parquet(p).schema("ts").dataType match {
+        case LongType => eventsOnDisk
+        case _ => events
+      })
+
+  private val tsEncodingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   /** Nanos→µs normalization for a frame read with [[eventsOnDisk]];
     * pass-through when `ts` is already a timestamp (µs fixtures).

@@ -409,6 +409,10 @@ object SparkEntry {
     // exact integer-µs deltas, percentile over the user-NDV frame
     "q150_conversion_latency" ->
       (operators.OlapQueries.conversionLatency _),
+    // governance view over the oracle-proven q25 pair join: per
+    // unordered source pair, leak count + mean Jaccard
+    "q151_cross_source_dups" -> ((s: SparkSession, d: String) =>
+      operators.Dedup.crossSourceDups(s, d)),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -2780,7 +2784,47 @@ object SparkEntry {
         |  round(quantile_cont(delta_s, 0.25), 2) AS p25_s,
         |  round(quantile_cont(delta_s, 0.50), 2) AS p50_s,
         |  round(quantile_cont(delta_s, 0.90), 2) AS p90_s
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+    // q25's exact pair CTE joined to the source dim, grouped on the
+    // unordered source pair
+    "q151_cross_source_dups" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) >= 3
+        |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, len(ws) - 1)]
+        |      ELSE [text] END) AS sh,
+        |    CAST(floor(n_chars / 32.0) AS BIGINT) AS blk
+        |  FROM (SELECT doc_id, text, n_chars,
+        |          string_split(text, ' ') AS ws FROM documents)
+        |), pairs AS (
+        |  SELECT a.doc_id AS ai, b.doc_id AS bi,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |          4) AS jaccard
+        |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id),
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |          4)
+        |  FROM d a JOIN d b ON a.blk + 1 = b.blk
+        |), hits AS (SELECT ai, bi, jaccard FROM pairs WHERE jaccard >= 0.8)
+        |, g AS (
+        |  SELECT least(sa.source, sb.source) AS source_a,
+        |    greatest(sa.source, sb.source) AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CAST(round(jaccard * 10000, 0) AS BIGINT))
+        |      AS BIGINT) AS spm
+        |  FROM hits
+        |  JOIN documents sa ON hits.ai = sa.doc_id
+        |  JOIN documents sb ON hits.bi = sb.doc_id
+        |  GROUP BY least(sa.source, sb.source),
+        |    greatest(sa.source, sb.source))
+        |SELECT source_a, source_b, n_pairs,
+        |  CAST((2 * spm + n_pairs) // (2 * n_pairs) AS DOUBLE)
+        |    / 10000.0 AS avg_jaccard
+        |FROM g ORDER BY source_a, source_b""".stripMargin
   )
 }
 

@@ -575,4 +575,37 @@ object Dedup {
     same.union(adjacent)
       .filter(col("jaccard") >= threshold)
   }
+
+  /** CROSS-SOURCE duplication matrix — the data-governance view of
+    * near-dup detection: which source pairs leak into each other, and
+    * how hard (pair count + mean Jaccard per unordered source pair).
+    * The pair list is the oracle-proven exact blocked join (q25); the
+    * tiny pair frame broadcasts onto the corpus-sized (doc, source)
+    * dim twice — sources ride the pair rows, the corpus never
+    * shuffles. Within-source dup shows on the diagonal.
+    */
+  def crossSourceDups(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val src = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+    ngramJaccardPairsUnsorted(spark, sfDir, threshold)
+      .join(src.select(col("doc_id").as("ai"), col("source").as("sa")),
+        "ai")
+      .join(src.select(col("doc_id").as("bi"), col("source").as("sb")),
+        "bi")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+      .groupBy("source_a", "source_b")
+      // the mean of 4 dp jaccards OFTEN lands exactly on a half
+      // boundary (e.g. (0.9690+0.9296)/2 = 0.94925) where Spark's
+      // string-BigDecimal round and DuckDB's binary round disagree —
+      // so the mean runs in EXACT permyriad integers with explicit
+      // nearest division ((2s+n) div 2n), then converts
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("jaccard") * 10000, 0).cast("long")).as("spm"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (expr("(2 * spm + n_pairs) div (2 * n_pairs)").cast("double")
+          / 10000.0).as("avg_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 }

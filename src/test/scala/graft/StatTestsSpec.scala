@@ -84,6 +84,30 @@ class StatTestsSpec extends SparkSpec {
     assert(pos.last > pos.head, "no calibration signal")
   }
 
+  test("cross-source dups: totals tie out against the q25 pair list") {
+    val matrix = graft.operators.Dedup.crossSourceDups(spark, sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3))))
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val srcOf = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(matrix.map(_._2._1).sum == pairs.length,
+      "every near-dup pair lands in exactly one source cell")
+    matrix.foreach { case ((a, b), (n, avg)) =>
+      val cell = pairs.filter { case (ai, bi, _) =>
+        val (x, y) = (srcOf(ai), srcOf(bi))
+        (if (x <= y) (x, y) else (y, x)) == ((a, b))
+      }
+      assert(cell.length == n, s"count for ($a,$b)")
+      val spm = cell.map(p => math.floor(p._3 * 10000 + 0.5).toLong).sum
+      assert(avg == ((2 * spm + n) / (2 * n)).toDouble / 10000.0,
+        s"integer-space mean for ($a,$b)")
+    }
+  }
+
   test("conversion latency: replica of first-touch deltas") {
     val r = OlapQueries.conversionLatency(spark, sf).collect()(0)
     val ev = Tables.load(spark, sf, "events")

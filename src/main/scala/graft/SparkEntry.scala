@@ -413,6 +413,10 @@ object SparkEntry {
     // unordered source pair, leak count + mean Jaccard
     "q151_cross_source_dups" -> ((s: SparkSession, d: String) =>
       operators.Dedup.crossSourceDups(s, d)),
+    // sequence mining: session-opening event paths (session-bounded
+    // collect, deterministic sort, path-NDV count shuffle)
+    "q152_top_paths" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.topPaths(s, d)),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -2824,7 +2828,31 @@ object SparkEntry {
         |SELECT source_a, source_b, n_pairs,
         |  CAST((2 * spm + n_pairs) // (2 * n_pairs) AS DOUBLE)
         |    / 10000.0 AS avg_jaccard
-        |FROM g ORDER BY source_a, source_b""".stripMargin
+        |FROM g ORDER BY source_a, source_b""".stripMargin,
+    // q39's gap rule replayed, paths via list(... ORDER BY us, id)
+    "q152_top_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN us - lag(us) OVER w > 1800000000
+        |           OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id
+        |                       ORDER BY us, event_id)),
+        |g AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM s),
+        |p AS (
+        |  SELECT array_to_string(
+        |      (list(event_type ORDER BY us, event_id))[1:3], '>') AS path
+        |  FROM g GROUP BY user_id, session_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
   )
 }
 

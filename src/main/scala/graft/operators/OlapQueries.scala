@@ -215,6 +215,42 @@ object OlapQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** TOP SESSION-OPENING PATHS — sequence mining over sessionized
+    * events (the n-step extension of q113's one-step transition
+    * matrix): the first three event types of every session (q39's
+    * 30-minute gap rule), counted corpus-wide.
+    *
+    * Paths build per session with bounded state: the per-session
+    * event list collects inside a (user, session)-grouped aggregate —
+    * session-sized, never corpus-sized — ordered deterministically by
+    * (ts µs, event_id) via sort_array on structs (collect_list alone
+    * has no order guarantee), sliced to 3 before the tiny path-count
+    * shuffle. Top-k is TakeOrderedAndProject on the path-NDV frame.
+    */
+  def topPaths(spark: SparkSession, sfDir: String,
+      pathLen: Int = 3, topK: Int = 10): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    val sessioned = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag("us", 1).over(byUser) > gapUs ||
+          lag("us", 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessioned
+      .groupBy("user_id", "session_id")
+      .agg(collect_list(struct(col("us"), col("event_id"),
+        col("event_type"))).as("evs"))
+      .select(concat_ws(">", slice(transform(sort_array(col("evs")),
+        e => e.getField("event_type")), 1, pathLen)).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(topK)
+  }
+
   /** TPC-H Q5-shaped local-supplier-volume query: the six-table join
     * (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with
     * the "local" twist — revenue counts only where the customer's

@@ -147,4 +147,31 @@ class EventAnalyticsSpec extends SparkSpec {
         .count(_ == "hashpartitioning(user_id") == 1,
       s"windows must share one user_id exchange:\n$plan")
   }
+
+  test("q152 top paths: replica of sessionized opening sequences") {
+    val got = OlapQueries.topPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val gap = 30L * 60 * 1000000
+    val paths = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      var prev = Long.MinValue
+      sorted.foreach { r =>
+        if (prev != Long.MinValue && r._4 - prev > gap)
+          sessions += scala.collection.mutable.ArrayBuffer.empty[String]
+        sessions.last += r._3
+        prev = r._4
+      }
+      sessions.map(_.take(3).mkString(">"))
+    }.toSeq
+    val counts = paths.groupBy(identity).view.mapValues(_.size.toLong)
+    val expect = counts.toSeq.sortBy { case (pth, n) => (-n, pth) }.take(10)
+    assert(got.toSeq == expect)
+  }
 }

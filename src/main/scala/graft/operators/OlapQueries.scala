@@ -1251,7 +1251,22 @@ object OlapQueries {
   def chiSquare(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
       .select(col("event_type").as("t"), hour(col("ts")).as("h"))
-    val cells = ev.groupBy("t", "h").agg(count(lit(1)).as("n"))
+    // the NDV-sized cell table is the ONLY thing derived from the
+    // fact scan — persist it so marginals/total/spine all read the
+    // ≤|types|·|hours| cache instead of re-scanning the corpus (the
+    // unpersisted form planned SIX fact scans)
+    val cells = ev.groupBy("t", "h").agg(count(lit(1)).as("n")).persist()
+    val out = chiSquareReport(cells)
+    val rows = out.collect().toSeq // |types|-row report; drop the cache
+    cells.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
+  /** The χ² report over a (t, h, n) cell table — separate so plan
+    * tests can inspect it against a literal cell frame.
+    */
+  private[graft] def chiSquareReport(cells: DataFrame): DataFrame = {
     val rowTot = cells.groupBy("t").agg(sum("n").as("rt"))
     val colTot = cells.groupBy("h").agg(sum("n").as("ct"))
     val total = cells.agg(sum("n").as("nn"))

@@ -509,6 +509,37 @@ class PlanSpec extends SparkSpec {
       s"bm25 top-k is a global sort, not TakeOrdered:\n$bm")
   }
 
+  test("q149 gini / q152 paths: every window partitioned") {
+    val gini = planOf(graft.operators.OlapQueries.giniRevenue(spark, sf))
+    // the global rank must come from shard-partitioned windows (the
+    // PrefixSum contract), never an unpartitioned cumsum
+    assert(!gini.contains("Window [") ||
+      gini.contains("windowspecdefinition(__shard"),
+      s"gini rank window lost its shard partitioning:\n$gini")
+    val paths = planOf(graft.operators.OlapQueries.topPaths(spark, sf))
+    assert(!paths.contains("Window [") ||
+      paths.contains("windowspecdefinition(user_id"),
+      s"session windows lost their user partitioning:\n$paths")
+    assert(paths.contains("TakeOrderedAndProject"),
+      s"path top-k is a global sort:\n$paths")
+  }
+
+  test("q141/q145: the stat reports never rescan the corpus") {
+    // the report consumes only the NDV-sized cell table (the operator
+    // persists it): against a literal cell frame, no parquet scan may
+    // appear anywhere in the report plan
+    import spark.implicits._
+    val cells = Seq(("a", 0, 5L), ("a", 1, 3L), ("b", 0, 2L))
+      .toDF("t", "h", "n")
+    val chi = planOf(graft.operators.OlapQueries.chiSquareReport(cells))
+    assert(!chi.contains("Scan parquet"),
+      s"chi-square report rescans the corpus:\n$chi")
+    val welch = planOf(graft.operators.OlapQueries.welchTTest(spark, sf))
+    assert("Scan parquet".r.findAllIn(welch).size <= 2 &&
+      !welch.contains("CartesianProduct"),
+      s"welch plan shape off:\n$welch")
+  }
+
   test("q140 butterflies: wedge aggregate combines map-side") {
     val pairs = graft.sources.Tables.load(spark, sf, "lineitem")
       .join(graft.sources.Tables.load(spark, sf, "orders"),

@@ -417,6 +417,10 @@ object SparkEntry {
     // collect, deterministic sort, path-NDV count shuffle)
     "q152_top_paths" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.topPaths(s, d)),
+    // Poisson bootstrap: B resamples in ONE pass via hash-derived
+    // per-row weights, exact integer resample sums, CI over B means
+    "q153_bootstrap_ci" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.bootstrapCi(s, d)),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -2852,7 +2856,40 @@ object SparkEntry {
         |  FROM g GROUP BY user_id, session_id)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         |FROM p GROUP BY path
-        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
+    // the same hash draws, the same literal Poisson thresholds, the
+    // same exact weighted sums — the oracle redraws every resample
+    "q153_bootstrap_ci" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_orderkey, cents, b,
+        |    CAST((o_orderkey * 32 + b) % 1000000007
+        |      * 2654435761 % 1000000007 AS DOUBLE)
+        |      / CAST(1000000007 AS DOUBLE) AS u
+        |  FROM o, unnest(range(0, 32)) AS r(b)),
+        |w AS (
+        |  SELECT b, cents,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         ELSE 4 END AS w
+        |  FROM m),
+        |means AS (
+        |  SELECT b, CAST(sum(w * cents) AS DOUBLE)
+        |    / CAST(sum(w) AS DOUBLE) AS mm
+        |  FROM w GROUP BY b),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      AS mean_cents
+        |  FROM o)
+        |SELECT n, round(mean_cents / 100.0, 2) AS mean_value,
+        |  round(quantile_cont(mm, 0.025) / 100.0, 2) AS ci_lo,
+        |  round(quantile_cont(mm, 0.975) / 100.0, 2) AS ci_hi
+        |FROM means, base GROUP BY n, mean_cents""".stripMargin
   )
 }
 

@@ -1287,6 +1287,54 @@ object OlapQueries {
       .orderBy("event_type")
   }
 
+  /** POISSON BOOTSTRAP confidence interval — the distributed
+    * bootstrap (resampling with replacement is a per-row Poisson(1)
+    * weight, so B resamples run in ONE pass with no sampling shuffle):
+    * a 95% CI for the mean order value from B hash-deterministic
+    * resamples.
+    *
+    * Every source of randomness is a portable integer hash, so both
+    * engines draw THE SAME resamples: u = hash(orderkey·B + b)/P,
+    * Poisson(1) weight via inverse-CDF thresholds spelled as literal
+    * doubles (never exp(-1) at runtime — libm), weighted sums in
+    * exact quantized cents. The melt is ×B map-side and reduces to B
+    * groups; the CI is a percentile over B resample means. Weights
+    * truncate at 4 (P(X>4|λ=1) ≈ 0.004 — noted, immaterial for a CI).
+    */
+  def bootstrapCi(spark: SparkSession, sfDir: String,
+      nResamples: Int = 32): DataFrame = {
+    val P = 1000000007L
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val melted = orders
+      .select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(nResamples - 1))).as("b"))
+      .withColumn("u",
+        ((col("o_orderkey") * nResamples + col("b")) % lit(P) *
+          lit(2654435761L) % lit(P)).cast("double") / lit(P).cast("double"))
+      .withColumn("w",
+        when(col("u") < 0.36787944117144233, 0L)
+          .when(col("u") < 0.7357588823428847, 1L)
+          .when(col("u") < 0.9196986029286058, 2L)
+          .when(col("u") < 0.9810118431238462, 3L)
+          .otherwise(4L))
+    val means = melted.groupBy("b")
+      .agg((sum(col("w") * col("cents")).cast("double") /
+        sum(col("w")).cast("double")).as("m"))
+    val base = orders.agg(count(lit(1)).as("n"),
+      (sum("cents").cast("double") / count(lit(1)).cast("double"))
+        .as("mean_cents"))
+    means.agg(
+        expr("percentile(m, 0.025)").as("lo"),
+        expr("percentile(m, 0.975)").as("hi"))
+      .crossJoin(broadcast(base))
+      .select(col("n"),
+        round(col("mean_cents") / 100.0, 2).as("mean_value"),
+        round(col("lo") / 100.0, 2).as("ci_lo"),
+        round(col("hi") / 100.0, 2).as("ci_hi"))
+  }
+
   /** TIME-TO-CONVERSION percentiles — the funnel-latency report
     * (how long from a user's first 'view' to their first 'purchase'):
     * per-user first-touch times come from ONE conditional-min

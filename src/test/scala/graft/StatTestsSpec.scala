@@ -137,6 +137,42 @@ class StatTestsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - pct(0.90)) < 1e-9, "p90")
   }
 
+  test("bootstrap ci: replica of hash-drawn resamples, brackets the mean") {
+    val r = OlapQueries.bootstrapCi(spark, sf).collect()(0)
+    val rows = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val P = 1000000007L
+    def weight(ok: Long, b: Int): Long = {
+      val u = (((ok * 32 + b) % P) * 2654435761L % P).toDouble / P
+      if (u < 0.36787944117144233) 0L
+      else if (u < 0.7357588823428847) 1L
+      else if (u < 0.9196986029286058) 2L
+      else if (u < 0.9810118431238462) 3L else 4L
+    }
+    val means = (0 until 32).map { b =>
+      var sw = 0L; var swc = 0L
+      rows.foreach { case (ok, c) =>
+        val w = weight(ok, b); sw += w; swc += w * c
+      }
+      swc.toDouble / sw
+    }.sorted
+    def pct(p: Double): Double = {
+      val pos = p * (means.size - 1)
+      val lo = pos.toInt; val g = pos - lo
+      if (lo + 1 < means.size) means(lo) + g * (means(lo + 1) - means(lo))
+      else means(lo)
+    }
+    def r2(x: Double) = math.floor(x / 100.0 * 100 + 0.5) / 100
+    assert(r.getLong(0) == rows.length)
+    assert(math.abs(r.getDouble(2) - r2(pct(0.025))) < 1e-9, "ci_lo")
+    assert(math.abs(r.getDouble(3) - r2(pct(0.975))) < 1e-9, "ci_hi")
+    // the CI brackets the point estimate
+    assert(r.getDouble(2) <= r.getDouble(1) &&
+      r.getDouble(1) <= r.getDouble(3))
+  }
+
   test("gini: equals the direct rank-weighted formula, sane bounds") {
     val r = OlapQueries.giniRevenue(spark, sf).collect()(0)
     val cents = Tables.load(spark, sf, "orders")

@@ -34,7 +34,12 @@ object Bench {
     // queries would be benched without their sort cost
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // dev-only subset filter (comma-separated names); the driver never
+    // sets it, so its full-suite runs are unaffected
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val failed = scala.collection.mutable.Set.empty[String]
     def timedPass(timed: Boolean): Map[String, Double] =
       names.filterNot(failed).map { name =>

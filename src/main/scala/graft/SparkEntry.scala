@@ -2741,8 +2741,9 @@ object SparkEntry {
         |         round(1/(1 + exp(-list_dot_product(x,
         |           (SELECT w FROM w3)))), 6) AS p6
         |       FROM e),
-        |cut AS (SELECT quantile_cont(p6,
-        |          [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs FROM p6),
+        |cut AS (SELECT list_transform(quantile_cont(p6,
+        |          [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |          c -> round(c, 6)) AS cs FROM p6),
         |d AS (SELECT y, p6,
         |        CAST(1 + len(list_filter(cs, c -> p6 > c)) AS INT)
         |          AS decile

@@ -166,9 +166,14 @@ object Estimators {
     val w = logregWeights(e, lr, iters)
     val scored = e.select(col("y"),
       round(logregSigma(typedlit(w)), 6).as("p6"))
-    val cuts = scored.agg(expr(
-      "percentile(p6, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
-      .as("cs"))
+    // cutpoints round to the SAME 6 dp grid as the scores: Spark's
+    // Percentile interpolates (1−f)·lo + f·hi while quantile_cont does
+    // lo + f·(hi−lo) — between two equal quantized scores v the engines
+    // can differ by 1 ulp around v, flipping every p6 == v row's strict
+    // compare; rounding both to the grid makes the compare identical.
+    val cuts = scored.agg(transform(expr(
+      "percentile(p6, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"),
+      c => round(c, 6)).as("cs"))
     scored.crossJoin(broadcast(cuts))
       .withColumn("decile",
         lit(1) + size(filter(col("cs"), c => col("p6") > c)))

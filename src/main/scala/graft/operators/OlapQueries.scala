@@ -1375,30 +1375,51 @@ object OlapQueries {
     * revenues ascending.
     *
     * The global rank is the repo's sharded [[PrefixSum]] (cumsum of
-    * ones over the composite key cents·10⁶ + custkey — order-
-    * preserving, unique, integer), so NO corpus-wide window exists:
-    * ranking shards by key range, each shard one task. Revenue
-    * quantizes to cents per order before summing (exact longs at any
-    * partition order); rank·cents stays within long range up to
-    * ~10⁹-customer × 10¹⁰-cent bases. The customer frame is NDV-sized
-    * — the fact table reduces map-side first.
+    * ones over the composite key cents·M + custkey — order-preserving,
+    * unique, integer), so NO corpus-wide window exists: ranking shards
+    * by key range, each shard one task. The tie-break multiplier M is
+    * DERIVED from the data — the smallest power of 10 above
+    * max(custkey), read off the already-reduced customer-NDV frame
+    * (collect-a-parameter) — so (cents, custkey) order is preserved at
+    * ANY custkey domain, and a require() guards the composite key and
+    * the rank·cents product against long overflow instead of a prose
+    * claim. Revenue quantizes to cents per order before summing
+    * (exact longs at any partition order); the customer frame is
+    * NDV-sized — the fact table reduces map-side first.
     */
   def giniRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val rev = Tables.load(spark, sfDir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
         .as("cents"))
+      .persist() // NDV-sized; read for the parameter probe + the rank
+    // parameter probe: one row off the reduced frame
+    val p = rev.agg(max(col("o_custkey").cast("long")).as("mc"),
+      max("cents").as("mx"), count(lit(1)).as("n")).head
+    val (maxCust, maxCents, nCust) =
+      (p.getLong(0), p.getLong(1), p.getLong(2))
+    var mult = 1L
+    while (mult <= maxCust) mult *= 10
+    require(maxCents <= (Long.MaxValue - maxCust) / mult,
+      s"composite rank key overflows long: max cents $maxCents × " +
+        s"multiplier $mult — rank via a struct-keyed sort instead")
+    require(nCust <= Long.MaxValue / math.max(maxCents, 1L),
+      "rank·cents overflows long")
     val keyed = rev.withColumn("k",
-      col("cents") * lit(1000000L) + col("o_custkey"))
+      col("cents") * lit(mult) + col("o_custkey"))
     val ranked = PrefixSum.withGlobalCumSum(keyed, "k", lit(1L), "rk",
       shardWidth = 1L << 30)
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
-    ranked.agg(count(lit(1)).as("n"), sum("cents").as("s"),
+    val out = ranked.agg(count(lit(1)).as("n"), sum("cents").as("s"),
         sum(col("rk") * col("cents")).as("rs"))
       .select(col("n"),
         round(d(col("s")) / 100, 2).as("total_rev"),
         round(lit(2.0) * d(col("rs")) / (d(col("n")) * d(col("s"))) -
           (d(col("n")) + lit(1.0)) / d(col("n")), 6).as("gini"))
+    val rows = out.collect().toSeq // 1-row report; release the cache
+    rev.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 
   /** CO-PURCHASE ASSOCIATION RULES — support and lift for part pairs
@@ -1455,9 +1476,14 @@ object OlapQueries {
       .filter(col("event_type").isin(typeA, typeB))
       .select(col("event_type").as("grp"),
         round(col("value") * 1000, 0).cast("long").as("v"))
+    // Σv and Σv² accumulate in decimal(38,0): a long sum wraps silently
+    // on overflow (non-ANSI) at ~10⁷ rows of permille values near 3·10⁴,
+    // while the oracle sums into HUGEINT — decimal keeps both engines
+    // exact at any n, and the cast to double at the end is identical.
     val m = ev.groupBy("grp").agg(
-      count(lit(1)).as("n"), sum("v").as("s"),
-      sum(col("v") * col("v")).as("ss"))
+      count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(38,0)")).as("s"),
+      sum((col("v") * col("v")).cast("decimal(38,0)")).as("ss"))
     val a = m.filter(col("grp") === typeA)
       .select(col("n").as("na"), col("s").as("sa"), col("ss").as("ssa"))
     val b = m.filter(col("grp") === typeB)

@@ -148,9 +148,10 @@ object CardinalityEstimator {
     * sketch path runs (one scan, O(k) state), the planner consumes
     * union/intersection/Jaccard without ever shuffling a key domain.
     *
-    * Small-domain branch: when the union has ≤ k distinct hashes the
-    * sample IS the union and every estimate turns exact — integer
-    * branches both engines replay identically.
+    * Small-domain branch: when the union has FEWER than k distinct
+    * hashes (m < k — at exactly k the (k−1)·P/kth estimator branch
+    * runs) the sample IS the union and every estimate turns exact —
+    * integer branches both engines replay identically.
     */
   def kmvSetAlgebra(spark: SparkSession, sfDir: String,
       k: Int = 256): DataFrame = {

@@ -87,9 +87,10 @@ object SparkEntry {
     "q39_user_sessions" -> (operators.OlapQueries.userSessions _),
     "q40_shipping_priority" -> (operators.OlapQueries.shippingPriority _),
     "q41_systematic_sample" -> (operators.OlapQueries.systematicSample _),
-    // rows-only: cluster resolution over LSH pairs (Spark-side graph
-    // iteration); cluster invariants are unit-tested (DedupSpec).
-    "q42_dedup_decisions" -> (operators.Dedup.dedupDecisions _),
+    // cluster resolution DECISIONS over the oracle-replayable exact
+    // pair set (recursive-CTE transitive-closure oracle); the LSH-pair
+    // variant (Dedup.dedupDecisions) stays spec-covered in DedupSpec.
+    "q42_dedup_decisions" -> (operators.Dedup.dedupDecisionsExact _),
     "q43_grouping_sets" -> (operators.SqlQueries.groupingSets _),
     "q46_kept_corpus" -> (operators.Dedup.keptCorpus _),
     "q47_token_packing" -> ((s: SparkSession, d: String) =>
@@ -421,6 +422,11 @@ object SparkEntry {
     // per-row weights, exact integer resample sums, CI over B means
     "q153_bootstrap_ci" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.bootstrapCi(s, d)),
+    // exact percentiles of a near-unique money domain via histogram
+    // range-narrowing selection (distributed quickselect) — the
+    // routed machinery forced down its scale path at every SF
+    "q154_selection_percentiles" -> ((s: SparkSession, d: String) =>
+      operators.Percentiles.pricePercentilesSelection(s, d)),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -902,6 +908,43 @@ object SparkEntry {
         |FROM events
         |WHERE (event_id * 2654435761) % 100 < 10
         |ORDER BY event_id""".stripMargin,
+    "q42_dedup_decisions" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) >= 3
+        |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, len(ws) - 1)]
+        |      ELSE [text] END) AS sh,
+        |    CAST(floor(n_chars / 32.0) AS BIGINT) AS blk
+        |  FROM (SELECT doc_id, text, n_chars,
+        |          string_split(text, ' ') AS ws FROM documents)
+        |), p AS (
+        |  SELECT ai, bi FROM (
+        |    SELECT a.doc_id AS ai, b.doc_id AS bi,
+        |      round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |        4) AS jaccard
+        |    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |    UNION ALL
+        |    SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id),
+        |      round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |        4)
+        |    FROM d a JOIN d b ON a.blk + 1 = b.blk
+        |  ) WHERE jaccard >= 0.8
+        |), edges AS (
+        |  SELECT ai AS a, bi AS b FROM p UNION ALL SELECT bi, ai FROM p
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.a, edges.b FROM reach
+        |  JOIN edges ON reach.b = edges.a
+        |)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_rep,
+        |  a = least(a, min(b)) AS keep
+        |FROM reach GROUP BY a
+        |ORDER BY doc_id""".stripMargin,
     "q43_grouping_sets" ->
       """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
         |  coalesce(l_linestatus, '(all)') AS linestatus,
@@ -2890,7 +2933,20 @@ object SparkEntry {
         |SELECT n, round(mean_cents / 100.0, 2) AS mean_value,
         |  round(quantile_cont(mm, 0.025) / 100.0, 2) AS ci_lo,
         |  round(quantile_cont(mm, 0.975) / 100.0, 2) AS ci_hi
-        |FROM means, base GROUP BY n, mean_cents""".stripMargin
+        |FROM means, base GROUP BY n, mean_cents""".stripMargin,
+    // selection-route percentiles: quantile_cont over the identical
+    // fixed-point cents grid, descaled and 4 dp-rounded on both sides
+    "q154_selection_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(cents, 0.25) / 100.0, 4) AS p25_price,
+        |  round(quantile_cont(cents, 0.50) / 100.0, 4) AS p50_price,
+        |  round(quantile_cont(cents, 0.75) / 100.0, 4) AS p75_price,
+        |  round(quantile_cont(cents, 0.99) / 100.0, 4) AS p99_price
+        |FROM (SELECT l_returnflag,
+        |        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |      FROM lineitem)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }
 

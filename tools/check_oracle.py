@@ -33,16 +33,22 @@ def main(out_dir, sf_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    import os
     for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            # subset dumps (SPARK_GRAFT_ONLY): skip silently when the
+            # query wasn't dumped at all; a dumped-but-empty dir is
+            # still a failure
+            if not os.path.isdir(f"{out_dir}/{name}"):
+                continue
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
         try:
             odf = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
-            n_fail += 1
-            continue
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
         sdf = con.sql(

@@ -180,22 +180,28 @@ object Percentiles {
     }
     // the counts route splits on a second statistic: when the whole
     // counts table is estimated report-sized (groups × NDV ≤ 64k —
-    // a bounded domain like units at ANY corpus size), collect it and
-    // finish the selection on the driver in ONE job (the vocab-table
-    // pattern); the sharded prefix-sum machinery is for counts tables
-    // too big to collect but still ≪ rows
+    // a bounded domain like units at ANY corpus size), it rides the
+    // selection machinery with EXACT width-1 histograms (the
+    // vocab-table pattern: the histogram IS the counts table, every
+    // rank resolves on the driver with no further pass); the sharded
+    // prefix-sum machinery is for counts tables too big to collect
+    // but still ≪ rows. Exact-counts and narrowing measures SHARE
+    // one histogram job.
     val (driverM, multiM) = adjusted
       .filter(m => routes(m.tag) == CountsRoute)
       .partition(m => stats(m.tag).grps * stats(m.tag).ndv <= 65536L)
     val listM = adjusted.filter(m => routes(m.tag) == ValueListRoute)
     val selM = adjusted.filter(m => routes(m.tag) == SelectionRoute)
+    val histItems =
+      driverM.map(m => SelItem(m, s"__q_${m.tag}", stats(m.tag).maxQ,
+        exactCounts = true)) ++
+      selM.map(m => SelItem(m, s"__q_${m.tag}", stats(m.tag).maxQ))
     // each part lands as local (grp, target, result) rows — the report
     // is groups×targets-sized, so the projection cache can release
     // deterministically before returning
     val rows =
-      (if (driverM.nonEmpty)
-        countsDriverPercentiles(src, "__grp",
-          driverM.map(m => (m, s"__q_${m.tag}")))
+      (if (histItems.nonEmpty)
+        selectionPercentiles(src, "__grp", histItems)
       else Nil) ++
       (if (multiM.nonEmpty)
         percentilesByGroupMulti(src, "__grp", multiM).collect().toSeq
@@ -204,10 +210,6 @@ object Percentiles {
       (if (listM.nonEmpty)
         valueListPercentiles(src, "__grp", listM).collect().toSeq
           .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
-      else Nil) ++
-      (if (selM.nonEmpty)
-        selectionPercentiles(src, "__grp",
-          selM.map(m => (m, s"__q_${m.tag}", stats(m.tag).maxQ)))
       else Nil)
     if (!callerCached) src.unpersist(false)
     spark.createDataFrame(
@@ -235,48 +237,15 @@ object Percentiles {
     melted.filter(col("q").isNotNull)
   }
 
-  /** The counts route's DRIVER FINISH: when groups × NDV is
-    * report-sized (a bounded fixed-point domain — units, permille —
-    * at ANY corpus size), ONE map-side-combinable aggregate reduces
-    * the corpus to its counts table, the driver collects it (the
-    * vocab-table pattern) and walks each group's sorted values to the
-    * interpolated targets — the same r = f·(n−1) / two-term weighted
-    * sum as every other route, so the answer is route-invariant.
-    * Returns local (grp, target, result) rows.
+  /** One histogram-machinery measure: the measure over its quantized
+    * column `qcol`, the estimation pass's maxQ, and `exactCounts` —
+    * true when groups × NDV is report-sized so the histogram runs at
+    * width 1 (the histogram IS the exact counts table — the
+    * vocab-table pattern — and every rank resolves on the driver with
+    * no further pass).
     */
-  private[graft] def countsDriverPercentiles(df: DataFrame,
-      groupCol: String, items: Seq[(Measure, String)])
-      : Seq[(String, String, Double)] = {
-    val counts = meltTagged(df, groupCol,
-        items.map { case (m, qcol) => (m.tag, qcol) })
-      .groupBy("grp", "tag", "q").agg(count(lit(1)).as("cnt"))
-      .collect()
-      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
-      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1) }
-    val byTag = items.map { case (m, _) => m.tag -> m }.toMap
-    counts.toSeq.flatMap { case ((grp, tag), buckets) =>
-      val m = byTag(tag)
-      val n = buckets.map(_._2).sum
-      m.targets.map { case (name, f) =>
-        val r = f * (n - 1)
-        val lo0 = math.floor(r).toLong
-        val frac = r - lo0
-        def valueAt(rank: Long): Long = {
-          var cum = 0L
-          var v = Option.empty[Long]
-          for ((q, cnt) <- buckets if v.isEmpty) {
-            if (rank < cum + cnt) v = Some(q)
-            cum += cnt
-          }
-          v.get
-        }
-        val res = (1.0 - frac) * valueAt(lo0).toDouble / m.scale +
-          (if (frac > 0) frac * valueAt(lo0 + 1).toDouble / m.scale
-           else 0.0)
-        (grp, name, res)
-      }
-    }
-  }
+  private[graft] case class SelItem(m: Measure, qcol: String,
+      maxQ: Long, exactCounts: Boolean = false)
 
   /** Exact per-group percentiles for NEAR-UNIQUE fixed-point domains
     * via iterative histogram RANGE NARROWING — distributed
@@ -307,29 +276,32 @@ object Percentiles {
     *     sum as the counts route, over the same quantized grid).
     *
     * At 100 TB: every pass is one scan + a fanout-bounded shuffle; the
-    * driver holds histograms, never data. Each `items` entry is
-    * (measure over the quantized column, that column's name, maxQ
-    * from the estimation pass). Returns local (grp, target, result)
-    * rows — selection output is report-sized by construction.
+    * driver holds histograms, never data. `exactCounts` measures ride
+    * the SAME pass-1 job at width 1 — their ranks resolve from the
+    * histogram directly, adding no passes of their own. Returns local
+    * (grp, target, result) rows — selection output is report-sized by
+    * construction.
     */
   private[graft] def selectionPercentiles(df: DataFrame,
-      groupCol: String, items: Seq[(Measure, String, Long)],
+      groupCol: String, items: Seq[SelItem],
       fanout: Int = 4096): Seq[(String, String, Double)] = {
     val spark = df.sparkSession
     import spark.implicits._
     // melt to (grp, tag, q): integer q straight off the quantized
     // column, bucket arithmetic in exact long DIV
     val melted = meltTagged(df, groupCol,
-      items.map { case (m, qcol, _) => (m.tag, qcol) })
+      items.map(it => (it.m.tag, it.qcol)))
 
     def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
-    // pass 1: full-domain histogram, one width per measure
-    val width0 = items.map { case (m, _, maxQ) =>
-      m.tag -> math.max(1L, ceilDiv(maxQ + 1, fanout))
+    // pass 1: full-domain histogram — width 1 for exact-counts
+    // measures (their buckets ARE the values), domain/fanout otherwise
+    val width0 = items.map { it =>
+      it.m.tag -> (if (it.exactCounts) 1L
+        else math.max(1L, ceilDiv(it.maxQ + 1, fanout)))
     }.toMap
-    val widthExpr = items.map { case (m, _, _) =>
-      (col("tag") === m.tag, lit(width0(m.tag)))
+    val widthExpr = items.map { it =>
+      (col("tag") === it.m.tag, lit(width0(it.m.tag)))
     }.foldRight(lit(1L)) { case ((c, w), acc) => when(c, w).otherwise(acc) }
     val hist1 = melted
       .withColumn("w", widthExpr)
@@ -345,7 +317,7 @@ object Percentiles {
     // needs, then locate each rank's bucket in the cumulative walk
     case class Probe(grp: String, tag: String, lo: Long, hi: Long,
         rankWithin: Long)
-    val byTag = items.map { case (m, _, _) => m.tag -> m }.toMap
+    val byTag = items.map(it => it.m.tag -> it.m).toMap
     // per (grp, tag): target name → (rank0, frac); ranks deduped into
     // probes, probed values keyed back by (grp, tag, globalRank)
     val wants = scala.collection.mutable.ArrayBuffer
@@ -369,8 +341,13 @@ object Percentiles {
     }
     // locate each wanted rank's bucket: cumulative walk over the
     // sorted bucket list (ranks are 0-based: bucket holds ranks
-    // [cumBefore, cumBefore + cnt))
-    var probes = rankSet.keys.toSeq.map { case (grp, tag, rank) =>
+    // [cumBefore, cumBefore + cnt)). Width-1 buckets RESOLVE here —
+    // the bucket id is the value — so exact-counts measures (and any
+    // probe landing on a single-value bucket) never reach the later
+    // passes.
+    val resolved = scala.collection.mutable.Map
+      .empty[(String, String, Long), Long]
+    var probes = rankSet.keys.toSeq.flatMap { case (grp, tag, rank) =>
       val buckets = hist1((grp, tag))
       var cum = 0L
       var found: Probe = null
@@ -381,7 +358,10 @@ object Percentiles {
         cum += cnt
       }
       require(found != null, s"rank $rank beyond group size $cum")
-      ((grp, tag, rank), found)
+      if (found.hi - found.lo == 1) {
+        resolved((grp, tag, rank)) = found.lo
+        None
+      } else Some(((grp, tag, rank), found))
     }
 
     // narrowing rounds: re-histogram just the probed ranges until
@@ -417,29 +397,33 @@ object Percentiles {
       }
     }
 
-    // final pass: distinct values + counts inside each probed range
-    // (≤ fanout distinct values per probe), then a driver walk to the
-    // ranked value
-    val probeDf = probes.zipWithIndex.map { case ((_, p), i) =>
-      (i, p.grp, p.tag, p.lo, p.hi)
-    }.toDF("pid", "pgrp", "ptag", "plo", "phi")
-    val vals = melted.join(broadcast(probeDf),
-        col("grp") === col("pgrp") && col("tag") === col("ptag") &&
-          col("q") >= col("plo") && col("q") < col("phi"))
-      .groupBy("pid", "q").agg(count(lit(1)).as("cnt"))
-      .collect()
-      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
-      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1) }
-    val valueAt = probes.zipWithIndex.map { case ((key, p), i) =>
-      var cum = 0L
-      var v = Option.empty[Long]
-      for ((q, cnt) <- vals(i) if v.isEmpty) {
-        if (p.rankWithin < cum + cnt) v = Some(q)
-        cum += cnt
+    // final pass (skipped entirely when every rank already resolved
+    // from width-1 buckets): distinct values + counts inside each
+    // probed range (≤ fanout distinct values per probe), then a
+    // driver walk to the ranked value
+    if (probes.nonEmpty) {
+      val probeDf = probes.zipWithIndex.map { case ((_, p), i) =>
+        (i, p.grp, p.tag, p.lo, p.hi)
+      }.toDF("pid", "pgrp", "ptag", "plo", "phi")
+      val vals = melted.join(broadcast(probeDf),
+          col("grp") === col("pgrp") && col("tag") === col("ptag") &&
+            col("q") >= col("plo") && col("q") < col("phi"))
+        .groupBy("pid", "q").agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1) }
+      for (((key, p), i) <- probes.zipWithIndex) {
+        var cum = 0L
+        var v = Option.empty[Long]
+        for ((q, cnt) <- vals(i) if v.isEmpty) {
+          if (p.rankWithin < cum + cnt) v = Some(q)
+          cum += cnt
+        }
+        require(v.isDefined, s"final walk lost rank for $key")
+        resolved(key) = v.get
       }
-      require(v.isDefined, s"final walk lost rank for $key")
-      key -> v.get
-    }.toMap
+    }
+    val valueAt = resolved
 
     // assemble targets: the same weighted two-term interpolation sum
     // the counts route computes, over the same quantized grid

@@ -427,6 +427,11 @@ object SparkEntry {
     // routed machinery forced down its scale path at every SF
     "q154_selection_percentiles" -> ((s: SparkSession, d: String) =>
       operators.Percentiles.pricePercentilesSelection(s, d)),
+    // connected components via large-star/small-star doubling on a
+    // 1000-long chain graph — a diameter min-label propagation would
+    // refuse; components analytically known, hence SQL-oracle-able
+    "q155_connected_components" -> ((s: SparkSession, d: String) =>
+      operators.ConnectedComponents.chainComponents(s, d)),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -2946,7 +2951,22 @@ object SparkEntry {
         |        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
         |      FROM lineitem)
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    // chain components are analytically the custkey's 1000-block: the
+    // oracle derives them arithmetically while the engine runs the
+    // real doubling iteration — exactness proves the graph algorithm
+    "q155_connected_components" ->
+      """WITH n AS (
+        |  SELECT c_custkey AS node,
+        |    c_custkey // 1000 AS blk
+        |  FROM customer),
+        |s AS (
+        |  SELECT blk, min(node) AS component,
+        |    CAST(count(*) AS BIGINT) AS component_size
+        |  FROM n GROUP BY blk)
+        |SELECT node, component, component_size
+        |FROM n JOIN s USING (blk)
+        |ORDER BY node""".stripMargin
   )
 }
 

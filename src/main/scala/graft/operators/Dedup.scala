@@ -440,12 +440,18 @@ object Dedup {
       labels = updated.drop("old")
       iter += 1
     }
-    // a silent early exit would split components (two keep=true rows in
-    // one cluster) — refuse instead; diameter>50 means the input needs
-    // the doubling (large-star/small-star) variant
-    if (changed > 0) throw new IllegalStateException(
-      s"resolveClusters did not converge in $maxIter iterations " +
-        s"($changed labels still changing) — component diameter too large")
+    // a silent early exit would split components (two keep=true rows
+    // in one cluster) — a graph still changing after maxIter rounds
+    // has diameter ≫ 2^maxIter-pointer-jumping reach, so it hands off
+    // to the DOUBLING algorithm (large-star/small-star,
+    // [[ConnectedComponents.components]]), whose round count is
+    // O(log n) regardless of diameter
+    if (changed > 0) {
+      return ConnectedComponents.components(p.select("a", "b"))
+        .select(col("node").as("doc_id"),
+          col("component").as("cluster_rep"))
+        .withColumn("keep", col("doc_id") === col("cluster_rep"))
+    }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
       .withColumn("keep", col("doc_id") === col("cluster_rep"))
   }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ConnectedComponents, Dedup}
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver union-find replica — the ground truth for any edge list. */
+  private def replica(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    es.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+  }
+
+  private def run(es: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.components(es.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("components: random graphs match a union-find replica") {
+    // deterministic pseudo-random edges over several densities
+    for (density <- Seq(1, 2, 4)) {
+      val es = (1 to 400 * density).map { i =>
+        val a = (i * 2654435761L) % 300 + 1
+        val b = (i * 40503L + 7) % 300 + 1
+        (math.max(a, b), math.min(a, b))
+      }.filter(e => e._1 != e._2)
+      assert(run(es) == replica(es), s"density $density diverged")
+    }
+  }
+
+  test("components: a 500-long chain (diameter far past label-prop reach)") {
+    val es = (1L until 500L).map(i => (i, i + 1))
+    val got = run(es)
+    assert(got.size == 500)
+    assert(got.values.toSet == Set(1L)) // one component, min rep
+  }
+
+  test("components: self-loops, duplicates, singleton stars tolerated") {
+    val es = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (9L, 8L))
+    val got = run(es)
+    assert(got == Map(5L -> 5L, 1L -> 1L, 2L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("resolveClusters hands a deep chain to the doubling algorithm") {
+    // 300-long chain as near-dup pairs: pointer jumping's 50 rounds
+    // cannot converge — the doubling fallback must return the same
+    // keep/drop decisions union-find derives
+    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("ai", "bi")
+    val got = Dedup.resolveClusters(pairs, localEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    val want = (1L to 300L).map(n => (n, 1L, n == 1L)).toSet
+    assert(got == want)
+  }
+
+  test("q155: chain components match the analytic blocks") {
+    val df = ConnectedComponents.chainComponents(spark, sf, chainLen = 40L)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    for ((node, comp, size) <- rows) {
+      val blk = node / 40
+      assert(comp == blk * 40, s"node $node comp $comp")
+      assert(size > 1)
+    }
+    // every customer key present exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+}

@@ -235,7 +235,7 @@ object PageRank {
     * the wedge/basket censuses want (state bounded by the per-key
     * degree, which the hub path caps).
     */
-  private[operators] def sortedPairs(arr: Column): Column =
+  private[graft] def sortedPairs(arr: Column): Column =
     flatten(transform(arr, (x, i) =>
       transform(slice(arr, i + lit(2), size(arr)), y =>
         struct(x.as("s1"), y.as("s2")))))

@@ -295,7 +295,12 @@ object Percentiles {
     def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
     // pass 1: full-domain histogram — width 1 for exact-counts
-    // measures (their buckets ARE the values), domain/fanout otherwise
+    // measures (their buckets ARE the values), domain/fanout otherwise.
+    // Bucket arithmetic (q DIV w, range [0, maxQ]) assumes the
+    // Measure contract's non-negative fixed-point domain — a negative
+    // q would truncate toward zero and misbucket, so fail loud.
+    require(items.forall(_.maxQ >= 0L),
+      "selection percentiles need a non-negative fixed-point domain")
     val width0 = items.map { it =>
       it.m.tag -> (if (it.exactCounts) 1L
         else math.max(1L, ceilDiv(it.maxQ + 1, fanout)))
@@ -312,6 +317,13 @@ object Percentiles {
       .groupBy(_._1).map { case (k, vs) =>
         k -> vs.map(_._2).sortBy(_._1)
       }
+
+    // negative values would have truncated toward bucket zero above —
+    // the histogram shows them as negative bucket ids, so the
+    // contract violation is caught here, not as a wrong percentile
+    require(hist1.values.forall(_.forall(_._1 >= 0L)),
+      "selection percentiles saw negative fixed-point values — " +
+        "the Measure contract requires a non-negative domain")
 
     // driver: per (grp, tag) → the 0-based global ranks each target
     // needs, then locate each rank's bucket in the cumulative walk

@@ -99,6 +99,20 @@ class GraphRankSpec extends SparkSpec {
     assert(r.getLong(3) == wedge.values.map(c => c * (c - 1) / 2).sum)
   }
 
+  test("sortedPairs: every unordered pair exactly once, any size") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    for (n <- Seq(0, 1, 2, 3, 7)) {
+      val arr = (1 to n).map(_.toLong)
+      val got = Seq(Tuple1(arr)).toDF("ss")
+        .select(explode(PageRank.sortedPairs(col("ss"))).as("p"))
+        .select(col("p.s1"), col("p.s2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for (i <- arr; j <- arr if i < j) yield (i, j)).toSet
+      assert(got == want, s"n=$n")
+    }
+  }
+
   test("butterflies: hub-capped census equals the plain plan") {
     import spark.implicits._
     // one synthetic hub (customer 1, degree 60) over a light tail —

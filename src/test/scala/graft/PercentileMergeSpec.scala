@@ -126,4 +126,28 @@ class PercentileMergeSpec extends SparkSpec {
     }
     assert(got.length == events.length)
   }
+
+  test("selection narrowing loop: multi-round ranges (fanout < sqrt(domain))") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // values 0..3999 near-unique; fanout 16 forces width0 = 250 > 16,
+    // so every probe narrows through an extra histogram round before
+    // the final value pass — the loop the default 4096 fanout never
+    // enters below a 2^24 domain. Results must be fanout-invariant
+    // and match the percentile() spelling exactly.
+    val df = (0L until 4000L).map(v => ("g", v)).toDF("g", "__q_m")
+    val m = Percentiles.Measure("m", col("__q_m").cast("double"), 1L,
+      Seq("p10" -> 0.10, "p50" -> 0.50, "p99" -> 0.99))
+    def run(fanout: Int) =
+      Percentiles.selectionPercentiles(df, "g",
+        Seq(Percentiles.SelItem(m, "__q_m", 3999L)), fanout = fanout)
+        .map { case (_, t, r) => t -> r }.toMap
+    val narrow = run(16)
+    assert(narrow == run(4096))
+    val list = Percentiles.valueListPercentiles(df, "g", Seq(m))
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(narrow.keySet == list.keySet)
+    for ((t, v) <- narrow)
+      assert(math.abs(v - list(t)) < 1e-9, s"$t: $v vs ${list(t)}")
+  }
 }

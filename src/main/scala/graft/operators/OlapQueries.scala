@@ -164,21 +164,22 @@ object OlapQueries {
     * on the fixed-point grid, so the answer is route-invariant.
     */
   def quantityPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.operators.Percentiles.Measure
-    Percentiles.percentilesByGroupRouted(
+    import graft.operators.Percentiles.{Measure, round4}
+    val rows = Percentiles.percentilesByGroupRoutedRows(
       Tables.load(spark, sfDir, "lineitem"), "l_returnflag", Seq(
         Measure("qty", col("l_quantity"), 1L,
           Seq("p50_qty" -> 0.5, "p95_qty" -> 0.95)),
         Measure("price", col("l_extendedprice"), 100L,
           Seq("p50_price" -> 0.5))))
-      .groupBy(col("grp").as("l_returnflag"))
-      .pivot("target", Seq("p50_qty", "p95_qty", "p50_price"))
-      .agg(first("result"))
-      .select(col("l_returnflag"),
-        round(col("p50_qty"), 4).as("p50_qty"),
-        round(col("p95_qty"), 4).as("p95_qty"),
-        round(col("p50_price"), 4).as("p50_price"))
-      .orderBy("l_returnflag")
+    // pivot-to-wide + 4 dp round + sort on the driver: the report is
+    // 3 groups × 3 targets, not a job
+    val wide = rows.groupBy(_._1).toSeq.map { case (g, ts) =>
+      val m = ts.map(t => t._2 -> t._3).toMap
+      (g, round4(m("p50_qty")), round4(m("p95_qty")),
+        round4(m("p50_price")))
+    }.sortBy(_._1)
+    spark.createDataFrame(spark.sparkContext.parallelize(wide, 1))
+      .toDF("l_returnflag", "p50_qty", "p95_qty", "p50_price")
   }
 
   /** CUBE over (orderstatus, orderpriority): all 4 grouping
@@ -1586,14 +1587,19 @@ object OlapQueries {
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
       .persist() // estimation + quartiles + tail census, one scan
-    val fences = Percentiles.percentilesByGroupRouted(li,
-        "l_returnflag", Seq(Measure("cents", col("cents"), 1L,
-          Seq("q1" -> 0.25, "q3" -> 0.75))))
-      .groupBy("grp").pivot("target", Seq("q1", "q3"))
-      .agg(first("result"))
-      .select(col("grp").as("l_returnflag"), col("q1"), col("q3"),
-        (col("q1") - (col("q3") - col("q1")) * lit(1.5)).as("lo"),
-        (col("q3") + (col("q3") - col("q1")) * lit(1.5)).as("hi"))
+    val qrows = Percentiles.percentilesByGroupRoutedRows(li,
+      "l_returnflag", Seq(Measure("cents", col("cents"), 1L,
+        Seq("q1" -> 0.25, "q3" -> 0.75))))
+    // fence arithmetic on the driver (same IEEE op order the in-plan
+    // spelling used); the NDV-sized fence frame then broadcasts back
+    val fenceRows = qrows.groupBy(_._1).toSeq.map { case (g, ts) =>
+      val m = ts.map(t => t._2 -> t._3).toMap
+      val (q1, q3) = (m("q1"), m("q3"))
+      (g, q1, q3, q1 - (q3 - q1) * 1.5, q3 + (q3 - q1) * 1.5)
+    }
+    val fences = spark.createDataFrame(
+        spark.sparkContext.parallelize(fenceRows, 1))
+      .toDF("l_returnflag", "q1", "q3", "lo", "hi")
     val out = li.join(broadcast(fences), "l_returnflag")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),

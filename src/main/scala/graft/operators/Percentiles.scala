@@ -158,6 +158,23 @@ object Percentiles {
       crossoverRatio: Long = 8L,
       listRowLimit: Long = 100000L): DataFrame = {
     val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        percentilesByGroupRoutedRows(df, groupCol, measures, ndvHints,
+          crossoverRatio, listRowLimit), 1))
+      .toDF("grp", "target", "result")
+  }
+
+  /** [[percentilesByGroupRouted]] returning the report as LOCAL rows —
+    * the report is groups×targets-sized by contract, and callers that
+    * reshape it (pivot to wide, fence arithmetic) can do so on the
+    * driver instead of spending Spark jobs on a dozen rows.
+    */
+  def percentilesByGroupRoutedRows(df: DataFrame, groupCol: String,
+      measures: Seq[Measure], ndvHints: Map[String, Long] = Map.empty,
+      crossoverRatio: Long = 8L,
+      listRowLimit: Long = 100000L): Seq[(String, String, Double)] = {
+    val spark = df.sparkSession
     // ONE narrow quantized projection feeds the estimation aggregate
     // AND whichever route(s) run — the source is scanned once, not
     // once per phase. If the caller already cached df, its cache backs
@@ -212,10 +229,16 @@ object Percentiles {
           .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
       else Nil)
     if (!callerCached) src.unpersist(false)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1))
-      .toDF("grp", "target", "result")
+    rows
   }
+
+  /** Spark's `round(double, 4)` semantics on the driver
+    * (BigDecimal.valueOf → HALF_UP), so driver-side report assembly
+    * rounds bit-identically to the in-plan spelling.
+    */
+  private[graft] def round4(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** (grp, tag, q) melt of tagged quantized columns — a plain
     * projection for one measure, a per-row explode only when several
@@ -514,17 +537,20 @@ object Percentiles {
   def pricePercentilesSelection(spark: SparkSession,
       sfDir: String): DataFrame = {
     val names = Seq("p25_price", "p50_price", "p75_price", "p99_price")
-    percentilesByGroupRouted(
+    val rows = percentilesByGroupRoutedRows(
       Tables.load(spark, sfDir, "lineitem"), "l_returnflag", Seq(
         Measure("price", col("l_extendedprice"), 100L,
           names.zip(Seq(0.25, 0.5, 0.75, 0.99)))),
       listRowLimit = 0L)
-      .groupBy(col("grp").as("l_returnflag"))
-      .pivot("target", names)
-      .agg(first("result"))
-      .select(col("l_returnflag") +:
-        names.map(n => round(col(n), 4).as(n)): _*)
-      .orderBy("l_returnflag")
+    // report assembly (pivot to wide + 4 dp round + sort) happens on
+    // the driver — the report is 3 groups × 4 targets, not a job
+    val wide = rows.groupBy(_._1).toSeq.map { case (g, ts) =>
+      val m = ts.map(t => t._2 -> t._3).toMap
+      (g, round4(m(names(0))), round4(m(names(1))),
+        round4(m(names(2))), round4(m(names(3))))
+    }.sortBy(_._1)
+    spark.createDataFrame(spark.sparkContext.parallelize(wide, 1))
+      .toDF("l_returnflag" +: names: _*)
   }
 
   /** Mergeable bottom-k QUANTILE SKETCH: per-group nearest-rank

@@ -77,8 +77,11 @@ object SparkEntry {
       operators.Similarity.blockedEmbeddingPairs(s, d, threshold = 0.4)),
     "q29_token_stats" -> (operators.TextQueries.tokenStats _),
     "q30_quality_scores" -> (operators.TextQueries.qualityScores _),
-    // rows-only: heuristic language ID (accuracy unit-tested on real
-    // multilingual fixtures; corpus text carries no language signal).
+    // heuristic language ID — the stopword-profile argmax is pure
+    // arithmetic over whitespace tokens, so the oracle replays the
+    // DECISIONS verbatim (accuracy on real multilingual text is
+    // additionally unit-tested on fixtures; corpus text carries no
+    // language signal, which is irrelevant to decision equality)
     "q31_langid" -> (operators.TextQueries.langIdQuery _),
     "q32_fingerprints" -> (operators.TextQueries.fingerprints _),
     "q33_media_stats" -> (multimodal.Multimodal.mediaStats _),
@@ -826,6 +829,38 @@ object SparkEntry {
         |        * 10000 + 0.5) / 10000
         |    AS quality
         |FROM t
+        |ORDER BY doc_id""".stripMargin,
+    // the stopword-profile argmax verbatim: per-language hit counts
+    // (with multiplicity) over lowercased whitespace tokens; ties
+    // break toward the GREATER language code (fr > es > en > de), CJK
+    // codepoints short-circuit to zh, zero hits to 'und'
+    "q31_langid" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang AS labeled_lang, text,
+        |    list_transform(string_split(text, ' '), w -> lower(w)) AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, labeled_lang, text,
+        |    len(list_filter(ws, w -> w IN ('the','a','of','and','to',
+        |      'in','is','it','that'))) AS sc_en,
+        |    len(list_filter(ws, w -> w IN ('der','die','und','das',
+        |      'ist','nicht','ein','zu','mit'))) AS sc_de,
+        |    len(list_filter(ws, w -> w IN ('le','la','les','et','des',
+        |      'est','un','une','dans'))) AS sc_fr,
+        |    len(list_filter(ws, w -> w IN ('el','los','de','que','es',
+        |      'una','en','por','como'))) AS sc_es
+        |  FROM d)
+        |SELECT doc_id, labeled_lang,
+        |  CASE
+        |    WHEN text IS NULL THEN NULL
+        |    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |    WHEN greatest(sc_en, sc_de, sc_fr, sc_es) = 0 THEN 'und'
+        |    WHEN sc_fr >= sc_en AND sc_fr >= sc_de AND sc_fr >= sc_es
+        |      THEN 'fr'
+        |    WHEN sc_es >= sc_en AND sc_es >= sc_de THEN 'es'
+        |    WHEN sc_en >= sc_de THEN 'en'
+        |    ELSE 'de' END AS predicted_lang
+        |FROM s
         |ORDER BY doc_id""".stripMargin,
     "q32_fingerprints" ->
       """SELECT doc_id,

@@ -19,15 +19,20 @@ object Verify {
     // sets it, so its full-suite runs are unaffected
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally spark.catalog.clearCache()
     }
+    // manifest of ATTEMPTED queries: the oracle compare fails any
+    // attempted query with no output (a crash must not read as a
+    // skip) and skips only queries genuinely outside a subset run
+    Files.writeString(Paths.get(s"$outDir/attempted.txt"),
+      attempted.keys.toSeq.sorted.mkString("\n"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

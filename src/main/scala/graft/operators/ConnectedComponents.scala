@@ -168,7 +168,13 @@ object ConnectedComponents {
     val edges = next.unionAll(skip)
       .join(present, Seq("b"), "left_semi")
       .filter(expr(s"a DIV $chainLen = b DIV $chainLen"))
-    val comp = components(edges)
+    // components() covers nodes that appear in an edge; a customer
+    // alone in its block (count ≡ 1 mod chainLen) has none — join the
+    // full key set back so every node reports, matching the oracle
+    val comp = c.select(col("k").as("node"))
+      .join(components(edges), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
     val sizes = comp.groupBy("component")
       .agg(count(lit(1)).as("component_size"))
     comp.join(sizes, "component")

@@ -384,7 +384,8 @@ object Dedup {
     *    frame.
     */
   def resolveClusters(pairs: DataFrame,
-      localEdgeLimit: Long = 4000000L): DataFrame = {
+      localEdgeLimit: Long = 4000000L,
+      maxIter: Int = 50): DataFrame = {
     // One eager materialization of the pair list — everything
     // downstream reads these checkpointed blocks; the LSH pipeline
     // that produced them never re-runs.
@@ -410,7 +411,6 @@ object Dedup {
       .groupBy("id").agg(min("label").as("label"))
     var changed = 1L
     var iter = 0
-    val maxIter = 50
     while (changed > 0 && iter < maxIter) {
       // min label in the neighborhood, then pointer jumping (adopt
       // one's label's label — collapses chains in O(log diameter)
@@ -571,15 +571,6 @@ object Dedup {
       handle
     })
   }
-
-  /** [[ngramJaccardPairs]] without the presentation sort — see
-    * [[minhashPairsUnsorted]] for why internal consumers need this.
-    * Lazy single-shot form; repeat consumers in one session want
-    * [[ngramJaccardPairsShared]].
-    */
-  private[operators] def ngramJaccardPairsUnsorted(spark: SparkSession,
-      sfDir: String, threshold: Double = 0.8): DataFrame =
-    ngramJaccardPairsBuild(spark, sfDir, threshold)._1
 
   /** The pair pipeline build: returns the lazy pair plan AND the
     * corpus-sized shingle cache it reads, so eager callers can release

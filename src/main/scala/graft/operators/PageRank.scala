@@ -134,12 +134,18 @@ object PageRank {
         // the iteration's SINGLE action: the dangling-mass semi-join
         // consumes every partition of `next` (populating its cache
         // exactly like a count() would) and returns the 1-row
-        // parameter the NEXT iteration reads
-        val dang0 = next.join(
-          if (bcastable) broadcast(dangNodes) else dangNodes,
-          Seq("node_id"), "left_semi")
-        dang = dang0.agg(coalesce(sum("m"), lit(0.0)))
-          .collect()(0).getDouble(0)
+        // parameter the NEXT iteration reads. With NO dangling nodes
+        // the semi-join could collapse to an empty relation (AQE
+        // empty-propagation) WITHOUT scanning next — the mass is
+        // identically 0 then, so a plain count() materializes instead
+        if (dang == 0.0) next.count()
+        else {
+          val dang0 = next.join(
+            if (bcastable) broadcast(dangNodes) else dangNodes,
+            Seq("node_id"), "left_semi")
+          dang = dang0.agg(coalesce(sum("m"), lit(0.0)))
+            .collect()(0).getDouble(0)
+        }
         if (prev != null) prev.unpersist(false)
         prev = next
         ranks = next

@@ -80,7 +80,10 @@ object Percentiles {
   def chooseRoute(rows: Long, ndvEstimate: Long,
       crossoverRatio: Long = 8L,
       listRowLimit: Long = 100000L): PercentileRoute =
-    if (ndvEstimate * crossoverRatio <= rows) CountsRoute
+    // division compare — the product overflows long at estimator
+    // scale (ndv ~1e11 × ratio) and a wrapped-negative product would
+    // route a huge counts table down the wrong path
+    if (ndvEstimate <= rows / crossoverRatio) CountsRoute
     else if (rows <= listRowLimit) ValueListRoute
     else SelectionRoute
 
@@ -206,7 +209,11 @@ object Percentiles {
     // one histogram job.
     val (driverM, multiM) = adjusted
       .filter(m => routes(m.tag) == CountsRoute)
-      .partition(m => stats(m.tag).grps * stats(m.tag).ndv <= 65536L)
+      // division compare: grps × ndv overflows long at estimator scale
+      .partition { m =>
+        val s = stats(m.tag)
+        s.ndv == 0L || s.grps <= 65536L / s.ndv
+      }
     val listM = adjusted.filter(m => routes(m.tag) == ValueListRoute)
     val selM = adjusted.filter(m => routes(m.tag) == SelectionRoute)
     val histItems =
@@ -215,8 +222,9 @@ object Percentiles {
       selM.map(m => SelItem(m, s"__q_${m.tag}", stats(m.tag).maxQ))
     // each part lands as local (grp, target, result) rows — the report
     // is groups×targets-sized, so the projection cache can release
-    // deterministically before returning
-    val rows =
+    // deterministically before returning (finally: a failed route
+    // must not leak the corpus-sized projection for the session)
+    try {
       (if (histItems.nonEmpty)
         selectionPercentiles(src, "__grp", histItems)
       else Nil) ++
@@ -226,10 +234,15 @@ object Percentiles {
       else Nil) ++
       (if (listM.nonEmpty)
         valueListPercentiles(src, "__grp", listM).collect().toSeq
+          // an all-NULL group aggregates to a NULL percentile here;
+          // the counts/selection routes omit such groups (their melts
+          // filter NULLs) — drop the row so every route agrees
+          .filter(r => !r.isNullAt(2))
           .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
       else Nil)
-    if (!callerCached) src.unpersist(false)
-    rows
+    } finally {
+      if (!callerCached) src.unpersist(false)
+    }
   }
 
   /** Spark's `round(double, 4)` semantics on the driver

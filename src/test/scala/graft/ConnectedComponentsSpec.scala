@@ -55,16 +55,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(5L -> 5L, 1L -> 1L, 2L -> 1L, 8L -> 8L, 9L -> 8L))
   }
 
-  test("resolveClusters hands a deep chain to the doubling algorithm") {
-    // 300-long chain as near-dup pairs: pointer jumping's 50 rounds
-    // cannot converge — the doubling fallback must return the same
-    // keep/drop decisions union-find derives
+  test("resolveClusters hands an unconverged graph to the doubling algorithm") {
+    // pointer jumping's reach after r rounds is ~2^r, so no physical
+    // graph exhausts the default 50 — maxIter=2 forces the handoff on
+    // a 300-chain (reach ~8 ≪ 300), proving the fallback's column
+    // mapping and keep/drop decisions against the known answer
     val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("ai", "bi")
-    val got = Dedup.resolveClusters(pairs, localEdgeLimit = 0L)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-      .toSet
     val want = (1L to 300L).map(n => (n, 1L, n == 1L)).toSet
-    assert(got == want)
+    for (iters <- Seq(2, 50)) { // forced fallback AND the normal path
+      val got = Dedup.resolveClusters(pairs, localEdgeLimit = 0L,
+          maxIter = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(got == want, s"maxIter=$iters")
+    }
   }
 
   test("q155: chain components match the analytic blocks") {

@@ -34,14 +34,19 @@ def main(out_dir, sf_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     import os
+    # manifest of queries Verify ATTEMPTED: absent-from-manifest means
+    # a deliberate SPARK_GRAFT_ONLY subset (skip); attempted-but-no-
+    # output means the query crashed (fail). Older dumps without a
+    # manifest treat every oracle entry as attempted.
+    manifest_path = f"{out_dir}/attempted.txt"
+    attempted = None
+    if os.path.exists(manifest_path):
+        attempted = set(open(manifest_path).read().split())
     for name, sql in sorted(oracle.items()):
+        if attempted is not None and name not in attempted:
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            # subset dumps (SPARK_GRAFT_ONLY): skip silently when the
-            # query wasn't dumped at all; a dumped-but-empty dir is
-            # still a failure
-            if not os.path.isdir(f"{out_dir}/{name}"):
-                continue
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue

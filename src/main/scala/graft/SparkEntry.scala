@@ -435,6 +435,12 @@ object SparkEntry {
     // refuse; components analytically known, hence SQL-oracle-able
     "q155_connected_components" -> ((s: SparkSession, d: String) =>
       operators.ConnectedComponents.chainComponents(s, d)),
+    // linear text classifier trained IN the engine: standardized
+    // hashed-TF shares, 5 batch-GD steps, every engine-crossing
+    // parameter (μ, σ, avg-gradients) rounded 6 dp — the whole
+    // training run + confusion matrix replays as unrolled CTEs
+    "q156_text_classifier" -> ((s: SparkSession, d: String) =>
+      operators.Estimators.textClassifierGd(s, d)),
     // TPC-H Q20 shape: nested-aggregate dominant-supplier semi join
     "q122_dominant_suppliers" -> ((s: SparkSession, d: String) =>
       operators.OlapQueries.dominantSuppliers(s, d)),
@@ -3001,7 +3007,105 @@ object SparkEntry {
         |  FROM n GROUP BY blk)
         |SELECT node, component, component_size
         |FROM n JOIN s USING (blk)
-        |ORDER BY node""".stripMargin
+        |ORDER BY node""".stripMargin,
+    // the full training replay: q54's bucket hash → per-doc share
+    // vectors → 6 dp μ/σ standardization → five unrolled GD steps
+    // (each avg-gradient rounded 6 dp) → confusion matrix. Margins
+    // measured at all three SFs: |p−0.5| ≥ 2.6e-5, gradient distance
+    // to its rounding boundary ≥ 7e-10 — both far above cross-engine
+    // exp/summation noise.
+    "q156_text_classifier" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(7::BIGINT, [ascii(c) for c in string_split(w, '')]),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 16 AS bucket,
+        |    count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id, bucket),
+        |dm AS (SELECT doc_id, map(list(bucket), list(tf)) AS m,
+        |         sum(tf) AS tot FROM tf GROUP BY doc_id),
+        |lab AS (SELECT doc_id,
+        |          CASE WHEN len(list_filter(string_split(text, ' '),
+        |                 w -> w IN ('the', 'a'))) * 100 >=
+        |               len(string_split(text, ' ')) * 8
+        |            THEN 1 ELSE 0 END AS y
+        |        FROM documents),
+        |raw AS (SELECT l.doc_id, l.y,
+        |          list_prepend(1.0,
+        |            [coalesce(map_extract(m, j)[1], 0)::DOUBLE / tot
+        |             for j in range(0, 16)]) AS x
+        |        FROM lab l JOIN dm USING (doc_id)),
+        |st AS (SELECT pos, round(avg(xj), 6) AS mu,
+        |         round(stddev_pop(xj), 6) AS sd
+        |       FROM (SELECT unnest(x) AS xj,
+        |               unnest(range(1, len(x) + 1)) AS pos FROM raw)
+        |       WHERE pos > 1 GROUP BY pos),
+        |sv AS (SELECT list(mu ORDER BY pos) AS mus,
+        |         list(greatest(sd, 0.000001) ORDER BY pos) AS sds
+        |       FROM st),
+        |e AS (SELECT y,
+        |        list_prepend(1.0,
+        |          list_transform(list_zip(x[2:], sv.mus, sv.sds),
+        |            t -> (t[1] - t[2]) / t[3])) AS x
+        |      FROM raw, sv),
+        |g1 AS (SELECT pos, round(avg(xj * (0.5 - y)), 6) AS g
+        |       FROM (SELECT unnest(x) AS xj,
+        |               unnest(range(1, len(x) + 1)) AS pos, y FROM e)
+        |       GROUP BY pos),
+        |w1 AS (SELECT list(0.0 - g ORDER BY pos) AS w FROM g1),
+        |r2 AS (SELECT x, y,
+        |         1/(1 + exp(-list_dot_product(x, (SELECT w FROM w1)))) - y
+        |           AS r FROM e),
+        |g2 AS (SELECT pos, round(avg(xj * r), 6) AS g
+        |       FROM (SELECT unnest(x) AS xj,
+        |               unnest(range(1, len(x) + 1)) AS pos, r FROM r2)
+        |       GROUP BY pos),
+        |w2 AS (SELECT list(wv - g ORDER BY pos) AS w
+        |       FROM (SELECT unnest(w) AS wv,
+        |               unnest(range(1, len(w) + 1)) AS pos FROM w1)
+        |       JOIN g2 USING (pos)),
+        |r3 AS (SELECT x, y,
+        |         1/(1 + exp(-list_dot_product(x, (SELECT w FROM w2)))) - y
+        |           AS r FROM e),
+        |g3 AS (SELECT pos, round(avg(xj * r), 6) AS g
+        |       FROM (SELECT unnest(x) AS xj,
+        |               unnest(range(1, len(x) + 1)) AS pos, r FROM r3)
+        |       GROUP BY pos),
+        |w3 AS (SELECT list(wv - g ORDER BY pos) AS w
+        |       FROM (SELECT unnest(w) AS wv,
+        |               unnest(range(1, len(w) + 1)) AS pos FROM w2)
+        |       JOIN g3 USING (pos)),
+        |r4 AS (SELECT x, y,
+        |         1/(1 + exp(-list_dot_product(x, (SELECT w FROM w3)))) - y
+        |           AS r FROM e),
+        |g4 AS (SELECT pos, round(avg(xj * r), 6) AS g
+        |       FROM (SELECT unnest(x) AS xj,
+        |               unnest(range(1, len(x) + 1)) AS pos, r FROM r4)
+        |       GROUP BY pos),
+        |w4 AS (SELECT list(wv - g ORDER BY pos) AS w
+        |       FROM (SELECT unnest(w) AS wv,
+        |               unnest(range(1, len(w) + 1)) AS pos FROM w3)
+        |       JOIN g4 USING (pos)),
+        |r5 AS (SELECT x, y,
+        |         1/(1 + exp(-list_dot_product(x, (SELECT w FROM w4)))) - y
+        |           AS r FROM e),
+        |g5 AS (SELECT pos, round(avg(xj * r), 6) AS g
+        |       FROM (SELECT unnest(x) AS xj,
+        |               unnest(range(1, len(x) + 1)) AS pos, r FROM r5)
+        |       GROUP BY pos),
+        |w5 AS (SELECT list(wv - g ORDER BY pos) AS w
+        |       FROM (SELECT unnest(w) AS wv,
+        |               unnest(range(1, len(w) + 1)) AS pos FROM w4)
+        |       JOIN g5 USING (pos))
+        |SELECT y, CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred,
+        |  count(*) AS n, round(avg(p), 4) AS avg_p
+        |FROM (SELECT y,
+        |        1/(1 + exp(-list_dot_product(x, (SELECT w FROM w5))))
+        |          AS p FROM e)
+        |GROUP BY y, pred
+        |ORDER BY y, pred""".stripMargin
   )
 }
 

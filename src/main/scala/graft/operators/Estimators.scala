@@ -183,4 +183,90 @@ object Estimators {
         round(avg(col("y").cast("double")), 4).as("pos_rate"))
       .orderBy("decile")
   }
+
+  /** TEXT-CLASSIFIER training frame: bias ⊕ dense `dim`-bucket
+    * normalized hashed term frequencies (the q54 portable
+    * rolling-hash buckets) per document — the fastText-style linear
+    * filter a curation pipeline trains ON the corpus. The label
+    * DISTILLS the hand-written quality gate: y = 1 when the
+    * 'the'/'a' stopword share reaches 8% — compared in exact
+    * integers (100·hits ≥ 8·tokens), so the label is bit-identical
+    * in any engine — which a linear model over hashed tf shares can
+    * genuinely learn (the stopwords own two buckets). The per-doc
+    * map is ≤ dim entries (bounded, never corpus-sized); the melt to
+    * dense rides one groupBy of the tf frame.
+    */
+  private[graft] def textFeatures(spark: SparkSession, sfDir: String,
+      dim: Int = 16): DataFrame = {
+    val tf = TextQueries.rawTf(spark, sfDir, dim)
+      .groupBy("doc_id")
+      .agg(map_from_entries(
+        collect_list(struct(col("bucket"), col("tf")))).as("m"),
+        sum("tf").as("tot"))
+    val ws = split(col("text"), " ")
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        when(size(filter(ws, w => w.isin("the", "a"))) * 100 >=
+          size(ws) * 8, 1).otherwise(0).as("y"))
+      .join(tf, "doc_id")
+      // normalized tf (bucket share of the doc's tokens): unit-scale
+      // features keep the GD step sizes in q124's regime
+      .select(col("doc_id"),
+        concat(array(lit(1.0)),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))
+              .cast("double") / col("tot"))).as("x"),
+        col("y"))
+  }
+
+  /** Linear TEXT CLASSIFIER trained wholly in the engine (q156): the
+    * q124 batch-GD machinery over STANDARDIZED hashed-TF features.
+    * Per-bucket μ/σ come from one corpus aggregate, ROUNDED 6 dp (the
+    * trainer-family trajectory quantum — every engine-crossing
+    * parameter is quantized: μ, σ, then each iterate's avg-gradient),
+    * z-scores and the σ(w·x) dot product are per-row deterministic
+    * arithmetic in fixed array order, so the entire training run +
+    * confusion matrix is replayed by an unrolled-CTE SQL oracle.
+    * Standardization is what makes 5 plain GD steps actually learn
+    * the gate (raw shares are tiny against the bias pull — measured:
+    * unstandardized runs collapse to the majority class).
+    * Scale shape: one stats pass, one scan per iteration with a
+    * map-side-combined (dim+1)-group gradient aggregate, μ/σ/weights
+    * as broadcast literals — the model is parameter-sized, the corpus
+    * never moves.
+    */
+  def textClassifierGd(spark: SparkSession, sfDir: String,
+      lr: Double = 1.0, iters: Int = 5, dim: Int = 16): DataFrame = {
+    val raw = textFeatures(spark, sfDir, dim).persist()
+    // per-bucket μ/σ_pop over the share features (pos 0 is the bias),
+    // rounded to the 6 dp parameter grid; σ floors at the quantum so
+    // a constant bucket can't divide by zero (oracle mirrors both)
+    val stats = raw.select(posexplode(col("x")).as(Seq("pos", "xj")))
+      .filter(col("pos") > 0)
+      .groupBy("pos")
+      .agg(round(avg("xj"), 6).as("mu"),
+        round(stddev_pop("xj"), 6).as("sd"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mus = stats.map(_._2)
+    val sds = stats.map(s => math.max(s._3, 1e-6))
+    val e = raw.select(col("y"),
+        concat(array((lit(1.0) +: (1 to dim).map(j =>
+          (element_at(col("x"), j + 1) - lit(mus(j - 1))) /
+            lit(sds(j - 1)))): _*)).as("x"))
+      .persist()
+    val w = logregWeights(e, lr, iters)
+    val out = e.select(col("y"),
+        when(logregSigma(typedlit(w)) >= 0.5, 1).otherwise(0).as("pred"),
+        logregSigma(typedlit(w)).as("p"))
+      .groupBy("y", "pred")
+      .agg(count(lit(1)).as("n"), round(avg("p"), 4).as("avg_p"))
+      .orderBy("y", "pred")
+    // 4-row report — materialize, then release both caches
+    val rows = out.collect().toSeq
+    raw.unpersist(false)
+    e.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
 }

@@ -72,7 +72,7 @@ object TextQueries {
     rawTf(spark, sfDir, dim).orderBy("doc_id", "bucket")
 
   /** The (doc, bucket, tf) frame hashedTf and hashedTfIdf share. */
-  private def rawTf(spark: SparkSession, sfDir: String,
+  private[graft] def rawTf(spark: SparkSession, sfDir: String,
       dim: Int): DataFrame =
     Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))

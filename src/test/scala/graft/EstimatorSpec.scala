@@ -48,6 +48,31 @@ class EstimatorSpec extends SparkSpec {
     assert(got == expected, s"trajectory diverged:\n$got\nvs\n$expected")
   }
 
+  test("q156: text classifier learns past the base rate, covers the corpus") {
+    import org.apache.spark.sql.functions.col
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    val rows = Estimators.textClassifierGd(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    // every document lands in exactly one confusion cell
+    assert(rows.map(_._3).sum == nDocs)
+    // it genuinely LEARNED: accuracy beats always-predicting the
+    // majority class (the degenerate solution unstandardized GD
+    // collapses to — measured, see the scaladoc)
+    val correct = rows.filter(r => r._1 == r._2).map(_._3).sum
+    val baseRate = rows.groupBy(_._1).map(_._2.map(_._3).sum).max
+    assert(correct > baseRate,
+      s"accuracy $correct/$nDocs not above base rate $baseRate")
+    // both classes are actually predicted, and probabilities are sane
+    assert(rows.map(_._2).distinct.sorted.toSeq == Seq(0, 1))
+    assert(rows.forall(r => r._4 > 0.0 && r._4 < 1.0))
+    // deterministic end-to-end (fixed hash features, quantized stats)
+    val again = Estimators.textClassifierGd(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("S2: raw binary record scan via binaryFile format") {
     // the gzipped-TFRecord analog (reference trainer.py:185-186):
     // opaque file-as-record reads for formats Spark lacks a reader for

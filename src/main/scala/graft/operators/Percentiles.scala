@@ -111,8 +111,17 @@ object Percentiles {
     */
   def estimateStats(df: DataFrame, measures: Seq[Measure],
       ndvHints: Map[String, Long] = Map.empty,
-      groupCol: Option[String] = None): Map[String, MeasureStats] = {
+      groupCol: Option[String] = None,
+      maxQHints: Map[String, Long] = Map.empty)
+      : Map[String, MeasureStats] = {
     require(measures.nonEmpty, "at least one measure")
+    // fully-hinted measures (an ANALYZE'd column, a domain bound like
+    // "units ≤ 50" or "cents of a capped price") contribute NO
+    // aggregate — with every measure hinted the estimation pass reads
+    // no measure bytes at all (count(*) answers from footer metadata,
+    // the group column from its dictionary pages). A maxQ hint only
+    // sets the selection route's initial bucket width, so a loose
+    // bound costs narrowing passes, never correctness.
     val aggs = (count(lit(1)).as("__rows") +:
       groupCol.map(g =>
         approx_count_distinct(col(g)).as("__grps")).toSeq) ++
@@ -121,7 +130,10 @@ object Percentiles {
         val ndv =
           if (ndvHints.contains(m.tag)) Nil
           else Seq(approx_count_distinct(q).as(s"__ndv_${m.tag}"))
-        ndv :+ coalesce(max(q), lit(0L)).as(s"__max_${m.tag}")
+        val mx =
+          if (maxQHints.contains(m.tag)) Nil
+          else Seq(coalesce(max(q), lit(0L)).as(s"__max_${m.tag}"))
+        ndv ++ mx
       }
     val r = df.agg(aggs.head, aggs.tail: _*).head
     val rows = r.getLong(0)
@@ -130,8 +142,9 @@ object Percentiles {
     measures.map { m =>
       val ndv = ndvHints.getOrElse(m.tag,
         r.getLong(r.fieldIndex(s"__ndv_${m.tag}")))
-      m.tag -> MeasureStats(rows, ndv,
-        r.getLong(r.fieldIndex(s"__max_${m.tag}")), grps)
+      val mx = maxQHints.getOrElse(m.tag,
+        r.getLong(r.fieldIndex(s"__max_${m.tag}")))
+      m.tag -> MeasureStats(rows, ndv, mx, grps)
     }.toMap
   }
 
@@ -176,7 +189,9 @@ object Percentiles {
   def percentilesByGroupRoutedRows(df: DataFrame, groupCol: String,
       measures: Seq[Measure], ndvHints: Map[String, Long] = Map.empty,
       crossoverRatio: Long = 8L,
-      listRowLimit: Long = 100000L): Seq[(String, String, Double)] = {
+      listRowLimit: Long = 100000L,
+      maxQHints: Map[String, Long] = Map.empty)
+      : Seq[(String, String, Double)] = {
     val spark = df.sparkSession
     // ONE narrow quantized projection feeds the estimation aggregate
     // AND whichever route(s) run — the source is scanned once, not
@@ -194,7 +209,8 @@ object Percentiles {
     // 2^52), so every route sees bit-identical fixed-point values
     val adjusted = measures.map(m =>
       m.copy(value = col(s"__q_${m.tag}").cast("double") / m.scale))
-    val stats = estimateStats(src, adjusted, ndvHints, Some("__grp"))
+    val stats = estimateStats(src, adjusted, ndvHints, Some("__grp"),
+      maxQHints)
     val routes = stats.map { case (tag, s) =>
       tag -> chooseRoute(s.rows, s.ndv, crossoverRatio, listRowLimit)
     }

@@ -593,6 +593,13 @@ class PlanSpec extends SparkSpec {
     val listUnique = Percentiles.valueListPercentiles(unique, "g", m)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     assert(selUnique.toSet === listUnique.toSet)
+    // fully-hinted estimation (domain bounds instead of a sketch scan)
+    // routes and answers identically — including a deliberately LOOSE
+    // maxQ bound, which may cost narrowing passes but never the answer
+    val hinted = Percentiles.percentilesByGroupRoutedRows(unique, "g", m,
+      ndvHints = Map("m" -> 4000L), listRowLimit = 0L,
+      maxQHints = Map("m" -> 1000000L))
+    assert(hinted.toSet === listUnique.toSet)
     // the value-list route's physical plan carries the percentile
     // aggregate; the counts route never does (it is the PrefixSum
     // machinery, plan-asserted in PercentileMergeSpec)

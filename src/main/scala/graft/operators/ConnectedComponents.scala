@@ -1,7 +1,9 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.sources.Tables
 
 /** CONNECTED COMPONENTS by alternating large-star / small-star
@@ -12,84 +14,119 @@ import graft.sources.Tables
   * needs O(log diameter) rounds and a 10⁶-long chain would take ~20
   * materializations.
   *
-  * Each round is two pure equality-shuffle steps over the edge list —
-  * no windows, no driver-side graph state:
+  * Each round is two contraction steps over the edge list — no driver
+  * -side graph state:
   *
   *  - LARGE-STAR: per node u, every strictly-larger neighbor
-  *    re-attaches to m = min(Γ(u) ∪ {u}) — one groupBy(min) plus one
-  *    join, emitted as (larger, smaller) edges;
+  *    re-attaches to m = min(Γ(u) ∪ {u});
   *  - SMALL-STAR: per node u over its ≤-neighbors, everything
-  *    (including u) re-attaches to the minimum — same shape.
+  *    (including u) re-attaches to the minimum.
   *
   * Edges stay oriented (big, small); both steps only ever REDUCE the
   * partner of a node toward its component minimum, and at the fixed
   * point the edge list IS the star forest node → component min. The
   * fixed point is detected by an order-independent checksum
-  * (count + sum of row hashes) — one action per round. Edge lists
-  * stay edge-sized throughout (each node keeps ≤ its degree partners,
-  * deduplicated per round); at 100 TB every step is a key-equality
-  * shuffle AQE can split on skew (a hub node's neighborhood is
-  * exactly the skew-join case).
+  * (count + wrap-around sum of pair hashes) that rides each round's
+  * ONE materializing action. Edge lists stay edge-sized throughout.
+  *
+  * TWO physical regimes, gated on the edge count:
+  *
+  *  - BIG graphs run groupBy(min)+join DataFrame rounds under AQE —
+  *    per-key partial aggregation and skew-split joins are what
+  *    survive a hub node's neighborhood at 10⁹ edges (a hub is
+  *    exactly the skew-join case; proven against a union-find replica
+  *    on a synthetic-hub fixture in SkewFixtureSpec). Per-round
+  *    scheduling and planning latency is noise at that size, and no
+  *    session conf is touched — the loop composes with concurrent
+  *    queries.
+  *  - SMALL graphs (edge list below `smallGraphEdgeBound`) run the
+  *    IDENTICAL contraction algebra over the raw pair RDD — GraphX's
+  *    own substrate, and the one measured case here where the
+  *    DataFrame spelling loses: the round plan is Catalyst-invariant
+  *    across iterations, yet re-planning it inside every
+  *    `localCheckpoint` cost ~130 ms/round against ~150 ms of actual
+  *    execution (10 rounds ≈ 3 s for a 15k-node graph). The RDD round
+  *    is two groupByKey contractions plus a checksum fold — THREE
+  *    stages, zero planning, one action — and the per-group adjacency
+  *    sets it builds are bounded by the small-graph edge bound that
+  *    gates the regime (which is why this is NOT the 100 TB plan: a
+  *    10⁸-degree hub must flow through the big regime's partial
+  *    aggregates and AQE skew splits, never into one task's set).
+  *
+  * Node ids are cast to long on entry (every caller's ids already
+  * are); `component` is therefore always a long column.
   */
 object ConnectedComponents {
+
+  /** splitmix64 finalizer — the order-independent pair hash for the
+    * fixed-point checksum (wrap-around long sum of `mix(a,b)` over the
+    * edge multiset; a collision needs equal count AND equal 64-bit
+    * sum, the same odds the DataFrame regime's xxhash64 sum carries).
+    */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def mixPair(a: Long, b: Long): Long =
+    splitmix64(splitmix64(a) + b)
 
   /** (node, component) for every node that appears in `edges` —
     * component = the smallest node id reachable. Input columns
     * (a, b); self-loops and duplicates are tolerated.
+    * `smallGraphEdgeBound` gates the RDD latency regime (tests pass 0
+    * to force the big-graph AQE plan on small fixtures).
     */
-  def components(edges: DataFrame): DataFrame = {
+  def components(edges: DataFrame,
+      smallGraphEdgeBound: Long = 5000000L): DataFrame = {
     val spark = edges.sparkSession
     // orient (big, small), drop self-loops, dedup — the invariant
     // every round preserves
-    var cur = edges
-      .select(greatest(col("a"), col("b")).as("a"),
-        least(col("a"), col("b")).as("b"))
+    val first = edges
+      .select(greatest(col("a"), col("b")).cast("long").as("a"),
+        least(col("a"), col("b")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
     val nodes = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
       .distinct() // read once at the end — plain lineage is fine
-    // the same pre-planned regime as the PageRank loop: the round
-    // shapes are known and every frame is edge-sized, so while the
-    // edge list is small the loop runs with AQE off and edge-sized
-    // shuffle partitions — per-round scheduling latency, not data,
-    // dominates a doubling iteration on a modest graph. Big graphs
-    // keep AQE (skew splits on hub neighborhoods matter there).
-    val nEdges = cur.count()
-    val smallGraph = nEdges <= 5000000L
-    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    if (smallGraph) {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        math.max(4L, nEdges / 100000L).toString)
-    }
-    var prevSum: java.math.BigDecimal = null
-    var prevCnt = -1L
-    var converged = false
-    var round = 0
-    val maxRounds = 64 // ≫ log₂ of any conceivable node count
-    // one LARGE-STAR + SMALL-STAR double round as a lazy plan:
-    //  - LARGE-STAR: m(u) = min over Γ(u) ∪ {u}; each neighbor v > u
-    //    re-attaches to m. Bidirectional view feeds one min-aggregate
-    //    and one join — map-side combinable, key-equality shuffles;
-    //    the min-tables are node-sized, so the small-graph regime
-    //    broadcasts them (one aggregation exchange plus a map-side
-    //    join, no co-partitioning exchanges). Dup edges between the
-    //    stars are tolerated (min-aggregates and the final distinct
-    //    absorb them) — no intermediate distinct.
-    //  - SMALL-STAR: per big endpoint u over its small neighbors
-    //    Γ⁻(u), m = min(Γ⁻(u)); u and every other small neighbor
-    //    attach to m.
-    def hint(df: DataFrame): DataFrame =
-      if (smallGraph) broadcast(df) else df
+    val nEdges = first.count()
+
+    val fixedPoint =
+      if (nEdges <= smallGraphEdgeBound)
+        smallLoop(spark, first,
+          math.max(4L, nEdges / 100000L).toInt)
+      else bigLoop(first)
+
+    // fixed point: the star forest (node → component min); nodes with
+    // no entry (component minima, isolated nodes) are their own
+    // component
+    nodes.join(fixedPoint, nodes("node") === fixedPoint("a"), "left")
+      .select(col("node"),
+        coalesce(col("b"), col("node")).as("component"))
+  }
+
+  /** The big-graph loop: one LARGE-STAR + SMALL-STAR double round per
+    * materialization, aggregate/join form — min-aggregates are
+    * map-side combinable, joins are key-equality shuffles AQE can
+    * skew-split on hub neighborhoods. Dup edges between the stars are
+    * tolerated (the min-aggregates and the final distinct absorb
+    * them). One action per round: the lazy localCheckpoint is
+    * populated BY the probe aggregate, and the checkpoint boundary
+    * keeps each round's plan linear (starRound references afterLarge
+    * twice, so composing rounds lazily would square the recompute per
+    * level).
+    */
+  private def bigLoop(first: DataFrame): DataFrame = {
     def starRound(in: DataFrame): DataFrame = {
       val bidir = in.select(col("a").as("u"), col("b").as("v"))
         .unionAll(in.select(col("b").as("u"), col("a").as("v")))
       val mins = bidir.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
-      val afterLarge = bidir.join(hint(mins), "u")
+      val afterLarge = bidir.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
@@ -97,7 +134,7 @@ object ConnectedComponents {
         .agg(min("b").as("m"))
       smins
         .select(col("u").as("a"), col("m").as("b"))
-        .unionAll(afterLarge.join(hint(smins),
+        .unionAll(afterLarge.join(smins,
             afterLarge("a") === smins("u"))
           .filter(col("b") =!= col("m"))
           .select(col("b").as("a"), col("m").as("b")))
@@ -106,16 +143,18 @@ object ConnectedComponents {
         .filter(col("a") =!= col("b"))
         .distinct()
     }
-    try {
+    var cur = first
+    var prevSum: java.math.BigDecimal = null
+    var prevCnt = -1L
+    var converged = false
+    var round = 0
+    val maxRounds = 64 // ≫ log₂ of any conceivable node count
     while (!converged && round < maxRounds) {
-      // one star round per materialization: afterLarge is referenced
-      // twice inside a round, so composing rounds lazily multiplies
-      // the inner DAG ~3× per level (measured 5× slower) — the
-      // checkpoint boundary is what keeps each round linear
       val stepped = starRound(cur)
         .localCheckpoint(false) // lazy: the probe below materializes
-      // order-independent fixed-point probe: one action per pair
-      // (hash sum accumulates in decimal — a long would overflow ANSI)
+      // order-independent fixed-point probe riding the materializing
+      // action (hash sum accumulates in decimal — a long would
+      // overflow ANSI)
       val probe = stepped
         .agg(count(lit(1)).as("cnt"),
           coalesce(sum(xxhash64(col("a"), col("b"))
@@ -131,18 +170,82 @@ object ConnectedComponents {
       cur = stepped
       round += 1
     }
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
-      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxRounds rounds")
+    cur
+  }
+
+  /** The small-graph loop: the identical double round over the raw
+    * pair RDD. Per round — ONE job, three stages, zero Catalyst:
+    *
+    *  1. bidirectional flatMap → groupByKey(u): adjacency SETS (local
+    *     dedup — bounded by the regime's edge bound), emit the
+    *     large-star re-attachments (v → min(Γ(u) ∪ {u}) for v > u);
+    *  2. groupByKey(a) over those: small-star re-attachments — the
+    *     big node and every small neighbor attach to the group min;
+    *  3. persist + per-partition (count, hash-sum) fold = the
+    *     fixed-point probe, which is also the materializing action.
+    *
+    * Per-group emission dedups via the local set, so a round's output
+    * multiset is a function of its input's per-key SETS — cross-group
+    * duplicate pairs can survive a round (the set dynamics, and hence
+    * the round trajectory and count, are EXACTLY the DataFrame
+    * regime's distinct()-canonicalized ones), and one round after the
+    * edge SET reaches its fixed point the output multiset repeats
+    * verbatim, which is what the checksum detects. The final
+    * reduceByKey collapses the surviving copies (at the fixed point
+    * every node has exactly one partner — its component min).
+    */
+  private def smallLoop(spark: SparkSession, first: DataFrame,
+      parts: Int): DataFrame = {
+    var cur: RDD[(Long, Long)] = first.rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var prevPersisted: RDD[(Long, Long)] = null
+    var prevChk = 0L
+    var prevCnt = -1L
+    var converged = false
+    var round = 0
+    val maxRounds = 64
+    while (!converged && round < maxRounds) {
+      val bidir = cur.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      val afterLarge = bidir.groupByKey(parts).flatMap { case (u, vs) =>
+        val set = scala.collection.mutable.HashSet.empty[Long]
+        var mn = u
+        vs.foreach { v => set += v; if (v < mn) mn = v }
+        val m = mn
+        set.iterator.filter(v => v > u && v != m).map(v => (v, m))
+      }
+      val stepped = afterLarge.groupByKey(parts).flatMap { case (a, bs) =>
+        val set = scala.collection.mutable.HashSet.empty[Long]
+        var mn = Long.MaxValue
+        bs.foreach { b => set += b; if (b < mn) mn = b }
+        val m = mn
+        Iterator.single((a, m)) ++
+          set.iterator.filter(_ != m).map(b => (b, m))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      val (cnt, chk) = stepped.mapPartitions { it =>
+        var c = 0L
+        var s = 0L
+        it.foreach { case (a, b) => c += 1; s += mixPair(a, b) }
+        Iterator.single((c, s))
+      }.fold((0L, 0L)) { case ((c1, s1), (c2, s2)) => (c1 + c2, s1 + s2) }
+      converged = cnt == prevCnt && chk == prevChk
+      prevCnt = cnt
+      prevChk = chk
+      if (prevPersisted != null) prevPersisted.unpersist(false)
+      prevPersisted = stepped
+      cur = stepped
+      round += 1
     }
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxRounds rounds")
-    // fixed point: cur is the star forest (node → component min);
-    // nodes with no entry (component minima, isolated nodes) are
-    // their own component
-    nodes.join(cur, nodes("node") === cur("a"), "left")
-      .select(col("node"),
-        coalesce(col("b"), col("node")).as("component"))
+    import spark.implicits._
+    val forest = spark.createDataset(
+      cur.reduceByKey((x: Long, y: Long) => math.min(x, y), parts))
+      .toDF("a", "b")
+      .localCheckpoint(true) // edge-sized; frees the loop's RDD cache
+    if (prevPersisted != null) prevPersisted.unpersist(false)
+    forest
   }
 
   /** q155: components of a chain graph over the DENSE customer-key

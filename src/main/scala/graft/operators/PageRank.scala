@@ -85,17 +85,17 @@ object PageRank {
     // src-partitioned edge cache and skew handling matters more than
     // scheduling latency.
     val n = nodes.count() // parameter: |V| (parquet-metadata count)
-    val bcastable = n <= 8000000L
-    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    if (bcastable) {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        math.max(8L, n / 2000L).toString)
-    }
+    // broadcast-regime bound derived from BYTES, not row count: an mw
+    // row is ~24 B payload (~48 B built), so 1M nodes ≈ 50 MB per
+    // broadcast BUILD — and the build re-ships every iteration. Past
+    // that the re-broadcast cost (and driver/executor memory) outgrows
+    // the exchange it saves and is a sizing AQE itself would never
+    // choose; the un-hinted AQE path takes over well before the old
+    // 8M-row bound's hundreds-of-MB-per-round hazard.
+    val bcastable = n <= 1000000L
+    def run(): DataFrame = {
     var ranks = nodes.withColumn("m", lit(1.0))
     var prev: DataFrame = null
-    try {
     // iteration-invariant state, built ONCE (under the loop's plan
     // regime): the RAW edge list, repartitioned by src (the 100 TB
     // layout — the per-iteration join key), the NDV-sized out-degree
@@ -166,10 +166,16 @@ object PageRank {
       dangNodes.unpersist(false)
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), out.schema)
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
-      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
     }
+    // the pre-planned regime runs under the shared loop-conf lock
+    // ([[LoopRegime]]): serialized against other tuned loops, restore
+    // guaranteed — concurrent queries never see a torn half-regime
+    if (bcastable)
+      LoopRegime.withConfs(spark, Map(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" ->
+          math.max(8L, n / 2000L).toString))(run())
+    else run()
   }
 
   /** BUTTERFLY (bipartite 4-cycle) census of the trade graph — the

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{OlapQueries, PageRank, Skew}
+import graft.operators.{ConnectedComponents, OlapQueries, PageRank, Skew}
 
 /** Skew proof harness: the shipped testdata is uniform, so the skew
   * machinery (salting, hub caps, AQE skew splits) never fires there.
@@ -117,6 +117,41 @@ class SkewFixtureSpec extends SparkSpec {
       assert(capped == plain, s"census diverged at cap=$cap")
     }
     pairs.unpersist(false)
+  }
+
+  test("skewed components: hub graph through the big-graph plan equals union-find") {
+    // a 3000-degree hub inside one component, a second component made
+    // of chained blocks, plus isolated-ish pairs — the hub node's
+    // neighborhood is the skew-join case the big regime's scaladoc
+    // claims AQE absorbs. smallGraphEdgeBound = 0 forces the
+    // big-graph groupBy+join loop (the 100 TB plan) onto the fixture.
+    val hub = (2L to 3001L).map(v => (1L, v))
+    val chain = (10000L until 10500L).map(i => (i, i + 1))
+    val pairs = (20000L until 20100L by 2).map(i => (i, i + 1))
+    val es = (hub ++ chain ++ pairs).toSeq
+    val got = ConnectedComponents
+      .components(es.toDF("a", "b"), smallGraphEdgeBound = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // driver union-find replica
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = es.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    assert(got == want)
+    // and the hub really dominates: its degree is >50% of all edges
+    assert(hub.size * 2 > es.size)
   }
 
   test("skewed co-purchase: hot basket and hot part match a driver replica") {

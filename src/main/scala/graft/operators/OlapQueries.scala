@@ -165,20 +165,17 @@ object OlapQueries {
     */
   def quantityPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Percentiles.{Measure, round4}
-    // DOMAIN-BOUND hints (the ANALYZE-published-stat path): retail
-    // quantities are ≤ 50 units, extended price is capped well under
-    // $160k — so the routing decision needs NO measure bytes from the
-    // estimation pass (count + group NDV only). The price NDV hint
-    // says only "near-unique at this corpus scale"; a loose maxQ
-    // bound widens selection buckets, never wrongs the answer.
+    // NO hand-passed hints: the router consults PERSISTED catalog
+    // statistics (GraftAnalyze's sketch ANALYZE, auto-run once per
+    // session on first need) — an analyzed lineitem routes every
+    // measure with ZERO estimation jobs, the estimator's catalog half
+    // making the physical-plan call end to end.
     val rows = Percentiles.percentilesByGroupRoutedRows(
       Tables.load(spark, sfDir, "lineitem"), "l_returnflag", Seq(
         Measure("qty", col("l_quantity"), 1L,
           Seq("p50_qty" -> 0.5, "p95_qty" -> 0.95)),
         Measure("price", col("l_extendedprice"), 100L,
-          Seq("p50_price" -> 0.5))),
-      ndvHints = Map("qty" -> 50L, "price" -> 10000000L),
-      maxQHints = Map("qty" -> 64L, "price" -> 16000000L))
+          Seq("p50_price" -> 0.5))))
     // pivot-to-wide + 4 dp round + sort on the driver: the report is
     // 3 groups × 3 targets, not a job
     val wide = rows.groupBy(_._1).toSeq.map { case (g, ts) =>

@@ -157,6 +157,63 @@ object Percentiles {
       tag -> chooseRoute(s.rows, s.ndv, crossoverRatio, listRowLimit)
     }
 
+  /** The column NAME a measure reads, when it is a plain column
+    * reference (what catalog statistics are keyed by); None for
+    * computed measures, which fall back to the estimation scan.
+    */
+  private def attrName(c: Column): Option[String] =
+    org.apache.spark.sql.GraftColumnBridge.simpleAttrName(c)
+
+  /** [[MeasureStats]] for every measure straight from PERSISTED
+    * catalog statistics — ZERO jobs, the estimator-ANALYZE'd fast
+    * path ([[graft.plans.GraftAnalyze]]). Resolves when `df` is a
+    * single-directory parquet load (the Tables.load shape), every
+    * measure is a plain column reference whose stat carries NDV and a
+    * numeric max, and the group column's NDV is known; with
+    * `autoAnalyze` the first call on an un-analyzed table pays ONE
+    * sketch scan (GraftAnalyze persists the result for the session)
+    * and every later routed query on that table plans for free.
+    *
+    * The catalog NDV is of the RAW column where the estimation scan
+    * sketches the QUANTIZED domain — raw ≥ quantized, so routing from
+    * catalog stats can only deflect a borderline measure from the
+    * counts route toward selection (a conservative, never-wrong
+    * direction: selection survives any NDV).
+    */
+  private[graft] def statsFromCatalog(df: DataFrame,
+      measures: Seq[Measure], groupCol: String,
+      autoAnalyze: Boolean = true): Option[Map[String, MeasureStats]] = {
+    val named = measures.flatMap(m => attrName(m.value).map(m.tag -> _))
+    if (named.size != measures.size) return None
+    val needed = (groupCol +: named.map(_._2)).distinct
+    val stats =
+      if (autoAnalyze) graft.plans.GraftAnalyze.ensureAnalyzed(df, needed)
+      else graft.plans.GraftAnalyze.statsForFrame(df)
+    stats.flatMap { s =>
+      val byTag = named.toMap
+      val resolved = for {
+        rows <- s.rowCount.map(_.toLong)
+        grps <- s.colStats.get(groupCol).flatMap(_.distinctCount)
+          .map(_.toLong)
+        per <- traverse(measures) { m =>
+          for {
+            cs <- s.colStats.get(byTag(m.tag))
+            ndv <- cs.distinctCount.map(_.toLong)
+            mx <- cs.max.flatMap(v => scala.util.Try(v.toDouble).toOption)
+          } yield m.tag -> MeasureStats(rows, ndv,
+            math.round(mx * m.scale), grps)
+        }
+      } yield per.toMap
+      resolved
+    }
+  }
+
+  private def traverse[A, B](xs: Seq[A])(f: A => Option[B])
+      : Option[Seq[B]] = {
+    val out = xs.map(f)
+    if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+  }
+
   /** Estimator-ROUTED exact percentiles: measures whose estimated
     * fixed-point NDV sits below the crossover run through the
     * NDV-sized counts machinery; the rest run as per-group
@@ -209,11 +266,31 @@ object Percentiles {
     // 2^52), so every route sees bit-identical fixed-point values
     val adjusted = measures.map(m =>
       m.copy(value = col(s"__q_${m.tag}").cast("double") / m.scale))
-    val stats = estimateStats(src, adjusted, ndvHints, Some("__grp"),
-      maxQHints)
+    // plan from persisted ANALYZE stats when the source is an
+    // analyzed table (ZERO estimation jobs — the estimator's catalog
+    // half steering the route); the estimation aggregate is the
+    // fallback for derived frames and computed measures. Hints beat
+    // both (caller-known domain bounds cost nothing).
+    val stats = statsFromCatalog(df, measures, groupCol)
+      .map(_.map { case (tag, s) => tag -> s.copy(
+        ndv = ndvHints.getOrElse(tag, s.ndv),
+        maxQ = maxQHints.getOrElse(tag, s.maxQ)) })
+      .getOrElse(estimateStats(src, adjusted, ndvHints, Some("__grp"),
+        maxQHints))
     val routes = stats.map { case (tag, s) =>
       tag -> chooseRoute(s.rows, s.ndv, crossoverRatio, listRowLimit)
     }
+    // the report contract is dimension-scale groups: the output
+    // itself (groups × targets), the counts route's stripe index, and
+    // the selection route's histograms ALL land on the driver sized
+    // by the group count — fail loud past the budget rather than
+    // collecting an unbounded report (the estimate errs by HLL
+    // accuracy, ~2%; the budget has 10× slack over any sane report)
+    val grpsEst = stats.values.headOption.map(_.grps).getOrElse(1L)
+    require(grpsEst <= 65536L,
+      s"~$grpsEst distinct groups in '$groupCol' — the routed " +
+        "percentile report is dimension-scale by contract (<= 65536 " +
+        "groups); bucket or aggregate the group column first")
     // the counts route splits on a second statistic: when the whole
     // counts table is estimated report-sized (groups × NDV ≤ 64k —
     // a bounded domain like units at ANY corpus size), it rides the
@@ -231,11 +308,20 @@ object Percentiles {
         s.ndv == 0L || s.grps <= 65536L / s.ndv
       }
     val listM = adjusted.filter(m => routes(m.tag) == ValueListRoute)
-    val selM = adjusted.filter(m => routes(m.tag) == SelectionRoute)
+    // the selection route's pass-1 histogram (and each probe round)
+    // collects groups × fanout (4096) rows per measure — cap that
+    // driver load like the 65536 exact-counts cap above: past ~256
+    // groups a selection measure falls back to the sharded counts
+    // machinery, whose driver state is the groups-sized stripe index
+    // (already bounded by the report-budget require)
+    val (selM, selOverBudget) = adjusted
+      .filter(m => routes(m.tag) == SelectionRoute)
+      .partition(m => stats(m.tag).grps <= (1L << 20) / 4096L)
     val histItems =
       driverM.map(m => SelItem(m, s"__q_${m.tag}", stats(m.tag).maxQ,
         exactCounts = true)) ++
       selM.map(m => SelItem(m, s"__q_${m.tag}", stats(m.tag).maxQ))
+    val shardedM = multiM ++ selOverBudget
     // each part lands as local (grp, target, result) rows — the report
     // is groups×targets-sized, so the projection cache can release
     // deterministically before returning (finally: a failed route
@@ -244,8 +330,8 @@ object Percentiles {
       (if (histItems.nonEmpty)
         selectionPercentiles(src, "__grp", histItems)
       else Nil) ++
-      (if (multiM.nonEmpty)
-        percentilesByGroupMulti(src, "__grp", multiM).collect().toSeq
+      (if (shardedM.nonEmpty)
+        percentilesByGroupMulti(src, "__grp", shardedM).collect().toSeq
           .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
       else Nil) ++
       (if (listM.nonEmpty)

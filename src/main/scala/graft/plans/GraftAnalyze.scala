@@ -155,4 +155,91 @@ object GraftAnalyze {
       p.getFileSystem(conf).getFileStatus(p).getLen
     }.sum
   }
+
+  // ---------------------------------------------------------------
+  // Path-keyed statistics: the bridge between PATH-loaded frames
+  // (graft.sources.Tables.load — `spark.read.parquet(dir)`) and
+  // persisted CatalogStatistics, so the cardinality estimator can
+  // ROUTE physical plans (Percentiles.percentilesByGroupRouted) with
+  // ZERO estimation jobs once a table has been analyzed. Fixture
+  // directories are immutable for a session (the sharedPairCache
+  // contract); a rewritten path needs a new session or an explicit
+  // re-analyze to refresh its stats.
+  // ---------------------------------------------------------------
+
+  /** Catalog table name for a parquet directory — path-derived and
+    * stable, so every session computes the same name for the same
+    * data.
+    */
+  private[graft] def tableNameFor(path: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    s"graft_stats_$digest"
+  }
+
+  /** The single parquet path backing `df` — the file itself for a
+    * one-file table (the fixture shape: `<sf>/lineitem.parquet` IS a
+    * file), the shared parent directory for a multi-file one (the
+    * production shape). None for joins of several tables, in-memory
+    * frames, or multi-dir reads — those fall back to estimation
+    * scans.
+    */
+  def sourceDir(df: DataFrame): Option[String] = {
+    val files = df.inputFiles
+    if (files.isEmpty) None
+    else if (files.length == 1) Some(files.head)
+    else {
+      val parents = files.map(f =>
+        new org.apache.hadoop.fs.Path(f).getParent.toString).distinct
+      if (parents.length == 1) Some(parents.head) else None
+    }
+  }
+
+  /** Ensure the parquet directory behind `df` is registered as an
+    * external catalog table with persisted sketch statistics covering
+    * `cols` (plus whatever was analyzed before — one merged re-scan
+    * when columns are missing, zero jobs when already covered).
+    * Returns None when `df` isn't a single-directory load or a
+    * requested column isn't a physical column of the table.
+    */
+  def ensureAnalyzed(df: DataFrame, cols: Seq[String])
+      : Option[CatalogStatistics] = sourceDir(df).flatMap { dir =>
+    val spark = df.sparkSession
+    ensureLock.synchronized {
+      val name = tableNameFor(dir)
+      if (!spark.catalog.tableExists(name)) {
+        // schema inferred from the parquet footers: the catalog entry
+        // must carry the FULL on-disk schema (a caller's projection
+        // must not narrow what later callers can analyze)
+        spark.catalog.createTable(name, dir, "parquet")
+      }
+      val physical = spark.table(name).schema.fieldNames.toSet
+      if (!cols.forall(physical.contains)) None
+      else {
+        val existing = GraftColumnBridge.tableStats(spark, name)
+          .filter(_.rowCount.isDefined)
+        val missing = cols.filterNot(c =>
+          existing.exists(_.colStats.contains(c)))
+        if (existing.isDefined && missing.isEmpty) existing
+        else Some(analyze(spark, name,
+          (existing.map(_.colStats.keys.toSeq).getOrElse(Nil) ++ cols)
+            .distinct))
+      }
+    }
+  }
+
+  /** Persisted stats for the table backing `df`, if it has been
+    * analyzed this session (or registered before) — zero jobs.
+    */
+  def statsForFrame(df: DataFrame): Option[CatalogStatistics] =
+    sourceDir(df).flatMap { dir =>
+      val spark = df.sparkSession
+      val name = tableNameFor(dir)
+      if (spark.catalog.tableExists(name))
+        GraftColumnBridge.tableStats(spark, name)
+      else None
+    }
+
+  private val ensureLock = new Object
 }

@@ -37,4 +37,15 @@ object GraftColumnBridge {
     cs.catalog.getTableMetadata(
       cs.sqlParser.parseTableIdentifier(table)).stats
   }
+
+  /** The single column NAME a Column references, when it is a plain
+    * attribute reference (`col("x")`); None for computed expressions.
+    * Lets estimator code key a Column against catalog column
+    * statistics without resolving it against a plan.
+    */
+  def simpleAttrName(c: Column): Option[String] = c.node match {
+    case a: org.apache.spark.sql.internal.UnresolvedAttribute
+        if a.nameParts.length == 1 => Some(a.nameParts.head)
+    case _ => None
+  }
 }

@@ -609,6 +609,56 @@ class PlanSpec extends SparkSpec {
       s"value-list route lost the percentile aggregate:\n$listPlan")
   }
 
+  test("routed percentiles plan from persisted ANALYZE stats: zero jobs") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Percentiles
+    import graft.operators.Percentiles.Measure
+    import graft.sources.Tables
+    val li = Tables.load(spark, sf, "lineitem")
+    val m = Seq(
+      Measure("qty", col("l_quantity"), 1L, Seq("p50_qty" -> 0.5)),
+      Measure("price", col("l_extendedprice"), 100L,
+        Seq("p50_price" -> 0.5)))
+    // first resolution auto-ANALYZEs (one sketch scan, persisted as
+    // CatalogStatistics for the session)
+    val warm = Percentiles.statsFromCatalog(li, m, "l_returnflag")
+    assert(warm.isDefined, "lineitem did not resolve to catalog stats")
+    // …after which the SAME resolution — the whole routing decision —
+    // runs with ZERO Spark jobs
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val cold = Percentiles.statsFromCatalog(li, m, "l_returnflag")
+      Thread.sleep(500) // listener bus is async; drain before reading
+      assert(cold === warm)
+      assert(jobs.get() === 0,
+        s"catalog-stats routing ran ${jobs.get()} jobs — expected none")
+    } finally sc.removeSparkListener(listener)
+    // the resolved numbers are the data's (not placeholder zeros)
+    val s = warm.get("qty")
+    assert(s.rows === li.count())
+    assert(s.grps === 3L, "3 returnflags") // HLL is exact at NDV 3
+    assert(s.maxQ >= 40L && s.maxQ <= 50L, s"qty maxQ = ${s.maxQ}")
+    assert(s.ndv >= 40L && s.ndv <= 55L, s"qty ndv = ${s.ndv}")
+    // a derived frame (no single backing directory) does NOT resolve —
+    // the estimation-scan fallback stays in charge there
+    import spark.implicits._
+    val derived = Seq(("a", 1L)).toDF("g", "v")
+    assert(Percentiles.statsFromCatalog(derived,
+      Seq(Measure("m", col("v"), 1L, Seq("p50" -> 0.5))), "g").isEmpty)
+    // and a computed measure falls back even on the analyzed table
+    assert(Percentiles.statsFromCatalog(li,
+      Seq(Measure("m", col("l_quantity") * 2, 1L, Seq("p50" -> 0.5))),
+      "l_returnflag").isEmpty)
+  }
+
   test("q147: a-priori semi-join prunes baskets before the pair self-join") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, lit}

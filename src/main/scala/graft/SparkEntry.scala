@@ -448,14 +448,12 @@ object SparkEntry {
     "q45_big_spenders" -> (operators.SqlQueries.bigSpenders _),
     "q36_cube_orders" -> (operators.OlapQueries.cubeOrders _),
     "q37_orders_by_month" -> (operators.OlapQueries.ordersByMonth _),
-    // rows-only: stub decoder output is Spark-side (typed mapPartitions
-    // batch pass); schema/batch shape tested in MultimodalSpec.
-    "q34_media_features" -> ((s: SparkSession, d: String) =>
-      multimodal.Multimodal.extractFeatures(
-        multimodal.Multimodal.mediaTable(s, d)).toDF()
-        .select(col("media_id"), col("media_type"), col("n_bytes"),
-          round(element_at(col("feat"), 1), 4).as("feat0"))
-        .orderBy("media_id"))
+    // REAL audio decode: RIFF/WAVE PCM chunk walk over deterministic
+    // synthesis — the oracle replays the integer feature arithmetic
+    // from text while Spark parses the actual bytes (q101's pattern,
+    // audio edition). The stub-codec batch plumbing stays spec-covered
+    // in MultimodalSpec.
+    "q34_media_features" -> (multimodal.Multimodal.audioFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1728,6 +1726,25 @@ object SparkEntry {
         |FROM packed
         |GROUP BY pack_id
         |ORDER BY pack_id""".stripMargin,
+    // replays the audio SYNTHESIS (first 256 text chars → 16-bit PCM
+    // via s = ascii·256 − 32768) as integer aggregates — Spark's side
+    // parses the actual RIFF/WAVE bytes, so the two agree only if the
+    // chunk walk, little-endian reads, and sign extension are right
+    "q34_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  8000 + (doc_id % 3) * 4000 AS sample_rate,
+        |  CAST(len(t) AS BIGINT) AS n_samples,
+        |  CAST(list_aggregate(
+        |    [ascii(substr(t, i, 1)) * 256 - 32768
+        |     for i in range(1, len(t) + 1)], 'sum') AS BIGINT)
+        |    AS sum_samples,
+        |  CAST(list_aggregate(
+        |    [abs(ascii(substr(t, i, 1)) * 256 - 32768)
+        |     for i in range(1, len(t) + 1)], 'max') AS BIGINT)
+        |    AS peak_abs
+        |FROM (SELECT doc_id, substr(text, 1, 256) AS t
+        |      FROM documents WHERE doc_id % 3 = 1 AND len(text) >= 1)
+        |ORDER BY media_id""".stripMargin,
     // replays the image SYNTHESIS (pad/truncate text to the 8×8 RGB
     // raster) and averages each channel stride — Spark's side parses
     // the actual PPM bytes, so the two agree only if the decoder

@@ -122,6 +122,98 @@ object Multimodal {
     }
   }
 
+  /** A REAL audio codec — RIFF/WAVE PCM, pure JVM bytes: RIFF magic,
+    * a tolerant CHUNK WALK (fmt need not be first; unknown chunks like
+    * LIST/INFO skip by their declared size, odd sizes pad per spec),
+    * then 16-bit little-endian PCM samples from the data chunk. WAV is
+    * a genuine interchange format (sox/ffmpeg read the same bytes) —
+    * the audio sibling of [[PpmCodec]], making the "decode" step real
+    * where heavier codecs (MP3/FLAC) would need libs this container
+    * lacks. Features are INTEGER-exact (count, sum, peak absolute
+    * amplitude) so an oracle can replay them with no float jitter.
+    * Malformed payloads (wrong magic, non-PCM, truncated data,
+    * 8/24-bit) return None — a decode pass over a dirty corpus must
+    * skip, not die.
+    */
+  object WavCodec {
+    case class Decoded(sampleRate: Int, nSamples: Int,
+        sumSamples: Long, peakAbs: Int)
+
+    /** Mono 16-bit PCM encode — the synthesis half (and the spec's
+      * roundtrip witness).
+      */
+    def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII"))
+      bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII"))
+      bb.putInt(16) // PCM fmt chunk length
+      bb.putShort(1) // format tag: PCM
+      bb.putShort(1) // channels: mono
+      bb.putInt(sampleRate)
+      bb.putInt(sampleRate * 2) // byte rate
+      bb.putShort(2) // block align
+      bb.putShort(16) // bits per sample
+      bb.put("data".getBytes("US-ASCII"))
+      bb.putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    def decode(payload: Array[Byte]): Option[Decoded] = {
+      def ascii(at: Int, s: String): Boolean =
+        (0 until s.length).forall(k => payload(at + k) == s.charAt(k))
+      def leInt(at: Int): Int =
+        (payload(at) & 0xFF) | ((payload(at + 1) & 0xFF) << 8) |
+          ((payload(at + 2) & 0xFF) << 16) | ((payload(at + 3) & 0xFF) << 24)
+      def leShort(at: Int): Int =
+        (payload(at) & 0xFF) | ((payload(at + 1) & 0xFF) << 8)
+      if (payload.length < 12 || !ascii(0, "RIFF") || !ascii(8, "WAVE"))
+        return None
+      var pos = 12
+      var fmtPcm16Mono = false
+      var rate = -1
+      var data = -1 // data chunk payload offset
+      var dataLen = -1
+      while (pos + 8 <= payload.length) {
+        val size = leInt(pos + 4)
+        if (size < 0) return None
+        val body = pos + 8
+        if (body + size > payload.length) {
+          // truncated chunk: a data chunk promising more bytes than
+          // exist is the classic corrupt-file shape
+          return None
+        }
+        if (ascii(pos, "fmt ") && size >= 16) {
+          fmtPcm16Mono = leShort(body) == 1 && leShort(body + 2) == 1 &&
+            leShort(body + 14) == 16
+          rate = leInt(body + 4)
+        } else if (ascii(pos, "data")) {
+          data = body
+          dataLen = size
+        }
+        pos = body + size + (size & 1) // RIFF pads odd chunks
+      }
+      if (!fmtPcm16Mono || rate <= 0 || data < 0) return None
+      val n = dataLen / 2
+      var i = data
+      var sum = 0L
+      var peak = 0
+      val end = data + n * 2
+      while (i < end) {
+        val s = (leShort(i) << 16) >> 16 // sign-extend
+        sum += s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        i += 2
+      }
+      Some(Decoded(rate, n, sum, peak))
+    }
+  }
+
   /** The media table, synthesized from documents (text bytes play the
     * payload role — the testdata ships no real media). Demonstrates
     * the schema contract: id + type tag + binary + declared metadata.
@@ -220,6 +312,54 @@ object Multimodal {
         round(col("mean_r"), 4).as("mean_r"),
         round(col("mean_g"), 4).as("mean_g"),
         round(col("mean_b"), 4).as("mean_b"))
+      .orderBy("media_id")
+  }
+
+  /** An audio corpus with VALID RIFF/WAVE payloads: each "audio" doc's
+    * first `maxSamples` text chars become mono 16-bit PCM samples via
+    * the affine map s = ascii·256 − 32768, at a doc-derived sample
+    * rate — deterministic synthesis, so the decode pass is
+    * oracle-replayable: DuckDB recomputes (n, Σs, peak|s|) straight
+    * from the text arithmetic while Spark's side actually parses the
+    * RIFF bytes — a mis-walked chunk, wrong endianness, or bad sign
+    * extension shifts every feature and fails the hash compare.
+    */
+  def audioTable(spark: SparkSession, sfDir: String,
+      maxSamples: Int = 256): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 1 &&
+        length(col("text")) >= 1)
+      .select(col("doc_id"),
+        substring(col("text"), 1, maxSamples).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val samples = t.toCharArray.map(c =>
+          ((c.toInt & 0xFF) * 256 - 32768).toShort)
+        val rate = (8000L + (id % 3L) * 4000L).toInt
+        (id, WavCodec.encode(rate, samples))
+      }.toDF("media_id", "payload")
+  }
+
+  /** q34: batched REAL audio decode over [[audioTable]] — per-clip
+    * sample rate, sample count, amplitude sum, and peak amplitude from
+    * [[WavCodec.decode]]; same mapPartitions batch shape as
+    * [[extractFeatures]], undecodable payloads skipped. All-BIGINT
+    * output (integer-exact features — no float jitter between engines).
+    */
+  def audioFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, sfDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.iterator.flatMap { case (id, bytes) =>
+          WavCodec.decode(bytes).map(d =>
+            (id, d.sampleRate.toLong, d.nSamples.toLong, d.sumSamples,
+              d.peakAbs.toLong))
+        })
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "sum_samples",
+        "peak_abs")
       .orderBy("media_id")
   }
 

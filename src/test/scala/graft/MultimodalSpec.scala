@@ -91,6 +91,57 @@ class MultimodalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("WavCodec round-trips and rejects malformed payloads") {
+    import graft.multimodal.Multimodal.WavCodec
+    val samples = Array.tabulate(100)(i =>
+      ((i * 997 + 13) % 65536 - 32768).toShort)
+    val wav = WavCodec.encode(16000, samples)
+    val d = WavCodec.decode(wav).get
+    assert(d.sampleRate == 16000 && d.nSamples == 100)
+    assert(d.sumSamples == samples.map(_.toLong).sum)
+    assert(d.peakAbs == samples.map(s => math.abs(s.toInt)).max)
+    // chunk-walk tolerance: an unknown (odd-sized, hence padded) LIST
+    // chunk between fmt and data must be skipped, not tripped over
+    val header = wav.take(36) // RIFF..fmt chunk
+    val data = wav.drop(36)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // size 3 + pad
+    val withList = header ++ listChunk ++ data
+    assert(WavCodec.decode(withList).contains(d))
+    // malformed classes: wrong magic, truncated data chunk, non-PCM
+    // format tag, stereo/8-bit (not the mono-16 contract), no data
+    assert(WavCodec.decode("RIFX".getBytes ++ wav.drop(4)).isEmpty)
+    assert(WavCodec.decode(wav.dropRight(1)).isEmpty)
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // format tag -> IEEE float
+    assert(WavCodec.decode(nonPcm).isEmpty)
+    val eightBit = wav.clone(); eightBit(34) = 8
+    assert(WavCodec.decode(eightBit).isEmpty)
+    assert(WavCodec.decode(wav.take(36)).isEmpty) // fmt but no data
+    assert(WavCodec.decode(Array.empty[Byte]).isEmpty)
+    // zero samples is a VALID wav (n = 0, sums 0)
+    val empty = WavCodec.decode(WavCodec.encode(8000, Array.empty)).get
+    assert(empty.nSamples == 0 && empty.sumSamples == 0L &&
+      empty.peakAbs == 0)
+  }
+
+  test("audioFeatures: real RIFF parse agrees with the synthesis arithmetic") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => d._1 % 3 == 1 && d._2.nonEmpty)
+    val expected = docs.map { case (id, text) =>
+      val s = text.take(256).map(c => (c.toInt & 0xFF) * 256 - 32768)
+      (id, 8000L + (id % 3) * 4000L, s.length.toLong,
+        s.map(_.toLong).sum, s.map(v => math.abs(v).toLong).max)
+    }.sortBy(_._1).toSeq
+    val got = graft.multimodal.Multimodal.audioFeatures(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("payload pruning: metadata-only projection skips the binary column") {
     val plan = Multimodal.mediaTable(spark, sf).toDF()
       .select("media_id", "declared_bytes")

@@ -145,6 +145,99 @@ object RecordStream {
         RecordFilePartition(s.getPath.toString, s.getLen))
       .toMap
   }
+
+  /** Content key of a payload for the data-skipping manifest — FNV-1a
+    * 64 over the raw bytes. Derivable from the payload ALONE, so the
+    * write side (hashing records as they stream out) and the scan
+    * planner (hashing a pushed equality literal) agree without any
+    * stored per-record key; record framing stays TFRecord-compatible.
+    */
+  def payloadKey(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}
+
+/** Per-file data-skipping manifest for record-stream directories — the
+  * file-level bloom index of table formats (Layout.bloomManifest's
+  * machinery applied to the engine's own source): every batch write
+  * also records, per emitted file, its record count and a bloom bitset
+  * of the payload content keys, in a `_manifest-<queryId>.json`
+  * sidecar (underscore-prefixed → never listed as data; one sidecar
+  * per append, merged at read). The SCAN PLANNER consults the merged
+  * manifest against pushed `value = X` equality literals and prunes
+  * whole FILES before any task launches; files without coverage
+  * (hand-written dirs, pre-manifest data) are always read — no false
+  * negatives by construction, false positives bounded by the sketch's
+  * FPR and caught by the residual filter Spark still applies.
+  */
+object RecordManifest {
+  import graft.functions.BloomKernel
+
+  val NumBits: Int = 1 << 17
+  val NumHashes: Int = 5
+
+  final case class FileEntry(nRecords: Long, bloom: Array[Byte])
+
+  def manifestName(queryId: String): String = s"_manifest-$queryId.json"
+
+  def write(fs: FileSystem, dir: String, queryId: String,
+      entries: Seq[(String, FileEntry)]): Unit = {
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build()
+    val root = mapper.createObjectNode()
+    entries.foreach { case (name, e) =>
+      val n = root.putObject(name)
+      n.put("n", e.nRecords)
+      n.put("bloom", java.util.Base64.getEncoder.encodeToString(e.bloom))
+    }
+    val out = fs.create(new Path(dir, manifestName(queryId)), true)
+    try out.write(root.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** All manifest sidecars under `dir`, merged (file names are
+    * queryId-unique across appends, so entries never conflict).
+    */
+  def readAll(dir: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Map[String, FileEntry] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Map.empty
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build()
+    fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_manifest-"))
+      .flatMap { s =>
+        val in = fs.open(s.getPath)
+        val node =
+          try mapper.readTree(in)
+          finally in.close()
+        val it = node.fields()
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(String, FileEntry)]
+        while (it.hasNext) {
+          val e = it.next()
+          buf += e.getKey -> FileEntry(e.getValue.get("n").asLong(),
+            java.util.Base64.getDecoder
+              .decode(e.getValue.get("bloom").asText()))
+        }
+        buf
+      }.toMap
+  }
+
+  /** Might file `entry` contain a payload with any of `keys`? */
+  def mightContain(entry: FileEntry, keys: Seq[Long]): Boolean = {
+    if (entry.nRecords == 0L) return false
+    val (bits, numBits, numHashes) = BloomKernel.deserialize(entry.bloom)
+    keys.exists(k => BloomKernel.contains(bits, numBits, numHashes, k))
+  }
 }
 
 /** DataSource V2 connector for record-stream files (SURVEY.md §2.1 S2
@@ -209,11 +302,43 @@ final case class RecordFilePartition(path: String, bytes: Long)
   extends InputPartition
 
 class RecordStreamScanBuilder(dir: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = RecordStream.schema
+  private var skipFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  private var skipKeys: Option[Seq[Long]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Payload-equality filters feed FILE pruning through the bloom
+    * manifest ([[RecordManifest]]); everything — including the
+    * accepted ones — stays residual (returned for Spark to re-apply),
+    * because manifest skipping is best-effort metadata pruning with
+    * bloom false positives, never row-level evaluation.
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val keyed = filters.collect {
+      case f @ EqualTo("value", b: Array[Byte]) =>
+        f -> Seq(RecordStream.payloadKey(b))
+      case f @ In("value", vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]]) =>
+        f -> vs.toSeq.map(v =>
+          RecordStream.payloadKey(v.asInstanceOf[Array[Byte]]))
+    }
+    if (keyed.nonEmpty) {
+      skipFilters = keyed.map(_._1)
+      skipKeys = Some(keyed.flatMap(_._2).toSeq)
+    }
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    skipFilters
 
   override def build(): Scan = {
     val session = org.apache.spark.sql.SparkSession.active
@@ -222,17 +347,34 @@ class RecordStreamScanBuilder(dir: String)
     // same knob file sources use to de-bias compressed on-disk sizes
     // before they feed broadcast decisions
     val compressionFactor = session.sessionState.conf.fileCompressionFactor
-    new RecordStreamScan(dir, required, conf, compressionFactor)
+    new RecordStreamScan(dir, required, conf, compressionFactor, skipKeys)
   }
 }
 
 class RecordStreamScan(dir: String, required: StructType,
-    conf: SerializableConfiguration, compressionFactor: Double)
+    conf: SerializableConfiguration, compressionFactor: Double,
+    skipKeys: Option[Seq[Long]] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
-  private lazy val files: Array[RecordFilePartition] =
+  private lazy val allFiles: Array[RecordFilePartition] =
     RecordStream.listVisibleFiles(dir, conf.value)
       .toArray.sortBy(_._1).map(_._2)
+
+  /** Files surviving manifest pruning: a PLANNER step — the merged
+    * manifest (files-sized metadata) probes on the driver before any
+    * task launches, exactly where table formats evaluate their
+    * data-skipping indexes. Files without manifest coverage always
+    * survive (no false negatives).
+    */
+  private lazy val files: Array[RecordFilePartition] = skipKeys match {
+    case None => allFiles
+    case Some(keys) =>
+      val manifest = RecordManifest.readAll(dir, conf.value)
+      allFiles.filter { f =>
+        val name = new Path(f.path).getName
+        manifest.get(name).forall(RecordManifest.mightContain(_, keys))
+      }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -266,7 +408,12 @@ class RecordStreamScan(dir: String, required: StructType,
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 
-  override def description(): String = s"recordstream $dir"
+  override def description(): String = skipKeys match {
+    case None => s"recordstream $dir"
+    case Some(_) =>
+      s"recordstream $dir [manifest-pruned: ${files.length}/" +
+        s"${allFiles.length} files]"
+  }
 }
 
 /** Offset = the sorted set of file names already processed,
@@ -406,7 +553,8 @@ class RecordStreamWriteBuilder(dir: String, gzip: Boolean,
   }
 }
 
-final case class RecordFileCommit(tempPath: String, finalName: String)
+final case class RecordFileCommit(tempPath: String, finalName: String,
+    nRecords: Long, bloom: Array[Byte])
   extends WriterCommitMessage
 
 class RecordStreamWrite(dir: String, gzip: Boolean, truncate: Boolean,
@@ -429,7 +577,7 @@ class RecordStreamWrite(dir: String, gzip: Boolean, truncate: Boolean,
       }
     }
     fs.mkdirs(base)
-    messages.foreach { case RecordFileCommit(temp, name) =>
+    messages.foreach { case RecordFileCommit(temp, name, _, _) =>
       val src = new Path(temp)
       // a silent rename failure would lose a committed partition —
       // fail the job instead
@@ -437,6 +585,13 @@ class RecordStreamWrite(dir: String, gzip: Boolean, truncate: Boolean,
         throw new java.io.IOException(
           s"recordstream commit: could not move $temp to $name")
     }
+    // the data-skipping sidecar: per-file record counts + payload-key
+    // blooms, written AFTER the renames so a manifest never references
+    // a file that failed to land
+    RecordManifest.write(fs, dir, queryId, messages.toSeq.map {
+      case RecordFileCommit(_, name, n, bloom) =>
+        name -> RecordManifest.FileEntry(n, bloom)
+    })
     // clean the staging dir if empty
     val staging = new Path(base, ".staging")
     if (fs.exists(staging) && fs.listStatus(staging).isEmpty)
@@ -446,9 +601,10 @@ class RecordStreamWrite(dir: String, gzip: Boolean, truncate: Boolean,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val base = new Path(dir)
     val fs = base.getFileSystem(conf.value)
-    messages.filter(_ != null).foreach { case RecordFileCommit(temp, _) =>
-      val p = new Path(temp)
-      if (fs.exists(p)) fs.delete(p, false)
+    messages.filter(_ != null).foreach {
+      case RecordFileCommit(temp, _, _, _) =>
+        val p = new Path(temp)
+        if (fs.exists(p)) fs.delete(p, false)
     }
   }
 }
@@ -472,15 +628,27 @@ class RecordStreamWriter(dir: String, gzip: Boolean, queryId: String,
     new Path(new Path(dir, ".staging"), f"$finalName-attempt-$taskId")
   private val fs = tempPath.getFileSystem(conf.value)
   private val out = RecordStream.openWrite(fs.create(tempPath, true), gzip)
+  // the file's data-skipping state, built as records stream out: one
+  // payload-key bloom + record count per file (16 KiB of bitset)
+  private val bloomBits =
+    new Array[Long]((RecordManifest.NumBits + 63) / 64)
+  private var nRecords = 0L
 
-  override def write(row: InternalRow): Unit =
-    RecordStream.writeRecord(out, row.getBinary(0))
+  override def write(row: InternalRow): Unit = {
+    val payload = row.getBinary(0)
+    RecordStream.writeRecord(out, payload)
+    graft.functions.BloomKernel.set(bloomBits, RecordManifest.NumBits,
+      RecordManifest.NumHashes, RecordStream.payloadKey(payload))
+    nRecords += 1L
+  }
 
   override def commit(): WriterCommitMessage = {
     out.close()
     // empty partitions still commit their (empty) file — a reread of
     // the directory must not depend on which partitions had rows
-    RecordFileCommit(tempPath.toString, finalName)
+    RecordFileCommit(tempPath.toString, finalName, nRecords,
+      graft.functions.BloomKernel.serialize(bloomBits,
+        RecordManifest.NumBits, RecordManifest.NumHashes))
   }
 
   override def abort(): Unit = {

@@ -53,9 +53,11 @@ class RecordStreamSpec extends SparkSpec {
   test("uncompressed roundtrip; file naming reflects the codec") {
     val dir = tmpDir("plain")
     writePayloads(dir, 10, parts = 1, compression = "none")
-    // ignore Hadoop LocalFileSystem's hidden .crc sidecars
+    // ignore Hadoop LocalFileSystem's hidden .crc sidecars and the
+    // "_"-prefixed manifest (metadata, not data — the source's own
+    // visible-file contract)
     val files = new java.io.File(dir).listFiles().map(_.getName)
-      .filterNot(_.startsWith("."))
+      .filterNot(f => f.startsWith(".") || f.startsWith("_"))
     assert(files.nonEmpty &&
       files.forall(f => f.endsWith(".records") && !f.endsWith(".gz")))
     val n = spark.read.format("recordstream").load(dir).count()
@@ -63,7 +65,7 @@ class RecordStreamSpec extends SparkSpec {
     val gzDir = tmpDir("gz")
     writePayloads(gzDir, 10, parts = 1)
     val gzFiles = new java.io.File(gzDir).listFiles().map(_.getName)
-      .filterNot(_.startsWith("."))
+      .filterNot(f => f.startsWith(".") || f.startsWith("_"))
     assert(gzFiles.nonEmpty && gzFiles.forall(_.endsWith(".records.gz")))
   }
 
@@ -144,7 +146,8 @@ class RecordStreamSpec extends SparkSpec {
     val dir = tmpDir("statsf")
     writePayloads(dir, 50, parts = 1)
     val onDisk = new java.io.File(dir).listFiles()
-      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
       .map(_.length()).sum
     spark.conf.set("spark.sql.sources.fileCompressionFactor", "3.0")
     try {
@@ -170,7 +173,8 @@ class RecordStreamSpec extends SparkSpec {
     val dir = tmpDir("stats")
     writePayloads(dir, 50, parts = 2)
     val onDisk = new java.io.File(dir).listFiles()
-      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
       .map(_.length()).sum
     val rel = spark.read.format("recordstream").load(dir)
     val size = rel.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -211,6 +215,71 @@ class RecordStreamSpec extends SparkSpec {
     assert(back.names.toSet == o.names.toSet)
     assert(RecordFilesOffset.fromJson(
       RecordFilesOffset(Nil).json()).names.isEmpty)
+  }
+
+  test("manifest pruning: a point lookup plans a minority of files") {
+    val dir = tmpDir("skip")
+    // 12 files, payloads disjoint by construction (repartition hashes
+    // rows arbitrarily but every payload lands in exactly one file)
+    writePayloads(dir, 600, parts = 12)
+    val target = encode(lit("rec-123"), "UTF-8")
+    val unpruned = spark.read.format("recordstream").load(dir)
+      .select(decode(col("value"), "UTF-8").as("s"))
+      .as[String].collect().filter(_ == "rec-123").toSeq
+    val lookup = spark.read.format("recordstream").load(dir)
+      .filter(col("value") === target)
+    // PLANNER metric: one read partition per surviving file — the
+    // bloom probe must keep ~1 file (FPR at 600 keys in 2^17 bits is
+    // ~0, but allow a couple) out of 12
+    val planned = lookup.rdd.getNumPartitions
+    assert(planned >= 1 && planned <= 3,
+      s"point lookup planned $planned of 12 files")
+    // the plan ADVERTISES the pruning (explain shows the pushed
+    // filter and the pruned file count)
+    val plan = lookup.queryExecution.executedPlan.toString
+    assert(plan.contains("manifest-pruned"),
+      s"scan description must report pruning:\n$plan")
+    // pruned ≡ unpruned results
+    val got = lookup.select(decode(col("value"), "UTF-8").as("s"))
+      .as[String].collect().toSeq
+    assert(got == unpruned && got == Seq("rec-123"))
+    // a MISSING key prunes everything (bloom has no false negatives,
+    // so zero survivors is a correct plan, and the scan returns empty)
+    val miss = spark.read.format("recordstream").load(dir)
+      .filter(col("value") === encode(lit("no-such-record"), "UTF-8"))
+    assert(miss.count() == 0L)
+    // IN-lists prune too, to the union of candidate files
+    val inq = spark.read.format("recordstream").load(dir)
+      .filter(col("value").isin(
+        encode(lit("rec-7"), "UTF-8"), encode(lit("rec-400"), "UTF-8")))
+    assert(inq.rdd.getNumPartitions <= 4)
+    assert(inq.select(decode(col("value"), "UTF-8").as("s"))
+      .as[String].collect().toSet == Set("rec-7", "rec-400"))
+  }
+
+  test("manifest pruning: uncovered files always survive (no manifest, no skips)") {
+    val dir = tmpDir("nomanifest")
+    // hand-written file, no manifest sidecar — the pre-manifest shape
+    val f = Paths.get(dir, "part-00000.records").toString
+    val out = new DataOutputStream(new FileOutputStream(f))
+    RecordStream.writeRecord(out, "legacy-a".getBytes("UTF-8"))
+    RecordStream.writeRecord(out, "legacy-b".getBytes("UTF-8"))
+    out.close()
+    val lookup = spark.read.format("recordstream").load(dir)
+      .filter(col("value") === encode(lit("legacy-b"), "UTF-8"))
+    assert(lookup.rdd.getNumPartitions == 1,
+      "uncovered files must not be pruned")
+    assert(lookup.select(decode(col("value"), "UTF-8").as("s"))
+      .as[String].collect().toSeq == Seq("legacy-b"))
+    // overwrite drops stale manifests along with the data files
+    writePayloads(dir, 4, parts = 2)
+    (0 until 4).map(i => s"fresh-$i").toDF("s").repartition(2)
+      .select(encode(col("s"), "UTF-8").as("value"))
+      .write.format("recordstream").mode("overwrite").save(dir)
+    val manifests = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("_manifest-"))
+    assert(manifests.length == 1,
+      s"overwrite must leave exactly the new manifest: ${manifests.toSeq}")
   }
 
   test("q108 recordstream aggregate equals the parquet-side aggregate") {

@@ -435,6 +435,12 @@ object SparkEntry {
     // refuse; components analytically known, hence SQL-oracle-able
     "q155_connected_components" -> ((s: SparkSession, d: String) =>
       operators.ConnectedComponents.chainComponents(s, d)),
+    // incremental resolution: "yesterday's" half-block chains merge
+    // "today's" bridge edges through the condensed label graph — the
+    // base edges are never re-read; components are analytically the
+    // doubled blocks, so plain SQL oracles a two-phase incremental run
+    "q157_incremental_components" -> ((s: SparkSession, d: String) =>
+      operators.ConnectedComponents.incrementalChainComponents(s, d)),
     // linear text classifier trained IN the engine: standardized
     // hashed-TF shares, 5 batch-GD steps, every engine-crossing
     // parameter (μ, σ, avg-gradients) rounded 6 dp — the whole
@@ -3013,6 +3019,21 @@ object SparkEntry {
     // chain components are analytically the custkey's 1000-block: the
     // oracle derives them arithmetically while the engine runs the
     // real doubling iteration — exactness proves the graph algorithm
+    // merged components = 1200-blocks of the dense key space (a tail
+    // half-block with no bridge keeps its half component, which the
+    // 1200-grouping yields too — see incrementalChainComponents)
+    "q157_incremental_components" ->
+      """WITH n AS (
+        |  SELECT c_custkey AS node,
+        |    c_custkey // 1200 AS blk
+        |  FROM customer),
+        |s AS (
+        |  SELECT blk, min(node) AS component,
+        |    CAST(count(*) AS BIGINT) AS component_size
+        |  FROM n GROUP BY blk)
+        |SELECT node, component, component_size
+        |FROM n JOIN s USING (blk)
+        |ORDER BY node""".stripMargin,
     "q155_connected_components" ->
       """WITH n AS (
         |  SELECT c_custkey AS node,

@@ -248,6 +248,63 @@ object ConnectedComponents {
     forest
   }
 
+  /** INCREMENTAL resolution: merge a batch of NEW edges into an
+    * existing complete labeling WITHOUT re-resolving the base graph —
+    * the daily-reingest path of a 100 TB dedup pipeline, where
+    * resolve-from-scratch over the full edge history is the cost that
+    * grows without bound while each day's batch stays flat.
+    *
+    * The resolved labeling is a star forest whose representative is
+    * the component MIN, so the union graph's components follow from
+    * the CONDENSED graph alone: map each new edge's endpoints to
+    * their existing labels (new nodes label themselves), run the
+    * contraction over those label-space edges — a batch-sized graph,
+    * regardless of corpus size — and compose: every old label
+    * rewrites through the condensed result, untouched components pass
+    * through. Min-composes exactly because each old representative IS
+    * its component's min node: min over merged representatives = min
+    * over all member nodes. Cost shape at scale: two key-equality
+    * joins of the batch against the labels table (co-partitionable on
+    * node id), a contraction over O(|batch|) edges, and ONE
+    * label-space join to rewrite — the base edge list is never read.
+    *
+    * `labels`: (node, component) covering every node of the base
+    * graph (what [[components]] emits). `newEdges`: (a, b), may
+    * reference unseen nodes. Returns the complete labeling of the
+    * union graph, identical to a from-scratch resolve (spec-proven).
+    */
+  def mergeComponents(labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val l = labels.select(col("node").cast("long").as("node"),
+      col("component").cast("long").as("component"))
+    val e = newEdges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    // endpoints → existing labels; unseen endpoints are their own label
+    val la = e.join(l.select(col("node").as("na"), col("component").as("ca")),
+        e("a") === col("na"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"), col("b"))
+    val condensed = la.join(
+        l.select(col("node").as("nb"), col("component").as("cb")),
+        la("b") === col("nb"), "left")
+      .select(col("a"), coalesce(col("cb"), col("b")).as("b"))
+    // contraction over the batch-sized label graph: old-rep/new-node →
+    // merged component min
+    val rel = components(condensed)
+      .select(col("node").as("rl"), col("component").as("rc"))
+      .localCheckpoint(true) // tiny; read by two joins below
+    // old labels rewrite through the condensed result (untouched
+    // components miss the join and pass through)
+    val rewritten = l.join(rel, l("component") === col("rl"), "left")
+      .select(col("node"),
+        coalesce(col("rc"), col("component")).as("component"))
+    // genuinely new nodes = condensed-graph nodes absent from the base
+    // labeling (old representatives ARE base nodes, so the anti join
+    // keeps exactly the unseen ids)
+    val newNodes = rel.join(l.select(col("node").as("seen")),
+        col("rl") === col("seen"), "left_anti")
+      .select(col("rl").as("node"), col("rc").as("component"))
+    rewritten.unionAll(newNodes)
+  }
+
   /** q155: components of a chain graph over the DENSE customer-key
     * space — chains of `chainLen` consecutive custkeys plus skip-2
     * shortcut edges (same components, irregular degrees). Chain
@@ -281,6 +338,37 @@ object ConnectedComponents {
     val sizes = comp.groupBy("component")
       .agg(count(lit(1)).as("component_size"))
     comp.join(sizes, "component")
+      .select(col("node"), col("component"), col("component_size"))
+      .orderBy("node")
+  }
+
+  /** q157: INCREMENTAL resolution end to end — "yesterday" resolved
+    * half-block chains (chainLen = `half`, the [[chainComponents]]
+    * machinery), "today" ingests only the BRIDGE edges joining each
+    * even half-block to its successor, and [[mergeComponents]] folds
+    * them into the existing labels without re-reading the base edges.
+    * The merged components are analytically the 2·half blocks (dense
+    * 0-based custkeys; a tail block missing its bridge simply keeps
+    * its half-block component, which the block-of-2·half grouping
+    * also yields), so a plain-SQL oracle checks a two-phase
+    * incremental computation. Output: (node, component,
+    * component_size), the q155 shape over the MERGED graph.
+    */
+  def incrementalChainComponents(spark: SparkSession, sfDir: String,
+      half: Long = 600L): DataFrame = {
+    val labels = chainComponents(spark, sfDir, chainLen = half)
+      .select("node", "component")
+    val c = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("k"))
+    // today's batch: (k, k+1) at every even→odd half-block boundary,
+    // kept only when the far endpoint exists
+    val bridges = c.filter(pmod(col("k"), lit(2L * half)) === half - 1L)
+      .select(col("k").as("a"), (col("k") + 1L).as("b"))
+      .join(c.select(col("k").as("b")), Seq("b"), "left_semi")
+    val merged = mergeComponents(labels, bridges)
+    val sizes = merged.groupBy("component")
+      .agg(count(lit(1)).as("component_size"))
+    merged.join(sizes, "component")
       .select(col("node"), col("component"), col("component_size"))
       .orderBy("node")
   }

@@ -456,6 +456,26 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_rep"))
   }
 
+  /** INCREMENTAL [[resolveClusters]]: fold a new batch of near-dup
+    * pairs into an ALREADY-RESOLVED corpus — the daily-reingest path,
+    * where re-resolving the full pair history is the cost that grows
+    * without bound. Delegates the label algebra to
+    * [[ConnectedComponents.mergeComponents]] (condensed label-space
+    * contraction; the base pair list is never re-read) and re-derives
+    * the keep flag: a previous keeper loses its flag exactly when its
+    * component merged under a smaller representative. `resolved`:
+    * (doc_id, cluster_rep, …) as resolveClusters emits; `newPairs`:
+    * (ai, bi), may reference unseen docs.
+    */
+  def mergeResolvedClusters(resolved: DataFrame,
+      newPairs: DataFrame): DataFrame =
+    ConnectedComponents.mergeComponents(
+      resolved.select(col("doc_id").as("node"),
+        col("cluster_rep").as("component")),
+      newPairs.select(col("ai").as("a"), col("bi").as("b")))
+      .select(col("node").as("doc_id"), col("component").as("cluster_rep"))
+      .withColumn("keep", col("doc_id") === col("cluster_rep"))
+
   /** The contracted-graph finish: union-find over a collected edge
     * list. Same contract as the distributed loop — (doc_id,
     * cluster_rep = component min, keep) for every node that appears in

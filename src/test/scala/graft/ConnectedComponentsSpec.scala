@@ -55,6 +55,64 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(5L -> 5L, 1L -> 1L, 2L -> 1L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("mergeComponents: incremental equals from-scratch on a grown graph") {
+    // base graph: two chains + a clique + singles-in-edges; batch:
+    // edges that (a) merge two existing components, (b) extend one
+    // with new nodes, (c) introduce a brand-new component, (d)
+    // restate a known edge — the daily-reingest shapes
+    val base = (1L until 50L).map(i => (i, i + 1)) ++
+      (100L until 140L).map(i => (i, i + 1)) ++
+      Seq((200L, 201L), (201L, 202L), (200L, 202L), (300L, 301L))
+    val labels = ConnectedComponents.components(base.toDF("a", "b"))
+    val batch = Seq(
+      (50L, 100L),   // merges chain A into chain B
+      (202L, 400L), (400L, 401L), // extends the clique with new nodes
+      (500L, 501L),  // brand-new component
+      (300L, 301L))  // restated known edge (no-op)
+    val got = ConnectedComponents
+      .mergeComponents(labels, batch.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val scratch = ConnectedComponents
+      .components((base ++ batch).toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == scratch)
+    // and the incremental path genuinely merged: both chains share one rep
+    assert(got(140L) == 1L && got(401L) == 200L && got(501L) == 500L)
+    // an empty batch is the identity
+    val idle = ConnectedComponents
+      .mergeComponents(labels, Seq.empty[(Long, Long)].toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val baseMap = labels.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(idle == baseMap)
+  }
+
+  test("q157: incremental chain merge equals the analytic doubled blocks") {
+    val df = ConnectedComponents
+      .incrementalChainComponents(spark, sf, half = 30L)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val n = got.length.toLong
+    got.foreach { case (node, comp, size) =>
+      val blk = node / 60L
+      assert(comp == blk * 60L, s"node $node -> $comp")
+      assert(size == math.min(60L, n - blk * 60L), s"block $blk size $size")
+    }
+  }
+
+  test("mergeResolvedClusters: keep flags re-derive after the merge") {
+    val resolved = Seq((10L, 10L, true), (11L, 10L, false),
+      (20L, 20L, true)).toDF("doc_id", "cluster_rep", "keep")
+    val got = Dedup.mergeResolvedClusters(resolved,
+        Seq((11L, 20L)).toDF("ai", "bi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    // 20's cluster merges under rep 10: its old keeper loses the flag
+    assert(got == Set((10L, 10L, true), (11L, 10L, false),
+      (20L, 10L, false)))
+  }
+
   test("resolveClusters hands an unconverged graph to the doubling algorithm") {
     // pointer jumping's reach after r rounds is ~2^r, so no physical
     // graph exhausts the default 50 — maxIter=2 forces the handoff on

@@ -33,6 +33,11 @@ object Verify {
     // skip) and skips only queries genuinely outside a subset run
     Files.writeString(Paths.get(s"$outDir/attempted.txt"),
       attempted.keys.toSeq.sorted.mkString("\n"))
+    // ...and of ALL registered queries: an oracle key matching NO
+    // query name (a typo, or a query removed without its oracle) must
+    // FAIL the compare, not vanish into the subset-skip path
+    Files.writeString(Paths.get(s"$outDir/all_queries.txt"),
+      SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -575,10 +575,35 @@ object Dedup {
     * shingle cache, and every later consumer reads the checkpointed
     * blocks — the corpus is scanned once per session, not once per
     * query. Entries of stopped sessions are dropped on the next call.
+    *
+    * STALENESS CONTRACT: the cache key is (session, path, threshold),
+    * so the parquet under `sfDir` is assumed IMMUTABLE for the
+    * session's lifetime — the fixture contract every bench/verify
+    * entry point honors, and the same assumption Spark's own
+    * relation cache makes for cached file-source reads. A pipeline
+    * that rewrites a corpus directory mid-session must call
+    * [[invalidateSharedPairs]] (or start a fresh session) or later
+    * consumers read the pre-rewrite pairs; the checkpointed blocks
+    * are likewise only released by invalidation or session stop.
     */
   private val sharedPairCache =
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, Double), DataFrame]()
+
+  /** Drop cached pair frames for `sfDir` (all thresholds) in this
+    * session and release their checkpointed blocks — the hook for the
+    * rewritten-corpus case in the staleness contract above.
+    */
+  def invalidateSharedPairs(spark: SparkSession, sfDir: String): Unit = {
+    val it = sharedPairCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == spark && e.getKey._2 == sfDir) {
+        e.getValue.unpersist(false)
+        it.remove()
+      }
+    }
+  }
 
   private[operators] def ngramJaccardPairsShared(spark: SparkSession,
       sfDir: String, threshold: Double = 0.8): DataFrame = {

@@ -42,7 +42,17 @@ def main(out_dir, sf_dir):
     attempted = None
     if os.path.exists(manifest_path):
         attempted = set(open(manifest_path).read().split())
+    # full registry: an oracle key matching NO query name is a typo or
+    # a dangling oracle for a removed query -- FAIL, never skip
+    all_path = f"{out_dir}/all_queries.txt"
+    all_queries = None
+    if os.path.exists(all_path):
+        all_queries = set(open(all_path).read().split())
     for name, sql in sorted(oracle.items()):
+        if all_queries is not None and name not in all_queries:
+            print(f"FAIL {name}: oracle key matches no registered query")
+            n_fail += 1
+            continue
         if attempted is not None and name not in attempted:
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")

@@ -459,7 +459,10 @@ object SparkEntry {
     // from text while Spark parses the actual bytes (q101's pattern,
     // audio edition). The stub-codec batch plumbing stays spec-covered
     // in MultimodalSpec.
-    "q34_media_features" -> (multimodal.Multimodal.audioFeatures _)
+    "q34_media_features" -> (multimodal.Multimodal.audioFeatures _),
+    // per-doc duplication profile at character grain (the span-excision
+    // decision input; q70 is the positioned word-span detector)
+    "q158_substring_dedup" -> (operators.Dedup.substringDedup(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3019,6 +3022,24 @@ object SparkEntry {
     // chain components are analytically the custkey's 1000-block: the
     // oracle derives them arithmetically while the engine runs the
     // real doubling iteration — exactness proves the graph algorithm
+    // character windows at stride 16 replayed verbatim (the Spark side
+    // groups on the same raw 32-char window strings — see the
+    // substringDedup scaladoc for the hashed 100 TB spelling)
+    "q158_substring_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, substr(text, u.p, 32) AS win
+        |  FROM documents, unnest(range(1, len(text) - 30, 16)) AS u(p)
+        |  WHERE len(text) >= 32),
+        |d AS (
+        |  SELECT win FROM w GROUP BY win
+        |  HAVING count(DISTINCT doc_id) > 1)
+        |SELECT w.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(sum(CASE WHEN d.win IS NOT NULL THEN 1 ELSE 0
+        |    END), 0) AS BIGINT) AS n_dup_windows
+        |FROM w LEFT JOIN d ON w.win = d.win
+        |GROUP BY w.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // merged components = 1200-blocks of the dense key space (a tail
     // half-block with no bridge keeps its half component, which the
     // 1200-grouping yields too — see incrementalChainComponents)

@@ -697,4 +697,49 @@ object Dedup {
           / 10000.0).as("avg_jaccard"))
       .orderBy("source_a", "source_b")
   }
+
+  /** q158: per-document cross-corpus DUPLICATION PROFILE at character
+    * grain — the report a span-excision pass (Lee et al. 2022; the
+    * positioned word-span detector is [[dupSpans]]/q70) consults to
+    * DECIDE: for each document, how much of it is boilerplate shared
+    * with other documents? Fixed-width character windows (catching
+    * duplication that word tokenization splits differently —
+    * punctuation/whitespace variants) come off one codegen'd in-row
+    * transform+explode (never a per-row text copy per window); a
+    * window is duplicated when it occurs in >1 DISTINCT documents
+    * (in-doc repetition is q66's statistic, not dedup), and each doc
+    * reports total vs duplicated window counts.
+    *
+    * Scale shape: two key-equality shuffles on the window key plus a
+    * doc-grain aggregate; per-doc fan-out is len/stride rows. The
+    * window key here is the raw `window`-char string so a SQL oracle
+    * replays the computation verbatim; the 100 TB spelling hashes it
+    * to 8 bytes first (xxhash64 — 4× less shuffle at these widths,
+    * same join shape; a collision needs two distinct windows sharing
+    * a 64-bit hash, odds the exact-dedup digests already accept).
+    * stride > 1 trades recall for cost exactly like the paper's
+    * suffix-array minimum-match-length: a duplicated run shorter than
+    * window + stride − 1 chars can be missed, a run ≥ that long
+    * always contains an aligned window.
+    */
+  def substringDedup(spark: SparkSession, sfDir: String,
+      window: Int = 32, stride: Int = 16): DataFrame = {
+    val wins = Tables.load(spark, sfDir, "documents")
+      .filter(length(col("text")) >= window)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), length(col("text")) - (window - 1), lit(stride)),
+          p => col("text").substr(p, lit(window)))).as("win"))
+    val dup = wins.groupBy("win")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1)
+      .select("win")
+    val tot = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val dups = wins.join(dup, Seq("win"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    tot.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .orderBy("doc_id")
+  }
 }

@@ -159,6 +159,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q158: substring duplication profile matches a driver replica") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wins = docs.flatMap { case (id, t) =>
+      if (t.length < 32) Nil
+      else (0 to t.length - 32 by 16).map(p => (id, t.substring(p, p + 32)))
+    }
+    val dupSet = wins.groupBy(_._2)
+      .filter(_._2.map(_._1).distinct.size > 1).keySet
+    val want = wins.groupBy(_._1).map { case (id, ws) =>
+      id -> (ws.size.toLong, ws.count(w => dupSet(w._2)).toLong)
+    }
+    val got = Dedup.substringDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    // the fixture's exact-dup docs make this non-vacuous: some doc
+    // must report duplicated windows
+    assert(want.values.exists(_._2 > 0L), "no cross-doc window found")
+    assert(want.values.exists(v => v._2 < v._1),
+      "profile must distinguish partial duplication")
+  }
+
   test("resolveClusters: local finish ≡ distributed loop on real pairs") {
     val pairs = Dedup.minhashPairs(spark, sf).select("ai", "bi")
     def run(limit: Long) =

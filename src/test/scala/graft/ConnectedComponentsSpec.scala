@@ -76,6 +76,13 @@ class ConnectedComponentsSpec extends SparkSpec {
       .components((base ++ batch).toDF("a", "b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == scratch)
+    // BOTH condensed-resolve branches agree (driver union-find is the
+    // batch-sized gate; bound 0 forces the distributed doubling loop)
+    val gotDist = ConnectedComponents
+      .mergeComponents(labels, batch.toDF("a", "b"),
+        localResolveBound = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotDist == scratch)
     // and the incremental path genuinely merged: both chains share one rep
     assert(got(140L) == 1L && got(401L) == 200L && got(501L) == 500L)
     // an empty batch is the identity

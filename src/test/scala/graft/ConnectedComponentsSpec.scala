@@ -94,6 +94,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(idle == baseMap)
   }
 
+  test("mergeComponents: seeded random base/batch splits equal union-find") {
+    // randomized incremental-vs-from-scratch over several seeds: base
+    // and batch drawn from overlapping node ranges so batches merge,
+    // extend, and create components unpredictably
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val base = Seq.fill(300)((rnd.nextInt(200).toLong + 1,
+        rnd.nextInt(200).toLong + 1)).filter(e => e._1 != e._2)
+      val batch = Seq.fill(60)((rnd.nextInt(150).toLong + 100,
+        rnd.nextInt(150).toLong + 100)).filter(e => e._1 != e._2)
+      val labels = ConnectedComponents.components(base.toDF("a", "b"))
+      val got = ConnectedComponents
+        .mergeComponents(labels, batch.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == replica(base ++ batch), s"seed $seed diverged")
+    }
+  }
+
   test("q157: incremental chain merge equals the analytic doubled blocks") {
     val df = ConnectedComponents
       .incrementalChainComponents(spark, sf, half = 30L)

@@ -142,6 +142,28 @@ class MultimodalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("WavCodec property: encode→decode recovers exact features for any samples") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import graft.multimodal.Multimodal.WavCodec
+    val gen = for {
+      rate <- Gen.choose(1, 192000)
+      n <- Gen.choose(0, 300)
+      samples <- Gen.listOfN(n, Gen.choose(Short.MinValue, Short.MaxValue))
+    } yield (rate, samples.map(_.toShort).toArray)
+    val prop = forAll(gen) { case (rate, samples) =>
+      val d = WavCodec.decode(WavCodec.encode(rate, samples))
+      d.contains(WavCodec.Decoded(rate, samples.length,
+        samples.map(_.toLong).sum,
+        if (samples.isEmpty) 0
+        else samples.map(s => math.abs(s.toInt)).max))
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("payload pruning: metadata-only projection skips the binary column") {
     val plan = Multimodal.mediaTable(spark, sf).toDF()
       .select("media_id", "declared_bytes")

@@ -282,6 +282,31 @@ class RecordStreamSpec extends SparkSpec {
       s"overwrite must leave exactly the new manifest: ${manifests.toSeq}")
   }
 
+  test("manifest bloom property: no false negatives for any payload set") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import graft.functions.BloomKernel
+    import graft.sources.{RecordManifest, RecordStream}
+    val gen = Gen.listOf(Gen.listOf(Gen.choose(Byte.MinValue,
+      Byte.MaxValue)).map(_.toArray))
+    val prop = forAll(gen) { payloads =>
+      val bits = new Array[Long]((RecordManifest.NumBits + 63) / 64)
+      payloads.foreach(p => BloomKernel.set(bits, RecordManifest.NumBits,
+        RecordManifest.NumHashes, RecordStream.payloadKey(p)))
+      val entry = RecordManifest.FileEntry(payloads.length.toLong,
+        BloomKernel.serialize(bits, RecordManifest.NumBits,
+          RecordManifest.NumHashes))
+      // every written payload MUST probe positive (pruning a file that
+      // holds the key would silently drop data)
+      payloads.forall(p => RecordManifest.mightContain(entry,
+        Seq(RecordStream.payloadKey(p))))
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(100),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("q108 recordstream aggregate equals the parquet-side aggregate") {
     val viaRecords = operators.CoreQueries.recordStreamAgg(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),

@@ -85,6 +85,40 @@ object Layout {
       path: String): Unit =
     df.write.partitionBy(partCol).mode("overwrite").parquet(path)
 
+  /** Size-targeted COMPACTION — the small-files cure: rewrite a
+    * parquet directory into files of ~`targetFileBytes` each. A 100 TB
+    * table accumulated from thousands of micro-batches degenerates
+    * into millions of KB-scale files whose per-file open/footer/task
+    * overhead dominates scans; compaction is the maintenance operation
+    * every table format ships (OPTIMIZE / rewrite_data_files), spelled
+    * here in public Spark API. The file count derives from MEASURED
+    * on-disk bytes (input footer sizes — the compressed size the
+    * output will roughly reproduce, since codec and schema carry
+    * over), never a row-count guess; `repartition(n)` round-robins for
+    * size-balanced output (the one case where a blind shuffle is the
+    * point — balance, not co-location). Returns (filesBefore,
+    * filesAfter, bytes).
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(conf)
+    val files = fs.listStatus(in).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") &&
+      !s.getPath.getName.startsWith("."))
+    val bytes = files.map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .toInt
+    spark.read.parquet(inDir)
+      .repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val outFiles = fs.listStatus(out).count(s => s.isFile &&
+      s.getPath.getName.startsWith("part-"))
+    (files.length, outFiles, bytes)
+  }
+
   /** Bloom data-skipping manifest for point lookups on a high-NDV key
     * (the content-hash case partitioning can't serve): one mergeable
     * [[graft.functions.BloomAgg]] bitset per file bucket, built in a

@@ -199,6 +199,35 @@ class LayoutSpec extends SparkSpec {
       s"DPP should visit $dimBuckets of 8 partitions, visited $visited")
   }
 
+  test("compact: a shattered directory rewrites to the size-targeted file count") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString
+    val inDir = s"$base/in"
+    val outDir = s"$base/out"
+    // the small-files shape: one table scattered across 40 tiny files
+    Tables.load(spark, sf, "lineitem")
+      .repartition(40).write.parquet(inDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val bytes = p.getFileSystem(conf).listStatus(p)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getLen).sum
+    val target = bytes / 3 // aim for ~3 output files
+    val (before, after, measured) =
+      Layout.compact(spark, inDir, outDir, targetFileBytes = target)
+    assert(before == 40 && measured == bytes)
+    val want = ((bytes + target - 1) / target).toInt
+    assert(after == want, s"expected $want files, got $after")
+    assert(after <= 4, s"compaction left $after files")
+    // lossless: same row multiset either side
+    val a = spark.read.parquet(inDir).collect()
+      .map(_.toSeq.toString).sorted.toSeq
+    val b = spark.read.parquet(outDir).collect()
+      .map(_.toSeq.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("bloom manifest: point lookup prunes to ~1 bucket, no false negatives") {
     val docs = Tables.load(spark, sf, "documents")
       .select(xxhash64(col("text")).as("key"),

@@ -215,20 +215,27 @@ object RecordManifest {
     fs.listStatus(p)
       .filter(s => s.isFile && s.getPath.getName.startsWith("_manifest-"))
       .flatMap { s =>
-        val in = fs.open(s.getPath)
-        val node =
-          try mapper.readTree(in)
-          finally in.close()
-        val it = node.fields()
-        val buf = scala.collection.mutable.ArrayBuffer
-          .empty[(String, FileEntry)]
-        while (it.hasNext) {
-          val e = it.next()
-          buf += e.getKey -> FileEntry(e.getValue.get("n").asLong(),
-            java.util.Base64.getDecoder
-              .decode(e.getValue.get("bloom").asText()))
+        // a torn or corrupt sidecar (crash mid-write, truncation) must
+        // read as ABSENT COVERAGE — its files simply aren't pruned —
+        // never poison every filtered scan of the directory
+        try {
+          val in = fs.open(s.getPath)
+          val node =
+            try mapper.readTree(in)
+            finally in.close()
+          val it = node.fields()
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(String, FileEntry)]
+          while (it.hasNext) {
+            val e = it.next()
+            buf += e.getKey -> FileEntry(e.getValue.get("n").asLong(),
+              java.util.Base64.getDecoder
+                .decode(e.getValue.get("bloom").asText()))
+          }
+          buf
+        } catch { case _: Exception =>
+          Nil
         }
-        buf
       }.toMap
   }
 

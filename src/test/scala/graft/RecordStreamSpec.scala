@@ -282,6 +282,22 @@ class RecordStreamSpec extends SparkSpec {
       s"overwrite must leave exactly the new manifest: ${manifests.toSeq}")
   }
 
+  test("a torn manifest sidecar reads as absent coverage, never a failed scan") {
+    val dir = tmpDir("tornmanifest")
+    writePayloads(dir, 100, parts = 4)
+    // simulate a crash mid-manifest-write: truncate the sidecar
+    val manifest = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_manifest-")).head
+    val bytes = Files.readAllBytes(manifest.toPath)
+    Files.write(manifest.toPath, bytes.take(bytes.length / 2))
+    val lookup = spark.read.format("recordstream").load(dir)
+      .filter(col("value") === encode(lit("rec-42"), "UTF-8"))
+    // no pruning possible (coverage unreadable) — but the scan WORKS
+    assert(lookup.rdd.getNumPartitions == 4)
+    assert(lookup.select(decode(col("value"), "UTF-8").as("s"))
+      .as[String].collect().toSeq == Seq("rec-42"))
+  }
+
   test("manifest bloom property: no false negatives for any payload set") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Prop.forAll

@@ -119,7 +119,7 @@ object Estimators {
     */
   private[graft] def logregWeights(e: DataFrame, lr: Double,
       iters: Int): Seq[Double] = {
-    val dim = e.select(size(col("x"))).head.getInt(0)
+    val dim = e.select(size(col("x"))).head().getInt(0)
     var w: Seq[Double] = Seq.fill(dim)(0.0)
     for (_ <- 1 to iters) {
       val grads = e

@@ -1428,7 +1428,7 @@ object OlapQueries {
       .persist() // NDV-sized; read for the parameter probe + the rank
     // parameter probe: one row off the reduced frame
     val p = rev.agg(max(col("o_custkey").cast("long")).as("mc"),
-      max("cents").as("mx"), count(lit(1)).as("n")).head
+      max("cents").as("mx"), count(lit(1)).as("n")).head()
     val (maxCust, maxCents, nCust) =
       (p.getLong(0), p.getLong(1), p.getLong(2))
     var mult = 1L

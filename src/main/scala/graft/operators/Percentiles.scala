@@ -135,7 +135,7 @@ object Percentiles {
           else Seq(coalesce(max(q), lit(0L)).as(s"__max_${m.tag}"))
         ndv ++ mx
       }
-    val r = df.agg(aggs.head, aggs.tail: _*).head
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
     val rows = r.getLong(0)
     val grps = groupCol.map(_ => r.getLong(r.fieldIndex("__grps")))
       .getOrElse(1L)

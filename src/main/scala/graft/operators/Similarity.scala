@@ -450,7 +450,7 @@ object Similarity {
     // iterate, microseconds, no scan
     def roundVec(xs: Seq[Double]): Seq[Double] =
       spark.range(1).select(transform(typedlit(xs),
-        x => round(x, 6)).as("v")).head.getSeq[Double](0)
+        x => round(x, 6)).as("v")).head().getSeq[Double](0)
     val e = embeddingsAsDouble(spark, sfDir)
       .select(col("vec_id"), col("v").as("x"), col("label"))
     val m: Seq[Double] = e

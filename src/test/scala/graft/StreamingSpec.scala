@@ -180,6 +180,47 @@ class StreamingSpec extends SparkSpec {
         .count())
   }
 
+  test("streamed edge batches merge into labels ≡ one-shot batch resolve") {
+    // the daily-reingest pipeline AS A STREAM: each micro-batch of new
+    // near-dup edges folds into the persisted labels table through
+    // mergeComponents (batch-sized condensed merge), never re-reading
+    // prior history — after three generations the labels equal a
+    // from-scratch resolve of everything
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val gen1 = (1L until 30L).map(i => (i, i + 1))
+    val gen2 = Seq((30L, 100L), (100L, 101L), (200L, 201L))
+    val gen3 = Seq((101L, 200L), (300L, 301L))
+    @volatile var labels: org.apache.spark.sql.DataFrame = null
+    val q = mem.toDS().toDF("a", "b").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // localCheckpoint pins the result past the micro-batch (the
+        // production shape persists the labels table between days)
+        labels =
+          (if (labels == null) ConnectedComponents.components(batch)
+           else ConnectedComponents.mergeComponents(labels, batch))
+            .localCheckpoint(true)
+        ()
+      }
+      .start()
+    try {
+      mem.addData(gen1: _*); q.processAllAvailable()
+      mem.addData(gen2: _*); q.processAllAvailable()
+      mem.addData(gen3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = labels.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val scratch = ConnectedComponents
+      .components((gen1 ++ gen2 ++ gen3).toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == scratch)
+    // the merges really crossed generations: gen3 bridged 100s to 1
+    assert(got(201L) == 1L && got(301L) == 300L)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions at gaps") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

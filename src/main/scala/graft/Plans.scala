@@ -57,7 +57,9 @@ object Plans {
       "q139_pmi_pairs" -> "PMI collocations: doc-bounded lag windows, NDV-sized count shuffles, 1-row totals broadcast",
       "q141_chi_square" -> "chi-square on a generated type×hour spine — marginals broadcast, empty cells carry expected mass",
       "q143_bm25_topk" -> "BM25: tokenize once for lengths+tfs, df/total broadcasts, pruned scoring, TakeOrderedAndProject top-k",
-      "q144_rank_fusion" -> "RRF hybrid retrieval: two parameter-sized ranked lists full-outer merged — rank windows over ≤50 rows, never a corpus")
+      "q144_rank_fusion" -> "RRF hybrid retrieval: two parameter-sized ranked lists full-outer merged — rank windows over ≤50 rows, never a corpus",
+      "q158_substring_dedup" -> "character-grain duplication profile: in-row window generation (transform+explode inside codegen), two window-key shuffles, doc-grain aggregate",
+      "q34_media_features" -> "real RIFF/WAVE decode: typed mapPartitions batch pass over the synthesized payload projection — one scan, no shuffle before the report sort")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans of representative queries\n\n"
     out ++= "Generated by `graft.Plans` at sf0.001. What to look for is\n"

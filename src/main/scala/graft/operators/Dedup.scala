@@ -723,13 +723,21 @@ object Dedup {
     * always contains an aligned window.
     */
   def substringDedup(spark: SparkSession, sfDir: String,
-      window: Int = 32, stride: Int = 16): DataFrame = {
-    val wins = Tables.load(spark, sfDir, "documents")
+      window: Int = 32, stride: Int = 16,
+      hashKeys: Boolean = false): DataFrame = {
+    val winRaw = Tables.load(spark, sfDir, "documents")
       .filter(length(col("text")) >= window)
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(1), length(col("text")) - (window - 1), lit(stride)),
-          p => col("text").substr(p, lit(window)))).as("win"))
+          p => col("text").substr(p, lit(window)))).as("w"))
+    // hashKeys = the 100 TB spelling: the two window-key shuffles move
+    // 8-byte hashes instead of window-width strings (a collision needs
+    // two distinct windows sharing a 64-bit hash — the same odds the
+    // exact-dedup digests accept); the raw-string default is what the
+    // SQL oracle replays verbatim. Spec-proven result-identical.
+    val wins = winRaw.select(col("doc_id"),
+      (if (hashKeys) xxhash64(col("w")) else col("w")).as("win"))
     val dup = wins.groupBy("win")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") > 1)

@@ -180,6 +180,12 @@ class DedupSpec extends SparkSpec {
     assert(want.values.exists(_._2 > 0L), "no cross-doc window found")
     assert(want.values.exists(v => v._2 < v._1),
       "profile must distinguish partial duplication")
+    // the hashed 100 TB spelling (8-byte keys across the shuffles)
+    // reports the identical profile
+    val hashed = Dedup.substringDedup(spark, sf, hashKeys = true)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hashed == want)
   }
 
   test("resolveClusters: local finish ≡ distributed loop on real pairs") {

@@ -49,6 +49,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L)) // one component, min rep
   }
 
+  test("components: RDD and DataFrame regimes agree on the same graph") {
+    // the latency regime (RDD contraction rounds) and the scale
+    // regime (groupBy+join under AQE) must be the SAME algebra — run
+    // both on one mixed graph (chain + clique + stars + singletons)
+    val es = (1L until 80L).map(i => (i, i + 1)) ++
+      (200L to 210L).flatMap(a => (200L to 210L).map(b => (a, b))) ++
+      (300L to 330L).map(v => (299L, v)) ++ Seq((400L, 401L))
+    val small = run(es)
+    val big = ConnectedComponents
+      .components(es.toDF("a", "b"), smallGraphEdgeBound = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(small == big)
+    assert(small == replica(es))
+  }
+
   test("components: self-loops, duplicates, singleton stars tolerated") {
     val es = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (9L, 8L))
     val got = run(es)

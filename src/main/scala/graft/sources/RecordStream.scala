@@ -315,15 +315,19 @@ class RecordStreamScanBuilder(dir: String)
   private var skipFilters: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
   private var skipKeys: Option[Seq[Long]] = None
+  private var pathKeep: Option[Set[String]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   /** Payload-equality filters feed FILE pruning through the bloom
-    * manifest ([[RecordManifest]]); everything — including the
-    * accepted ones — stays residual (returned for Spark to re-apply),
-    * because manifest skipping is best-effort metadata pruning with
-    * bloom false positives, never row-level evaluation.
+    * manifest ([[RecordManifest]]), and `path` equality/IN literals
+    * prune DIRECTLY (the path column is file-identifying — this is
+    * the source's partition pruning). Everything — including the
+    * accepted filters — stays residual (returned for Spark to
+    * re-apply): manifest skipping has bloom false positives, and path
+    * pruning is conservative metadata selection, never row-level
+    * evaluation.
     */
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter])
@@ -337,10 +341,20 @@ class RecordStreamScanBuilder(dir: String)
         f -> vs.toSeq.map(v =>
           RecordStream.payloadKey(v.asInstanceOf[Array[Byte]]))
     }
+    val pathed = filters.collect {
+      case f @ EqualTo("path", s: String) => f -> Set(s)
+      case f @ In("path", vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        f -> vs.map(_.asInstanceOf[String]).toSet
+    }
     if (keyed.nonEmpty) {
-      skipFilters = keyed.map(_._1)
       skipKeys = Some(keyed.flatMap(_._2).toSeq)
     }
+    if (pathed.nonEmpty) {
+      // several path predicates AND together: intersect the keep-sets
+      pathKeep = Some(pathed.map(_._2).reduce(_ intersect _))
+    }
+    skipFilters = keyed.map(_._1) ++ pathed.map(_._1)
     filters
   }
 
@@ -354,33 +368,42 @@ class RecordStreamScanBuilder(dir: String)
     // same knob file sources use to de-bias compressed on-disk sizes
     // before they feed broadcast decisions
     val compressionFactor = session.sessionState.conf.fileCompressionFactor
-    new RecordStreamScan(dir, required, conf, compressionFactor, skipKeys)
+    new RecordStreamScan(dir, required, conf, compressionFactor, skipKeys,
+      pathKeep)
   }
 }
 
 class RecordStreamScan(dir: String, required: StructType,
     conf: SerializableConfiguration, compressionFactor: Double,
-    skipKeys: Option[Seq[Long]] = None)
+    skipKeys: Option[Seq[Long]] = None,
+    pathKeep: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   private lazy val allFiles: Array[RecordFilePartition] =
     RecordStream.listVisibleFiles(dir, conf.value)
       .toArray.sortBy(_._1).map(_._2)
 
-  /** Files surviving manifest pruning: a PLANNER step — the merged
-    * manifest (files-sized metadata) probes on the driver before any
-    * task launches, exactly where table formats evaluate their
-    * data-skipping indexes. Files without manifest coverage always
-    * survive (no false negatives).
+  /** Files surviving pruning: a PLANNER step — path literals select
+    * files directly (partition pruning), the merged bloom manifest
+    * (files-sized metadata) probes payload keys on the driver, all
+    * before any task launches — exactly where table formats evaluate
+    * their data-skipping indexes. Files without manifest coverage
+    * always survive the bloom step (no false negatives).
     */
-  private lazy val files: Array[RecordFilePartition] = skipKeys match {
-    case None => allFiles
-    case Some(keys) =>
-      val manifest = RecordManifest.readAll(dir, conf.value)
-      allFiles.filter { f =>
-        val name = new Path(f.path).getName
-        manifest.get(name).forall(RecordManifest.mightContain(_, keys))
-      }
+  private lazy val files: Array[RecordFilePartition] = {
+    val pathPruned = pathKeep match {
+      case None => allFiles
+      case Some(keep) => allFiles.filter(f => keep.contains(f.path))
+    }
+    skipKeys match {
+      case None => pathPruned
+      case Some(keys) =>
+        val manifest = RecordManifest.readAll(dir, conf.value)
+        pathPruned.filter { f =>
+          val name = new Path(f.path).getName
+          manifest.get(name).forall(RecordManifest.mightContain(_, keys))
+        }
+    }
   }
 
   override def readSchema(): StructType = required
@@ -415,12 +438,10 @@ class RecordStreamScan(dir: String, required: StructType,
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 
-  override def description(): String = skipKeys match {
-    case None => s"recordstream $dir"
-    case Some(_) =>
-      s"recordstream $dir [manifest-pruned: ${files.length}/" +
-        s"${allFiles.length} files]"
-  }
+  override def description(): String =
+    if (skipKeys.isEmpty && pathKeep.isEmpty) s"recordstream $dir"
+    else s"recordstream $dir [pruned: ${files.length}/" +
+      s"${allFiles.length} files]"
 }
 
 /** Offset = the sorted set of file names already processed,

@@ -237,7 +237,7 @@ class RecordStreamSpec extends SparkSpec {
     // the plan ADVERTISES the pruning (explain shows the pushed
     // filter and the pruned file count)
     val plan = lookup.queryExecution.executedPlan.toString
-    assert(plan.contains("manifest-pruned"),
+    assert(plan.contains("pruned:"),
       s"scan description must report pruning:\n$plan")
     // pruned ≡ unpruned results
     val got = lookup.select(decode(col("value"), "UTF-8").as("s"))
@@ -280,6 +280,29 @@ class RecordStreamSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith("_manifest-"))
     assert(manifests.length == 1,
       s"overwrite must leave exactly the new manifest: ${manifests.toSeq}")
+  }
+
+  test("path equality prunes directly to the named file(s)") {
+    val dir = tmpDir("pathprune")
+    writePayloads(dir, 200, parts = 8)
+    val full = spark.read.format("recordstream").load(dir)
+    val somePath = full.select("path").head().getString(0)
+    val one = spark.read.format("recordstream").load(dir)
+      .filter(col("path") === somePath)
+    assert(one.rdd.getNumPartitions == 1,
+      "path equality must plan exactly the named file")
+    // rows equal the residual-filtered full read
+    assert(one.count() ==
+      full.filter(col("path") === somePath).cache().count())
+    val two = full.select("path").distinct().collect().map(_.getString(0))
+      .sorted.take(2)
+    val pair = spark.read.format("recordstream").load(dir)
+      .filter(col("path").isin(two: _*))
+    assert(pair.rdd.getNumPartitions == 2)
+    // a path outside the directory plans zero files
+    val none = spark.read.format("recordstream").load(dir)
+      .filter(col("path") === "file:/no/such/file.records")
+    assert(none.count() == 0L)
   }
 
   test("a torn manifest sidecar reads as absent coverage, never a failed scan") {

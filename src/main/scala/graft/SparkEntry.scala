@@ -462,7 +462,11 @@ object SparkEntry {
     "q34_media_features" -> (multimodal.Multimodal.audioFeatures _),
     // per-doc duplication profile at character grain (the span-excision
     // decision input; q70 is the positioned word-span detector)
-    "q158_substring_dedup" -> (operators.Dedup.substringDedup(_, _))
+    "q158_substring_dedup" -> (operators.Dedup.substringDedup(_, _)),
+    // CUSUM changepoint monitor over daily ingest volume — a recursion
+    // replayed in SQL through its prefix-sum/prefix-min closed form
+    "q159_cusum_changepoint" -> ((s: SparkSession, d: String) =>
+      operators.OlapQueries.cusumDailyEvents(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3022,6 +3026,43 @@ object SparkEntry {
     // chain components are analytically the custkey's 1000-block: the
     // oracle derives them arithmetically while the engine runs the
     // real doubling iteration — exactness proves the graph algorithm
+    // Page's CUSUM via its closed form S = P − min(0, min prefix P):
+    // (μ, σ) from the SAME exact integer moments in the same IEEE
+    // expression order, every crossing value rounded by the explicit
+    // floor(x·1e6 + 0.5)/1e6 spelling (no round() tie semantics)
+    "q159_cusum_changepoint" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(n_events) AS BIGINT) AS sx,
+        |    CAST(sum(n_events * n_events) AS BIGINT) AS sxx
+        |  FROM d),
+        |z AS (
+        |  SELECT day, n_events,
+        |    floor((CAST(n_events AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+        |      / sqrt((CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |        / (n - 1)) * 1000000.0 + 0.5) / 1000000.0 AS z
+        |  FROM d, m),
+        |p AS (
+        |  SELECT day, n_events, z,
+        |    sum(z - 0.5) OVER (ORDER BY day) AS pu,
+        |    sum(-z - 0.5) OVER (ORDER BY day) AS pd
+        |  FROM z),
+        |c AS (
+        |  SELECT day, n_events, z,
+        |    floor((pu - min(least(pu, 0.0)) OVER (ORDER BY day))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS cusum_up,
+        |    floor((pd - min(least(pd, 0.0)) OVER (ORDER BY day))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS cusum_down
+        |  FROM p)
+        |SELECT day, n_events, z, cusum_up, cusum_down,
+        |  (cusum_up > 4.0 OR cusum_down > 4.0) AS alarm
+        |FROM c
+        |ORDER BY day""".stripMargin,
     // character windows at stride 16 replayed verbatim (the Spark side
     // groups on the same raw 32-char window strings — see the
     // substringDedup scaladoc for the hashed 100 TB spelling)

@@ -1675,4 +1675,63 @@ object OlapQueries {
             (n * d("syy") - d("sy") * d("sy"))), 6).as("r"))
       .orderBy("pair")
   }
+
+  /** q159: CUSUM CHANGEPOINT monitor (Page's sequential test) over the
+    * daily event volume — the pipeline-health operator that watches an
+    * ingest metric for sustained level shifts, where a fixed threshold
+    * misses slow drifts and a per-day z-test misses accumulation.
+    * Both one-sided statistics run: S⁺ₜ = max(0, S⁺ₜ₋₁ + zₜ − κ) for
+    * upward shifts and the mirrored S⁻ for drops; a day alarms when
+    * either exceeds h.
+    *
+    * Engine-portable spelling, the trainer discipline applied to a
+    * recursion: the recurrence has the CLOSED FORM Sₜ = Pₜ − min(0,
+    * min_{j≤t} Pⱼ) over the prefix sums P of (z − κ), so the whole
+    * monitor is two running-window passes (sum + prefix-min) over the
+    * DAY-GRAIN series — the single-partition windows are
+    * parameter-sized (days, not rows) by construction. Series
+    * parameters (μ, σ) come from EXACT integer moments (n, Σx, Σx²
+    * collected as longs; both engines then run the identical IEEE
+    * expression), and every engine-crossing value is rounded by the
+    * EXPLICIT half-up spelling floor(x·10⁶ + 0.5)/10⁶ — identical
+    * arithmetic in any engine, no reliance on round() tie semantics.
+    * Margins (|S − h| at the alarm compare) are fixture-measured far
+    * above double noise.
+    */
+  def cusumDailyEvents(spark: SparkSession, sfDir: String,
+      k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def rnd6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val daily = Tables.load(spark, sfDir, "events")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    // exact integer moments -> the one deterministic (mu, sigma)
+    val m = daily.agg(count(lit(1)).as("n"), sum("n_events").as("sx"),
+      sum(col("n_events") * col("n_events")).as("sxx")).head()
+    val (n, sx, sxx) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    require(n >= 2, "CUSUM needs at least two days")
+    val mu = sx.toDouble / n
+    val sigma = math.sqrt(
+      (sxx.toDouble - sx.toDouble * sx.toDouble / n) / (n - 1))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val z = rnd6((col("n_events") - lit(mu)) / lit(sigma))
+    // two window passes per side (prefix sum, then prefix min of its
+    // clamp) — nested window expressions must live in separate
+    // projections; min(least(P,0)) over the prefix IS min(0, min P)
+    val withP = daily.withColumn("z", z)
+      .withColumn("pu", sum(col("z") - lit(k)).over(w))
+      .withColumn("pd", sum(-col("z") - lit(k)).over(w))
+    withP
+      .withColumn("cusum_up",
+        rnd6(col("pu") - min(least(col("pu"), lit(0.0))).over(w)))
+      .withColumn("cusum_down",
+        rnd6(col("pd") - min(least(col("pd"), lit(0.0))).over(w)))
+      .withColumn("alarm",
+        col("cusum_up") > lit(h) || col("cusum_down") > lit(h))
+      .select(col("day"), col("n_events"), col("z"),
+        col("cusum_up"), col("cusum_down"), col("alarm"))
+      .orderBy("day")
+  }
 }

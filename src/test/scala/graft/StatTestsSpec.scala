@@ -214,4 +214,55 @@ class StatTestsSpec extends SparkSpec {
       assert(r.getLong(2) + r.getLong(3) < vs.length / 10)
     }
   }
+
+  test("q159 cusum: closed form tracks the recurrence; alarm compare has margin") {
+    val rows = OlapQueries.cusumDailyEvents(spark, sf).collect()
+    assert(rows.length >= 10)
+    var su = 0.0
+    var sd = 0.0
+    rows.foreach { r =>
+      val z = r.getDouble(2)
+      su = math.max(0.0, su + z - 0.5)
+      sd = math.max(0.0, sd + (-z) - 0.5)
+      // the window closed form is the recurrence (up to double jitter
+      // far below the 6dp output grid)
+      assert(math.abs(su - r.getDouble(3)) < 1e-6, s"up diverged at $r")
+      assert(math.abs(sd - r.getDouble(4)) < 1e-6, s"down diverged at $r")
+      assert(r.getBoolean(5) ==
+        (r.getDouble(3) > 4.0 || r.getDouble(4) > 4.0))
+      // the alarm threshold compare must not sit on the boundary
+      assert(math.abs(r.getDouble(3) - 4.0) > 1e-6)
+      assert(math.abs(r.getDouble(4) - 4.0) > 1e-6)
+    }
+  }
+
+  test("q159 cusum: a sustained level shift fires the upward alarm") {
+    import spark.implicits._
+    // synthetic corpus: ~40 events/day for 20 days, ~80/day after —
+    // written in the events schema so the SAME query machinery runs
+    val base = 1700000000000000L
+    val dayUs = 86400L * 1000000L
+    val evs = (0 until 30).flatMap { d =>
+      val n = if (d < 20) 40 else 80
+      (0 until n).map { i =>
+        (d.toLong * 1000 + i, base + d * dayUs + i.toLong * 1000000L,
+          i.toLong % 7, "click", 1.0, "{}")
+      }
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cusum").toString
+    evs.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = OlapQueries.cusumDailyEvents(spark, dir).collect()
+    assert(out.length == 30)
+    // no alarm before the shift has accumulated; alarm by the tail
+    assert(!out.take(20).exists(_.getBoolean(5)),
+      "false alarm before the shift")
+    assert(out.takeRight(5).forall(_.getBoolean(5)),
+      "sustained shift never alarmed")
+    // the downward side stays quiet on an upward shift
+    assert(out.forall(_.getDouble(4) < 4.0))
+  }
 }

@@ -265,4 +265,18 @@ class StatTestsSpec extends SparkSpec {
     // the downward side stays quiet on an upward shift
     assert(out.forall(_.getDouble(4) < 4.0))
   }
+
+  test("q159 cusum: alarm-compare margins hold at all three fixtures") {
+    // the oracle's one boolean (cusum > 4.0) must sit far from the
+    // boundary at every SF — the tri-scale margin discipline every
+    // new decision-bearing oracle gets
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val rows = OlapQueries.cusumDailyEvents(spark, dir).collect()
+      val minMargin = rows.flatMap(r =>
+        Seq(math.abs(r.getDouble(3) - 4.0),
+          math.abs(r.getDouble(4) - 4.0))).min
+      assert(minMargin > 1e-4, s"$dir margin $minMargin")
+    }
+  }
 }

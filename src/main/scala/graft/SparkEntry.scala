@@ -466,7 +466,11 @@ object SparkEntry {
     // CUSUM changepoint monitor over daily ingest volume — a recursion
     // replayed in SQL through its prefix-sum/prefix-min closed form
     "q159_cusum_changepoint" -> ((s: SparkSession, d: String) =>
-      operators.OlapQueries.cusumDailyEvents(s, d))
+      operators.OlapQueries.cusumDailyEvents(s, d)),
+    // real resize (header parse → pixel sampling → re-encode → decode);
+    // the oracle replays the nearest-neighbor index arithmetic
+    "q160_image_resize" -> ((s: SparkSession, d: String) =>
+      multimodal.Multimodal.resizeImages(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3026,6 +3030,25 @@ object SparkEntry {
     // chain components are analytically the custkey's 1000-block: the
     // oracle derives them arithmetically while the engine runs the
     // real doubling iteration — exactness proves the graph algorithm
+    // replays the 8×8 → 4×4 nearest-neighbor sampling from the image
+    // SYNTHESIS: target pixel (k DIV 4, k % 4) reads source pixel
+    // (2·row, 2·col) → char position ((2·row·8 + 2·col)·3 + channel)
+    // of the padded raster string — while Spark parses, resizes, and
+    // re-encodes the actual P6 bytes
+    "q160_image_resize" ->
+      """SELECT doc_id AS media_id, 4 AS width, 4 AS height,
+        |  round(list_aggregate(
+        |    [ascii(substr(p, ((k // 4) * 2 * 8 + (k % 4) * 2) * 3 + 1, 1))
+        |     for k in range(0, 16)], 'avg'), 4) AS mean_r,
+        |  round(list_aggregate(
+        |    [ascii(substr(p, ((k // 4) * 2 * 8 + (k % 4) * 2) * 3 + 2, 1))
+        |     for k in range(0, 16)], 'avg'), 4) AS mean_g,
+        |  round(list_aggregate(
+        |    [ascii(substr(p, ((k // 4) * 2 * 8 + (k % 4) * 2) * 3 + 3, 1))
+        |     for k in range(0, 16)], 'avg'), 4) AS mean_b
+        |FROM (SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS p
+        |      FROM documents WHERE doc_id % 3 = 0)
+        |ORDER BY media_id""".stripMargin,
     // Page's CUSUM via its closed form S = P − min(0, min prefix P):
     // (μ, σ) from the SAME exact integer moments in the same IEEE
     // expression order, every crossing value rounded by the explicit

@@ -120,6 +120,64 @@ object Multimodal {
       val n = (w.toLong * h).toDouble
       Some(Decoded(w, h, r / n, g / n, b / n))
     }
+
+    /** REAL nearest-neighbor RESIZE — the multimodal pipeline's third
+      * named op (decode / feature-extract / RESIZE / frame-sample):
+      * parse the header with the same tolerant scan as [[decode]],
+      * sample source pixel (⌊i·h/h2⌋, ⌊j·w/w2⌋) for each target
+      * pixel, re-encode as a valid P6. The index arithmetic is exact
+      * integer division, so an oracle can replay the sampled-pixel
+      * positions verbatim. Malformed inputs return None like decode.
+      */
+    def resizeNearest(payload: Array[Byte], w2: Int,
+        h2: Int): Option[Array[Byte]] = {
+      if (w2 <= 0 || h2 <= 0 || w2 > MaxDim || h2 > MaxDim) return None
+      var i = 0
+      def skipSpaceAndComments(): Unit = {
+        var go = true
+        while (go && i < payload.length) {
+          val c = payload(i)
+          if (c == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+          else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
+          else go = false
+        }
+      }
+      def int(): Int = {
+        skipSpaceAndComments()
+        var v = 0; var any = false
+        while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+          v = v * 10 + (payload(i) - '0'); i += 1; any = true
+          if (v > MaxDim * MaxDim) return -1
+        }
+        if (any) v else -1
+      }
+      if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+        return None
+      i = 2
+      val (w, h, maxval) = (int(), int(), int())
+      if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim || maxval != 255)
+        return None
+      i += 1 // one whitespace byte separates header and raster
+      if (payload.length - i < w.toLong * h * 3) return None
+      val raster = i
+      val out = new Array[Byte](w2 * h2 * 3)
+      var y = 0
+      while (y < h2) {
+        val sy = (y.toLong * h / h2).toInt
+        var x = 0
+        while (x < w2) {
+          val sx = (x.toLong * w / w2).toInt
+          val src = raster + (sy * w + sx) * 3
+          val dst = (y * w2 + x) * 3
+          out(dst) = payload(src)
+          out(dst + 1) = payload(src + 1)
+          out(dst + 2) = payload(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      Some(encode(w2, h2, out))
+    }
   }
 
   /** A REAL audio codec — RIFF/WAVE PCM, pure JVM bytes: RIFF magic,
@@ -360,6 +418,36 @@ object Multimodal {
       }
       .toDF("media_id", "sample_rate", "n_samples", "sum_samples",
         "peak_abs")
+      .orderBy("media_id")
+  }
+
+  /** q160: resize-then-decode over [[imageTable]] — each 8×8 image
+    * downsamples to 4×4 through [[PpmCodec.resizeNearest]] (REAL
+    * header parse, pixel sampling, re-encode) and the resized bytes
+    * decode back through [[PpmCodec.decode]]; the report is the
+    * resized dims + channel means. The oracle replays the
+    * nearest-neighbor index arithmetic straight from the synthesis
+    * text — a mis-sampled pixel, mis-strided raster, or corrupted
+    * re-encode shifts the means and fails the hash.
+    */
+  def resizeImages(spark: SparkSession, sfDir: String,
+      outW: Int = 4, outH: Int = 4): DataFrame = {
+    val images = imageTable(spark, sfDir)
+    import spark.implicits._
+    images.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.iterator.flatMap { case (id, bytes) =>
+          PpmCodec.resizeNearest(bytes, outW, outH)
+            .flatMap(PpmCodec.decode)
+            .map(d => (id, d.width, d.height, d.meanR, d.meanG, d.meanB))
+        })
+      }
+      .toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
       .orderBy("media_id")
   }
 

@@ -91,6 +91,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("PpmCodec.resizeNearest samples the exact nearest-neighbor pixels") {
+    import graft.multimodal.Multimodal.PpmCodec
+    val rgb = Array.tabulate(8 * 8 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val img = PpmCodec.encode(8, 8, rgb)
+    // identity resize is byte-for-byte the original raster
+    val same = PpmCodec.resizeNearest(img, 8, 8).get
+    assert(PpmCodec.decode(same) == PpmCodec.decode(img))
+    // 4×4: target (y, x) samples source (2y, 2x) — replicate by hand
+    val down = PpmCodec.resizeNearest(img, 4, 4).get
+    val d = PpmCodec.decode(down).get
+    assert(d.width == 4 && d.height == 4)
+    def mean(ch: Int) = (for (y <- 0 until 4; x <- 0 until 4)
+      yield rgb(((2 * y) * 8 + 2 * x) * 3 + ch) & 0xFF).sum / 16.0
+    assert(d.meanR == mean(0) && d.meanG == mean(1) && d.meanB == mean(2))
+    // upscale repeats pixels (nearest-neighbor), means preserved
+    val up = PpmCodec.decode(PpmCodec.resizeNearest(img, 16, 16).get).get
+    assert(up.width == 16 && up.height == 16)
+    // malformed inputs refuse like decode
+    assert(PpmCodec.resizeNearest(img.dropRight(1), 4, 4).isEmpty)
+    assert(PpmCodec.resizeNearest("P5\n8 8\n255\n".getBytes ++ rgb,
+      4, 4).isEmpty)
+    assert(PpmCodec.resizeNearest(img, 0, 4).isEmpty)
+  }
+
   test("WavCodec round-trips and rejects malformed payloads") {
     import graft.multimodal.Multimodal.WavCodec
     val samples = Array.tabulate(100)(i =>

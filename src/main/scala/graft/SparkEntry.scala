@@ -470,7 +470,11 @@ object SparkEntry {
     // real resize (header parse → pixel sampling → re-encode → decode);
     // the oracle replays the nearest-neighbor index arithmetic
     "q160_image_resize" -> ((s: SparkSession, d: String) =>
-      multimodal.Multimodal.resizeImages(s, d))
+      multimodal.Multimodal.resizeImages(s, d)),
+    // real 2× audio decimation (chunk walk → sample selection →
+    // re-encode → decode); oracle replays the kept positions
+    "q161_audio_resample" -> ((s: SparkSession, d: String) =>
+      multimodal.Multimodal.resampleAudio(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3030,6 +3034,24 @@ object SparkEntry {
     // chain components are analytically the custkey's 1000-block: the
     // oracle derives them arithmetically while the engine runs the
     // real doubling iteration — exactness proves the graph algorithm
+    // replays 2× decimation from the synthesis: kept samples are the
+    // odd text positions (1, 3, 5, …), rate halves — while Spark walks
+    // the actual RIFF chunks, selects samples, and re-encodes
+    "q161_audio_resample" ->
+      """SELECT doc_id AS media_id,
+        |  (8000 + (doc_id % 3) * 4000) // 2 AS sample_rate,
+        |  CAST((len(t) + 1) // 2 AS BIGINT) AS n_samples,
+        |  CAST(list_aggregate(
+        |    [ascii(substr(t, i, 1)) * 256 - 32768
+        |     for i in range(1, len(t) + 1, 2)], 'sum') AS BIGINT)
+        |    AS sum_samples,
+        |  CAST(list_aggregate(
+        |    [abs(ascii(substr(t, i, 1)) * 256 - 32768)
+        |     for i in range(1, len(t) + 1, 2)], 'max') AS BIGINT)
+        |    AS peak_abs
+        |FROM (SELECT doc_id, substr(text, 1, 256) AS t
+        |      FROM documents WHERE doc_id % 3 = 1 AND len(text) >= 1)
+        |ORDER BY media_id""".stripMargin,
     // replays the 8×8 → 4×4 nearest-neighbor sampling from the image
     // SYNTHESIS: target pixel (k DIV 4, k % 4) reads source pixel
     // (2·row, 2·col) → char position ((2·row·8 + 2·col)·3 + channel)

@@ -272,6 +272,84 @@ object Multimodal {
     }
   }
 
+  /** REAL audio DECIMATION — the resample sibling of
+    * [[PpmCodec.resizeNearest]]: the same tolerant RIFF chunk walk as
+    * [[WavCodec.decode]], keep every `factor`-th sample, re-encode as
+    * a valid mono PCM wav at rate/factor. (Plain decimation, no
+    * anti-alias filter — the sampling positions are exact integer
+    * arithmetic, which is what makes the op oracle-replayable; a
+    * production resampler swaps in a filter kernel at this same seam.)
+    */
+  def wavDecimate(payload: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    if (factor <= 0) return None
+    def ascii(at: Int, s: String): Boolean =
+      (0 until s.length).forall(k => payload(at + k) == s.charAt(k))
+    def leInt(at: Int): Int =
+      (payload(at) & 0xFF) | ((payload(at + 1) & 0xFF) << 8) |
+        ((payload(at + 2) & 0xFF) << 16) | ((payload(at + 3) & 0xFF) << 24)
+    def leShort(at: Int): Int =
+      (payload(at) & 0xFF) | ((payload(at + 1) & 0xFF) << 8)
+    if (payload.length < 12 || !ascii(0, "RIFF") || !ascii(8, "WAVE"))
+      return None
+    var pos = 12
+    var fmtPcm16Mono = false
+    var rate = -1
+    var data = -1
+    var dataLen = -1
+    while (pos + 8 <= payload.length) {
+      val size = leInt(pos + 4)
+      if (size < 0) return None
+      val body = pos + 8
+      if (body + size > payload.length) return None
+      if (ascii(pos, "fmt ") && size >= 16) {
+        fmtPcm16Mono = leShort(body) == 1 && leShort(body + 2) == 1 &&
+          leShort(body + 14) == 16
+        rate = leInt(body + 4)
+      } else if (ascii(pos, "data")) {
+        data = body
+        dataLen = size
+      }
+      pos = body + size + (size & 1)
+    }
+    if (!fmtPcm16Mono || rate <= 0 || data < 0) return None
+    val n = dataLen / 2
+    val kept = new Array[Short]((n + factor - 1) / factor)
+    var j = 0
+    var i = 0
+    while (i < n) {
+      val at = data + i * 2
+      kept(j) = ((leShort(at) << 16) >> 16).toShort
+      j += 1
+      i += factor
+    }
+    Some(WavCodec.encode(math.max(1, rate / factor), kept))
+  }
+
+  /** q161: decimate-then-decode over [[audioTable]] — every clip
+    * downsamples 2× through [[wavDecimate]] (REAL chunk walk, sample
+    * selection, re-encode) and the resampled bytes decode back
+    * through [[WavCodec.decode]]; integer-exact features as in q34.
+    * The oracle replays the kept-sample positions (every other text
+    * char) straight from the synthesis.
+    */
+  def resampleAudio(spark: SparkSession, sfDir: String,
+      factor: Int = 2): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, sfDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.iterator.flatMap { case (id, bytes) =>
+          wavDecimate(bytes, factor)
+            .flatMap(WavCodec.decode)
+            .map(d => (id, d.sampleRate.toLong, d.nSamples.toLong,
+              d.sumSamples, d.peakAbs.toLong))
+        })
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "sum_samples",
+        "peak_abs")
+      .orderBy("media_id")
+  }
+
   /** The media table, synthesized from documents (text bytes play the
     * payload role — the testdata ships no real media). Demonstrates
     * the schema contract: id + type tag + binary + declared metadata.

@@ -148,6 +148,26 @@ class MultimodalSpec extends SparkSpec {
       empty.peakAbs == 0)
   }
 
+  test("wavDecimate keeps exactly every k-th sample; malformed refuse") {
+    import graft.multimodal.Multimodal.{WavCodec, wavDecimate}
+    val samples = Array.tabulate(101)(i =>
+      ((i * 911 + 5) % 65536 - 32768).toShort)
+    val wav = WavCodec.encode(16000, samples)
+    val d2 = WavCodec.decode(wavDecimate(wav, 2).get).get
+    val kept = samples.indices.filter(_ % 2 == 0).map(samples(_))
+    assert(d2.sampleRate == 8000 && d2.nSamples == 51)
+    assert(d2.sumSamples == kept.map(_.toLong).sum)
+    assert(d2.peakAbs == kept.map(s => math.abs(s.toInt)).max)
+    // factor 1 is the identity
+    assert(WavCodec.decode(wavDecimate(wav, 1).get)
+      .contains(WavCodec.decode(wav).get))
+    // factor beyond the clip keeps just sample 0
+    val d200 = WavCodec.decode(wavDecimate(wav, 200).get).get
+    assert(d200.nSamples == 1 && d200.sumSamples == samples(0).toLong)
+    assert(wavDecimate(wav.dropRight(1), 2).isEmpty)
+    assert(wavDecimate(wav, 0).isEmpty)
+  }
+
   test("audioFeatures: real RIFF parse agrees with the synthesis arithmetic") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select("doc_id", "text").collect()

@@ -1,7 +1,9 @@
 package graft.operators
 
+import org.apache.spark.HashPartitioner
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.sources.Tables
 
 /** PageRank over the customer↔supplier trade graph — the
@@ -12,27 +14,42 @@ import graft.sources.Tables
   * SQL oracle replays THE SAME random walk through unrolled CTEs —
   * the discipline that makes an iterative computation hash-checkable.
   *
-  * Unlike the other trainers, the model state here is O(|nodes|) — a
-  * rank per node — so it cannot collect to the driver as literals.
-  * It stays a DataFrame and each iteration is ONE driver action: the
-  * dangling-node SET is static (topology, computed once before the
-  * loop), so the action that materializes iterate i is the 1-row
-  * aggregate of iterate i's mass over that set — exactly the
-  * dangling-mass parameter iteration i+1 needs (iteration 1's mass is
-  * |dangling|·1.0 from the setup count). The new iterate itself is a
-  * single ZERO-SEEDED aggregate — edge contributions union one
-  * (node, 0.0) row per node, so every node emerges from the aggregate
-  * and no join-back-to-the-node-set stage exists. That is
-  * Spark-at-100TB PageRank: the edge list persists ONCE,
-  * pre-partitioned by src, the out-degree division rides the RANK
-  * side (mw = m/outdeg, an O(|V|) frame) so each iteration exchanges
-  * only rank-sized data, and masses combine map-side before the dst
-  * shuffle. While |V| is broadcast-sized the whole loop is pre-planned
-  * from that statistic (AQE off, explicit broadcasts, |V|-sized
-  * shuffle partitions — see the loop comment); past it the same loop
-  * runs un-hinted under AQE. Iterates persist and the previous cache
-  * drops as soon as the next materializes — bounded memory, no
-  * lineage blow-up.
+  * TWO physical regimes, gated on |V| (the [[ConnectedComponents]]
+  * discipline — same algebra, the substrate that wins at each size):
+  *
+  *  - BROADCAST regime (|V| within [[rddRank]]'s bound): the model
+  *    state — a rank per node — is exactly what the other trainers
+  *    broadcast, so the loop runs over the raw pair RDD with ZERO
+  *    per-iteration Catalyst work. The mirrored edge list partitions
+  *    by dst ONCE and persists; each iteration maps every edge to its
+  *    contribution from a broadcast (node → m/outdeg) map and
+  *    reduces by dst WITH THE SAME PARTITIONER — a narrow,
+  *    map-side-combined, zero-shuffle job — then collects the
+  *    |V|-bounded contribution map and closes the damped update on
+  *    the driver (dangling mass is a sum over the static dangling
+  *    set). Measured here: the DataFrame spelling of this loop spent
+  *    ~1.5 s of a 4.4 s query re-planning three Catalyst-invariant
+  *    iterations (the q155 disease); the RDD loop runs the same
+  *    trajectory in ~3 stages total.
+  *  - BIG regime (past the bound): rank state cannot ride a broadcast
+  *    (a 10⁹-node graph re-ships the model every round), so the loop
+  *    stays a DataFrame program under AQE: the edge list persists
+  *    ONCE pre-partitioned by src, the out-degree division rides the
+  *    RANK side (mw = m/outdeg, an O(|V|) frame) so each iteration
+  *    exchanges only rank-sized data, masses combine map-side before
+  *    the dst shuffle, and the new iterate is a single ZERO-SEEDED
+  *    aggregate — edge contributions union one (node, 0.0) row per
+  *    node, so every node emerges from the one aggregate and no
+  *    join-back-to-the-node-set stage exists. Each iteration is ONE
+  *    driver action (the dangling-mass aggregate doubles as the
+  *    cache-populating materialization); iterates persist and the
+  *    previous cache drops as the next lands — bounded memory, no
+  *    lineage blow-up. Per-round planning latency is noise at that
+  *    size, and AQE's skew handling is exactly what a hub node needs.
+  *
+  * Both regimes compute the SAME 6 dp-rounded trajectory (the
+  * rounding quantum absorbs summation-order jitter — see the mass
+  * calibration below), proven equal in GraphRankSpec.
   *
   * Graph: one node per customer (node_id = 2·custkey) and per
   * supplier (node_id = 2·suppkey + 1 — parity keeps the id spaces
@@ -49,18 +66,38 @@ import graft.sources.Tables
   */
 object PageRank {
 
+  // damping literals spelled separately (0.85 and 0.15), NOT derived
+  // as 1.0 - d: the Scala-computed difference is 0.15000000000000002
+  // while a SQL oracle parsing "0.15" gets 0.1499999999999999944…,
+  // and the iterate formula must be bit-identical in both engines
+  // before its 6 dp rounding.
+  private val D = 0.85
+  private val OneMinusD = 0.15
+
+  /** Spark's `round(_, 6)` on a double — java.math.BigDecimal via
+    * Double.toString, HALF_UP (mathExpressions.scala's DoubleType
+    * branch) — replicated exactly so the RDD regime's driver-side
+    * update produces the bit-identical trajectory the DataFrame
+    * regime (and the unrolled-CTE SQL oracle) computes.
+    */
+  private def round6(x: Double): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
   /** Top-`topK` nodes by rank mass after `iters` damped iterations.
     * Output: (node_id, node_type, rank_mass), ties broken by node_id.
+    * `broadcastNodeBound` gates the RDD broadcast regime — derived
+    * from BYTES, not row count: a rank-map entry is ~24 B payload
+    * (~48 B built), so 1M nodes ≈ 50 MB per broadcast BUILD, and the
+    * build re-ships every iteration. Past that the re-broadcast cost
+    * (and driver memory for the per-iteration contribution collect)
+    * outgrows what it saves, and the un-hinted AQE DataFrame loop
+    * takes over (tests pass 0 to force it on small fixtures).
     */
   def tradeRank(spark: SparkSession, sfDir: String,
-      iters: Int = 3, topK: Int = 20): DataFrame = {
-    // damping literals spelled separately (0.85 and 0.15), NOT derived
-    // as 1.0 - d: the Scala-computed difference is 0.15000000000000002
-    // while a SQL oracle parsing "0.15" gets 0.1499999999999999944…,
-    // and the iterate formula must be bit-identical in both engines
-    // before its 6 dp rounding.
-    val d = 0.85
-    val oneMinusD = 0.15
+      iters: Int = 3, topK: Int = 20,
+      broadcastNodeBound: Long = 1000000L): DataFrame = {
     val nodes = Tables.load(spark, sfDir, "customer")
       .select((col("c_custkey") * 2L).as("node_id"))
       .unionAll(Tables.load(spark, sfDir, "supplier")
@@ -71,36 +108,97 @@ object PageRank {
       .select((col("o_custkey") * 2L).as("c"),
         (col("l_suppkey") * 2L + 1L).as("s"))
       .distinct()
-    // The loop's join sides and sizes are KNOWN before it runs — the
-    // rank/degree frames are O(|V|) and every exchange is rank-sized —
-    // so while |V| is broadcast-sized the whole computation is
-    // pre-planned from that one statistic (a metadata-cheap node
-    // count, probed BEFORE anything builds): AQE off (its per-job
-    // re-planning dominates a tiny iteration and its decisions are
-    // exactly the ones we've already made), explicit broadcasts, and
-    // shuffle partitions sized from |V| instead of the corpus default
-    // (measured on this box: 12 s → 2.2 s for 3 iterations at
-    // |V|=16k). Past the broadcast bound — the 10⁹-node cluster —
-    // everything runs un-hinted with AQE on: mw joins ride the
-    // src-partitioned edge cache and skew handling matters more than
-    // scheduling latency.
-    val n = nodes.count() // parameter: |V| (parquet-metadata count)
-    // broadcast-regime bound derived from BYTES, not row count: an mw
-    // row is ~24 B payload (~48 B built), so 1M nodes ≈ 50 MB per
-    // broadcast BUILD — and the build re-ships every iteration. Past
-    // that the re-broadcast cost (and driver/executor memory) outgrows
-    // the exchange it saves and is a sizing AQE itself would never
-    // choose; the un-hinted AQE path takes over well before the old
-    // 8M-row bound's hundreds-of-MB-per-round hazard.
-    val bcastable = n <= 1000000L
-    // iteration-invariant state, built and MATERIALIZED once, OUTSIDE
-    // the tuned regime: the setup join (lineitem⋈orders → distinct
-    // pairs) is corpus-sized work that wants AQE and default shuffle
-    // partitions — only the ITERATIONS (rank-sized frames with known
-    // shapes) benefit from the pre-planned loop confs. The caches:
-    // the RAW edge list, repartitioned by src (the 100 TB layout —
-    // the per-iteration join key), the NDV-sized out-degree table,
-    // and the dangling-node SET (topology, not mass — static).
+    // regime statistic: |V| — a metadata-cheap count, probed before
+    // anything builds
+    val n = nodes.count()
+    if (n <= broadcastNodeBound) rddRank(spark, nodes, pairs, n, iters, topK)
+    else frameRank(spark, nodes, pairs, n, iters, topK)
+  }
+
+  /** The broadcast regime: the damped-iteration algebra over the raw
+    * pair RDD. Setup runs three jobs (partition+persist the mirrored
+    * edge list keyed by dst, collect the |V|-bounded out-degree map,
+    * collect the node set); each iteration is then ONE job whose only
+    * stage is NARROW — `mapPartitions(preservesPartitioning = true)`
+    * keeps the dst partitioner, so the reduceByKey that sums incoming
+    * mass never shuffles — and whose result is the |V|-bounded
+    * contribution map. The damped update (teleport + dangling
+    * redistribution + 6 dp round) closes on the driver over the node
+    * array, exactly the arithmetic the DataFrame regime's projection
+    * runs ([[round6]]); the dangling mass for the next iteration is a
+    * driver sum over the static dangling set. Zero Catalyst work per
+    * iteration — the plan latency that dominated the DataFrame
+    * spelling of this regime (~1.5 s of a 4.4 s query at |V|=16k)
+    * is gone, the same cure [[ConnectedComponents.components]] applies
+    * to its small-graph loop.
+    */
+  private def rddRank(spark: SparkSession, nodes: DataFrame,
+      pairs: DataFrame, n: Long, iters: Int, topK: Int): DataFrame = {
+    val sc = spark.sparkContext
+    val parts = math.max(4L, n / 2000L).toInt
+    val edgesByDst = pairs.rdd
+      .flatMap { r =>
+        val c = r.getLong(0); val s = r.getLong(1)
+        Iterator((s, c), (c, s)) // (dst, src), both directions
+      }
+      .partitionBy(new HashPartitioner(parts))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degMap = edgesByDst
+      .map { case (_, src) => (src, 1L) }
+      .reduceByKey(_ + _)
+      .collectAsMap() // |V|-bounded by the regime gate
+    val nodeArr = nodes.rdd.map(_.getLong(0)).collect()
+    java.util.Arrays.sort(nodeArr) // deterministic driver fold order
+    val dangling = nodeArr.filterNot(degMap.contains)
+    var rank = new scala.collection.mutable.LongMap[Double](nodeArr.length)
+    nodeArr.foreach(nid => rank.update(nid, 1.0)) // every node starts at 1
+    var dang = dangling.length.toDouble
+    for (_ <- 1 to iters) {
+      // the out-degree division rides the rank side (mw = m/outdeg) —
+      // the broadcast ships O(|V|), never edge-sized data. An edge
+      // whose src has no rank entry drops, matching the regime twin's
+      // inner join.
+      val mw = new scala.collection.mutable.LongMap[Double](degMap.size)
+      degMap.foreach { case (nid, dg) =>
+        rank.get(nid).foreach(m => mw.update(nid, m / dg))
+      }
+      val bc = sc.broadcast(mw)
+      val contrib = edgesByDst
+        .mapPartitions({ it =>
+          val m = bc.value
+          it.flatMap { case (dst, src) => m.get(src).map(v => (dst, v)) }
+        }, preservesPartitioning = true)
+        .reduceByKey(_ + _) // same partitioner — narrow, no shuffle
+        .collectAsMap()
+      val next = new scala.collection.mutable.LongMap[Double](nodeArr.length)
+      val dangShare = dang / n
+      nodeArr.foreach { nid =>
+        next.update(nid,
+          round6(OneMinusD + D * (contrib.getOrElse(nid, 0.0) + dangShare)))
+      }
+      dang = { var s = 0.0; dangling.foreach(nid => s += next(nid)); s }
+      rank = next
+      bc.destroy()
+    }
+    val top = nodeArr.map(nid => (nid, rank(nid)))
+      .sortBy { case (nid, m) => (-m, nid) }
+      .take(topK)
+    edgesByDst.unpersist(false)
+    import spark.implicits._
+    spark.createDataset(top.toSeq.map { case (nid, m) =>
+      (nid, if (nid % 2 == 0) "customer" else "supplier", m)
+    }).toDF("node_id", "node_type", "rank_mass")
+  }
+
+  /** The big-graph regime: the same algebra as a DataFrame program
+    * under AQE — see the object scaladoc for the plan shape. Caches:
+    * the RAW edge list repartitioned by src (the 100 TB layout — the
+    * per-iteration join key), the NDV-sized out-degree table, and the
+    * dangling-node SET (topology, not mass — static; its MASS is
+    * re-aggregated per iterate).
+    */
+  private def frameRank(spark: SparkSession, nodes: DataFrame,
+      pairs: DataFrame, n: Long, iters: Int, topK: Int): DataFrame = {
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
       .repartition(col("src"))
@@ -110,79 +208,62 @@ object PageRank {
     val dangNodes = nodes.join(deg, col("node_id") === col("src"),
         "left_anti")
       .select("node_id")
-      .persist() // static set; its MASS is re-aggregated per iterate
-    // this one action populates all three caches under the un-tuned
-    // planner; every node starts at mass 1.0
-    val dangStart = dangNodes.count().toDouble
-    def run(): DataFrame = {
+      .persist()
+    // this one action populates all three caches; every node starts
+    // at mass 1.0
+    var dang = dangNodes.count().toDouble
     var ranks = nodes.withColumn("m", lit(1.0))
     var prev: DataFrame = null
-    var dang = dangStart
-      for (_ <- 1 to iters) {
-        // the out-degree division rides the O(|V|) rank side — mw is
-        // rank-sized, so the edge cache never re-exchanges
-        val mw0 = deg.join(ranks, col("src") === col("node_id"))
-          .select(col("src"), (col("m") / col("outdeg")).as("mw"))
-        val mw = if (bcastable) broadcast(mw0) else mw0
-        // ZERO-SEEDED incoming-mass aggregate: edge contributions
-        // union one (node, 0.0) row per node off the cached iterate,
-        // so every node comes out of the ONE map-side-combined
-        // aggregate and no join-back-to-the-node-set stage exists
-        // (+0.0 terms are IEEE no-ops — mass is non-negative)
-        val next = edges.join(mw, "src")
-          .select(col("dst").as("node_id"), col("mw"))
-          .unionAll(ranks.select(col("node_id"), lit(0.0).as("mw")))
-          .groupBy("node_id").agg(sum("mw").as("contrib"))
-          .select(col("node_id"),
-            round(lit(oneMinusD) + lit(d) *
-              (col("contrib") + lit(dang) / n), 6)
-              .as("m"))
-          .persist()
-        // the iteration's SINGLE action: the dangling-mass semi-join
-        // consumes every partition of `next` (populating its cache
-        // exactly like a count() would) and returns the 1-row
-        // parameter the NEXT iteration reads. With NO dangling nodes
-        // the semi-join could collapse to an empty relation (AQE
-        // empty-propagation) WITHOUT scanning next — the mass is
-        // identically 0 then, so a plain count() materializes instead
-        if (dang == 0.0) next.count()
-        else {
-          val dang0 = next.join(
-            if (bcastable) broadcast(dangNodes) else dangNodes,
-            Seq("node_id"), "left_semi")
-          dang = dang0.agg(coalesce(sum("m"), lit(0.0)))
-            .collect()(0).getDouble(0)
-        }
-        if (prev != null) prev.unpersist(false)
-        prev = next
-        ranks = next
-      }
-      val out = ranks
+    for (_ <- 1 to iters) {
+      // the out-degree division rides the O(|V|) rank side — mw is
+      // rank-sized, so the edge cache never re-exchanges
+      val mw = deg.join(ranks, col("src") === col("node_id"))
+        .select(col("src"), (col("m") / col("outdeg")).as("mw"))
+      // ZERO-SEEDED incoming-mass aggregate: edge contributions
+      // union one (node, 0.0) row per node off the cached iterate,
+      // so every node comes out of the ONE map-side-combined
+      // aggregate and no join-back-to-the-node-set stage exists
+      // (+0.0 terms are IEEE no-ops — mass is non-negative)
+      val next = edges.join(mw, "src")
+        .select(col("dst").as("node_id"), col("mw"))
+        .unionAll(ranks.select(col("node_id"), lit(0.0).as("mw")))
+        .groupBy("node_id").agg(sum("mw").as("contrib"))
         .select(col("node_id"),
-          when(col("node_id") % 2 === 0, lit("customer"))
-            .otherwise(lit("supplier")).as("node_type"),
-          col("m").as("rank_mass"))
-        .orderBy(desc("rank_mass"), asc("node_id"))
-        .limit(topK)
-      // the report is topK rows — materialize it, then release the
-      // caches deterministically (the Percentiles discipline)
-      val rows = out.collect().toSeq
-      ranks.unpersist(false)
-      edges.unpersist(false)
-      deg.unpersist(false)
-      dangNodes.unpersist(false)
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), out.schema)
+          round(lit(OneMinusD) + lit(D) *
+            (col("contrib") + lit(dang) / n), 6)
+            .as("m"))
+        .persist()
+      // the iteration's SINGLE action: the dangling-mass semi-join
+      // consumes every partition of `next` (populating its cache
+      // exactly like a count() would) and returns the 1-row
+      // parameter the NEXT iteration reads. With NO dangling nodes
+      // the semi-join could collapse to an empty relation (AQE
+      // empty-propagation) WITHOUT scanning next — the mass is
+      // identically 0 then, so a plain count() materializes instead
+      if (dang == 0.0) next.count()
+      else dang = next.join(dangNodes, Seq("node_id"), "left_semi")
+        .agg(coalesce(sum("m"), lit(0.0)))
+        .collect()(0).getDouble(0)
+      if (prev != null) prev.unpersist(false)
+      prev = next
+      ranks = next
     }
-    // the pre-planned regime runs under the shared loop-conf lock
-    // ([[LoopRegime]]): serialized against other tuned loops, restore
-    // guaranteed — concurrent queries never see a torn half-regime
-    if (bcastable)
-      LoopRegime.withConfs(spark, Map(
-        "spark.sql.adaptive.enabled" -> "false",
-        "spark.sql.shuffle.partitions" ->
-          math.max(8L, n / 2000L).toString))(run())
-    else run()
+    val out = ranks
+      .select(col("node_id"),
+        when(col("node_id") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        col("m").as("rank_mass"))
+      .orderBy(desc("rank_mass"), asc("node_id"))
+      .limit(topK)
+    // the report is topK rows — materialize it, then release the
+    // caches deterministically (the Percentiles discipline)
+    val rows = out.collect().toSeq
+    ranks.unpersist(false)
+    edges.unpersist(false)
+    deg.unpersist(false)
+    dangNodes.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 
   /** BUTTERFLY (bipartite 4-cycle) census of the trade graph — the

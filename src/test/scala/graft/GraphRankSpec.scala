@@ -40,6 +40,17 @@ class GraphRankSpec extends SparkSpec {
     assert(a.map(-_._2).sameElements(a.map(-_._2).sorted))
   }
 
+  test("trade rank: RDD broadcast regime equals the DataFrame big regime") {
+    // bound=0 forces the big-graph DataFrame loop on the fixture; the
+    // default runs the RDD loop — same 6 dp trajectory, same report
+    def rows(bound: Long) =
+      PageRank.tradeRank(spark, sf, iters = 3, topK = 50,
+          broadcastNodeBound = bound)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows(1000000L) == rows(0L))
+  }
+
   test("trade rank: caches released after the report materializes") {
     // delta, not emptiness: the session is shared across suites and
     // some operators keep session-scoped caches by design

@@ -724,18 +724,20 @@ object Dedup {
     */
   def substringDedup(spark: SparkSession, sfDir: String,
       window: Int = 32, stride: Int = 16,
-      hashKeys: Boolean = false): DataFrame = {
+      hashKeys: Boolean = true): DataFrame = {
     val winRaw = Tables.load(spark, sfDir, "documents")
       .filter(length(col("text")) >= window)
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(1), length(col("text")) - (window - 1), lit(stride)),
           p => col("text").substr(p, lit(window)))).as("w"))
-    // hashKeys = the 100 TB spelling: the two window-key shuffles move
-    // 8-byte hashes instead of window-width strings (a collision needs
-    // two distinct windows sharing a 64-bit hash — the same odds the
-    // exact-dedup digests accept); the raw-string default is what the
-    // SQL oracle replays verbatim. Spec-proven result-identical.
+    // hashKeys = the 100 TB spelling AND the registered default: the
+    // two window-key shuffles move 8-byte hashes instead of
+    // window-width strings (a collision needs two distinct windows
+    // sharing a 64-bit hash — the same odds the exact-dedup digests
+    // accept). The output counts are hash-invariant (spec-proven
+    // identical to the raw spelling), so the SQL oracle — which
+    // replays the RAW window strings — still hash-PASSes against it.
     val wins = winRaw.select(col("doc_id"),
       (if (hashKeys) xxhash64(col("w")) else col("w")).as("win"))
     val dup = wins.groupBy("win")

@@ -172,7 +172,8 @@ class DedupSpec extends SparkSpec {
     val want = wins.groupBy(_._1).map { case (id, ws) =>
       id -> (ws.size.toLong, ws.count(w => dupSet(w._2)).toLong)
     }
-    val got = Dedup.substringDedup(spark, sf).collect()
+    // the raw-string spelling is the oracle's literal twin…
+    val got = Dedup.substringDedup(spark, sf, hashKeys = false).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == want)
     // the fixture's exact-dup docs make this non-vacuous: some doc
@@ -180,9 +181,9 @@ class DedupSpec extends SparkSpec {
     assert(want.values.exists(_._2 > 0L), "no cross-doc window found")
     assert(want.values.exists(v => v._2 < v._1),
       "profile must distinguish partial duplication")
-    // the hashed 100 TB spelling (8-byte keys across the shuffles)
-    // reports the identical profile
-    val hashed = Dedup.substringDedup(spark, sf, hashKeys = true)
+    // …and the REGISTERED default (hashed 8-byte keys across both
+    // shuffles — the 100 TB spelling) reports the identical profile
+    val hashed = Dedup.substringDedup(spark, sf)
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(hashed == want)

@@ -79,7 +79,15 @@ object Multimodal {
       s"P6\n$width $height\n255\n".getBytes("US-ASCII") ++ rgb
     }
 
-    def decode(payload: Array[Byte]): Option[Decoded] = {
+    /** (width, height, rasterOffset) from a well-formed P6 header with
+      * a complete raster — THE header parse, shared by [[decode]] and
+      * [[resizeNearest]] so a tolerance fix applies to both: magic
+      * check, whitespace/comment-tolerant integer scan (width, height,
+      * maxval — 255 only), one separator byte, raster length check.
+      * None on any malformation.
+      */
+    private[multimodal] def header(payload: Array[Byte])
+        : Option[(Int, Int, Int)] = {
       var i = 0
       def skipSpaceAndComments(): Unit = {
         var go = true
@@ -106,20 +114,24 @@ object Multimodal {
       if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim || maxval != 255)
         return None
       i += 1 // exactly one whitespace byte separates header and raster
-      val need = w.toLong * h * 3
-      if (payload.length - i < need) return None
-      var (r, g, b) = (0L, 0L, 0L)
-      var p = i
-      val end = i + need.toInt
-      while (p < end) {
-        r += payload(p) & 0xFF
-        g += payload(p + 1) & 0xFF
-        b += payload(p + 2) & 0xFF
-        p += 3
-      }
-      val n = (w.toLong * h).toDouble
-      Some(Decoded(w, h, r / n, g / n, b / n))
+      if (payload.length - i < w.toLong * h * 3) return None
+      Some((w, h, i))
     }
+
+    def decode(payload: Array[Byte]): Option[Decoded] =
+      header(payload).map { case (w, h, raster) =>
+        var (r, g, b) = (0L, 0L, 0L)
+        var p = raster
+        val end = raster + w * h * 3
+        while (p < end) {
+          r += payload(p) & 0xFF
+          g += payload(p + 1) & 0xFF
+          b += payload(p + 2) & 0xFF
+          p += 3
+        }
+        val n = (w.toLong * h).toDouble
+        Decoded(w, h, r / n, g / n, b / n)
+      }
 
     /** REAL nearest-neighbor RESIZE — the multimodal pipeline's third
       * named op (decode / feature-extract / RESIZE / frame-sample):
@@ -132,51 +144,25 @@ object Multimodal {
     def resizeNearest(payload: Array[Byte], w2: Int,
         h2: Int): Option[Array[Byte]] = {
       if (w2 <= 0 || h2 <= 0 || w2 > MaxDim || h2 > MaxDim) return None
-      var i = 0
-      def skipSpaceAndComments(): Unit = {
-        var go = true
-        while (go && i < payload.length) {
-          val c = payload(i)
-          if (c == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
-          else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
-          else go = false
+      header(payload).map { case (w, h, raster) =>
+        val out = new Array[Byte](w2 * h2 * 3)
+        var y = 0
+        while (y < h2) {
+          val sy = (y.toLong * h / h2).toInt
+          var x = 0
+          while (x < w2) {
+            val sx = (x.toLong * w / w2).toInt
+            val src = raster + (sy * w + sx) * 3
+            val dst = (y * w2 + x) * 3
+            out(dst) = payload(src)
+            out(dst + 1) = payload(src + 1)
+            out(dst + 2) = payload(src + 2)
+            x += 1
+          }
+          y += 1
         }
+        encode(w2, h2, out)
       }
-      def int(): Int = {
-        skipSpaceAndComments()
-        var v = 0; var any = false
-        while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
-          v = v * 10 + (payload(i) - '0'); i += 1; any = true
-          if (v > MaxDim * MaxDim) return -1
-        }
-        if (any) v else -1
-      }
-      if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
-        return None
-      i = 2
-      val (w, h, maxval) = (int(), int(), int())
-      if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim || maxval != 255)
-        return None
-      i += 1 // one whitespace byte separates header and raster
-      if (payload.length - i < w.toLong * h * 3) return None
-      val raster = i
-      val out = new Array[Byte](w2 * h2 * 3)
-      var y = 0
-      while (y < h2) {
-        val sy = (y.toLong * h / h2).toInt
-        var x = 0
-        while (x < w2) {
-          val sx = (x.toLong * w / w2).toInt
-          val src = raster + (sy * w + sx) * 3
-          val dst = (y * w2 + x) * 3
-          out(dst) = payload(src)
-          out(dst + 1) = payload(src + 1)
-          out(dst + 2) = payload(src + 2)
-          x += 1
-        }
-        y += 1
-      }
-      Some(encode(w2, h2, out))
     }
   }
 
@@ -221,14 +207,25 @@ object Multimodal {
       bb.array()
     }
 
-    def decode(payload: Array[Byte]): Option[Decoded] = {
+    private[multimodal] def leShort(payload: Array[Byte], at: Int): Int =
+      (payload(at) & 0xFF) | ((payload(at + 1) & 0xFF) << 8)
+
+    /** (sampleRate, dataOffset, nSamples) from the RIFF chunk walk —
+      * THE layout parse, shared by [[decode]] and
+      * [[Multimodal.wavDecimate]] so a header-tolerance fix applies to
+      * both: RIFF/WAVE magic, chunks walked by declared size (fmt
+      * need not be first; unknown chunks like LIST/INFO skip; odd
+      * sizes pad per spec), mono 16-bit PCM fmt required, truncated
+      * chunks rejected (a data chunk promising more bytes than exist
+      * is the classic corrupt-file shape). None on any malformation.
+      */
+    private[multimodal] def pcm16MonoLayout(payload: Array[Byte])
+        : Option[(Int, Int, Int)] = {
       def ascii(at: Int, s: String): Boolean =
         (0 until s.length).forall(k => payload(at + k) == s.charAt(k))
       def leInt(at: Int): Int =
         (payload(at) & 0xFF) | ((payload(at + 1) & 0xFF) << 8) |
           ((payload(at + 2) & 0xFF) << 16) | ((payload(at + 3) & 0xFF) << 24)
-      def leShort(at: Int): Int =
-        (payload(at) & 0xFF) | ((payload(at + 1) & 0xFF) << 8)
       if (payload.length < 12 || !ascii(0, "RIFF") || !ascii(8, "WAVE"))
         return None
       var pos = 12
@@ -240,14 +237,11 @@ object Multimodal {
         val size = leInt(pos + 4)
         if (size < 0) return None
         val body = pos + 8
-        if (body + size > payload.length) {
-          // truncated chunk: a data chunk promising more bytes than
-          // exist is the classic corrupt-file shape
-          return None
-        }
+        if (body + size > payload.length) return None
         if (ascii(pos, "fmt ") && size >= 16) {
-          fmtPcm16Mono = leShort(body) == 1 && leShort(body + 2) == 1 &&
-            leShort(body + 14) == 16
+          fmtPcm16Mono = leShort(payload, body) == 1 &&
+            leShort(payload, body + 2) == 1 &&
+            leShort(payload, body + 14) == 16
           rate = leInt(body + 4)
         } else if (ascii(pos, "data")) {
           data = body
@@ -255,21 +249,25 @@ object Multimodal {
         }
         pos = body + size + (size & 1) // RIFF pads odd chunks
       }
-      if (!fmtPcm16Mono || rate <= 0 || data < 0) return None
-      val n = dataLen / 2
-      var i = data
-      var sum = 0L
-      var peak = 0
-      val end = data + n * 2
-      while (i < end) {
-        val s = (leShort(i) << 16) >> 16 // sign-extend
-        sum += s
-        val a = math.abs(s)
-        if (a > peak) peak = a
-        i += 2
-      }
-      Some(Decoded(rate, n, sum, peak))
+      if (!fmtPcm16Mono || rate <= 0 || data < 0) None
+      else Some((rate, data, dataLen / 2))
     }
+
+    def decode(payload: Array[Byte]): Option[Decoded] =
+      pcm16MonoLayout(payload).map { case (rate, data, n) =>
+        var i = data
+        var sum = 0L
+        var peak = 0
+        val end = data + n * 2
+        while (i < end) {
+          val s = (leShort(payload, i) << 16) >> 16 // sign-extend
+          sum += s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 2
+        }
+        Decoded(rate, n, sum, peak)
+      }
   }
 
   /** REAL audio DECIMATION — the resample sibling of
@@ -282,47 +280,18 @@ object Multimodal {
     */
   def wavDecimate(payload: Array[Byte], factor: Int): Option[Array[Byte]] = {
     if (factor <= 0) return None
-    def ascii(at: Int, s: String): Boolean =
-      (0 until s.length).forall(k => payload(at + k) == s.charAt(k))
-    def leInt(at: Int): Int =
-      (payload(at) & 0xFF) | ((payload(at + 1) & 0xFF) << 8) |
-        ((payload(at + 2) & 0xFF) << 16) | ((payload(at + 3) & 0xFF) << 24)
-    def leShort(at: Int): Int =
-      (payload(at) & 0xFF) | ((payload(at + 1) & 0xFF) << 8)
-    if (payload.length < 12 || !ascii(0, "RIFF") || !ascii(8, "WAVE"))
-      return None
-    var pos = 12
-    var fmtPcm16Mono = false
-    var rate = -1
-    var data = -1
-    var dataLen = -1
-    while (pos + 8 <= payload.length) {
-      val size = leInt(pos + 4)
-      if (size < 0) return None
-      val body = pos + 8
-      if (body + size > payload.length) return None
-      if (ascii(pos, "fmt ") && size >= 16) {
-        fmtPcm16Mono = leShort(body) == 1 && leShort(body + 2) == 1 &&
-          leShort(body + 14) == 16
-        rate = leInt(body + 4)
-      } else if (ascii(pos, "data")) {
-        data = body
-        dataLen = size
+    WavCodec.pcm16MonoLayout(payload).map { case (rate, data, n) =>
+      val kept = new Array[Short]((n + factor - 1) / factor)
+      var j = 0
+      var i = 0
+      while (i < n) {
+        val at = data + i * 2
+        kept(j) = ((WavCodec.leShort(payload, at) << 16) >> 16).toShort
+        j += 1
+        i += factor
       }
-      pos = body + size + (size & 1)
+      WavCodec.encode(math.max(1, rate / factor), kept)
     }
-    if (!fmtPcm16Mono || rate <= 0 || data < 0) return None
-    val n = dataLen / 2
-    val kept = new Array[Short]((n + factor - 1) / factor)
-    var j = 0
-    var i = 0
-    while (i < n) {
-      val at = data + i * 2
-      kept(j) = ((leShort(at) << 16) >> 16).toShort
-      j += 1
-      i += factor
-    }
-    Some(WavCodec.encode(math.max(1, rate / factor), kept))
   }
 
   /** q161: decimate-then-decode over [[audioTable]] — every clip

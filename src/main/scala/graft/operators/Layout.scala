@@ -104,9 +104,20 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val in = new org.apache.hadoop.fs.Path(inDir)
     val fs = in.getFileSystem(conf)
-    val files = fs.listStatus(in).filter(s => s.isFile &&
-      !s.getPath.getName.startsWith("_") &&
-      !s.getPath.getName.startsWith("."))
+    // RECURSIVE listing: a partitioned table keeps its data files in
+    // key=value subdirectories — a flat listing would measure 0 bytes
+    // there and "compact" everything into one file
+    val files = {
+      val it = fs.listFiles(in, true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val s = it.next()
+        val name = s.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) buf += s
+      }
+      buf.toArray
+    }
     val bytes = files.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
       .toInt

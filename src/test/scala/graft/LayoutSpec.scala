@@ -228,6 +228,28 @@ class LayoutSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("compact: a PARTITIONED directory measures its subdirectory bytes") {
+    // data files live under key=value subdirectories — the recursive
+    // listing must see them (a flat listing measures 0 bytes and
+    // collapses everything into one file)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact-part").toString
+    val inDir = s"$base/in"
+    val outDir = s"$base/out"
+    Tables.load(spark, sf, "lineitem")
+      .repartition(8)
+      .write.partitionBy("l_returnflag").parquet(inDir)
+    val (before, after, measured) =
+      Layout.compact(spark, inDir, outDir,
+        targetFileBytes = 64L * 1024 * 1024)
+    assert(measured > 0L, "partitioned input measured 0 bytes")
+    assert(before > 0, "no data files found under the partition dirs")
+    assert(after >= 1)
+    // lossless, partition column included (read back as data column)
+    assert(spark.read.parquet(outDir).count() ===
+      Tables.load(spark, sf, "lineitem").count())
+  }
+
   test("bloom manifest: point lookup prunes to ~1 bucket, no false negatives") {
     val docs = Tables.load(spark, sf, "documents")
       .select(xxhash64(col("text")).as("key"),

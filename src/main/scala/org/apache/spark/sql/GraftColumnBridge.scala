@@ -38,6 +38,14 @@ object GraftColumnBridge {
       cs.sqlParser.parseTableIdentifier(table)).stats
   }
 
+  /** Block until the async SparkListener bus has delivered every
+    * queued event (or the timeout passes) — the deterministic
+    * replacement for sleep-before-reading-a-listener in specs that
+    * count jobs.
+    */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** The single column NAME a Column references, when it is a plain
     * attribute reference (`col("x")`); None for computed expressions.
     * Lets estimator code key a Column against catalog column

@@ -636,7 +636,8 @@ class PlanSpec extends SparkSpec {
     sc.addSparkListener(listener)
     try {
       val cold = Percentiles.statsFromCatalog(li, m, "l_returnflag")
-      Thread.sleep(500) // listener bus is async; drain before reading
+      // listener bus is async; drain deterministically before reading
+      org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark, 30000L)
       assert(cold === warm)
       assert(jobs.get() === 0,
         s"catalog-stats routing ran ${jobs.get()} jobs — expected none")

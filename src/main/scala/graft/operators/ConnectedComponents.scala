@@ -39,7 +39,8 @@ import graft.sources.Tables
   *    scheduling and planning latency is noise at that size, and no
   *    session conf is touched — the loop composes with concurrent
   *    queries.
-  *  - SMALL graphs (edge list below `smallGraphEdgeBound`) run the
+  *  - SMALL graphs (edge list below `smallGraphEdgeBound` AND no hub
+  *    past the degree probe — [[smallRegimeEligible]]) run the
   *    IDENTICAL contraction algebra over the raw pair RDD — GraphX's
   *    own substrate, and the one measured case here where the
   *    DataFrame spelling loses: the round plan is Catalyst-invariant
@@ -77,10 +78,14 @@ object ConnectedComponents {
     * component = the smallest node id reachable. Input columns
     * (a, b); self-loops and duplicates are tolerated.
     * `smallGraphEdgeBound` gates the RDD latency regime (tests pass 0
-    * to force the big-graph AQE plan on small fixtures).
+    * to force the big-graph AQE plan on small fixtures); within it, a
+    * cheap max-degree probe additionally rejects HUB-HEAVY small
+    * graphs (see [[smallRegimeEligible]]) — their adjacency sets
+    * belong in the AQE loop's partial aggregates, not one task's
+    * HashSet.
     */
   def components(edges: DataFrame,
-      smallGraphEdgeBound: Long = 5000000L): DataFrame = {
+      smallGraphEdgeBound: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     // orient (big, small), drop self-loops, dedup — the invariant
     // every round preserves
@@ -96,7 +101,7 @@ object ConnectedComponents {
     val nEdges = first.count()
 
     val fixedPoint =
-      if (nEdges <= smallGraphEdgeBound)
+      if (smallRegimeEligible(first, nEdges, smallGraphEdgeBound))
         smallLoop(spark, first,
           math.max(4L, nEdges / 100000L).toInt)
       else bigLoop(first)
@@ -108,6 +113,35 @@ object ConnectedComponents {
       .select(col("node"),
         coalesce(col("b"), col("node")).as("component"))
   }
+
+  /** Whether the RDD latency regime may run: the edge list must be
+    * under `edgeBound` AND the graph's max degree under
+    * [[hubDegreeBound]]. The RDD round's per-group adjacency SET is
+    * bounded by the biggest degree any round produces — a
+    * near-bound star puts millions of longs (hundreds of MB) in ONE
+    * task's HashSet, which is exactly the shape the AQE loop's
+    * map-side partial aggregates and skew-split joins exist for. The
+    * initial max degree is a cheap one-aggregate probe over an
+    * already-small edge list; contraction can still GROW stars toward
+    * the component minimum (a component's final star has
+    * component-sized degree), which is why `edgeBound` stays at 2M —
+    * the worst emergent set (~100 MB once, transiently) is tolerable
+    * where a 5M-bound one was not, and an initially hub-heavy graph
+    * never enters.
+    */
+  private[graft] def smallRegimeEligible(first: DataFrame,
+      nEdges: Long, edgeBound: Long,
+      degBound: Long = hubDegreeBound): Boolean =
+    nEdges <= edgeBound && {
+      val d = first.select(col("a").as("u"))
+        .unionAll(first.select(col("b").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("d"))
+        .agg(coalesce(max(col("d")), lit(0L)))
+        .head().getLong(0)
+      d <= degBound
+    }
+
+  private[graft] val hubDegreeBound = 262144L
 
   /** The big-graph loop: one LARGE-STAR + SMALL-STAR double round per
     * materialization, aggregate/join form — min-aggregates are
@@ -353,7 +387,8 @@ object ConnectedComponents {
     * component representative, plus the component size it belongs to.
     */
   def chainComponents(spark: SparkSession, sfDir: String,
-      chainLen: Long = 1000L): DataFrame = {
+      chainLen: Long = 1000L,
+      smallGraphEdgeBound: Long = 2000000L): DataFrame = {
     val c = Tables.load(spark, sfDir, "customer")
       .select(col("c_custkey").as("k"))
     val next = c.select(col("k").as("a"), (col("k") + 1L).as("b"))
@@ -369,7 +404,7 @@ object ConnectedComponents {
     // alone in its block (count ≡ 1 mod chainLen) has none — join the
     // full key set back so every node reports, matching the oracle
     val comp = c.select(col("k").as("node"))
-      .join(components(edges), Seq("node"), "left")
+      .join(components(edges, smallGraphEdgeBound), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
     val sizes = comp.groupBy("component")
@@ -405,11 +440,16 @@ object ConnectedComponents {
       .select(col("k").as("a"),
         (col("k") - pmod(col("k"), lit(half))).as("b"))
     // a lone tail block-head appears in no edge — complete the
-    // labeling over the full key set (the q155 discipline)
+    // labeling over the full key set (the q155 discipline). The
+    // labeling MATERIALIZES (it is "yesterday's stored table"): the
+    // merge below must read labels, never re-derive them from the
+    // base edges — the cost contract a spec asserts with a scan
+    // accumulator.
     val labels = c.select(col("k").as("node"))
       .join(components(baseEdges), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
+      .localCheckpoint(true)
     // today's batch: (k, k+1) at every even→odd half-block boundary,
     // kept only when the far endpoint exists
     val bridges = c.filter(pmod(col("k"), lit(2L * half)) === half - 1L)

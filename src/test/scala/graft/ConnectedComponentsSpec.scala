@@ -70,6 +70,47 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(5L -> 5L, 1L -> 1L, 2L -> 1L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("small-regime gate: hub-heavy graphs fall back to the AQE loop") {
+    // the RDD round's per-group adjacency set is degree-sized, so the
+    // gate must reject a star past the degree bound even when the
+    // edge count qualifies (bound shrunk to make the fixture small)
+    def oriented(es: Seq[(Long, Long)]) =
+      es.map(e => (math.max(e._1, e._2), math.min(e._1, e._2)))
+        .distinct.toDF("a", "b")
+    val star = oriented((2L to 40L).map(v => (1L, v)))
+    val chain = oriented((1L until 40L).map(i => (i, i + 1)))
+    assert(!ConnectedComponents.smallRegimeEligible(star,
+      nEdges = 39L, edgeBound = 1000L, degBound = 5L))
+    assert(ConnectedComponents.smallRegimeEligible(chain,
+      nEdges = 39L, edgeBound = 1000L, degBound = 5L))
+    // and past the edge bound the degree probe never runs at all
+    assert(!ConnectedComponents.smallRegimeEligible(chain,
+      nEdges = 39L, edgeBound = 10L, degBound = 5L))
+  }
+
+  test("mergeComponents: day-2 cost — the base edge list is never re-read") {
+    // the incremental contract is a COST shape, not just equal labels:
+    // instrument the base edge scan with an accumulator, materialize
+    // yesterday's labeling (the stored-table shape), and assert the
+    // merge moves the counter by ZERO — every join in the merge reads
+    // labels or the batch, never base history
+    val acc = spark.sparkContext.longAccumulator("base-edge-rows")
+    val baseRows = (1L until 50L).map(i => (i, i + 1)) ++
+      Seq((200L, 201L), (201L, 202L))
+    val base = baseRows.toDF("a", "b").as[(Long, Long)]
+      .map { t => acc.add(1L); t }.toDF("a", "b")
+    val labels = ConnectedComponents.components(base)
+      .localCheckpoint(true) // yesterday's output, stored
+    val readsDuringResolve = acc.value
+    assert(readsDuringResolve > 0L, "instrumentation never fired")
+    val merged = ConnectedComponents
+      .mergeComponents(labels, Seq((50L, 200L), (300L, 301L)).toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(acc.value == readsDuringResolve,
+      s"merge re-read ${acc.value - readsDuringResolve} base edge rows")
+    assert(merged == replica(baseRows ++ Seq((50L, 200L), (300L, 301L))))
+  }
+
   test("mergeComponents: incremental equals from-scratch on a grown graph") {
     // base graph: two chains + a clique + singles-in-edges; batch:
     // edges that (a) merge two existing components, (b) extend one

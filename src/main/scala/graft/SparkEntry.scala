@@ -461,7 +461,10 @@ object SparkEntry {
     // in MultimodalSpec.
     "q34_media_features" -> (multimodal.Multimodal.audioFeatures _),
     // per-doc duplication profile at character grain (the span-excision
-    // decision input; q70 is the positioned word-span detector)
+    // decision input; q70 is the positioned word-span detector). The
+    // default runs the hashed-key spelling — both window-key shuffles
+    // move 8-byte xxhash64 keys, never 32-char substrings; the counts
+    // are hash-invariant (spec-proven), so the raw-string oracle holds
     "q158_substring_dedup" -> (operators.Dedup.substringDedup(_, _)),
     // CUSUM changepoint monitor over daily ingest volume — a recursion
     // replayed in SQL through its prefix-sum/prefix-min closed form
@@ -474,7 +477,15 @@ object SparkEntry {
     // real 2× audio decimation (chunk walk → sample selection →
     // re-encode → decode); oracle replays the kept positions
     "q161_audio_resample" -> ((s: SparkSession, d: String) =>
-      multimodal.Multimodal.resampleAudio(s, d))
+      multimodal.Multimodal.resampleAudio(s, d)),
+    // q155's graph through the FORCED big-graph regime (bound 0): the
+    // AQE groupBy+join doubling loop — the 100 TB code path — gets a
+    // per-round tracked number and a per-round oracle check instead
+    // of spec-only coverage, since sf-scale graphs otherwise always
+    // take the RDD latency regime
+    "q162_components_bigregime" -> ((s: SparkSession, d: String) =>
+      operators.ConnectedComponents.chainComponents(s, d,
+        smallGraphEdgeBound = 0L))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3052,6 +3063,21 @@ object SparkEntry {
         |FROM (SELECT doc_id, substr(text, 1, 256) AS t
         |      FROM documents WHERE doc_id % 3 = 1 AND len(text) >= 1)
         |ORDER BY media_id""".stripMargin,
+    // q155's analytic-blocks oracle, verbatim: the engine side runs
+    // the FORCED big-graph regime, so the AQE doubling loop gets its
+    // own per-round correctness check
+    "q162_components_bigregime" ->
+      """WITH n AS (
+        |  SELECT c_custkey AS node,
+        |    c_custkey // 1000 AS blk
+        |  FROM customer),
+        |s AS (
+        |  SELECT blk, min(node) AS component,
+        |    CAST(count(*) AS BIGINT) AS component_size
+        |  FROM n GROUP BY blk)
+        |SELECT node, component, component_size
+        |FROM n JOIN s USING (blk)
+        |ORDER BY node""".stripMargin,
     // replays the 8×8 → 4×4 nearest-neighbor sampling from the image
     // SYNTHESIS: target pixel (k DIV 4, k % 4) reads source pixel
     // (2·row, 2·col) → char position ((2·row·8 + 2·col)·3 + channel)

@@ -1,0 +1,158 @@
+package graft.plans
+
+/** Profile-driven re-optimization advice — closing the loop the
+  * reference never could. The reference's whole workflow was: run the
+  * pipeline with its ProfilerHook, load the merged timeline, stare at
+  * the trace to find the bottleneck step, then hand-tune it
+  * (reference README.md:138-144 and the `issue_profile.png`
+  * walkthrough). [[TraceCapture]] already produces the per-operator
+  * half of that story; this object reads those trace lines and emits
+  * the top-N costliest exchanges / scans / spills / joins WITH the
+  * matching tuning lever — the "query plan" panel of a SQL console,
+  * as a library call over the engine's own profiler dumps.
+  *
+  * Pure function of the trace text (no session, no jobs): advice is
+  * reproducible from an artifact, which is what makes it testable
+  * against a deterministic fixture and usable offline against a
+  * cluster's collected traces.
+  *
+  * Signals and levers (per operator kind, ranked by its own cost
+  * metric, times preferred over sizes):
+  *
+  *  - EXCHANGE (shuffle): `shuffleWriteTime` (ns) + `fetchWaitTime`
+  *    (ms), falling back to `dataSize`. Lever: pre-aggregate before
+  *    the shuffle, shuffle only key+payload columns, broadcast the
+  *    small side, or bucket/co-partition both sides.
+  *  - SCAN: `scanTime` (ms), falling back to `filesSize`; a scan
+  *    whose files are numerous but tiny additionally flags
+  *    compaction. Lever: push predicates / prune columns; partition
+  *    or Z-order by the hot predicate; compact small files.
+  *  - SPILL: any operator with `spillSize` > 0. Lever: more shuffle
+  *    partitions / smaller `maxPartitionBytes` / salt hot keys (AQE
+  *    skew-join covers joins).
+  *  - BROADCAST: `dataSize` of a BroadcastExchange near the build
+  *    limit. Lever: verify the build side stays dim-sized at scale or
+  *    switch to a shuffled join.
+  *  - NESTED LOOP: any CartesianProduct / BroadcastNestedLoopJoin.
+  *    Lever: rewrite with an equality key (banding / blocking /
+  *    bounding one side).
+  *  - SORT: `sortTime` (ms) under a sort-merge join. Lever: bucket
+  *    both sides on the join key or broadcast the smaller one.
+  */
+object Advisor {
+
+  /** One piece of advice: which query, which operator (with its walk
+    * position for disambiguation), what was measured, and the lever.
+    */
+  case class Finding(query: String, op: String, signal: String,
+      value: Long, unit: String, lever: String)
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Top-`topN` findings per signal class over the trace lines
+    * (highest measured cost first within each class, classes in the
+    * scaladoc's order). Malformed lines are skipped — advice must
+    * work on a partially-written trace file.
+    */
+  def advise(lines: Iterator[String], topN: Int = 5,
+      broadcastWarnBytes: Long = 64L * 1024 * 1024): Seq[Finding] = {
+    val exchanges = collection.mutable.ArrayBuffer.empty[Finding]
+    val scans = collection.mutable.ArrayBuffer.empty[Finding]
+    val spills = collection.mutable.ArrayBuffer.empty[Finding]
+    val broadcasts = collection.mutable.ArrayBuffer.empty[Finding]
+    val loops = collection.mutable.ArrayBuffer.empty[Finding]
+    val sorts = collection.mutable.ArrayBuffer.empty[Finding]
+    lines.foreach { line =>
+      val root =
+        try mapper.readTree(line)
+        catch { case _: Throwable => null }
+      if (root != null && root.path("event").asText("") == "query") {
+        val qname = root.path("name").asText("query")
+        val ops = root.path("operators")
+        var i = 0
+        while (i < ops.size()) {
+          val node = ops.get(i)
+          val op = node.path("op").asText("")
+          val m = node.path("metrics")
+          def metric(k: String): Long = m.path(k).asLong(0L)
+          val opAt = s"$op#$i"
+          if (op.contains("Exchange") && !op.contains("Broadcast")) {
+            val t = metric("shuffleWriteTime") / 1000000L +
+              metric("fetchWaitTime")
+            val (v, sig, u) =
+              if (t > 0) (t, "shuffle write+fetch time", "ms")
+              else (metric("dataSize"), "dataSize", "bytes")
+            if (v > 0) exchanges += Finding(qname, opAt, sig, v, u,
+              "pre-aggregate before the shuffle, shuffle only " +
+                "key+payload columns, broadcast the small side, or " +
+                "bucket/co-partition both sides")
+          } else if (op.startsWith("Scan")) {
+            val nFiles = metric("numFiles")
+            val bytes = metric("filesSize")
+            val smallFiles = nFiles >= 16 && bytes > 0 &&
+              bytes / nFiles < 4L * 1024 * 1024
+            val lever =
+              (if (smallFiles)
+                 s"$nFiles files averaging ${bytes / nFiles / 1024} KB" +
+                   " — compact the table (Layout.compact); then "
+               else "") +
+                "push predicates / prune columns; partition or " +
+                "Z-order by the hot predicate"
+            val (v, sig, u) =
+              if (metric("scanTime") > 0) (metric("scanTime"), "scanTime", "ms")
+              else (bytes, "filesSize", "bytes")
+            if (v > 0) scans += Finding(qname, opAt, sig, v, u, lever)
+          } else if (op.contains("BroadcastExchange")) {
+            val v = metric("dataSize")
+            if (v >= broadcastWarnBytes)
+              broadcasts += Finding(qname, opAt, "dataSize", v, "bytes",
+                "broadcast build near the limit — verify the build " +
+                  "side stays dim-sized at scale or switch to a " +
+                  "shuffled join")
+          } else if (op.contains("CartesianProduct") ||
+              op.contains("BroadcastNestedLoopJoin")) {
+            loops += Finding(qname, opAt, "numOutputRows",
+              metric("numOutputRows"), "rows",
+              "non-equality join — rewrite with an equality key " +
+                "(banding / blocking) or bound one side")
+          } else if (op.startsWith("Sort") && metric("sortTime") > 0) {
+            sorts += Finding(qname, opAt, "sortTime",
+              metric("sortTime"), "ms",
+              "if this sort feeds a sort-merge join: bucket both " +
+                "sides on the join key or broadcast the smaller side")
+          }
+          if (metric("spillSize") > 0)
+            spills += Finding(qname, opAt, "spillSize",
+              metric("spillSize"), "bytes",
+              "partitions outgrow memory — raise " +
+                "spark.sql.shuffle.partitions, lower " +
+                "files.maxPartitionBytes, or salt the hot keys")
+          i += 1
+        }
+      }
+    }
+    def top(b: collection.mutable.ArrayBuffer[Finding]) =
+      b.sortBy(f => (-f.value, f.query, f.op)).take(topN).toSeq
+    top(spills) ++ top(loops) ++ top(exchanges) ++ top(scans) ++
+      top(broadcasts) ++ top(sorts)
+  }
+
+  /** Render findings as aligned report lines (one per finding). */
+  def report(findings: Seq[Finding]): String =
+    if (findings.isEmpty) "no findings — nothing spilled, looped, or dominated"
+    else findings.map(f =>
+      f"${f.query}%-28s ${f.op}%-26s ${f.signal}=${f.value} ${f.unit}%-5s -> ${f.lever}")
+      .mkString("\n")
+
+  /** CLI: `runMain graft.plans.Advisor <trace.jsonl> [topN]` — print
+    * the report for a captured trace file (e.g. the bench's
+    * SPARK_GRAFT_TRACE output).
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Advisor <trace.jsonl> [topN]")
+    val topN = if (args.length > 1) args(1).toInt else 5
+    val src = scala.io.Source.fromFile(args(0))
+    try println(report(advise(src.getLines(), topN)))
+    finally src.close()
+  }
+}

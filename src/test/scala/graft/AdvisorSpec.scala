@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.plans.{Advisor, TraceCapture}
+
+/** The profile→advice loop: exact findings over a deterministic
+  * hand-authored trace fixture, then a live round trip (TraceCapture
+  * over a real shuffle query → Advisor flags its exchange).
+  */
+class AdvisorSpec extends SparkSpec {
+
+  private val fixture = Seq(
+    // qA: a dominating shuffle (2.5 s write + 100 ms fetch), a
+    // small-files scan, and a spilling aggregate
+    """{"event":"query","name":"qA","wall_ms":3000,"ts_ms":1,"operators":[""" +
+      """{"op":"ShuffleExchange","depth":1,"metrics":{"shuffleWriteTime":2500000000,"fetchWaitTime":100,"dataSize":999}},""" +
+      """{"op":"Scan parquet t","depth":2,"metrics":{"scanTime":800,"numFiles":64,"filesSize":6710886,"numOutputRows":5}},""" +
+      """{"op":"HashAggregate","depth":1,"metrics":{"spillSize":123456,"numOutputRows":10}}]}""",
+    // qB: an oversized broadcast, a nested loop, a timed sort, and a
+    // second (smaller) exchange reporting only dataSize
+    """{"event":"query","name":"qB","wall_ms":500,"ts_ms":1,"operators":[""" +
+      """{"op":"BroadcastExchange","depth":1,"metrics":{"dataSize":134217728}},""" +
+      """{"op":"BroadcastNestedLoopJoin","depth":0,"metrics":{"numOutputRows":42}},""" +
+      """{"op":"Sort","depth":3,"metrics":{"sortTime":321}},""" +
+      """{"op":"ShuffleExchange","depth":4,"metrics":{"dataSize":77}}]}""",
+    """not json at all""", // a partially-written trace must not break advice
+    """{"event":"query_failed","name":"qC","error":"Boom"}""")
+
+  test("deterministic fixture: every signal class found, ranked, levered") {
+    val fs = Advisor.advise(fixture.iterator, topN = 5)
+    def one(sig: String, op: String) = {
+      val hits = fs.filter(f => f.signal == sig && f.op == op)
+      assert(hits.size == 1, s"$sig/$op: $fs")
+      hits.head
+    }
+    val spill = one("spillSize", "HashAggregate#2")
+    assert(spill.query == "qA" && spill.value == 123456L)
+    val loop = one("numOutputRows", "BroadcastNestedLoopJoin#1")
+    assert(loop.lever.contains("equality key"))
+    val bigX = one("shuffle write+fetch time", "ShuffleExchange#0")
+    assert(bigX.value == 2600L && bigX.unit == "ms") // 2.5e9 ns + 100 ms
+    val smallX = one("dataSize", "ShuffleExchange#3")
+    assert(smallX.value == 77L)
+    val scan = one("scanTime", "Scan parquet t#1")
+    assert(scan.value == 800L)
+    assert(scan.lever.contains("compact"), // 64 files avg ~102 KB
+      s"small-files lever missing: ${scan.lever}")
+    val bcast = one("dataSize", "BroadcastExchange#0")
+    assert(bcast.value == 128L * 1024 * 1024)
+    val sort = one("sortTime", "Sort#2")
+    assert(sort.value == 321L)
+    // class ordering: spills and nested loops outrank tuning advice
+    assert(fs.indexOf(spill) < fs.indexOf(bigX))
+    assert(fs.indexOf(loop) < fs.indexOf(bigX))
+    // exchanges ranked by cost within the class
+    assert(fs.indexOf(bigX) < fs.indexOf(smallX))
+    // report renders one line per finding
+    assert(Advisor.report(fs).linesIterator.size == fs.size)
+    assert(Advisor.report(Nil).contains("no findings"))
+  }
+
+  test("live round trip: a real shuffle's trace yields an exchange lever") {
+    val dir = Files.createTempDirectory("graft-advice")
+    val path = dir.resolve("t.jsonl").toString
+    val listener = TraceCapture.install(spark, path)
+    try {
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy("l_suppkey").count()
+        .write.format("noop").mode("overwrite").save()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var lines = Seq.empty[String]
+      while (lines.isEmpty && System.nanoTime() < deadline) {
+        if (Files.exists(Paths.get(path)))
+          lines = Files.readAllLines(Paths.get(path)).asScala.toSeq
+        if (lines.isEmpty) Thread.sleep(50)
+      }
+      assert(lines.nonEmpty, "no trace captured")
+      val fs = Advisor.advise(lines.iterator)
+      assert(fs.exists(f => f.op.contains("Exchange") || f.op.contains("Scan")),
+        s"no exchange/scan finding over a real shuffle: $fs")
+      // and nothing in this tiny query should spill or nested-loop
+      assert(!fs.exists(_.signal == "spillSize"), fs.toString)
+    } finally {
+      TraceCapture.uninstall(spark, listener)
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+}

@@ -27,15 +27,23 @@ package graft
   *     originals) until the min is confirmed by a second reading
   *     within 25% — the cheap insurance that a min is a steady-state
   *     measurement, not the floor of one bad phase;
-  *  4. the RECORDED per-query number is CONTROL-NORMALIZED: every
-  *     sample remembers the nearest control reading, and the best
-  *     sample scales by (control floor / its control) — so a query
-  *     whose every sample landed in a 3× phase stops reporting a
-  *     phantom 3× regression (r06 recorded q147 at 5.28 s where
-  *     clean-window re-runs measured 2.73). Raw minima are emitted
-  *     alongside (`queries_raw`), and queries whose normalized
-  *     reading moved >1.3× against the previous round's artifact
-  *     (BENCH_r*.json in the working directory, or
+  *  4. the RECORDED per-query number is CONTROL-NORMALIZED, gently:
+  *     every sample remembers the nearest control reading; when the
+  *     best sample's control sits clearly above the run's clean
+  *     control level (20th percentile — robust where the outright
+  *     minimum is one lucky scheduling roll), the reading scales by
+  *     1/√(control ratio), clamped at 2×. The square root encodes
+  *     what r06's data showed: a phase that triples the CPU control
+  *     inflates real queries (mixed IO / shuffle / scheduling) by
+  *     roughly the root of that — q147 recorded 5.28 s under a ~3×
+  *     control where clean-window re-runs measured 2.73. Readings
+  *     whose control is within 25% of clean pass through UNTOUCHED —
+  *     normalization exists to stop phantom 2× regressions on
+  *     phase-hit queries, not to manufacture fast numbers. Raw
+  *     minima are emitted alongside (`queries_raw`), the full
+  *     control series lands in the summary for audit, and queries
+  *     whose normalized reading moved >1.3× against the previous
+  *     round's artifact (BENCH_r*.json in the working directory, or
   *     SPARK_GRAFT_BENCH_PREV) are flagged in the summary.
   *
   * The SQL cache is cleared after every execution so persisted
@@ -69,12 +77,15 @@ object Bench {
     val failed = scala.collection.mutable.Set.empty[String]
 
     // the control: a fixed CPU-bound job with no data dependence —
-    // measures the MACHINE, not the engine. ~0.2 s in a clean phase.
+    // measures the MACHINE, not the engine. 3e8 terms (~0.25 s clean)
+    // rather than 1e8: at ~0.08 s the reading was dominated by task
+    // scheduling jitter (a 0.08–0.30 spread inside one clean run),
+    // which made control RATIOS meaningless for normalization.
     import org.apache.spark.sql.functions.{col, shiftright, sum, xxhash64}
     def controlOnce(): Double = {
       val t0 = System.nanoTime()
-      // shiftright keeps the 1e8-term sum inside a long under ANSI
-      spark.range(0L, 100000000L, 1L, cpus)
+      // shiftright keeps the 3e8-term sum inside a long under ANSI
+      spark.range(0L, 300000000L, 1L, cpus)
         .select(sum(shiftright(xxhash64(col("id")), 32)))
         .collect()
       (System.nanoTime() - t0) / 1e9
@@ -87,6 +98,7 @@ object Bench {
     val samples = scala.collection.mutable
       .Map.empty[String, List[(Double, Double)]].withDefaultValue(Nil)
     def measure(name: String, timed: Boolean): Unit = {
+      plans.TraceCapture.setLabel(name) // stamp trace lines (if tracing)
       val t = try {
         val t0 = System.nanoTime()
         run(SparkEntry.queries(name)(spark, sfDir))
@@ -98,7 +110,14 @@ object Bench {
         // not discard three earlier valid measurements
         if (samples(name).isEmpty) failed += name
         -1.0
-      } finally spark.catalog.clearCache()
+      } finally {
+        // trace delivery is async — drain before the label moves on
+        // (near-free when the bus is already empty)
+        org.apache.spark.sql.GraftColumnBridge
+          .drainListenerBus(spark, 10000L)
+        plans.TraceCapture.clearLabel()
+        spark.catalog.clearCache()
+      }
       if (timed && t >= 0) samples(name) = (t, lastControl) :: samples(name)
     }
     def pass(ns: Seq[String], timed: Boolean): Unit =
@@ -132,25 +151,30 @@ object Bench {
       extra += 1
     }
 
-    // control floor: the machine's clean-phase reading this run. The
-    // recorded number per query is its best sample scaled by
-    // (floor / that sample's nearest control) — identity in a clean
-    // window, a phase-correction when every sample was stolen from.
-    val cFloor = if (controls.isEmpty) Double.NaN else controls.min
+    // clean control level: the 20th percentile of the run's control
+    // series — the clean-phase reading, robust against one lucky
+    // scheduling roll (the outright min) and against a mostly-slow
+    // run (the median). The recorded number per query is its best
+    // sample, DAMPED toward clean when that sample's nearest control
+    // sat clearly above the level: factor 1/√(ctrl/clean), dead zone
+    // 25%, clamp 2× — see the header comment for the calibration.
+    val cClean =
+      if (controls.isEmpty) Double.NaN
+      else controls.sorted.apply((controls.size - 1) / 5)
     val rawResults = names.map { n =>
       val s = samples(n)
-      n -> (if (failed(n) && s.isEmpty) -1.0
-            else if (s.isEmpty) -1.0
-            else s.map(_._1).min)
+      n -> (if (s.isEmpty) -1.0 else s.map(_._1).min)
     }
     val results = names.map { n =>
       val s = samples(n)
       if (s.isEmpty) n -> -1.0
       else {
         val (raw, ctrl) = s.minBy(_._1)
+        val r = if (ctrl.isNaN || cClean.isNaN || cClean <= 0) 1.0
+          else ctrl / cClean
         val factor =
-          if (ctrl.isNaN || cFloor.isNaN || ctrl <= 0) 1.0
-          else math.min(1.0, cFloor / ctrl) // never inflate a reading
+          if (r <= 1.25) 1.0 // in or near a clean window: pass through
+          else math.max(0.5, 1.0 / math.sqrt(r))
         n -> raw * factor
       }
     }
@@ -178,8 +202,10 @@ object Bench {
     val cStats =
       if (controls.isEmpty) "null"
       else s"""{"n":${controls.size},"min":${f(controls.min)},""" +
+        s""""clean_p20":${f(cClean)},""" +
         s""""median":${f(controls.sorted.apply(controls.size / 2))},""" +
-        s""""max":${f(controls.max)}}"""
+        s""""max":${f(controls.max)},""" +
+        s""""series":[${controls.map(f).mkString(",")}]}"""
     // round-over-round drift: compare normalized readings against the
     // previous round's artifact and flag >1.3× moves either way — a
     // grader seeing a flagged-but-unchanged query is looking at

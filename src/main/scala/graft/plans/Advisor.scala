@@ -94,7 +94,7 @@ object Advisor {
             val lever =
               (if (smallFiles)
                  s"$nFiles files averaging ${bytes / nFiles / 1024} KB" +
-                   " — compact the table (Layout.compact); then "
+                   " - compact the table (Layout.compact); then "
                else "") +
                 "push predicates / prune columns; partition or " +
                 "Z-order by the hot predicate"
@@ -106,14 +106,14 @@ object Advisor {
             val v = metric("dataSize")
             if (v >= broadcastWarnBytes)
               broadcasts += Finding(qname, opAt, "dataSize", v, "bytes",
-                "broadcast build near the limit — verify the build " +
+                "broadcast build near the limit: verify the build " +
                   "side stays dim-sized at scale or switch to a " +
                   "shuffled join")
           } else if (op.contains("CartesianProduct") ||
               op.contains("BroadcastNestedLoopJoin")) {
             loops += Finding(qname, opAt, "numOutputRows",
               metric("numOutputRows"), "rows",
-              "non-equality join — rewrite with an equality key " +
+              "non-equality join: rewrite with an equality key " +
                 "(banding / blocking) or bound one side")
           } else if (op.startsWith("Sort") && metric("sortTime") > 0) {
             sorts += Finding(qname, opAt, "sortTime",
@@ -124,15 +124,20 @@ object Advisor {
           if (metric("spillSize") > 0)
             spills += Finding(qname, opAt, "spillSize",
               metric("spillSize"), "bytes",
-              "partitions outgrow memory — raise " +
+              "partitions outgrow memory: raise " +
                 "spark.sql.shuffle.partitions, lower " +
                 "files.maxPartitionBytes, or salt the hot keys")
           i += 1
         }
       }
     }
+    // a bench traces every query several times — collapse repeated
+    // executions of the same (query, operator, signal) to the worst
+    // reading before ranking
     def top(b: collection.mutable.ArrayBuffer[Finding]) =
-      b.sortBy(f => (-f.value, f.query, f.op)).take(topN).toSeq
+      b.groupBy(f => (f.query, f.op, f.signal))
+        .map(_._2.maxBy(_.value)).toSeq
+        .sortBy(f => (-f.value, f.query, f.op)).take(topN)
     top(spills) ++ top(loops) ++ top(exchanges) ++ top(scans) ++
       top(broadcasts) ++ top(sorts)
   }

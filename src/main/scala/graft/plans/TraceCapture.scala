@@ -32,6 +32,19 @@ object TraceCapture {
     l
   }
 
+  /** Harness-set label for the next trace lines — the listener's own
+    * `funcName` is only the ACTION name ("overwrite", "rdd"), which
+    * makes every bench query trace identically. A driving harness
+    * (Bench) sets the query name around each execution and DRAINS the
+    * listener bus before moving on (delivery is async — without the
+    * drain a line could stamp the NEXT query's label).
+    */
+  @volatile private var labelOpt: Option[String] = None
+  def setLabel(name: String): Unit = labelOpt = Some(name)
+  def clearLabel(): Unit = labelOpt = None
+  private[plans] def currentLabel(default: String): String =
+    labelOpt.getOrElse(default)
+
   def uninstall(spark: SparkSession, l: QueryExecutionListener): Unit =
     spark.listenerManager.unregister(l)
 
@@ -159,7 +172,8 @@ class GraftTraceListener(path: String) extends QueryExecutionListener {
 
   override def onSuccess(funcName: String, qe: QueryExecution,
       durationNs: Long): Unit =
-    try TraceCapture.append(path, TraceCapture.traceJson(funcName, qe, durationNs))
+    try TraceCapture.append(path, TraceCapture.traceJson(
+      TraceCapture.currentLabel(funcName), qe, durationNs))
     catch { case _: Throwable => () }
 
   override def onFailure(funcName: String, qe: QueryExecution,

@@ -29,7 +29,9 @@ class AdvisorSpec extends SparkSpec {
     """{"event":"query_failed","name":"qC","error":"Boom"}""")
 
   test("deterministic fixture: every signal class found, ranked, levered") {
-    val fs = Advisor.advise(fixture.iterator, topN = 5)
+    // the fixture feeds TWICE: repeated executions of the same
+    // (query, operator, signal) must collapse to one finding
+    val fs = Advisor.advise((fixture ++ fixture).iterator, topN = 5)
     def one(sig: String, op: String) = {
       val hits = fs.filter(f => f.signal == sig && f.op == op)
       assert(hits.size == 1, s"$sig/$op: $fs")

@@ -60,9 +60,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_TRACE=<path>: per-operator timeline capture (the
-    // reference's ProfilerHook role) alongside the wall-clock numbers
-    sys.env.get("SPARK_GRAFT_TRACE")
-      .foreach(p => plans.TraceCapture.install(spark, p))
+    // reference's ProfilerHook role) alongside the wall-clock numbers.
+    // The listener APPENDS (accumulating across sessions is its normal
+    // contract); a bench run truncates first so the artifact holds
+    // exactly this run — stale differently-labeled lines from an
+    // earlier session would otherwise duplicate every Advisor finding.
+    sys.env.get("SPARK_GRAFT_TRACE").foreach { p =>
+      new java.io.File(p).delete()
+      plans.TraceCapture.install(spark, p)
+    }
     // noop sink, not count(): under a count Catalyst's EliminateSorts
     // strips every query's final global sort, so orderBy-terminated
     // queries would be benched without their sort cost

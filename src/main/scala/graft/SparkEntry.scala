@@ -485,7 +485,19 @@ object SparkEntry {
     // take the RDD latency regime
     "q162_components_bigregime" -> ((s: SparkSession, d: String) =>
       operators.ConnectedComponents.chainComponents(s, d,
-        smallGraphEdgeBound = 0L))
+        smallGraphEdgeBound = 0L)),
+    // framed audio features (energy + zero crossings per 64-sample
+    // frame) — integer-exact, so the oracle replays the synthesis
+    "q163_audio_frames" -> ((s: SparkSession, d: String) =>
+      multimodal.Multimodal.audioFrameFeatures(s, d)),
+    // per-channel pixel histograms (the near-black/blown-out image
+    // filter input); counts replayed by the oracle from the synthesis
+    "q164_image_histogram" -> ((s: SparkSession, d: String) =>
+      multimodal.Multimodal.imageHistograms(s, d)),
+    // strided frame sampling with per-frame sha-256 — the sampled
+    // slices compared byte-for-byte against the oracle's substrings
+    "q165_frame_digests" -> ((s: SparkSession, d: String) =>
+      multimodal.Multimodal.frameDigests(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3063,6 +3075,59 @@ object SparkEntry {
         |FROM (SELECT doc_id, substr(text, 1, 256) AS t
         |      FROM documents WHERE doc_id % 3 = 1 AND len(text) >= 1)
         |ORDER BY media_id""".stripMargin,
+    // replays 64-sample framing from the synthesis: per-frame energy
+    // Σs² and DC-removed zero crossings via the exact integer
+    // comparison s·64 < Σs (no float mean) — while Spark walks the
+    // actual RIFF bytes and frames the PCM stream
+    "q163_audio_frames" ->
+      """WITH a AS (SELECT doc_id, substr(text, 1, 256) AS t
+        |           FROM documents WHERE doc_id % 3 = 1 AND len(text) >= 1),
+        |s AS (SELECT doc_id, len(t) AS n,
+        |        unnest(range(1, len(t) + 1)) AS i,
+        |        unnest([CAST(ascii(substr(t, i, 1)) AS BIGINT) * 256 - 32768
+        |                for i in range(1, len(t) + 1)]) AS smp
+        |      FROM a),
+        |fr AS (SELECT doc_id, n, (i - 1) // 64 AS frame_idx, i, smp,
+        |         smp * 64 < sum(smp) OVER (PARTITION BY doc_id, (i - 1) // 64)
+        |           AS neg
+        |       FROM s),
+        |fl AS (SELECT doc_id, n, frame_idx, smp, neg,
+        |         lag(neg) OVER (PARTITION BY doc_id, frame_idx ORDER BY i)
+        |           AS prev
+        |       FROM fr)
+        |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(sum(smp * smp) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND neg != prev
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM fl WHERE frame_idx < n // 64
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // replays the raster stride from the image synthesis: channel =
+    // (pos−1) mod 3, bin = value div 64, counts grouped — while Spark
+    // parses the P6 header and strides the actual raster bytes
+    "q164_image_histogram" ->
+      """WITH a AS (SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS p
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT doc_id,
+        |         unnest(range(1, 193)) AS pos,
+        |         unnest([ascii(substr(p, i, 1)) for i in range(1, 193)]) AS v
+        |       FROM a)
+        |SELECT doc_id AS media_id,
+        |  CAST((pos - 1) % 3 AS BIGINT) AS channel,
+        |  CAST(v // 64 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM px GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // replays the strided chunk arithmetic (every 4th complete 32-byte
+    // chunk) and digests the same slice bytes — sha-256 agrees only if
+    // Spark's offsets and slice bounds are exactly right
+    "q165_frame_digests" ->
+      """SELECT media_id, chunk_idx, digest FROM (
+        |  SELECT doc_id AS media_id,
+        |    CAST(unnest(range(0, len(text) // 32, 4)) AS BIGINT)
+        |      AS chunk_idx,
+        |    unnest([sha256(substr(text, ci * 32 + 1, 32))
+        |            for ci in range(0, len(text) // 32, 4)]) AS digest
+        |  FROM documents WHERE doc_id % 3 = 2 AND len(text) >= 32)
+        |ORDER BY media_id, chunk_idx""".stripMargin,
     // q155's analytic-blocks oracle, verbatim: the engine side runs
     // the FORCED big-graph regime, so the AQE doubling loop gets its
     // own per-round correctness check

@@ -498,6 +498,134 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** q163: FRAMED audio features over [[audioTable]] — the first real
+    * step of audio featurization (a mel/MFCC front end starts from
+    * exactly these frames): decode via the shared RIFF layout walk,
+    * split the PCM stream into complete `frameLen`-sample frames, and
+    * emit per-frame INTEGER-exact features — energy Σs² (a long: peak
+    * 32768²·64 ≈ 2⁴⁰) and the zero-crossing count of the DC-REMOVED
+    * frame (the classic voiced/unvoiced discriminator; practical
+    * front ends subtract the frame mean first, and here that also
+    * keeps the feature integer-exact AND non-degenerate: the raw
+    * synthesis samples are all one sign, so raw sign flips would
+    * count a constant 0). "Below the mean" is the exact integer
+    * comparison s·N < Σs — no float mean materializes, so the oracle
+    * replays the comparison verbatim. A trailing partial frame is
+    * dropped (standard framing semantics), which the oracle mirrors
+    * with its full-frame filter. Scale shape: one mapPartitions decode
+    * pass, rows fan out ≤ nSamples/frameLen per clip, no shuffle
+    * before the (presentation-only) sort.
+    */
+  def audioFrameFeatures(spark: SparkSession, sfDir: String,
+      frameLen: Int = 64): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, sfDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.iterator.flatMap { case (id, bytes) =>
+          WavCodec.pcm16MonoLayout(bytes).iterator.flatMap {
+            case (_, data, n) =>
+              (0 until n / frameLen).iterator.map { f =>
+                def sampleAt(k: Int): Int = {
+                  val at = data + (f * frameLen + k) * 2
+                  (WavCodec.leShort(bytes, at) << 16) >> 16
+                }
+                var energy = 0L
+                var sum = 0L
+                var k = 0
+                while (k < frameLen) {
+                  val s = sampleAt(k)
+                  energy += s.toLong * s
+                  sum += s
+                  k += 1
+                }
+                var crossings = 0L
+                var prevNeg = false
+                k = 0
+                while (k < frameLen) {
+                  val neg = sampleAt(k).toLong * frameLen < sum
+                  if (k > 0 && neg != prevNeg) crossings += 1
+                  prevNeg = neg
+                  k += 1
+                }
+                (id, f.toLong, energy, crossings)
+              }
+          }
+        })
+      }
+      .toDF("media_id", "frame_idx", "energy", "zero_crossings")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** q164: per-channel HISTOGRAMS over [[imageTable]] — the image-side
+    * quality filter primitive (near-black / blown-out / low-contrast
+    * detection reads exactly these bins): parse the P6 header with the
+    * shared scan, stride the raster once, count each channel's values
+    * into 256/`binSize` bins. Counts are integers, so the oracle
+    * replays them from the synthesis text; only non-empty bins emit
+    * (matching a GROUP BY replay). Scale shape: one mapPartitions
+    * decode pass, ≤ 3·(256/binSize) rows per image, no shuffle.
+    */
+  def imageHistograms(spark: SparkSession, sfDir: String,
+      binSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, sfDir)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.iterator.flatMap { case (id, bytes) =>
+          PpmCodec.header(bytes).iterator.flatMap { case (w, h, raster) =>
+            val nBins = 256 / binSize
+            val counts = Array.ofDim[Long](3, nBins)
+            var p = raster
+            val end = raster + w * h * 3
+            var c = 0
+            while (p < end) {
+              counts(c)((bytes(p) & 0xFF) / binSize) += 1
+              c = (c + 1) % 3
+              p += 1
+            }
+            for {
+              ch <- (0 until 3).iterator
+              b <- (0 until nBins).iterator
+              if counts(ch)(b) > 0
+            } yield (id, ch.toLong, b.toLong, counts(ch)(b))
+          }
+        })
+      }
+      .toDF("media_id", "channel", "bin", "n")
+      .orderBy("media_id", "channel", "bin")
+  }
+
+  /** q165: frame SAMPLING with content digests — [[sampleFrames]]'s
+    * stride arithmetic (every `stride`-th complete `frameBytes`-sized
+    * chunk of each "video" payload) made oracle-checkable by digesting
+    * the sampled bytes: both engines agree on sha-256 of the slice
+    * byte-for-byte, so a mis-strided offset or off-by-one slice fails
+    * the hash compare. Fully declarative (sequence + transform +
+    * explode — no mapPartitions): frame sampling is pure offset
+    * arithmetic, and keeping it in Catalyst keeps it codegen'd and
+    * pushdown-friendly at scale.
+    */
+  def frameDigests(spark: SparkSession, sfDir: String,
+      frameBytes: Int = 32, stride: Int = 4): DataFrame = {
+    val video = mediaTable(spark, sfDir).toDF()
+      .filter(col("media_type") === "video" &&
+        length(col("payload")) >= frameBytes)
+    val lastChunk = (length(col("payload")) / frameBytes).cast("int") - 1
+    video.select(
+        col("media_id"),
+        explode(transform(
+          sequence(lit(0), lastChunk, lit(stride)),
+          off => struct(off.cast("long").as("chunk_idx"),
+            sha2(substring(col("payload"), off * frameBytes + 1,
+              lit(frameBytes)), 256).as("digest"))))
+          .as("f"))
+      .select(col("media_id"), col("f.chunk_idx").as("chunk_idx"),
+        col("f.digest").as("digest"))
+      .orderBy("media_id", "chunk_idx")
+  }
+
   /** Oracle-checkable metadata pass: payload length + content digest —
     * the part of the multimodal pipeline both engines can agree on
     * byte-for-byte.

@@ -208,6 +208,75 @@ class MultimodalSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("audioFrameFeatures: framing, energy, DC-removed crossings vs a driver replica") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => d._1 % 3 == 1 && d._2.nonEmpty)
+    val expected = docs.flatMap { case (id, text) =>
+      val s = text.take(256).map(c => (c.toInt & 0xFF) * 256 - 32768)
+      s.grouped(64).filter(_.length == 64).zipWithIndex.map {
+        case (frame, f) =>
+          val sum = frame.map(_.toLong).sum
+          val neg = frame.map(v => v.toLong * 64 < sum)
+          (id, f.toLong,
+            frame.map(v => v.toLong * v).sum,
+            neg.sliding(2).count(w => w(0) != w(1)).toLong)
+      }
+    }.sortBy(e => (e._1, e._2)).toSeq
+    val got = Multimodal.audioFrameFeatures(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // the DC-removed feature must be non-degenerate on this corpus
+    // (raw sign flips would be constant 0 — every synthesis sample is
+    // negative)
+    assert(got.exists(_._4 > 0))
+  }
+
+  test("imageHistograms: bin counts vs a driver replica; channels sum to the raster") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 3 == 0)
+    val expected = docs.flatMap { case (id, text) =>
+      val p = text.take(192).padTo(192, ' ')
+      p.zipWithIndex
+        .groupBy { case (c, i) => (i % 3, (c.toInt & 0xFF) / 64) }
+        .map { case ((ch, bin), xs) =>
+          (id, ch.toLong, bin.toLong, xs.length.toLong) }
+    }.sortBy(e => (e._1, e._2, e._3)).toSeq
+    val got = Multimodal.imageHistograms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // per (image, channel) the bins partition the 64 pixels
+    got.groupBy(e => (e._1, e._2)).foreach { case (_, bins) =>
+      assert(bins.map(_._4).sum == 64L)
+    }
+  }
+
+  test("frameDigests: sha-256 of the exact sampled slices, stride arithmetic") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => d._1 % 3 == 2 && d._2.length >= 32)
+    val expected = docs.flatMap { case (id, text) =>
+      val nChunks = text.length / 32
+      (0 until nChunks by 4).map { ci =>
+        val slice = text.substring(ci * 32, ci * 32 + 32)
+          .getBytes("UTF-8")
+        val hex = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(slice).map("%02x".format(_)).mkString
+        (id, ci.toLong, hex)
+      }
+    }.sortBy(e => (e._1, e._2)).toSeq
+    val got = Multimodal.frameDigests(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("payload pruning: metadata-only projection skips the binary column") {
     val plan = Multimodal.mediaTable(spark, sf).toDF()
       .select("media_id", "declared_bytes")

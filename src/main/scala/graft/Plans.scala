@@ -59,7 +59,9 @@ object Plans {
       "q143_bm25_topk" -> "BM25: tokenize once for lengths+tfs, df/total broadcasts, pruned scoring, TakeOrderedAndProject top-k",
       "q144_rank_fusion" -> "RRF hybrid retrieval: two parameter-sized ranked lists full-outer merged — rank windows over ≤50 rows, never a corpus",
       "q158_substring_dedup" -> "character-grain duplication profile: in-row window generation (transform+explode inside codegen), two window-key shuffles, doc-grain aggregate",
-      "q34_media_features" -> "real RIFF/WAVE decode: typed mapPartitions batch pass over the synthesized payload projection — one scan, no shuffle before the report sort")
+      "q34_media_features" -> "real RIFF/WAVE decode: typed mapPartitions batch pass over the synthesized payload projection — one scan, no shuffle before the report sort",
+      "q166_incremental_neardup" -> "incremental near-dup merge: today's batch shingled once, prefix-joined against the PERSISTED index by token equality — corpus text never re-read, no BroadcastNestedLoopJoin",
+      "q169_keepbest_curation" -> "quality-aware keep: cluster-graph-sized argmax (max_by on a (quality, -id) struct) joined back — the corpus is touched only by the pair pipeline's scan")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans of representative queries\n\n"
     out ++= "Generated by `graft.Plans` at sf0.001. What to look for is\n"

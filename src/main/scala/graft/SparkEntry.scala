@@ -497,7 +497,31 @@ object SparkEntry {
     // strided frame sampling with per-frame sha-256 — the sampled
     // slices compared byte-for-byte against the oracle's substrings
     "q165_frame_digests" -> ((s: SparkSession, d: String) =>
-      multimodal.Multimodal.frameDigests(s, d))
+      multimodal.Multimodal.frameDigests(s, d)),
+    // INCREMENTAL near-dup: today's batch (every 5th doc) against the
+    // persisted prefix index of the rest — exact (no LSH recall
+    // loss), so the oracle is q60's brute force restricted to
+    // batch-touching pairs; corpus text is never re-shingled (spec-
+    // asserted accumulator invariant)
+    "q166_incremental_neardup" -> ((s: SparkSession, d: String) =>
+      operators.Dedup.incrementalNearDupPairs(s, d)),
+    // near-dup-aware train/validation split: docs route by CLUSTER
+    // representative (shared exact pair frame → resolution), so near
+    // -dups never straddle splits; rep % 10 keeps it oracle-replayable
+    "q167_leakage_split" -> ((s: SparkSession, d: String) =>
+      operators.Dedup.leakageFreeSplit(s, d)),
+    // MULTI-day incremental near-dup: corpus arrives in 3 waves; day 0
+    // bootstraps the prefix index and self-resolves, later days
+    // merge-and-absorb under the PINNED day-0 df ordering — the union
+    // over days provably equals the one-shot blocking-free answer, so
+    // the oracle is q60's full brute force verbatim
+    "q168_multiday_neardup" -> ((s: SparkSession, d: String) =>
+      operators.Dedup.multiDayNearDupPairs(s, d)),
+    // keep-BEST curation: each near-dup cluster keeps its highest-
+    // quality member (q30's score; doc_id tiebreak), not the minimum
+    // id — closure + argmax replayed by the oracle
+    "q169_keepbest_curation" -> ((s: SparkSession, d: String) =>
+      operators.Dedup.keepBestCuration(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3128,6 +3152,152 @@ object SparkEntry {
         |            for ci in range(0, len(text) // 32, 4)]) AS digest
         |  FROM documents WHERE doc_id % 3 = 2 AND len(text) >= 32)
         |ORDER BY media_id, chunk_idx""".stripMargin,
+    // q92's recursive-CTE transitive closure, re-used as the cluster
+    // rep per doc; singletons (no qualifying pair) are their own rep,
+    // split = rep % 10 — the whole near-dup-aware split replayed in
+    // declarative SQL
+    "q167_leakage_split" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) >= 3
+        |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, len(ws) - 1)]
+        |      ELSE [text] END) AS sh,
+        |    CAST(floor(n_chars / 32.0) AS BIGINT) AS blk
+        |  FROM (SELECT doc_id, text, n_chars,
+        |          string_split(text, ' ') AS ws FROM documents)
+        |), p AS (
+        |  SELECT ai, bi FROM (
+        |    SELECT a.doc_id AS ai, b.doc_id AS bi,
+        |      round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |        4) AS jaccard
+        |    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |    UNION ALL
+        |    SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id),
+        |      round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |        4)
+        |    FROM d a JOIN d b ON a.blk + 1 = b.blk
+        |  ) WHERE jaccard >= 0.8
+        |), edges AS (
+        |  SELECT ai AS a, bi AS b FROM p UNION ALL SELECT bi, ai FROM p
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.a, edges.b FROM reach
+        |  JOIN edges ON reach.b = edges.a
+        |), rep AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+        |  FROM reach GROUP BY a
+        |)
+        |SELECT dd.doc_id,
+        |  coalesce(rep.cluster_rep, dd.doc_id) AS cluster_rep,
+        |  coalesce(rep.cluster_rep, dd.doc_id) % 10 AS split_id
+        |FROM documents dd LEFT JOIN rep ON dd.doc_id = rep.doc_id
+        |ORDER BY dd.doc_id""".stripMargin,
+    // q60's brute force over the WHOLE corpus, verbatim: the
+    // multi-day union finds each qualifying pair exactly once, on the
+    // day its later-arriving endpoint lands
+    "q168_multiday_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) >= 3
+        |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, len(ws) - 1)]
+        |      ELSE [text] END) AS sh
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |        FROM documents)
+        |)
+        |SELECT ai, bi, jaccard FROM (
+        |  SELECT a.doc_id AS ai, b.doc_id AS bi,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |          4) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |)
+        |WHERE jaccard >= 0.8
+        |ORDER BY ai, bi""".stripMargin,
+    // q42's recursive-CTE closure + q30's floored quality formula +
+    // a per-cluster (quality DESC, doc_id ASC) argmax window — the
+    // quality-aware keep decision replayed declaratively
+    "q169_keepbest_curation" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) >= 3
+        |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, len(ws) - 1)]
+        |      ELSE [text] END) AS sh,
+        |    CAST(floor(n_chars / 32.0) AS BIGINT) AS blk
+        |  FROM (SELECT doc_id, text, n_chars,
+        |          string_split(text, ' ') AS ws FROM documents)
+        |), p AS (
+        |  SELECT ai, bi FROM (
+        |    SELECT a.doc_id AS ai, b.doc_id AS bi,
+        |      round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |        4) AS jaccard
+        |    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |    UNION ALL
+        |    SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id),
+        |      round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |        4)
+        |    FROM d a JOIN d b ON a.blk + 1 = b.blk
+        |  ) WHERE jaccard >= 0.8
+        |), edges AS (
+        |  SELECT ai AS a, bi AS b FROM p UNION ALL SELECT bi, ai FROM p
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.a, edges.b FROM reach
+        |  JOIN edges ON reach.b = edges.a
+        |), rep AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+        |  FROM reach GROUP BY a
+        |), q AS (
+        |  SELECT doc_id,
+        |    floor((0.4 * least(len(list_filter(ws, w -> w IN ('the', 'a')))::DOUBLE
+        |                       / len(ws) * 8, 1.0) +
+        |           0.3 * least(len(ws)::DOUBLE / 100, 1.0) +
+        |           0.3 * (len(list_distinct(ws))::DOUBLE / len(ws)))
+        |          * 10000 + 0.5) / 10000 AS quality
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |), c AS (
+        |  SELECT rep.doc_id, rep.cluster_rep, q.quality,
+        |    row_number() OVER (PARTITION BY rep.cluster_rep
+        |                       ORDER BY q.quality DESC, rep.doc_id ASC)
+        |      AS rn
+        |  FROM rep JOIN q ON rep.doc_id = q.doc_id
+        |)
+        |SELECT doc_id, cluster_rep, quality, rn = 1 AS kept
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+    // q60's blocking-free brute force restricted to batch-touching
+    // pairs (ai or bi ≡ 0 mod 5) — the incremental merge is exact, so
+    // the one-shot oracle replays it under the batch filter
+    "q166_incremental_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) >= 3
+        |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, len(ws) - 1)]
+        |      ELSE [text] END) AS sh
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |        FROM documents)
+        |)
+        |SELECT ai, bi, jaccard FROM (
+        |  SELECT a.doc_id AS ai, b.doc_id AS bi,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |          4) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |   AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+        |)
+        |WHERE jaccard >= 0.8
+        |ORDER BY ai, bi""".stripMargin,
     // q155's analytic-blocks oracle, verbatim: the engine side runs
     // the FORCED big-graph regime, so the AQE doubling loop gets its
     // own per-round correctness check

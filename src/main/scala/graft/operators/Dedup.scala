@@ -331,18 +331,7 @@ object Dedup {
     val dfreq = docs.select(explode(col("hss")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
 
-    // each doc's prefix: the (sz − ⌈t·sz⌉ + 1) rarest shingles under
-    // the (df, h) total order
-    val prefix = docs
-      .select(col("doc_id"), col("sz"), explode(col("hss")).as("h"))
-      .join(dfreq, "h")
-      .groupBy(col("doc_id"), col("sz"))
-      .agg(array_sort(collect_list(struct(col("df"), col("h"))))
-        .as("ordered"))
-      .select(col("doc_id"), col("sz"),
-        explode(slice(col("ordered"), lit(1),
-          (col("sz") - ceil(col("sz") * t) + 1).cast("int"))).as("tok"))
-      .select(col("doc_id"), col("sz"), col("tok.h").as("h"))
+    val prefix = prefixFrame(docs, dfreq, t)
 
     // candidates: docs sharing ≥1 prefix token, with the size-ratio
     // prune (J ≤ min/max) applied inside the join
@@ -354,6 +343,222 @@ object Dedup {
       .distinct()
 
     Present.smallSorted(verifyJaccard(candidates, docs, threshold),
+      "ai", "bi")
+  }
+
+  /** Each doc's PREFIX under the (df, h) rare-first total order: the
+    * (sz − ⌈t·sz⌉ + 1) rarest shingles. Shared by the one-shot
+    * [[prefixJaccardPairs]] and the incremental merge — completeness
+    * of the prefix filter needs only that BOTH sides of a candidate
+    * join rank tokens by ONE consistent total order, which is why the
+    * incremental path may pass yesterday's (stale) df table: the
+    * order key h → (df(h), h) stays a function, just not the freshest
+    * one. Tokens absent from `dfreq` rank df = 0 — rarest, so a
+    * batch-novel shingle always lands in its doc's prefix.
+    */
+  private def prefixFrame(docs: DataFrame, dfreq: DataFrame,
+      t: Double): DataFrame = docs
+    .select(col("doc_id"), col("sz"), explode(col("hss")).as("h"))
+    .join(dfreq, Seq("h"), "left")
+    .na.fill(0L, Seq("df"))
+    .groupBy(col("doc_id"), col("sz"))
+    .agg(array_sort(collect_list(struct(col("df"), col("h"))))
+      .as("ordered"))
+    .select(col("doc_id"), col("sz"),
+      explode(slice(col("ordered"), lit(1),
+        (col("sz") - ceil(col("sz") * t) + 1).cast("int"))).as("tok"))
+    .select(col("doc_id"), col("sz"), col("tok.h").as("h"))
+
+  // ---- incremental near-dup (prefix-filtered, exact) -------------------
+
+  /** Yesterday's PERSISTED near-dup state — what a production pipeline
+    * stores between daily runs so corpus text is never re-shingled:
+    * the prepared per-doc shingle arrays (`docs`: doc_id, hss, sz),
+    * the shingle document frequencies (`dfreq`: h, df — the rare-first
+    * ordering key), and the prefix index (`prefix`: doc_id, sz, h).
+    * All three are eagerly materialized ([[nearDupState]]), so a
+    * downstream merge reads stored blocks, never the corpus lineage.
+    */
+  case class NearDupState(docs: DataFrame, dfreq: DataFrame,
+      prefix: DataFrame)
+
+  /** Build [[NearDupState]] from a (doc_id, text) corpus frame — the
+    * one-time (or yesterday's) pass: shingle every doc once, count
+    * document frequencies, cut each doc's rare-first prefix. At 100 TB
+    * these land in stored tables; here localCheckpoint is the
+    * stored-table shape (eager, lineage-free).
+    */
+  def nearDupState(corpusText: DataFrame,
+      threshold: Double = 0.8): NearDupState = {
+    val t = threshold - 1e-4
+    val docs = corpusText
+      .select(col("doc_id"),
+        array_sort(shingleHashes(col("text"))).as("hss"))
+      .withColumn("sz", size(col("hss")))
+      .localCheckpoint(true)
+    val dfreq = docs.select(explode(col("hss")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val prefix = prefixFrame(docs, dfreq, t).localCheckpoint(true)
+    NearDupState(docs, dfreq, prefix)
+  }
+
+  /** INCREMENTAL near-dup: every exact-Jaccard-≥ threshold pair with
+    * at least one endpoint in today's `batchText` — batch×corpus AND
+    * batch×batch — WITHOUT touching corpus text. The daily-ingest
+    * path of a 100 TB near-dup pipeline: re-running the one-shot pair
+    * join re-shingles and re-indexes the whole corpus every day (the
+    * unbounded cost), while this merge shingles only the batch,
+    * prefixes it under the PERSISTED df ordering (stale df keeps the
+    * total order consistent — see [[prefixFrame]] — so the prefix
+    * filter stays COMPLETE, exactly as a fresh ordering would be;
+    * staleness costs only pruning efficiency), and joins it against
+    * the persisted prefix index by token equality. Corpus-side costs
+    * are key-equality joins against stored state: the batch prefix is
+    * broadcast-sized on a normal day, and only candidate-matched
+    * corpus rows pay the exact-verify merge walk. Output matches the
+    * one-shot plan restricted to batch-touching pairs (spec-proven),
+    * so the DuckDB oracle replays it exactly.
+    */
+  def mergeNearDups(state: NearDupState, batchText: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val t = threshold - 1e-4
+    val batchDocs = shingledDocs(batchText)
+      .persist() // prefix build + both verify sides
+    val batchPrefix = prefixFrame(batchDocs, state.dfreq, t)
+      .persist() // cross join + within self-join
+    mergePairs(state, batchDocs, batchPrefix, threshold)
+  }
+
+  /** (doc_id, hss sorted, sz) — the per-doc shape every pair path
+    * verifies against.
+    */
+  private def shingledDocs(text: DataFrame): DataFrame = text
+    .select(col("doc_id"),
+      array_sort(shingleHashes(col("text"))).as("hss"))
+    .withColumn("sz", size(col("hss")))
+
+  /** min/max-size Jaccard prune for a prefix candidate join aliased
+    * l/r: J ≤ min(|A|,|B|)/max(|A|,|B|), so pairs failing it can never
+    * reach `t`.
+    */
+  private def prefixSizeOk(t: Double) =
+    least(col("l.sz"), col("r.sz")).cast("double") /
+      greatest(col("l.sz"), col("r.sz")) >= t
+
+  /** The merge's candidate generation + exact verify, over
+    * already-prepared batch frames: batch×corpus (prefix-token
+    * equality against the persisted index) ∪ batch×batch (prefix
+    * self-join), verified against corpus-side ∪ batch-side shingles.
+    */
+  private def mergePairs(state: NearDupState, batchDocs: DataFrame,
+      batchPrefix: DataFrame, threshold: Double): DataFrame = {
+    val sizeOk = prefixSizeOk(threshold - 1e-4)
+    val cross = batchPrefix.as("l").join(state.prefix.as("r"),
+        col("l.h") === col("r.h") && sizeOk)
+      .select(least(col("l.doc_id"), col("r.doc_id")).as("ai"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("bi"))
+    val within = batchPrefix.as("l").join(batchPrefix.as("r"),
+        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id") &&
+          sizeOk)
+      .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"))
+    val candidates = cross.unionAll(within).distinct()
+    verifyJaccard(candidates, state.docs.unionAll(batchDocs), threshold)
+  }
+
+  /** Every qualifying pair WITHIN a state — the prefix-filtered
+    * self-join over the stored index ([[prefixJaccardPairs]]'s
+    * algorithm reading persisted blocks instead of re-shingling).
+    * Day 0 of the multi-day protocol: resolve the bootstrap corpus
+    * against itself once; every later day is a [[mergeAndAbsorb]].
+    */
+  def selfPairs(state: NearDupState,
+      threshold: Double = 0.8): DataFrame = {
+    val sizeOk = prefixSizeOk(threshold - 1e-4)
+    val candidates = state.prefix.as("l").join(state.prefix.as("r"),
+        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id") &&
+          sizeOk)
+      .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"))
+      .distinct()
+    verifyJaccard(candidates, state.docs, threshold)
+  }
+
+  /** One day of the MULTI-day incremental protocol: flag today's
+    * batch against the persisted state ([[mergeNearDups]]' answer,
+    * exactly) AND fold the batch into the state for tomorrow —
+    * shingling the batch ONCE for both uses. The returned state
+    * appends the batch's docs and prefix rows (stored-table appends);
+    * `dfreq` is deliberately PINNED at the bootstrap ordering:
+    * completeness of the prefix filter needs every prefix ever placed
+    * in the index to be cut under ONE total order (see
+    * [[prefixFrame]]), so re-counting df after each day — which would
+    * re-cut nothing retroactively — would MIX orders across index
+    * generations and break the guarantee. A pinned order is complete
+    * forever; drifting token frequencies cost only pruning efficiency,
+    * which a periodic full [[nearDupState]] rebuild (the compaction
+    * step of a 100 TB pipeline) restores.
+    */
+  def mergeAndAbsorb(state: NearDupState, batchText: DataFrame,
+      threshold: Double = 0.8): (DataFrame, NearDupState) = {
+    val t = threshold - 1e-4
+    val batchDocs = shingledDocs(batchText).localCheckpoint(true)
+    val batchPrefix = prefixFrame(batchDocs, state.dfreq, t)
+      .localCheckpoint(true)
+    val pairs = mergePairs(state, batchDocs, batchPrefix, threshold)
+    val next = NearDupState(state.docs.unionAll(batchDocs),
+      state.dfreq, state.prefix.unionAll(batchPrefix))
+    (pairs, next)
+  }
+
+  /** q168: the multi-day protocol end to end, proving the incremental
+    * path CONVERGES to the one-shot answer — the corpus arrives in
+    * `waves` daily batches (doc_id mod `waves`); day 0 bootstraps
+    * [[nearDupState]] and self-resolves, every later day runs
+    * [[mergeAndAbsorb]]. Each qualifying pair is found exactly once,
+    * on the day its LATER-arriving endpoint lands (day-0 internal
+    * pairs by [[selfPairs]]; a cross pair by that day's batch×state
+    * join; a within-batch pair by that day's self-join), so the UNION
+    * over days is precisely the one-shot blocking-free pair set — the
+    * DuckDB oracle is q60's brute force over the whole corpus,
+    * verbatim. No day re-reads any earlier day's text (accumulator
+    * spec), and the pinned-df ordering keeps the prefix filter exact
+    * across index generations.
+    */
+  def multiDayNearDupPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, waves: Int = 3): DataFrame = {
+    val all = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    def wave(w: Int) =
+      all.filter(pmod(col("doc_id"), lit(waves.toLong)) === w.toLong)
+    var state = nearDupState(wave(0), threshold)
+    var pairs = selfPairs(state, threshold)
+    (1 until waves).foreach { w =>
+      val (p, next) = mergeAndAbsorb(state, wave(w), threshold)
+      pairs = pairs.unionAll(p)
+      state = next
+    }
+    Present.smallSorted(pairs, "ai", "bi")
+  }
+
+  /** q166: the incremental near-dup merge end to end — "yesterday"
+    * resolved the corpus minus every 5th doc into [[NearDupState]]
+    * (a REAL state build over ~80% of the corpus; the stored-table
+    * shape q157 also uses), "today" ingests the held-out docs and
+    * [[mergeNearDups]] flags them against the persisted state. The
+    * output is EXACT (prefix filter + exact verify, no LSH recall
+    * loss), so a plain-SQL oracle replays it: q60's brute force
+    * restricted to pairs with a batch endpoint. The cost contract —
+    * the merge never re-shingles corpus text — is a spec-asserted
+    * accumulator invariant (the q157 day-2 discipline).
+    */
+  def incrementalNearDupPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, batchMod: Long = 5L): DataFrame = {
+    val all = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val state = nearDupState(
+      all.filter(pmod(col("doc_id"), lit(batchMod)) =!= 0L), threshold)
+    val batch = all.filter(pmod(col("doc_id"), lit(batchMod)) === 0L)
+    Present.smallSorted(mergeNearDups(state, batch, threshold),
       "ai", "bi")
   }
 
@@ -542,6 +747,68 @@ object Dedup {
       .groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
+
+  /** q167: LEAKAGE-FREE SPLIT — near-dup-aware train/validation
+    * assignment: every document routes to a split by its near-dup
+    * CLUSTER representative, never its own id, so two near-duplicates
+    * can NEVER straddle splits (the doc-level hash split's classic
+    * leak: training memorizes a paraphrase of a validation doc). Docs
+    * in no near-dup pair are their own cluster. The split key is
+    * cluster_rep mod nSplits — deterministic integer arithmetic, so
+    * the assignment is oracle-replayable end to end (a production
+    * pipeline hashes the rep for balance; the routing contract — one
+    * cluster, one split — is identical). Cost shape: the pair
+    * pipeline + resolution run once per session (shared pair frame);
+    * the split itself is ONE left join of the corpus id list against
+    * the cluster-sized label frame. Leakage-freedom is additionally
+    * spec-asserted: no qualifying pair straddles splits.
+    */
+  def leakageFreeSplit(spark: SparkSession, sfDir: String,
+      nSplits: Int = 10): DataFrame = {
+    val labels = resolveClusters(ngramJaccardPairsShared(spark, sfDir))
+    Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("cluster_rep")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+      .withColumn("split_id", pmod(col("cluster_rep"), lit(nSplits.toLong)))
+      .orderBy("doc_id")
+  }
+
+  /** q169: KEEP-BEST curation — within each near-dup cluster keep the
+    * HIGHEST-QUALITY member (quality score desc, doc_id asc on ties),
+    * not the arbitrary minimum id: the curation rule an LLM-pipeline
+    * dedup actually wants, since near-dup clusters typically mix a
+    * clean original with truncated/boilerplate variants. One row per
+    * doc in any qualifying pair (singletons are implicitly kept).
+    * Cost shape: the shared pair frame + resolution (digest-sized),
+    * one quality join against the corpus restricted by the
+    * cluster-member semi-join, one `max_by` per cluster — all
+    * cluster-graph-sized aggregates, never a corpus shuffle; quality
+    * is the q30 scoring column, codegen'd. The oracle replays the
+    * closure (q42's recursive CTE) + q30's quality formula + a
+    * per-cluster argmax window.
+    */
+  def keepBestCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = resolveClusters(ngramJaccardPairsShared(spark, sfDir))
+      .select(col("doc_id"), col("cluster_rep"))
+    val quality = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis
+          .qualityScore(col("text"), TextQueries.Stopwords).as("quality"))
+    val members = labels.join(quality, Seq("doc_id"))
+    // per-cluster argmax: lexicographic (quality, -doc_id) max — the
+    // 4dp-floored score is bitwise identical in both engines, so the
+    // comparison can never straddle a representation boundary
+    val best = members.groupBy(col("cluster_rep"))
+      .agg(max_by(col("doc_id"),
+        struct(col("quality"), (-col("doc_id")).as("nid"))).as("best_doc"))
+    Present.smallSorted(
+      members.join(best, Seq("cluster_rep"))
+        .select(col("doc_id"), col("cluster_rep"), col("quality"),
+          (col("doc_id") === col("best_doc")).as("kept")),
+      "doc_id")
+  }
 
   // ---- exact n-gram Jaccard (oracle-checkable) -------------------------
 

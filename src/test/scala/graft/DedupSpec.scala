@@ -123,6 +123,169 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("incrementalNearDupPairs ≡ brute force restricted to batch-touching pairs") {
+    val truth = bruteForcePairs(0.8)
+      .filter(col("ai") % 5 === 0 || col("bi") % 5 === 0)
+      .select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = Dedup.incrementalNearDupPairs(spark, sf)
+    val found = q.select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the merge is EXACT (prefix filter under the stale-df order is
+    // still complete), so this is equality, not recall
+    assert(found == truth,
+      s"missed ${truth -- found}, extra ${found -- truth}")
+    assert(truth.nonEmpty, "batch should touch planted near-dups")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("mergeNearDups: day-2 cost — corpus text is never re-shingled") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("corpus-text-rows")
+    val corpus = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { t => acc.add(1L); t }.toDF("doc_id", "text")
+    val state = Dedup.nearDupState(corpus) // eager: consumes corpus once
+    val readsDuringBuild = acc.value
+    assert(readsDuringBuild > 0L, "instrumentation never fired")
+    val batch = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    val merged = Dedup.mergeNearDups(state, batch).collect()
+    assert(acc.value == readsDuringBuild,
+      s"merge re-read ${acc.value - readsDuringBuild} corpus text rows")
+    assert(merged.nonEmpty)
+  }
+
+  test("mergeNearDups finds pairs whose shingles are absent from the corpus df table") {
+    import spark.implicits._
+    // corpus vocabulary is disjoint from the batch's: every batch
+    // shingle ranks df = 0 (the stale-df novel-token path), and the
+    // within-batch near-dup must still surface
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "iota kappa lambda mu nu xi omicron pi")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "red green blue cyan magenta yellow black white"),
+      (15L, "red green blue cyan magenta yellow black grey"),
+      (20L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val state = Dedup.nearDupState(corpus)
+    val got = Dedup.mergeNearDups(state, batch, threshold = 0.5)
+      .select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 10/15 share 5 of their 6+6 trigram shingles: j = 5/7 ≈ 0.714
+    assert(got == Set((10L, 15L)), got.toString)
+  }
+
+  test("multiDayNearDupPairs ≡ one-shot brute force over the whole corpus") {
+    val truth = bruteForcePairs(0.8)
+      .select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = Dedup.multiDayNearDupPairs(spark, sf)
+    val found = q.select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each pair is found exactly once, on the day its later-arriving
+    // endpoint lands — the union over days is the one-shot answer
+    assert(found == truth,
+      s"missed ${truth -- found}, extra ${found -- truth}")
+    assert(truth.nonEmpty, "corpus should contain planted near-dups")
+    // exactly once: the materialized frame has no duplicate pairs
+    assert(q.select("ai", "bi").count() == found.size)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("mergeAndAbsorb: no day re-reads any earlier day's text") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("seen-text-rows")
+    // instrument EVERY wave's text: each doc's text may be read during
+    // its own day's shingling only
+    def wave(w: Int): DataFrame = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === w)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { t => acc.add(1L); t }
+      .toDF("doc_id", "text")
+    val n0 = wave(0).count(); val n1 = wave(1).count()
+    val n2 = wave(2).count(); acc.reset()
+    var state = Dedup.nearDupState(wave(0))
+    assert(acc.value == n0, s"day 0 read ${acc.value}, expected $n0")
+    val (p1, s1) = Dedup.mergeAndAbsorb(state, wave(1)); state = s1
+    p1.collect()
+    assert(acc.value == n0 + n1,
+      s"day 1 re-read earlier text: ${acc.value - n0 - n1} extra rows")
+    val (p2, _) = Dedup.mergeAndAbsorb(state, wave(2))
+    p2.collect()
+    assert(acc.value == n0 + n1 + n2,
+      s"day 2 re-read earlier text: ${acc.value - n0 - n1 - n2} extra rows")
+  }
+
+  test("mergeAndAbsorb: pinned-df ordering still finds dups between two later waves") {
+    import spark.implicits._
+    // day-0 vocabulary is disjoint from everything after it, so every
+    // later shingle ranks df = 0 under the PINNED ordering; a near-dup
+    // pair split across day 1 and day 2 must still surface (the day-2
+    // batch×state join against day 1's absorbed prefix rows)
+    val day0 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val day1 = Seq(
+      (10L, "red green blue cyan magenta yellow black white")
+    ).toDF("doc_id", "text")
+    val day2 = Seq(
+      (20L, "red green blue cyan magenta yellow black grey"),
+      (21L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    var state = Dedup.nearDupState(day0)
+    val (p1, s1) = Dedup.mergeAndAbsorb(state, day1, threshold = 0.5)
+    state = s1
+    assert(p1.count() == 0)
+    val (p2, _) = Dedup.mergeAndAbsorb(state, day2, threshold = 0.5)
+    val got = p2.select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 20L)), got.toString)
+  }
+
+  test("keepBestCuration: exactly one kept per cluster, and it is the quality argmax") {
+    val rows = Dedup.keepBestCuration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty, "corpus should contain planted near-dups")
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"cluster $rep kept ${kept.length} docs")
+      // the keeper dominates every member on (quality desc, doc_id asc)
+      val k = kept.head
+      members.foreach { m =>
+        assert(m._3 < k._3 || (m._3 == k._3 && m._1 >= k._1),
+          s"cluster $rep: member $m beats keeper $k")
+      }
+    }
+    // cross-check against the min-id decision table: same clusters
+    val minId = Dedup.dedupDecisionsExact(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == minId)
+  }
+
+  test("leakageFreeSplit: no qualifying pair straddles splits; every doc assigned") {
+    val split = Dedup.leakageFreeSplit(spark, sf)
+    val assign = split.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // total: one split per corpus doc, all splits in range
+    assert(assign.size == Tables.load(spark, sf, "documents").count())
+    assert(assign.values.forall(s => s >= 0 && s < 10))
+    // THE leakage property: both ends of every qualifying near-dup
+    // pair (the exact pair frame the split consumed) land together
+    val pairs = Dedup.ngramJaccardPairs(spark, sf).select("ai", "bi")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus should contain planted near-dups")
+    val straddling = pairs.filter { case (a, b) => assign(a) != assign(b) }
+    assert(straddling.isEmpty, s"leaky pairs: ${straddling.toSeq}")
+  }
+
   test("simhashPairs: candidates agree with brute-force hamming") {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"),

@@ -521,7 +521,12 @@ object SparkEntry {
     // quality member (q30's score; doc_id tiebreak), not the minimum
     // id — closure + argmax replayed by the oracle
     "q169_keepbest_curation" -> ((s: SparkSession, d: String) =>
-      operators.Dedup.keepBestCuration(s, d))
+      operators.Dedup.keepBestCuration(s, d)),
+    // exact top-k Jaccard SEARCH (retrieval, not thresholding): per
+    // probe doc the 5 most-similar docs with J >= 0.1, ranked by the
+    // bounded topk_rows aggregate over prefix-index candidates
+    "q170_jaccard_search" -> ((s: SparkSession, d: String) =>
+      operators.Dedup.jaccardTopK(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3197,6 +3202,33 @@ object SparkEntry {
         |  coalesce(rep.cluster_rep, dd.doc_id) % 10 AS split_id
         |FROM documents dd LEFT JOIN rep ON dd.doc_id = rep.doc_id
         |ORDER BY dd.doc_id""".stripMargin,
+    // per-probe brute force + rank window replay of the prefix-index
+    // search: top-5 by (jaccard DESC, neighbor ASC) among J >= 0.1
+    "q170_jaccard_search" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) >= 3
+        |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, len(ws) - 1)]
+        |      ELSE [text] END) AS sh
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |        FROM documents)
+        |), pairs AS (
+        |  SELECT p.doc_id AS probe_id, o.doc_id AS neighbor_id,
+        |    round(len(list_intersect(p.sh, o.sh))::DOUBLE /
+        |          (len(p.sh) + len(o.sh) - len(list_intersect(p.sh, o.sh))),
+        |          4) AS jaccard
+        |  FROM d p JOIN d o ON o.doc_id <> p.doc_id
+        |  WHERE p.doc_id % 10 = 0
+        |), r AS (
+        |  SELECT probe_id, neighbor_id, jaccard,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY jaccard DESC, neighbor_id ASC) AS INTEGER) AS rk
+        |  FROM pairs WHERE jaccard >= 0.1
+        |)
+        |SELECT probe_id, neighbor_id, jaccard, rk
+        |FROM r WHERE rk <= 5
+        |ORDER BY probe_id, rk""".stripMargin,
     // q60's brute force over the WHOLE corpus, verbatim: the
     // multi-day union finds each qualifying pair exactly once, on the
     // day its later-arriving endpoint lands

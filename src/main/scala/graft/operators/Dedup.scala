@@ -540,6 +540,49 @@ object Dedup {
     Present.smallSorted(pairs, "ai", "bi")
   }
 
+  /** q170: exact TOP-K set-similarity SEARCH — for each probe
+    * document (doc_id ≡ 0 mod `probeMod`), the `k` most-similar other
+    * documents by word-3-gram Jaccard, among those with J ≥ `floor`
+    * (ties at the 4dp-rounded score break toward the smaller
+    * neighbor id). Retrieval semantics, not near-dup thresholding:
+    * q26 ranks by embedding cosine, this ranks by exact lexical
+    * overlap — the "find related documents" primitive.
+    *
+    * Scale shape: the same prefix inverted index as
+    * [[prefixJaccardPairs]], cut at the search floor (a low floor
+    * means long prefixes — the honest cost of exact low-similarity
+    * search; the index is built once and amortizes over every probe
+    * batch). Candidates come from an equality join of probe prefixes
+    * against the index; ranking is the bounded `topk_rows` aggregate
+    * — each map task reduces to ≤ k rows per probe before the
+    * exchange, so the shuffle carries O(k·probes) rows and no
+    * corpus-wide window sort ever runs.
+    */
+  def jaccardTopK(spark: SparkSession, sfDir: String,
+      probeMod: Long = 10L, k: Int = 5,
+      floor: Double = 0.1): DataFrame = {
+    val state = nearDupState(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")), floor)
+    val probePrefix = state.prefix
+      .filter(pmod(col("doc_id"), lit(probeMod)) === 0L)
+    val candidates = probePrefix.as("l").join(state.prefix.as("r"),
+        col("l.h") === col("r.h") &&
+          col("l.doc_id") =!= col("r.doc_id") && prefixSizeOk(floor - 1e-4))
+      .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"))
+      .distinct()
+    val scored = verifyJaccard(candidates, state.docs, floor)
+    val ranked = scored.groupBy(col("ai"))
+      .agg(graft.functions.TopKFunctions.topk_rows(
+        col("jaccard"), col("bi"),
+        struct(col("bi"), col("jaccard")), k).as("top"))
+      .select(col("ai").as("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col.bi").as("neighbor_id"),
+        col("col.jaccard").as("jaccard"),
+        (col("pos") + 1).cast("int").as("rk"))
+    Present.smallSorted(ranked, "probe_id", "rk")
+  }
+
   /** q166: the incremental near-dup merge end to end — "yesterday"
     * resolved the corpus minus every 5th doc into [[NearDupState]]
     * (a REAL state build over ~80% of the corpus; the stored-table

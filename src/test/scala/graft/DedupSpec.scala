@@ -270,6 +270,35 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(r => r._1 -> r._2).toMap == minId)
   }
 
+  test("jaccardTopK ≡ per-probe brute-force ranking; bounded-aggregate plan") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), Dedup.wordShingles(col("text")).as("sh"))
+    val probes = docs.filter(col("doc_id") % 10 === 0)
+    val truth = probes.as("p").join(docs.as("o"),
+        col("p.doc_id") =!= col("o.doc_id"))
+      .select(col("p.doc_id").as("probe_id"), col("o.doc_id").as("nb"),
+        round(size(array_intersect(col("p.sh"), col("o.sh"))).cast("double") /
+          size(array_union(col("p.sh"), col("o.sh"))), 4).as("j"))
+      .filter(col("j") >= 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(t => (-t._3, t._2)).take(5)
+          .zipWithIndex.map { case ((_, nb, j), i) => (nb, j, i + 1) }
+          .toSeq).toMap
+    val q = Dedup.jaccardTopK(spark, sf)
+    val got = q.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getInt(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._3).toSeq).toMap
+    assert(truth.nonEmpty && truth.values.exists(_.nonEmpty))
+    assert(got == truth,
+      s"per-probe diff: ${(truth.keySet ++ got.keySet).filter(k => truth.get(k) != got.get(k))}")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("topk_rows"), plan) // bounded agg, no window sort
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("leakageFreeSplit: no qualifying pair straddles splits; every doc assigned") {
     val split = Dedup.leakageFreeSplit(spark, sf)
     val assign = split.collect()

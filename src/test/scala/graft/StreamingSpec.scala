@@ -221,6 +221,66 @@ class StreamingSpec extends SparkSpec {
     assert(got(201L) == 1L && got(301L) == 300L)
   }
 
+  test("streamed document batches through mergeAndAbsorb ≡ one-shot near-dup pairs") {
+    // the multi-day near-dup protocol AS A STREAM: each micro-batch of
+    // ingested documents is flagged against the persisted prefix index
+    // and absorbed into it (pinned-df ordering), never re-shingling
+    // prior history — the accumulated pair set equals a one-shot
+    // brute force over everything that ever arrived
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val gen1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val gen2 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta kappa"),
+      (11L, "one two three four five six seven eight"))
+    val gen3 = Seq(
+      (20L, "one two three four five six seven nine"))
+    val found = scala.collection.mutable.Set.empty[(Long, Long)]
+    @volatile var state: Dedup.NearDupState = null
+    val q = mem.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val pairs =
+          if (state == null) {
+            state = Dedup.nearDupState(batch, threshold = 0.5)
+            Dedup.selfPairs(state, threshold = 0.5)
+          } else {
+            val (p, next) = Dedup.mergeAndAbsorb(state, batch, 0.5)
+            state = next
+            p
+          }
+        found ++= pairs.select("ai", "bi").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }
+      .start()
+    try {
+      mem.addData(gen1: _*); q.processAllAvailable()
+      mem.addData(gen2: _*); q.processAllAvailable()
+      mem.addData(gen3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val all = (gen1 ++ gen2 ++ gen3).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.wordShingles(col("text")).as("sh"))
+    val truth = all.as("a").join(all.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .filter(col("j") >= 0.5)
+      .select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.toSet == truth,
+      s"missed ${truth -- found}, extra ${found.toSet -- truth}")
+    // pairs really spanned generations: 10 matched gen-1 docs, 20
+    // matched a gen-2 doc
+    assert(truth.exists(p => p._2 == 10L) && truth.contains((11L, 20L)))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions at gaps") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

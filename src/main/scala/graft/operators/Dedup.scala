@@ -510,6 +510,28 @@ object Dedup {
     (pairs, next)
   }
 
+  /** COMPACTION of a multi-day state: re-count document frequencies
+    * and re-cut every prefix under the fresh ordering — from the
+    * STORED shingle arrays, so even compaction never re-reads corpus
+    * text. After many [[mergeAndAbsorb]] days the pinned bootstrap
+    * ordering drifts from the true token frequencies and the prefix
+    * filter admits more candidates than it must (never fewer — see
+    * [[mergeAndAbsorb]]); a periodic recut restores pruning
+    * efficiency and re-establishes a single up-to-date total order
+    * for the next run of days. Results are invariant: both orderings
+    * are complete, so [[selfPairs]]/[[mergeNearDups]] answers are
+    * identical before and after (spec-proven).
+    */
+  def recutState(state: NearDupState,
+      threshold: Double = 0.8): NearDupState = {
+    val t = threshold - 1e-4
+    val dfreq = state.docs.select(explode(col("hss")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    NearDupState(state.docs, dfreq,
+      prefixFrame(state.docs, dfreq, t).localCheckpoint(true))
+  }
+
   /** q168: the multi-day protocol end to end, proving the incremental
     * path CONVERGES to the one-shot answer — the corpus arrives in
     * `waves` daily batches (doc_id mod `waves`); day 0 bootstraps

@@ -270,6 +270,35 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(r => r._1 -> r._2).toMap == minId)
   }
 
+  test("recutState: compaction re-reads no text, refreshes df, and preserves answers") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("text-rows")
+    def waved(w: Int): DataFrame = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === w)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { t => acc.add(1L); t }
+      .toDF("doc_id", "text")
+    var state = Dedup.nearDupState(waved(0))
+    state = Dedup.mergeAndAbsorb(state, waved(1))._2
+    state = Dedup.mergeAndAbsorb(state, waved(2))._2
+    val before = Dedup.selfPairs(state).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val reads = acc.value
+    val recut = Dedup.recutState(state)
+    assert(acc.value == reads, "compaction re-read corpus text")
+    // the fresh ordering counts wave-1/2 tokens the pinned one scored
+    // df = 0: some token's df must have changed
+    val changed = recut.dfreq.as("n").join(state.dfreq.as("o"),
+        col("n.h") === col("o.h") && col("n.df") =!= col("o.df"))
+      .count()
+    assert(changed > 0, "recut df identical to the pinned bootstrap df")
+    // both orderings are complete: identical answers
+    val after = Dedup.selfPairs(recut).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == before)
+    assert(before.nonEmpty)
+  }
+
   test("jaccardTopK ≡ per-probe brute-force ranking; bounded-aggregate plan") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")

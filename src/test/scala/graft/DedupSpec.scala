@@ -270,6 +270,45 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(r => r._1 -> r._2).toMap == minId)
   }
 
+  test("mergeAndAbsorb: an empty batch is a no-op day") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("doc_id", "text")
+    val state = Dedup.nearDupState(corpus, threshold = 0.5)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (pairs, next) = Dedup.mergeAndAbsorb(state, empty, 0.5)
+    assert(pairs.count() == 0)
+    // state passes through structurally: same docs, same index rows
+    assert(next.docs.count() == state.docs.count())
+    assert(next.prefix.count() == state.prefix.count())
+    // and tomorrow still works against it
+    val day2 = Seq((3L, "alpha beta gamma delta epsilon zeta eta kappa"))
+      .toDF("doc_id", "text")
+    val got = Dedup.mergeAndAbsorb(next, day2, 0.5)._1
+      .select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L), (2L, 3L)), got.toString)
+  }
+
+  test("jaccardTopK: probes without any qualifying neighbor emit no rows") {
+    // doc 20 shares no shingle with anything — it must simply be
+    // absent, not emit a below-floor or null-scored row
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "red green blue cyan magenta yellow black white"),
+      (15L, "red green blue cyan magenta yellow black grey"),
+      (20L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    // jaccardTopK reads from a table dir; exercise its core directly:
+    // the state + self candidate/verify + bounded ranking path
+    val state = Dedup.nearDupState(docs, threshold = 0.1)
+    val scored = Dedup.selfPairs(state, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(scored.toSet == Set((10L, 15L)))
+  }
+
   test("recutState: compaction re-reads no text, refreshes df, and preserves answers") {
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("text-rows")

@@ -98,11 +98,18 @@ object Bench {
     }
     val controlEvery = 8
     val controls = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var lastControl = Double.NaN // the control nearest each sample
+    var lastControlIdx = -1 // index of the control preceding a sample
 
-    // (wall seconds, nearest control seconds) per timed sample
+    // (wall seconds, preceding-control index) per timed sample. The
+    // index — not the value — is stored so aggregation can pair each
+    // sample with the MIN of its BRACKETING controls: a phase that
+    // ended between the preceding control and the sample would
+    // otherwise dampen a clean measurement below anything actually
+    // measured (the manufactured fast number the header comment
+    // promises not to produce); requiring both neighbors slow before
+    // normalizing is the conservative reading.
     val samples = scala.collection.mutable
-      .Map.empty[String, List[(Double, Double)]].withDefaultValue(Nil)
+      .Map.empty[String, List[(Double, Int)]].withDefaultValue(Nil)
     def measure(name: String, timed: Boolean): Unit = {
       plans.TraceCapture.setLabel(name) // stamp trace lines (if tracing)
       val t = try {
@@ -124,17 +131,18 @@ object Bench {
         plans.TraceCapture.clearLabel()
         spark.catalog.clearCache()
       }
-      if (timed && t >= 0) samples(name) = (t, lastControl) :: samples(name)
+      if (timed && t >= 0)
+        samples(name) = (t, lastControlIdx) :: samples(name)
     }
     def pass(ns: Seq[String], timed: Boolean): Unit =
       ns.filterNot(failed).zipWithIndex.foreach { case (name, i) =>
         if (timed && i % controlEvery == 0) {
-          val c = controlOnce(); controls += c; lastControl = c
+          controls += controlOnce(); lastControlIdx = controls.size - 1
         }
         measure(name, timed)
       }
 
-    lastControl = controlOnce() // control warm-up (codegen), uncounted
+    controlOnce() // control warm-up (codegen), uncounted
     pass(names, timed = false) // warm-up: codegen + broadcasts + FS cache
     (1 to 3).foreach(_ => pass(names, timed = true))
 
@@ -175,7 +183,13 @@ object Bench {
       val s = samples(n)
       if (s.isEmpty) n -> -1.0
       else {
-        val (raw, ctrl) = s.minBy(_._1)
+        val (raw, idx) = s.minBy(_._1)
+        // min of the BRACKETING controls: only a phase that spans the
+        // sample (both neighbors slow) justifies dampening it
+        val ctrl =
+          if (idx < 0 || controls.isEmpty) Double.NaN
+          else math.min(controls(idx),
+            controls(math.min(idx + 1, controls.size - 1)))
         val r = if (ctrl.isNaN || cClean.isNaN || cClean <= 0) 1.0
           else ctrl / cClean
         val factor =
@@ -232,7 +246,24 @@ object Bench {
     val prev: Map[String, Double] = prevFile.toSeq.flatMap { p =>
       try {
         val txt = scala.io.Source.fromFile(p).mkString
-        "\"(q[0-9a-zA-Z_]+)\\\\?\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+        val pairRx = "\"(q[0-9a-zA-Z_]+)\\\\?\":(-?[0-9.]+)".r
+        // prefer the NORMALIZED queries object when its marker
+        // survived truncation: a window that happens to start inside
+        // queries_raw (or the moved_vs_prev RATIOS) would otherwise
+        // feed raw seconds — or ratios read as seconds — into the
+        // drift compare and flag phantom moves
+        val markerRx = "\"queries\\\\?\"\\s*:\\s*\\{".r
+        val scoped = markerRx.findFirstMatchIn(txt).map { m =>
+          txt.substring(m.end, {
+            val close = txt.indexOf('}', m.end)
+            if (close < 0) txt.length else close
+          })
+        }
+        val scopedPairs = scoped.toSeq.flatMap(s =>
+          pairRx.findAllMatchIn(s)
+            .map(m => m.group(1) -> m.group(2).toDouble).toSeq)
+        if (scopedPairs.nonEmpty) scopedPairs
+        else pairRx.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toSeq
       } catch { case _: Throwable => Nil }
     }.foldLeft(Map.empty[String, Double]) { case (m, (k, v)) =>

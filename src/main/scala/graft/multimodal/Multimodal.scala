@@ -568,6 +568,10 @@ object Multimodal {
     */
   def imageHistograms(spark: SparkSession, sfDir: String,
       binSize: Int = 64): DataFrame = {
+    // ceil, not truncate: for a binSize that does not divide 256 the
+    // last (partial) bin must still exist — pixel 255 at binSize 48
+    // lands in bin 5 of ceil(256/48) = 6, not past the array
+    require(binSize >= 1 && binSize <= 256, s"binSize $binSize not in [1, 256]")
     import spark.implicits._
     imageTable(spark, sfDir)
       .select(col("media_id"), col("payload"))
@@ -575,7 +579,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(64).flatMap(_.iterator.flatMap { case (id, bytes) =>
           PpmCodec.header(bytes).iterator.flatMap { case (w, h, raster) =>
-            val nBins = 256 / binSize
+            val nBins = (256 + binSize - 1) / binSize
             val counts = Array.ofDim[Long](3, nBins)
             var p = raster
             val end = raster + w * h * 3

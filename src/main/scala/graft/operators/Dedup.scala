@@ -337,8 +337,7 @@ object Dedup {
     // prune (J ≤ min/max) applied inside the join
     val candidates = prefix.as("l").join(prefix.as("r"),
         col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id") &&
-          least(col("l.sz"), col("r.sz")).cast("double") /
-            greatest(col("l.sz"), col("r.sz")) >= t)
+          prefixSizeOk(t))
       .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"))
       .distinct()
 
@@ -380,7 +379,7 @@ object Dedup {
     * downstream merge reads stored blocks, never the corpus lineage.
     */
   case class NearDupState(docs: DataFrame, dfreq: DataFrame,
-      prefix: DataFrame)
+      prefix: DataFrame, threshold: Double)
 
   /** Build [[NearDupState]] from a (doc_id, text) corpus frame — the
     * one-time (or yesterday's) pass: shingle every doc once, count
@@ -400,7 +399,7 @@ object Dedup {
       .groupBy("h").agg(count(lit(1)).as("df"))
       .localCheckpoint(true)
     val prefix = prefixFrame(docs, dfreq, t).localCheckpoint(true)
-    NearDupState(docs, dfreq, prefix)
+    NearDupState(docs, dfreq, prefix, threshold)
   }
 
   /** INCREMENTAL near-dup: every exact-Jaccard-≥ threshold pair with
@@ -419,16 +418,18 @@ object Dedup {
     * corpus rows pay the exact-verify merge walk. Output matches the
     * one-shot plan restricted to batch-touching pairs (spec-proven),
     * so the DuckDB oracle replays it exactly.
+    *
+    * The threshold is the STATE's: the persisted prefixes were cut at
+    * `state.threshold`, and the prefix-filter completeness lemma only
+    * covers pairs at or above the cut — accepting a lower ad-hoc
+    * threshold here would silently miss cross pairs whose shared
+    * tokens rank outside the stored prefixes. Search below the cut
+    * requires a state built (or [[recutState]]-recut) at the lower
+    * threshold.
     */
-  def mergeNearDups(state: NearDupState, batchText: DataFrame,
-      threshold: Double = 0.8): DataFrame = {
-    val t = threshold - 1e-4
-    val batchDocs = shingledDocs(batchText)
-      .persist() // prefix build + both verify sides
-    val batchPrefix = prefixFrame(batchDocs, state.dfreq, t)
-      .persist() // cross join + within self-join
-    mergePairs(state, batchDocs, batchPrefix, threshold)
-  }
+  def mergeNearDups(state: NearDupState,
+      batchText: DataFrame): DataFrame =
+    mergeAndAbsorb(state, batchText)._1
 
   /** (doc_id, hss sorted, sz) — the per-doc shape every pair path
     * verifies against.
@@ -450,12 +451,15 @@ object Dedup {
     * already-prepared batch frames: batch×corpus (prefix-token
     * equality against the persisted index) ∪ batch×batch (prefix
     * self-join), verified against corpus-side ∪ batch-side shingles.
+    * The cross join excludes equal ids so a re-ingested document can
+    * never pair with its own stored copy.
     */
   private def mergePairs(state: NearDupState, batchDocs: DataFrame,
-      batchPrefix: DataFrame, threshold: Double): DataFrame = {
-    val sizeOk = prefixSizeOk(threshold - 1e-4)
+      batchPrefix: DataFrame): DataFrame = {
+    val sizeOk = prefixSizeOk(state.threshold - 1e-4)
     val cross = batchPrefix.as("l").join(state.prefix.as("r"),
-        col("l.h") === col("r.h") && sizeOk)
+        col("l.h") === col("r.h") &&
+          col("l.doc_id") =!= col("r.doc_id") && sizeOk)
       .select(least(col("l.doc_id"), col("r.doc_id")).as("ai"),
         greatest(col("l.doc_id"), col("r.doc_id")).as("bi"))
     val within = batchPrefix.as("l").join(batchPrefix.as("r"),
@@ -463,24 +467,25 @@ object Dedup {
           sizeOk)
       .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"))
     val candidates = cross.unionAll(within).distinct()
-    verifyJaccard(candidates, state.docs.unionAll(batchDocs), threshold)
+    verifyJaccard(candidates, state.docs.unionAll(batchDocs),
+      state.threshold)
   }
 
-  /** Every qualifying pair WITHIN a state — the prefix-filtered
-    * self-join over the stored index ([[prefixJaccardPairs]]'s
-    * algorithm reading persisted blocks instead of re-shingling).
-    * Day 0 of the multi-day protocol: resolve the bootstrap corpus
-    * against itself once; every later day is a [[mergeAndAbsorb]].
+  /** Every qualifying pair WITHIN a state (at the state's own
+    * threshold) — the prefix-filtered self-join over the stored index
+    * ([[prefixJaccardPairs]]'s algorithm reading persisted blocks
+    * instead of re-shingling). Day 0 of the multi-day protocol:
+    * resolve the bootstrap corpus against itself once; every later
+    * day is a [[mergeAndAbsorb]].
     */
-  def selfPairs(state: NearDupState,
-      threshold: Double = 0.8): DataFrame = {
-    val sizeOk = prefixSizeOk(threshold - 1e-4)
+  def selfPairs(state: NearDupState): DataFrame = {
+    val sizeOk = prefixSizeOk(state.threshold - 1e-4)
     val candidates = state.prefix.as("l").join(state.prefix.as("r"),
         col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id") &&
           sizeOk)
       .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"))
       .distinct()
-    verifyJaccard(candidates, state.docs, threshold)
+    verifyJaccard(candidates, state.docs, state.threshold)
   }
 
   /** One day of the MULTI-day incremental protocol: flag today's
@@ -497,16 +502,24 @@ object Dedup {
     * forever; drifting token frequencies cost only pruning efficiency,
     * which a periodic full [[nearDupState]] rebuild (the compaction
     * step of a 100 TB pipeline) restores.
+    *
+    * Re-ingested ids (a crawler retry re-delivering a stored doc_id)
+    * are dropped from the batch before anything else: their content
+    * is already indexed, so re-flagging them would emit self-pairs
+    * and absorbing them would duplicate state rows forever. The
+    * anti-join runs on the id column only — digest-sized.
     */
-  def mergeAndAbsorb(state: NearDupState, batchText: DataFrame,
-      threshold: Double = 0.8): (DataFrame, NearDupState) = {
-    val t = threshold - 1e-4
-    val batchDocs = shingledDocs(batchText).localCheckpoint(true)
+  def mergeAndAbsorb(state: NearDupState,
+      batchText: DataFrame): (DataFrame, NearDupState) = {
+    val t = state.threshold - 1e-4
+    val fresh = batchText.join(
+      state.docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val batchDocs = shingledDocs(fresh).localCheckpoint(true)
     val batchPrefix = prefixFrame(batchDocs, state.dfreq, t)
       .localCheckpoint(true)
-    val pairs = mergePairs(state, batchDocs, batchPrefix, threshold)
+    val pairs = mergePairs(state, batchDocs, batchPrefix)
     val next = NearDupState(state.docs.unionAll(batchDocs),
-      state.dfreq, state.prefix.unionAll(batchPrefix))
+      state.dfreq, state.prefix.unionAll(batchPrefix), state.threshold)
     (pairs, next)
   }
 
@@ -520,16 +533,20 @@ object Dedup {
     * efficiency and re-establishes a single up-to-date total order
     * for the next run of days. Results are invariant: both orderings
     * are complete, so [[selfPairs]]/[[mergeNearDups]] answers are
-    * identical before and after (spec-proven).
+    * identical before and after (spec-proven). Passing a lower
+    * `threshold` than the state's is also the supported way to widen
+    * a state's search cut (longer prefixes re-cut from stored
+    * shingles, text untouched).
     */
   def recutState(state: NearDupState,
-      threshold: Double = 0.8): NearDupState = {
-    val t = threshold - 1e-4
+      threshold: Double = Double.NaN): NearDupState = {
+    val cut = if (threshold.isNaN) state.threshold else threshold
+    val t = cut - 1e-4
     val dfreq = state.docs.select(explode(col("hss")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
       .localCheckpoint(true)
     NearDupState(state.docs, dfreq,
-      prefixFrame(state.docs, dfreq, t).localCheckpoint(true))
+      prefixFrame(state.docs, dfreq, t).localCheckpoint(true), cut)
   }
 
   /** q168: the multi-day protocol end to end, proving the incremental
@@ -553,9 +570,9 @@ object Dedup {
     def wave(w: Int) =
       all.filter(pmod(col("doc_id"), lit(waves.toLong)) === w.toLong)
     var state = nearDupState(wave(0), threshold)
-    var pairs = selfPairs(state, threshold)
+    var pairs = selfPairs(state)
     (1 until waves).foreach { w =>
-      val (p, next) = mergeAndAbsorb(state, wave(w), threshold)
+      val (p, next) = mergeAndAbsorb(state, wave(w))
       pairs = pairs.unionAll(p)
       state = next
     }
@@ -623,8 +640,7 @@ object Dedup {
     val state = nearDupState(
       all.filter(pmod(col("doc_id"), lit(batchMod)) =!= 0L), threshold)
     val batch = all.filter(pmod(col("doc_id"), lit(batchMod)) === 0L)
-    Present.smallSorted(mergeNearDups(state, batch, threshold),
-      "ai", "bi")
+    Present.smallSorted(mergeNearDups(state, batch), "ai", "bi")
   }
 
   // ---- cluster resolution ----------------------------------------------

@@ -104,30 +104,75 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val in = new org.apache.hadoop.fs.Path(inDir)
     val fs = in.getFileSystem(conf)
-    // RECURSIVE listing: a partitioned table keeps its data files in
-    // key=value subdirectories — a flat listing would measure 0 bytes
-    // there and "compact" everything into one file
-    val files = {
-      val it = fs.listFiles(in, true)
-      val buf = scala.collection.mutable.ArrayBuffer
-        .empty[org.apache.hadoop.fs.LocatedFileStatus]
-      while (it.hasNext) {
-        val s = it.next()
-        val name = s.getPath.getName
-        if (!name.startsWith("_") && !name.startsWith(".")) buf += s
-      }
-      buf.toArray
-    }
+    val files = visibleDataFiles(fs, in)
     val bytes = files.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
       .toInt
-    spark.read.parquet(inDir)
-      .repartition(n)
-      .write.mode("overwrite").parquet(outDir)
-    val out = new org.apache.hadoop.fs.Path(outDir)
-    val outFiles = fs.listStatus(out).count(s => s.isFile &&
-      s.getPath.getName.startsWith("part-"))
+    // preserve a partitioned layout: compacting a key=value tree into
+    // a flat directory would demote the partition column to data and
+    // destroy directory pruning — real table maintenance rewrites
+    // WITHIN partitions. Keys are read off the first data file's
+    // subdirectory components (Spark guarantees a uniform tree).
+    val partCols = partitionColsOf(in, files)
+    val df = spark.read.parquet(inDir)
+    if (partCols.isEmpty)
+      df.repartition(n).write.mode("overwrite").parquet(outDir)
+    else
+      // hash-partition by the keys: each key's rows land in one task,
+      // so each partition directory compacts to ~1 file (n caps the
+      // concurrency, not the per-directory file count)
+      df.repartition(math.max(n, 1), partCols.map(col): _*)
+        .write.partitionBy(partCols: _*)
+        .mode("overwrite").parquet(outDir)
+    val outFiles = visibleDataFiles(fs, new org.apache.hadoop.fs.Path(outDir))
+      .count(_.getPath.getName.startsWith("part-"))
     (files.length, outFiles, bytes)
+  }
+
+  /** RECURSIVE data-file listing that sees key=value subdirectories
+    * (a flat listing measures a partitioned table as 0 bytes) but
+    * skips anything under a HIDDEN component (`_temporary`,
+    * `.staging`, `_SUCCESS`…): Spark readers ignore those trees, so a
+    * killed write's orphans must not inflate the measured bytes.
+    */
+  private def visibleDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.LocatedFileStatus] = {
+    val rootPath = root.toUri.getPath
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.LocatedFileStatus]
+    while (it.hasNext) {
+      val s = it.next()
+      var p = s.getPath
+      var hidden = false
+      while (p != null && p.toUri.getPath != rootPath) {
+        val nm = p.getName
+        if (nm.startsWith("_") || nm.startsWith(".")) hidden = true
+        p = p.getParent
+      }
+      if (!hidden) buf += s
+    }
+    buf.toArray
+  }
+
+  /** Partition column names of a written tree, in directory order —
+    * the `key=value` components between `root` and the first data
+    * file. Empty for a flat directory.
+    */
+  private def partitionColsOf(root: org.apache.hadoop.fs.Path,
+      files: Array[org.apache.hadoop.fs.LocatedFileStatus])
+      : Seq[String] = {
+    val rootPath = root.toUri.getPath
+    files.headOption.toSeq.flatMap { f =>
+      var comps = List.empty[String]
+      var p = f.getPath.getParent
+      while (p != null && p.toUri.getPath != rootPath) {
+        comps = p.getName :: comps
+        p = p.getParent
+      }
+      comps.collect { case c if c.contains("=") => c.split("=")(0) }
+    }
   }
 
   /** Bloom data-skipping manifest for point lookups on a high-NDV key

@@ -51,6 +51,73 @@ class GraphRankSpec extends SparkSpec {
     assert(rows(1000000L) == rows(0L))
   }
 
+  test("trade rank: every iterate sits far from its 6dp rounding boundary") {
+    // The two regimes (and the SQL oracle) agree because round(_,6)
+    // absorbs summation-order jitter — which holds only while no
+    // pre-round value sits within ~1 ulp of an x.5e-6 HALF_UP
+    // boundary. Measure it: replicate the exact trajectory on the
+    // driver and take the min distance of every (node, iteration)
+    // pre-round value to its boundary. Margins must dwarf the ~1e-13
+    // cross-partition jitter the scaled-mass calibration targets.
+    import org.apache.spark.sql.functions._
+    val D = 0.85; val OneMinusD = 0.15
+    def round6(x: Double): Double =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def boundaryMargin(x: Double): Double = {
+      val y = new java.math.BigDecimal(java.lang.Double.toString(x))
+        .movePointRight(6)
+      val frac = y.subtract(y.setScale(0, java.math.RoundingMode.FLOOR))
+      frac.subtract(new java.math.BigDecimal("0.5")).abs.doubleValue()
+    }
+    val nodes = (Tables.load(spark, sf, "customer")
+        .select((col("c_custkey") * 2L).as("node_id"))
+      .unionAll(Tables.load(spark, sf, "supplier")
+        .select((col("s_suppkey") * 2L + 1L).as("node_id"))))
+      .collect().map(_.getLong(0)).sorted
+    val pairs = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2L).as("c"),
+        (col("l_suppkey") * 2L + 1L).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (c, s) => Seq((s, c), (c, s)) }
+    val deg = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = nodes.length.toLong
+    val dangling = nodes.filterNot(deg.contains)
+    var rank = nodes.map(_ -> 1.0).toMap
+    var dang = dangling.length.toDouble
+    var minMargin = Double.MaxValue
+    (1 to 3).foreach { _ =>
+      val mw = deg.flatMap { case (nid, dg) =>
+        rank.get(nid).map(m => nid -> m / dg) }
+      val contrib = edges.flatMap { case (dst, src) =>
+        mw.get(src).map(dst -> _) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val dangShare = dang / n
+      rank = nodes.map { nid =>
+        val pre = OneMinusD + D * (contrib.getOrElse(nid, 0.0) + dangShare)
+        minMargin = math.min(minMargin, boundaryMargin(pre) * 1e-6)
+        nid -> round6(pre)
+      }.toMap
+      dang = dangling.map(rank).sum
+    }
+    assert(rank.nonEmpty && minMargin < Double.MaxValue)
+    // in VALUE terms: >= 1e-10 of mass, vs ~1e-13 worst-case jitter
+    assert(minMargin >= 1e-10,
+      f"an iterate sits $minMargin%.2e from its rounding boundary")
+    // the margins are only meaningful if this replica IS the engine's
+    // trajectory: its report must match bit-for-bit
+    val replicaTop = nodes.map(nid => (nid, rank(nid)))
+      .sortBy { case (nid, m) => (-m, nid) }.take(20)
+      .map { case (nid, m) =>
+        (nid, if (nid % 2 == 0) "customer" else "supplier", m) }.toSeq
+    val engineTop = PageRank.tradeRank(spark, sf, iters = 3, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    assert(replicaTop == engineTop)
+  }
+
   test("trade rank: caches released after the report materializes") {
     // delta, not emptiness: the session is shared across suites and
     // some operators keep session-scoped caches by design

@@ -239,15 +239,42 @@ class LayoutSpec extends SparkSpec {
     Tables.load(spark, sf, "lineitem")
       .repartition(8)
       .write.partitionBy("l_returnflag").parquet(inDir)
+    // a killed write's orphan under _temporary must NOT count: Spark
+    // readers ignore hidden trees, so neither may the measurement
+    val orphanDir = new java.io.File(s"$inDir/_temporary/0")
+    orphanDir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$inDir/_temporary/0/part-orphan.parquet"),
+      Array.fill[Byte](1 << 20)(7))
     val (before, after, measured) =
       Layout.compact(spark, inDir, outDir,
         targetFileBytes = 64L * 1024 * 1024)
     assert(measured > 0L, "partitioned input measured 0 bytes")
     assert(before > 0, "no data files found under the partition dirs")
     assert(after >= 1)
-    // lossless, partition column included (read back as data column)
+    val cleanBytes = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(inDir)
+      val fs = p.getFileSystem(conf)
+      def walk(d: org.apache.hadoop.fs.Path): Long =
+        fs.listStatus(d).map { s =>
+          val nm = s.getPath.getName
+          if (nm.startsWith("_") || nm.startsWith(".")) 0L
+          else if (s.isDirectory) walk(s.getPath) else s.getLen
+        }.sum
+      walk(p)
+    }
+    assert(measured == cleanBytes,
+      s"orphaned _temporary bytes leaked into the measurement")
+    // lossless AND layout-preserving: the compacted tree keeps its
+    // key=value directories, so directory pruning still works
     assert(spark.read.parquet(outDir).count() ===
       Tables.load(spark, sf, "lineitem").count())
+    val pruned = spark.read.parquet(outDir)
+      .filter(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"compaction lost the partition layout:\n$plan")
   }
 
   test("bloom manifest: point lookup prunes to ~1 bucket, no false negatives") {

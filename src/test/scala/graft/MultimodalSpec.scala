@@ -256,6 +256,18 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageHistograms: a binSize that does not divide 256 still bins every pixel") {
+    // 48 → ceil(256/48) = 6 bins; pixel 255 lands in bin 5, in range
+    val got = Multimodal.imageHistograms(spark, sf, binSize = 48)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    assert(got.forall(e => e._3 >= 0 && e._3 < 6), "bin out of range")
+    got.groupBy(e => (e._1, e._2)).foreach { case (_, bins) =>
+      assert(bins.map(_._4).sum == 64L) // every pixel binned
+    }
+  }
+
   test("frameDigests: sha-256 of the exact sampled slices, stride arithmetic") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select("doc_id", "text").collect()

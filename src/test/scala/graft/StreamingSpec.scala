@@ -248,9 +248,9 @@ class StreamingSpec extends SparkSpec {
         val pairs =
           if (state == null) {
             state = Dedup.nearDupState(batch, threshold = 0.5)
-            Dedup.selfPairs(state, threshold = 0.5)
+            Dedup.selfPairs(state)
           } else {
-            val (p, next) = Dedup.mergeAndAbsorb(state, batch, 0.5)
+            val (p, next) = Dedup.mergeAndAbsorb(state, batch)
             state = next
             p
           }

@@ -526,7 +526,11 @@ object SparkEntry {
     // probe doc the 5 most-similar docs with J >= 0.1, ranked by the
     // bounded topk_rows aggregate over prefix-index candidates
     "q170_jaccard_search" -> ((s: SparkSession, d: String) =>
-      operators.Dedup.jaccardTopK(s, d))
+      operators.Dedup.jaccardTopK(s, d)),
+    // CCNet-style perplexity filter: rank-exact head/middle/tail
+    // thirds under the corpus unigram LM, tail dropped — the
+    // bucketing runs WITHOUT a corpus-wide window
+    "q171_perplexity_buckets" -> (operators.TextQueries.perplexityBuckets _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3229,6 +3233,32 @@ object SparkEntry {
         |SELECT probe_id, neighbor_id, jaccard, rk
         |FROM r WHERE rk <= 5
         |ORDER BY probe_id, rk""".stripMargin,
+    // q64's scoring + the GLOBAL-window rank spelling the sharded
+    // (offsets + partitioned row_number) plan must reproduce exactly;
+    // the tertile is pure integer math on the rank
+    "q171_perplexity_buckets" ->
+      """WITH w AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  WHERE w <> ''),
+        |c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+        |t AS (SELECT sum(cnt)::DOUBLE AS total FROM c),
+        |scored AS (
+        |  SELECT doc_id, round(avg(ln(cnt::DOUBLE / total)), 4) AS avg_logprob
+        |  FROM w JOIN c USING (w), t
+        |  GROUP BY doc_id),
+        |n AS (SELECT count(*) AS n FROM scored),
+        |r AS (
+        |  SELECT doc_id, avg_logprob,
+        |    row_number() OVER (ORDER BY avg_logprob DESC, doc_id) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, avg_logprob,
+        |  CASE WHEN (rnk - 1) * 3 < n THEN 'head' ELSE 'middle' END
+        |    AS ppl_bucket
+        |FROM r, n
+        |WHERE (rnk - 1) * 3 < 2 * n
+        |ORDER BY doc_id""".stripMargin,
     // q60's brute force over the WHOLE corpus, verbatim: the
     // multi-day union finds each qualifying pair exactly once, on the
     // day its later-arriving endpoint lands

@@ -119,7 +119,15 @@ object TextQueries {
     * BroadcastNestedLoopJoin, and the no-BNLJ invariant is worth one
     * tiny job.
     */
-  def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
+  def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame =
+    docLogProb(spark, sfDir).orderBy("doc_id")
+
+  /** The shared per-document scoring frame (doc_id, n_tokens,
+    * avg_logprob) behind [[unigramLogProb]] and
+    * [[perplexityBuckets]] — unsorted, so consumers pick their own
+    * output order.
+    */
+  private def docLogProb(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
@@ -133,6 +141,59 @@ object TextQueries {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log(col("cnt").cast("double") / lit(total.toDouble))), 4)
           .as("avg_logprob"))
+  }
+
+  /** Perplexity-bucketed corpus filtering (the CCNet discipline: score
+    * every document under a language model, split the corpus into
+    * head / middle / tail THIRDS by score, and train on head+middle —
+    * the tail is the noisy third). The LM here is the corpus's own
+    * unigram distribution ([[unigramLogProb]]'s scoring), the cheap
+    * stand-in for CCNet's KenLM; the bucketing and filtering machinery
+    * is the part a pipeline keeps when the scorer is swapped.
+    *
+    * Buckets are RANK-exact (each document's position in the fluency
+    * order decides its third, ties broken by doc_id) — but no
+    * corpus-wide window runs: a global `row_number() OVER (ORDER BY
+    * score)` is a single-partition WindowExec, the one operator shape
+    * this engine bans. Instead the [[vocabIndex]] discipline: the
+    * doc-level frame groups per distinct (4 dp-rounded) score —
+    * NDV-sized, collected, exclusive-prefix-scanned on the driver into
+    * per-score starting offsets — and each document's rank is its
+    * score's offset plus a row_number PARTITIONED by score (parallel,
+    * and skew-bounded because a 4 dp score bucket holds only
+    * hash-collision-scale populations). The oracle replays the plain
+    * global-window spelling, so the sharded rank is hash-proven
+    * equivalent. bucket = floor(3·(rank−1)/n) in pure integer math —
+    * no float threshold can disagree between engines.
+    *
+    * Scale: the ranked frame is doc-level (one row per document, two
+    * columns) — the corpus text is touched only by the scoring
+    * aggregate; the driver collect is NDV(score)-sized (≤ 10⁴ distinct
+    * 4 dp values per ln-unit of score range), orders of magnitude
+    * below the document count at any corpus size.
+    */
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val scored = docLogProb(spark, sfDir).select("doc_id", "avg_logprob")
+    // per-score populations: NDV-sized, the offsets table of the
+    // sharded rank (fluency DESCENDS: head = highest mean logprob)
+    val sizes = scored.groupBy("avg_logprob").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (s, _) => -s }
+    var running = 0L
+    val offsets = sizes.map { case (s, c) =>
+      val o = running; running += c; (s, o)
+    }.toSeq.toDF("avg_logprob", "off")
+    val n = running // total scored docs, a by-product of the scan
+    val w = Window.partitionBy("avg_logprob").orderBy("doc_id")
+    scored.join(broadcast(offsets), Seq("avg_logprob"))
+      .withColumn("rnk", col("off") + row_number().over(w))
+      // integer tertile: floor(3(rank-1)/n) = 0|1|2; keep head+middle
+      .filter((col("rnk") - 1) * 3 < lit(2L * n))
+      .select(col("doc_id"), col("avg_logprob"),
+        when((col("rnk") - 1) * 3 < lit(n), lit("head"))
+          .otherwise(lit("middle")).as("ppl_bucket"))
       .orderBy("doc_id")
   }
 

@@ -64,6 +64,51 @@ class CorpusQueriesSpec extends SparkSpec {
       s"un-partitioned WindowExec:\n${got.queryExecution.executedPlan}")
   }
 
+  test("q171 perplexity buckets ≡ the global-window spelling, " +
+      "no un-partitioned WindowExec, thirds within one") {
+    val got = TextQueries.perplexityBuckets(spark, sf)
+    // the spelling the sharded rank must reproduce: one global
+    // row_number (fine in a TEST — it's exactly the operator shape the
+    // production plan exists to avoid), same integer tertile
+    val scored = TextQueries.unigramLogProb(spark, sf)
+      .select("doc_id", "avg_logprob")
+    val n = scored.count()
+    val viaWindow = scored
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("avg_logprob"), asc("doc_id"))))
+      .filter((col("rnk") - 1) * 3 < lit(2L * n))
+      .select(col("doc_id"), col("avg_logprob"),
+        when((col("rnk") - 1) * 3 < lit(n), lit("head"))
+          .otherwise(lit("middle")).as("ppl_bucket"))
+    assert(got.collect().map(_.toSeq).toSet ==
+      viaWindow.collect().map(_.toSeq).toSet)
+    // bucket populations: head and middle each ⌈n/3⌉-or-⌊n/3⌋-sized,
+    // and every head score ≥ every middle score (ranking sanity)
+    val byBucket = got.collect().groupBy(_.getString(2))
+    val h = byBucket.getOrElse("head", Array.empty)
+    val m = byBucket.getOrElse("middle", Array.empty)
+    assert(math.abs(h.length - m.length) <= 1)
+    assert(h.length + m.length >= 2L * n / 3)
+    if (h.nonEmpty && m.nonEmpty)
+      assert(h.map(_.getDouble(1)).min >= m.map(_.getDouble(1)).max)
+    // the production plan bans the corpus-wide sort: every WindowExec
+    // carries a partition spec (the per-score row_number)
+    got.collect() // finalize the adaptive plan before inspecting it
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case s: QueryStageExec => allNodes(s.plan)
+      case _ => p.children.flatMap(allNodes)
+    })
+    val windows = allNodes(got.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the per-score row_number window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"un-partitioned WindowExec:\n${got.queryExecution.executedPlan}")
+  }
+
   test("q66 repetition stats ≡ the explode + groupBy spelling") {
     val got = TextQueries.repetitionStats(spark, sf)
     val ws = split(col("text"), " ")

@@ -61,7 +61,8 @@ object Plans {
       "q158_substring_dedup" -> "character-grain duplication profile: in-row window generation (transform+explode inside codegen), two window-key shuffles, doc-grain aggregate",
       "q34_media_features" -> "real RIFF/WAVE decode: typed mapPartitions batch pass over the synthesized payload projection — one scan, no shuffle before the report sort",
       "q166_incremental_neardup" -> "incremental near-dup merge: today's batch shingled once, prefix-joined against the PERSISTED index by token equality — corpus text never re-read, no BroadcastNestedLoopJoin",
-      "q169_keepbest_curation" -> "quality-aware keep: cluster-graph-sized argmax (max_by on a (quality, -id) struct) joined back — the corpus is touched only by the pair pipeline's scan")
+      "q169_keepbest_curation" -> "quality-aware keep: cluster-graph-sized argmax (max_by on a (quality, -id) struct) joined back — the corpus is touched only by the pair pipeline's scan",
+      "q171_perplexity_buckets" -> "rank-exact perplexity tertiles with NO corpus-wide sort: broadcast per-score offsets + score-PARTITIONED row_number window")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans of representative queries\n\n"
     out ++= "Generated by `graft.Plans` at sf0.001. What to look for is\n"

@@ -530,7 +530,12 @@ object SparkEntry {
     // CCNet-style perplexity filter: rank-exact head/middle/tail
     // thirds under the corpus unigram LM, tail dropped — the
     // bucketing runs WITHOUT a corpus-wide window
-    "q171_perplexity_buckets" -> (operators.TextQueries.perplexityBuckets _)
+    "q171_perplexity_buckets" -> (operators.TextQueries.perplexityBuckets _),
+    // materialized-summary routing: the aggregate is transparently
+    // rewritten onto a (flag, status, day)-grain pre-aggregate; the
+    // oracle computes from the RAW table, so the hash-PASS proves
+    // the rewrite correct
+    "q172_summary_pricing" -> (operators.OlapQueries.summaryPricing _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3259,6 +3264,25 @@ object SparkEntry {
         |FROM r, n
         |WHERE (rnk - 1) * 3 < 2 * n
         |ORDER BY doc_id""".stripMargin,
+    // the RAW-table spelling of the summary-routed aggregate: Spark
+    // answers from the materialized summary, DuckDB from lineitem —
+    // a hash match proves the MV rewrite value-exact (decimal sums
+    // are associative, so re-aggregated partials equal raw sums)
+    "q172_summary_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |    AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+        |    4) AS sum_base,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 4) AS avg_price,
+        |  round(min(l_extendedprice), 4) AS min_price,
+        |  round(max(l_extendedprice), 4) AS max_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-06-30'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // q60's brute force over the WHOLE corpus, verbatim: the
     // multi-day union finds each qualifying pair exactly once, on the
     // day its later-arriving endpoint lands

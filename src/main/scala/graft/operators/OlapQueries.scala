@@ -1734,4 +1734,65 @@ object OlapQueries {
         col("cusum_up"), col("cusum_down"), col("alarm"))
       .orderBy("day")
   }
+
+  /** Pricing summary answered from a MATERIALIZED SUMMARY TABLE via
+    * [[graft.plans.SummaryRewrite]] — the warehouse MV-routing
+    * affordance: a (returnflag, linestatus, shipdate)-grain
+    * pre-aggregate of lineitem is built and registered, and the
+    * pricing aggregate (a shipdate filter + a COARSER group-by over
+    * two of the three grain columns) is transparently rewritten to
+    * read it. The oracle computes the same SQL from the RAW table, so
+    * the hash-PASS is a proof of rewrite correctness, not just of the
+    * aggregate: sums are declared as decimal casts (associative —
+    * re-aggregating per-grain partials is value-exact), the average is
+    * spelled sum/count so both legs route, and min/max re-aggregate
+    * freely.
+    *
+    * The report is a handful of (flag, status) rows: it materializes
+    * and the summary registration drops in a finally, so no OTHER
+    * query in the session ever matches the router (registration is
+    * scoped to this call — the suite's plans stay exactly what each
+    * query declares). At 100 TB the summary is smaller than the fact
+    * table by the rows-per-(flag,status,day) factor and is what every
+    * qualifying dashboard aggregate reads instead of the raw scan.
+    */
+  def summaryPricing(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.Summaries.create(
+      Tables.load(spark, sfDir, "lineitem"), "lineitem_pricing",
+      grain = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      sums = Seq(
+        "sum_qty" -> "cast(l_quantity as decimal(18,2))",
+        "sum_base" -> "cast(l_extendedprice as decimal(18,2))"),
+      mins = Seq("min_price" -> "l_extendedprice"),
+      maxs = Seq("max_price" -> "l_extendedprice"))
+    try {
+      val out = summaryPricingQuery(spark, sfDir)
+      val rows = out.collect().toSeq // |flag×status| rows
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally graft.plans.Summaries.drop("lineitem_pricing")
+  }
+
+  /** The lazy aggregate the router rewrites — separate so PlanSpec can
+    * inspect the optimized plan (summary scan, not lineitem) while the
+    * registration is live.
+    */
+  private[graft] def summaryPricingQuery(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-06-30").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)"),
+          4).as("sum_qty"),
+        round(
+          expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)"),
+          4).as("sum_base"),
+        round(
+          expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)") /
+            count(lit(1)).cast("double"), 4).as("avg_price"),
+        round(min(col("l_extendedprice")), 4).as("min_price"),
+        round(max(col("l_extendedprice")), 4).as("max_price"))
+      .orderBy("l_returnflag", "l_linestatus")
 }

@@ -148,6 +148,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     composed("stopword_ratio", TextScoringExprs.stopwordRatio)
     composed("quality_score", TextScoringExprs.qualityScore)
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    // the summary-table (materialized-view) router — active only
+    // while a summary is registered (Summaries.create), so sessions
+    // that never register one pay a no-op conditional
+    e.injectOptimizerRule(_ => SummaryRewrite)
   }
 }
 

@@ -1,0 +1,300 @@
+package graft.plans
+
+import java.util.Locale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.planning.PhysicalOperation
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
+
+/** Summary-table auto-rewrite — the materialized-view affordance of
+  * the reference's host warehouse (BigQuery routes qualifying
+  * aggregates onto a materialized view transparently; this is that
+  * feature as a Catalyst optimizer rule).
+  *
+  * A summary is a pre-aggregate of a raw parquet table at a declared
+  * GRAIN (a grouping-column set), carrying per-grain-row `count(*)`
+  * plus declared SUM / MIN / MAX measures. Registering one
+  * ([[Summaries.create]]) makes [[SummaryRewrite]] route any qualifying
+  * aggregate over the raw table onto the summary instead:
+  *
+  *   - grouping expressions and filters may reference GRAIN columns
+  *     only (arbitrary expressions OVER them are fine — a summary at
+  *     (flag, status, day) answers group-bys at (flag), (status, day),
+  *     …: re-aggregation over a coarser partition of the same rows);
+  *   - `COUNT(literal)` ⇒ `coalesce(SUM(cnt), 0)` (the coalesce keeps
+  *     the empty-input global count at 0, where SUM is null);
+  *     `SUM(m)` ⇒ `SUM(sum_m)`; `MIN(m)` ⇒ `MIN(min_m)`;
+  *     `MAX(m)` ⇒ `MAX(max_m)` — for measures m declared at
+  *     registration, matched STRUCTURALLY (attribute / cast /
+  *     arithmetic shapes, [[Summaries.measureKey]]), so
+  *     `sum(cast(l_quantity as decimal(18,2)))` matches however the
+  *     query spells it;
+  *   - DISTINCT aggregates, FILTER clauses, and anything referencing a
+  *     non-grain, non-measure column disqualify the aggregate — it
+  *     runs against the raw table untouched. AVG is deliberately not
+  *     matched: spell it `sum(x)/count(1)` (both legs rewrite) so the
+  *     re-aggregated arithmetic is explicit.
+  *
+  * Rewritten output is bit-compatible: every output attribute keeps
+  * its name, exprId, and data type (re-aggregated sums that widen a
+  * decimal cast back at the alias boundary), so parent operators never
+  * see the substitution. Declare EXACT sum measures (cast to decimal)
+  * and the rewrite is value-exact too — decimal addition is
+  * associative, so re-aggregating per-grain partials equals the raw
+  * aggregate bit-for-bit (q172's oracle hash-checks exactly this).
+  *
+  * Scale: this is the 100 TB lever the rule exists for — a
+  * (flag, status, day)-grain summary of a fact table is smaller than
+  * the raw data by the average rows-per-grain factor (thousands at
+  * warehouse scale), and every qualifying dashboard aggregate reads
+  * the summary's megabytes instead of the fact table's terabytes.
+  * Freshness is the caller's contract, exactly like a warehouse MV:
+  * the summary answers for the source AS OF its build;
+  * re-[[Summaries.create]] refreshes, [[Summaries.drop]] revokes.
+  * Rewrite activation is registration itself (creating the MV enables
+  * routing, as in the host warehouse); `spark.graft.summaryRewrite
+  * .enabled=false` force-disables without dropping state. No session
+  * confs are mutated by the machinery.
+  */
+object Summaries {
+
+  /** The summary's registered shape. `relation` is the analyzed
+    * read-back of the summary parquet; each rewrite takes a
+    * `newInstance()` so repeated rewrites (or two rewrite sites in one
+    * query) never share exprIds.
+    */
+  final case class Spec(
+      name: String,
+      source: String,
+      summaryPath: String,
+      grain: Seq[String],
+      cntCol: String,
+      sums: Map[String, String],
+      mins: Map[String, String],
+      maxs: Map[String, String],
+      relation: LogicalRelation)
+
+  private val reg =
+    new java.util.concurrent.ConcurrentHashMap[String, Spec]()
+
+  private[plans] def isEmpty: Boolean = reg.isEmpty
+
+  private[plans] def lookup(path: String): Option[Spec] =
+    Option(reg.get(path))
+
+  /** Canonical path form both sides agree on (strips the scheme the
+    * file index adds — `file:/x` vs `/x`).
+    */
+  private[plans] def canon(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  private def singleSourcePath(raw: DataFrame): String = {
+    val rels = raw.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr
+    }
+    require(rels.length == 1,
+      s"summary source must be one file relation, got ${rels.length}")
+    rels.head.relation match {
+      case fs: HadoopFsRelation =>
+        require(fs.location.rootPaths.length == 1,
+          "summary source must have a single root path")
+        canon(fs.location.rootPaths.head.toString)
+      case other =>
+        throw new IllegalArgumentException(
+          s"summary source must be file-based, got ${other.getClass}")
+    }
+  }
+
+  private[plans] def pathOf(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+        Some(canon(fs.location.rootPaths.head.toString))
+      case _ => None
+    }
+
+  /** Structural identity of a measure expression — the matching key
+    * both registration and the rewrite render. Covers the shapes a
+    * measure is made of (column, cast, literal, arithmetic); anything else
+    * is unsupported and disqualifies (None).
+    */
+  private[plans] def measureKey(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name.toLowerCase(Locale.ROOT))
+    case c: Cast =>
+      measureKey(c.child).map(k => s"cast($k as ${c.dataType.simpleString})")
+    case l: Literal => Some(s"lit(${l.toString})")
+    case b: BinaryArithmetic =>
+      for { l <- measureKey(b.left); r <- measureKey(b.right) }
+        yield s"($l ${b.symbol} $r)"
+    case _ => None
+  }
+
+  private def keyOfSql(raw: DataFrame, sql: String): String = {
+    val analyzed = raw.select(expr(sql).as("__m")).queryExecution.analyzed
+    val child = analyzed.expressions.collectFirst {
+      case a: Alias if a.name == "__m" => a.child
+    }.getOrElse(throw new IllegalStateException(s"cannot analyze $sql"))
+    measureKey(child).getOrElse(throw new IllegalArgumentException(
+      s"unsupported measure shape: $sql"))
+  }
+
+  val CntCol = "__cnt"
+
+  /** Build the summary parquet for `raw` at `grain` and register it.
+    * Measures are SQL expression strings (so SQL and Column callers
+    * declare them identically); sums should be cast to decimal when
+    * the caller wants value-exact re-aggregation. Overwrites any
+    * previous summary of the same name (refresh), and re-registers —
+    * the MV maintenance contract.
+    */
+  def create(raw: DataFrame, name: String, grain: Seq[String],
+      sums: Seq[(String, String)],
+      mins: Seq[(String, String)] = Nil,
+      maxs: Seq[(String, String)] = Nil): Spec = {
+    val spark = raw.sparkSession
+    val source = singleSourcePath(raw)
+    val aggCols = (sums.map { case (n, s) => sum(expr(s)).as(n) } ++
+      mins.map { case (n, s) => min(expr(s)).as(n) } ++
+      maxs.map { case (n, s) => max(expr(s)).as(n) })
+    val out = raw.groupBy(grain.map(col): _*)
+      .agg(count(lit(1)).as(CntCol), aggCols: _*)
+    val path = new java.io.File(
+      s"spark-warehouse/graft_summaries/$name").getAbsolutePath
+    out.write.mode("overwrite").parquet(path)
+    val rel = spark.read.parquet(path).queryExecution.analyzed match {
+      case lr: LogicalRelation => lr
+      case other => throw new IllegalStateException(
+        s"summary read-back is not a file relation: ${other.getClass}")
+    }
+    val spec = Spec(name, source, path, grain, CntCol,
+      sums = sums.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      mins = mins.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      maxs = maxs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      relation = rel)
+    reg.put(source, spec)
+    spec
+  }
+
+  /** Revoke the named summary (the rewrite stops matching instantly;
+    * the parquet stays on disk for a later re-register).
+    */
+  def drop(name: String): Unit = {
+    val it = reg.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue.name == name) it.remove()
+  }
+
+  def clear(): Unit = reg.clear()
+}
+
+/** The optimizer rule: routes qualifying [[Aggregate]]s over a
+  * registered source onto its summary. See [[Summaries]] for the
+  * qualification and correctness contract. Injected by
+  * [[GraftExtensions]]; runs inside the operator-optimization
+  * fixed point, so the post-rewrite plan gets the same pruning /
+  * pushdown treatment as any hand-written scan of the summary.
+  */
+object SummaryRewrite extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.summaryRewrite.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (Summaries.isEmpty ||
+        !conf.getConfString(ConfKey, "true").toBoolean) plan
+    else plan.transform {
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+    }
+
+  private def rewrite(agg: Aggregate): Option[Aggregate] = agg.child match {
+    case PhysicalOperation(projects, filters, lr: LogicalRelation)
+        if projects.forall(_.isInstanceOf[AttributeReference]) =>
+      for {
+        path <- Summaries.pathOf(lr)
+        spec <- Summaries.lookup(path)
+        grainNames = spec.grain.toSet
+        // everything the query consumes OUTSIDE aggregate functions
+        // must be grain: grouping keys, filter columns
+        if (filters ++ agg.groupingExpressions)
+          .flatMap(_.references).forall(a => grainNames.contains(a.name))
+        rewritten <- rewriteOnto(agg, filters, lr, spec)
+      } yield rewritten
+    case _ => None
+  }
+
+  private def rewriteOnto(agg: Aggregate, filters: Seq[Expression],
+      lr: LogicalRelation, spec: Summaries.Spec): Option[Aggregate] = {
+    // fresh attr instances per rewrite site — two rewrites must never
+    // share exprIds
+    val rel = spec.relation.newInstance()
+    val byName = rel.output.map(a => a.name -> a).toMap
+    val grainByExprId: Map[ExprId, Attribute] = lr.output
+      .filter(a => spec.grain.contains(a.name))
+      .flatMap(a => byName.get(a.name).map(a.exprId -> _)).toMap
+    val sumOut = AttributeSet(rel.output)
+
+    def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      def wrap(f: AggregateFunction): Expression =
+        AggregateExpression(f, ae.mode, isDistinct = false, None, ae.resultId)
+      ae.aggregateFunction match {
+        case Count(Seq(_: Literal)) =>
+          Some(Coalesce(Seq(wrap(Sum(byName(spec.cntCol))), Literal(0L))))
+        case s: Sum =>
+          Summaries.measureKey(s.child)
+            .flatMap(spec.sums.get).map(c => wrap(Sum(byName(c))))
+        case m: Min =>
+          Summaries.measureKey(m.child)
+            .flatMap(spec.mins.get).map(c => wrap(Min(byName(c))))
+        case m: Max =>
+          Summaries.measureKey(m.child)
+            .flatMap(spec.maxs.get).map(c => wrap(Max(byName(c))))
+        case _ => None
+      }
+    }
+
+    def rewriteExpr(e: Expression): Option[Expression] = {
+      var ok = true
+      val out = e.transformUp {
+        case ar: AttributeReference if grainByExprId.contains(ar.exprId) =>
+          grainByExprId(ar.exprId)
+        case ae: AggregateExpression =>
+          rewriteAgg(ae) match {
+            case Some(x) => x
+            case None => ok = false; ae
+          }
+      }
+      // completeness gate: every raw-side reference must be gone —
+      // a leftover means an unmapped shape, so the whole aggregate
+      // stays on the raw table
+      if (ok && out.references.subsetOf(sumOut)) Some(out) else None
+    }
+
+    def rewriteNamed(ne: NamedExpression): Option[NamedExpression] =
+      ne match {
+        case ar: AttributeReference =>
+          grainByExprId.get(ar.exprId)
+            .map(s => Alias(s, ar.name)(ar.exprId, ar.qualifier))
+        case al: Alias =>
+          rewriteExpr(al.child).map { c0 =>
+            // re-aggregated decimals widen; the alias boundary casts
+            // back so the output schema is indistinguishable
+            val c = if (c0.dataType == al.child.dataType) c0
+              else Cast(c0, al.child.dataType)
+            Alias(c, al.name)(al.exprId, al.qualifier)
+          }
+        case _ => None
+      }
+
+    val newGrouping = agg.groupingExpressions.map(rewriteExpr)
+    val newAggs = agg.aggregateExpressions.map(rewriteNamed)
+    val newFilters = filters.map(rewriteExpr)
+    if ((newGrouping ++ newAggs ++ newFilters).forall(_.isDefined)) {
+      val child = newFilters.map(_.get)
+        .foldRight(rel: LogicalPlan)((c, p) => Filter(c, p))
+      Some(Aggregate(newGrouping.map(_.get), newAggs.map(_.get), child))
+    } else None
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import graft.operators.OlapQueries
+import graft.plans.{Summaries, SummaryRewrite}
+import graft.sources.Tables
+
+/** The materialized-summary router (q172): rewrite fires exactly when
+  * it should, reads the summary instead of the fact table, and is
+  * value-identical to the raw plan.
+  */
+class SummaryRewriteSpec extends SparkSpec {
+
+  private def scanPaths(df: DataFrame): Seq[String] = {
+    df.collect() // finalize the adaptive plan
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case s: QueryStageExec => allNodes(s.plan)
+      case _ => p.children.flatMap(allNodes)
+    })
+    allNodes(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toUri.getPath)
+    }.flatten
+  }
+
+  private def registered[A](body: => A): A = {
+    Summaries.create(
+      Tables.load(spark, sf, "lineitem"), "spec_pricing",
+      grain = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      sums = Seq(
+        "sum_qty" -> "cast(l_quantity as decimal(18,2))",
+        "sum_base" -> "cast(l_extendedprice as decimal(18,2))"),
+      mins = Seq("min_price" -> "l_extendedprice"),
+      maxs = Seq("max_price" -> "l_extendedprice"))
+    try body finally Summaries.drop("spec_pricing")
+  }
+
+  test("q172 routes onto the summary and equals the raw-table answer") {
+    val raw = OlapQueries.summaryPricingQuery(spark, sf).collect().toSeq
+    val (rows, paths) = registered {
+      val df = OlapQueries.summaryPricingQuery(spark, sf)
+      (df.collect().toSeq, scanPaths(df))
+    }
+    assert(rows == raw) // value-exact: decimal sums re-aggregate exactly
+    assert(paths.nonEmpty && paths.forall(_.contains("graft_summaries")),
+      s"expected only summary scans, got $paths")
+    assert(!paths.exists(_.contains("lineitem")), s"raw scan survived: $paths")
+  }
+
+  test("coarser rollup (one grain column, global) routes too") {
+    registered {
+      val byFlag = Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(expr(
+            "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
+            .as("sq"))
+      val pf = scanPaths(byFlag)
+      assert(pf.forall(_.contains("graft_summaries")), s"by-flag: $pf")
+      val global = Tables.load(spark, sf, "lineitem")
+        .agg(count(lit(1)).as("n"))
+      val pg = scanPaths(global)
+      assert(pg.forall(_.contains("graft_summaries")), s"global: $pg")
+      // and both are value-correct vs the raw spelling
+      val nRaw = Tables.load(spark, sf, "lineitem").count()
+      assert(global.collect()(0).getLong(0) == nRaw)
+    }
+  }
+
+  test("global count over an all-excluding filter is 0, not null") {
+    registered {
+      val df = Tables.load(spark, sf, "lineitem")
+        .filter(col("l_shipdate") < lit("1970-01-01").cast("timestamp"))
+        .agg(count(lit(1)).as("n"))
+      assert(scanPaths(df).forall(_.contains("graft_summaries")))
+      assert(df.collect()(0).getLong(0) == 0L)
+    }
+  }
+
+  test("disqualifying shapes stay on the raw table") {
+    registered {
+      // non-grain grouping column
+      val byTax = Tables.load(spark, sf, "lineitem")
+        .groupBy("l_tax").agg(count(lit(1)).as("n"))
+      assert(scanPaths(byTax).exists(_.contains("lineitem")))
+      // unregistered measure
+      val sumTax = Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag").agg(sum("l_tax").as("s"))
+      assert(scanPaths(sumTax).exists(_.contains("lineitem")))
+      // DISTINCT aggregate
+      val dist = Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_linestatus")).as("d"))
+      assert(scanPaths(dist).exists(_.contains("lineitem")))
+      // non-grain filter column
+      val filt = Tables.load(spark, sf, "lineitem")
+        .filter(col("l_tax") > 0.01)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      assert(scanPaths(filt).exists(_.contains("lineitem")))
+    }
+  }
+
+  test("drop revokes routing; the disable conf force-bypasses") {
+    val probe = () => Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    registered {
+      assert(scanPaths(probe()).forall(_.contains("graft_summaries")))
+      spark.conf.set(SummaryRewrite.ConfKey, "false")
+      try assert(scanPaths(probe()).exists(_.contains("lineitem")))
+      finally spark.conf.unset(SummaryRewrite.ConfKey)
+    }
+    // after the finally-drop: raw again
+    assert(scanPaths(probe()).exists(_.contains("lineitem")))
+  }
+}

@@ -77,7 +77,11 @@ object Summaries {
       sums: Map[String, String],
       mins: Map[String, String],
       maxs: Map[String, String],
-      relation: LogicalRelation)
+      relation: LogicalRelation,
+      sumSql: Seq[(String, String)] = Nil,
+      minSql: Seq[(String, String)] = Nil,
+      maxSql: Seq[(String, String)] = Nil,
+      gen: Int = 0)
 
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, Spec]()
@@ -155,28 +159,85 @@ object Summaries {
       sums: Seq[(String, String)],
       mins: Seq[(String, String)] = Nil,
       maxs: Seq[(String, String)] = Nil): Spec = {
-    val spark = raw.sparkSession
     val source = singleSourcePath(raw)
     val aggCols = (sums.map { case (n, s) => sum(expr(s)).as(n) } ++
       mins.map { case (n, s) => min(expr(s)).as(n) } ++
       maxs.map { case (n, s) => max(expr(s)).as(n) })
     val out = raw.groupBy(grain.map(col): _*)
       .agg(count(lit(1)).as(CntCol), aggCols: _*)
+    register(out, Spec(name, source, "", grain, CntCol,
+      sums = sums.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      mins = mins.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      maxs = maxs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      relation = null,
+      sumSql = sums, minSql = mins, maxSql = maxs, gen = 0))
+  }
+
+  /** Write a summary generation, read it back, and (re-)register. A
+    * generation gets its own directory (`<name>__g<k>`) so a refresh
+    * never overwrites the files the merge is reading; the previous
+    * generation's directory is deleted after the new one registers.
+    */
+  private def register(out: DataFrame, proto: Spec): Spec = {
+    val spark = out.sparkSession
     val path = new java.io.File(
-      s"spark-warehouse/graft_summaries/$name").getAbsolutePath
+      s"spark-warehouse/graft_summaries/${proto.name}__g${proto.gen}")
+      .getAbsolutePath
     out.write.mode("overwrite").parquet(path)
     val rel = spark.read.parquet(path).queryExecution.analyzed match {
       case lr: LogicalRelation => lr
       case other => throw new IllegalStateException(
         s"summary read-back is not a file relation: ${other.getClass}")
     }
-    val spec = Spec(name, source, path, grain, CntCol,
-      sums = sums.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
-      mins = mins.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
-      maxs = maxs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
-      relation = rel)
-    reg.put(source, spec)
+    val spec = proto.copy(summaryPath = path, relation = rel)
+    val old = Option(reg.put(spec.source, spec))
+    old.filter(o => o.name == spec.name && o.summaryPath != path)
+      .foreach { o =>
+        val p = new org.apache.hadoop.fs.Path(o.summaryPath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
     spec
+  }
+
+  private def lookupByName(name: String): Option[Spec] = {
+    val it = reg.values().iterator()
+    while (it.hasNext) { val s = it.next(); if (s.name == name) return Some(s) }
+    None
+  }
+
+  /** Incremental maintenance (the MV refresh): fold a BATCH of new raw
+    * rows into the registered summary WITHOUT re-reading the source
+    * table — every summary measure is mergeable (counts and sums
+    * re-add, min/max re-extremize), so the refresh summarizes the
+    * batch at the grain, unions it with the current summary, and
+    * re-aggregates. Cost is O(batch + summary), never O(source) — the
+    * q157/q166 incremental discipline applied to the MV lifecycle.
+    * Measures cast back to the stored column types, so the schema is
+    * generation-stable (a re-aggregated decimal widens, but its VALUE
+    * is the full-rebuild value, which fit the original type).
+    */
+  def refresh(name: String, batch: DataFrame): Spec = {
+    val spec = lookupByName(name).getOrElse(
+      throw new IllegalArgumentException(s"no summary named $name"))
+    val spark = batch.sparkSession
+    val aggCols = (spec.sumSql.map { case (n, s) => sum(expr(s)).as(n) } ++
+      spec.minSql.map { case (n, s) => min(expr(s)).as(n) } ++
+      spec.maxSql.map { case (n, s) => max(expr(s)).as(n) })
+    val batchSum = batch.groupBy(spec.grain.map(col): _*)
+      .agg(count(lit(1)).as(spec.cntCol), aggCols: _*)
+    val current = spark.read.parquet(spec.summaryPath)
+    val types = current.schema.map(f => f.name -> f.dataType).toMap
+    val mergeCols =
+      Seq(sum(col(spec.cntCol)).cast(types(spec.cntCol)).as(spec.cntCol)) ++
+        spec.sumSql.map { case (n, _) =>
+          sum(col(n)).cast(types(n)).as(n) } ++
+        spec.minSql.map { case (n, _) => min(col(n)).as(n) } ++
+        spec.maxSql.map { case (n, _) => max(col(n)).as(n) }
+    val merged = current.unionByName(batchSum)
+      .groupBy(spec.grain.map(col): _*)
+      .agg(mergeCols.head, mergeCols.tail: _*)
+    register(merged, spec.copy(gen = spec.gen + 1))
   }
 
   /** Revoke the named summary (the rewrite stops matching instantly;

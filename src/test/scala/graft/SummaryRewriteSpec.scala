@@ -105,6 +105,40 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("incremental refresh folds a batch (reads batch + summary only) " +
+      "and converges to the full-rebuild answer") {
+    val raw = Tables.load(spark, sf, "lineitem")
+    val cut = lit("2000-01-01").cast("timestamp")
+    // day-1 build: only the pre-cut rows are summarized
+    Summaries.create(
+      raw.filter(col("l_shipdate") < cut), "spec_incr",
+      grain = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"),
+      mins = Seq("min_price" -> "l_extendedprice"),
+      maxs = Seq("max_price" -> "l_extendedprice"))
+    try {
+      // day-2: fold in the post-cut batch — O(batch + summary)
+      Summaries.refresh("spec_incr", raw.filter(col("l_shipdate") >= cut))
+      val q = raw.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(expr(
+            "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
+            .as("sq"),
+          round(min(col("l_extendedprice")), 4).as("mn"),
+          round(max(col("l_extendedprice")), 4).as("mx"))
+        .orderBy("l_returnflag")
+      val paths = scanPaths(q)
+      assert(paths.forall(_.contains("graft_summaries")), s"$paths")
+      // routed answer over the refreshed summary == the raw full scan
+      val viaSummary = q.collect().toSeq
+      spark.conf.set(SummaryRewrite.ConfKey, "false")
+      val rawAnswer =
+        try q.collect().toSeq
+        finally spark.conf.unset(SummaryRewrite.ConfKey)
+      assert(viaSummary == rawAnswer)
+    } finally Summaries.drop("spec_incr")
+  }
+
   test("drop revokes routing; the disable conf force-bypasses") {
     val probe = () => Tables.load(spark, sf, "lineitem")
       .groupBy("l_returnflag").agg(count(lit(1)).as("n"))

@@ -139,6 +139,26 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally Summaries.drop("spec_incr")
   }
 
+  test("spark.sql over a view of the source routes too") {
+    registered {
+      Tables.load(spark, sf, "lineitem").createOrReplaceTempView("li_mv")
+      try {
+        val df = spark.sql(
+          """SELECT l_returnflag, count(*) AS n,
+            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
+            |FROM li_mv GROUP BY l_returnflag ORDER BY l_returnflag"""
+            .stripMargin)
+        val paths = scanPaths(df)
+        assert(paths.forall(_.contains("graft_summaries")), s"$paths")
+        // count(*) resolves to count(1); both legs route
+        val nRaw = Tables.load(spark, sf, "lineitem")
+          .groupBy("l_returnflag").count().orderBy("l_returnflag")
+          .collect().map(_.getLong(1)).toSeq
+        assert(df.collect().map(_.getLong(1)).toSeq == nRaw)
+      } finally spark.catalog.dropTempView("li_mv")
+    }
+  }
+
   test("drop revokes routing; the disable conf force-bypasses") {
     val probe = () => Tables.load(spark, sf, "lineitem")
       .groupBy("l_returnflag").agg(count(lit(1)).as("n"))

@@ -159,6 +159,53 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("streamed batches maintain the summary via foreachBatch refresh") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val raw = Tables.load(spark, sf, "lineitem")
+    val cut = lit("2000-06-01").cast("timestamp")
+    val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+      "l_quantity", "l_extendedprice")
+    // the stream delivers the post-cut rows in two micro-batches
+    val late = raw.filter(col("l_shipdate") >= cut)
+      .select(cols.map(col): _*).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2), r.getDouble(3), r.getDouble(4)))
+    assert(late.length >= 2, "fixture needs post-cut rows")
+    val (gen1, gen2) = late.splitAt(late.length / 2)
+    Summaries.create(
+      raw.filter(col("l_shipdate") < cut), "spec_stream",
+      grain = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"))
+    try {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String, java.sql.Timestamp, Double, Double)]
+      val q = mem.toDS().toDF(cols: _*).writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            Summaries.refresh("spec_stream", batch); ()
+        }
+        .start()
+      try {
+        mem.addData(gen1.toSeq: _*); q.processAllAvailable()
+        mem.addData(gen2.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      val probe = raw.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(expr(
+            "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
+            .as("sq"))
+        .orderBy("l_returnflag")
+      assert(scanPaths(probe).forall(_.contains("graft_summaries")))
+      val viaSummary = probe.collect().toSeq
+      spark.conf.set(SummaryRewrite.ConfKey, "false")
+      val rawAnswer =
+        try probe.collect().toSeq
+        finally spark.conf.unset(SummaryRewrite.ConfKey)
+      assert(viaSummary == rawAnswer)
+    } finally Summaries.drop("spec_stream")
+  }
+
   test("drop revokes routing; the disable conf force-bypasses") {
     val probe = () => Tables.load(spark, sf, "lineitem")
       .groupBy("l_returnflag").agg(count(lit(1)).as("n"))

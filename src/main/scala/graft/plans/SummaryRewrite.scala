@@ -280,6 +280,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         // must be grain: grouping keys, filter columns
         if (filters ++ agg.groupingExpressions)
           .flatMap(_.references).forall(a => grainNames.contains(a.name))
+        // a non-deterministic term (rand() sampling, monotonic ids)
+        // has no column references, so the grain guard can't see it —
+        // but over the summary it would act per GRAIN ROW, not per raw
+        // row: semantics change, so the aggregate stays raw
+        if (filters ++ agg.groupingExpressions ++ agg.aggregateExpressions)
+          .forall(_.deterministic)
         rewritten <- rewriteOnto(agg, filters, lr, spec)
       } yield rewritten
     case _ => None
@@ -301,7 +307,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       def wrap(f: AggregateFunction): Expression =
         AggregateExpression(f, ae.mode, isDistinct = false, None, ae.resultId)
       ae.aggregateFunction match {
-        case Count(Seq(_: Literal)) =>
+        // the literal must be NON-NULL: count(null) is 0 per row,
+        // not the row count
+        case Count(Seq(l: Literal)) if l.value != null =>
           Some(Coalesce(Seq(wrap(Sum(byName(spec.cntCol))), Literal(0L))))
         case s: Sum =>
           Summaries.measureKey(s.child)

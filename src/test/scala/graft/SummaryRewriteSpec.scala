@@ -102,6 +102,25 @@ class SummaryRewriteSpec extends SparkSpec {
         .filter(col("l_tax") > 0.01)
         .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
       assert(scanPaths(filt).exists(_.contains("lineitem")))
+      // non-deterministic filter: no column refs, but per-ROW
+      // semantics — must stay on the raw table
+      val sampled = Tables.load(spark, sf, "lineitem")
+        .filter(rand(7) < 0.5)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      assert(scanPaths(sampled).exists(_.contains("lineitem")))
+      // count(NULL) is 0 per row, not the row count. NullPropagation
+      // folds it to a literal 0 BEFORE the router (so the residual
+      // grain-only aggregate may legally route); the guarded rewrite
+      // must stay value-identical to the raw answer either way
+      val nullCount = () => Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(null)).as("n")).orderBy("l_returnflag")
+      val routed = nullCount().collect().toSeq
+      spark.conf.set(SummaryRewrite.ConfKey, "false")
+      val rawNc =
+        try nullCount().collect().toSeq
+        finally spark.conf.unset(SummaryRewrite.ConfKey)
+      assert(routed == rawNc)
     }
   }
 

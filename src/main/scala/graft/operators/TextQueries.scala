@@ -175,7 +175,13 @@ object TextQueries {
   def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    // persisted: the sizes collect AND the final join both read this
+    // frame — an unpersisted plan would scan the corpus twice, and a
+    // re-evaluated avg() could round a boundary score differently
+    // between the two passes (the offsets table must describe exactly
+    // the rows the join sees)
     val scored = docLogProb(spark, sfDir).select("doc_id", "avg_logprob")
+      .persist()
     // per-score populations: NDV-sized, the offsets table of the
     // sharded rank (fluency DESCENDS: head = highest mean logprob)
     val sizes = scored.groupBy("avg_logprob").agg(count(lit(1)).as("c"))

@@ -91,11 +91,18 @@ object Summaries {
   private[plans] def lookup(path: String): Option[Spec] =
     Option(reg.get(path))
 
-  /** Canonical path form both sides agree on (strips the scheme the
-    * file index adds — `file:/x` vs `/x`).
+  /** Canonical path form both sides agree on. The scheme and
+    * authority STAY in the key (a local /data/lineitem and an
+    * hdfs://nn/data/lineitem are different tables — stripping the
+    * scheme would route one onto the other's summary); a missing
+    * scheme normalizes to `file` so `/x` and `file:/x` agree.
     */
-  private[plans] def canon(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  private[plans] def canon(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    val scheme = Option(u.getScheme).getOrElse("file")
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"$scheme://$auth${u.getPath}"
+  }
 
   private def singleSourcePath(raw: DataFrame): String = {
     val rels = raw.queryExecution.analyzed.collect {
@@ -129,7 +136,11 @@ object Summaries {
   private[plans] def measureKey(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name.toLowerCase(Locale.ROOT))
     case c: Cast =>
-      measureKey(c.child).map(k => s"cast($k as ${c.dataType.simpleString})")
+      // the eval mode is part of the identity: try_cast nulls where
+      // cast throws/keeps, so a try_cast query must NOT route onto
+      // plain-cast partials (key mismatch = fail closed to raw)
+      measureKey(c.child).map(k =>
+        s"cast[${c.evalMode}]($k as ${c.dataType.simpleString})")
     case l: Literal => Some(s"lit(${l.toString})")
     case b: BinaryArithmetic =>
       for { l <- measureKey(b.left); r <- measureKey(b.right) }
@@ -160,6 +171,12 @@ object Summaries {
       mins: Seq[(String, String)] = Nil,
       maxs: Seq[(String, String)] = Nil): Spec = {
     val source = singleSourcePath(raw)
+    // one summary per source: silently evicting a DIFFERENT name
+    // would leave its directory orphaned and its drop() a no-op
+    Option(reg.get(source)).filter(_.name != name).foreach { o =>
+      throw new IllegalArgumentException(
+        s"source $source already has summary '${o.name}' — drop it first")
+    }
     val aggCols = (sums.map { case (n, s) => sum(expr(s)).as(n) } ++
       mins.map { case (n, s) => min(expr(s)).as(n) } ++
       maxs.map { case (n, s) => max(expr(s)).as(n) })
@@ -237,7 +254,15 @@ object Summaries {
     val merged = current.unionByName(batchSum)
       .groupBy(spec.grain.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
-    register(merged, spec.copy(gen = spec.gen + 1))
+    // SUSPEND routing while the merge materializes: a batch that
+    // derives from the registered source (the common backfill shape)
+    // would otherwise have its OWN grain aggregate routed onto the
+    // stale summary being refreshed — silently dropping the batch.
+    // While suspended, queries over the source run raw (correct,
+    // just unrouted) — the standard MV-refresh window.
+    reg.remove(spec.source)
+    try register(merged, spec.copy(gen = spec.gen + 1))
+    catch { case t: Throwable => reg.put(spec.source, spec); throw t }
   }
 
   /** Revoke the named summary (the rewrite stops matching instantly;

@@ -136,9 +136,16 @@ class SummaryRewriteSpec extends SparkSpec {
       mins = Seq("min_price" -> "l_extendedprice"),
       maxs = Seq("max_price" -> "l_extendedprice"))
     try {
-      // day-2: fold in the post-cut batch — O(batch + summary)
+      // day-2: fold in the post-cut batch — O(batch + summary). The
+      // batch DERIVES FROM THE SOURCE (the backfill shape), so this
+      // also proves refresh suspends routing for its own aggregate —
+      // an unsuspended refresh would summarize the stale summary and
+      // silently drop the batch
       Summaries.refresh("spec_incr", raw.filter(col("l_shipdate") >= cut))
-      val q = raw.groupBy("l_returnflag")
+      // the query REBUILDS per leg: a collected DataFrame keeps its
+      // physical plan, so re-collecting it under a flipped conf would
+      // compare the routed plan with itself
+      val q = () => raw.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           round(expr(
             "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
@@ -146,15 +153,18 @@ class SummaryRewriteSpec extends SparkSpec {
           round(min(col("l_extendedprice")), 4).as("mn"),
           round(max(col("l_extendedprice")), 4).as("mx"))
         .orderBy("l_returnflag")
-      val paths = scanPaths(q)
+      val paths = scanPaths(q())
       assert(paths.forall(_.contains("graft_summaries")), s"$paths")
       // routed answer over the refreshed summary == the raw full scan
-      val viaSummary = q.collect().toSeq
+      val viaSummary = q().collect().toSeq
       spark.conf.set(SummaryRewrite.ConfKey, "false")
       val rawAnswer =
-        try q.collect().toSeq
+        try q().collect().toSeq
         finally spark.conf.unset(SummaryRewrite.ConfKey)
       assert(viaSummary == rawAnswer)
+      // belt-and-braces vs a vacuous compare: the routed count equals
+      // the independently computed raw row count
+      assert(q().collect().map(_.getLong(1)).sum == raw.count())
     } finally Summaries.drop("spec_incr")
   }
 
@@ -209,19 +219,21 @@ class SummaryRewriteSpec extends SparkSpec {
         mem.addData(gen1.toSeq: _*); q.processAllAvailable()
         mem.addData(gen2.toSeq: _*); q.processAllAvailable()
       } finally q.stop()
-      val probe = raw.groupBy("l_returnflag")
+      // rebuilt per leg — see the incremental-refresh test
+      val probe = () => raw.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           round(expr(
             "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
             .as("sq"))
         .orderBy("l_returnflag")
-      assert(scanPaths(probe).forall(_.contains("graft_summaries")))
-      val viaSummary = probe.collect().toSeq
+      assert(scanPaths(probe()).forall(_.contains("graft_summaries")))
+      val viaSummary = probe().collect().toSeq
       spark.conf.set(SummaryRewrite.ConfKey, "false")
       val rawAnswer =
-        try probe.collect().toSeq
+        try probe().collect().toSeq
         finally spark.conf.unset(SummaryRewrite.ConfKey)
       assert(viaSummary == rawAnswer)
+      assert(probe().collect().map(_.getLong(1)).sum == raw.count())
     } finally Summaries.drop("spec_stream")
   }
 

@@ -295,28 +295,48 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     }
 
   private def rewrite(agg: Aggregate): Option[Aggregate] = agg.child match {
-    case PhysicalOperation(projects, filters, lr: LogicalRelation)
-        if projects.forall(_.isInstanceOf[AttributeReference]) =>
+    case PhysicalOperation(projects, filters0, lr: LogicalRelation) =>
+      // inline projection aliases (PhysicalOperation returns them
+      // already expressed over the relation), so a derived grouping
+      // key — groupBy(date_trunc('month', day).as("mo")) puts an
+      // Alias in a Project below the Aggregate — participates like
+      // any expression over grain columns
+      val aliasMap = projects.collect {
+        case a: Alias => a.exprId -> a.child
+      }.toMap
+      def inline(e: Expression): Expression = e.transformUp {
+        case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+          aliasMap(ar.exprId)
+      }
+      val filters = filters0.map(inline)
+      val groupings = agg.groupingExpressions.map(inline)
+      val aggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+        case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+          Alias(aliasMap(ar.exprId), ar.name)(ar.exprId, ar.qualifier)
+        case al: Alias =>
+          Alias(inline(al.child), al.name)(al.exprId, al.qualifier)
+        case other => other
+      }
       for {
         path <- Summaries.pathOf(lr)
         spec <- Summaries.lookup(path)
         grainNames = spec.grain.toSet
         // everything the query consumes OUTSIDE aggregate functions
         // must be grain: grouping keys, filter columns
-        if (filters ++ agg.groupingExpressions)
+        if (filters ++ groupings)
           .flatMap(_.references).forall(a => grainNames.contains(a.name))
         // a non-deterministic term (rand() sampling, monotonic ids)
         // has no column references, so the grain guard can't see it —
         // but over the summary it would act per GRAIN ROW, not per raw
         // row: semantics change, so the aggregate stays raw
-        if (filters ++ agg.groupingExpressions ++ agg.aggregateExpressions)
-          .forall(_.deterministic)
-        rewritten <- rewriteOnto(agg, filters, lr, spec)
+        if (filters ++ groupings ++ aggExprs).forall(_.deterministic)
+        rewritten <- rewriteOnto(groupings, aggExprs, filters, lr, spec)
       } yield rewritten
     case _ => None
   }
 
-  private def rewriteOnto(agg: Aggregate, filters: Seq[Expression],
+  private def rewriteOnto(groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], filters: Seq[Expression],
       lr: LogicalRelation, spec: Summaries.Spec): Option[Aggregate] = {
     // fresh attr instances per rewrite site — two rewrites must never
     // share exprIds
@@ -382,8 +402,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         case _ => None
       }
 
-    val newGrouping = agg.groupingExpressions.map(rewriteExpr)
-    val newAggs = agg.aggregateExpressions.map(rewriteNamed)
+    val newGrouping = groupings.map(rewriteExpr)
+    val newAggs = aggExprs.map(rewriteNamed)
     val newFilters = filters.map(rewriteExpr)
     if ((newGrouping ++ newAggs ++ newFilters).forall(_.isDefined)) {
       val child = newFilters.map(_.get)

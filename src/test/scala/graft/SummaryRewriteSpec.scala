@@ -72,6 +72,25 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("time-grain rollup (month over the day grain) routes and matches") {
+    registered {
+      val q = () => Tables.load(spark, sf, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).as("mo"))
+        .agg(count(lit(1)).as("n"),
+          round(expr(
+            "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
+            .as("sq"))
+        .orderBy("mo")
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      val routed = q().collect().toSeq
+      spark.conf.set(SummaryRewrite.ConfKey, "false")
+      val raw =
+        try q().collect().toSeq
+        finally spark.conf.unset(SummaryRewrite.ConfKey)
+      assert(routed == raw && routed.nonEmpty)
+    }
+  }
+
   test("global count over an all-excluding filter is 0, not null") {
     registered {
       val df = Tables.load(spark, sf, "lineitem")

@@ -38,6 +38,11 @@ package graft.plans
   *    bounding one side).
   *  - SORT: `sortTime` (ms) under a sort-merge join. Lever: bucket
   *    both sides on the join key or broadcast the smaller one.
+  *  - SUMMARY CANDIDATE (cross-query): a source path scanned by ≥2
+  *    DISTINCT aggregate-bearing queries. Lever: register a
+  *    materialized summary ([[Summaries.create]]) so qualifying
+  *    aggregates route onto the grain-level pre-aggregate — the
+  *    advice that closes the profile → [[SummaryRewrite]] loop.
   */
 object Advisor {
 
@@ -62,6 +67,10 @@ object Advisor {
     val broadcasts = collection.mutable.ArrayBuffer.empty[Finding]
     val loops = collection.mutable.ArrayBuffer.empty[Finding]
     val sorts = collection.mutable.ArrayBuffer.empty[Finding]
+    // summary candidates: source path -> (distinct aggregate-bearing
+    // queries scanning it, total scanTime ms for ranking ties)
+    val sumCand = collection.mutable.Map
+      .empty[String, (collection.mutable.Set[String], Long)]
     lines.foreach { line =>
       val root =
         try mapper.readTree(line)
@@ -69,6 +78,8 @@ object Advisor {
       if (root != null && root.path("event").asText("") == "query") {
         val qname = root.path("name").asText("query")
         val ops = root.path("operators")
+        var lineHasAgg = false
+        val linePaths = collection.mutable.Map.empty[String, Long]
         var i = 0
         while (i < ops.size()) {
           val node = ops.get(i)
@@ -87,6 +98,10 @@ object Advisor {
                 "key+payload columns, broadcast the small side, or " +
                 "bucket/co-partition both sides")
           } else if (op.startsWith("Scan")) {
+            val pth = node.path("path").asText("")
+            if (pth.nonEmpty)
+              linePaths(pth) = linePaths.getOrElse(pth, 0L) +
+                metric("scanTime")
             val nFiles = metric("numFiles")
             val bytes = metric("filesSize")
             val smallFiles = nFiles >= 16 && bytes > 0 &&
@@ -127,7 +142,14 @@ object Advisor {
               "partitions outgrow memory: raise " +
                 "spark.sql.shuffle.partitions, lower " +
                 "files.maxPartitionBytes, or salt the hot keys")
+          if (op.contains("Aggregate")) lineHasAgg = true
           i += 1
+        }
+        if (lineHasAgg) linePaths.foreach { case (pth, t) =>
+          val (qs, tot) = sumCand.getOrElseUpdate(pth,
+            (collection.mutable.Set.empty[String], 0L))
+          qs += qname
+          sumCand(pth) = (qs, tot + t)
         }
       }
     }
@@ -138,8 +160,22 @@ object Advisor {
       b.groupBy(f => (f.query, f.op, f.signal))
         .map(_._2.maxBy(_.value)).toSeq
         .sortBy(f => (-f.value, f.query, f.op)).take(topN)
+    // summary candidates are already aggregated across the whole
+    // trace — rank by breadth (distinct aggregate-bearing queries),
+    // then by total scan time
+    val summaries = sumCand.toSeq.collect {
+      case (pth, (qs, t)) if qs.size >= 2 =>
+        Finding(s"${qs.size} queries", s"Scan $pth",
+          "aggregate-scanning queries", qs.size, "queries",
+          "the same table feeds aggregates in " +
+            s"${qs.toSeq.sorted.take(4).mkString(", ")}" +
+            (if (qs.size > 4) ", …" else "") +
+            s" (total scanTime ${t} ms): if they share a grouping " +
+            "grain, register a materialized summary " +
+            "(Summaries.create) so they route onto the pre-aggregate")
+    }.sortBy(f => (-f.value, f.op)).take(topN)
     top(spills) ++ top(loops) ++ top(exchanges) ++ top(scans) ++
-      top(broadcasts) ++ top(sorts)
+      top(broadcasts) ++ top(sorts) ++ summaries
   }
 
   /** Render findings as aligned report lines (one per finding). */

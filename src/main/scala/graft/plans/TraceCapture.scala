@@ -62,6 +62,15 @@ object TraceCapture {
       first = false
       sb.append("{\"op\":").append(q(node.nodeName))
         .append(",\"depth\":").append(depth)
+      // scans carry their source path: the Advisor's cross-query
+      // signals (same table scanned by many aggregates → summary
+      // candidate) need the table identity, not just "Scan parquet"
+      node match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.headOption.foreach(p =>
+            sb.append(",\"path\":").append(q(p.toString)))
+        case _ =>
+      }
       val ms = node.metrics
       if (ms.nonEmpty) {
         sb.append(",\"metrics\":{")

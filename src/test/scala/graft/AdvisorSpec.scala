@@ -16,7 +16,7 @@ class AdvisorSpec extends SparkSpec {
     // small-files scan, and a spilling aggregate
     """{"event":"query","name":"qA","wall_ms":3000,"ts_ms":1,"operators":[""" +
       """{"op":"ShuffleExchange","depth":1,"metrics":{"shuffleWriteTime":2500000000,"fetchWaitTime":100,"dataSize":999}},""" +
-      """{"op":"Scan parquet t","depth":2,"metrics":{"scanTime":800,"numFiles":64,"filesSize":6710886,"numOutputRows":5}},""" +
+      """{"op":"Scan parquet t","depth":2,"path":"/data/t","metrics":{"scanTime":800,"numFiles":64,"filesSize":6710886,"numOutputRows":5}},""" +
       """{"op":"HashAggregate","depth":1,"metrics":{"spillSize":123456,"numOutputRows":10}}]}""",
     // qB: an oversized broadcast, a nested loop, a timed sort, and a
     // second (smaller) exchange reporting only dataSize
@@ -26,7 +26,12 @@ class AdvisorSpec extends SparkSpec {
       """{"op":"Sort","depth":3,"metrics":{"sortTime":321}},""" +
       """{"op":"ShuffleExchange","depth":4,"metrics":{"dataSize":77}}]}""",
     """not json at all""", // a partially-written trace must not break advice
-    """{"event":"query_failed","name":"qC","error":"Boom"}""")
+    """{"event":"query_failed","name":"qC","error":"Boom"}""",
+    // qD: a second aggregate-bearing query over the SAME source path
+    // as qA — together they make /data/t a summary candidate
+    """{"event":"query","name":"qD","wall_ms":400,"ts_ms":1,"operators":[""" +
+      """{"op":"Scan parquet t","depth":2,"path":"/data/t","metrics":{"scanTime":200,"numOutputRows":5}},""" +
+      """{"op":"HashAggregate","depth":1,"metrics":{"numOutputRows":3}}]}""")
 
   test("deterministic fixture: every signal class found, ranked, levered") {
     // the fixture feeds TWICE: repeated executions of the same
@@ -58,6 +63,14 @@ class AdvisorSpec extends SparkSpec {
     assert(fs.indexOf(loop) < fs.indexOf(bigX))
     // exchanges ranked by cost within the class
     assert(fs.indexOf(bigX) < fs.indexOf(smallX))
+    // summary candidate: qA and qD both aggregate over /data/t; the
+    // doubled fixture must NOT double the distinct-query count, and
+    // qB (no path'd scan) contributes nothing
+    val cands = fs.filter(_.signal == "aggregate-scanning queries")
+    assert(cands.size == 1, s"$cands")
+    assert(cands.head.op == "Scan /data/t" && cands.head.value == 2L)
+    assert(cands.head.lever.contains("Summaries.create"))
+    assert(cands.head.lever.contains("qA") && cands.head.lever.contains("qD"))
     // report renders one line per finding
     assert(Advisor.report(fs).linesIterator.size == fs.size)
     assert(Advisor.report(Nil).contains("no findings"))

@@ -62,6 +62,108 @@ case class HllDistinct(
     copy(child = newChild)
 }
 
+/** `hll_sketch_agg(col[, p])` — the MERGEABLE SKETCH ITSELF (the
+  * register array, BinaryType) instead of its estimate: the storable
+  * form a summary table keeps per grain row, so approximate distinct
+  * counts stay re-aggregable across rollups and refresh generations
+  * (register-max is associative — merged-then-estimated equals
+  * estimated-over-everything BIT-exactly).
+  */
+case class HllSketchAgg(
+    child: Expression,
+    precision: Int = HllSketch.DefaultPrecision,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  require(precision >= 4 && precision <= 18, "precision must be in [4,18]")
+
+  override def createAggregationBuffer(): Array[Byte] =
+    HllSketch.emptyRegisters(precision)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      HllSketch.add(buffer, XxHash64Function.hash(v, child.dataType, 42L))
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] =
+    HllSketch.merge(buffer, other)
+
+  override def eval(buffer: Array[Byte]): Any = buffer
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_sketch_agg"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): HllSketchAgg = copy(child = newChild)
+}
+
+/** `hll_union(sketch[, asEstimate])` — aggregates SERIALIZED sketches
+  * (hll_sketch_agg's output) by elementwise register max. eval
+  * returns the merged ESTIMATE (LongType, `asEstimate = true` — what
+  * a routed `hll_distinct` becomes) or the merged SKETCH (BinaryType
+  * — what a summary refresh stores for the next generation). An empty
+  * group yields 0 / null respectively, matching hll_distinct over no
+  * rows.
+  */
+case class HllUnion(
+    child: Expression,
+    asEstimate: Boolean = true,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  // the buffer starts EMPTY (precision unknown until the first input
+  // sketch arrives); merge/update adopt the first non-empty registers
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  private def fold(buffer: Array[Byte], v: Array[Byte]): Array[Byte] =
+    if (v == null || v.isEmpty) buffer
+    else if (buffer.isEmpty) v.clone()
+    else {
+      require(buffer.length == v.length,
+        s"sketch precision mismatch: ${buffer.length} vs ${v.length}")
+      HllSketch.merge(buffer, v)
+    }
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] =
+    fold(buffer, child.eval(input).asInstanceOf[Array[Byte]])
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] =
+    fold(buffer, other)
+
+  override def eval(buffer: Array[Byte]): Any =
+    if (asEstimate) { if (buffer.isEmpty) 0L else HllSketch.estimate(buffer) }
+    else { if (buffer.isEmpty) null else buffer }
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType =
+    if (asEstimate) LongType else org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = !asEstimate
+  override def prettyName: String = "hll_union"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllUnion =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllUnion =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): HllUnion = copy(child = newChild)
+}
+
 /** Column-API helpers for the sketch functions. */
 object HllFunctions {
   import org.apache.spark.sql.GraftColumnBridge

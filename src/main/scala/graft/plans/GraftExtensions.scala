@@ -38,6 +38,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "hll_distinct(col[, precision])")
       }))
     e.injectFunction((
+      new FunctionIdentifier("hll_sketch_agg"),
+      new ExpressionInfo(
+        classOf[graft.functions.HllSketchAgg].getName, "hll_sketch_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => graft.functions.HllSketchAgg(c)
+        case Seq(c, Literal(p: Int, _)) => graft.functions.HllSketchAgg(c, p)
+        case _ => throw new IllegalArgumentException(
+          "hll_sketch_agg(col[, precision])")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("hll_union"),
+      new ExpressionInfo(
+        classOf[graft.functions.HllUnion].getName, "hll_union"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => graft.functions.HllUnion(c)
+        case Seq(c, Literal(b: Boolean, _)) =>
+          graft.functions.HllUnion(c, asEstimate = b)
+        case _ => throw new IllegalArgumentException(
+          "hll_union(sketch[, asEstimate])")
+      }))
+    e.injectFunction((
       new FunctionIdentifier("freq_topk"),
       new ExpressionInfo(
         classOf[graft.functions.FreqTopK].getName, "freq_topk"),

@@ -81,7 +81,10 @@ object Summaries {
       sumSql: Seq[(String, String)] = Nil,
       minSql: Seq[(String, String)] = Nil,
       maxSql: Seq[(String, String)] = Nil,
-      gen: Int = 0)
+      gen: Int = 0,
+      hlls: Map[String, String] = Map.empty,
+      hllSql: Seq[(String, String)] = Nil,
+      hllPrecision: Int = graft.functions.HllSketch.DefaultPrecision)
 
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, Spec]()
@@ -166,10 +169,27 @@ object Summaries {
     * previous summary of the same name (refresh), and re-registers —
     * the MV maintenance contract.
     */
+  private def hllSketchCol(measureSql: String, precision: Int) = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.HllSketchAgg(
+      GraftColumnBridge.expression(expr(measureSql)), precision)
+      .toAggregateExpression())
+  }
+
+  private def hllUnionCol(c: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.HllUnion(
+      GraftColumnBridge.expression(c), asEstimate = false)
+      .toAggregateExpression())
+  }
+
   def create(raw: DataFrame, name: String, grain: Seq[String],
       sums: Seq[(String, String)],
       mins: Seq[(String, String)] = Nil,
-      maxs: Seq[(String, String)] = Nil): Spec = {
+      maxs: Seq[(String, String)] = Nil,
+      hlls: Seq[(String, String)] = Nil,
+      hllPrecision: Int = graft.functions.HllSketch.DefaultPrecision)
+      : Spec = {
     val source = singleSourcePath(raw)
     // one summary per source: silently evicting a DIFFERENT name
     // would leave its directory orphaned and its drop() a no-op
@@ -179,7 +199,10 @@ object Summaries {
     }
     val aggCols = (sums.map { case (n, s) => sum(expr(s)).as(n) } ++
       mins.map { case (n, s) => min(expr(s)).as(n) } ++
-      maxs.map { case (n, s) => max(expr(s)).as(n) })
+      maxs.map { case (n, s) => max(expr(s)).as(n) } ++
+      // sketch measures: the stored form is the REGISTER ARRAY, so
+      // distinct counts re-aggregate across rollups and generations
+      hlls.map { case (n, s) => hllSketchCol(s, hllPrecision).as(n) })
     val out = raw.groupBy(grain.map(col): _*)
       .agg(count(lit(1)).as(CntCol), aggCols: _*)
     register(out, Spec(name, source, "", grain, CntCol,
@@ -187,7 +210,9 @@ object Summaries {
       mins = mins.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       maxs = maxs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       relation = null,
-      sumSql = sums, minSql = mins, maxSql = maxs, gen = 0))
+      sumSql = sums, minSql = mins, maxSql = maxs, gen = 0,
+      hlls = hlls.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      hllSql = hlls, hllPrecision = hllPrecision))
   }
 
   /** Write a summary generation, read it back, and (re-)register. A
@@ -240,7 +265,9 @@ object Summaries {
     val spark = batch.sparkSession
     val aggCols = (spec.sumSql.map { case (n, s) => sum(expr(s)).as(n) } ++
       spec.minSql.map { case (n, s) => min(expr(s)).as(n) } ++
-      spec.maxSql.map { case (n, s) => max(expr(s)).as(n) })
+      spec.maxSql.map { case (n, s) => max(expr(s)).as(n) } ++
+      spec.hllSql.map { case (n, s) =>
+        hllSketchCol(s, spec.hllPrecision).as(n) })
     val batchSum = batch.groupBy(spec.grain.map(col): _*)
       .agg(count(lit(1)).as(spec.cntCol), aggCols: _*)
     val current = spark.read.parquet(spec.summaryPath)
@@ -250,7 +277,8 @@ object Summaries {
         spec.sumSql.map { case (n, _) =>
           sum(col(n)).cast(types(n)).as(n) } ++
         spec.minSql.map { case (n, _) => min(col(n)).as(n) } ++
-        spec.maxSql.map { case (n, _) => max(col(n)).as(n) }
+        spec.maxSql.map { case (n, _) => max(col(n)).as(n) } ++
+        spec.hllSql.map { case (n, _) => hllUnionCol(col(n)).as(n) }
     val merged = current.unionByName(batchSum)
       .groupBy(spec.grain.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
@@ -365,6 +393,15 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         case m: Max =>
           Summaries.measureKey(m.child)
             .flatMap(spec.maxs.get).map(c => wrap(Max(byName(c))))
+        // approximate distinct: a stored-sketch measure answers
+        // hll_distinct (and, with the approxDistinct rewrite on,
+        // COUNT(DISTINCT x) through it) by register-max over the
+        // per-grain sketches — BIT-identical to sketching the raw
+        // rows, provided the precision matches the stored registers
+        case hd: graft.functions.HllDistinct
+            if hd.precision == spec.hllPrecision =>
+          Summaries.measureKey(hd.child).flatMap(spec.hlls.get)
+            .map(c => wrap(graft.functions.HllUnion(byName(c))))
         case _ => None
       }
     }

@@ -187,6 +187,76 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally Summaries.drop("spec_incr")
   }
 
+  test("sketch measures: hll_distinct routes onto stored registers, " +
+      "bit-identical, and survives a refresh") {
+    import graft.functions.HllFunctions.hll_distinct
+    val raw = Tables.load(spark, sf, "lineitem")
+    val cut = lit("2000-06-01").cast("timestamp")
+    Summaries.create(
+      raw.filter(col("l_shipdate") < cut), "spec_hll",
+      grain = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"),
+      hlls = Seq("hll_supp" -> "l_suppkey"))
+    try {
+      Summaries.refresh("spec_hll", raw.filter(col("l_shipdate") >= cut))
+      val q = () => raw.groupBy("l_returnflag")
+        .agg(hll_distinct(col("l_suppkey")).as("nd"))
+        .orderBy("l_returnflag")
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      val routed = q().collect().toSeq
+      spark.conf.set(SummaryRewrite.ConfKey, "false")
+      val rawHll =
+        try q().collect().toSeq
+        finally spark.conf.unset(SummaryRewrite.ConfKey)
+      // register-max is associative: merged per-grain sketches ARE
+      // the raw sketch, so the estimates match exactly
+      assert(routed == rawHll && routed.forall(_.getLong(1) > 0))
+      // a mismatched precision must fail closed to the raw table
+      val other = () => raw.groupBy("l_returnflag")
+        .agg(hll_distinct(col("l_suppkey"), 10).as("nd"))
+      assert(scanPaths(other()).exists(_.contains("lineitem")))
+    } finally Summaries.drop("spec_hll")
+  }
+
+  test("COUNT(DISTINCT) composes through both rewrites onto the sketch") {
+    import graft.functions.HllFunctions.hll_distinct
+    val raw = Tables.load(spark, sf, "lineitem")
+    Summaries.create(raw, "spec_hll2",
+      grain = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"),
+      hlls = Seq("hll_supp" -> "l_suppkey"))
+    try {
+      spark.conf.set(graft.plans.ApproxDistinctRewrite.ConfKey, "true")
+      val routed =
+        try {
+          val q = raw.groupBy("l_returnflag")
+            .agg(countDistinct(col("l_suppkey")).as("nd"))
+            .orderBy("l_returnflag")
+          // COUNT(DISTINCT) → hll_distinct (ApproxDistinctRewrite)
+          // → hll_union over the stored registers (SummaryRewrite)
+          assert(scanPaths(q).forall(_.contains("graft_summaries")))
+          q.collect().toSeq
+        } finally spark.conf.unset(graft.plans.ApproxDistinctRewrite.ConfKey)
+      val viaHll = raw.groupBy("l_returnflag")
+        .agg(hll_distinct(col("l_suppkey")).as("nd"))
+        .orderBy("l_returnflag").collect().toSeq
+      assert(routed == viaHll)
+      // SQL surface: hll_union over hll_sketch_agg partials equals
+      // the one-shot hll_distinct
+      raw.createOrReplaceTempView("li_hll")
+      try {
+        val sql = spark.sql(
+          """SELECT l_returnflag, hll_union(sk) AS nd FROM (
+            |  SELECT l_returnflag, l_shipdate,
+            |    hll_sketch_agg(l_suppkey) AS sk
+            |  FROM li_hll GROUP BY l_returnflag, l_shipdate)
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+          .collect().toSeq
+        assert(sql == viaHll)
+      } finally spark.catalog.dropTempView("li_hll")
+    } finally Summaries.drop("spec_hll2")
+  }
+
   test("spark.sql over a view of the source routes too") {
     registered {
       Tables.load(spark, sf, "lineitem").createOrReplaceTempView("li_mv")

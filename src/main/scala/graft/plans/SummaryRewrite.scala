@@ -162,13 +162,6 @@ object Summaries {
 
   val CntCol = "__cnt"
 
-  /** Build the summary parquet for `raw` at `grain` and register it.
-    * Measures are SQL expression strings (so SQL and Column callers
-    * declare them identically); sums should be cast to decimal when
-    * the caller wants value-exact re-aggregation. Overwrites any
-    * previous summary of the same name (refresh), and re-registers —
-    * the MV maintenance contract.
-    */
   private def hllSketchCol(measureSql: String, precision: Int) = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(graft.functions.HllSketchAgg(
@@ -183,6 +176,13 @@ object Summaries {
       .toAggregateExpression())
   }
 
+  /** Build the summary parquet for `raw` at `grain` and register it.
+    * Measures are SQL expression strings (so SQL and Column callers
+    * declare them identically); sums should be cast to decimal when
+    * the caller wants value-exact re-aggregation. Re-creating the
+    * same name rebuilds from scratch — the full-refresh half of the
+    * MV maintenance contract ([[refresh]] is the incremental half).
+    */
   def create(raw: DataFrame, name: String, grain: Seq[String],
       sums: Seq[(String, String)],
       mins: Seq[(String, String)] = Nil,
@@ -243,9 +243,8 @@ object Summaries {
   }
 
   private def lookupByName(name: String): Option[Spec] = {
-    val it = reg.values().iterator()
-    while (it.hasNext) { val s = it.next(); if (s.name == name) return Some(s) }
-    None
+    import scala.jdk.CollectionConverters._
+    reg.values().asScala.find(_.name == name)
   }
 
   /** Incremental maintenance (the MV refresh): fold a BATCH of new raw
@@ -324,30 +323,34 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate): Option[Aggregate] = agg.child match {
     case PhysicalOperation(projects, filters0, lr: LogicalRelation) =>
-      // inline projection aliases (PhysicalOperation returns them
-      // already expressed over the relation), so a derived grouping
-      // key — groupBy(date_trunc('month', day).as("mo")) puts an
-      // Alias in a Project below the Aggregate — participates like
-      // any expression over grain columns
-      val aliasMap = projects.collect {
-        case a: Alias => a.exprId -> a.child
-      }.toMap
-      def inline(e: Expression): Expression = e.transformUp {
-        case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
-          aliasMap(ar.exprId)
-      }
-      val filters = filters0.map(inline)
-      val groupings = agg.groupingExpressions.map(inline)
-      val aggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
-        case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
-          Alias(aliasMap(ar.exprId), ar.name)(ar.exprId, ar.qualifier)
-        case al: Alias =>
-          Alias(inline(al.child), al.name)(al.exprId, al.qualifier)
-        case other => other
-      }
       for {
+        // the registry lookup comes FIRST: this rule runs on every
+        // Aggregate of every query in the optimizer's fixed point
+        // whenever any summary is registered, and the expression
+        // surgery below is pure waste for the unregistered ones
         path <- Summaries.pathOf(lr)
         spec <- Summaries.lookup(path)
+        // inline projection aliases (PhysicalOperation returns them
+        // already expressed over the relation), so a derived grouping
+        // key — groupBy(date_trunc('month', day).as("mo")) puts an
+        // Alias in a Project below the Aggregate — participates like
+        // any expression over grain columns
+        aliasMap = projects.collect {
+          case a: Alias => a.exprId -> a.child
+        }.toMap
+        inline = (e: Expression) => e.transformUp {
+          case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+            aliasMap(ar.exprId)
+        }
+        filters = filters0.map(inline)
+        groupings = agg.groupingExpressions.map(inline)
+        aggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+          case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+            Alias(aliasMap(ar.exprId), ar.name)(ar.exprId, ar.qualifier)
+          case al: Alias =>
+            Alias(inline(al.child), al.name)(al.exprId, al.qualifier)
+          case other => other
+        }
         grainNames = spec.grain.toSet
         // everything the query consumes OUTSIDE aggregate functions
         // must be grain: grouping keys, filter columns

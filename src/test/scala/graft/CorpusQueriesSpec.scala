@@ -94,14 +94,7 @@ class CorpusQueriesSpec extends SparkSpec {
     // the production plan bans the corpus-wide sort: every WindowExec
     // carries a partition spec (the per-score row_number)
     got.collect() // finalize the adaptive plan before inspecting it
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
-      case s: QueryStageExec => allNodes(s.plan)
-      case _ => p.children.flatMap(allNodes)
-    })
-    val windows = allNodes(got.queryExecution.executedPlan).collect {
+    val windows = allPlanNodes(got.queryExecution.executedPlan).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
     assert(windows.nonEmpty, "expected the per-score row_number window")

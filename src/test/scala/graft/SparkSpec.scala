@@ -16,4 +16,17 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   def sf: String = TestSpark.sf
+
+  /** Pre-order walk of an executed plan, descending through AQE's
+    * runtime structure — the shared base of plan-shape asserts.
+    */
+  protected def allPlanNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => allPlanNodes(a.executedPlan)
+      case s: QueryStageExec => allPlanNodes(s.plan)
+      case _ => p.children.flatMap(allPlanNodes)
+    })
+  }
 }

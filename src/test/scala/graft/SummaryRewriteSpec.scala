@@ -2,8 +2,6 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions._
 import graft.operators.OlapQueries
 import graft.plans.{Summaries, SummaryRewrite}
@@ -17,15 +15,19 @@ class SummaryRewriteSpec extends SparkSpec {
 
   private def scanPaths(df: DataFrame): Seq[String] = {
     df.collect() // finalize the adaptive plan
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
-      case s: QueryStageExec => allNodes(s.plan)
-      case _ => p.children.flatMap(allNodes)
-    })
-    allNodes(df.queryExecution.executedPlan).collect {
+    allPlanNodes(df.queryExecution.executedPlan).collect {
       case f: FileSourceScanExec =>
         f.relation.location.rootPaths.map(_.toUri.getPath)
     }.flatten
+  }
+
+  /** Run `body` with routing force-disabled. Callers must REBUILD
+    * their DataFrame inside — a planned frame keeps its physical
+    * plan, so re-collecting one compares the routed plan with itself.
+    */
+  private def withoutRouting[A](body: => A): A = {
+    spark.conf.set(SummaryRewrite.ConfKey, "false")
+    try body finally spark.conf.unset(SummaryRewrite.ConfKey)
   }
 
   private def registered[A](body: => A): A = {
@@ -83,10 +85,7 @@ class SummaryRewriteSpec extends SparkSpec {
         .orderBy("mo")
       assert(scanPaths(q()).forall(_.contains("graft_summaries")))
       val routed = q().collect().toSeq
-      spark.conf.set(SummaryRewrite.ConfKey, "false")
-      val raw =
-        try q().collect().toSeq
-        finally spark.conf.unset(SummaryRewrite.ConfKey)
+      val raw = withoutRouting { q().collect().toSeq }
       assert(routed == raw && routed.nonEmpty)
     }
   }
@@ -135,10 +134,7 @@ class SummaryRewriteSpec extends SparkSpec {
         .groupBy("l_returnflag")
         .agg(count(lit(null)).as("n")).orderBy("l_returnflag")
       val routed = nullCount().collect().toSeq
-      spark.conf.set(SummaryRewrite.ConfKey, "false")
-      val rawNc =
-        try nullCount().collect().toSeq
-        finally spark.conf.unset(SummaryRewrite.ConfKey)
+      val rawNc = withoutRouting { nullCount().collect().toSeq }
       assert(routed == rawNc)
     }
   }
@@ -176,10 +172,7 @@ class SummaryRewriteSpec extends SparkSpec {
       assert(paths.forall(_.contains("graft_summaries")), s"$paths")
       // routed answer over the refreshed summary == the raw full scan
       val viaSummary = q().collect().toSeq
-      spark.conf.set(SummaryRewrite.ConfKey, "false")
-      val rawAnswer =
-        try q().collect().toSeq
-        finally spark.conf.unset(SummaryRewrite.ConfKey)
+      val rawAnswer = withoutRouting { q().collect().toSeq }
       assert(viaSummary == rawAnswer)
       // belt-and-braces vs a vacuous compare: the routed count equals
       // the independently computed raw row count
@@ -204,10 +197,7 @@ class SummaryRewriteSpec extends SparkSpec {
         .orderBy("l_returnflag")
       assert(scanPaths(q()).forall(_.contains("graft_summaries")))
       val routed = q().collect().toSeq
-      spark.conf.set(SummaryRewrite.ConfKey, "false")
-      val rawHll =
-        try q().collect().toSeq
-        finally spark.conf.unset(SummaryRewrite.ConfKey)
+      val rawHll = withoutRouting { q().collect().toSeq }
       // register-max is associative: merged per-grain sketches ARE
       // the raw sketch, so the estimates match exactly
       assert(routed == rawHll && routed.forall(_.getLong(1) > 0))
@@ -317,10 +307,7 @@ class SummaryRewriteSpec extends SparkSpec {
         .orderBy("l_returnflag")
       assert(scanPaths(probe()).forall(_.contains("graft_summaries")))
       val viaSummary = probe().collect().toSeq
-      spark.conf.set(SummaryRewrite.ConfKey, "false")
-      val rawAnswer =
-        try probe().collect().toSeq
-        finally spark.conf.unset(SummaryRewrite.ConfKey)
+      val rawAnswer = withoutRouting { probe().collect().toSeq }
       assert(viaSummary == rawAnswer)
       assert(probe().collect().map(_.getLong(1)).sum == raw.count())
     } finally Summaries.drop("spec_stream")
@@ -331,9 +318,9 @@ class SummaryRewriteSpec extends SparkSpec {
       .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
     registered {
       assert(scanPaths(probe()).forall(_.contains("graft_summaries")))
-      spark.conf.set(SummaryRewrite.ConfKey, "false")
-      try assert(scanPaths(probe()).exists(_.contains("lineitem")))
-      finally spark.conf.unset(SummaryRewrite.ConfKey)
+      withoutRouting {
+        assert(scanPaths(probe()).exists(_.contains("lineitem")))
+      }
     }
     // after the finally-drop: raw again
     assert(scanPaths(probe()).exists(_.contains("lineitem")))

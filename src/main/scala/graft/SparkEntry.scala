@@ -535,7 +535,11 @@ object SparkEntry {
     // rewritten onto a (flag, status, day)-grain pre-aggregate; the
     // oracle computes from the RAW table, so the hash-PASS proves
     // the rewrite correct
-    "q172_summary_pricing" -> (operators.OlapQueries.summaryPricing _)
+    "q172_summary_pricing" -> (operators.OlapQueries.summaryPricing _),
+    // the derived-grain rollup through the router: month over the
+    // day grain exercises alias inlining + coarser re-aggregation
+    // under the raw-table oracle
+    "q173_summary_monthly" -> (operators.OlapQueries.summaryMonthly _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3283,6 +3287,18 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '2000-06-30'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // raw-table spelling of the month rollup the router answers from
+    // the day-grain summary (derived grouping key — q37's month idiom)
+    "q173_summary_monthly" ->
+      """SELECT date_trunc('month', l_shipdate) AS month,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |    AS sum_qty,
+        |  round(min(l_extendedprice), 4) AS min_price,
+        |  round(max(l_extendedprice), 4) AS max_price
+        |FROM lineitem
+        |GROUP BY month
+        |ORDER BY month""".stripMargin,
     // q60's brute force over the WHOLE corpus, verbatim: the
     // multi-day union finds each qualifying pair exactly once, on the
     // day its later-arriving endpoint lands

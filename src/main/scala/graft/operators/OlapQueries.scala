@@ -1756,7 +1756,36 @@ object OlapQueries {
     * table by the rows-per-(flag,status,day) factor and is what every
     * qualifying dashboard aggregate reads instead of the raw scan.
     */
-  def summaryPricing(spark: SparkSession, sfDir: String): DataFrame = {
+  def summaryPricing(spark: SparkSession, sfDir: String): DataFrame =
+    withPricingSummary(spark, sfDir)(summaryPricingQuery(spark, sfDir))
+
+  /** q173: the DERIVED-grain rollup through the same router — the
+    * aggregate groups by `date_trunc('month', l_shipdate)`, an
+    * expression OVER the day grain, so the rewrite's projection-alias
+    * inlining and coarser re-aggregation both execute under the
+    * oracle's hash check (the raw-table SQL in DuckDB must match the
+    * summary-routed answer bit-for-bit).
+    */
+  def summaryMonthly(spark: SparkSession, sfDir: String): DataFrame =
+    withPricingSummary(spark, sfDir) {
+      Tables.load(spark, sfDir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(expr(
+            "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
+            .as("sum_qty"),
+          round(min(col("l_extendedprice")), 4).as("min_price"),
+          round(max(col("l_extendedprice")), 4).as("max_price"))
+        .orderBy("month")
+    }
+
+  /** Register the lineitem pricing summary, materialize `query`'s
+    * small report, and drop the registration in a finally — no other
+    * query in the session ever matches the router.
+    */
+  private def withPricingSummary(spark: SparkSession, sfDir: String)(
+      query: => DataFrame): DataFrame = {
     graft.plans.Summaries.create(
       Tables.load(spark, sfDir, "lineitem"), "lineitem_pricing",
       grain = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
@@ -1766,8 +1795,8 @@ object OlapQueries {
       mins = Seq("min_price" -> "l_extendedprice"),
       maxs = Seq("max_price" -> "l_extendedprice"))
     try {
-      val out = summaryPricingQuery(spark, sfDir)
-      val rows = out.collect().toSeq // |flag×status| rows
+      val out = query
+      val rows = out.collect().toSeq // report-sized
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), out.schema)
     } finally graft.plans.Summaries.drop("lineitem_pricing")

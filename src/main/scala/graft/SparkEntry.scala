@@ -539,7 +539,11 @@ object SparkEntry {
     // the derived-grain rollup through the router: month over the
     // day grain exercises alias inlining + coarser re-aggregation
     // under the raw-table oracle
-    "q173_summary_monthly" -> (operators.OlapQueries.summaryMonthly _)
+    "q173_summary_monthly" -> (operators.OlapQueries.summaryMonthly _),
+    // the ORACLE-CHECKED sketch measure: a KMV bottom-k array stored
+    // per grain row answers the distinct-supplier estimate through
+    // the router, and the portable hash lets DuckDB replay it
+    "q174_summary_kmv" -> (operators.OlapQueries.summaryKmvSuppliers _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3299,6 +3303,29 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY month
         |ORDER BY month""".stripMargin,
+    // q132's bottom-k replay, per returnflag: the routed KMV estimate
+    // must equal the raw rebuild (merged per-grain bottom-64 IS the
+    // group's bottom-64)
+    "q174_summary_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    ((l_suppkey % 1000000007) * 2654435761) % 1000000007 AS hv
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, hv,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY hv) AS rn
+        |      FROM h),
+        |c AS (SELECT l_returnflag, count(*) AS nh
+        |      FROM h GROUP BY l_returnflag),
+        |kth AS (SELECT l_returnflag, hv FROM r WHERE rn = 64),
+        |n AS (SELECT l_returnflag, count(*) AS n_rows
+        |      FROM lineitem GROUP BY l_returnflag)
+        |SELECT n.l_returnflag, n.n_rows,
+        |  CAST(CASE WHEN c.nh < 64 THEN c.nh
+        |       ELSE CAST(63 AS BIGINT) * 1000000007 // kth.hv END
+        |    AS BIGINT) AS approx_suppliers
+        |FROM n JOIN c USING (l_returnflag) LEFT JOIN kth USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     // q60's brute force over the WHOLE corpus, verbatim: the
     // multi-day union finds each qualifying pair exactly once, on the
     // day its later-arriving endpoint lands

@@ -49,54 +49,27 @@ case class KmvNdv(
   override def createAggregationBuffer(): mutable.TreeSet[Long] =
     mutable.TreeSet.empty
 
-  private def insert(buf: mutable.TreeSet[Long], h: Long): Unit = {
-    if (h < 0 || h >= domain)
-      throw new IllegalArgumentException(
-        s"kmv_ndv: hash $h outside [0, $domain)")
-    if (buf.size < k) buf.add(h)
-    else if (h < buf.last && buf.add(h)) buf.remove(buf.last)
-  }
-
   override def update(
       buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
     val v = child.eval(input)
-    if (v != null) insert(buf, v.asInstanceOf[Long])
+    if (v != null) KmvOps.insert(buf, v.asInstanceOf[Long], k, domain)
     buf
   }
 
   override def merge(
       a: mutable.TreeSet[Long], b: mutable.TreeSet[Long])
       : mutable.TreeSet[Long] = {
-    b.foreach(insert(a, _))
+    b.foreach(KmvOps.insert(a, _, k, domain))
     a
   }
 
   override def eval(buf: mutable.TreeSet[Long]): Any =
-    if (buf.size < k) buf.size.toLong
-    else {
-      val kth = buf.last
-      // kth == 0 needs k distinct values below 0 — impossible; guarded
-      // so a future domain change can never divide by zero
-      if (kth == 0L) buf.size.toLong
-      else (k - 1).toLong * domain / kth // floor division, positive args
-    }
+    KmvOps.estimate(buf, k, domain)
 
-  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach(out.writeLong)
-    out.flush()
-    bos.toByteArray
-  }
-
-  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = mutable.TreeSet.empty[Long]
-    (0 until n).foreach(_ => buf.add(in.readLong()))
-    buf
-  }
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] =
+    KmvOps.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] =
+    KmvOps.deserialize(bytes)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
@@ -118,6 +91,180 @@ case class KmvNdv(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): KmvNdv =
     copy(child = newChild)
+}
+
+/** The shared bottom-k state operations of the KMV family — one
+  * spelling of insert/estimate/serde consumed by [[KmvNdv]],
+  * [[KmvSketchAgg]] and [[KmvUnion]].
+  */
+private[functions] object KmvOps {
+  def insert(buf: mutable.TreeSet[Long], h: Long, k: Int,
+      domain: Long): Unit = {
+    if (h < 0 || h >= domain)
+      throw new IllegalArgumentException(
+        s"kmv: hash $h outside [0, $domain)")
+    if (buf.size < k) buf.add(h)
+    else if (h < buf.last && buf.add(h)) buf.remove(buf.last)
+  }
+
+  def estimate(buf: mutable.TreeSet[Long], k: Int, domain: Long): Long =
+    if (buf.size < k) buf.size.toLong
+    else {
+      val kth = buf.last
+      if (kth == 0L) buf.size.toLong
+      else (k - 1).toLong * domain / kth // floor division, positive args
+    }
+
+  def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.TreeSet.empty[Long]
+    (0 until n).foreach(_ => buf.add(in.readLong()))
+    buf
+  }
+}
+
+/** `kmv_sketch_agg(hash, k[, domain])` — the KMV SKETCH ITSELF: the
+  * sorted k smallest distinct hash values, ArrayType(LongType) — the
+  * storable summary-measure form. Bottom-k is a mergeable summary
+  * (the k smallest over a union lie in the union of the per-part k
+  * smallest), so per-grain arrays re-truncate to EXACTLY the
+  * whole-group sketch — and unlike the HLL registers, the whole state
+  * is SQL-replayable (`row_number() OVER (ORDER BY hash)`), so a
+  * summary-ROUTED estimate hash-compares against a DuckDB replay of
+  * the raw table (q174).
+  */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    domain: Long = 1000000007L,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 1 && k <= 65536, "k in [2, 65536]")
+  require(domain > 1, "domain must be positive")
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty
+
+  override def update(
+      buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) KmvOps.insert(buf, v.asInstanceOf[Long], k, domain)
+    buf
+  }
+
+  override def merge(
+      a: mutable.TreeSet[Long], b: mutable.TreeSet[Long])
+      : mutable.TreeSet[Long] = {
+    b.foreach(KmvOps.insert(a, _, k, domain))
+    a
+  }
+
+  override def eval(buf: mutable.TreeSet[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] =
+    KmvOps.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] =
+    KmvOps.deserialize(bytes)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch_agg"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kmv_sketch_agg requires a BIGINT hash column, got ${other.sql}")
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): KmvSketchAgg = copy(child = newChild)
+}
+
+/** `kmv_union(sketch, k[, domain][, asEstimate])` — re-aggregates
+  * stored KMV arrays ([[KmvSketchAgg]]'s output) by set-union +
+  * re-truncation. eval returns the merged ESTIMATE (LongType,
+  * default — what a routed `kmv_ndv` becomes) or the merged SKETCH
+  * array (what a summary refresh stores for the next generation).
+  */
+case class KmvUnion(
+    child: Expression,
+    k: Int,
+    domain: Long = 1000000007L,
+    asEstimate: Boolean = true,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 1 && k <= 65536, "k in [2, 65536]")
+  require(domain > 1, "domain must be positive")
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty
+
+  override def update(
+      buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        KmvOps.insert(buf, arr.getLong(i), k, domain)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      a: mutable.TreeSet[Long], b: mutable.TreeSet[Long])
+      : mutable.TreeSet[Long] = {
+    b.foreach(KmvOps.insert(a, _, k, domain))
+    a
+  }
+
+  override def eval(buf: mutable.TreeSet[Long]): Any =
+    if (asEstimate) KmvOps.estimate(buf, k, domain)
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] =
+    KmvOps.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] =
+    KmvOps.deserialize(bytes)
+
+  override def dataType: DataType =
+    if (asEstimate) LongType else ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_union"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvUnion =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvUnion =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): KmvUnion = copy(child = newChild)
 }
 
 object KmvFunctions {

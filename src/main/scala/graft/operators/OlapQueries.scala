@@ -1793,7 +1793,10 @@ object OlapQueries {
         "sum_qty" -> "cast(l_quantity as decimal(18,2))",
         "sum_base" -> "cast(l_extendedprice as decimal(18,2))"),
       mins = Seq("min_price" -> "l_extendedprice"),
-      maxs = Seq("max_price" -> "l_extendedprice"))
+      maxs = Seq("max_price" -> "l_extendedprice"),
+      // KMV sketch measure: the engine-portable supplier hash, so a
+      // summary-ROUTED distinct estimate is DuckDB-replayable (q174)
+      kmvs = Seq("kmv_supp" -> SupplierHashSql), kmvK = 64)
     try {
       val out = query
       val rows = out.collect().toSeq // report-sized
@@ -1801,6 +1804,36 @@ object OlapQueries {
         spark.sparkContext.parallelize(rows, 1), out.schema)
     } finally graft.plans.Summaries.drop("lineitem_pricing")
   }
+
+  /** The SQL-replayable hash of q132's discipline (Knuth
+    * multiplicative over the 1e9+7 field) — spelled once so the
+    * summary measure and q174's query analyze IDENTICAL trees.
+    */
+  private val SupplierHashSql =
+    "((l_suppkey % 1000000007) * 2654435761) % 1000000007"
+
+  /** q174: approximate distinct suppliers per returnflag ANSWERED FROM
+    * THE SUMMARY's stored KMV arrays — bottom-k is a mergeable summary
+    * (the k smallest over a union lie in the union of per-part k
+    * smallest), so the routed estimate equals the raw-scan estimate
+    * EXACTLY, and the portable hash makes the whole thing
+    * DuckDB-replayable: the oracle rebuilds the bottom-64 per flag
+    * from the raw table and applies the same closed-form estimate.
+    * The HLL twin (SummaryRewriteSpec) is spec-checked only — its
+    * registers aren't SQL-expressible; THIS is the oracle-checked
+    * member of the sketch-measure family.
+    */
+  def summaryKmvSuppliers(spark: SparkSession, sfDir: String): DataFrame =
+    withPricingSummary(spark, sfDir) {
+      Tables.load(spark, sfDir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          graft.functions.KmvFunctions
+            .kmv_ndv(expr(SupplierHashSql), k = 64)
+            .as("approx_suppliers"))
+        .orderBy("l_returnflag")
+    }
 
   /** The lazy aggregate the router rewrites — separate so PlanSpec can
     * inspect the optimized plan (summary scan, not lineitem) while the

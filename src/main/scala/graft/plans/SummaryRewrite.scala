@@ -84,7 +84,11 @@ object Summaries {
       gen: Int = 0,
       hlls: Map[String, String] = Map.empty,
       hllSql: Seq[(String, String)] = Nil,
-      hllPrecision: Int = graft.functions.HllSketch.DefaultPrecision)
+      hllPrecision: Int = graft.functions.HllSketch.DefaultPrecision,
+      kmvs: Map[String, String] = Map.empty,
+      kmvSql: Seq[(String, String)] = Nil,
+      kmvK: Int = 64,
+      kmvDomain: Long = 1000000007L)
 
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, Spec]()
@@ -152,8 +156,14 @@ object Summaries {
   }
 
   private def keyOfSql(raw: DataFrame, sql: String): String = {
-    val analyzed = raw.select(expr(sql).as("__m")).queryExecution.analyzed
-    val child = analyzed.expressions.collectFirst {
+    // the key comes from the OPTIMIZED tree, because that is what the
+    // rule matches against: the analyzer wraps int literals in widening
+    // casts that constant folding later collapses, so an analyzed-tree
+    // key would never equal the optimized-tree key for any measure
+    // containing a literal (the KMV hash, derived prices, …)
+    val optimized =
+      raw.select(expr(sql).as("__m")).queryExecution.optimizedPlan
+    val child = optimized.expressions.collectFirst {
       case a: Alias if a.name == "__m" => a.child
     }.getOrElse(throw new IllegalStateException(s"cannot analyze $sql"))
     measureKey(child).getOrElse(throw new IllegalArgumentException(
@@ -176,6 +186,21 @@ object Summaries {
       .toAggregateExpression())
   }
 
+  private def kmvSketchCol(measureSql: String, k: Int, domain: Long) = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.KmvSketchAgg(
+      GraftColumnBridge.expression(expr(measureSql)), k, domain)
+      .toAggregateExpression())
+  }
+
+  private def kmvUnionCol(c: org.apache.spark.sql.Column, k: Int,
+      domain: Long) = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.KmvUnion(
+      GraftColumnBridge.expression(c), k, domain, asEstimate = false)
+      .toAggregateExpression())
+  }
+
   /** Build the summary parquet for `raw` at `grain` and register it.
     * Measures are SQL expression strings (so SQL and Column callers
     * declare them identically); sums should be cast to decimal when
@@ -188,8 +213,10 @@ object Summaries {
       mins: Seq[(String, String)] = Nil,
       maxs: Seq[(String, String)] = Nil,
       hlls: Seq[(String, String)] = Nil,
-      hllPrecision: Int = graft.functions.HllSketch.DefaultPrecision)
-      : Spec = {
+      hllPrecision: Int = graft.functions.HllSketch.DefaultPrecision,
+      kmvs: Seq[(String, String)] = Nil,
+      kmvK: Int = 64,
+      kmvDomain: Long = 1000000007L): Spec = {
     val source = singleSourcePath(raw)
     // one summary per source: silently evicting a DIFFERENT name
     // would leave its directory orphaned and its drop() a no-op
@@ -200,9 +227,11 @@ object Summaries {
     val aggCols = (sums.map { case (n, s) => sum(expr(s)).as(n) } ++
       mins.map { case (n, s) => min(expr(s)).as(n) } ++
       maxs.map { case (n, s) => max(expr(s)).as(n) } ++
-      // sketch measures: the stored form is the REGISTER ARRAY, so
-      // distinct counts re-aggregate across rollups and generations
-      hlls.map { case (n, s) => hllSketchCol(s, hllPrecision).as(n) })
+      // sketch measures: the stored form is the mergeable STATE
+      // (HLL registers / KMV bottom-k arrays), so distinct counts
+      // re-aggregate across rollups and generations
+      hlls.map { case (n, s) => hllSketchCol(s, hllPrecision).as(n) } ++
+      kmvs.map { case (n, s) => kmvSketchCol(s, kmvK, kmvDomain).as(n) })
     val out = raw.groupBy(grain.map(col): _*)
       .agg(count(lit(1)).as(CntCol), aggCols: _*)
     register(out, Spec(name, source, "", grain, CntCol,
@@ -212,7 +241,9 @@ object Summaries {
       relation = null,
       sumSql = sums, minSql = mins, maxSql = maxs, gen = 0,
       hlls = hlls.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
-      hllSql = hlls, hllPrecision = hllPrecision))
+      hllSql = hlls, hllPrecision = hllPrecision,
+      kmvs = kmvs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      kmvSql = kmvs, kmvK = kmvK, kmvDomain = kmvDomain))
   }
 
   /** Write a summary generation, read it back, and (re-)register. A
@@ -266,7 +297,9 @@ object Summaries {
       spec.minSql.map { case (n, s) => min(expr(s)).as(n) } ++
       spec.maxSql.map { case (n, s) => max(expr(s)).as(n) } ++
       spec.hllSql.map { case (n, s) =>
-        hllSketchCol(s, spec.hllPrecision).as(n) })
+        hllSketchCol(s, spec.hllPrecision).as(n) } ++
+      spec.kmvSql.map { case (n, s) =>
+        kmvSketchCol(s, spec.kmvK, spec.kmvDomain).as(n) })
     val batchSum = batch.groupBy(spec.grain.map(col): _*)
       .agg(count(lit(1)).as(spec.cntCol), aggCols: _*)
     val current = spark.read.parquet(spec.summaryPath)
@@ -277,7 +310,9 @@ object Summaries {
           sum(col(n)).cast(types(n)).as(n) } ++
         spec.minSql.map { case (n, _) => min(col(n)).as(n) } ++
         spec.maxSql.map { case (n, _) => max(col(n)).as(n) } ++
-        spec.hllSql.map { case (n, _) => hllUnionCol(col(n)).as(n) }
+        spec.hllSql.map { case (n, _) => hllUnionCol(col(n)).as(n) } ++
+        spec.kmvSql.map { case (n, _) =>
+          kmvUnionCol(col(n), spec.kmvK, spec.kmvDomain).as(n) }
     val merged = current.unionByName(batchSum)
       .groupBy(spec.grain.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
@@ -405,6 +440,16 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             if hd.precision == spec.hllPrecision =>
           Summaries.measureKey(hd.child).flatMap(spec.hlls.get)
             .map(c => wrap(graft.functions.HllUnion(byName(c))))
+        // KMV: bottom-k is a mergeable summary (the k smallest over a
+        // union lie in the union of per-part k smallest), so the
+        // routed estimate equals the raw one EXACTLY — and, the hash
+        // being engine-portable, a DuckDB replay of the raw table
+        // hash-checks the routed answer (q174)
+        case kn: graft.functions.KmvNdv
+            if kn.k == spec.kmvK && kn.domain == spec.kmvDomain =>
+          Summaries.measureKey(kn.child).flatMap(spec.kmvs.get)
+            .map(c => wrap(
+              graft.functions.KmvUnion(byName(c), kn.k, kn.domain)))
         case _ => None
       }
     }

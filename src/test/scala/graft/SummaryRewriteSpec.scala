@@ -38,9 +38,13 @@ class SummaryRewriteSpec extends SparkSpec {
         "sum_qty" -> "cast(l_quantity as decimal(18,2))",
         "sum_base" -> "cast(l_extendedprice as decimal(18,2))"),
       mins = Seq("min_price" -> "l_extendedprice"),
-      maxs = Seq("max_price" -> "l_extendedprice"))
+      maxs = Seq("max_price" -> "l_extendedprice"),
+      kmvs = Seq("kmv_supp" -> SuppHash), kmvK = 64)
     try body finally Summaries.drop("spec_pricing")
   }
+
+  private val SuppHash =
+    "((l_suppkey % 1000000007) * 2654435761) % 1000000007"
 
   test("q172 routes onto the summary and equals the raw-table answer") {
     val raw = OlapQueries.summaryPricingQuery(spark, sf).collect().toSeq
@@ -245,6 +249,26 @@ class SummaryRewriteSpec extends SparkSpec {
         assert(sql == viaHll)
       } finally spark.catalog.dropTempView("li_hll")
     } finally Summaries.drop("spec_hll2")
+  }
+
+  test("KMV sketch measure routes and equals the raw estimate exactly") {
+    import graft.functions.KmvFunctions.kmv_ndv
+    registered {
+      val q = () => Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(kmv_ndv(expr(SuppHash), k = 64).as("nd"))
+        .orderBy("l_returnflag")
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      val routed = q().collect().toSeq
+      val raw = withoutRouting { q().collect().toSeq }
+      // bottom-k merge is exact: routed == raw, not just close
+      assert(routed == raw && routed.forall(_.getLong(1) > 0))
+      // a mismatched k must fail closed to the raw table
+      val otherK = () => Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(kmv_ndv(expr(SuppHash), k = 32).as("nd"))
+      assert(scanPaths(otherK()).exists(_.contains("lineitem")))
+    }
   }
 
   test("spark.sql over a view of the source routes too") {

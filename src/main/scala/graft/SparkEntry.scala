@@ -543,7 +543,11 @@ object SparkEntry {
     // the ORACLE-CHECKED sketch measure: a KMV bottom-k array stored
     // per grain row answers the distinct-supplier estimate through
     // the router, and the portable hash lets DuckDB replay it
-    "q174_summary_kmv" -> (operators.OlapQueries.summaryKmvSuppliers _)
+    "q174_summary_kmv" -> (operators.OlapQueries.summaryKmvSuppliers _),
+    // per-doc 3-gram novelty (share of grams FIRST introduced by the
+    // doc in doc_id order) — exact scaled-integer ratio, gram-NDV
+    // shuffle only
+    "q175_ngram_novelty" -> (operators.TextQueries.ngramNovelty _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3326,6 +3330,32 @@ object SparkEntry {
         |    AS BIGINT) AS approx_suppliers
         |FROM n JOIN c USING (l_returnflag) LEFT JOIN kth USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+    // q60's shingle spelling + first-introducing-doc min + the exact
+    // scaled-integer nearest ratio
+    "q175_ngram_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) >= 3
+        |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, len(ws) - 1)]
+        |      ELSE [text] END) AS sh
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |        FROM documents)
+        |), g AS (
+        |  SELECT doc_id, unnest(sh) AS gram FROM d
+        |), f AS (
+        |  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+        |)
+        |SELECT doc_id,
+        |  count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS novel_grams,
+        |  CAST((2 * 10000 * sum(CASE WHEN first_doc = doc_id
+        |          THEN 1 ELSE 0 END) + count(*)) // (2 * count(*))
+        |    AS BIGINT) AS novelty_bp
+        |FROM g JOIN f USING (gram)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // q60's brute force over the WHOLE corpus, verbatim: the
     // multi-day union finds each qualifying pair exactly once, on the
     // day its later-arriving endpoint lands

@@ -203,6 +203,42 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-document n-gram NOVELTY profile: how much of each document's
+    * (distinct) 3-gram vocabulary is FIRST INTRODUCED by that document
+    * under the doc_id order — the corpus-contribution signal curation
+    * uses to spot boilerplate-heavy additions (near-zero novelty late
+    * in a crawl = the document restates what the corpus already has;
+    * the inverse view of the dedup family's similarity scores).
+    *
+    * One gram-grain aggregate (min introducing doc per gram — the
+    * "first occurrence index" every incremental-dedup design keeps
+    * anyway) joined back to the exploded grams, then a doc-grain
+    * roll-up. The novelty ratio is emitted in exact scaled integers
+    * (basis points via the engine's `(2·10⁴·k + n) div (2n)` nearest
+    * rounding) — no float division can disagree with the oracle.
+    *
+    * Scale: both aggregates are map-side combined; the only full
+    * exchange is gram-NDV-sized (the dedup family's standard bound).
+    * Shingling reuses [[Dedup.wordShingles]] (distinct 3-grams,
+    * whole-text fallback under 3 words), so the novelty profile and
+    * the near-dup pipeline score the SAME vocabulary.
+    */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.wordShingles(col("text"))).as("gram"))
+    val first = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel_grams"))
+      .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+        expr("(2 * 10000 * novel_grams + n_grams) div (2 * n_grams)")
+          .as("novelty_bp"))
+      .orderBy("doc_id")
+  }
+
   /** Exact empirical CDF of document length WITHOUT a window over the
     * corpus: cume_dist spelled as per-value counts (one map-side-
     * combined aggregate, NDV-sized output) → sharded prefix sum over

@@ -102,6 +102,36 @@ class CorpusQueriesSpec extends SparkSpec {
       s"un-partitioned WindowExec:\n${got.queryExecution.executedPlan}")
   }
 
+  test("q175 n-gram novelty ≡ driver-side replica; first doc fully novel") {
+    val got = TextQueries.ngramNovelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent replica: plain Scala over the collected corpus,
+    // same shingling convention (distinct 3-grams, whole-text under 3)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+      else Set(t)
+    }
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (id, t) =>
+      shingles(t).foreach(g =>
+        if (!firstDoc.contains(g)) firstDoc(g) = id)
+    }
+    val want = docs.map { case (id, t) =>
+      val sh = shingles(t)
+      val novel = sh.count(g => firstDoc(g) == id).toLong
+      val n = sh.size.toLong
+      (id, n, novel, (2 * 10000 * novel + n) / (2 * n))
+    }.toSeq
+    assert(got.toSeq == want)
+    // the lowest doc_id introduces everything it contains
+    assert(got.head._4 == 10000L)
+    assert(got.forall(g => g._4 >= 0L && g._4 <= 10000L))
+  }
+
   test("q66 repetition stats ≡ the explode + groupBy spelling") {
     val got = TextQueries.repetitionStats(spark, sf)
     val ws = split(col("text"), " ")

@@ -547,7 +547,11 @@ object SparkEntry {
     // per-doc 3-gram novelty (share of grams FIRST introduced by the
     // doc in doc_id order) — exact scaled-integer ratio, gram-NDV
     // shuffle only
-    "q175_ngram_novelty" -> (operators.TextQueries.ngramNovelty _)
+    "q175_ngram_novelty" -> (operators.TextQueries.ngramNovelty _),
+    // vocabulary growth curve per ingest batch: per-term first-day min
+    // + sharded prefix-sum cumulative (no single-partition window)
+    "q176_vocab_growth" -> ((s: SparkSession, d: String) =>
+      operators.TextQueries.vocabGrowth(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3356,6 +3360,25 @@ object SparkEntry {
         |FROM g JOIN f USING (gram)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // q60's shingle spelling + per-gram first-day min + the window
+    // cumsum the sharded prefix-sum must reproduce
+    "q176_vocab_growth" ->
+      """WITH d AS (
+        |  SELECT doc_id // 100 AS day,
+        |    list_distinct(CASE WHEN len(ws) >= 3
+        |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, len(ws) - 1)]
+        |      ELSE [text] END) AS sh
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |        FROM documents)
+        |), g AS (
+        |  SELECT day, unnest(sh) AS w FROM d
+        |), f AS (SELECT w, min(day) AS day FROM g GROUP BY w),
+        |p AS (SELECT day, count(*) AS new_terms FROM f GROUP BY day)
+        |SELECT day, new_terms,
+        |  CAST(sum(new_terms) OVER (ORDER BY day) AS BIGINT) AS cum_vocab
+        |FROM p
+        |ORDER BY day""".stripMargin,
     // q60's brute force over the WHOLE corpus, verbatim: the
     // multi-day union finds each qualifying pair exactly once, on the
     // day its later-arriving endpoint lands

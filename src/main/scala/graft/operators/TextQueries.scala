@@ -239,6 +239,37 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary GROWTH curve (the Heaps-law empirics a corpus health
+    * dashboard plots): per ingest batch, how many never-before-seen
+    * 3-GRAMS arrived and the cumulative gram vocabulary. Grams, not
+    * unigrams: a small word vocabulary saturates in the first batch
+    * (this corpus's does), while the gram space keeps growing — the
+    * same reason the dedup family shingles ([[Dedup.wordShingles]] is
+    * reused, so the curve tracks exactly the vocabulary the near-dup
+    * index stores). Batches follow the incremental family's id-range
+    * convention (day = doc_id div `batchSize` — the corpus tables
+    * carry no timestamps). One shingle scan → per-gram min first day
+    * (the first-occurrence index an incremental index keeps anyway) →
+    * day-grain counts → [[PrefixSum]] cumulative — gram-NDV shuffle
+    * once, never a single-partition window; the oracle replays the
+    * window spelling, so the sharded cumsum is hash-proven
+    * equivalent. A flattening curve = the crawl is re-delivering
+    * known language; a kink = a new source entered the mix.
+    */
+  def vocabGrowth(spark: SparkSession, sfDir: String,
+      batchSize: Long = 100L): DataFrame = {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(expr(s"doc_id div ${batchSize}L").as("day"),
+        explode(graft.operators.Dedup.wordShingles(col("text"))).as("w"))
+    val firstDay = toks.groupBy("w").agg(min("day").as("first_day"))
+    val perDay = firstDay.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_terms"))
+    PrefixSum.withGlobalCumSum(perDay, "day", col("new_terms"),
+        "cum_vocab", shardWidth = 64)
+      .select(col("day"), col("new_terms"), col("cum_vocab"))
+      .orderBy("day")
+  }
+
   /** Exact empirical CDF of document length WITHOUT a window over the
     * corpus: cume_dist spelled as per-value counts (one map-side-
     * combined aggregate, NDV-sized output) → sharded prefix sum over

@@ -132,6 +132,33 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got.forall(g => g._4 >= 0L && g._4 <= 10000L))
   }
 
+  test("q176 vocab growth ≡ the window spelling; monotone; " +
+      "no un-partitioned WindowExec") {
+    val got = TextQueries.vocabGrowth(spark, sf)
+    val firstDay = Tables.load(spark, sf, "documents")
+      .select(expr("doc_id div 100").as("day"),
+        explode(Dedup.wordShingles(col("text"))).as("w"))
+      .groupBy("w").agg(min("day").as("day"))
+    val viaWindow = firstDay.groupBy("day")
+      .agg(count(lit(1)).as("new_terms"))
+      .withColumn("cum_vocab",
+        sum("new_terms").over(Window.orderBy("day")))
+    assert(got.collect().map(_.toSeq).toSet ==
+      viaWindow.collect().map(_.toSeq).toSet)
+    // the curve GROWS (multiple batches introduce grams — the reason
+    // this is gram- not word-grain) and ends at the full vocabulary
+    val rows = got.collect()
+    assert(rows.length > 1, "degenerate curve: one batch owns all grams")
+    assert(rows.map(_.getLong(2)).toSeq ==
+      rows.map(_.getLong(2)).sorted.toSeq)
+    assert(rows.last.getLong(2) == firstDay.count())
+    got.collect() // finalize the adaptive plan before inspecting it
+    val windows = allPlanNodes(got.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("q66 repetition stats ≡ the explode + groupBy spelling") {
     val got = TextQueries.repetitionStats(spark, sf)
     val ws = split(col("text"), " ")

@@ -210,32 +210,44 @@ object TextQueries {
     * in a crawl = the document restates what the corpus already has;
     * the inverse view of the dedup family's similarity scores).
     *
-    * One gram-grain aggregate (min introducing doc per gram — the
-    * "first occurrence index" every incremental-dedup design keeps
-    * anyway) joined back to the exploded grams, then a doc-grain
-    * roll-up. The novelty ratio is emitted in exact scaled integers
-    * (basis points via the engine's `(2·10⁴·k + n) div (2n)` nearest
-    * rounding) — no float division can disagree with the oracle.
+    * Plan shape (no gram-grain join-back — the first spelling joined
+    * the exploded grams against the first-occurrence table and ran
+    * 3× slower): per-doc totals come FREE off the shingle array
+    * (`size` — wordShingles is already distinct per doc), the
+    * first-occurrence index is ONE map-side-combined aggregate over
+    * 8-byte HASHED gram keys (the q158 lesson: identity-only keys
+    * never shuffle strings; a 64-bit collision is ~NDV²/2⁶⁵ — below
+    * any practical corpus), and a SECOND tiny aggregate of that
+    * NDV-sized table gives novel counts per doc — so the only join is
+    * doc-grain ⋈ doc-grain. The novelty ratio is exact scaled
+    * integers (basis points via the engine's `(2·10⁴·k + n) div (2n)`
+    * nearest rounding) — no float division can disagree with the
+    * oracle.
     *
-    * Scale: both aggregates are map-side combined; the only full
-    * exchange is gram-NDV-sized (the dedup family's standard bound).
     * Shingling reuses [[Dedup.wordShingles]] (distinct 3-grams,
     * whole-text fallback under 3 words), so the novelty profile and
     * the near-dup pipeline score the SAME vocabulary.
     */
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    // shingles build ONCE: the exploded (doc, gram-hash) frame is two
+    // longs per row and feeds both aggregates from cache — without
+    // the persist each consumer would re-run the per-doc gram
+    // construction (measured 2× slower)
     val grams = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
         explode(graft.operators.Dedup.wordShingles(col("text"))).as("gram"))
-    val first = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
-    grams.join(first, "gram")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("novel_grams"))
-      .select(col("doc_id"), col("n_grams"), col("novel_grams"),
-        expr("(2 * 10000 * novel_grams + n_grams) div (2 * n_grams)")
-          .as("novelty_bp"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+      .persist()
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novel = grams
+      .groupBy("g").agg(min("doc_id").as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("novel_grams"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        expr("(2 * 10000 * coalesce(novel_grams, 0L) + n_grams)" +
+          " div (2 * n_grams)").as("novelty_bp"))
       .orderBy("doc_id")
   }
 
@@ -261,9 +273,16 @@ object TextQueries {
     val toks = Tables.load(spark, sfDir, "documents")
       .select(expr(s"doc_id div ${batchSize}L").as("day"),
         explode(graft.operators.Dedup.wordShingles(col("text"))).as("w"))
+      // identity-only keys: the NDV-sized shuffle moves 8-byte
+      // hashes, never gram strings (the q158 discipline)
+      .select(col("day"), xxhash64(col("w")).as("w"))
     val firstDay = toks.groupBy("w").agg(min("day").as("first_day"))
+    // persisted (day-grain, tiny): PrefixSum reads its input twice
+    // (shard sizes, then the cumsum join) — unpersisted, the whole
+    // shingle pipeline would run twice (the lengthCdf discipline)
     val perDay = firstDay.groupBy(col("first_day").as("day"))
       .agg(count(lit(1)).as("new_terms"))
+      .persist()
     PrefixSum.withGlobalCumSum(perDay, "day", col("new_terms"),
         "cum_vocab", shardWidth = 64)
       .select(col("day"), col("new_terms"), col("cum_vocab"))

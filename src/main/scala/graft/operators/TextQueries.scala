@@ -17,6 +17,54 @@ object TextQueries {
     */
   val Stopwords: Seq[String] = Seq("the", "a")
 
+  /** Shared per-(session, corpus) 3-gram FIRST-OCCURRENCE index:
+    * `(g: xxhash64 of the gram, first_doc: min doc_id containing it)`
+    * — the table an incremental near-dup index keeps anyway, built by
+    * ONE shingle explode + one map-side-combined aggregate and then
+    * `localCheckpoint`ed so q175 (novelty) and q176 (vocab growth)
+    * both read it without re-running the corpus scan (the
+    * [[Dedup.ngramJaccardPairsShared]] precedent). The cache is
+    * NDV-sized (gram vocabulary, Heaps-sublinear in corpus tokens),
+    * NOT corpus-token-sized — at 100 TB it is the dedup index's own
+    * footprint, orders smaller than the exploded gram stream the
+    * previous spelling persisted. Keys are 8-byte hashes, never gram
+    * strings (the q158 discipline); a 64-bit collision merges two
+    * grams with probability ~NDV²/2⁶⁵ — below any practical corpus.
+    *
+    * STALENESS CONTRACT (same as sharedPairCache): `sfDir` parquet is
+    * assumed immutable for the session; a corpus rewrite must call
+    * [[invalidateGramIndex]] or start a fresh session.
+    */
+  private val gramFirstDocCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]()
+
+  private[operators] def gramFirstDoc(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    gramFirstDocCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    gramFirstDocCache.computeIfAbsent((spark, sfDir), _ =>
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          explode(graft.operators.Dedup.shingleHashes(col("text")))
+            .as("g"))
+        .groupBy("g").agg(min("doc_id").as("first_doc"))
+        .localCheckpoint(true))
+  }
+
+  /** Drop the cached first-occurrence index for `sfDir` in this
+    * session and release its checkpointed blocks.
+    */
+  def invalidateGramIndex(spark: SparkSession, sfDir: String): Unit = {
+    val it = gramFirstDocCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == spark && e.getKey._2 == sfDir) {
+        e.getValue.unpersist(false)
+        it.remove()
+      }
+    }
+  }
+
   /** Token counting: whitespace tokens, BPE-ish subword units, mean
     * word length.
     */
@@ -229,18 +277,21 @@ object TextQueries {
     * the near-dup pipeline score the SAME vocabulary.
     */
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
-    // shingles build ONCE: the exploded (doc, gram-hash) frame is two
-    // longs per row and feeds both aggregates from cache — without
-    // the persist each consumer would re-run the per-doc gram
-    // construction (measured 2× slower)
-    val grams = Tables.load(spark, sfDir, "documents")
+    // per-doc totals come FREE off the shingle array (`size` over the
+    // already-distinct wordShingles) — a narrow map, no explode, no
+    // shuffle; the expensive first-occurrence aggregate is the SHARED
+    // NDV-sized index [[gramFirstDoc]] (one shingle scan amortized
+    // with q176 instead of a private corpus-token-sized persist each)
+    // single-pass hash kernel, not wordShingles: size over the
+    // distinct-hash array equals the distinct-string gram count
+    // (w.h.p., 64-bit space — same identification the novelty
+    // grouping below already makes) and skips materializing gram
+    // strings, which benched 10× slower than the kernel
+    val perDoc = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
-        explode(graft.operators.Dedup.wordShingles(col("text"))).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
-      .persist()
-    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val novel = grams
-      .groupBy("g").agg(min("doc_id").as("first_doc"))
+        size(graft.operators.Dedup.shingleHashes(col("text")))
+          .cast("long").as("n_grams"))
+    val novel = gramFirstDoc(spark, sfDir)
       .groupBy(col("first_doc").as("doc_id"))
       .agg(count(lit(1)).as("novel_grams"))
     perDoc.join(novel, Seq("doc_id"), "left")
@@ -270,13 +321,13 @@ object TextQueries {
     */
   def vocabGrowth(spark: SparkSession, sfDir: String,
       batchSize: Long = 100L): DataFrame = {
-    val toks = Tables.load(spark, sfDir, "documents")
-      .select(expr(s"doc_id div ${batchSize}L").as("day"),
-        explode(graft.operators.Dedup.wordShingles(col("text"))).as("w"))
-      // identity-only keys: the NDV-sized shuffle moves 8-byte
-      // hashes, never gram strings (the q158 discipline)
-      .select(col("day"), xxhash64(col("w")).as("w"))
-    val firstDay = toks.groupBy("w").agg(min("day").as("first_day"))
+    // first_day derives from the SHARED first-occurrence index: the
+    // day partition is monotone in doc_id (day = doc_id div b,
+    // doc_id ≥ 0), so min(doc_id) div b == min(doc_id div b) — the
+    // whole shingle scan is amortized with q175 and the only new work
+    // is a day-grain aggregate over the NDV-sized index
+    val firstDay = gramFirstDoc(spark, sfDir)
+      .select(expr(s"first_doc div ${batchSize}L").as("first_day"))
     // persisted (day-grain, tiny): PrefixSum reads its input twice
     // (shard sizes, then the cumsum join) — unpersisted, the whole
     // shingle pipeline would run twice (the lengthCdf discipline)

@@ -51,8 +51,11 @@ object SparkEntry {
     // estimator's accuracy is property-tested against exact counts.
     "q21_vocab_sizes" -> (plans.CardinalityEstimator.vocabTable _),
     "q22_exact_dedup" -> (operators.Dedup.exactDedup _),
-    // rows-only: LSH bucketing uses xxhash64, which DuckDB can't replay;
-    // recall vs brute force is unit-tested (DedupSpec).
+    // fully oracle-replayed since r08: portable polynomial shingle
+    // hashes + the affine MinHash family + fold band keys (the
+    // q132/KMV discipline), so DuckDB rebuilds signatures, candidate
+    // sets AND verification; recall vs brute force stays unit-tested
+    // (DedupSpec).
     "q23_minhash_pairs" -> ((s: SparkSession, d: String) =>
       operators.Dedup.minhashPairs(s, d)),
     "q24_simhash_pairs" -> ((s: SparkSession, d: String) =>
@@ -818,6 +821,98 @@ object SparkEntry {
         |FROM documents
         |GROUP BY text
         |ORDER BY keep_doc_id""".stripMargin,
+    // the oracle REBUILDS the full LSH pipeline: portable polynomial
+    // gram hashes (31-base codepoint fold mod 1e9+7), the affine
+    // MinHash family ((2i+1)h + i·M mod p), fold band keys, candidate
+    // self-join, and exact-Jaccard verification — signatures AND
+    // candidate sets replay, not just the verified output
+    "q23_minhash_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) >= 3
+        |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, len(ws) - 1)]
+        |      ELSE [text] END) AS sh
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |        FROM documents)
+        |), gh AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(unicode(c) AS BIGINT) for c in string_split(gram, '')]),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS gram FROM d)
+        |), hs AS (
+        |  SELECT doc_id, list(h ORDER BY h) AS hset,
+        |    count(*) AS sz
+        |  FROM gh GROUP BY doc_id
+        |), sg AS (
+        |  SELECT doc_id, i,
+        |    min(((2 * i + 1) * h + (i * 2654435761) % 1000000007)
+        |        % 1000000007) AS mv
+        |  FROM gh CROSS JOIN (SELECT unnest(range(0, 72)) AS i) f
+        |  GROUP BY doc_id, i
+        |), sl AS (
+        |  SELECT doc_id, list(mv ORDER BY i) AS s FROM sg GROUP BY doc_id
+        |), bk AS (
+        |  SELECT doc_id, b,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_slice(s, b * 6 + 1, b * 6 + 6)),
+        |      (a, x) -> (a * 2654435761 + x) % 1000000007) AS key
+        |  FROM sl CROSS JOIN (SELECT unnest(range(0, 12)) AS b) g
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS ai, r.doc_id AS bi
+        |  FROM bk l JOIN bk r
+        |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+        |)
+        |SELECT ai, bi, jaccard FROM (
+        |  SELECT ai, bi,
+        |    round(len(list_intersect(a.hset, b.hset))::DOUBLE /
+        |      (a.sz + b.sz - len(list_intersect(a.hset, b.hset))),
+        |      4) AS jaccard
+        |  FROM cand JOIN hs a ON ai = a.doc_id JOIN hs b ON bi = b.doc_id)
+        |WHERE jaccard >= 0.8
+        |ORDER BY ai, bi""".stripMargin,
+    // the oracle REBUILDS the SimHash: 60-bit wide portable gram
+    // hashes (h31·2³⁰ + h37), per-bit majority vote, 16-bit band
+    // keys, Hamming verification — all in SQL bit arithmetic
+    "q24_simhash_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) >= 3
+        |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, len(ws) - 1)]
+        |      ELSE [text] END) AS sh
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |        FROM documents)
+        |), gh AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(unicode(c) AS BIGINT) for c in string_split(gram, '')]),
+        |      (a, x) -> (a * 31 + x) % 1000000007) * 1073741824
+        |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(unicode(c) AS BIGINT) for c in string_split(gram, '')]),
+        |      (a, x) -> (a * 37 + x) % 1000000007) AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS gram FROM d)
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+        |             ELSE 0 END) AS BIGINT) AS sig
+        |  FROM (
+        |    SELECT doc_id, b,
+        |      sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |    FROM gh CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb
+        |    GROUP BY doc_id, b)
+        |  GROUP BY doc_id
+        |), bk AS (
+        |  SELECT doc_id, sig, b, (sig >> CAST(b * 16 AS INTEGER)) & 65535 AS key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+        |)
+        |SELECT DISTINCT l.doc_id AS ai, r.doc_id AS bi,
+        |  CAST(bit_count(xor(l.sig, r.sig)) AS INTEGER) AS hamming
+        |FROM bk l JOIN bk r
+        |  ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.sig, r.sig)) <= 3
+        |ORDER BY ai, bi""".stripMargin,
     "q25_ngram_jaccard_pairs" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -441,6 +441,137 @@ case class WordNGramHashes(child: Expression, n: Int, seed: Long = 42L,
     copy(child = c)
 }
 
+/** `word_ngram_phashes(text, n, wide)` — distinct PORTABLE polynomial
+  * hashes of the word n-gram shingles: the 31-base codepoint fold
+  * `h ← (h·31 + cp) mod 1e9+7` any SQL engine can replay (DuckDB:
+  * `list_reduce` over `string_split(gram, '')` with the same lambda)
+  * — the q132/KMV portable-hash discipline extended from integers to
+  * strings, so MinHash/SimHash signatures built on these values are
+  * oracle-replayable end to end. `wide = true` additionally folds a
+  * 37-base second hash and returns `h31·2³⁰ + h37` — a 60-bit value
+  * whose bit planes SimHash can vote on (30-bit hashes would leave
+  * bits 30..63 constant). Same gram construction and short-doc guard
+  * as [[WordNGramHashes]]; same single pass, no gram strings
+  * materialized. Codepoint caveat: the fold walks UTF-16 units, equal
+  * to codepoints for BMP text (the corpus is ASCII); a replaying
+  * engine folding true codepoints would diverge only on astral-plane
+  * characters.
+  */
+case class WordNGramPHashes(child: Expression, n: Int,
+    wide: Boolean = false)
+  extends UnaryExpression with UnaryKernelCodegen {
+
+  require(n > 0, "n must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngram_phashes requires string, got ${other.sql}")
+  }
+
+  private val P = 1000000007L
+
+  // fold base `b` over the chars of words(i..i+span-1) joined by ' '
+  private def gramHash(words: Array[String], i: Int, span: Int,
+      base: Long): Long = {
+    var h = 0L
+    var k = 0
+    while (k < span) {
+      if (k > 0) h = (h * base + ' '.toInt) % P
+      val w = words(i + k)
+      var c = 0
+      while (c < w.length) {
+        h = (h * base + w.charAt(c).toInt) % P
+        c += 1
+      }
+      k += 1
+    }
+    h
+  }
+
+  private def hashAt(words: Array[String], i: Int, span: Int): Long = {
+    val h31 = gramHash(words, i, span, 31L)
+    if (!wide) h31
+    else (h31 << 30) + gramHash(words, i, span, 37L)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    val words = text.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (words.length < n) seen.add(hashAt(words, 0, words.length))
+    else {
+      var i = 0
+      while (i <= words.length - n) {
+        seen.add(hashAt(words, i, n))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "word_ngram_phashes"
+  override protected def withNewChildInternal(c: Expression): WordNGramPHashes =
+    copy(child = c)
+}
+
+/** `minhash_signature_portable(array<long>, k) → array<long>` — k
+  * minhashes over the PORTABLE affine family `gᵢ(h) = ((2i+1)·h + (i·
+  * 2654435761 mod p)) mod p`, p = 1e9+7 — every coefficient an SQL
+  * literal, so a replaying engine rebuilds the signature with a cross
+  * join on `range(0, k)` and a grouped min (the q132 discipline
+  * applied to MinHash). Inputs are expected in [0, p) (the
+  * [[WordNGramPHashes]] narrow form); values outside are reduced mod
+  * p first so the family stays well-defined. Same single-pass shape
+  * as [[MinHashSignature]].
+  */
+case class MinHashSignaturePortable(child: Expression, k: Int)
+  extends UnaryExpression with UnaryKernelCodegen {
+
+  require(k > 0, "k must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature_portable requires array<long>, got ${other.sql}")
+  }
+
+  private val P = 1000000007L
+  private val bs = Array.tabulate(k)(i => (i.toLong * 2654435761L) % P)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = ((arr.getLong(i) % P) + P) % P
+        var j = 0
+        while (j < k) {
+          val v = ((2L * j + 1L) * h + bs(j)) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def prettyName: String = "minhash_signature_portable"
+  override protected def withNewChildInternal(c: Expression)
+      : MinHashSignaturePortable = copy(child = c)
+}
+
 /** `quantize_i8(array<double>) → array<tinyint>` — symmetric int8
   * quantization: qᵢ = floor(vᵢ·127/max|v| + 0.5) (half-up on both
   * engines — NOT banker's/half-away round(), which disagree on .5).
@@ -661,6 +792,13 @@ object VectorMath {
   def word_ngram_hashes_all(text: Column, n: Int, seed: Long): Column =
     GraftColumnBridge.column(
       WordNGramHashes(e(text), n, seed, distinct = false))
+
+  def word_ngram_phashes(text: Column, n: Int,
+      wide: Boolean = false): Column =
+    GraftColumnBridge.column(WordNGramPHashes(e(text), n, wide))
+
+  def minhash_signature_portable(hashes: Column, k: Int): Column =
+    GraftColumnBridge.column(MinHashSignaturePortable(e(hashes), k))
 
   def random_projection_band_keys(vec: Column, planes: Seq[Seq[Double]],
       bandBits: Int): Column =

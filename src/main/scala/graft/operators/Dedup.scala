@@ -148,6 +148,40 @@ object Dedup {
   def minhashSignature(hashes: Column): Column =
     graft.functions.VectorMath.minhash_signature(hashes, NumHashes)
 
+  /** Modulus and multiplier of the engine's portable hash family
+    * (q132/KMV discipline) — the constants every oracle replay quotes.
+    */
+  val PortableP = 1000000007L
+  val PortableM = 2654435761L
+
+  /** Portable polynomial shingle hashes (31-base codepoint fold mod
+    * 1e9+7; `wide` adds a 37-base plane for SimHash bit voting) — the
+    * replayable twin of [[shingleHashes]], so MinHash/SimHash built on
+    * them leave the rows-only list.
+    */
+  def shinglePHashes(text: Column, n: Int = 3,
+      wide: Boolean = false): Column =
+    graft.functions.VectorMath.word_ngram_phashes(text, n, wide)
+
+  /** Portable MinHash signature over the affine family
+    * `((2i+1)·h + i·M mod p) mod p` — every coefficient an SQL
+    * literal a replaying engine can rebuild.
+    */
+  def minhashSignaturePortable(hashes: Column): Column =
+    graft.functions.VectorMath.minhash_signature_portable(hashes, NumHashes)
+
+  /** Portable band key: order-sensitive fold `k ← (k·M + v) mod p`
+    * over `RowsPerBand` signature positions of band `b` — the
+    * xxhash64 band key's replayable twin (`list_reduce` in DuckDB).
+    * A mod-p key collision only ADDS a candidate pair, which the
+    * exact-Jaccard / Hamming verification then filters identically on
+    * both engines — correctness never rests on collision-freeness.
+    */
+  private def portableBandKey(sig: Column, b: Int): Column =
+    (0 until RowsPerBand).foldLeft(lit(0L)) { (acc, r) =>
+      (acc * PortableM + element_at(sig, b * RowsPerBand + r + 1)) % PortableP
+    }
+
   /** Near-duplicate pairs via MinHash LSH, verified with exact shingle
     * Jaccard ≥ `threshold`. Plan shape: per-doc signature (one narrow
     * shuffle-free projection) → explode 12 band keys → self-join on
@@ -169,18 +203,20 @@ object Dedup {
   private[operators] def minhashPairsUnsorted(spark: SparkSession,
       sfDir: String, threshold: Double = 0.8): DataFrame = {
     // persisted: the LSH self-join and the verification join each read
-    // this twice — without the cache the shingle pipeline runs 4×/doc
+    // this twice — without the cache the shingle pipeline runs 4×/doc.
+    // PORTABLE hashes end to end (signature family + band keys), so
+    // the whole pipeline — candidates included — replays in DuckDB
+    // and q23 carries a full hash-checked oracle.
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
-        array_sort(shingleHashes(col("text"))).as("hss"))
+        array_sort(shinglePHashes(col("text"))).as("hss"))
       .withColumn("sz", size(col("hss")))
       .persist()
 
-    val sigs = docs.select(col("doc_id"), minhashSignature(col("hss")).as("sig"))
+    val sigs = docs.select(col("doc_id"),
+      minhashSignaturePortable(col("hss")).as("sig"))
     val bandCols = (0 until NumBands).map { b =>
-      val rows = (0 until RowsPerBand)
-        .map(r => element_at(col("sig"), b * RowsPerBand + r + 1))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig"))
+      struct(lit(b).as("band"), portableBandKey(col("sig"), b).as("sig"))
     }
     val banded = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
@@ -242,9 +278,14 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, sfDir: String,
       maxHamming: Int = 3): DataFrame = {
-    // persisted: both sides of the band self-join read the signatures
+    // persisted: both sides of the band self-join read the signatures.
+    // WIDE portable shingle hashes (60 bits: h31·2³⁰ + h37) so the
+    // signature's bit votes replay in SQL — bits 60..63 are constant 0
+    // on every doc (they cancel in XOR, so Hamming is unaffected; the
+    // top band simply has 12 live bits)
     val docs = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), simhash64(shingleHashes(col("text"))).as("sig"))
+      .select(col("doc_id"),
+        simhash64(shinglePHashes(col("text"), wide = true)).as("sig"))
       .persist()
 
     val bandCols = (0 until 4).map { b =>

@@ -106,6 +106,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word_ngram_hashes(text, n)")
       }))
     e.injectFunction((
+      new FunctionIdentifier("word_ngram_phashes"),
+      new ExpressionInfo(classOf[WordNGramPHashes].getName,
+        "word_ngram_phashes"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t, Literal(n: Int, _)) => WordNGramPHashes(t, n)
+        case Seq(t, Literal(n: Int, _), Literal(w: Boolean, _)) =>
+          WordNGramPHashes(t, n, w)
+        case _ => throw new IllegalArgumentException(
+          "word_ngram_phashes(text, n[, wide])")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_signature_portable"),
+      new ExpressionInfo(classOf[MinHashSignaturePortable].getName,
+        "minhash_signature_portable"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, Literal(k: Int, _)) => MinHashSignaturePortable(c, k)
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature_portable(hashes, k)")
+      }))
+    e.injectFunction((
       new FunctionIdentifier("kmv_ndv"),
       new ExpressionInfo(
         classOf[graft.functions.KmvNdv].getName, "kmv_ndv"),

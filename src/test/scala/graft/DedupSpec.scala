@@ -17,6 +17,44 @@ class DedupSpec extends SparkSpec {
     assert(sh(2) == Seq("x y")) // short-doc guard
   }
 
+  test("word_ngram_phashes: portable fold matches a plain-Scala replica") {
+    import spark.implicits._
+    val P = Dedup.PortableP
+    def fold(s: String, base: Long): Long =
+      s.foldLeft(0L)((a, c) => (a * base + c.toInt) % P)
+    val texts = Seq("the cat sat on the mat", "x y", "", "one two three")
+    val got = texts.toDF("text")
+      .select(Dedup.shinglePHashes(col("text")).as("h"),
+        Dedup.shinglePHashes(col("text"), wide = true).as("hw"))
+      .collect()
+    texts.zip(got).foreach { case (t, row) =>
+      val grams = {
+        val ws = t.split(" ", -1)
+        if (ws.length < 3) Seq(t)
+        else (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" "))
+      }
+      val narrow = grams.map(g => fold(g, 31L)).distinct
+      val wide = grams.map(g => (fold(g, 31L) << 30) + fold(g, 37L)).distinct
+      assert(row.getSeq[Long](0) == narrow, s"narrow for '$t'")
+      assert(row.getSeq[Long](1) == wide, s"wide for '$t'")
+    }
+  }
+
+  test("minhash_signature_portable: matches the naive affine family") {
+    import spark.implicits._
+    val P = Dedup.PortableP
+    val M = Dedup.PortableM
+    val hs = Seq(7L, 123456789L, 999999999L, 0L)
+    val sig = Seq(hs).toDF("h")
+      .select(graft.functions.VectorMath
+        .minhash_signature_portable(col("h"), Dedup.NumHashes).as("s"))
+      .collect()(0).getSeq[Long](0)
+    val expect = (0 until Dedup.NumHashes).map { i =>
+      hs.map(h => ((2L * i + 1) * h + (i * M) % P) % P).min
+    }
+    assert(sig == expect)
+  }
+
   test("intersect_count_at_least: property — bound never changes the answer") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check, Parameters, Passed}
@@ -407,10 +445,12 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhashPairs: candidates agree with brute-force hamming") {
+    // truth from the SAME wide portable shingle hashes the operator
+    // signs with (r08: oracle-replayable 60-bit family)
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"),
         graft.functions.SimHashFunctions.simhash64(
-          Dedup.shingleHashes(col("text"))).as("sig"))
+          Dedup.shinglePHashes(col("text"), wide = true)).as("sig"))
     val truth = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("h"))

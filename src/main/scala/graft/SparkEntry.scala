@@ -66,8 +66,12 @@ object SparkEntry {
       operators.Similarity.cosineTopK(s, d)),
     "q27_embedding_pairs" -> ((s: SparkSession, d: String) =>
       operators.Similarity.embeddingPairs(s, d)),
-    // rows-only: k-means cell ids are Spark-side state DuckDB can't
-    // replay; recall vs the exact top-k is unit-tested (SimilaritySpec).
+    // fully oracle-replayed since r08: the IVF index is the
+    // deterministic Lloyd fit (q120 trajectory discipline — first-k
+    // init, 6 dp iterate rounding, (dist, cid) argmin tie-break), the
+    // probe ranking rounds centroid cosine to 6 dp with a cell-id
+    // tie-break, so cells, probes AND the top-k replay in SQL; recall
+    // vs the exact top-k stays unit-tested (SimilaritySpec).
     "q28_ivf_topk" -> ((s: SparkSession, d: String) =>
       operators.Similarity.ivfTopK(s, d)),
     // distributed twin of q27: grid-blocked exact self-join (equality
@@ -2269,6 +2273,87 @@ object SparkEntry {
         |FROM af JOIN n3 ON af.cid = n3.cid
         |GROUP BY af.cid, n3.centroid_norm
         |ORDER BY cluster_id""".stripMargin,
+    // q120's unrolled Lloyd trajectory at k=16 feeding the IVF probe:
+    // rank cells by centroid cosine rounded to 6 dp (cid tie-break),
+    // probe the best 8, exact 4 dp cosine top-20 within probed cells
+    "q28_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid,
+        |         list_transform(v, x -> round(x, 6)) AS c
+        |       FROM e WHERE vec_id < 16),
+        |a1 AS (SELECT vec_id, v, cid FROM (
+        |         SELECT e.vec_id, e.v, c0.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, e.v)
+        |               - 2 * list_dot_product(e.v, c0.c)
+        |               + list_dot_product(c0.c, c0.c), c0.cid) AS rn
+        |         FROM e CROSS JOIN c0)
+        |       WHERE rn = 1),
+        |m1 AS (SELECT cid, pos, round(avg(x), 6) AS m FROM (
+        |         SELECT cid, unnest(v) AS x,
+        |           unnest(range(1, len(v) + 1)) AS pos
+        |         FROM a1)
+        |       GROUP BY cid, pos),
+        |c1 AS (SELECT c0.cid, coalesce(l.c, c0.c) AS c
+        |       FROM c0 LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c
+        |                          FROM m1 GROUP BY cid) l USING (cid)),
+        |a2 AS (SELECT vec_id, v, cid FROM (
+        |         SELECT e.vec_id, e.v, c1.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, e.v)
+        |               - 2 * list_dot_product(e.v, c1.c)
+        |               + list_dot_product(c1.c, c1.c), c1.cid) AS rn
+        |         FROM e CROSS JOIN c1)
+        |       WHERE rn = 1),
+        |m2 AS (SELECT cid, pos, round(avg(x), 6) AS m FROM (
+        |         SELECT cid, unnest(v) AS x,
+        |           unnest(range(1, len(v) + 1)) AS pos
+        |         FROM a2)
+        |       GROUP BY cid, pos),
+        |c2 AS (SELECT c1.cid, coalesce(l.c, c1.c) AS c
+        |       FROM c1 LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c
+        |                          FROM m2 GROUP BY cid) l USING (cid)),
+        |a3 AS (SELECT vec_id, v, cid FROM (
+        |         SELECT e.vec_id, e.v, c2.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, e.v)
+        |               - 2 * list_dot_product(e.v, c2.c)
+        |               + list_dot_product(c2.c, c2.c), c2.cid) AS rn
+        |         FROM e CROSS JOIN c2)
+        |       WHERE rn = 1),
+        |m3 AS (SELECT cid, pos, round(avg(x), 6) AS m FROM (
+        |         SELECT cid, unnest(v) AS x,
+        |           unnest(range(1, len(v) + 1)) AS pos
+        |         FROM a3)
+        |       GROUP BY cid, pos),
+        |c3 AS (SELECT c2.cid, coalesce(l.c, c2.c) AS c
+        |       FROM c2 LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c
+        |                          FROM m3 GROUP BY cid) l USING (cid)),
+        |af AS (SELECT vec_id, cid FROM (
+        |         SELECT e.vec_id, c3.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, e.v)
+        |               - 2 * list_dot_product(e.v, c3.c)
+        |               + list_dot_product(c3.c, c3.c), c3.cid) AS rn
+        |         FROM e CROSS JOIN c3)
+        |       WHERE rn = 1),
+        |pr AS (SELECT cid FROM (
+        |         SELECT c3.cid,
+        |           round(list_dot_product(c3.c, q.qv) /
+        |             (sqrt(list_dot_product(c3.c, c3.c)) *
+        |              sqrt(list_dot_product(q.qv, q.qv))), 6) AS pc
+        |         FROM c3 CROSS JOIN q)
+        |       ORDER BY pc DESC, cid LIMIT 8)
+        |SELECT vec_id, cosine FROM (
+        |  SELECT e.vec_id,
+        |    round(list_dot_product(e.v, q.qv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) *
+        |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+        |  FROM e CROSS JOIN q JOIN af ON e.vec_id = af.vec_id
+        |  WHERE af.cid IN (SELECT cid FROM pr) AND e.vec_id <> 0)
+        |ORDER BY cosine DESC, vec_id
+        |LIMIT 20""".stripMargin,
     "q121_part_supplier_counts" ->
       """SELECT p_brand, p_type, p_size,
         |  count(DISTINCT l_suppkey) AS supplier_cnt

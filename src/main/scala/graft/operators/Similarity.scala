@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -350,8 +348,12 @@ object Similarity {
       } else false
   }
 
-  /** IVF index: k-means cell id per vector (seeded, deterministic),
-    * memoized per (session, corpus).
+  /** IVF index: cell id per vector from the DETERMINISTIC Lloyd fit
+    * ([[lloydFit]] — first-k init, 6 dp iterate rounding, (dist, cid)
+    * argmin tie-break), memoized per (session, corpus). r08 swapped
+    * MLlib KMeans (seeded but engine-internal state) for the q120
+    * trajectory discipline so the cell assignment — and therefore the
+    * whole q28 probe pipeline — replays in SQL.
     */
   def ivfAssignments(spark: SparkSession, sfDir: String,
       numCells: Int = 16): (DataFrame, Array[Seq[Double]]) =
@@ -360,14 +362,13 @@ object Similarity {
       val hit = ivfCache.get(key)
       if (hit != null) hit
       else {
-        val e = embeddingsAsDouble(spark, sfDir)
-          .withColumn("features", array_to_vector(col("v")))
-        val model = new KMeans().setK(numCells).setSeed(42L)
-          .setFeaturesCol("features").fit(e)
-        val assigned = model.transform(e)
-          .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+        val e = embeddingsAsDouble(spark, sfDir).select("vec_id", "v")
+        val centroids = lloydFit(e, numCells, iters = 3)
+        val assigned = e
+          .withColumn("cell", lloydAssignment(centroids))
           .persist()
-        val built = (assigned, model.clusterCenters.map(_.toArray.toSeq))
+        val built =
+          (assigned, centroids.sortBy(_._1).map(_._2).toArray)
         ivfCache.put(key, built)
         built
       }
@@ -376,19 +377,23 @@ object Similarity {
   /** ANN top-k via IVF: rank cells by centroid cosine to the query,
     * probe the nProbe best, exact cosine only within probed cells.
     * Scans nProbe/numCells of the corpus; recall is property-tested
-    * against [[cosineTopK]].
+    * against [[cosineTopK]]. Probe ranking goes through Spark SQL's
+    * `round(…, 6)` with a cell-id tie-break — a 1-row-per-cell local
+    * job, so the ranking (not just the verified output) replays in
+    * the oracle.
     */
   def ivfTopK(spark: SparkSession, sfDir: String, vecId: Long = 0L,
       k: Int = 20, numCells: Int = 16, nProbe: Int = 8): DataFrame = {
     val q = queryVector(spark, sfDir, vecId)
     val (assigned, centers) = ivfAssignments(spark, sfDir, numCells)
-    def cos(c: Seq[Double]): Double = {
-      val dot = c.zip(q).map { case (x, y) => x * y }.sum
-      val n = math.sqrt(c.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum)
-      if (n == 0) 0.0 else dot / n
-    }
-    val probed = centers.zipWithIndex
-      .sortBy { case (c, _) => -cos(c) }.take(nProbe).map(_._2).toSeq
+    val centDf = spark.createDataFrame(
+      centers.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "c")
+    val probed = centDf
+      .select(col("cell"),
+        round(cosine(col("c"), typedlit(q)), 6).as("pc"))
+      .orderBy(desc("pc"), asc("cell")).limit(nProbe)
+      .collect().map(_.getInt(0)).toSeq
     assigned
       .filter(col("cell").isin(probed: _*) && col("vec_id") =!= vecId)
       .select(col("vec_id"),
@@ -503,29 +508,41 @@ object Similarity {
     * Empty clusters keep their previous centroid (mirrored by the
     * oracle's LEFT JOIN + coalesce).
     */
-  def lloydClusters(spark: SparkSession, sfDir: String,
-      k: Int = 8, iters: Int = 3): DataFrame = {
-    val e = embeddingsAsDouble(spark, sfDir).select("vec_id", "v")
-    // every rounding happens in Spark SQL's own `round` (the one the
-    // oracles are calibrated against), never driver-side arithmetic
+  /** The (dist, cid)-tie-broken squared-L2 argmin over literal
+    * centroids — the assignment expression the q120/q28 oracles
+    * replay as `row_number() OVER (ORDER BY dist, cid)`. Shared by
+    * [[lloydClusters]] and the IVF index ([[ivfAssignments]]) so one
+    * trajectory discipline covers both.
+    */
+  private def lloydAssignment(cents: Seq[(Int, Seq[Double])]): Column = {
+    val scored = cents.map { case (cid, c) =>
+      val cl = typedlit(c)
+      val selfDot = c.foldLeft(0.0)((a, x) => a + x * x)
+      struct(
+        (dot_product(col("v"), col("v")) -
+          lit(2.0) * dot_product(col("v"), cl) + lit(selfDot)).as("d"),
+        lit(cid).as("cid"))
+    }
+    array_min(array(scored: _*)).getField("cid")
+  }
+
+  /** Deterministic Lloyd fit: init = the first k vectors by vec_id,
+    * `iters` assign+mean rounds, empty clusters keep their previous
+    * centroid. Every centroid value is rounded to 6 dp through Spark
+    * SQL's own `round` (the function the oracles are calibrated
+    * against), so any engine walks one trajectory — the discipline
+    * that lets both q120 and the q28 IVF index carry full
+    * hash-checked oracles.
+    */
+  private[operators] def lloydFit(e: DataFrame, k: Int,
+      iters: Int): Seq[(Int, Seq[Double])] = {
     var centroids: Seq[(Int, Seq[Double])] =
       e.filter(col("vec_id") < k).orderBy("vec_id")
         .select(col("vec_id"), expr("transform(v, x -> round(x, 6))"))
         .collect().toSeq
         .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
-    def assignment(cents: Seq[(Int, Seq[Double])]): Column = {
-      val scored = cents.map { case (cid, c) =>
-        val cl = typedlit(c)
-        val selfDot = c.foldLeft(0.0)((a, x) => a + x * x)
-        struct(
-          (dot_product(col("v"), col("v")) -
-            lit(2.0) * dot_product(col("v"), cl) + lit(selfDot)).as("d"),
-          lit(cid).as("cid"))
-      }
-      array_min(array(scored: _*)).getField("cid")
-    }
     for (_ <- 1 to iters) {
-      val means = e.withColumn("cluster", assignment(centroids))
+      val means = e.withColumn("cluster", lloydAssignment(centroids))
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos").agg(round(avg("x"), 6).as("m"))
         .collect()
@@ -536,11 +553,18 @@ object Similarity {
         (cid, means.getOrElse(cid, prev))
       }
     }
+    centroids
+  }
+
+  def lloydClusters(spark: SparkSession, sfDir: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = embeddingsAsDouble(spark, sfDir).select("vec_id", "v")
+    val centroids = lloydFit(e, k, iters)
     val norms = centroids.map { case (cid, c) =>
       (cid, math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
     }
     val normDf = spark.createDataFrame(norms).toDF("cluster_id", "nrm")
-    e.withColumn("cluster_id", assignment(centroids))
+    e.withColumn("cluster_id", lloydAssignment(centroids))
       .groupBy("cluster_id").agg(count(lit(1)).as("n_vecs"))
       .join(broadcast(normDf), "cluster_id")
       .select(col("cluster_id"), col("n_vecs"),

@@ -207,7 +207,11 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.map(_._2).filter(_ >= 0)
     val total = ok.sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"queries_raw":$qsRaw,"sf":"$sfDir"}""")
+    // raw total alongside the normalized one: round-over-round
+    // comparisons can be made on MEASURED values when desired — the
+    // normalized total is partly a control-model quantity
+    val totalRaw = rawResults.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","total_raw":${f(totalRaw)},"queries":$qs,"queries_raw":$qsRaw,"sf":"$sfDir"}""")
     // Human-readable recap AFTER the contract line: the driver stores
     // only the last ~2000 chars of output, and the full per-query line
     // above outgrew that window — this line keeps the headline numbers
@@ -296,12 +300,45 @@ object Bench {
     // gets cut by the driver's tail window it's this, not the summary
     if (controls.nonEmpty)
       println(s"BENCH_CONTROL_SERIES [${controls.map(f).mkString(",")}]")
-    println(s"""BENCH_SUMMARY {"total_sec":${f(total)},"n_queries":${ok.size},""" +
+    println(s"""BENCH_SUMMARY {"total_sec":${f(total)},""" +
+      s""""total_raw_sec":${f(totalRaw)},"n_queries":${ok.size},""" +
       s""""median_sec":${f(median)},"failed":${failed.size},""" +
       s""""extra_passes":$extra,"control":$cStats,""" +
       s""""moved_n":${movedAll.size},"moved_vs_prev":$moved,""" +
       s""""prev":${prevFile.map("\"" + _ + "\"").getOrElse("null")},""" +
       s""""slowest":$slowest,"sf":"$sfDir"}""")
+    // FULL artifact as a repo file: the driver's stdout tail keeps
+    // ~2000 chars, which truncates the 176-query map — this file
+    // carries every number so rounds can be diffed query-by-query.
+    // Round number = 1 + the highest committed BENCH_r*.json (the
+    // driver writes its own artifact only after this run). Skipped
+    // for dev subset runs — a 2-query file would shadow the real one.
+    if (only.isEmpty) {
+      val roundNum = {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val prevRounds = Option(new java.io.File(".").listFiles())
+          .toSeq.flatten.flatMap(fl => fl.getName match {
+            case rx(k) => Some(k.toInt); case _ => None
+          })
+        (prevRounds :+ 0).max + 1
+      }
+      val fullPath = f"BENCHFULL_r$roundNum%02d.json"
+      val fullJson =
+        s"""{"sf":"$sfDir","n_queries":${ok.size},""" +
+        s""""total_sec":${f(total)},"total_raw_sec":${f(totalRaw)},""" +
+        s""""median_sec":${f(median)},"failed":${failed.size},""" +
+        s""""extra_passes":$extra,"control":$cStats,""" +
+        s""""control_series":[${controls.map(f).mkString(",")}],""" +
+        s""""moved_n":${movedAll.size},"moved_vs_prev":$moved,""" +
+        s""""queries":$qs,"queries_raw":$qsRaw}"""
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(fullPath), fullJson + "\n")
+        System.err.println(s"[bench] full artifact -> $fullPath")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] full artifact write failed: $e")
+      }
+    }
     spark.stop()
   }
 }

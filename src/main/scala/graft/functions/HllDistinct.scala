@@ -125,6 +125,21 @@ case class HllUnion(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
 
+  // misuse fails at ANALYSIS (like kmv_ndv), not as an executor-side
+  // ClassCastException mid-job
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"hll_union requires binary (a serialized sketch), " +
+              s"got ${other.sql}")
+    }
+
   // the buffer starts EMPTY (precision unknown until the first input
   // sketch arrives); merge/update adopt the first non-empty registers
   override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray

@@ -221,6 +221,22 @@ case class KmvUnion(
   require(k > 1 && k <= 65536, "k in [2, 65536]")
   require(domain > 1, "domain must be positive")
 
+  // misuse fails at ANALYSIS (like kmv_ndv), not as an executor-side
+  // ClassCastException mid-job
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"kmv_union requires array<bigint> (a KMV bottom-k " +
+              s"state), got ${other.sql}")
+    }
+
   override def createAggregationBuffer(): mutable.TreeSet[Long] =
     mutable.TreeSet.empty
 

@@ -67,10 +67,13 @@ object Advisor {
     val broadcasts = collection.mutable.ArrayBuffer.empty[Finding]
     val loops = collection.mutable.ArrayBuffer.empty[Finding]
     val sorts = collection.mutable.ArrayBuffer.empty[Finding]
-    // summary candidates: source path -> (distinct aggregate-bearing
-    // queries scanning it, total scanTime ms for ranking ties)
+    // summary candidates: source path -> per-query WORST scanTime ms
+    // (a bench traces each query several times — repeats collapse to
+    // the max per (query, path) here, the same discipline top()
+    // applies, so the reported total is a sum over DISTINCT queries,
+    // not inflated by the repetition factor)
     val sumCand = collection.mutable.Map
-      .empty[String, (collection.mutable.Set[String], Long)]
+      .empty[String, collection.mutable.Map[String, Long]]
     lines.foreach { line =>
       val root =
         try mapper.readTree(line)
@@ -146,10 +149,9 @@ object Advisor {
           i += 1
         }
         if (lineHasAgg) linePaths.foreach { case (pth, t) =>
-          val (qs, tot) = sumCand.getOrElseUpdate(pth,
-            (collection.mutable.Set.empty[String], 0L))
-          qs += qname
-          sumCand(pth) = (qs, tot + t)
+          val qs = sumCand.getOrElseUpdate(pth,
+            collection.mutable.Map.empty[String, Long])
+          qs(qname) = math.max(qs.getOrElse(qname, 0L), t)
         }
       }
     }
@@ -164,11 +166,12 @@ object Advisor {
     // trace — rank by breadth (distinct aggregate-bearing queries),
     // then by total scan time
     val summaries = sumCand.toSeq.collect {
-      case (pth, (qs, t)) if qs.size >= 2 =>
+      case (pth, qs) if qs.size >= 2 =>
+        val t = qs.values.sum
         Finding(s"${qs.size} queries", s"Scan $pth",
           "aggregate-scanning queries", qs.size, "queries",
           "the same table feeds aggregates in " +
-            s"${qs.toSeq.sorted.take(4).mkString(", ")}" +
+            s"${qs.keys.toSeq.sorted.take(4).mkString(", ")}" +
             (if (qs.size > 4) ", …" else "") +
             s" (total scanTime ${t} ms): if they share a grouping " +
             "grain, register a materialized summary " +

@@ -88,7 +88,11 @@ object Summaries {
       kmvs: Map[String, String] = Map.empty,
       kmvSql: Seq[(String, String)] = Nil,
       kmvK: Int = 64,
-      kmvDomain: Long = 1000000007L)
+      kmvDomain: Long = 1000000007L,
+      // false while a PARTIAL build awaits its backfill: the summary
+      // is registered (refreshable, mergeable) but the rewrite must
+      // not route onto it — it does not yet reflect the full table
+      routable: Boolean = true)
 
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, Spec]()
@@ -96,7 +100,7 @@ object Summaries {
   private[plans] def isEmpty: Boolean = reg.isEmpty
 
   private[plans] def lookup(path: String): Option[Spec] =
-    Option(reg.get(path))
+    Option(reg.get(path)).filter(_.routable)
 
   /** Canonical path form both sides agree on. The scheme and
     * authority STAY in the key (a local /data/lineitem and an
@@ -111,12 +115,35 @@ object Summaries {
     s"$scheme://$auth${u.getPath}"
   }
 
-  private def singleSourcePath(raw: DataFrame): String = {
-    val rels = raw.queryExecution.analyzed.collect {
-      case lr: LogicalRelation => lr
+  /** The source plan must be a BARE scan: a LogicalRelation,
+    * optionally under attribute-only Projects / aliases. Anything
+    * else (a Filter, a derived projection, a join …) summarizes a
+    * SUBSET or transform of the table while registering under the
+    * full table's canonical path — after which whole-table aggregates
+    * would silently route onto it and return wrong results. Wrong
+    * answers beat saved scans, so this throws.
+    */
+  private def bareScan(plan: LogicalPlan,
+      allowFilter: Boolean): Option[LogicalRelation] =
+    plan match {
+      case lr: LogicalRelation => Some(lr)
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project
+          if p.projectList.forall(_.isInstanceOf[Attribute]) =>
+        bareScan(p.child, allowFilter)
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        bareScan(s.child, allowFilter)
+      case f: Filter if allowFilter => bareScan(f.child, allowFilter)
+      case _ => None
     }
+
+  private def singleSourcePath(raw: DataFrame,
+      allowFilter: Boolean = false): String = {
+    val analyzed = raw.queryExecution.analyzed
+    val rels = Seq(bareScan(analyzed, allowFilter)).flatten
     require(rels.length == 1,
-      s"summary source must be one file relation, got ${rels.length}")
+      "summary source must be a bare table scan (a filtered/derived " +
+        "frame would register a subset summary under the full " +
+        s"table's path): got ${analyzed.nodeName}")
     rels.head.relation match {
       case fs: HadoopFsRelation =>
         require(fs.location.rootPaths.length == 1,
@@ -216,8 +243,15 @@ object Summaries {
       hllPrecision: Int = graft.functions.HllSketch.DefaultPrecision,
       kmvs: Seq[(String, String)] = Nil,
       kmvK: Int = 64,
-      kmvDomain: Long = 1000000007L): Spec = {
-    val source = singleSourcePath(raw)
+      kmvDomain: Long = 1000000007L,
+      partial: Boolean = false): Spec = {
+    // `partial = true` is the PARTIAL-BUILD half of the incremental
+    // lifecycle: the source may be a Filter over the bare scan (e.g.
+    // the historical partition) and the summary registers UNROUTABLE
+    // — refresh() folds in the remaining batches and its `complete`
+    // flag flips routing on. Without the flag a filtered frame is an
+    // error: a subset summary must never shadow the full table.
+    val source = singleSourcePath(raw, allowFilter = partial)
     // one summary per source: silently evicting a DIFFERENT name
     // would leave its directory orphaned and its drop() a no-op
     Option(reg.get(source)).filter(_.name != name).foreach { o =>
@@ -243,7 +277,8 @@ object Summaries {
       hlls = hlls.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       hllSql = hlls, hllPrecision = hllPrecision,
       kmvs = kmvs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
-      kmvSql = kmvs, kmvK = kmvK, kmvDomain = kmvDomain))
+      kmvSql = kmvs, kmvK = kmvK, kmvDomain = kmvDomain,
+      routable = !partial))
   }
 
   /** Write a summary generation, read it back, and (re-)register. A
@@ -289,7 +324,8 @@ object Summaries {
     * generation-stable (a re-aggregated decimal widens, but its VALUE
     * is the full-rebuild value, which fit the original type).
     */
-  def refresh(name: String, batch: DataFrame): Spec = {
+  def refresh(name: String, batch: DataFrame,
+      complete: Boolean = true): Spec = {
     val spec = lookupByName(name).getOrElse(
       throw new IllegalArgumentException(s"no summary named $name"))
     val spark = batch.sparkSession
@@ -323,8 +359,26 @@ object Summaries {
     // While suspended, queries over the source run raw (correct,
     // just unrouted) — the standard MV-refresh window.
     reg.remove(spec.source)
-    try register(merged, spec.copy(gen = spec.gen + 1))
-    catch { case t: Throwable => reg.put(spec.source, spec); throw t }
+    try {
+      // `complete = true` (the default: this batch brings the summary
+      // up to the full source) flips a partial build routable; pass
+      // false while more backfill batches remain. Routability never
+      // regresses — folding additions into a complete summary keeps
+      // it complete.
+      val next = register(merged, spec.copy(gen = spec.gen + 1,
+        routable = spec.routable || complete))
+      // register()'s own old-generation cleanup keys off the spec it
+      // DISPLACES in the registry — which the suspend above removed —
+      // so the pre-refresh generation must be deleted here, and only
+      // now: the merge that read it has materialized into the new
+      // generation's parquet.
+      if (spec.summaryPath != null && spec.summaryPath != next.summaryPath) {
+        val p = new org.apache.hadoop.fs.Path(spec.summaryPath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+      next
+    } catch { case t: Throwable => reg.put(spec.source, spec); throw t }
   }
 
   /** Revoke the named summary (the rewrite stops matching instantly;

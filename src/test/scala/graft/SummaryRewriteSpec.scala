@@ -143,6 +143,76 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("refresh deletes the superseded generation directory " +
+      "(no per-refresh parquet leak)") {
+    val raw = Tables.load(spark, sf, "lineitem")
+    Summaries.create(raw, "spec_gen",
+      grain = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"))
+    try {
+      val batch = raw.filter(col("l_quantity") < 0) // empty fold
+      Summaries.refresh("spec_gen", batch)
+      Summaries.refresh("spec_gen", batch)
+      val dirs = Option(new java.io.File("spark-warehouse/graft_summaries")
+        .listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.startsWith("spec_gen__g"))
+      assert(dirs == Seq("spec_gen__g2"),
+        s"expected only generation 2, found $dirs")
+    } finally Summaries.drop("spec_gen")
+  }
+
+  test("filtered/derived source without partial=true is rejected " +
+      "(a subset summary must never shadow the full table)") {
+    val raw = Tables.load(spark, sf, "lineitem")
+    val e1 = intercept[IllegalArgumentException] {
+      Summaries.create(raw.filter(col("l_quantity") > 10), "spec_bad",
+        grain = Seq("l_returnflag"),
+        sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"))
+    }
+    assert(e1.getMessage.contains("bare table scan"))
+    // a derived projection is rejected even WITH partial (only row
+    // filtering is a legal partial-build shape)
+    val e2 = intercept[IllegalArgumentException] {
+      Summaries.create(
+        raw.select(col("l_returnflag"),
+          (col("l_quantity") * 2).as("l_quantity")), "spec_bad2",
+        grain = Seq("l_returnflag"),
+        sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"),
+        partial = true)
+    }
+    assert(e2.getMessage.contains("bare table scan"))
+  }
+
+  test("partial build stays unroutable until a completing refresh") {
+    val raw = Tables.load(spark, sf, "lineitem")
+    val cut = lit("2000-01-01").cast("timestamp")
+    Summaries.create(
+      raw.filter(col("l_shipdate") < cut), "spec_partial",
+      grain = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"),
+      partial = true)
+    try {
+      val q = () => raw.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n")).orderBy("l_returnflag")
+      // pre-backfill: the aggregate runs RAW (correct), never routed
+      assert(scanPaths(q()).forall(_.contains("lineitem")))
+      val rawAnswer = q().collect().toSeq
+      // an incomplete backfill batch keeps routing off
+      Summaries.refresh("spec_partial",
+        raw.filter(col("l_shipdate") >= cut &&
+          col("l_shipdate") < lit("2001-01-01").cast("timestamp")),
+        complete = false)
+      assert(scanPaths(q()).forall(_.contains("lineitem")))
+      // the completing batch flips routing on — and the routed answer
+      // equals the raw one
+      Summaries.refresh("spec_partial",
+        raw.filter(col("l_shipdate") >= lit("2001-01-01")
+          .cast("timestamp")))
+      assert(scanPaths(q()).exists(_.contains("spec_partial")))
+      assert(q().collect().toSeq == rawAnswer)
+    } finally Summaries.drop("spec_partial")
+  }
+
   test("incremental refresh folds a batch (reads batch + summary only) " +
       "and converges to the full-rebuild answer") {
     val raw = Tables.load(spark, sf, "lineitem")
@@ -153,7 +223,8 @@ class SummaryRewriteSpec extends SparkSpec {
       grain = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
       sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"),
       mins = Seq("min_price" -> "l_extendedprice"),
-      maxs = Seq("max_price" -> "l_extendedprice"))
+      maxs = Seq("max_price" -> "l_extendedprice"),
+      partial = true)
     try {
       // day-2: fold in the post-cut batch — O(batch + summary). The
       // batch DERIVES FROM THE SOURCE (the backfill shape), so this
@@ -193,7 +264,8 @@ class SummaryRewriteSpec extends SparkSpec {
       raw.filter(col("l_shipdate") < cut), "spec_hll",
       grain = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
       sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"),
-      hlls = Seq("hll_supp" -> "l_suppkey"))
+      hlls = Seq("hll_supp" -> "l_suppkey"),
+      partial = true)
     try {
       Summaries.refresh("spec_hll", raw.filter(col("l_shipdate") >= cut))
       val q = () => raw.groupBy("l_returnflag")
@@ -308,7 +380,8 @@ class SummaryRewriteSpec extends SparkSpec {
     Summaries.create(
       raw.filter(col("l_shipdate") < cut), "spec_stream",
       grain = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
-      sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"))
+      sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"),
+      partial = true)
     try {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, String, java.sql.Timestamp, Double, Double)]

@@ -31,28 +31,28 @@ import graft.sources.Tables
   *
   * TWO physical regimes, gated on the edge count:
   *
-  *  - BIG graphs run groupBy(min)+join DataFrame rounds under AQE —
-  *    per-key partial aggregation and skew-split joins are what
-  *    survive a hub node's neighborhood at 10⁹ edges (a hub is
-  *    exactly the skew-join case; proven against a union-find replica
-  *    on a synthetic-hub fixture in SkewFixtureSpec). Per-round
-  *    scheduling and planning latency is noise at that size, and no
-  *    session conf is touched — the loop composes with concurrent
-  *    queries.
+  *  - BIG graphs run the contraction over the raw pair RDD with every
+  *    per-key step hub-safe: node minima are `reduceByKey(min)`
+  *    (map-side combine collapses a 10⁸-degree hub to one partial per
+  *    task before the shuffle) and re-attachment is a co-partitioned
+  *    STREAMED hash join (the one-value-per-key mins side builds a
+  *    per-partition map, the edge side streams — no per-key
+  *    buffering anywhere; proven against a union-find replica on a
+  *    synthetic-hub fixture in SkewFixtureSpec). This replaced an
+  *    algebraically identical DataFrame/AQE spelling whose
+  *    Catalyst re-planning of the SAME round plan cost ~400 ms/round
+  *    — twice the actual compute on the q162 forced run (see
+  *    [[bigLoop]]). No session conf is touched — the loop composes
+  *    with concurrent queries.
   *  - SMALL graphs (edge list below `smallGraphEdgeBound` AND no hub
   *    past the degree probe — [[smallRegimeEligible]]) run the
-  *    IDENTICAL contraction algebra over the raw pair RDD — GraphX's
-  *    own substrate, and the one measured case here where the
-  *    DataFrame spelling loses: the round plan is Catalyst-invariant
-  *    across iterations, yet re-planning it inside every
-  *    `localCheckpoint` cost ~130 ms/round against ~150 ms of actual
-  *    execution (10 rounds ≈ 3 s for a 15k-node graph). The RDD round
-  *    is two groupByKey contractions plus a checksum fold — THREE
-  *    stages, zero planning, one action — and the per-group adjacency
-  *    sets it builds are bounded by the small-graph edge bound that
-  *    gates the regime (which is why this is NOT the 100 TB plan: a
-  *    10⁸-degree hub must flow through the big regime's partial
-  *    aggregates and AQE skew splits, never into one task's set).
+  *    IDENTICAL contraction algebra with per-group adjacency SETS
+  *    (groupByKey + local dedup): fewer shuffles per round (two, not
+  *    four) at the price of buffering each key's neighborhood in one
+  *    task — bounded by the edge bound and degree probe that gate the
+  *    regime (a 10⁸-degree hub must flow through the big regime's
+  *    partial aggregates and streamed joins, never into one task's
+  *    set).
   *
   * Node ids are cast to long on entry (every caller's ids already
   * are); `component` is therefore always a long column.
@@ -104,7 +104,7 @@ object ConnectedComponents {
       if (smallRegimeEligible(first, nEdges, smallGraphEdgeBound))
         smallLoop(spark, first,
           math.max(4L, nEdges / 100000L).toInt)
-      else bigLoop(first)
+      else bigLoop(first, nEdges)
 
     // fixed point: the star forest (node → component min); nodes with
     // no entry (component minima, isolated nodes) are their own
@@ -144,69 +144,123 @@ object ConnectedComponents {
   private[graft] val hubDegreeBound = 262144L
 
   /** The big-graph loop: one LARGE-STAR + SMALL-STAR double round per
-    * materialization, aggregate/join form — min-aggregates are
-    * map-side combinable, joins are key-equality shuffles AQE can
-    * skew-split on hub neighborhoods. Dup edges between the stars are
-    * tolerated (the min-aggregates and the final distinct absorb
-    * them). One action per round: the lazy localCheckpoint is
-    * populated BY the probe aggregate, and the checkpoint boundary
-    * keeps each round's plan linear (starRound references afterLarge
-    * twice, so composing rounds lazily would square the recompute per
-    * level).
+    * materialization, over the raw pair RDD with every per-key step
+    * HUB-SAFE:
+    *
+    *  - node minima via `reduceByKey(min)` — map-side combine reduces
+    *    a 10⁸-degree hub to one partial per task BEFORE the shuffle
+    *    (the partial-aggregation property the DataFrame spelling had);
+    *  - re-attachment via [[streamJoin]] — a co-partitioned STREAMED
+    *    hash join: the singleton side (one min per node, N/parts
+    *    entries) builds a per-partition map, the edge side streams
+    *    through it row by row. A hub's neighborhood never materializes
+    *    in memory (contrast `cogroup`/`groupByKey`, which buffer a
+    *    key's values — the exact shape that confines [[smallLoop]] to
+    *    bounded graphs).
+    *
+    * This replaced an equivalent DataFrame/AQE spelling: the round
+    * plan is structurally identical every iteration, yet Catalyst
+    * re-planned it inside every localCheckpoint at ~400 ms/round of
+    * pure scheduling latency on a 60k-edge forced run (q162) —
+    * measured twice as large as the actual per-round compute. The RDD
+    * round is the same algebra with zero planning: four E-sized
+    * shuffles (two partitionBy, two combined reduceByKey) and a
+    * checksum fold riding the materializing action. Dup edges are
+    * tolerated throughout — the min-reduces absorb them (each input
+    * row yields exactly one v>u re-attachment, so multiplicity grows
+    * at most ADDITIVELY by #keys per round), and at the edge-set
+    * fixed point the output self-canonicalizes (the small-star left
+    * branch emits ONE row per node and the right branch empties), so
+    * the checksum repeats verbatim.
     */
-  private def bigLoop(first: DataFrame): DataFrame = {
-    def starRound(in: DataFrame): DataFrame = {
-      val bidir = in.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(in.select(col("b").as("u"), col("a").as("v")))
-      val mins = bidir.groupBy("u").agg(min("v").as("mv"))
-        .select(col("u"), least(col("u"), col("mv")).as("m"))
-      val afterLarge = bidir.join(mins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b"))
-      val smins = afterLarge.groupBy(col("a").as("u"))
-        .agg(min("b").as("m"))
-      smins
-        .select(col("u").as("a"), col("m").as("b"))
-        .unionAll(afterLarge.join(smins,
-            afterLarge("a") === smins("u"))
-          .filter(col("b") =!= col("m"))
-          .select(col("b").as("a"), col("m").as("b")))
-        .select(greatest(col("a"), col("b")).as("a"),
-          least(col("a"), col("b")).as("b"))
-        .filter(col("a") =!= col("b"))
-        .distinct()
+  private def bigLoop(first: DataFrame, nEdges: Long): DataFrame = {
+    val spark = first.sparkSession
+    // data-proportional parallelism, the job AQE did for the DataFrame
+    // spelling: ~1M oriented pairs (16 MB) per reduce partition. At
+    // 10⁹ edges that is ~1000-way; at the forced small-scale run it
+    // collapses to 4, keeping per-round task count (5 stages × parts)
+    // from dominating wall time the way a cores-wide default did.
+    val parts = math.max(4L, nEdges / 1000000L).toInt
+    val part = new org.apache.spark.HashPartitioner(parts)
+
+    /** Inner equi-join of an edge-sized left against a ONE-ROW-PER-KEY
+      * right, both hash-co-partitioned: build the per-partition map
+      * from the singleton side (bounded by nodes/parts), STREAM the
+      * big side. Every left key is guaranteed present on the right
+      * (the mins are reduced from the same rows), so this is exactly
+      * the DataFrame inner join, without cogroup's per-key buffering.
+      */
+    def streamJoin(big: RDD[(Long, Long)], singles: RDD[(Long, Long)])
+        : RDD[(Long, (Long, Long))] =
+      big.partitionBy(part).zipPartitions(singles,
+          preservesPartitioning = true) { (bi, si) =>
+        val m = new scala.collection.mutable.LongMap[Long]()
+        si.foreach { case (k, v) => m.update(k, v) }
+        bi.map { case (k, v) => (k, (v, m(k))) }
+      }
+
+    def starRound(in: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val bidir = in.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      // m(u) = min(Γ(u) ∪ {u}) — partitioned by part (reduceByKey)
+      val mins = bidir.reduceByKey(part, (x: Long, y: Long) => math.min(x, y))
+        .mapPartitions(_.map { case (u, mv) => (u, math.min(u, mv)) },
+          preservesPartitioning = true)
+      // LARGE-STAR: every strictly-larger neighbor re-attaches to m
+      val afterLarge = streamJoin(bidir, mins).flatMap {
+        case (u, (v, m)) =>
+          if (v > u && v != m) Iterator.single((v, m)) else Iterator.empty
+      }
+      // SMALL-STAR: the group min adopts the node and all its smaller
+      // partners (afterLarge rows all satisfy b < a, so orientation
+      // is already (big, small) in both branches)
+      val smins = afterLarge.reduceByKey(part, (x: Long, y: Long) => math.min(x, y))
+      val right = streamJoin(afterLarge, smins).flatMap {
+        case (_, (b, m)) =>
+          if (b != m) Iterator.single((b, m)) else Iterator.empty
+      }
+      smins.union(right)
     }
-    var cur = first
-    var prevSum: java.math.BigDecimal = null
+
+    var cur: RDD[(Long, Long)] = first.rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var prevPersisted: RDD[(Long, Long)] = null
+    var prevChk = 0L
     var prevCnt = -1L
     var converged = false
     var round = 0
     val maxRounds = 64 // ≫ log₂ of any conceivable node count
     while (!converged && round < maxRounds) {
+      val t0 = System.nanoTime()
       val stepped = starRound(cur)
-        .localCheckpoint(false) // lazy: the probe below materializes
+      stepped.localCheckpoint() // materialized by the probe below;
+      // truncates lineage so round-k task binaries stay O(1), not O(k)
       // order-independent fixed-point probe riding the materializing
-      // action (hash sum accumulates in decimal — a long would
-      // overflow ANSI)
-      val probe = stepped
-        .agg(count(lit(1)).as("cnt"),
-          coalesce(sum(xxhash64(col("a"), col("b"))
-            .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))
-            .as("chk"))
-        .head()
-      val cnt = probe.getLong(0)
-      val chk = probe.getDecimal(1)
-      converged = cnt == prevCnt && prevSum != null &&
-        chk.compareTo(prevSum) == 0
+      // action (count + wrap-around sum of pair hashes)
+      val (cnt, chk) = stepped.mapPartitions { it =>
+        var c = 0L
+        var s = 0L
+        it.foreach { case (a, b) => c += 1; s += mixPair(a, b) }
+        Iterator.single((c, s))
+      }.fold((0L, 0L)) { case ((c1, s1), (c2, s2)) => (c1 + c2, s1 + s2) }
+      converged = cnt == prevCnt && chk == prevChk
       prevCnt = cnt
-      prevSum = chk
+      prevChk = chk
+      if (prevPersisted != null) prevPersisted.unpersist(false)
+      prevPersisted = stepped
       cur = stepped
       round += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] round $round%d cnt=$cnt%d ${(System.nanoTime()-t0)/1e6}%.0f ms")
     }
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxRounds rounds")
-    cur
+    import spark.implicits._
+    val forest = spark.createDataset(
+      cur.reduceByKey((x: Long, y: Long) => math.min(x, y), parts))
+      .toDF("a", "b")
+      .localCheckpoint(true) // edge-sized; frees the loop's RDD cache
+    if (prevPersisted != null) prevPersisted.unpersist(false)
+    forest
   }
 
   /** The small-graph loop: the identical double round over the raw

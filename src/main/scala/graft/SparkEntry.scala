@@ -558,7 +558,12 @@ object SparkEntry {
     // vocabulary growth curve per ingest batch: per-term first-day min
     // + sharded prefix-sum cumulative (no single-partition window)
     "q176_vocab_growth" -> ((s: SparkSession, d: String) =>
-      operators.TextQueries.vocabGrowth(s, d))
+      operators.TextQueries.vocabGrowth(s, d)),
+    // JOIN-aware MV routing: the lineitem⋈orders aggregate is
+    // transparently rewritten onto a (priority, flag)-grain summary of
+    // the JOIN — the routed plan has no join and reads neither raw
+    // table; the oracle computes from them, proving the rewrite
+    "q177_summary_join" -> (operators.OlapQueries.summaryJoinPriority _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3559,6 +3564,21 @@ object SparkEntry {
         |  CAST(sum(new_terms) OVER (ORDER BY day) AS BIGINT) AS cum_vocab
         |FROM p
         |ORDER BY day""".stripMargin,
+    // the raw-table spelling of the join-routed aggregate: DuckDB
+    // joins lineitem⋈orders and aggregates from scratch; the engine
+    // answers from the joined summary — hash equality proves the
+    // join-aware rewrite value-exact
+    "q177_summary_join" ->
+      """SELECT o_orderpriority, l_returnflag,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |    AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+        |    4) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag <> 'N'
+        |GROUP BY o_orderpriority, l_returnflag
+        |ORDER BY o_orderpriority, l_returnflag""".stripMargin,
     // q60's brute force over the WHOLE corpus, verbatim: the
     // multi-day union finds each qualifying pair exactly once, on the
     // day its later-arriving endpoint lands

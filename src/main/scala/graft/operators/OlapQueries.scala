@@ -1835,6 +1835,60 @@ object OlapQueries {
         .orderBy("l_returnflag")
     }
 
+  /** q177: a fact⋈dim aggregate answered from a JOINED materialized
+    * summary — the BigQuery-MV shape the single-table router can't
+    * express. A (o_orderpriority, l_returnflag)-grain pre-aggregate of
+    * lineitem ⋈ orders is built and registered
+    * ([[graft.plans.Summaries.createJoined]]); the report query then
+    * spells the SAME join + a grain filter + the grain group-by, and
+    * [[graft.plans.SummaryRewrite]] routes it onto the summary — the
+    * routed plan performs NO join and reads none of the raw tables
+    * (scan-path-asserted in SummaryRewriteSpec). The oracle computes
+    * the identical SQL from the RAW tables in DuckDB, so the hash-PASS
+    * proves join-aware rewrite correctness end to end. At 100 TB this
+    * is the strongest MV lever in the library: the rewrite deletes the
+    * fact-table scan AND the fact-side join shuffle, the two dominant
+    * costs of every fact⋈dim dashboard aggregate.
+    */
+  def summaryJoinPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    graft.plans.Summaries.createJoined(
+      li.join(ord, li("l_orderkey") === ord("o_orderkey")),
+      "li_orders_priority",
+      grain = Seq("o_orderpriority", "l_returnflag"),
+      sums = Seq(
+        "sum_qty" -> "cast(l_quantity as decimal(18,2))",
+        "sum_price" -> "cast(l_extendedprice as decimal(18,2))"))
+    try {
+      val out = summaryJoinPriorityQuery(spark, sfDir)
+      val rows = out.collect().toSeq // report-sized
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally graft.plans.Summaries.drop("li_orders_priority")
+  }
+
+  /** The lazy join-aggregate q177 routes — separate so the spec can
+    * assert the optimized plan scans only the summary while the
+    * registration is live.
+    */
+  private[graft] def summaryJoinPriorityQuery(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .join(Tables.load(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_returnflag") =!= lit("N"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(expr(
+          "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
+          .as("sum_qty"),
+        round(expr(
+          "cast(sum(cast(l_extendedprice as decimal(18,2))) as double)"), 4)
+          .as("sum_price"))
+      .orderBy("o_orderpriority", "l_returnflag")
+
   /** The lazy aggregate the router rewrites — separate so PlanSpec can
     * inspect the optimized plan (summary scan, not lineitem) while the
     * registration is live.

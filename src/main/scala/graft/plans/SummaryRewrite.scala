@@ -281,6 +281,107 @@ object Summaries {
       routable = !partial))
   }
 
+  /** The composite registry key of a JOIN summary: both canonical
+    * paths plus the oriented equi-key pairs. Everything that makes two
+    * joins interchangeable is in the key — a query routes only when
+    * it joins the SAME two tables on the SAME columns.
+    */
+  private[plans] def joinSourceKey(left: String, right: String,
+      pairs: Seq[(String, String)]): String =
+    s"$left⋈$right?" +
+      pairs.map { case (a, b) => s"$a=$b" }.sorted.mkString("&")
+
+  private[plans] def lookupJoin(left: String, right: String,
+      pairs: Seq[(String, String)]): Option[Spec] =
+    Option(reg.get(joinSourceKey(left, right, pairs)))
+      .orElse(Option(reg.get(
+        joinSourceKey(right, left, pairs.map(_.swap)))))
+      .filter(_.routable)
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case x => Seq(x)
+  }
+
+  /** Register a summary over a FACT ⋈ DIM join (the BigQuery MV shape
+    * the single-table [[create]] can't express): `raw` must be an
+    * INNER equi-join of two bare single-path scans — the same
+    * wrong-answer discipline as [[create]]'s bare-scan rule, join
+    * edition: a filtered side or an outer join would summarize rows a
+    * later query's identical-looking join doesn't produce (or drop its
+    * null-extensions), so anything but the exact shape throws.
+    *
+    * Routing: [[SummaryRewrite]] rewrites a qualifying aggregate whose
+    * child joins the SAME two tables on the SAME key columns (either
+    * order) — the join itself is pre-computed in the summary, so at
+    * 100 TB the rewrite saves the fact-side shuffle AND scan, the two
+    * costs that dominate every fact⋈dim dashboard aggregate. Grain
+    * and measure columns may come from either side (names must be
+    * unambiguous across the join — Spark itself rejects ambiguous
+    * references at build time). Self-joins are out of scope (the
+    * name-based grain mapping cannot tell the two sides apart).
+    */
+  def createJoined(raw: DataFrame, name: String, grain: Seq[String],
+      sums: Seq[(String, String)],
+      mins: Seq[(String, String)] = Nil,
+      maxs: Seq[(String, String)] = Nil): Spec = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Project, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project if pr.projectList.forall(_.isInstanceOf[Attribute]) =>
+        unwrap(pr.child)
+      case s: SubqueryAlias => unwrap(s.child)
+      case other => other
+    }
+    val j = unwrap(raw.queryExecution.analyzed) match {
+      case j: Join if j.joinType == Inner && j.condition.isDefined => j
+      case other => throw new IllegalArgumentException(
+        "joined summary source must be an INNER equi-join of two bare " +
+          s"scans, got ${other.nodeName}")
+    }
+    def scanOf(side: LogicalPlan, which: String): LogicalRelation =
+      bareScan(side, allowFilter = false).getOrElse(
+        throw new IllegalArgumentException(
+          s"$which side of a joined summary must be a bare table scan " +
+            "(a filtered/derived side would register a subset summary): " +
+            s"got ${side.nodeName}"))
+    val leftLr = scanOf(j.left, "left")
+    val rightLr = scanOf(j.right, "right")
+    val leftPath = pathOf(leftLr).getOrElse(throw new IllegalArgumentException(
+      "left side must be a single-path file scan"))
+    val rightPath = pathOf(rightLr).getOrElse(throw new IllegalArgumentException(
+      "right side must be a single-path file scan"))
+    require(leftPath != rightPath,
+      "joined summaries over self-joins are not supported")
+    val pairs = conjuncts(j.condition.get).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if leftLr.outputSet.contains(a) && rightLr.outputSet.contains(b) =>
+        (a.name, b.name)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if leftLr.outputSet.contains(b) && rightLr.outputSet.contains(a) =>
+        (b.name, a.name)
+      case other => throw new IllegalArgumentException(
+        "joined summary condition must be a conjunction of cross-side " +
+          s"column equalities, got $other")
+    }
+    val source = joinSourceKey(leftPath, rightPath, pairs)
+    Option(reg.get(source)).filter(_.name != name).foreach { o =>
+      throw new IllegalArgumentException(
+        s"source $source already has summary '${o.name}' — drop it first")
+    }
+    val aggCols = (sums.map { case (n, s) => sum(expr(s)).as(n) } ++
+      mins.map { case (n, s) => min(expr(s)).as(n) } ++
+      maxs.map { case (n, s) => max(expr(s)).as(n) })
+    val out = raw.groupBy(grain.map(col): _*)
+      .agg(count(lit(1)).as(CntCol), aggCols: _*)
+    register(out, Spec(name, source, "", grain, CntCol,
+      sums = sums.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      mins = mins.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      maxs = maxs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      relation = null,
+      sumSql = sums, minSql = mins, maxSql = maxs, gen = 0))
+  }
+
   /** Write a summary generation, read it back, and (re-)register. A
     * generation gets its own directory (`<name>__g<k>`) so a refresh
     * never overwrites the files the merge is reading; the previous
@@ -410,59 +511,124 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case agg: Aggregate => rewrite(agg).getOrElse(agg)
     }
 
+  /** One bare side of a candidate join: its canonical path, its scan,
+    * and any filters the optimizer already pushed below the join
+    * (hoisted back above it — filter-then-join ≡ join-then-filter for
+    * INNER, so they re-enter the grain gate like top-level filters).
+    * Side projects must be attribute-only (column pruning's shape);
+    * an aliased side is a derived table — no route.
+    */
+  private def joinSide(p: LogicalPlan)
+      : Option[(String, LogicalRelation, Seq[Expression])] = p match {
+    case PhysicalOperation(projects, filters, lr: LogicalRelation)
+        if projects.forall(_.isInstanceOf[AttributeReference]) =>
+      Summaries.pathOf(lr).map(path => (path, lr, filters))
+    case _ => None
+  }
+
+  private def equiPairs(cond: Expression, left: LogicalRelation,
+      right: LogicalRelation): Option[Seq[(String, String)]] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => split(a) ++ split(b)
+      case x => Seq(x)
+    }
+    val pairs = split(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if left.outputSet.contains(a) && right.outputSet.contains(b) =>
+        Some((a.name, b.name))
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if left.outputSet.contains(b) && right.outputSet.contains(a) =>
+        Some((b.name, a.name))
+      case _ => None
+    }
+    if (pairs.forall(_.isDefined)) Some(pairs.flatten) else None
+  }
+
   private def rewrite(agg: Aggregate): Option[Aggregate] = agg.child match {
-    case PhysicalOperation(projects, filters0, lr: LogicalRelation) =>
-      for {
-        // the registry lookup comes FIRST: this rule runs on every
-        // Aggregate of every query in the optimizer's fixed point
-        // whenever any summary is registered, and the expression
-        // surgery below is pure waste for the unregistered ones
-        path <- Summaries.pathOf(lr)
-        spec <- Summaries.lookup(path)
+    case PhysicalOperation(projects, filters0, child) =>
+      // the registry lookup comes FIRST: this rule runs on every
+      // Aggregate of every query in the optimizer's fixed point
+      // whenever any summary is registered, and the expression
+      // surgery below is pure waste for the unregistered ones
+      val matched: Option[(Summaries.Spec, Seq[Attribute], Seq[Expression],
+          Set[String])] =
+        child match {
+          case lr: LogicalRelation =>
+            for {
+              path <- Summaries.pathOf(lr)
+              spec <- Summaries.lookup(path)
+            } yield (spec, lr.output, Nil, Set.empty[String])
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+              if j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+                j.condition.isDefined =>
+            for {
+              (lp, lrL, fL) <- joinSide(j.left)
+              (rp, lrR, fR) <- joinSide(j.right)
+              pairs <- equiPairs(j.condition.get, lrL, lrR)
+              spec <- Summaries.lookupJoin(lp, rp, pairs)
+            } yield (spec, lrL.output ++ lrR.output, fL ++ fR,
+              pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+          case _ => None
+        }
+      matched.flatMap { case (spec, rawOut, sideFilters, joinKeyNames) =>
+        // IS NOT NULL on a join KEY is implied by the registered inner
+        // equi-join (every summary row came from a matched, hence
+        // non-null, key) — constraint inference manufactures these on
+        // both sides of every inner join, and they'd otherwise fail
+        // the grain gate below. Dropping them over the summary is a
+        // no-op by construction; any OTHER key predicate still
+        // disqualifies.
+        val impliedByJoin: Expression => Boolean = {
+          case IsNotNull(ar: AttributeReference) =>
+            joinKeyNames.contains(ar.name)
+          case _ => false
+        }
         // inline projection aliases (PhysicalOperation returns them
         // already expressed over the relation), so a derived grouping
         // key — groupBy(date_trunc('month', day).as("mo")) puts an
         // Alias in a Project below the Aggregate — participates like
         // any expression over grain columns
-        aliasMap = projects.collect {
+        val aliasMap = projects.collect {
           case a: Alias => a.exprId -> a.child
         }.toMap
-        inline = (e: Expression) => e.transformUp {
+        val inline = (e: Expression) => e.transformUp {
           case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
             aliasMap(ar.exprId)
         }
-        filters = filters0.map(inline)
-        groupings = agg.groupingExpressions.map(inline)
-        aggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+        val filters = (filters0 ++ sideFilters)
+          .filterNot(impliedByJoin).map(inline)
+        val groupings = agg.groupingExpressions.map(inline)
+        val aggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
           case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
             Alias(aliasMap(ar.exprId), ar.name)(ar.exprId, ar.qualifier)
           case al: Alias =>
             Alias(inline(al.child), al.name)(al.exprId, al.qualifier)
           case other => other
         }
-        grainNames = spec.grain.toSet
+        val grainNames = spec.grain.toSet
         // everything the query consumes OUTSIDE aggregate functions
-        // must be grain: grouping keys, filter columns
-        if (filters ++ groupings)
-          .flatMap(_.references).forall(a => grainNames.contains(a.name))
-        // a non-deterministic term (rand() sampling, monotonic ids)
-        // has no column references, so the grain guard can't see it —
-        // but over the summary it would act per GRAIN ROW, not per raw
-        // row: semantics change, so the aggregate stays raw
-        if (filters ++ groupings ++ aggExprs).forall(_.deterministic)
-        rewritten <- rewriteOnto(groupings, aggExprs, filters, lr, spec)
-      } yield rewritten
+        // must be grain: grouping keys, filter columns. A
+        // non-deterministic term (rand() sampling, monotonic ids) has
+        // no column references, so the grain guard can't see it — but
+        // over the summary it would act per GRAIN ROW, not per raw
+        // row: semantics change, so the aggregate stays raw.
+        if ((filters ++ groupings)
+              .flatMap(_.references).forall(a => grainNames.contains(a.name)) &&
+            (filters ++ groupings ++ aggExprs).forall(_.deterministic))
+          rewriteOnto(groupings, aggExprs, filters, rawOut, spec)
+        else None
+      }
     case _ => None
   }
 
   private def rewriteOnto(groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression], filters: Seq[Expression],
-      lr: LogicalRelation, spec: Summaries.Spec): Option[Aggregate] = {
+      rawOut: Seq[Attribute], spec: Summaries.Spec): Option[Aggregate] = {
     // fresh attr instances per rewrite site — two rewrites must never
     // share exprIds
     val rel = spec.relation.newInstance()
     val byName = rel.output.map(a => a.name -> a).toMap
-    val grainByExprId: Map[ExprId, Attribute] = lr.output
+    val grainByExprId: Map[ExprId, Attribute] = rawOut
       .filter(a => spec.grain.contains(a.name))
       .flatMap(a => byName.get(a.name).map(a.exprId -> _)).toMap
     val sumOut = AttributeSet(rel.output)

@@ -422,4 +422,156 @@ class SummaryRewriteSpec extends SparkSpec {
     // after the finally-drop: raw again
     assert(scanPaths(probe()).exists(_.contains("lineitem")))
   }
+
+  private def joinRegistered[A](body: => A): A = {
+    val li = Tables.load(spark, sf, "lineitem")
+    val ord = Tables.load(spark, sf, "orders")
+    Summaries.createJoined(
+      li.join(ord, li("l_orderkey") === ord("o_orderkey")),
+      "spec_join",
+      grain = Seq("o_orderpriority", "l_returnflag"),
+      sums = Seq(
+        "sum_qty" -> "cast(l_quantity as decimal(18,2))",
+        "sum_price" -> "cast(l_extendedprice as decimal(18,2))"))
+    try body finally Summaries.drop("spec_join")
+  }
+
+  test("q177: the join-aggregate routes onto the joined summary") {
+    val q = () => OlapQueries.summaryJoinPriorityQuery(spark, sf)
+    val raw = q().collect().toSeq
+    joinRegistered {
+      val paths = scanPaths(q())
+      assert(paths.nonEmpty && paths.forall(_.contains("graft_summaries")),
+        s"expected only summary scans, got $paths")
+      assert(q().collect().toSeq == raw)
+      // the flipped spelling (orders ⋈ lineitem) routes too
+      val flipped = Tables.load(spark, sf, "orders")
+        .join(Tables.load(spark, sf, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      assert(scanPaths(flipped).forall(_.contains("graft_summaries")))
+      val rawFlipped = withoutRouting {
+        Tables.load(spark, sf, "orders")
+          .join(Tables.load(spark, sf, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n")).collect().toSeq
+      }
+      assert(flipped.collect().toSeq.toSet == rawFlipped.toSet)
+    }
+  }
+
+  test("joined summary: non-matching joins and aggregates stay raw") {
+    joinRegistered {
+      // a DIFFERENT join key must not route
+      val wrongKey = Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "orders"),
+          col("l_partkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      assert(scanPaths(wrongKey).exists(_.contains("lineitem")))
+      // an OUTER join must not route (null-extended rows aren't in
+      // the summary)
+      val outer = Tables.load(spark, sf, "orders")
+        .join(Tables.load(spark, sf, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      assert(scanPaths(outer).exists(_.contains("lineitem")))
+      // a non-grain grouping column must not route
+      val nonGrain = Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+      assert(scanPaths(nonGrain).exists(_.contains("lineitem")))
+    }
+  }
+
+  test("createJoined rejects unsound sources") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val ord = Tables.load(spark, sf, "orders")
+    // filtered side: a subset summary must never shadow the join
+    intercept[IllegalArgumentException] {
+      Summaries.createJoined(
+        li.filter(col("l_quantity") > 10)
+          .join(ord, col("l_orderkey") === col("o_orderkey")),
+        "spec_bad_join", grain = Seq("l_returnflag"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"))
+    }
+    // outer join source
+    intercept[IllegalArgumentException] {
+      Summaries.createJoined(
+        li.join(ord, col("l_orderkey") === col("o_orderkey"), "left"),
+        "spec_bad_join", grain = Seq("l_returnflag"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"))
+    }
+    // non-equi condition
+    intercept[IllegalArgumentException] {
+      Summaries.createJoined(
+        li.join(ord, col("l_orderkey") <= col("o_orderkey")),
+        "spec_bad_join", grain = Seq("l_returnflag"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"))
+    }
+  }
+
+  test("advisor finding → Summaries.create → the flagged queries route") {
+    // the full profile→advice→action loop in one place: trace a
+    // two-query aggregate workload, let the Advisor name the summary
+    // candidate, act on its lever verbatim, and watch both queries
+    // route onto the materialized summary with unchanged answers
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.plans.{Advisor, TraceCapture}
+    val dir = Files.createTempDirectory("graft-advice-e2e")
+    val trace = dir.resolve("t.jsonl").toString
+    val listener = TraceCapture.install(spark, trace)
+    def waitForLines(n: Int): Seq[String] = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var lines = Seq.empty[String]
+      while (lines.size < n && System.nanoTime() < deadline) {
+        if (Files.exists(Paths.get(trace)))
+          lines = Files.readAllLines(Paths.get(trace)).asScala.toSeq
+        if (lines.size < n) Thread.sleep(50)
+      }
+      assert(lines.size >= n, s"trace stalled at ${lines.size}/$n lines")
+      lines
+    }
+    val qQty = () => Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+    val qCnt = () => Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus").count()
+    try {
+      // label→run→await sequentially: the listener bus is async, so
+      // relabeling before the previous event drains would mislabel it
+      TraceCapture.setLabel("qty_by_flag")
+      qQty().write.format("noop").mode("overwrite").save()
+      waitForLines(1)
+      TraceCapture.setLabel("cnt_by_flag_status")
+      qCnt().write.format("noop").mode("overwrite").save()
+      val lines = waitForLines(2)
+      val cand = Advisor.advise(lines.iterator)
+        .find(_.signal == "aggregate-scanning queries")
+        .getOrElse(fail("no summary-candidate finding over the workload"))
+      assert(cand.op.contains("lineitem"), cand.toString)
+      assert(cand.lever.contains("qty_by_flag") &&
+        cand.lever.contains("cnt_by_flag_status"), cand.lever)
+      assert(cand.lever.contains("Summaries.create"), cand.lever)
+      // act on the advice: one summary at the shared grain serves both
+      Summaries.create(Tables.load(spark, sf, "lineitem"), "spec_advised",
+        grain = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"))
+      try {
+        for (q <- Seq(qQty, qCnt)) {
+          assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+          val routed = q().collect().toSeq
+          val raw = withoutRouting { q().collect().toSeq }
+          assert(routed == raw && routed.nonEmpty)
+        }
+      } finally Summaries.drop("spec_advised")
+    } finally {
+      TraceCapture.uninstall(spark, listener)
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
 }

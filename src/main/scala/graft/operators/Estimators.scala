@@ -49,6 +49,35 @@ object Estimators {
       dnn: Boolean): Double = {
     val df = labeledEvents(spark, sfDir)
     val Array(train, test) = df.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val model = fitPipeline(train, dnn)
+    new BinaryClassificationEvaluator()
+      .setLabelCol("label").setMetricName("areaUnderROC")
+      .evaluate(model.transform(test))
+  }
+
+  /** Model persistence (the reference's `model_dir` checkpoint flow,
+    * trainer.py:287-292, :517): a fitted pipeline writes itself as a
+    * directory of parquet metadata + coefficients, and [[loadModel]]
+    * restores a transform-identical model in a FRESH process — the
+    * train-once / serve-many contract. MLWriter's format is
+    * stage-by-stage parquet, so a model saved on the cluster that
+    * trained it loads anywhere the library runs (no JVM serialization,
+    * no classpath pinning beyond spark.ml itself).
+    */
+  def saveModel(model: org.apache.spark.ml.PipelineModel,
+      path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def loadModel(path: String): org.apache.spark.ml.PipelineModel =
+    org.apache.spark.ml.PipelineModel.load(path)
+
+  /** Fit the E1/E2 pipeline on a prepared training frame; exposed so
+    * train / persist / restore / evaluate compose as separate steps
+    * (the reference separates them the same way: estimator
+    * construction, `train`, checkpoint restore).
+    */
+  def fitPipeline(train: DataFrame,
+      dnn: Boolean): org.apache.spark.ml.PipelineModel = {
     val hasher = new FeatureHasher()
       // 2^8 buckets: ndv(5)*5 rounded up to the next power of two with
       // headroom — at 32, two of the five categories hash-collide and
@@ -67,11 +96,8 @@ object Estimators {
         .setMaxIter(20).setRegParam(0.01)
         .setFeaturesCol("features").setLabelCol("label")
     }
-    val model = new Pipeline().setStages(Array(hasher, assembler, classifier))
+    new Pipeline().setStages(Array(hasher, assembler, classifier))
       .fit(train)
-    new BinaryClassificationEvaluator()
-      .setLabelCol("label").setMetricName("areaUnderROC")
-      .evaluate(model.transform(test))
   }
 
   /** Batch gradient descent for logistic regression as pure DataFrame

@@ -39,10 +39,15 @@ package graft.plans
   *  - SORT: `sortTime` (ms) under a sort-merge join. Lever: bucket
   *    both sides on the join key or broadcast the smaller one.
   *  - SUMMARY CANDIDATE (cross-query): a source path scanned by ≥2
-  *    DISTINCT aggregate-bearing queries. Lever: register a
-  *    materialized summary ([[Summaries.create]]) so qualifying
+  *    DISTINCT aggregate-bearing single-table queries. Lever: register
+  *    a materialized summary ([[Summaries.create]]) so qualifying
   *    aggregates route onto the grain-level pre-aggregate — the
   *    advice that closes the profile → [[SummaryRewrite]] loop.
+  *  - JOINED-SUMMARY CANDIDATE (cross-query): the same TWO-table
+  *    equi-join feeding aggregates in ≥2 distinct queries — a
+  *    single-table summary can never serve those. Lever:
+  *    [[Summaries.createJoined]], which pre-computes the join AND the
+  *    grain aggregate (the q177 routing shape).
   */
 object Advisor {
 
@@ -74,6 +79,12 @@ object Advisor {
     // not inflated by the repetition factor)
     val sumCand = collection.mutable.Map
       .empty[String, collection.mutable.Map[String, Long]]
+    // joined-summary candidates: (path pair) -> per-query worst total
+    // scanTime, for aggregate-bearing TWO-TABLE JOIN queries — the
+    // single-table summary can't serve those; Summaries.createJoined
+    // can
+    val joinCand = collection.mutable.Map
+      .empty[(String, String), collection.mutable.Map[String, Long]]
     lines.foreach { line =>
       val root =
         try mapper.readTree(line)
@@ -82,6 +93,7 @@ object Advisor {
         val qname = root.path("name").asText("query")
         val ops = root.path("operators")
         var lineHasAgg = false
+        var lineHasEquiJoin = false
         val linePaths = collection.mutable.Map.empty[String, Long]
         var i = 0
         while (i < ops.size()) {
@@ -146,12 +158,27 @@ object Advisor {
                 "spark.sql.shuffle.partitions, lower " +
                 "files.maxPartitionBytes, or salt the hot keys")
           if (op.contains("Aggregate")) lineHasAgg = true
+          if (op.contains("Join") && !op.contains("NestedLoop") &&
+            !op.contains("Cartesian")) lineHasEquiJoin = true
           i += 1
         }
-        if (lineHasAgg) linePaths.foreach { case (pth, t) =>
-          val qs = sumCand.getOrElseUpdate(pth,
+        // exactly ONE scanned path → single-table summary candidate;
+        // exactly TWO + an equi-join → joined-summary candidate. An
+        // aggregate over a join can never route onto a single-table
+        // summary, so the classes are disjoint by construction.
+        if (lineHasAgg && linePaths.size == 1)
+          linePaths.foreach { case (pth, t) =>
+            val qs = sumCand.getOrElseUpdate(pth,
+              collection.mutable.Map.empty[String, Long])
+            qs(qname) = math.max(qs.getOrElse(qname, 0L), t)
+          }
+        else if (lineHasAgg && lineHasEquiJoin && linePaths.size == 2) {
+          val ps = linePaths.keys.toSeq.sorted
+          val key = (ps(0), ps(1))
+          val qs = joinCand.getOrElseUpdate(key,
             collection.mutable.Map.empty[String, Long])
-          qs(qname) = math.max(qs.getOrElse(qname, 0L), t)
+          qs(qname) =
+            math.max(qs.getOrElse(qname, 0L), linePaths.values.sum)
         }
       }
     }
@@ -177,8 +204,21 @@ object Advisor {
             "grain, register a materialized summary " +
             "(Summaries.create) so they route onto the pre-aggregate")
     }.sortBy(f => (-f.value, f.op)).take(topN)
+    val joinSummaries = joinCand.toSeq.collect {
+      case ((p1, p2), qs) if qs.size >= 2 =>
+        val t = qs.values.sum
+        Finding(s"${qs.size} queries", s"Join $p1 ⋈ $p2",
+          "aggregate-join queries", qs.size, "queries",
+          "the same two-table join feeds aggregates in " +
+            s"${qs.keys.toSeq.sorted.take(4).mkString(", ")}" +
+            (if (qs.size > 4) ", …" else "") +
+            s" (total scanTime ${t} ms): if they share a grouping " +
+            "grain and join keys, register a joined materialized " +
+            "summary (Summaries.createJoined) so they route onto the " +
+            "pre-joined pre-aggregate")
+    }.sortBy(f => (-f.value, f.op)).take(topN)
     top(spills) ++ top(loops) ++ top(exchanges) ++ top(scans) ++
-      top(broadcasts) ++ top(sorts) ++ summaries
+      top(broadcasts) ++ top(sorts) ++ summaries ++ joinSummaries
   }
 
   /** Render findings as aligned report lines (one per finding). */

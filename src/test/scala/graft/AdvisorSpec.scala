@@ -31,6 +31,19 @@ class AdvisorSpec extends SparkSpec {
     // as qA — together they make /data/t a summary candidate
     """{"event":"query","name":"qD","wall_ms":400,"ts_ms":1,"operators":[""" +
       """{"op":"Scan parquet t","depth":2,"path":"/data/t","metrics":{"scanTime":200,"numOutputRows":5}},""" +
+      """{"op":"HashAggregate","depth":1,"metrics":{"numOutputRows":3}}]}""",
+    // qE/qF: two aggregate queries over the SAME x⋈y equi-join —
+    // the joined-summary candidate (and NOT single-table candidates:
+    // a join aggregate can't route onto a one-table summary)
+    """{"event":"query","name":"qE","wall_ms":300,"ts_ms":1,"operators":[""" +
+      """{"op":"Scan parquet x","depth":3,"path":"/data/x","metrics":{"scanTime":150}},""" +
+      """{"op":"Scan parquet y","depth":3,"path":"/data/y","metrics":{"scanTime":50}},""" +
+      """{"op":"SortMergeJoin","depth":2,"metrics":{"numOutputRows":9}},""" +
+      """{"op":"HashAggregate","depth":1,"metrics":{"numOutputRows":3}}]}""",
+    """{"event":"query","name":"qF","wall_ms":300,"ts_ms":1,"operators":[""" +
+      """{"op":"Scan parquet y","depth":3,"path":"/data/y","metrics":{"scanTime":60}},""" +
+      """{"op":"Scan parquet x","depth":3,"path":"/data/x","metrics":{"scanTime":140}},""" +
+      """{"op":"BroadcastHashJoin","depth":2,"metrics":{"numOutputRows":9}},""" +
       """{"op":"HashAggregate","depth":1,"metrics":{"numOutputRows":3}}]}""")
 
   test("deterministic fixture: every signal class found, ranked, levered") {
@@ -71,6 +84,17 @@ class AdvisorSpec extends SparkSpec {
     assert(cands.head.op == "Scan /data/t" && cands.head.value == 2L)
     assert(cands.head.lever.contains("Summaries.create"))
     assert(cands.head.lever.contains("qA") && cands.head.lever.contains("qD"))
+    // joined-summary candidate: qE and qF aggregate over the same
+    // x⋈y join (doubled fixture must not double the count), and they
+    // contribute to NO single-table candidate
+    val jcands = fs.filter(_.signal == "aggregate-join queries")
+    assert(jcands.size == 1, s"$jcands")
+    assert(jcands.head.op == "Join /data/x ⋈ /data/y" &&
+      jcands.head.value == 2L)
+    assert(jcands.head.lever.contains("Summaries.createJoined"))
+    assert(jcands.head.lever.contains("qE") && jcands.head.lever.contains("qF"))
+    assert(!cands.exists(c => c.op.contains("/data/x") ||
+      c.op.contains("/data/y")))
     // report renders one line per finding
     assert(Advisor.report(fs).linesIterator.size == fs.size)
     assert(Advisor.report(Nil).contains("no findings"))

@@ -563,7 +563,12 @@ object SparkEntry {
     // transparently rewritten onto a (priority, flag)-grain summary of
     // the JOIN — the routed plan has no join and reads neither raw
     // table; the oracle computes from them, proving the rewrite
-    "q177_summary_join" -> (operators.OlapQueries.summaryJoinPriority _)
+    "q177_summary_join" -> (operators.OlapQueries.summaryJoinPriority _),
+    // the joined MV's INCREMENTAL lifecycle: partial build over the
+    // historical fact slice + one joined-delta refresh, then the
+    // routed answer must equal the oracle's from-scratch join
+    "q178_summary_join_refresh" ->
+      (operators.OlapQueries.summaryJoinRefresh _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3569,6 +3574,20 @@ object SparkEntry {
     // answers from the joined summary — hash equality proves the
     // join-aware rewrite value-exact
     "q177_summary_join" ->
+      """SELECT o_orderpriority, l_returnflag,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |    AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+        |    4) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag <> 'N'
+        |GROUP BY o_orderpriority, l_returnflag
+        |ORDER BY o_orderpriority, l_returnflag""".stripMargin,
+    // identical raw-table SQL as q177: the engine's answer went
+    // through partial build + incremental refresh instead of a
+    // one-shot build, and must land on the same hashes
+    "q178_summary_join_refresh" ->
       """SELECT o_orderpriority, l_returnflag,
         |  count(*) AS n_rows,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)

@@ -1868,6 +1868,41 @@ object OlapQueries {
     } finally graft.plans.Summaries.drop("li_orders_priority")
   }
 
+  /** q178: the joined summary's INCREMENTAL lifecycle under the
+    * oracle — partial build over the historical fact slice (registers
+    * UNROUTABLE), one refresh folding the joined delta (new fact rows
+    * ⋈ dim: batch-sized, broadcastable at any corpus scale), routing
+    * flips on, and the routed fact⋈dim aggregate must hash-match the
+    * oracle's from-scratch join over the raw tables. This is the
+    * day-2 cost story for the strongest MV lever: after the initial
+    * build, keeping the join MV fresh costs O(new facts), never
+    * O(fact table) — the refresh reads the summary and the delta
+    * only.
+    */
+  def summaryJoinRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit("1997-01-01").cast("timestamp")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    graft.plans.Summaries.createJoined(
+      li.filter(col("l_shipdate") < cut)
+        .join(ord, li("l_orderkey") === ord("o_orderkey")),
+      "li_orders_incr",
+      grain = Seq("o_orderpriority", "l_returnflag"),
+      sums = Seq(
+        "sum_qty" -> "cast(l_quantity as decimal(18,2))",
+        "sum_price" -> "cast(l_extendedprice as decimal(18,2))"),
+      partial = true)
+    try {
+      graft.plans.Summaries.refresh("li_orders_incr",
+        li.filter(col("l_shipdate") >= cut)
+          .join(ord, li("l_orderkey") === ord("o_orderkey")))
+      val out = summaryJoinPriorityQuery(spark, sfDir)
+      val rows = out.collect().toSeq // report-sized
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally graft.plans.Summaries.drop("li_orders_incr")
+  }
+
   /** The lazy join-aggregate q177 routes — separate so the spec can
     * assert the optimized plan scans only the summary while the
     * registration is live.

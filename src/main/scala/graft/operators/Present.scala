@@ -21,4 +21,55 @@ object Present {
     */
   def smallSorted(df: DataFrame, cols: String*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols.map(col): _*)
+
+  /** HTML table rendering of a REPORT-sized result — the notebook's
+    * `df.to_html()` affordance (reference sample.ipynb cells 9/13)
+    * for the client-result surface `show()` doesn't cover. Collects
+    * at most `maxRows` + 1 (the extra row only proves truncation —
+    * the table is capped and says so), escapes every cell, renders
+    * nulls as a distinguishable marker, and right-aligns numeric
+    * columns. Driver-side BY CONTRACT: rendering is for eyes, so the
+    * input must already be a report (the cap enforces it — this is
+    * never a data-movement operator).
+    */
+  def toHtml(df: DataFrame, maxRows: Int = 100): String = {
+    require(maxRows > 0, s"maxRows must be positive, got $maxRows")
+    val rows = df.take(maxRows + 1)
+    val truncated = rows.length > maxRows
+    val shown = if (truncated) rows.take(maxRows) else rows
+    val schema = df.schema
+    def esc(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c => c.toString
+    }
+    val numeric = schema.fields.map(_.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    })
+    val sb = new StringBuilder
+    sb.append("<table border=\"1\" class=\"dataframe\">\n<thead><tr>")
+    schema.fields.foreach(f =>
+      sb.append("<th>").append(esc(f.name)).append("</th>"))
+    sb.append("</tr></thead>\n<tbody>\n")
+    shown.foreach { r =>
+      sb.append("<tr>")
+      var i = 0
+      while (i < schema.length) {
+        val align = if (numeric(i)) " style=\"text-align:right\"" else ""
+        val cell =
+          if (r.isNullAt(i)) "<em>null</em>"
+          else esc(String.valueOf(r.get(i)))
+        sb.append(s"<td$align>").append(cell).append("</td>")
+        i += 1
+      }
+      sb.append("</tr>\n")
+    }
+    sb.append("</tbody></table>")
+    if (truncated)
+      sb.append(s"\n<p>showing first $maxRows rows (truncated)</p>")
+    sb.toString
+  }
 }

@@ -324,7 +324,8 @@ object Summaries {
   def createJoined(raw: DataFrame, name: String, grain: Seq[String],
       sums: Seq[(String, String)],
       mins: Seq[(String, String)] = Nil,
-      maxs: Seq[(String, String)] = Nil): Spec = {
+      maxs: Seq[(String, String)] = Nil,
+      partial: Boolean = false): Spec = {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Project, SubqueryAlias}
     import org.apache.spark.sql.catalyst.plans.Inner
     def unwrap(p: LogicalPlan): LogicalPlan = p match {
@@ -339,8 +340,14 @@ object Summaries {
         "joined summary source must be an INNER equi-join of two bare " +
           s"scans, got ${other.nodeName}")
     }
+    // `partial = true` mirrors create()'s incremental lifecycle: a
+    // side may be a Filter over its bare scan (the historical slice
+    // of the fact table) and the summary registers UNROUTABLE until a
+    // refresh with complete = true folds in the remaining joined
+    // batches. Without the flag a filtered side is an error — a
+    // subset summary must never shadow the full join.
     def scanOf(side: LogicalPlan, which: String): LogicalRelation =
-      bareScan(side, allowFilter = false).getOrElse(
+      bareScan(side, allowFilter = partial).getOrElse(
         throw new IllegalArgumentException(
           s"$which side of a joined summary must be a bare table scan " +
             "(a filtered/derived side would register a subset summary): " +
@@ -379,7 +386,8 @@ object Summaries {
       mins = mins.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       maxs = maxs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       relation = null,
-      sumSql = sums, minSql = mins, maxSql = maxs, gen = 0))
+      sumSql = sums, minSql = mins, maxSql = maxs, gen = 0,
+      routable = !partial))
   }
 
   /** Write a summary generation, read it back, and (re-)register. A
@@ -424,6 +432,11 @@ object Summaries {
     * Measures cast back to the stored column types, so the schema is
     * generation-stable (a re-aggregated decimal widens, but its VALUE
     * is the full-rebuild value, which fit the original type).
+    *
+    * For a JOINED summary ([[createJoined]]) the batch is the joined
+    * DELTA — new fact rows joined against the dim (a batch-sized,
+    * broadcastable join at any corpus scale); the grain/measure
+    * algebra is identical from there.
     */
   def refresh(name: String, batch: DataFrame,
       complete: Boolean = true): Spec = {

@@ -486,6 +486,96 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("q178: partial joined build stays raw until the joined-delta refresh") {
+    val cut = lit("1997-01-01").cast("timestamp")
+    val li = Tables.load(spark, sf, "lineitem")
+    val ord = Tables.load(spark, sf, "orders")
+    val probe = () => Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(expr(
+          "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
+          .as("sq"))
+      .orderBy("o_orderpriority", "l_returnflag")
+    val raw = probe().collect().toSeq
+    Summaries.createJoined(
+      li.filter(col("l_shipdate") < cut)
+        .join(ord, li("l_orderkey") === ord("o_orderkey")),
+      "spec_join_incr",
+      grain = Seq("o_orderpriority", "l_returnflag"),
+      sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"),
+      partial = true)
+    try {
+      // pre-refresh: the aggregate runs RAW (correct), never routed
+      assert(scanPaths(probe()).exists(_.contains("lineitem")))
+      assert(probe().collect().toSeq == raw)
+      // the joined-delta refresh completes the build and flips routing
+      Summaries.refresh("spec_join_incr",
+        li.filter(col("l_shipdate") >= cut)
+          .join(ord, li("l_orderkey") === ord("o_orderkey")))
+      assert(scanPaths(probe()).forall(_.contains("graft_summaries")))
+      assert(probe().collect().toSeq == raw)
+    } finally Summaries.drop("spec_join_incr")
+  }
+
+  test("streamed fact batches maintain the JOINED summary via foreachBatch") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cut = lit("1997-01-01").cast("timestamp")
+    val li = Tables.load(spark, sf, "lineitem")
+    val ord = Tables.load(spark, sf, "orders")
+    // the stream carries RAW FACT deltas; the foreachBatch handler
+    // joins each against the dim (batch-sized, broadcastable) before
+    // the refresh — the production wiring of q178's lifecycle
+    val factCols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_returnflag", "l_shipdate")
+    val late = li.filter(col("l_shipdate") >= cut)
+      .select(factCols.map(col): _*).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getString(3), r.getTimestamp(4)))
+    assert(late.length >= 2, "fixture needs post-cut rows")
+    val (gen1, gen2) = late.splitAt(late.length / 2)
+    Summaries.createJoined(
+      li.filter(col("l_shipdate") < cut)
+        .join(ord, li("l_orderkey") === ord("o_orderkey")),
+      "spec_join_stream",
+      grain = Seq("o_orderpriority", "l_returnflag"),
+      sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"),
+      partial = true)
+    try {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Double, Double, String, java.sql.Timestamp)]
+      val q = mem.toDS().toDF(factCols: _*).writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            Summaries.refresh("spec_join_stream",
+              batch.join(Tables.load(spark, sf, "orders"),
+                col("l_orderkey") === col("o_orderkey")))
+            ()
+        }
+        .start()
+      try {
+        mem.addData(gen1.toSeq: _*); q.processAllAvailable()
+        mem.addData(gen2.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      val probe = () => Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(expr(
+            "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
+            .as("sq"))
+        .orderBy("o_orderpriority", "l_returnflag")
+      assert(scanPaths(probe()).forall(_.contains("graft_summaries")))
+      val viaSummary = probe().collect().toSeq
+      val rawAnswer = withoutRouting { probe().collect().toSeq }
+      assert(viaSummary == rawAnswer)
+    } finally Summaries.drop("spec_join_stream")
+  }
+
   test("createJoined rejects unsound sources") {
     val li = Tables.load(spark, sf, "lineitem")
     val ord = Tables.load(spark, sf, "orders")

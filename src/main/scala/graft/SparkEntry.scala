@@ -568,7 +568,13 @@ object SparkEntry {
     // historical fact slice + one joined-delta refresh, then the
     // routed answer must equal the oracle's from-scratch join
     "q178_summary_join_refresh" ->
-      (operators.OlapQueries.summaryJoinRefresh _)
+      (operators.OlapQueries.summaryJoinRefresh _),
+    // EXACT percentiles through a histogram-grain MV: a summary at
+    // (flag, quantity) grain is the counts-route histogram, and
+    // percentile/min/max/count/distinct-count all route onto its
+    // ~150 rows; the oracle replays from the raw table
+    "q179_summary_percentiles" ->
+      (operators.OlapQueries.summaryPercentiles _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3584,6 +3590,20 @@ object SparkEntry {
         |WHERE l_returnflag <> 'N'
         |GROUP BY o_orderpriority, l_returnflag
         |ORDER BY o_orderpriority, l_returnflag""".stripMargin,
+    // raw-table percentile replay: quantile_cont is the same
+    // rank-(n-1)p linear interpolation as Spark's exact percentile,
+    // and the engine answered from the 150-row histogram summary
+    "q179_summary_percentiles" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_rows,
+        |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+        |  round(min(l_quantity), 4) AS min_qty,
+        |  round(max(l_quantity), 4) AS max_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // identical raw-table SQL as q177: the engine's answer went
     // through partial build + incremental refresh instead of a
     // one-shot build, and must land on the same hashes

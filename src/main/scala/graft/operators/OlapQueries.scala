@@ -1903,6 +1903,43 @@ object OlapQueries {
     } finally graft.plans.Summaries.drop("li_orders_incr")
   }
 
+  /** q179: EXACT percentiles answered from a HISTOGRAM-grain summary —
+    * the counts-route percentile plan ([[Percentiles]]) materialized
+    * as an MV. A summary at (returnflag, quantity) grain is the
+    * quantity histogram per flag (NDV-sized: ~150 rows however large
+    * lineitem grows); `percentile(l_quantity, p)` routes onto it as
+    * `percentile(l_quantity, p, __cnt)` (Spark's frequency-weighted
+    * exact percentile walks the identical sorted sequence), and the
+    * min / max / count / distinct-count legs ride the same grain rows
+    * with no declared measure at all. The oracle replays everything
+    * from the RAW table in DuckDB (`quantile_cont` is the same
+    * rank-(n-1)p linear interpolation), so the hash-PASS proves the
+    * frequency-weighted rewrite value-exact. At 100 TB this turns
+    * every dashboard percentile over a bounded-NDV column from a
+    * corpus scan + sort into a 150-row walk.
+    */
+  def summaryPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.Summaries.create(
+      Tables.load(spark, sfDir, "lineitem"), "li_qty_hist",
+      grain = Seq("l_returnflag", "l_quantity"),
+      sums = Nil)
+    try {
+      val out = Tables.load(spark, sfDir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_quantity")).as("n_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
+          round(min(col("l_quantity")), 4).as("min_qty"),
+          round(max(col("l_quantity")), 4).as("max_qty"))
+        .orderBy("l_returnflag")
+      val rows = out.collect().toSeq // report-sized
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally graft.plans.Summaries.drop("li_qty_hist")
+  }
+
   /** The lazy join-aggregate q177 routes — separate so the spec can
     * assert the optimized plan scans only the summary while the
     * registration is live.

@@ -34,11 +34,23 @@ import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
   *     arithmetic shapes, [[Summaries.measureKey]]), so
   *     `sum(cast(l_quantity as decimal(18,2)))` matches however the
   *     query spells it;
-  *   - DISTINCT aggregates, FILTER clauses, and anything referencing a
-  *     non-grain, non-measure column disqualify the aggregate — it
-  *     runs against the raw table untouched. AVG is deliberately not
-  *     matched: spell it `sum(x)/count(1)` (both legs rewrite) so the
-  *     re-aggregated arithmetic is explicit.
+  *   - aggregates whose input references GRAIN columns only route
+  *     with no declared measure at all — per grain row the input is a
+  *     constant and `count(*)` is its multiplicity, so `MIN`/`MAX`
+  *     pass through, `COUNT(e…)` gates the stored count on the
+  *     non-null predicate, integral `SUM(e)` becomes `SUM(e × cnt)`
+  *     (exact long arithmetic; floating sums stay measure-declared),
+  *     exact `percentile(e, p)` becomes `percentile(e, p, cnt)` —
+  *     a summary whose grain includes the value column IS the
+  *     counts-route histogram, built once for every percentile /
+  *     extremum / count over it — and DISTINCT Count/Sum/Min/Max over
+  *     grain-only inputs pass through verbatim (the summary carries
+  *     exactly the raw table's distinct grain tuples);
+  *   - other DISTINCT aggregates, FILTER clauses, and anything
+  *     referencing a non-grain, non-measure column disqualify the
+  *     aggregate — it runs against the raw table untouched. AVG is
+  *     deliberately not matched: spell it `sum(x)/count(1)` (both
+  *     legs rewrite) so the re-aggregated arithmetic is explicit.
   *
   * Rewritten output is bit-compatible: every output attribute keeps
   * its name, exprId, and data type (re-aggregated sums that widen a
@@ -646,24 +658,83 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       .flatMap(a => byName.get(a.name).map(a.exprId -> _)).toMap
     val sumOut = AttributeSet(rel.output)
 
+    // grain-ONLY aggregate inputs: per grain row the input expression
+    // is a constant, and `__cnt` says how many raw rows carried it —
+    // so a whole family of aggregates routes WITHOUT any declared
+    // measure. The summary at a grain that includes the value column
+    // IS the counts-route histogram (Percentiles.CountsRoute), built
+    // once and reused by every percentile/min/max/count over it.
+    val grainAttrSet =
+      AttributeSet(spec.grain.flatMap(byName.get))
+    def grainOnly(e: Expression): Boolean =
+      e.references.nonEmpty && e.references.subsetOf(grainAttrSet) &&
+        e.deterministic
+
     def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined) return None
+      if (ae.filter.isDefined) return None
       def wrap(f: AggregateFunction): Expression =
         AggregateExpression(f, ae.mode, isDistinct = false, None, ae.resultId)
+      if (ae.isDistinct) {
+        // DISTINCT over grain-only inputs is invariant: the summary
+        // carries exactly the raw table's distinct grain tuples, so
+        // the distinct value set of any expression over them is
+        // preserved verbatim. Only exact set-functions qualify.
+        return ae.aggregateFunction match {
+          case f @ (_: Count | _: Sum | _: Min | _: Max)
+              if f.children.forall(grainOnly) => Some(ae)
+          case _ => None
+        }
+      }
       ae.aggregateFunction match {
         // the literal must be NON-NULL: count(null) is 0 per row,
         // not the row count
         case Count(Seq(l: Literal)) if l.value != null =>
           Some(Coalesce(Seq(wrap(Sum(byName(spec.cntCol))), Literal(0L))))
+        // count(e1, e2, …) counts rows where every ei is non-null:
+        // per grain row that predicate is constant, so it gates the
+        // row's count
+        case Count(cs) if cs.nonEmpty && cs.forall(grainOnly) =>
+          Some(Coalesce(Seq(wrap(Sum(If(
+            cs.map(IsNotNull(_): Expression).reduce(And),
+            byName(spec.cntCol), Literal(0L)))), Literal(0L))))
         case s: Sum =>
           Summaries.measureKey(s.child)
             .flatMap(spec.sums.get).map(c => wrap(Sum(byName(c))))
+            .orElse {
+              // integral grain sum: value × count is EXACT long
+              // arithmetic (floating/decimal stay measure-declared —
+              // repeated addition and multiplication round
+              // differently there)
+              if (grainOnly(s.child) && (s.child.dataType match {
+                  case org.apache.spark.sql.types.ByteType |
+                       org.apache.spark.sql.types.ShortType |
+                       org.apache.spark.sql.types.IntegerType |
+                       org.apache.spark.sql.types.LongType => true
+                  case _ => false
+                }))
+                Some(wrap(Sum(Multiply(
+                  Cast(s.child, org.apache.spark.sql.types.LongType),
+                  byName(spec.cntCol)))))
+              else None
+            }
         case m: Min =>
           Summaries.measureKey(m.child)
             .flatMap(spec.mins.get).map(c => wrap(Min(byName(c))))
+            .orElse(if (grainOnly(m.child)) Some(wrap(m)) else None)
         case m: Max =>
           Summaries.measureKey(m.child)
             .flatMap(spec.maxs.get).map(c => wrap(Max(byName(c))))
+            .orElse(if (grainOnly(m.child)) Some(wrap(m)) else None)
+        // EXACT percentile through the histogram: the stored per-grain
+        // count becomes the frequency argument — Spark's Percentile
+        // with integral frequency walks the identical sorted
+        // (value, weight) sequence the raw rows would produce
+        case p: Percentile if grainOnly(p.child) &&
+            (p.frequencyExpression match {
+              case l: Literal => l.value == 1L || l.value == 1
+              case _ => false
+            }) =>
+          Some(wrap(p.copy(frequencyExpression = byName(spec.cntCol))))
         // approximate distinct: a stored-sketch measure answers
         // hll_distinct (and, with the approxDistinct rewrite on,
         // COUNT(DISTINCT x) through it) by register-max over the

@@ -114,11 +114,20 @@ class SummaryRewriteSpec extends SparkSpec {
       val sumTax = Tables.load(spark, sf, "lineitem")
         .groupBy("l_returnflag").agg(sum("l_tax").as("s"))
       assert(scanPaths(sumTax).exists(_.contains("lineitem")))
-      // DISTINCT aggregate
+      // DISTINCT aggregate over a NON-grain column
       val dist = Tables.load(spark, sf, "lineitem")
         .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_linestatus")).as("d"))
+        .agg(countDistinct(col("l_suppkey")).as("d"))
       assert(scanPaths(dist).exists(_.contains("lineitem")))
+      // …but DISTINCT over a GRAIN column routes, value-exactly (the
+      // summary carries the raw table's distinct grain tuples)
+      val gdist = () => Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_linestatus")).as("d"))
+        .orderBy("l_returnflag")
+      assert(scanPaths(gdist()).forall(_.contains("graft_summaries")))
+      assert(gdist().collect().toSeq ==
+        withoutRouting { gdist().collect().toSeq })
       // non-grain filter column
       val filt = Tables.load(spark, sf, "lineitem")
         .filter(col("l_tax") > 0.01)
@@ -574,6 +583,62 @@ class SummaryRewriteSpec extends SparkSpec {
       val rawAnswer = withoutRouting { probe().collect().toSeq }
       assert(viaSummary == rawAnswer)
     } finally Summaries.drop("spec_join_stream")
+  }
+
+  test("q179: grain-only aggregates route — exact percentile via __cnt") {
+    Summaries.create(
+      Tables.load(spark, sf, "lineitem"), "spec_hist",
+      grain = Seq("l_returnflag", "l_quantity"), sums = Nil)
+    try {
+      val q = () => Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("l_quantity")).as("n_nonnull"),
+          countDistinct(col("l_quantity")).as("nd"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.95)").as("p95"),
+          min(col("l_quantity")).as("mn"),
+          max(col("l_quantity")).as("mx"),
+          // an expression OVER grain routes too (constant per row)
+          expr("percentile(l_quantity * 2, 0.5)").as("p50x2"))
+        .orderBy("l_returnflag")
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")),
+        s"expected only summary scans: ${scanPaths(q())}")
+      val routed = q().collect().toSeq
+      val raw = withoutRouting { q().collect().toSeq }
+      // frequency-weighted percentile is value-EXACT, not approximate
+      assert(routed == raw && routed.nonEmpty)
+      // a float/double grain SUM must NOT route (repeated addition
+      // and value*count round differently in IEEE)
+      val fsum = Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity")).as("s"))
+      assert(scanPaths(fsum).exists(_.contains("lineitem")))
+      // a percentile with an explicit frequency must NOT route (the
+      // stored count would double-weight it)
+      val wfreq = Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5, 2)").as("p"))
+      assert(scanPaths(wfreq).exists(_.contains("lineitem")))
+    } finally Summaries.drop("spec_hist")
+  }
+
+  test("integral grain sum routes as value*count, exactly") {
+    Summaries.create(
+      Tables.load(spark, sf, "lineitem"), "spec_intsum",
+      grain = Seq("l_returnflag", "l_linenumber"), sums = Nil)
+    try {
+      val q = () => Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_linenumber")).as("s"),
+          sum(col("l_linenumber") * lit(10)).as("s10"))
+        .orderBy("l_returnflag")
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      val routed = q().collect().toSeq
+      val raw = withoutRouting { q().collect().toSeq }
+      assert(routed == raw && routed.nonEmpty)
+    } finally Summaries.drop("spec_intsum")
   }
 
   test("createJoined rejects unsound sources") {

@@ -574,7 +574,12 @@ object SparkEntry {
     // percentile/min/max/count/distinct-count all route onto its
     // ~150 rows; the oracle replays from the raw table
     "q179_summary_percentiles" ->
-      (operators.OlapQueries.summaryPercentiles _)
+      (operators.OlapQueries.summaryPercentiles _),
+    // the two routing families composed: percentiles over a fact-dim
+    // join answered from a joined histogram-grain summary — no join,
+    // no raw scan in the routed plan
+    "q180_summary_join_percentiles" ->
+      (operators.OlapQueries.summaryJoinPercentiles _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3590,6 +3595,18 @@ object SparkEntry {
         |WHERE l_returnflag <> 'N'
         |GROUP BY o_orderpriority, l_returnflag
         |ORDER BY o_orderpriority, l_returnflag""".stripMargin,
+    // percentile-over-join replay: the engine answered from the
+    // joined histogram summary; DuckDB joins and sorts from scratch
+    "q180_summary_join_percentiles" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_rows,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(min(l_quantity), 4) AS min_qty,
+        |  round(max(l_quantity), 4) AS max_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // raw-table percentile replay: quantile_cont is the same
     // rank-(n-1)p linear interpolation as Spark's exact percentile,
     // and the engine answered from the 150-row histogram summary

@@ -1940,6 +1940,46 @@ object OlapQueries {
     } finally graft.plans.Summaries.drop("li_qty_hist")
   }
 
+  /** q180: the two routing families COMPOSED — exact percentiles over
+    * a FACT⋈DIM join answered from a joined histogram-grain summary.
+    * The (orderpriority, quantity)-grain summary of lineitem ⋈ orders
+    * is both a join pre-computation (q177's lever) and a counts-route
+    * histogram (q179's lever): `percentile(l_quantity, p)` grouped by
+    * the dim attribute routes onto ~250 summary rows with no join and
+    * no raw scan. The rewrite machinery is shared by construction
+    * (grain routes know nothing about the summary's source shape), so
+    * this query is the composition PROOF, oracle-replayed from the
+    * raw join in DuckDB. At 100 TB: a per-dim-attribute percentile
+    * dashboard goes from fact-scan + join + sort to a few hundred
+    * rows per refresh cycle.
+    */
+  def summaryJoinPercentiles(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    graft.plans.Summaries.createJoined(
+      li.join(ord, li("l_orderkey") === ord("o_orderkey")),
+      "li_orders_hist",
+      grain = Seq("o_orderpriority", "l_quantity"),
+      sums = Nil)
+    try {
+      val out = Tables.load(spark, sfDir, "lineitem")
+        .join(Tables.load(spark, sfDir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(min(col("l_quantity")), 4).as("min_qty"),
+          round(max(col("l_quantity")), 4).as("max_qty"))
+        .orderBy("o_orderpriority")
+      val rows = out.collect().toSeq // report-sized
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally graft.plans.Summaries.drop("li_orders_hist")
+  }
+
   /** The lazy join-aggregate q177 routes — separate so the spec can
     * assert the optimized plan scans only the summary while the
     * registration is live.

@@ -624,6 +624,30 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally Summaries.drop("spec_hist")
   }
 
+  test("q180: percentile over a join routes through the joined histogram") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val ord = Tables.load(spark, sf, "orders")
+    Summaries.createJoined(
+      li.join(ord, li("l_orderkey") === ord("o_orderkey")),
+      "spec_join_hist",
+      grain = Seq("o_orderpriority", "l_quantity"), sums = Nil)
+    try {
+      val q = () => Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          max(col("l_quantity")).as("mx"))
+        .orderBy("o_orderpriority")
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")),
+        s"expected only summary scans: ${scanPaths(q())}")
+      val routed = q().collect().toSeq
+      val raw = withoutRouting { q().collect().toSeq }
+      assert(routed == raw && routed.nonEmpty)
+    } finally Summaries.drop("spec_join_hist")
+  }
+
   test("integral grain sum routes as value*count, exactly") {
     Summaries.create(
       Tables.load(spark, sf, "lineitem"), "spec_intsum",

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.plans.{Summaries, SummaryRewrite}
+import graft.sources.Tables
+
+/** Randomized shape sweep over the MV router — the component where a
+  * silent wrong answer is worst ("wrong answers beat saved scans").
+  * For a fixed summary, every combination drawn from a seeded RNG of
+  * (grouping subset, grain filter, aggregate mix) must produce a
+  * routed answer IDENTICAL to the force-unrouted one. The property is
+  * stronger than the targeted specs: it exercises the gate and the
+  * rewrite jointly — shapes that legally route must be value-exact,
+  * and shapes that fall through must still be correct (raw).
+  */
+class SummaryPropertySpec extends SparkSpec {
+
+  private def withoutRouting[A](body: => A): A = {
+    spark.conf.set(SummaryRewrite.ConfKey, "false")
+    try body finally spark.conf.unset(SummaryRewrite.ConfKey)
+  }
+
+  private def cmp(q: () => DataFrame, label: String): Unit = {
+    val routed = q().collect().toSeq
+    val raw = withoutRouting { q().collect().toSeq }
+    assert(routed == raw, s"$label diverged:\n$routed\nvs\n$raw")
+  }
+
+  test("random grouping/filter/aggregate shapes: routed == raw") {
+    val rnd = new scala.util.Random(20260815L)
+    Summaries.create(
+      Tables.load(spark, sf, "lineitem"), "prop_sum",
+      grain = Seq("l_returnflag", "l_linestatus", "l_quantity"),
+      sums = Seq("s_price" -> "cast(l_extendedprice as decimal(18,2))"),
+      mins = Seq("mn_price" -> "l_extendedprice"),
+      maxs = Seq("mx_price" -> "l_extendedprice"))
+    try {
+      val grain = Seq("l_returnflag", "l_linestatus", "l_quantity")
+      val aggPool: Seq[(String, Column)] = Seq(
+        "cnt" -> count(lit(1)),
+        "cq" -> count(col("l_quantity")),
+        "ndq" -> countDistinct(col("l_quantity")),
+        "p50" -> expr("percentile(l_quantity, 0.5)"),
+        "p9" -> expr("percentile(l_quantity + 1, 0.9)"),
+        "mnq" -> min(col("l_quantity")),
+        "mxq" -> max(col("l_quantity")),
+        "sp" -> sum(col("l_extendedprice").cast("decimal(18,2)")),
+        "mnp" -> min(col("l_extendedprice")),
+        "mxp" -> max(col("l_extendedprice")),
+        // shapes that must NOT route — correctness still required
+        "st" -> sum(col("l_tax")),
+        "sq" -> sum(col("l_quantity")))
+      val filterPool: Seq[Column] = Seq(
+        col("l_returnflag") =!= "N",
+        col("l_quantity") > 25.0,
+        col("l_linestatus") === "F",
+        col("l_quantity") % 2 === 0)
+      for (i <- 1 to 24) {
+        val groups = rnd.shuffle(grain).take(rnd.nextInt(grain.size + 1))
+        val picked = rnd.shuffle(aggPool).take(1 + rnd.nextInt(4))
+        val aggs = picked.map { case (n, c) => c.as(n) }
+        val filters = rnd.shuffle(filterPool).take(rnd.nextInt(3))
+        val q = () => {
+          val base = filters.foldLeft(
+            Tables.load(spark, sf, "lineitem"))(_ filter _)
+          val agged =
+            if (groups.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+            else base.groupBy(groups.map(col): _*)
+              .agg(aggs.head, aggs.tail: _*)
+          // deterministic order for the row-list compare
+          agged.orderBy(groups.map(col) :+ col(picked.head._1): _*)
+        }
+        cmp(q, s"shape $i (groups=$groups filters=${filters.size} " +
+          s"aggs=${picked.map(_._1)})")
+      }
+    } finally Summaries.drop("prop_sum")
+  }
+
+  test("random shapes against the JOINED summary: routed == raw") {
+    val rnd = new scala.util.Random(8152026L)
+    val li = Tables.load(spark, sf, "lineitem")
+    val ord = Tables.load(spark, sf, "orders")
+    Summaries.createJoined(
+      li.join(ord, li("l_orderkey") === ord("o_orderkey")),
+      "prop_join",
+      grain = Seq("o_orderpriority", "l_returnflag", "l_quantity"),
+      sums = Seq("s_price" -> "cast(l_extendedprice as decimal(18,2))"))
+    try {
+      val grain = Seq("o_orderpriority", "l_returnflag", "l_quantity")
+      val aggPool: Seq[(String, Column)] = Seq(
+        "cnt" -> count(lit(1)),
+        "p50" -> expr("percentile(l_quantity, 0.5)"),
+        "mxq" -> max(col("l_quantity")),
+        "sp" -> sum(col("l_extendedprice").cast("decimal(18,2)")),
+        "ndf" -> countDistinct(col("l_returnflag")),
+        // non-routable: a non-grain, non-measure column
+        "mnt" -> min(col("l_tax")))
+      val filterPool: Seq[Column] = Seq(
+        col("o_orderpriority") =!= "1-URGENT",
+        col("l_quantity") <= 40.0,
+        col("l_returnflag") =!= "R")
+      for (i <- 1 to 16) {
+        val groups = rnd.shuffle(grain).take(rnd.nextInt(grain.size + 1))
+        val picked = rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
+        val aggs = picked.map { case (n, c) => c.as(n) }
+        val filters = rnd.shuffle(filterPool).take(rnd.nextInt(3))
+        val q = () => {
+          val base = filters.foldLeft(
+            Tables.load(spark, sf, "lineitem")
+              .join(Tables.load(spark, sf, "orders"),
+                col("l_orderkey") === col("o_orderkey")))(_ filter _)
+          val agged =
+            if (groups.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+            else base.groupBy(groups.map(col): _*)
+              .agg(aggs.head, aggs.tail: _*)
+          agged.orderBy(groups.map(col) :+ col(picked.head._1): _*)
+        }
+        cmp(q, s"join shape $i (groups=$groups " +
+          s"filters=${filters.size} aggs=${picked.map(_._1)})")
+      }
+    } finally Summaries.drop("prop_join")
+  }
+}

@@ -579,7 +579,11 @@ object SparkEntry {
     // join answered from a joined histogram-grain summary — no join,
     // no raw scan in the routed plan
     "q180_summary_join_percentiles" ->
-      (operators.OlapQueries.summaryJoinPercentiles _)
+      (operators.OlapQueries.summaryJoinPercentiles _),
+    // ROLLUP through the router: the summary slides under the Expand,
+    // so subtotal and grand-total levels re-aggregate summary rows
+    // cnt-weighted; the oracle rolls up the raw table
+    "q181_summary_rollup" -> (operators.OlapQueries.summaryRollup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3595,6 +3599,22 @@ object SparkEntry {
         |WHERE l_returnflag <> 'N'
         |GROUP BY o_orderpriority, l_returnflag
         |ORDER BY o_orderpriority, l_returnflag""".stripMargin,
+    // raw-table ROLLUP replay: DuckDB recomputes every grouping-set
+    // level from lineitem; the engine answered all levels from the
+    // summary via the Expand rewrite — null-marked subtotal rows and
+    // the grand total are part of the hash
+    "q181_summary_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS flag,
+        |  coalesce(l_linestatus, '(all)') AS status,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |    AS sum_qty,
+        |  round(min(l_extendedprice), 4) AS min_price,
+        |  round(max(l_extendedprice), 4) AS max_price
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
     // percentile-over-join replay: the engine answered from the
     // joined histogram summary; DuckDB joins and sorts from scratch
     "q180_summary_join_percentiles" ->

@@ -1940,6 +1940,40 @@ object OlapQueries {
     } finally graft.plans.Summaries.drop("li_qty_hist")
   }
 
+  /** q181: ROLLUP routed through the MV — Spark lowers rollup/cube to
+    * Aggregate ← Expand, and the router slides the pricing summary
+    * under the Expand: every grouping set re-aggregates the ~7k
+    * summary rows cnt-weighted instead of re-scanning lineitem once
+    * per level. The oracle computes `GROUP BY ROLLUP` from the raw
+    * table in DuckDB, so subtotal and grand-total rows (the
+    * null-marked levels) are hash-checked too. At 100 TB a rollup
+    * dashboard is otherwise the MOST expensive aggregate shape — the
+    * Expand multiplies the fact scan by the number of levels.
+    */
+  def summaryRollup(spark: SparkSession, sfDir: String): DataFrame =
+    withPricingSummary(spark, sfDir) {
+      // the rolled-up levels' NULL markers coalesce to a sentinel
+      // AFTER aggregation (above the routed Aggregate) — the compare
+      // harness sorts row tuples and TPC-H flags are never null, so
+      // the sentinel is unambiguous; gid pins each level's identity
+      Tables.load(spark, sfDir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_rows"),
+          round(expr(
+            "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
+            .as("sum_qty"),
+          round(min(col("l_extendedprice")), 4).as("min_price"),
+          round(max(col("l_extendedprice")), 4).as("max_price"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+          col("gid"), col("n_rows"), col("sum_qty"),
+          col("min_price"), col("max_price"))
+        .orderBy("flag", "status")
+    }
+
   /** q180: the two routing families COMPOSED — exact percentiles over
     * a FACT⋈DIM join answered from a joined histogram-grain summary.
     * The (orderpriority, quantity)-grain summary of lineitem ⋈ orders

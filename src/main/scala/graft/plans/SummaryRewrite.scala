@@ -570,6 +570,11 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   }
 
   private def rewrite(agg: Aggregate): Option[Aggregate] = agg.child match {
+    case PhysicalOperation(projects, filters0,
+        ex: org.apache.spark.sql.catalyst.plans.logical.Expand) =>
+      // ROLLUP / CUBE / GROUPING SETS lower to Aggregate ← Expand —
+      // a dedicated path slides the summary UNDER the Expand
+      rewriteRollup(agg, projects, filters0, ex)
     case PhysicalOperation(projects, filters0, child) =>
       // the registry lookup comes FIRST: this rule runs on every
       // Aggregate of every query in the optimizer's fixed point
@@ -646,17 +651,19 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def rewriteOnto(groupings: Seq[Expression],
-      aggExprs: Seq[NamedExpression], filters: Seq[Expression],
-      rawOut: Seq[Attribute], spec: Summaries.Spec): Option[Aggregate] = {
-    // fresh attr instances per rewrite site — two rewrites must never
-    // share exprIds
-    val rel = spec.relation.newInstance()
-    val byName = rel.output.map(a => a.name -> a).toMap
-    val grainByExprId: Map[ExprId, Attribute] = rawOut
-      .filter(a => spec.grain.contains(a.name))
-      .flatMap(a => byName.get(a.name).map(a.exprId -> _)).toMap
-    val sumOut = AttributeSet(rel.output)
+  /** The expression surgery shared by every routing substrate
+    * (single-table, join, rollup/Expand): grain references substitute
+    * through `grainSub`, aggregate functions re-express over the
+    * summary columns `colFor` serves, and the completeness gate
+    * requires every rewritten expression to reference only
+    * `allowedOut()` (a thunk — the Expand substrate APPENDS columns
+    * on demand while rewriting).
+    */
+  private final class Surgeon(spec: Summaries.Spec,
+      grainSub: Map[ExprId, Attribute],
+      grainAttrs: AttributeSet,
+      colFor: String => Attribute,
+      allowedOut: () => AttributeSet) {
 
     // grain-ONLY aggregate inputs: per grain row the input expression
     // is a constant, and `__cnt` says how many raw rows carried it —
@@ -664,10 +671,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // measure. The summary at a grain that includes the value column
     // IS the counts-route histogram (Percentiles.CountsRoute), built
     // once and reused by every percentile/min/max/count over it.
-    val grainAttrSet =
-      AttributeSet(spec.grain.flatMap(byName.get))
-    def grainOnly(e: Expression): Boolean =
-      e.references.nonEmpty && e.references.subsetOf(grainAttrSet) &&
+    private def grainOnly(e: Expression): Boolean =
+      e.references.nonEmpty && e.references.subsetOf(grainAttrs) &&
         e.deterministic
 
     def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
@@ -689,17 +694,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         // the literal must be NON-NULL: count(null) is 0 per row,
         // not the row count
         case Count(Seq(l: Literal)) if l.value != null =>
-          Some(Coalesce(Seq(wrap(Sum(byName(spec.cntCol))), Literal(0L))))
+          Some(Coalesce(Seq(wrap(Sum(colFor(spec.cntCol))), Literal(0L))))
         // count(e1, e2, …) counts rows where every ei is non-null:
         // per grain row that predicate is constant, so it gates the
         // row's count
         case Count(cs) if cs.nonEmpty && cs.forall(grainOnly) =>
           Some(Coalesce(Seq(wrap(Sum(If(
             cs.map(IsNotNull(_): Expression).reduce(And),
-            byName(spec.cntCol), Literal(0L)))), Literal(0L))))
+            colFor(spec.cntCol), Literal(0L)))), Literal(0L))))
         case s: Sum =>
           Summaries.measureKey(s.child)
-            .flatMap(spec.sums.get).map(c => wrap(Sum(byName(c))))
+            .flatMap(spec.sums.get).map(c => wrap(Sum(colFor(c))))
             .orElse {
               // integral grain sum: value × count is EXACT long
               // arithmetic (floating/decimal stay measure-declared —
@@ -714,16 +719,16 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                 }))
                 Some(wrap(Sum(Multiply(
                   Cast(s.child, org.apache.spark.sql.types.LongType),
-                  byName(spec.cntCol)))))
+                  colFor(spec.cntCol)))))
               else None
             }
         case m: Min =>
           Summaries.measureKey(m.child)
-            .flatMap(spec.mins.get).map(c => wrap(Min(byName(c))))
+            .flatMap(spec.mins.get).map(c => wrap(Min(colFor(c))))
             .orElse(if (grainOnly(m.child)) Some(wrap(m)) else None)
         case m: Max =>
           Summaries.measureKey(m.child)
-            .flatMap(spec.maxs.get).map(c => wrap(Max(byName(c))))
+            .flatMap(spec.maxs.get).map(c => wrap(Max(colFor(c))))
             .orElse(if (grainOnly(m.child)) Some(wrap(m)) else None)
         // EXACT percentile through the histogram: the stored per-grain
         // count becomes the frequency argument — Spark's Percentile
@@ -734,7 +739,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
               case l: Literal => l.value == 1L || l.value == 1
               case _ => false
             }) =>
-          Some(wrap(p.copy(frequencyExpression = byName(spec.cntCol))))
+          Some(wrap(p.copy(frequencyExpression = colFor(spec.cntCol))))
         // approximate distinct: a stored-sketch measure answers
         // hll_distinct (and, with the approxDistinct rewrite on,
         // COUNT(DISTINCT x) through it) by register-max over the
@@ -743,7 +748,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         case hd: graft.functions.HllDistinct
             if hd.precision == spec.hllPrecision =>
           Summaries.measureKey(hd.child).flatMap(spec.hlls.get)
-            .map(c => wrap(graft.functions.HllUnion(byName(c))))
+            .map(c => wrap(graft.functions.HllUnion(colFor(c))))
         // KMV: bottom-k is a mergeable summary (the k smallest over a
         // union lie in the union of per-part k smallest), so the
         // routed estimate equals the raw one EXACTLY — and, the hash
@@ -753,7 +758,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             if kn.k == spec.kmvK && kn.domain == spec.kmvDomain =>
           Summaries.measureKey(kn.child).flatMap(spec.kmvs.get)
             .map(c => wrap(
-              graft.functions.KmvUnion(byName(c), kn.k, kn.domain)))
+              graft.functions.KmvUnion(colFor(c), kn.k, kn.domain)))
         case _ => None
       }
     }
@@ -761,8 +766,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     def rewriteExpr(e: Expression): Option[Expression] = {
       var ok = true
       val out = e.transformUp {
-        case ar: AttributeReference if grainByExprId.contains(ar.exprId) =>
-          grainByExprId(ar.exprId)
+        case ar: AttributeReference if grainSub.contains(ar.exprId) =>
+          grainSub(ar.exprId)
         case ae: AggregateExpression =>
           rewriteAgg(ae) match {
             case Some(x) => x
@@ -772,14 +777,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       // completeness gate: every raw-side reference must be gone —
       // a leftover means an unmapped shape, so the whole aggregate
       // stays on the raw table
-      if (ok && out.references.subsetOf(sumOut)) Some(out) else None
+      if (ok && out.references.subsetOf(allowedOut())) Some(out) else None
     }
 
     def rewriteNamed(ne: NamedExpression): Option[NamedExpression] =
       ne match {
-        case ar: AttributeReference =>
-          grainByExprId.get(ar.exprId)
-            .map(s => Alias(s, ar.name)(ar.exprId, ar.qualifier))
+        case ar: AttributeReference if grainSub.contains(ar.exprId) =>
+          Some(Alias(grainSub(ar.exprId), ar.name)(ar.exprId, ar.qualifier))
+        case ar: AttributeReference
+            if ar.references.subsetOf(allowedOut()) =>
+          // identity substrate (Expand): the attribute survives as-is
+          Some(ar)
         case al: Alias =>
           rewriteExpr(al.child).map { c0 =>
             // re-aggregated decimals widen; the alias boundary casts
@@ -790,14 +798,173 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           }
         case _ => None
       }
+  }
 
-    val newGrouping = groupings.map(rewriteExpr)
-    val newAggs = aggExprs.map(rewriteNamed)
-    val newFilters = filters.map(rewriteExpr)
+  private def rewriteOnto(groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], filters: Seq[Expression],
+      rawOut: Seq[Attribute], spec: Summaries.Spec): Option[Aggregate] = {
+    // fresh attr instances per rewrite site — two rewrites must never
+    // share exprIds
+    val rel = spec.relation.newInstance()
+    val byName = rel.output.map(a => a.name -> a).toMap
+    val grainByExprId: Map[ExprId, Attribute] = rawOut
+      .filter(a => spec.grain.contains(a.name))
+      .flatMap(a => byName.get(a.name).map(a.exprId -> _)).toMap
+    val sumOut = AttributeSet(rel.output)
+    val surgeon = new Surgeon(spec, grainByExprId,
+      AttributeSet(spec.grain.flatMap(byName.get)), byName, () => sumOut)
+    val newGrouping = groupings.map(surgeon.rewriteExpr)
+    val newAggs = aggExprs.map(surgeon.rewriteNamed)
+    val newFilters = filters.map(surgeon.rewriteExpr)
     if ((newGrouping ++ newAggs ++ newFilters).forall(_.isDefined)) {
       val child = newFilters.map(_.get)
         .foldRight(rel: LogicalPlan)((c, p) => Filter(c, p))
       Some(Aggregate(newGrouping.map(_.get), newAggs.map(_.get), child))
     } else None
+  }
+
+  /** ROLLUP / CUBE / GROUPING SETS routing: Spark lowers them to
+    * `Aggregate ← Expand ← scan`, and the summary slides UNDER the
+    * Expand — each projection row re-expresses over the summary's
+    * grain columns while the stored `count(*)` (and any declared
+    * measure columns the aggregates need) flow through as APPENDED
+    * expand columns, so every grouping set re-aggregates
+    * cnt-weighted exactly like a plain rollup over the raw rows.
+    * Gates, beyond the usual grain discipline:
+    *
+    *  - every Expand position must be a constant relation attribute
+    *    (PASS), that attribute alternating with NULL (VARY — the
+    *    grouping-set dimensions), or literals only (the
+    *    spark_grouping_id);
+    *  - with >1 grouping set the aggregate must group directly on a
+    *    literal column distinguishing every set (the grouping id) —
+    *    otherwise sets would merge and cnt-weighting double-counts;
+    *  - a non-grain PASS column may feed declared-measure aggregates
+    *    only (its position nulls out over the summary), never
+    *    groupings or filters.
+    */
+  private def rewriteRollup(agg: Aggregate,
+      projects: Seq[NamedExpression], filters0: Seq[Expression],
+      expand: org.apache.spark.sql.catalyst.plans.logical.Expand)
+      : Option[Aggregate] = {
+    val (lr, childFilters) = expand.child match {
+      case PhysicalOperation(ps, fs, r: LogicalRelation)
+          if ps.forall(_.isInstanceOf[AttributeReference]) => (r, fs)
+      case _ => return None
+    }
+    val spec = Summaries.pathOf(lr).flatMap(Summaries.lookup)
+      .getOrElse(return None)
+    val grainNames = spec.grain.toSet
+    val nOut = expand.output.size
+    if (expand.projections.isEmpty ||
+        expand.projections.exists(_.size != nOut)) return None
+
+    // classify each output position across the projection rows
+    final case class Pos(attr: Option[AttributeReference], allLit: Boolean)
+    val pos = new Array[Pos](nOut)
+    var i = 0
+    while (i < nOut) {
+      val es = expand.projections.map(_(i))
+      val attrs = es.collect { case a: AttributeReference => a }
+      val lits = es.collect { case l: Literal => l }
+      if (attrs.length + lits.length != es.length) return None
+      if (attrs.isEmpty) pos(i) = Pos(None, allLit = true)
+      else if (attrs.distinct.length == 1 && lits.forall(_.value == null))
+        pos(i) = Pos(Some(attrs.head), allLit = false)
+      else return None
+      i += 1
+    }
+
+    // multi-set distinguishability (the grouping-id gate)
+    if (expand.projections.length > 1) {
+      val ok = (0 until nOut).exists { j =>
+        pos(j).allLit &&
+          expand.projections.map(_(j) match {
+            case l: Literal => l.value
+            case _ => null
+          }).distinct.length == expand.projections.length &&
+          agg.groupingExpressions.exists {
+            case ar: AttributeReference =>
+              ar.exprId == expand.output(j).exprId
+            case _ => false
+          }
+      }
+      if (!ok) return None
+    }
+
+    val preservedIdx = (0 until nOut).filter { j =>
+      pos(j).allLit || pos(j).attr.exists(a => grainNames.contains(a.name))
+    }
+    val preservedOut = AttributeSet(preservedIdx.map(expand.output))
+    val grainOutAttrs = AttributeSet((0 until nOut).collect {
+      case j if pos(j).attr.exists(a => grainNames.contains(a.name)) =>
+        expand.output(j)
+    })
+
+    val aliasMap = projects.collect {
+      case a: Alias => a.exprId -> a.child
+    }.toMap
+    val inline = (e: Expression) => e.transformUp {
+      case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+        aliasMap(ar.exprId)
+    }
+    val filters = filters0.map(inline)
+    val groupings = agg.groupingExpressions.map(inline)
+    val aggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+        Alias(aliasMap(ar.exprId), ar.name)(ar.exprId, ar.qualifier)
+      case al: Alias =>
+        Alias(inline(al.child), al.name)(al.exprId, al.qualifier)
+      case other => other
+    }
+    if (!(filters ++ groupings).forall(
+        _.references.subsetOf(preservedOut))) return None
+    if (!(filters ++ groupings ++ aggExprs).forall(_.deterministic))
+      return None
+    // below-expand filters reference the relation: grain-only, and
+    // they re-apply verbatim on the summary rows
+    if (!childFilters.forall(f => f.deterministic &&
+        f.references.forall(a => grainNames.contains(a.name))))
+      return None
+
+    val rel = spec.relation.newInstance()
+    val sByName = rel.output.map(a => a.name -> a).toMap
+    val appended =
+      scala.collection.mutable.LinkedHashMap[String, AttributeReference]()
+    def colFor(c: String): Attribute =
+      appended.getOrElseUpdate(c, AttributeReference(
+        "__mv_" + c, sByName(c).dataType)())
+    val surgeon = new Surgeon(spec, Map.empty, grainOutAttrs, colFor,
+      () => preservedOut ++ AttributeSet(appended.values.toSeq))
+    val newGrouping = groupings.map(surgeon.rewriteExpr)
+    val newAggs = aggExprs.map(surgeon.rewriteNamed)
+    val newFilters = filters.map(surgeon.rewriteExpr)
+    if (!(newGrouping ++ newAggs ++ newFilters).forall(_.isDefined))
+      return None
+
+    val newChildFilters = childFilters.map(_.transformUp {
+      case ar: AttributeReference => sByName(ar.name)
+    })
+    val newProjections = expand.projections.map { row =>
+      row.zipWithIndex.map { case (e, j) =>
+        e match {
+          case a: AttributeReference if grainNames.contains(a.name) =>
+            sByName(a.name): Expression
+          case a: AttributeReference =>
+            // non-grain passthrough: only measure aggregates consumed
+            // it, and those now read the appended summary columns
+            Literal.create(null, a.dataType): Expression
+          case l: Literal => l: Expression
+        }
+      } ++ appended.keys.toSeq.map(c => sByName(c): Expression)
+    }
+    val newOutput = expand.output ++ appended.values.toSeq
+    val summaryChild = newChildFilters
+      .foldRight(rel: LogicalPlan)((c, p) => Filter(c, p))
+    val newExpand = org.apache.spark.sql.catalyst.plans.logical.Expand(
+      newProjections, newOutput, summaryChild)
+    val aggChild = newFilters.map(_.get)
+      .foldRight(newExpand: LogicalPlan)((c, p) => Filter(c, p))
+    Some(Aggregate(newGrouping.map(_.get), newAggs.map(_.get), aggChild))
   }
 }

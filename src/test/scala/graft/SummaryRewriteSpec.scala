@@ -648,6 +648,74 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally Summaries.drop("spec_join_hist")
   }
 
+  test("rollup/cube route through the summary, value-exactly") {
+    registered {
+      def check(q: () => DataFrame): Unit = {
+        assert(scanPaths(q()).forall(_.contains("graft_summaries")),
+          s"expected only summary scans: ${scanPaths(q())}")
+        val routed = q().collect().toSeq
+        val raw = withoutRouting { q().collect().toSeq }
+        assert(routed == raw && routed.nonEmpty)
+      }
+      // ROLLUP with count + declared measures + grouping() marker
+      check(() => Tables.load(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(expr(
+            "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
+            .as("sq"),
+          min(col("l_extendedprice")).as("mn"),
+          grouping(col("l_linestatus")).as("g"))
+        .orderBy("l_returnflag", "l_linestatus", "g"))
+      // CUBE over a grain subset, with a grain filter
+      check(() => Tables.load(spark, sf, "lineitem")
+        .filter(col("l_returnflag") =!= "N")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          max(col("l_extendedprice")).as("mx"))
+        .orderBy("l_returnflag", "l_linestatus"))
+      // SQL spelling with GROUPING SETS
+      Tables.load(spark, sf, "lineitem").createOrReplaceTempView("li_gs")
+      try check(() => spark.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |                        (l_returnflag), ())
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+      finally spark.catalog.dropTempView("li_gs")
+      // a rollup over a NON-grain column stays raw
+      val nonGrain = Tables.load(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_tax")
+        .agg(count(lit(1)).as("n"))
+      assert(scanPaths(nonGrain).exists(_.contains("lineitem")))
+      // a rollup with a non-declared float measure stays raw
+      val floatSum = Tables.load(spark, sf, "lineitem")
+        .rollup("l_returnflag")
+        .agg(sum(col("l_tax")).as("s"))
+      assert(scanPaths(floatSum).exists(_.contains("lineitem")))
+    }
+  }
+
+  test("rollup percentile through the histogram summary") {
+    Summaries.create(
+      Tables.load(spark, sf, "lineitem"), "spec_hist_ru",
+      grain = Seq("l_returnflag", "l_linestatus", "l_quantity"),
+      sums = Nil)
+    try {
+      val q = () => Tables.load(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          countDistinct(col("l_quantity")).as("nd"))
+        .orderBy("l_returnflag", "l_linestatus")
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")),
+        s"expected only summary scans: ${scanPaths(q())}")
+      val routed = q().collect().toSeq
+      val raw = withoutRouting { q().collect().toSeq }
+      assert(routed == raw && routed.nonEmpty)
+    } finally Summaries.drop("spec_hist_ru")
+  }
+
   test("integral grain sum routes as value*count, exactly") {
     Summaries.create(
       Tables.load(spark, sf, "lineitem"), "spec_intsum",

@@ -77,6 +77,53 @@ class SummaryPropertySpec extends SparkSpec {
     } finally Summaries.drop("prop_sum")
   }
 
+  test("random ROLLUP/CUBE shapes: routed == raw") {
+    val rnd = new scala.util.Random(181L)
+    Summaries.create(
+      Tables.load(spark, sf, "lineitem"), "prop_rollup",
+      grain = Seq("l_returnflag", "l_linestatus", "l_quantity"),
+      sums = Seq("s_price" -> "cast(l_extendedprice as decimal(18,2))"),
+      mins = Seq("mn_price" -> "l_extendedprice"))
+    try {
+      val grain = Seq("l_returnflag", "l_linestatus", "l_quantity")
+      val aggPool: Seq[(String, Column)] = Seq(
+        "cnt" -> count(lit(1)),
+        "p50" -> expr("percentile(l_quantity, 0.5)"),
+        "ndq" -> countDistinct(col("l_quantity")),
+        "mnq" -> min(col("l_quantity")),
+        "sp" -> sum(col("l_extendedprice").cast("decimal(18,2)")),
+        "mnp" -> min(col("l_extendedprice")),
+        // must fall through to raw — still has to be correct
+        "st" -> sum(col("l_tax")))
+      val filterPool: Seq[Column] = Seq(
+        col("l_returnflag") =!= "N",
+        col("l_quantity") > 25.0)
+      for (i <- 1 to 16) {
+        val dims = rnd.shuffle(grain).take(1 + rnd.nextInt(grain.size))
+        val picked = rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
+        val aggs = picked.map { case (n, c) => c.as(n) }
+        val filters = rnd.shuffle(filterPool).take(rnd.nextInt(2))
+        val cube = rnd.nextBoolean()
+        val q = () => {
+          val base = filters.foldLeft(
+            Tables.load(spark, sf, "lineitem"))(_ filter _)
+          val grouped = if (cube) base.cube(dims.map(col): _*)
+            else base.rollup(dims.map(col): _*)
+          grouped.agg(aggs.head, aggs.tail: _*)
+            .orderBy(dims.map(col) :+ col(picked.head._1): _*)
+        }
+        // null grouping markers sort fine inside Spark; the compare
+        // here is row-set equality of collected Rows
+        val routed = q().collect().toSeq.toSet
+        val raw = withoutRouting { q().collect().toSeq.toSet }
+        assert(routed == raw,
+          s"rollup shape $i (dims=$dims cube=$cube filters=" +
+            s"${filters.size} aggs=${picked.map(_._1)}) diverged:\n" +
+            s"${routed.diff(raw)}\nvs missing\n${raw.diff(routed)}")
+      }
+    } finally Summaries.drop("prop_rollup")
+  }
+
   test("random shapes against the JOINED summary: routed == raw") {
     val rnd = new scala.util.Random(8152026L)
     val li = Tables.load(spark, sf, "lineitem")

@@ -696,6 +696,31 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("multi-distinct over grain (Spark's own distinct-Expand) stays correct") {
+    // two DISTINCT aggregates force RewriteDistinctAggregates' Expand
+    // lowering; whichever router path fires (or none), the answer
+    // must equal the unrouted one
+    registered {
+      val q = () => Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_linestatus")).as("d1"),
+          countDistinct(col("l_shipdate")).as("d2"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+      val routed = q().collect().toSeq
+      val raw = withoutRouting { q().collect().toSeq }
+      assert(routed == raw && routed.nonEmpty)
+      // and with a non-grain distinct mixed in — must still be right
+      val q2 = () => Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_linestatus")).as("d1"),
+          countDistinct(col("l_suppkey")).as("d2"))
+        .orderBy("l_returnflag")
+      assert(q2().collect().toSeq ==
+        withoutRouting { q2().collect().toSeq })
+    }
+  }
+
   test("rollup percentile through the histogram summary") {
     Summaries.create(
       Tables.load(spark, sf, "lineitem"), "spec_hist_ru",

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.sources.Tables
 
 /** CONNECTED COMPONENTS by alternating large-star / small-star
@@ -310,7 +309,11 @@ object ConnectedComponents {
         val m = mn
         Iterator.single((a, m)) ++
           set.iterator.filter(_ != m).map(b => (b, m))
-      }.persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      // materialized by the probe below; truncates lineage so
+      // round-k task binaries stay O(1), not O(k) — same discipline
+      // as the big regime
+      stepped.localCheckpoint()
       val (cnt, chk) = stepped.mapPartitions { it =>
         var c = 0L
         var s = 0L

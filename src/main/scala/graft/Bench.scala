@@ -315,7 +315,11 @@ object Bench {
     // for dev subset runs — a 2-query file would shadow the real one.
     if (only.isEmpty) {
       val roundNum = {
-        val rx = "BENCH_r(\\d+)\\.json".r
+        // max over BOTH artifact families: in a tree without committed
+        // BENCH_r files (fresh checkout, different driver convention)
+        // the BENCH-only derivation would reset to 1 and silently
+        // overwrite an existing BENCHFULL_r01.json
+        val rx = "BENCH(?:FULL)?_r(\\d+)\\.json".r
         val prevRounds = Option(new java.io.File(".").listFiles())
           .toSeq.flatten.flatMap(fl => fl.getName match {
             case rx(k) => Some(k.toInt); case _ => None

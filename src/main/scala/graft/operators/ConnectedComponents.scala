@@ -195,7 +195,15 @@ object ConnectedComponents {
           preservesPartitioning = true) { (bi, si) =>
         val m = new scala.collection.mutable.LongMap[Long]()
         si.foreach { case (k, v) => m.update(k, v) }
-        bi.map { case (k, v) => (k, (v, m(k))) }
+        bi.map { case (k, v) =>
+          // contract: every streamed key exists on the singleton side
+          // (both are reduced from the same rows, same partitioner) —
+          // fail loudly at the join boundary if a caller breaks it
+          (k, (v, m.getOrElse(k, throw new IllegalStateException(
+            s"streamJoin contract violated: key $k has no singleton " +
+              "row — big and singles must be keyed from the same rows " +
+              "and share the partitioner"))))
+        }
       }
 
     def starRound(in: RDD[(Long, Long)]): RDD[(Long, Long)] = {

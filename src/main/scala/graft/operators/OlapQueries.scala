@@ -1895,7 +1895,8 @@ object OlapQueries {
     try {
       graft.plans.Summaries.refresh("li_orders_incr",
         li.filter(col("l_shipdate") >= cut)
-          .join(ord, li("l_orderkey") === ord("o_orderkey")))
+          .join(ord, li("l_orderkey") === ord("o_orderkey")),
+        complete = true)
       val out = summaryJoinPriorityQuery(spark, sfDir)
       val rows = out.collect().toSeq // report-sized
       spark.createDataFrame(

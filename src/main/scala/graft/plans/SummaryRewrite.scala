@@ -451,7 +451,7 @@ object Summaries {
     * algebra is identical from there.
     */
   def refresh(name: String, batch: DataFrame,
-      complete: Boolean = true): Spec = {
+      complete: Boolean = false): Spec = {
     val spec = lookupByName(name).getOrElse(
       throw new IllegalArgumentException(s"no summary named $name"))
     val spark = batch.sparkSession
@@ -486,11 +486,13 @@ object Summaries {
     // just unrouted) — the standard MV-refresh window.
     reg.remove(spec.source)
     try {
-      // `complete = true` (the default: this batch brings the summary
-      // up to the full source) flips a partial build routable; pass
-      // false while more backfill batches remain. Routability never
-      // regresses — folding additions into a complete summary keeps
-      // it complete.
+      // completion is EXPLICIT: only `complete = true` (the caller
+      // affirming this batch brings the summary up to the full
+      // source) flips a partial build routable — the default keeps a
+      // partial build unroutable, so a multi-batch backfill that
+      // forgets the flag fails SAFE (queries run raw) instead of
+      // routing subset answers. Routability never regresses —
+      // folding additions into a complete summary keeps it complete.
       val next = register(merged, spec.copy(gen = spec.gen + 1,
         routable = spec.routable || complete))
       // register()'s own old-generation cleanup keys off the spec it
@@ -551,8 +553,15 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The oriented equi-key name pairs PLUS the actual key
+    * AttributeReferences: the attrs (not the names) feed the
+    * implied-not-null gate, because a non-key column that merely
+    * SHARES a join key's name must not have its IS NOT NULL filter
+    * classified as join-implied and dropped.
+    */
   private def equiPairs(cond: Expression, left: LogicalRelation,
-      right: LogicalRelation): Option[Seq[(String, String)]] = {
+      right: LogicalRelation)
+      : Option[(Seq[(String, String)], AttributeSet)] = {
     def split(e: Expression): Seq[Expression] = e match {
       case And(a, b) => split(a) ++ split(b)
       case x => Seq(x)
@@ -560,13 +569,16 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val pairs = split(cond).map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if left.outputSet.contains(a) && right.outputSet.contains(b) =>
-        Some((a.name, b.name))
+        Some(((a.name, b.name), Seq(a, b)))
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if left.outputSet.contains(b) && right.outputSet.contains(a) =>
-        Some((b.name, a.name))
+        Some(((b.name, a.name), Seq(a, b)))
       case _ => None
     }
-    if (pairs.forall(_.isDefined)) Some(pairs.flatten) else None
+    if (pairs.forall(_.isDefined)) {
+      val ps = pairs.flatten
+      Some((ps.map(_._1), AttributeSet(ps.flatMap(_._2))))
+    } else None
   }
 
   private def rewrite(agg: Aggregate): Option[Aggregate] = agg.child match {
@@ -581,36 +593,37 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       // whenever any summary is registered, and the expression
       // surgery below is pure waste for the unregistered ones
       val matched: Option[(Summaries.Spec, Seq[Attribute], Seq[Expression],
-          Set[String])] =
+          AttributeSet)] =
         child match {
           case lr: LogicalRelation =>
             for {
               path <- Summaries.pathOf(lr)
               spec <- Summaries.lookup(path)
-            } yield (spec, lr.output, Nil, Set.empty[String])
+            } yield (spec, lr.output, Nil, AttributeSet.empty)
           case j: org.apache.spark.sql.catalyst.plans.logical.Join
               if j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
                 j.condition.isDefined =>
             for {
               (lp, lrL, fL) <- joinSide(j.left)
               (rp, lrR, fR) <- joinSide(j.right)
-              pairs <- equiPairs(j.condition.get, lrL, lrR)
+              (pairs, keyAttrs) <- equiPairs(j.condition.get, lrL, lrR)
               spec <- Summaries.lookupJoin(lp, rp, pairs)
-            } yield (spec, lrL.output ++ lrR.output, fL ++ fR,
-              pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+            } yield (spec, lrL.output ++ lrR.output, fL ++ fR, keyAttrs)
           case _ => None
         }
-      matched.flatMap { case (spec, rawOut, sideFilters, joinKeyNames) =>
+      matched.flatMap { case (spec, rawOut, sideFilters, joinKeyAttrs) =>
         // IS NOT NULL on a join KEY is implied by the registered inner
         // equi-join (every summary row came from a matched, hence
         // non-null, key) — constraint inference manufactures these on
         // both sides of every inner join, and they'd otherwise fail
         // the grain gate below. Dropping them over the summary is a
         // no-op by construction; any OTHER key predicate still
-        // disqualifies.
+        // disqualifies. Matched by exprId (the attrs collected from
+        // the join condition itself), never by name: a nullable
+        // non-key column sharing a key's name must keep its filter.
         val impliedByJoin: Expression => Boolean = {
           case IsNotNull(ar: AttributeReference) =>
-            joinKeyNames.contains(ar.name)
+            joinKeyAttrs.contains(ar)
           case _ => false
         }
         // inline projection aliases (PhysicalOperation returns them

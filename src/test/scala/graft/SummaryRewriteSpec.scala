@@ -216,7 +216,7 @@ class SummaryRewriteSpec extends SparkSpec {
       // equals the raw one
       Summaries.refresh("spec_partial",
         raw.filter(col("l_shipdate") >= lit("2001-01-01")
-          .cast("timestamp")))
+          .cast("timestamp")), complete = true)
       assert(scanPaths(q()).exists(_.contains("spec_partial")))
       assert(q().collect().toSeq == rawAnswer)
     } finally Summaries.drop("spec_partial")
@@ -240,7 +240,8 @@ class SummaryRewriteSpec extends SparkSpec {
       // also proves refresh suspends routing for its own aggregate —
       // an unsuspended refresh would summarize the stale summary and
       // silently drop the batch
-      Summaries.refresh("spec_incr", raw.filter(col("l_shipdate") >= cut))
+      Summaries.refresh("spec_incr", raw.filter(col("l_shipdate") >= cut),
+        complete = true)
       // the query REBUILDS per leg: a collected DataFrame keeps its
       // physical plan, so re-collecting it under a flipped conf would
       // compare the routed plan with itself
@@ -276,7 +277,8 @@ class SummaryRewriteSpec extends SparkSpec {
       hlls = Seq("hll_supp" -> "l_suppkey"),
       partial = true)
     try {
-      Summaries.refresh("spec_hll", raw.filter(col("l_shipdate") >= cut))
+      Summaries.refresh("spec_hll", raw.filter(col("l_shipdate") >= cut),
+        complete = true)
       val q = () => raw.groupBy("l_returnflag")
         .agg(hll_distinct(col("l_suppkey")).as("nd"))
         .orderBy("l_returnflag")
@@ -397,7 +399,9 @@ class SummaryRewriteSpec extends SparkSpec {
       val q = mem.toDS().toDF(cols: _*).writeStream
         .foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            Summaries.refresh("spec_stream", batch); ()
+            // each stream delta brings the summary current as of
+            // its batch — complete in the MV sense
+            Summaries.refresh("spec_stream", batch, complete = true); ()
         }
         .start()
       try {
@@ -523,7 +527,8 @@ class SummaryRewriteSpec extends SparkSpec {
       // the joined-delta refresh completes the build and flips routing
       Summaries.refresh("spec_join_incr",
         li.filter(col("l_shipdate") >= cut)
-          .join(ord, li("l_orderkey") === ord("o_orderkey")))
+          .join(ord, li("l_orderkey") === ord("o_orderkey")),
+        complete = true)
       assert(scanPaths(probe()).forall(_.contains("graft_summaries")))
       assert(probe().collect().toSeq == raw)
     } finally Summaries.drop("spec_join_incr")
@@ -561,7 +566,8 @@ class SummaryRewriteSpec extends SparkSpec {
           (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             Summaries.refresh("spec_join_stream",
               batch.join(Tables.load(spark, sf, "orders"),
-                col("l_orderkey") === col("o_orderkey")))
+                col("l_orderkey") === col("o_orderkey")),
+              complete = true)
             ()
         }
         .start()
@@ -845,5 +851,69 @@ class SummaryRewriteSpec extends SparkSpec {
       Files.walk(dir).iterator().asScala.toSeq.reverse
         .foreach(p => Files.deleteIfExists(p))
     }
+  }
+
+  test("IS NOT NULL on a non-key column sharing a join key's NAME is " +
+      "not join-implied: the filter disqualifies instead of dropping") {
+    // L(k, g) ⋈ R(j, k) on L.k = R.j — R.k shares the key's NAME but
+    // is a nullable payload column. A name-based implied-not-null gate
+    // would classify the user's `R.k IS NOT NULL` as join-implied and
+    // silently DROP it over the summary (routed answer includes rows
+    // the raw query excludes). The exprId-based gate must instead let
+    // the filter hit the grain gate, which fails it closed to raw.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nn").toFile
+    val lPath = new java.io.File(dir, "ltab").getAbsolutePath
+    val rPath = new java.io.File(dir, "rtab").getAbsolutePath
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "g")
+      .write.parquet(lPath)
+    Seq((1L, Option(10L)), (2L, Option.empty[Long]), (3L, Option(30L)))
+      .toDF("j", "k").write.parquet(rPath)
+    val l = spark.read.parquet(lPath)
+    val r = spark.read.parquet(rPath)
+    Summaries.createJoined(l.join(r, l("k") === r("j")),
+      "spec_nn_collide", grain = Seq("g"), sums = Seq("sum_j" -> "j"))
+    try {
+      // sanity: the unfiltered join aggregate routes (the genuinely
+      // join-implied key not-nulls are still dropped by exprId)
+      val routed = l.join(r, l("k") === r("j"))
+        .groupBy("g").agg(count(lit(1)).as("n")).orderBy("g")
+      assert(scanPaths(routed).forall(_.contains("graft_summaries")))
+      // the colliding-name filter must NOT route — and the answer
+      // must be the raw one (the null row excluded)
+      val q = () => l.join(r, l("k") === r("j"))
+        .filter(r("k").isNotNull)
+        .groupBy("g").agg(count(lit(1)).as("n")).orderBy("g")
+      val paths = scanPaths(q())
+      assert(!paths.exists(_.contains("graft_summaries")),
+        s"colliding-name filter was routed: $paths")
+      assert(q().collect().map(x => (x.getString(0), x.getLong(1)))
+        .toSeq == Seq(("a", 2L)))
+    } finally {
+      Summaries.drop("spec_nn_collide")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("refresh completion is explicit: a partial summary stays " +
+      "unroutable under default refreshes") {
+    val raw = Tables.load(spark, sf, "lineitem")
+    val cut = lit("2000-01-01").cast("timestamp")
+    Summaries.create(
+      raw.filter(col("l_shipdate") < cut), "spec_forgot",
+      grain = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"),
+      partial = true)
+    try {
+      // a backfill that FORGETS the completion flag must fail safe:
+      // still unroutable, queries run raw (correct), never subset
+      Summaries.refresh("spec_forgot",
+        raw.filter(col("l_shipdate") >= cut))
+      val q = () => raw.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n")).orderBy("l_returnflag")
+      assert(scanPaths(q()).forall(_.contains("lineitem")))
+    } finally Summaries.drop("spec_forgot")
   }
 }

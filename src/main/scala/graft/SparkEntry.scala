@@ -47,8 +47,10 @@ object SparkEntry {
     "q18_semi_anti" -> (operators.OlapQueries.semiAntiCustomers _),
     "q19_top_orders_per_customer" -> (operators.OlapQueries.topOrdersPerCustomer _),
     "q20_hourly_events" -> (operators.OlapQueries.hourlyEventStats _),
-    // rows-only check: DuckDB has no matching HLL implementation; the
-    // estimator's accuracy is property-tested against exact counts.
+    // PORTABLE HLL vocab table: the sketch runs on the replayable
+    // integer hash family, so the DuckDB oracle rebuilds registers
+    // AND estimate (hash-checked — formerly the suite's last
+    // rows-only entry); accuracy stays property-tested vs exact.
     "q21_vocab_sizes" -> (plans.CardinalityEstimator.vocabTable _),
     "q22_exact_dedup" -> (operators.Dedup.exactDedup _),
     // fully oracle-replayed since r08: portable polynomial shingle
@@ -845,6 +847,63 @@ object SparkEntry {
         |FROM events
         |GROUP BY hour_start, event_type
         |ORDER BY hour_start, event_type""".stripMargin,
+    // the oracle rebuilds the ENTIRE portable HLL sketch: Karp–Rabin
+    // folds for strings, the affine+xorshift mix into [0,1e9+7), the
+    // exact-CDF register ranks (bitlength((D-1)//w) over the 244141
+    // window), the integer harmonic sum, and the identical float
+    // estimate expression (the ln branch was swept bit-identical over
+    // its full domain) — the q128/q174 discipline applied to HLL, so
+    // the suite's last rows-only query carries a value hash now
+    "q21_vocab_sizes" ->
+      """WITH base AS (
+        |  SELECT 'l_returnflag' AS column_name,
+        |    list_reduce(list_prepend(7::BIGINT,
+        |      [ascii(ch)::BIGINT for ch in string_split(l_returnflag, '')]),
+        |      (acc, ch) -> (acc * 31 + ch) % 1000000007) AS v
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus',
+        |    list_reduce(list_prepend(7::BIGINT,
+        |      [ascii(ch)::BIGINT for ch in string_split(l_linestatus, '')]),
+        |      (acc, ch) -> (acc * 31 + ch) % 1000000007)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+        |  UNION ALL SELECT 'l_orderkey', l_orderkey FROM lineitem),
+        |m1 AS (SELECT column_name,
+        |         (v % 1000000007) * 2654435761 % 1000000007 AS h
+        |       FROM base),
+        |m2 AS (SELECT column_name, xor(h, h >> 13) AS h FROM m1),
+        |m3 AS (SELECT column_name, h * 1610612741 % 1000000007 AS h
+        |       FROM m2),
+        |m4 AS (SELECT column_name, xor(h, h >> 11) % 1000000007 AS h
+        |       FROM m3),
+        |d AS (SELECT DISTINCT column_name, h FROM m4),
+        |r AS (SELECT column_name, h % 4096 AS idx,
+        |        CASE WHEN h // 4096 = 0 THEN 19
+        |             ELSE length(bin(244140 // (h // 4096))) END AS rank
+        |      FROM d),
+        |regs AS (SELECT column_name, idx, max(rank) AS mj
+        |         FROM r GROUP BY column_name, idx),
+        |agg AS (SELECT column_name, count(*) AS nz,
+        |          sum(1::BIGINT << (19 - mj)) AS s_present
+        |        FROM regs GROUP BY column_name),
+        |calc AS (SELECT column_name, 4096 - nz AS zeros,
+        |           (0.7213::DOUBLE
+        |              / (1.0::DOUBLE + 1.079::DOUBLE / 4096.0::DOUBLE))
+        |             * 4096.0::DOUBLE * 4096.0::DOUBLE
+        |             / (CAST(s_present
+        |                     + (4096 - nz) * (1::BIGINT << 19) AS DOUBLE)
+        |                / 524288.0::DOUBLE) AS raw
+        |         FROM agg),
+        |est AS (SELECT column_name,
+        |          CAST(floor(CASE
+        |            WHEN raw <= 2.5::DOUBLE * 4096.0::DOUBLE AND zeros > 0
+        |            THEN 4096.0::DOUBLE * ln(4096.0::DOUBLE / zeros)
+        |            ELSE raw END + 0.5::DOUBLE) AS BIGINT) AS approx_ndv
+        |        FROM calc)
+        |SELECT column_name, approx_ndv, approx_ndv * 5 AS n_buckets
+        |FROM est ORDER BY column_name""".stripMargin,
     "q22_exact_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents

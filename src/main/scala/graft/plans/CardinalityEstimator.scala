@@ -44,14 +44,27 @@ object CardinalityEstimator {
 
   /** Long-form table of (column, approx ndv, bucket size) for the
     * categorical columns of a table — the engine's rendition of the
-    * reference's `vocab_size` dict. Not oracle-checked (DuckDB's HLL
-    * differs); accuracy is property-tested against exact counts.
+    * reference's `vocab_size` dict, through the PORTABLE HLL
+    * ([[graft.functions.HllPortableNdv]]): keys hash with the affine
+    * + xorshift mix, strings through the Karp–Rabin fold first, so
+    * the DuckDB oracle rebuilds the register array and lands on the
+    * SAME integer estimate (the q174/q128 discipline — this was the
+    * suite's last rows-only query until the sketch moved onto the
+    * portable hash family). Accuracy is additionally property-tested
+    * against exact counts. Still ONE scan, 5 sketches, O(2^p) state
+    * per column — the 100 TB ANALYZE shape.
     */
   def vocabTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HllFunctions.{hll_ndv_portable, portableHash}
     val li = Tables.load(spark, sfDir, "lineitem")
-    val cols = Seq("l_returnflag", "l_linestatus", "l_partkey",
-      "l_suppkey", "l_orderkey")
-    val aggs = cols.map(c => hll_distinct(col(c)).as(c))
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val longCols = Seq("l_partkey", "l_suppkey", "l_orderkey")
+    val aggs =
+      strCols.map(c => hll_ndv_portable(
+        portableHash(graft.functions.TextKernels.poly_fingerprint(col(c))))
+        .as(c)) ++
+        longCols.map(c => hll_ndv_portable(portableHash(col(c))).as(c))
+    val cols = strCols ++ longCols
     val wide = li.agg(aggs.head, aggs.tail: _*) // ONE scan, 5 sketches
     val stackArgs = cols.map(c => s"'$c', $c").mkString(", ")
     wide.select(expr(

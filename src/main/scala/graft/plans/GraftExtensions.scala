@@ -126,6 +126,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "minhash_signature_portable(hashes, k)")
       }))
     e.injectFunction((
+      new FunctionIdentifier("hll_ndv_portable"),
+      new ExpressionInfo(
+        classOf[graft.functions.HllPortableNdv].getName,
+        "hll_ndv_portable"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => graft.functions.HllPortableNdv(c)
+        case Seq(c, Literal(p: Int, _)) =>
+          graft.functions.HllPortableNdv(c, p)
+        case _ => throw new IllegalArgumentException(
+          "hll_ndv_portable(hash[, precision])")
+      }))
+    e.injectFunction((
       new FunctionIdentifier("kmv_ndv"),
       new ExpressionInfo(
         classOf[graft.functions.KmvNdv].getName, "kmv_ndv"),

@@ -65,9 +65,15 @@ import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
   * the raw data by the average rows-per-grain factor (thousands at
   * warehouse scale), and every qualifying dashboard aggregate reads
   * the summary's megabytes instead of the fact table's terabytes.
-  * Freshness is the caller's contract, exactly like a warehouse MV:
-  * the summary answers for the source AS OF its build;
-  * re-[[Summaries.create]] refreshes, [[Summaries.drop]] revokes.
+  * Freshness FAILS CLOSED: create/refresh fingerprint the source
+  * file set (paths, lengths, mtimes), lookup re-fingerprints, and a
+  * mismatch (new files, overwrite, deletion) silently suspends
+  * routing — queries run raw, correct — until a [[Summaries.refresh]]
+  * or re-[[Summaries.create]] records the new state;
+  * [[Summaries.drop]] revokes. The check is one metadata listing per
+  * routed lookup (the split-planning cost class);
+  * `spark.graft.summaryRewrite.staleCheck.enabled=false` restores
+  * pure caller's-contract freshness.
   * Rewrite activation is registration itself (creating the MV enables
   * routing, as in the host warehouse); `spark.graft.summaryRewrite
   * .enabled=false` force-disables without dropping state. No session
@@ -104,15 +110,72 @@ object Summaries {
       // false while a PARTIAL build awaits its backfill: the summary
       // is registered (refreshable, mergeable) but the rewrite must
       // not route onto it — it does not yet reflect the full table
-      routable: Boolean = true)
+      routable: Boolean = true,
+      // staleness guard: the canonical source director(y/ies) this
+      // summary was built from, and their file-level fingerprint at
+      // build/refresh time — lookup() re-fingerprints and suspends
+      // routing on mismatch (fail closed, like the refresh window)
+      fpPaths: Seq[String] = Nil,
+      sourceFp: String = "")
 
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, Spec]()
 
   private[plans] def isEmpty: Boolean = reg.isEmpty
 
+  /** Fingerprint of the source file set: every data file's full path,
+    * length, and mtime (temp/metadata `_`/`.` names excluded), sorted
+    * and digested. One metadata listing per source — the same cost
+    * class as split planning; a warehouse MV's freshness check.
+    */
+  private[plans] def fingerprint(paths: Seq[String],
+      hadoopConf: org.apache.hadoop.conf.Configuration): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    paths.sorted.foreach { ps =>
+      val p = new org.apache.hadoop.fs.Path(ps)
+      try {
+        val fs = p.getFileSystem(hadoopConf)
+        val it = fs.listFiles(p, true)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith("."))
+            entries +=
+              s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+        }
+        entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+      } catch {
+        // a vanished source can never match its build-time state
+        case _: java.io.FileNotFoundException =>
+          md.update(s"absent:$ps".getBytes("UTF-8"))
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  val StaleCheckKey = "spark.graft.summaryRewrite.staleCheck.enabled"
+
+  /** The fail-closed freshness gate: a summary whose source files no
+    * longer match the build-time fingerprint silently stops routing
+    * (queries run raw — correct, just unrouted), exactly like the
+    * refresh-window suspension; a completing [[refresh]] or a
+    * re-[[create]] records the new fingerprint and routing resumes.
+    * `spark.graft.summaryRewrite.staleCheck.enabled=false` restores
+    * the caller's-contract behavior (skip the listing).
+    */
+  private def fresh(spec: Spec): Boolean =
+    spec.sourceFp.isEmpty || spec.fpPaths.isEmpty || {
+      val sess = org.apache.spark.sql.SparkSession.getActiveSession
+      sess.forall { s =>
+        !s.conf.get(StaleCheckKey, "true").toBoolean ||
+          fingerprint(spec.fpPaths,
+            s.sparkContext.hadoopConfiguration) == spec.sourceFp
+      }
+    }
+
   private[plans] def lookup(path: String): Option[Spec] =
-    Option(reg.get(path)).filter(_.routable)
+    Option(reg.get(path)).filter(_.routable).filter(fresh)
 
   /** Canonical path form both sides agree on. The scheme and
     * authority STAY in the key (a local /data/lineitem and an
@@ -290,7 +353,10 @@ object Summaries {
       hllSql = hlls, hllPrecision = hllPrecision,
       kmvs = kmvs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       kmvSql = kmvs, kmvK = kmvK, kmvDomain = kmvDomain,
-      routable = !partial))
+      routable = !partial,
+      fpPaths = Seq(source),
+      sourceFp = fingerprint(Seq(source),
+        raw.sparkSession.sparkContext.hadoopConfiguration)))
   }
 
   /** The composite registry key of a JOIN summary: both canonical
@@ -308,7 +374,7 @@ object Summaries {
     Option(reg.get(joinSourceKey(left, right, pairs)))
       .orElse(Option(reg.get(
         joinSourceKey(right, left, pairs.map(_.swap)))))
-      .filter(_.routable)
+      .filter(_.routable).filter(fresh)
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)
@@ -399,7 +465,10 @@ object Summaries {
       maxs = maxs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       relation = null,
       sumSql = sums, minSql = mins, maxSql = maxs, gen = 0,
-      routable = !partial))
+      routable = !partial,
+      fpPaths = Seq(leftPath, rightPath),
+      sourceFp = fingerprint(Seq(leftPath, rightPath),
+        raw.sparkSession.sparkContext.hadoopConfiguration)))
   }
 
   /** Write a summary generation, read it back, and (re-)register. A
@@ -493,8 +562,14 @@ object Summaries {
       // forgets the flag fails SAFE (queries run raw) instead of
       // routing subset answers. Routability never regresses —
       // folding additions into a complete summary keeps it complete.
+      // the refresh RE-FINGERPRINTS the source: folding the delta is
+      // the caller's claim that the summary now reflects the files on
+      // disk, so a staleness suspension lifts here (and only here, or
+      // at a full re-create)
       val next = register(merged, spec.copy(gen = spec.gen + 1,
-        routable = spec.routable || complete))
+        routable = spec.routable || complete,
+        sourceFp = fingerprint(spec.fpPaths,
+          spark.sparkContext.hadoopConfiguration)))
       // register()'s own old-generation cleanup keys off the spec it
       // DISPLACES in the registry — which the suspend above removed —
       // so the pre-refresh generation must be deleted here, and only

@@ -897,6 +897,57 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("staleness fails closed: a changed source suspends routing " +
+      "until refresh/re-create records the new state") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale").toFile
+    val srcPath = new java.io.File(dir, "li_copy").getAbsolutePath
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate")
+    li.write.parquet(srcPath)
+    val src = () => spark.read.parquet(srcPath)
+    val q = () => src().groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n")).orderBy("l_returnflag")
+    try {
+      Summaries.create(src(), "spec_stale",
+        grain = Seq("l_returnflag", "l_linestatus"), sums = Nil)
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      // OVERWRITE the source (fewer rows): routing must suspend and
+      // the query must return the NEW raw answer, never the stale one
+      val keep = li.filter(col("l_shipdate") <
+        lit("1997-01-01").cast("timestamp"))
+      val tmp = new java.io.File(dir, "tmp_rewrite").getAbsolutePath
+      keep.write.parquet(tmp)
+      spark.read.parquet(tmp).write.mode("overwrite").parquet(srcPath)
+      val paths = scanPaths(q())
+      assert(!paths.exists(_.contains("graft_summaries")),
+        s"stale summary still routed: $paths")
+      val fresh = withoutRouting { q().collect().toSeq }
+      assert(q().collect().toSeq == fresh)
+      // a full RE-CREATE records the new fingerprint: routing resumes
+      // and the routed answer is the post-overwrite one
+      Summaries.create(src(), "spec_stale",
+        grain = Seq("l_returnflag", "l_linestatus"), sums = Nil)
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      assert(q().collect().toSeq == fresh)
+      // APPEND new files: suspends again; a completing refresh with
+      // the delta batch lifts the suspension and stays value-exact
+      val extra = li.filter(col("l_shipdate") >=
+        lit("2001-06-01").cast("timestamp")) // small, disjoint slice
+      extra.write.mode("append").parquet(srcPath)
+      val paths2 = scanPaths(q())
+      assert(!paths2.exists(_.contains("graft_summaries")),
+        s"summary routed past appended files: $paths2")
+      Summaries.refresh("spec_stale", extra, complete = true)
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
+    } finally {
+      Summaries.drop("spec_stale")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("refresh completion is explicit: a partial summary stays " +
       "unroutable under default refreshes") {
     val raw = Tables.load(spark, sf, "lineitem")

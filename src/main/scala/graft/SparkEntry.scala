@@ -3548,6 +3548,10 @@ object SparkEntry {
     // answers from the materialized summary, DuckDB from lineitem —
     // a hash match proves the MV rewrite value-exact (decimal sums
     // are associative, so re-aggregated partials equal raw sums)
+    // avg_qty replays Spark's DECIMAL avg (half-up quotient at scale
+    // 6, then decimal→double) with pure integer arithmetic: cents
+    // total T, denominator d = 100·n, half-up = (2·T·10^6 + d)//(2·d),
+    // and one exact IEEE division by 10^6 — bit-identical both engines
     "q172_summary_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(*) AS n_rows,
@@ -3557,6 +3561,9 @@ object SparkEntry {
         |    4) AS sum_base,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |    / count(*), 4) AS avg_price,
+        |  CAST((2 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) * 1000000 + 100 * count(*))
+        |       // (2 * 100 * count(*)) AS DOUBLE) / 1000000.0 AS avg_qty,
         |  round(min(l_extendedprice), 4) AS min_price,
         |  round(max(l_extendedprice), 4) AS max_price
         |FROM lineitem

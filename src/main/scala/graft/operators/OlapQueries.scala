@@ -2055,6 +2055,12 @@ object OlapQueries {
         round(
           expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)") /
             count(lit(1)).cast("double"), 4).as("avg_price"),
+        // the TRUE avg() — routes through its exact legs
+        // (SUM(sum_qty) / SUM(__nn_sum_qty)); Spark's decimal avg is
+        // the half-up 6-dp quotient, which the oracle replays with
+        // integer arithmetic, so the double is bit-identical
+        avg(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("avg_qty"),
         round(min(col("l_extendedprice")), 4).as("min_price"),
         round(max(col("l_extendedprice")), 4).as("max_price"))
       .orderBy("l_returnflag", "l_linestatus")

@@ -46,11 +46,17 @@ import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
   *     extremum / count over it — and DISTINCT Count/Sum/Min/Max over
   *     grain-only inputs pass through verbatim (the summary carries
   *     exactly the raw table's distinct grain tuples);
+  *   - `AVG(m)` over a DECLARED decimal measure routes as the
+  *     quotient of its exact legs — `SUM(sum_m) / SUM(__nn_m)` (the
+  *     per-grain NON-NULL count stored alongside every sum measure,
+  *     because avg skips nulls) — substituted into the query's own
+  *     `Average.evaluateExpression`, so division arithmetic, result
+  *     type, and eval mode are Spark's by construction and the routed
+  *     value is bit-identical. Double/integral AVG stays raw (their
+  *     sums re-order under re-aggregation);
   *   - other DISTINCT aggregates, FILTER clauses, and anything
   *     referencing a non-grain, non-measure column disqualify the
-  *     aggregate — it runs against the raw table untouched. AVG is
-  *     deliberately not matched: spell it `sum(x)/count(1)` (both
-  *     legs rewrite) so the re-aggregated arithmetic is explicit.
+  *     aggregate — it runs against the raw table untouched.
   *
   * Rewritten output is bit-compatible: every output attribute keeps
   * its name, exprId, and data type (re-aggregated sums that widen a
@@ -111,6 +117,11 @@ object Summaries {
       // is registered (refreshable, mergeable) but the rewrite must
       // not route onto it — it does not yet reflect the full table
       routable: Boolean = true,
+      // companion NON-NULL counts per sum measure (measureKey ->
+      // column name): the denominator leg AVG routing needs (avg
+      // ignores nulls, so count(*) is not its count)
+      nns: Map[String, String] = Map.empty,
+      nnSql: Seq[(String, String)] = Nil,
       // staleness guard: the canonical source director(y/ies) this
       // summary was built from, and their file-level fingerprint at
       // build/refresh time — lookup() re-fingerprints and suspends
@@ -334,6 +345,10 @@ object Summaries {
         s"source $source already has summary '${o.name}' — drop it first")
     }
     val aggCols = (sums.map { case (n, s) => sum(expr(s)).as(n) } ++
+      // per sum measure, its NON-NULL row count (__nn_<name>): the
+      // denominator AVG re-aggregation divides by (avg skips nulls,
+      // so the grain count can't serve)
+      sums.map { case (n, s) => count(expr(s)).as("__nn_" + n) } ++
       mins.map { case (n, s) => min(expr(s)).as(n) } ++
       maxs.map { case (n, s) => max(expr(s)).as(n) } ++
       // sketch measures: the stored form is the mergeable STATE
@@ -347,6 +362,9 @@ object Summaries {
       sums = sums.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       mins = mins.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       maxs = maxs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      nns = sums.map { case (n, s) => keyOfSql(raw, s) -> ("__nn_" + n) }
+        .toMap,
+      nnSql = sums.map { case (n, s) => ("__nn_" + n, s) },
       relation = null,
       sumSql = sums, minSql = mins, maxSql = maxs, gen = 0,
       hlls = hlls.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
@@ -455,6 +473,7 @@ object Summaries {
         s"source $source already has summary '${o.name}' — drop it first")
     }
     val aggCols = (sums.map { case (n, s) => sum(expr(s)).as(n) } ++
+      sums.map { case (n, s) => count(expr(s)).as("__nn_" + n) } ++
       mins.map { case (n, s) => min(expr(s)).as(n) } ++
       maxs.map { case (n, s) => max(expr(s)).as(n) })
     val out = raw.groupBy(grain.map(col): _*)
@@ -463,6 +482,9 @@ object Summaries {
       sums = sums.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       mins = mins.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       maxs = maxs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      nns = sums.map { case (n, s) => keyOfSql(raw, s) -> ("__nn_" + n) }
+        .toMap,
+      nnSql = sums.map { case (n, s) => ("__nn_" + n, s) },
       relation = null,
       sumSql = sums, minSql = mins, maxSql = maxs, gen = 0,
       routable = !partial,
@@ -525,6 +547,7 @@ object Summaries {
       throw new IllegalArgumentException(s"no summary named $name"))
     val spark = batch.sparkSession
     val aggCols = (spec.sumSql.map { case (n, s) => sum(expr(s)).as(n) } ++
+      spec.nnSql.map { case (n, s) => count(expr(s)).as(n) } ++
       spec.minSql.map { case (n, s) => min(expr(s)).as(n) } ++
       spec.maxSql.map { case (n, s) => max(expr(s)).as(n) } ++
       spec.hllSql.map { case (n, s) =>
@@ -538,6 +561,8 @@ object Summaries {
     val mergeCols =
       Seq(sum(col(spec.cntCol)).cast(types(spec.cntCol)).as(spec.cntCol)) ++
         spec.sumSql.map { case (n, _) =>
+          sum(col(n)).cast(types(n)).as(n) } ++
+        spec.nnSql.map { case (n, _) =>
           sum(col(n)).cast(types(n)).as(n) } ++
         spec.minSql.map { case (n, _) => min(col(n)).as(n) } ++
         spec.maxSql.map { case (n, _) => max(col(n)).as(n) } ++
@@ -837,6 +862,35 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             if hd.precision == spec.hllPrecision =>
           Summaries.measureKey(hd.child).flatMap(spec.hlls.get)
             .map(c => wrap(graft.functions.HllUnion(colFor(c))))
+        // AVG via its exact legs: SUM(sum_m) / SUM(__nn_m), spliced
+        // into the query's OWN Average.evaluateExpression (its sum /
+        // count buffer attrs swapped for the re-aggregated summary
+        // legs), so the division arithmetic, overflow handling, result
+        // type, and eval mode are Spark's by construction. The sum leg
+        // casts back to Average's internal sumDataType — same scale,
+        // value fits by construction (the raw buffer held it), so the
+        // cast never rounds. Decimal measures only: double/integral
+        // averages re-sum order-dependently.
+        case a: Average
+            if a.child.dataType
+              .isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+          val key = Summaries.measureKey(a.child)
+          for {
+            c <- key.flatMap(spec.sums.get)
+            nn <- key.flatMap(spec.nns.get)
+          } yield {
+            val sumLeg = Cast(AggregateExpression(Sum(colFor(c)),
+              ae.mode, isDistinct = false, None, ae.resultId),
+              a.sumDataType)
+            val cntLeg = AggregateExpression(Sum(colFor(nn)), ae.mode,
+              isDistinct = false, None, NamedExpression.newExprId)
+            a.evaluateExpression.transformUp {
+              case ar: AttributeReference if ar.exprId == a.sum.exprId =>
+                sumLeg
+              case ar: AttributeReference if ar.exprId == a.count.exprId =>
+                cntLeg
+            }
+          }
         // KMV: bottom-k is a mergeable summary (the k smallest over a
         // union lie in the union of per-part k smallest), so the
         // routed estimate equals the raw one EXACTLY — and, the hash

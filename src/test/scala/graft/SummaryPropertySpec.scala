@@ -46,10 +46,12 @@ class SummaryPropertySpec extends SparkSpec {
         "mnq" -> min(col("l_quantity")),
         "mxq" -> max(col("l_quantity")),
         "sp" -> sum(col("l_extendedprice").cast("decimal(18,2)")),
+        "ap" -> avg(col("l_extendedprice").cast("decimal(18,2)")),
         "mnp" -> min(col("l_extendedprice")),
         "mxp" -> max(col("l_extendedprice")),
         // shapes that must NOT route — correctness still required
         "st" -> sum(col("l_tax")),
+        "ad" -> avg(col("l_extendedprice")), // double avg: never routes
         "sq" -> sum(col("l_quantity")))
       val filterPool: Seq[Column] = Seq(
         col("l_returnflag") =!= "N",
@@ -92,6 +94,7 @@ class SummaryPropertySpec extends SparkSpec {
         "ndq" -> countDistinct(col("l_quantity")),
         "mnq" -> min(col("l_quantity")),
         "sp" -> sum(col("l_extendedprice").cast("decimal(18,2)")),
+        "ap" -> avg(col("l_extendedprice").cast("decimal(18,2)")),
         "mnp" -> min(col("l_extendedprice")),
         // must fall through to raw — still has to be correct
         "st" -> sum(col("l_tax")))
@@ -140,9 +143,11 @@ class SummaryPropertySpec extends SparkSpec {
         "p50" -> expr("percentile(l_quantity, 0.5)"),
         "mxq" -> max(col("l_quantity")),
         "sp" -> sum(col("l_extendedprice").cast("decimal(18,2)")),
+        "ap" -> avg(col("l_extendedprice").cast("decimal(18,2)")),
         "ndf" -> countDistinct(col("l_returnflag")),
         // non-routable: a non-grain, non-measure column
-        "mnt" -> min(col("l_tax")))
+        "mnt" -> min(col("l_tax")),
+        "ad" -> avg(col("l_extendedprice"))) // double avg: never routes
       val filterPool: Seq[Column] = Seq(
         col("o_orderpriority") =!= "1-URGENT",
         col("l_quantity") <= 40.0,

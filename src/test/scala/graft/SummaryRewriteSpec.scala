@@ -897,6 +897,28 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("AVG over a declared decimal measure routes bit-identically; " +
+      "double AVG never routes") {
+    registered {
+      val qDec = () => Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(avg(col("l_extendedprice").cast("decimal(18,2)")).as("ap"),
+          avg(col("l_quantity").cast("decimal(18,2)")).as("aq"))
+        .orderBy("l_returnflag")
+      val paths = scanPaths(qDec())
+      assert(paths.nonEmpty && paths.forall(_.contains("graft_summaries")),
+        s"decimal AVG did not route: $paths")
+      val routed = qDec().collect().toSeq
+      val raw = withoutRouting { qDec().collect().toSeq }
+      assert(routed == raw, s"routed AVG diverged:\n$routed\nvs\n$raw")
+      // double AVG re-sums order-dependently — must stay on raw
+      val qDbl = () => Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(avg(col("l_extendedprice")).as("ad"))
+      assert(scanPaths(qDbl()).forall(_.contains("lineitem")))
+    }
+  }
+
   test("staleness fails closed: a changed source suspends routing " +
       "until refresh/re-create records the new state") {
     import scala.jdk.CollectionConverters._

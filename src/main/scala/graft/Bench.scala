@@ -81,6 +81,32 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val failed = scala.collection.mutable.Set.empty[String]
+    // MV pre-registration hooks: the summary BUILD runs OUTSIDE the
+    // timer around every sample (withSummary skips its inline
+    // create/drop when registered), so the recorded number is the
+    // ROUTED READ — the lever those queries demonstrate — never the
+    // one-off build scan that used to dominate the reading ~90%
+    val mvSetups = operators.OlapQueries.mvBenchSetups
+    // per-run task-metric bytes: shuffle read/write + spill, so a
+    // scale-killer regression (a new exchange, a new spill) is caught
+    // by DIFFING artifacts instead of re-profiling
+    val byteListener = new org.apache.spark.scheduler.SparkListener {
+      val sr = new java.util.concurrent.atomic.AtomicLong
+      val sw = new java.util.concurrent.atomic.AtomicLong
+      val sp = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          sp.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      }
+      def reset(): Unit = { sr.set(0); sw.set(0); sp.set(0) }
+      def snapshot(): (Long, Long, Long) = (sr.get, sw.get, sp.get)
+    }
+    spark.sparkContext.addSparkListener(byteListener)
 
     // the control: a fixed CPU-bound job with no data dependence —
     // measures the MACHINE, not the engine. 3e8 terms (~0.25 s clean)
@@ -109,9 +135,17 @@ object Bench {
     // promises not to produce); requiring both neighbors slow before
     // normalizing is the conservative reading.
     val samples = scala.collection.mutable
-      .Map.empty[String, List[(Double, Int)]].withDefaultValue(Nil)
+      .Map.empty[String, List[(Double, Int, (Long, Long, Long))]]
+      .withDefaultValue(Nil)
     def measure(name: String, timed: Boolean): Unit = {
+      // MV build (if any) runs here, untimed; drain so its task-end
+      // events don't leak into this run's byte counters
+      val teardown = mvSetups.get(name).map(f => f(spark, sfDir))
+      if (teardown.nonEmpty)
+        org.apache.spark.sql.GraftColumnBridge
+          .drainListenerBus(spark, 10000L)
       plans.TraceCapture.setLabel(name) // stamp trace lines (if tracing)
+      byteListener.reset()
       val t = try {
         val t0 = System.nanoTime()
         run(SparkEntry.queries(name)(spark, sfDir))
@@ -130,9 +164,14 @@ object Bench {
           .drainListenerBus(spark, 10000L)
         plans.TraceCapture.clearLabel()
         spark.catalog.clearCache()
+        // registry/file-level only — no Spark jobs, so the byte
+        // snapshot below still reflects the measured run alone
+        teardown.foreach(td =>
+          try td() catch { case _: Throwable => () })
       }
       if (timed && t >= 0)
-        samples(name) = (t, lastControlIdx) :: samples(name)
+        samples(name) =
+          (t, lastControlIdx, byteListener.snapshot()) :: samples(name)
     }
     def pass(ns: Seq[String], timed: Boolean): Unit =
       ns.filterNot(failed).zipWithIndex.foreach { case (name, i) =>
@@ -179,11 +218,17 @@ object Bench {
       val s = samples(n)
       n -> (if (s.isEmpty) -1.0 else s.map(_._1).min)
     }
+    // bytes of the run behind each query's best sample (bytes are a
+    // plan property — near-identical across samples)
+    val bytesBest: Map[String, (Long, Long, Long)] = names.flatMap { n =>
+      val s = samples(n)
+      if (s.isEmpty) None else Some(n -> s.minBy(_._1)._3)
+    }.toMap
     val results = names.map { n =>
       val s = samples(n)
       if (s.isEmpty) n -> -1.0
       else {
-        val (raw, idx) = s.minBy(_._1)
+        val (raw, idx, _) = s.minBy(_._1)
         // min of the BRACKETING controls: only a phase that spans the
         // sample (both neighbors slow) justifies dampening it
         val ctrl =
@@ -327,6 +372,11 @@ object Bench {
         (prevRounds :+ 0).max + 1
       }
       val fullPath = f"BENCHFULL_r$roundNum%02d.json"
+      val bytesJson = names.flatMap(n => bytesBest.get(n).map {
+        case (r, w, sp) =>
+          "\"" + n + "\":{\"shuffle_read\":" + r +
+            ",\"shuffle_write\":" + w + ",\"spill\":" + sp + "}"
+      }).mkString("{", ",", "}")
       val fullJson =
         s"""{"sf":"$sfDir","n_queries":${ok.size},""" +
         s""""total_sec":${f(total)},"total_raw_sec":${f(totalRaw)},""" +
@@ -334,7 +384,7 @@ object Bench {
         s""""extra_passes":$extra,"control":$cStats,""" +
         s""""control_series":[${controls.map(f).mkString(",")}],""" +
         s""""moved_n":${movedAll.size},"moved_vs_prev":$moved,""" +
-        s""""queries":$qs,"queries_raw":$qsRaw}"""
+        s""""queries":$qs,"queries_raw":$qsRaw,"bytes":$bytesJson}"""
       try {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(fullPath), fullJson + "\n")

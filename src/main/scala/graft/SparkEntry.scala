@@ -585,7 +585,12 @@ object SparkEntry {
     // ROLLUP through the router: the summary slides under the Expand,
     // so subtotal and grand-total levels re-aggregate summary rows
     // cnt-weighted; the oracle rolls up the raw table
-    "q181_summary_rollup" -> (operators.OlapQueries.summaryRollup _)
+    "q181_summary_rollup" -> (operators.OlapQueries.summaryRollup _),
+    // STAR-schema routing: a 3-table inner equi-join (customer ⋈
+    // orders ⋈ lineitem) answered from one joined summary — spelled
+    // in a different join order than the registration to exercise
+    // the canonical path+edge key; the oracle joins from scratch
+    "q182_summary_star" -> (operators.OlapQueries.summaryStarSegment _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3669,6 +3674,24 @@ object SparkEntry {
     // level from lineitem; the engine answered all levels from the
     // summary via the Expand rewrite — null-marked subtotal rows and
     // the grand total are part of the hash
+    // the star replay: raw 3-way join; avg_qty uses q172's integer
+    // half-up spelling of Spark's decimal avg
+    "q182_summary_star" ->
+      """SELECT c_mktsegment, l_returnflag,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |    AS sum_qty,
+        |  CAST((2 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) * 1000000 + 100 * count(*))
+        |       // (2 * 100 * count(*)) AS DOUBLE) / 1000000.0 AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |             AS DOUBLE), 4) AS sum_price
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment <> 'MACHINERY'
+        |GROUP BY c_mktsegment, l_returnflag
+        |ORDER BY c_mktsegment, l_returnflag""".stripMargin,
     "q181_summary_rollup" ->
       """SELECT coalesce(l_returnflag, '(all)') AS flag,
         |  coalesce(l_linestatus, '(all)') AS status,

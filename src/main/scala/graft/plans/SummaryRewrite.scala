@@ -377,21 +377,21 @@ object Summaries {
         raw.sparkSession.sparkContext.hadoopConfiguration)))
   }
 
-  /** The composite registry key of a JOIN summary: both canonical
-    * paths plus the oriented equi-key pairs. Everything that makes two
-    * joins interchangeable is in the key — a query routes only when
-    * it joins the SAME two tables on the SAME columns.
+  /** The composite registry key of a JOIN summary: every canonical
+    * leaf path plus every canonical equi-edge (each edge rendered
+    * `path.col=path.col` with the lexicographically smaller endpoint
+    * first, the edge list sorted). Everything that makes two join
+    * trees interchangeable is in the key — a query routes only when
+    * it INNER-joins the SAME tables on the SAME column equalities, in
+    * any join order or associativity.
     */
-  private[plans] def joinSourceKey(left: String, right: String,
-      pairs: Seq[(String, String)]): String =
-    s"$left⋈$right?" +
-      pairs.map { case (a, b) => s"$a=$b" }.sorted.mkString("&")
+  private[plans] def joinSourceKey(paths: Seq[String],
+      edges: Seq[String]): String =
+    paths.sorted.mkString("⋈") + "?" + edges.sorted.mkString("&")
 
-  private[plans] def lookupJoin(left: String, right: String,
-      pairs: Seq[(String, String)]): Option[Spec] =
-    Option(reg.get(joinSourceKey(left, right, pairs)))
-      .orElse(Option(reg.get(
-        joinSourceKey(right, left, pairs.map(_.swap)))))
+  private[plans] def lookupJoin(paths: Seq[String],
+      edges: Seq[String]): Option[Spec] =
+    Option(reg.get(joinSourceKey(paths, edges)))
       .filter(_.routable).filter(fresh)
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -399,23 +399,64 @@ object Summaries {
     case x => Seq(x)
   }
 
-  /** Register a summary over a FACT ⋈ DIM join (the BigQuery MV shape
-    * the single-table [[create]] can't express): `raw` must be an
-    * INNER equi-join of two bare single-path scans — the same
-    * wrong-answer discipline as [[create]]'s bare-scan rule, join
-    * edition: a filtered side or an outer join would summarize rows a
-    * later query's identical-looking join doesn't produce (or drop its
-    * null-extensions), so anything but the exact shape throws.
+  /** Resolve raw join-condition conjuncts against the leaf scans into
+    * canonical edge strings plus the key AttributeReferences (the
+    * implied-not-null gate's input). None when any conjunct is not a
+    * cross-leaf column equality, or when the resulting graph does not
+    * CONNECT all leaves (a disconnected "join" hides a cartesian slice
+    * the key could not distinguish).
+    */
+  private[plans] def resolveEdges(conds: Seq[Expression],
+      leaves: Seq[(String, LogicalRelation)])
+      : Option[(Seq[String], AttributeSet)] = {
+    def leafOf(a: Attribute): Int =
+      leaves.indexWhere(_._2.outputSet.contains(a))
+    // union-find over leaf indices for the connectivity check
+    val parent = Array.tabulate(leaves.length)(identity)
+    def find(i: Int): Int =
+      if (parent(i) == i) i else { parent(i) = find(parent(i)); parent(i) }
+    val resolved = conds.map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val (la, lb) = (leafOf(a), leafOf(b))
+        if (la < 0 || lb < 0 || la == lb) None
+        else {
+          parent(find(la)) = find(lb)
+          val (pa, pb) = (leaves(la)._1, leaves(lb)._1)
+          val (ea, eb) = (s"$pa.${a.name}", s"$pb.${b.name}")
+          val edge = if (ea <= eb) s"$ea=$eb" else s"$eb=$ea"
+          Some((edge, Seq(a, b)))
+        }
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) None
+    else if (leaves.indices.map(find).distinct.length != 1) None
+    else Some((resolved.flatten.map(_._1),
+      AttributeSet(resolved.flatten.flatMap(_._2))))
+  }
+
+  /** Register a summary over an INNER equi-join of N bare scans — the
+    * BigQuery-MV shape the single-table [[create]] can't express, in
+    * its general STAR form (fact ⋈ dim ⋈ dim …): `raw` must be a tree
+    * of INNER joins whose leaves are bare single-path scans and whose
+    * conditions are cross-leaf column equalities spanning every leaf —
+    * the same wrong-answer discipline as [[create]]'s bare-scan rule,
+    * join edition: a filtered leaf, an outer join, a non-equi
+    * condition, or a disconnected (cartesian) slice would summarize
+    * rows a later query's identical-looking join doesn't produce, so
+    * anything but the exact shape throws.
     *
     * Routing: [[SummaryRewrite]] rewrites a qualifying aggregate whose
-    * child joins the SAME two tables on the SAME key columns (either
-    * order) — the join itself is pre-computed in the summary, so at
-    * 100 TB the rewrite saves the fact-side shuffle AND scan, the two
-    * costs that dominate every fact⋈dim dashboard aggregate. Grain
-    * and measure columns may come from either side (names must be
-    * unambiguous across the join — Spark itself rejects ambiguous
-    * references at build time). Self-joins are out of scope (the
-    * name-based grain mapping cannot tell the two sides apart).
+    * child inner-joins the SAME tables on the SAME column equalities —
+    * in ANY join order or associativity (the registry key is the
+    * canonical sorted path + edge set). The joins are pre-computed in
+    * the summary, so at 100 TB the rewrite deletes the fact-table scan
+    * AND every join shuffle — the costs that dominate a star-schema
+    * dashboard aggregate. Grain and measure columns may come from any
+    * leaf (names must be unambiguous across the join — Spark itself
+    * rejects ambiguous references at build time, and the rewrite
+    * refuses duplicated names not equated by the join keys). Self-
+    * joins are out of scope (the name-based grain mapping cannot tell
+    * two instances of one table apart).
     */
   def createJoined(raw: DataFrame, name: String, grain: Seq[String],
       sums: Seq[(String, String)],
@@ -424,50 +465,47 @@ object Summaries {
       partial: Boolean = false): Spec = {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Project, SubqueryAlias}
     import org.apache.spark.sql.catalyst.plans.Inner
-    def unwrap(p: LogicalPlan): LogicalPlan = p match {
-      case pr: Project if pr.projectList.forall(_.isInstanceOf[Attribute]) =>
-        unwrap(pr.child)
-      case s: SubqueryAlias => unwrap(s.child)
-      case other => other
-    }
-    val j = unwrap(raw.queryExecution.analyzed) match {
-      case j: Join if j.joinType == Inner && j.condition.isDefined => j
-      case other => throw new IllegalArgumentException(
-        "joined summary source must be an INNER equi-join of two bare " +
-          s"scans, got ${other.nodeName}")
-    }
     // `partial = true` mirrors create()'s incremental lifecycle: a
-    // side may be a Filter over its bare scan (the historical slice
+    // leaf may be a Filter over its bare scan (the historical slice
     // of the fact table) and the summary registers UNROUTABLE until a
     // refresh with complete = true folds in the remaining joined
-    // batches. Without the flag a filtered side is an error — a
+    // batches. Without the flag a filtered leaf is an error — a
     // subset summary must never shadow the full join.
-    def scanOf(side: LogicalPlan, which: String): LogicalRelation =
-      bareScan(side, allowFilter = partial).getOrElse(
-        throw new IllegalArgumentException(
-          s"$which side of a joined summary must be a bare table scan " +
-            "(a filtered/derived side would register a subset summary): " +
-            s"got ${side.nodeName}"))
-    val leftLr = scanOf(j.left, "left")
-    val rightLr = scanOf(j.right, "right")
-    val leftPath = pathOf(leftLr).getOrElse(throw new IllegalArgumentException(
-      "left side must be a single-path file scan"))
-    val rightPath = pathOf(rightLr).getOrElse(throw new IllegalArgumentException(
-      "right side must be a single-path file scan"))
-    require(leftPath != rightPath,
+    def flatten(p: LogicalPlan): (Seq[LogicalRelation], Seq[Expression]) =
+      p match {
+        case pr: Project
+            if pr.projectList.forall(_.isInstanceOf[Attribute]) =>
+          flatten(pr.child)
+        case s: SubqueryAlias => flatten(s.child)
+        case j: Join if j.joinType == Inner && j.condition.isDefined =>
+          val (ll, cl) = flatten(j.left)
+          val (lr, cr) = flatten(j.right)
+          (ll ++ lr, cl ++ cr ++ conjuncts(j.condition.get))
+        case other =>
+          (Seq(bareScan(other, allowFilter = partial).getOrElse(
+            throw new IllegalArgumentException(
+              "every joined-summary leaf must be a bare table scan " +
+                "under INNER equi-joins (a filtered/derived leaf would " +
+                "register a subset summary; an outer join would drop " +
+                s"null-extensions): got ${other.nodeName}"))), Nil)
+      }
+    val (lrs, conds) = flatten(raw.queryExecution.analyzed)
+    require(lrs.length >= 2,
+      "joined summary source must join at least two tables " +
+        "(use create for a single table)")
+    val leaves = lrs.map(lr => pathOf(lr).getOrElse(
+      throw new IllegalArgumentException(
+        "every joined-summary leaf must be a single-path file scan"))
+      -> lr)
+    require(leaves.map(_._1).distinct.length == leaves.length,
       "joined summaries over self-joins are not supported")
-    val pairs = conjuncts(j.condition.get).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if leftLr.outputSet.contains(a) && rightLr.outputSet.contains(b) =>
-        (a.name, b.name)
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if leftLr.outputSet.contains(b) && rightLr.outputSet.contains(a) =>
-        (b.name, a.name)
-      case other => throw new IllegalArgumentException(
-        "joined summary condition must be a conjunction of cross-side " +
-          s"column equalities, got $other")
-    }
-    val source = joinSourceKey(leftPath, rightPath, pairs)
+    val (edges, _) = resolveEdges(conds, leaves).getOrElse(
+      throw new IllegalArgumentException(
+        "joined summary conditions must be cross-leaf column " +
+          "equalities whose graph CONNECTS every joined table " +
+          s"(got: ${conds.mkString(", ")})"))
+    val paths = leaves.map(_._1)
+    val source = joinSourceKey(paths, edges)
     Option(reg.get(source)).filter(_.name != name).foreach { o =>
       throw new IllegalArgumentException(
         s"source $source already has summary '${o.name}' — drop it first")
@@ -488,8 +526,8 @@ object Summaries {
       relation = null,
       sumSql = sums, minSql = mins, maxSql = maxs, gen = 0,
       routable = !partial,
-      fpPaths = Seq(leftPath, rightPath),
-      sourceFp = fingerprint(Seq(leftPath, rightPath),
+      fpPaths = paths,
+      sourceFp = fingerprint(paths,
         raw.sparkSession.sparkContext.hadoopConfiguration)))
   }
 
@@ -524,6 +562,12 @@ object Summaries {
     import scala.jdk.CollectionConverters._
     reg.values().asScala.find(_.name == name)
   }
+
+  /** Whether a summary of this name is currently registered — the
+    * skip-create guard query wrappers use so a caller (e.g. the
+    * bench) can pre-register once and measure the ROUTED READ alone.
+    */
+  def has(name: String): Boolean = lookupByName(name).nonEmpty
 
   /** Incremental maintenance (the MV refresh): fold a BATCH of new raw
     * rows into the registered summary WITHOUT re-reading the source
@@ -638,47 +682,68 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case agg: Aggregate => rewrite(agg).getOrElse(agg)
     }
 
-  /** One bare side of a candidate join: its canonical path, its scan,
-    * and any filters the optimizer already pushed below the join
-    * (hoisted back above it — filter-then-join ≡ join-then-filter for
-    * INNER, so they re-enter the grain gate like top-level filters).
-    * Side projects must be attribute-only (column pruning's shape);
-    * an aliased side is a derived table — no route.
-    */
-  private def joinSide(p: LogicalPlan)
-      : Option[(String, LogicalRelation, Seq[Expression])] = p match {
-    case PhysicalOperation(projects, filters, lr: LogicalRelation)
-        if projects.forall(_.isInstanceOf[AttributeReference]) =>
-      Summaries.pathOf(lr).map(path => (path, lr, filters))
-    case _ => None
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConj(a) ++ splitConj(b)
+    case x => Seq(x)
   }
 
-  /** The oriented equi-key name pairs PLUS the actual key
-    * AttributeReferences: the attrs (not the names) feed the
-    * implied-not-null gate, because a non-key column that merely
-    * SHARES a join key's name must not have its IS NOT NULL filter
-    * classified as join-implied and dropped.
+  /** Flatten an optimizer-shaped INNER join tree: bare leaves (their
+    * canonical path + scan), every pushed-down or mid-tree filter
+    * (hoisted back above the join — filter-then-join ≡
+    * join-then-filter for INNER, so they re-enter the grain gate like
+    * top-level filters), and every join-condition conjunct. Attr-only
+    * projects between joins (column pruning's shape) unwrap; an
+    * aliased projection means a derived input — no route.
     */
-  private def equiPairs(cond: Expression, left: LogicalRelation,
-      right: LogicalRelation)
-      : Option[(Seq[(String, String)], AttributeSet)] = {
-    def split(e: Expression): Seq[Expression] = e match {
-      case And(a, b) => split(a) ++ split(b)
-      case x => Seq(x)
-    }
-    val pairs = split(cond).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if left.outputSet.contains(a) && right.outputSet.contains(b) =>
-        Some(((a.name, b.name), Seq(a, b)))
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if left.outputSet.contains(b) && right.outputSet.contains(a) =>
-        Some(((b.name, a.name), Seq(a, b)))
+  private def collectJoinTree(p: LogicalPlan): Option[(
+      Seq[(String, LogicalRelation)], Seq[Expression], Seq[Expression])] =
+    p match {
+      case PhysicalOperation(projects, filters, lr: LogicalRelation)
+          if projects.forall(_.isInstanceOf[AttributeReference]) =>
+        Summaries.pathOf(lr).map(path => (Seq((path, lr)), Nil, filters))
+      case PhysicalOperation(projects, filters,
+          j: org.apache.spark.sql.catalyst.plans.logical.Join)
+          if projects.forall(_.isInstanceOf[AttributeReference]) &&
+            j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+            j.condition.isDefined =>
+        for {
+          (ll, cl, fl) <- collectJoinTree(j.left)
+          (lr2, cr, fr) <- collectJoinTree(j.right)
+        } yield (ll ++ lr2, cl ++ cr ++ splitConj(j.condition.get),
+          fl ++ fr ++ filters)
       case _ => None
     }
-    if (pairs.forall(_.isDefined)) {
-      val ps = pairs.flatten
-      Some((ps.map(_._1), AttributeSet(ps.flatMap(_._2))))
-    } else None
+
+  /** The attrs whose NAME is duplicated across join leaves WITHOUT
+    * the join's own equalities equating every bearer. Registration
+    * rejects ambiguous grain/measure declarations outright (Spark's
+    * ambiguous-reference analysis), but a QUERY can still reference
+    * one bearer explicitly — and the rewrite's name-keyed
+    * grain/measure mapping could then silently serve the OTHER
+    * table's column. Any rewritten expression touching one of these
+    * attrs must fail closed to the raw plan. Join-equated bearers are
+    * exempt: equal values on every surviving inner-join row, so
+    * either mapping is correct.
+    */
+  private def unsafeDupAttrs(rawOut: Seq[Attribute],
+      conds: Seq[Expression]): AttributeSet = {
+    val dups = rawOut.groupBy(_.name).values.filter(_.length > 1).toSeq
+    if (dups.isEmpty) AttributeSet.empty
+    else {
+      val parent = scala.collection.mutable.Map.empty[ExprId, ExprId]
+      def find(x: ExprId): ExprId = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      conds.foreach {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          parent(find(a.exprId)) = find(b.exprId)
+        case _ =>
+      }
+      AttributeSet(dups.filter(as =>
+        as.map(a => find(a.exprId)).distinct.length > 1).flatten)
+    }
   }
 
   private def rewrite(agg: Aggregate): Option[Aggregate] = agg.child match {
@@ -693,25 +758,29 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       // whenever any summary is registered, and the expression
       // surgery below is pure waste for the unregistered ones
       val matched: Option[(Summaries.Spec, Seq[Attribute], Seq[Expression],
-          AttributeSet)] =
+          AttributeSet, AttributeSet)] =
         child match {
           case lr: LogicalRelation =>
             for {
               path <- Summaries.pathOf(lr)
               spec <- Summaries.lookup(path)
-            } yield (spec, lr.output, Nil, AttributeSet.empty)
+            } yield (spec, lr.output, Nil, AttributeSet.empty,
+              AttributeSet.empty)
           case j: org.apache.spark.sql.catalyst.plans.logical.Join
               if j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
                 j.condition.isDefined =>
             for {
-              (lp, lrL, fL) <- joinSide(j.left)
-              (rp, lrR, fR) <- joinSide(j.right)
-              (pairs, keyAttrs) <- equiPairs(j.condition.get, lrL, lrR)
-              spec <- Summaries.lookupJoin(lp, rp, pairs)
-            } yield (spec, lrL.output ++ lrR.output, fL ++ fR, keyAttrs)
+              (leaves, conds, sideFs) <- collectJoinTree(j)
+              if leaves.map(_._1).distinct.length == leaves.length
+              (edges, keyAttrs) <- Summaries.resolveEdges(conds, leaves)
+              spec <- Summaries.lookupJoin(leaves.map(_._1), edges)
+              rawOut = leaves.flatMap(_._2.output)
+            } yield (spec, rawOut, sideFs, keyAttrs,
+              unsafeDupAttrs(rawOut, conds))
           case _ => None
         }
-      matched.flatMap { case (spec, rawOut, sideFilters, joinKeyAttrs) =>
+      matched.flatMap { case (spec, rawOut, sideFilters, joinKeyAttrs,
+          unsafeDups) =>
         // IS NOT NULL on a join KEY is implied by the registered inner
         // equi-join (every summary row came from a matched, hence
         // non-null, key) — constraint inference manufactures these on
@@ -757,7 +826,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         // row: semantics change, so the aggregate stays raw.
         if ((filters ++ groupings)
               .flatMap(_.references).forall(a => grainNames.contains(a.name)) &&
-            (filters ++ groupings ++ aggExprs).forall(_.deterministic))
+            (filters ++ groupings ++ aggExprs).forall(_.deterministic) &&
+            // a reference to a duplicated, non-join-equated name could
+            // be served the OTHER table's column by the name-keyed
+            // mapping — fail closed to raw
+            !(filters ++ groupings ++ aggExprs)
+              .flatMap(_.references).exists(unsafeDups.contains))
           rewriteOnto(groupings, aggExprs, filters, rawOut, spec)
         else None
       }

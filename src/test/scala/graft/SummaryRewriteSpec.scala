@@ -897,6 +897,56 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("q182: a 3-table STAR join routes in any join order; a " +
+      "different edge set stays raw") {
+    OlapQueries.registerStarSummary(spark, sf)
+    try {
+      def threeWay(reordered: Boolean) = {
+        val li = Tables.load(spark, sf, "lineitem")
+        val ord = Tables.load(spark, sf, "orders")
+        val cust = Tables.load(spark, sf, "customer")
+        val joined =
+          if (reordered)
+            cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+              .join(li, ord("o_orderkey") === li("l_orderkey"))
+          else
+            li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+              .join(cust, ord("o_custkey") === cust("c_custkey"))
+        joined.groupBy("c_mktsegment", "l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            avg(col("l_quantity").cast("decimal(18,2)")).as("aq"))
+          .orderBy("c_mktsegment", "l_returnflag")
+      }
+      // both associativities route: the key is the canonical
+      // path + edge set, not the tree shape
+      for (re <- Seq(false, true)) {
+        val paths = scanPaths(threeWay(re))
+        assert(paths.nonEmpty &&
+          paths.forall(_.contains("graft_summaries")),
+          s"reordered=$re did not route: $paths")
+      }
+      val routed = threeWay(true).collect().toSeq
+      val raw = withoutRouting { threeWay(true).collect().toSeq }
+      assert(routed == raw && routed.nonEmpty)
+      // SAME tables, DIFFERENT edge (orders joined to customer on the
+      // wrong key): key mismatch → no route, still correct
+      val li = Tables.load(spark, sf, "lineitem")
+      val ord = Tables.load(spark, sf, "orders")
+      val cust = Tables.load(spark, sf, "customer")
+      val wrongEdge = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_nationkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(!scanPaths(wrongEdge).exists(_.contains("graft_summaries")))
+      // a 2-table PREFIX of the star (li ⋈ ord alone) must not route
+      // onto the 3-table summary either
+      val twoOfThree = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      assert(!scanPaths(twoOfThree).exists(_.contains("graft_summaries")))
+    } finally Summaries.drop("li_ord_cust_star")
+  }
+
   test("AVG over a declared decimal measure routes bit-identically; " +
       "double AVG never routes") {
     registered {

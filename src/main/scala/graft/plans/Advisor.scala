@@ -48,6 +48,19 @@ package graft.plans
   *    single-table summary can never serve those. Lever:
   *    [[Summaries.createJoined]], which pre-computes the join AND the
   *    grain aggregate (the q177 routing shape).
+  *  - HISTOGRAM-GRAIN CANDIDATE (cross-query): percentile-family
+  *    aggregates over the same scan in ≥2 distinct queries. A sort
+  *    per percentile never amortizes; a summary whose grain is
+  *    (grouping columns ∪ percentile value columns) IS the
+  *    counts-route histogram — every percentile / extremum / count
+  *    over it becomes an NDV-sized walk (the q179 lever). The
+  *    nominated grain is carried in the lever text.
+  *  - ROLLUP CANDIDATE (cross-query): rollup/cube aggregates
+  *    (grouping includes `spark_grouping_id`, i.e. an Expand
+  *    multiplies the scan by the level count) over the same table in
+  *    ≥2 distinct queries. Lever: a summary at the base grain slides
+  *    under the Expand and each level re-aggregates summary rows
+  *    cnt-weighted (the q181 lever).
   */
 object Advisor {
 
@@ -85,6 +98,16 @@ object Advisor {
     // can
     val joinCand = collection.mutable.Map
       .empty[(String, String), collection.mutable.Map[String, Long]]
+    // histogram-grain candidates: path -> (per-query worst scanTime,
+    // union of nominated grain columns across its queries)
+    val histCand = collection.mutable.Map.empty[String,
+      (collection.mutable.Map[String, Long],
+        collection.mutable.LinkedHashSet[String])]
+    // rollup candidates: path -> (per-query worst scanTime, union of
+    // base grouping columns)
+    val rollCand = collection.mutable.Map.empty[String,
+      (collection.mutable.Map[String, Long],
+        collection.mutable.LinkedHashSet[String])]
     lines.foreach { line =>
       val root =
         try mapper.readTree(line)
@@ -94,6 +117,10 @@ object Advisor {
         val ops = root.path("operators")
         var lineHasAgg = false
         var lineHasEquiJoin = false
+        var lineHasPercentile = false
+        var lineHasGroupingId = false
+        val lineGrain = collection.mutable.LinkedHashSet.empty[String]
+        val lineBaseGroups = collection.mutable.LinkedHashSet.empty[String]
         val linePaths = collection.mutable.Map.empty[String, Long]
         var i = 0
         while (i < ops.size()) {
@@ -157,7 +184,32 @@ object Advisor {
               "partitions outgrow memory: raise " +
                 "spark.sql.shuffle.partitions, lower " +
                 "files.maxPartitionBytes, or salt the hot keys")
-          if (op.contains("Aggregate")) lineHasAgg = true
+          if (op.contains("Aggregate")) {
+            lineHasAgg = true
+            // aggregate-shape fields (TraceCapture stamps them on
+            // BaseAggregateExec nodes): percentile functions and the
+            // rollup/cube grouping-id marker drive the MV nominations
+            val aggsNode = node.path("aggs")
+            var a = 0
+            while (a < aggsNode.size()) {
+              if (aggsNode.get(a).asText("").startsWith("percentile"))
+                lineHasPercentile = true
+              a += 1
+            }
+            val groupsNode = node.path("groups")
+            var g = 0
+            while (g < groupsNode.size()) {
+              val gn = groupsNode.get(g).asText("")
+              if (gn == "spark_grouping_id") lineHasGroupingId = true
+              else { lineGrain += gn; lineBaseGroups += gn }
+              g += 1
+            }
+            val pvalsNode = node.path("pvals")
+            var v = 0
+            while (v < pvalsNode.size()) {
+              lineGrain += pvalsNode.get(v).asText(""); v += 1
+            }
+          }
           if (op.contains("Join") && !op.contains("NestedLoop") &&
             !op.contains("Cartesian")) lineHasEquiJoin = true
           i += 1
@@ -172,7 +224,23 @@ object Advisor {
               collection.mutable.Map.empty[String, Long])
             qs(qname) = math.max(qs.getOrElse(qname, 0L), t)
           }
-        else if (lineHasAgg && lineHasEquiJoin && linePaths.size == 2) {
+        if (lineHasAgg && linePaths.size == 1 && lineHasPercentile)
+          linePaths.foreach { case (pth, t) =>
+            val (qs, grain) = histCand.getOrElseUpdate(pth,
+              (collection.mutable.Map.empty[String, Long],
+                collection.mutable.LinkedHashSet.empty[String]))
+            qs(qname) = math.max(qs.getOrElse(qname, 0L), t)
+            grain ++= lineGrain
+          }
+        if (lineHasAgg && linePaths.size == 1 && lineHasGroupingId)
+          linePaths.foreach { case (pth, t) =>
+            val (qs, grain) = rollCand.getOrElseUpdate(pth,
+              (collection.mutable.Map.empty[String, Long],
+                collection.mutable.LinkedHashSet.empty[String]))
+            qs(qname) = math.max(qs.getOrElse(qname, 0L), t)
+            grain ++= lineBaseGroups
+          }
+        if (lineHasAgg && lineHasEquiJoin && linePaths.size == 2) {
           val ps = linePaths.keys.toSeq.sorted
           val key = (ps(0), ps(1))
           val qs = joinCand.getOrElseUpdate(key,
@@ -204,6 +272,35 @@ object Advisor {
             "grain, register a materialized summary " +
             "(Summaries.create) so they route onto the pre-aggregate")
     }.sortBy(f => (-f.value, f.op)).take(topN)
+    val histograms = histCand.toSeq.collect {
+      case (pth, (qs, grain)) if qs.size >= 2 =>
+        val t = qs.values.sum
+        val cols = grain.toSeq.sorted.mkString(", ")
+        Finding(s"${qs.size} queries", s"Scan $pth",
+          "percentile-scanning queries", qs.size, "queries",
+          "percentile aggregates re-scan and re-sort this table in " +
+            s"${qs.keys.toSeq.sorted.take(4).mkString(", ")}" +
+            (if (qs.size > 4) ", …" else "") +
+            s" (total scanTime ${t} ms): register a histogram-grain " +
+            s"summary (Summaries.create, grain = ($cols)) — the " +
+            "stored count becomes the percentile frequency and every " +
+            "percentile/extremum/count walks NDV-sized summary rows")
+    }.toSeq.sortBy(f => (-f.value, f.op)).take(topN)
+    val rollups = rollCand.toSeq.collect {
+      case (pth, (qs, grain)) if qs.size >= 2 =>
+        val t = qs.values.sum
+        val cols = grain.toSeq.sorted.mkString(", ")
+        Finding(s"${qs.size} queries", s"Scan $pth",
+          "rollup/cube-scanning queries", qs.size, "queries",
+          "rollup/cube Expands multiply this table's scan by the " +
+            "level count in " +
+            s"${qs.keys.toSeq.sorted.take(4).mkString(", ")}" +
+            (if (qs.size > 4) ", …" else "") +
+            s" (total scanTime ${t} ms): register a base-grain " +
+            s"summary (Summaries.create, grain = ($cols)) — the " +
+            "router slides it under the Expand and each level " +
+            "re-aggregates summary rows cnt-weighted")
+    }.toSeq.sortBy(f => (-f.value, f.op)).take(topN)
     val joinSummaries = joinCand.toSeq.collect {
       case ((p1, p2), qs) if qs.size >= 2 =>
         val t = qs.values.sum
@@ -218,7 +315,8 @@ object Advisor {
             "pre-joined pre-aggregate")
     }.sortBy(f => (-f.value, f.op)).take(topN)
     top(spills) ++ top(loops) ++ top(exchanges) ++ top(scans) ++
-      top(broadcasts) ++ top(sorts) ++ summaries ++ joinSummaries
+      top(broadcasts) ++ top(sorts) ++ summaries ++ joinSummaries ++
+      histograms ++ rollups
   }
 
   /** Render findings as aligned report lines (one per finding). */

@@ -69,6 +69,30 @@ object TraceCapture {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.relation.location.rootPaths.headOption.foreach(p =>
             sb.append(",\"path\":").append(q(p.toString)))
+        case ag: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          // aggregate-shape identity for the Advisor's MV nominations:
+          // which functions ran (percentile → histogram-grain
+          // candidate), over which grouping names (spark_grouping_id
+          // present → a rollup/cube Expand, the q181 lever), and which
+          // value columns the percentile family walked (they complete
+          // the nominated grain)
+          val fns = ag.aggregateExpressions
+            .map(_.aggregateFunction.prettyName).distinct
+          if (fns.nonEmpty)
+            sb.append(",\"aggs\":")
+              .append(fns.map(q).mkString("[", ",", "]"))
+          val groups = ag.groupingExpressions.flatMap(_.references)
+            .map(_.name).distinct
+          if (groups.nonEmpty)
+            sb.append(",\"groups\":")
+              .append(groups.map(q).mkString("[", ",", "]"))
+          val pvals = ag.aggregateExpressions
+            .filter(_.aggregateFunction.prettyName.startsWith("percentile"))
+            .flatMap(_.aggregateFunction.children.headOption)
+            .flatMap(_.references).map(_.name).distinct
+          if (pvals.nonEmpty)
+            sb.append(",\"pvals\":")
+              .append(pvals.map(q).mkString("[", ",", "]"))
         case _ =>
       }
       val ms = node.metrics

@@ -897,6 +897,89 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("advisor nominates HISTOGRAM-grain and ROLLUP candidates; " +
+      "acting on them routes the workloads") {
+    // the q179/q181 levers, closed end-to-end from the profiler: two
+    // percentile queries + two rollup/cube queries over lineitem →
+    // the Advisor names the histogram-grain and base-grain summary
+    // candidates (grains in the lever text) → creating them routes
+    // the original workloads, scan-path-asserted, answers unchanged
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.plans.{Advisor, TraceCapture}
+    val dir = Files.createTempDirectory("graft-advice-hist")
+    val trace = dir.resolve("t.jsonl").toString
+    val listener = TraceCapture.install(spark, trace)
+    def waitForLines(n: Int): Seq[String] = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var lines = Seq.empty[String]
+      while (lines.size < n && System.nanoTime() < deadline) {
+        if (Files.exists(Paths.get(trace)))
+          lines = Files.readAllLines(Paths.get(trace)).asScala.toSeq
+        if (lines.size < n) Thread.sleep(50)
+      }
+      assert(lines.size >= n, s"trace stalled at ${lines.size}/$n lines")
+      lines
+    }
+    val qP50 = () => Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"))
+      .orderBy("l_returnflag")
+    val qP95 = () => Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.95)").as("p95"),
+        max(col("l_quantity")).as("mx"))
+      .orderBy("l_returnflag")
+    val qRoll = () => Tables.load(spark, sf, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+    val qCube = () => Tables.load(spark, sf, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+    try {
+      var traced = 0
+      for ((nm, q) <- Seq("p50" -> qP50, "p95" -> qP95,
+          "roll" -> qRoll, "cube" -> qCube)) {
+        TraceCapture.setLabel(nm)
+        q().write.format("noop").mode("overwrite").save()
+        traced += 1
+        waitForLines(traced)
+      }
+      val lines = waitForLines(4)
+      val findings = Advisor.advise(lines.iterator)
+      val hist = findings.find(_.signal == "percentile-scanning queries")
+        .getOrElse(fail("no histogram-grain nomination"))
+      assert(hist.op.contains("lineitem"), hist.toString)
+      assert(hist.lever.contains("p50") && hist.lever.contains("p95"),
+        hist.lever)
+      assert(hist.lever.contains("l_returnflag") &&
+        hist.lever.contains("l_quantity"), hist.lever)
+      val roll = findings.find(_.signal == "rollup/cube-scanning queries")
+        .getOrElse(fail("no rollup nomination"))
+      assert(roll.lever.contains("roll") && roll.lever.contains("cube"),
+        roll.lever)
+      assert(roll.lever.contains("l_returnflag") &&
+        roll.lever.contains("l_linestatus"), roll.lever)
+      // act on the histogram nomination: (group ∪ value)-grain summary
+      Summaries.create(Tables.load(spark, sf, "lineitem"),
+        "spec_advised_hist",
+        grain = Seq("l_returnflag", "l_linestatus", "l_quantity"),
+        sums = Nil)
+      try {
+        for (q <- Seq(qP50, qP95, qRoll, qCube)) {
+          assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+          val routed = q().collect().toSeq.toSet
+          val raw = withoutRouting { q().collect().toSeq.toSet }
+          assert(routed == raw && routed.nonEmpty)
+        }
+      } finally Summaries.drop("spec_advised_hist")
+    } finally {
+      TraceCapture.uninstall(spark, listener)
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("q182: a 3-table STAR join routes in any join order; a " +
       "different edge set stays raw") {
     OlapQueries.registerStarSummary(spark, sf)

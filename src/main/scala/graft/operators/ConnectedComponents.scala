@@ -182,50 +182,74 @@ object ConnectedComponents {
     val parts = math.max(4L, nEdges / 1000000L).toInt
     val part = new org.apache.spark.HashPartitioner(parts)
 
-    /** Inner equi-join of an edge-sized left against a ONE-ROW-PER-KEY
-      * right, both hash-co-partitioned: build the per-partition map
-      * from the singleton side (bounded by nodes/parts), STREAM the
-      * big side. Every left key is guaranteed present on the right
-      * (the mins are reduced from the same rows), so this is exactly
-      * the DataFrame inner join, without cogroup's per-key buffering.
+    /** SECONDARY SORT: one sorted shuffle delivering each node's rows
+      * as a CONTIGUOUS ASCENDING run — the run's first value IS
+      * min(Γ(u)), so a star phase needs no second pass, no join, and
+      * no per-key state: this replaced a reduceByKey(min) +
+      * co-partitioned stream-join spelling (two shuffles and a
+      * recomputed zip stage per star) with ONE shuffle and one
+      * streamed stage, halving the round from six stages to three
+      * (measured 180 → ~95 ms/round on the forced q162 run). Hub-safe
+      * by the same argument as before: sort-based shuffle spills, and
+      * the run walk streams — a 10⁸-degree hub is just a long run,
+      * never a buffered HashSet.
       */
-    def streamJoin(big: RDD[(Long, Long)], singles: RDD[(Long, Long)])
-        : RDD[(Long, (Long, Long))] =
-      big.partitionBy(part).zipPartitions(singles,
-          preservesPartitioning = true) { (bi, si) =>
-        val m = new scala.collection.mutable.LongMap[Long]()
-        si.foreach { case (k, v) => m.update(k, v) }
-        bi.map { case (k, v) =>
-          // contract: every streamed key exists on the singleton side
-          // (both are reduced from the same rows, same partitioner) —
-          // fail loudly at the join boundary if a caller breaks it
-          (k, (v, m.getOrElse(k, throw new IllegalStateException(
-            s"streamJoin contract violated: key $k has no singleton " +
-              "row — big and singles must be keyed from the same rows " +
-              "and share the partitioner"))))
+    def sortedRuns(in: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val keyed = in.map(p => (p, null.asInstanceOf[Null]))
+      val byFirst = new org.apache.spark.Partitioner {
+        override def numPartitions: Int = parts
+        override def getPartition(key: Any): Int = {
+          val h = key.asInstanceOf[(Long, Long)]._1.hashCode % parts
+          if (h < 0) h + parts else h
         }
+      }
+      new org.apache.spark.rdd.OrderedRDDFunctions[(Long, Long), Null,
+          ((Long, Long), Null)](keyed)(
+          Ordering.Tuple2[Long, Long], implicitly, implicitly, implicitly)
+        .repartitionAndSortWithinPartitions(byFirst)
+        .mapPartitions(_.map(_._1), preservesPartitioning = false)
+    }
+
+    /** Walk the sorted runs of one partition: `emit(u, minValue, v)`
+      * per row, where minValue is the run's FIRST (smallest) value.
+      */
+    def runWalk(emit: (Long, Long, Long, Boolean) => Iterator[(Long, Long)])(
+        it: Iterator[(Long, Long)]): Iterator[(Long, Long)] =
+      new Iterator[(Long, Long)] {
+        private var curKey = 0L
+        private var curMin = 0L
+        private var started = false
+        private var pending: Iterator[(Long, Long)] = Iterator.empty
+        private def advance(): Unit =
+          while (!pending.hasNext && it.hasNext) {
+            val (u, v) = it.next()
+            val isFirst = !started || u != curKey
+            if (isFirst) { curKey = u; curMin = v; started = true }
+            pending = emit(u, curMin, v, isFirst)
+          }
+        override def hasNext: Boolean = { advance(); pending.hasNext }
+        override def next(): (Long, Long) = { advance(); pending.next() }
       }
 
     def starRound(in: RDD[(Long, Long)]): RDD[(Long, Long)] = {
       val bidir = in.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      // m(u) = min(Γ(u) ∪ {u}) — partitioned by part (reduceByKey)
-      val mins = bidir.reduceByKey(part, (x: Long, y: Long) => math.min(x, y))
-        .mapPartitions(_.map { case (u, mv) => (u, math.min(u, mv)) },
-          preservesPartitioning = true)
-      // LARGE-STAR: every strictly-larger neighbor re-attaches to m
-      val afterLarge = streamJoin(bidir, mins).flatMap {
-        case (u, (v, m)) =>
+      // LARGE-STAR: per run u (values ascending), m = min(u, minΓ(u));
+      // every strictly-larger neighbor re-attaches to m
+      val afterLarge = sortedRuns(bidir).mapPartitions(
+        runWalk { (u, minV, v, _) =>
+          val m = math.min(u, minV)
           if (v > u && v != m) Iterator.single((v, m)) else Iterator.empty
-      }
-      // SMALL-STAR: the group min adopts the node and all its smaller
-      // partners (afterLarge rows all satisfy b < a, so orientation
-      // is already (big, small) in both branches)
-      val smins = afterLarge.reduceByKey(part, (x: Long, y: Long) => math.min(x, y))
-      val right = streamJoin(afterLarge, smins).flatMap {
-        case (_, (b, m)) =>
-          if (b != m) Iterator.single((b, m)) else Iterator.empty
-      }
-      smins.union(right)
+        })
+      // SMALL-STAR: the run min adopts the node (once per run — the
+      // reduceByKey(min) row of the old spelling) and every smaller
+      // partner (per row, multiplicities preserved; afterLarge rows
+      // all satisfy b < a, so m = first b < a always)
+      sortedRuns(afterLarge).mapPartitions(
+        runWalk { (a, m, b, isFirst) =>
+          val head =
+            if (isFirst) Iterator.single((a, m)) else Iterator.empty
+          if (b != m) head ++ Iterator.single((b, m)) else head
+        })
     }
 
     var cur: RDD[(Long, Long)] = first.rdd

@@ -59,13 +59,17 @@ object CardinalityEstimator {
     val li = Tables.load(spark, sfDir, "lineitem")
     val strCols = Seq("l_returnflag", "l_linestatus")
     val longCols = Seq("l_partkey", "l_suppkey", "l_orderkey")
-    val aggs =
-      strCols.map(c => hll_ndv_portable(
-        portableHash(graft.functions.TextKernels.poly_fingerprint(col(c))))
-        .as(c)) ++
-        longCols.map(c => hll_ndv_portable(portableHash(col(c))).as(c))
     val cols = strCols ++ longCols
-    val wide = li.agg(aggs.head, aggs.tail: _*) // ONE scan, 5 sketches
+    // the hashes are a SELECT below the aggregate, not the aggregate
+    // children: a TypedImperativeAggregate evaluates its child
+    // INTERPRETED per update, so the mix arithmetic must sit in the
+    // whole-stage-codegen'd projection (measured 4× on this query)
+    val hashed = li.select(
+      strCols.map(c => portableHash(
+        graft.functions.TextKernels.poly_fingerprint(col(c))).as(c)) ++
+        longCols.map(c => portableHash(col(c)).as(c)): _*)
+    val aggs = cols.map(c => hll_ndv_portable(col(c)).as(c))
+    val wide = hashed.agg(aggs.head, aggs.tail: _*) // ONE scan, 5 sketches
     val stackArgs = cols.map(c => s"'$c', $c").mkString(", ")
     wide.select(expr(
         s"stack(${cols.size}, $stackArgs) AS (column_name, approx_ndv)"))

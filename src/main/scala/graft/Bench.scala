@@ -139,8 +139,16 @@ object Bench {
       .withDefaultValue(Nil)
     def measure(name: String, timed: Boolean): Unit = {
       // MV build (if any) runs here, untimed; drain so its task-end
-      // events don't leak into this run's byte counters
-      val teardown = mvSetups.get(name).map(f => f(spark, sfDir))
+      // events don't leak into this run's byte counters. A setup
+      // failure disqualifies like a query failure (same rule: only if
+      // no good sample exists yet) instead of killing the whole run.
+      val teardown =
+        try mvSetups.get(name).map(f => f(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name setup failed: ${e.getMessage}")
+          if (samples(name).isEmpty) failed += name
+          return
+        }
       if (teardown.nonEmpty)
         org.apache.spark.sql.GraftColumnBridge
           .drainListenerBus(spark, 10000L)

@@ -207,7 +207,21 @@ object ConnectedComponents {
           ((Long, Long), Null)](keyed)(
           Ordering.Tuple2[Long, Long], implicitly, implicitly, implicitly)
         .repartitionAndSortWithinPartitions(byFirst)
-        .mapPartitions(_.map(_._1), preservesPartitioning = false)
+        .mapPartitions({ it =>
+          // the sort makes DEDUP free: identical pairs are adjacent,
+          // so skipping equal-consecutive rows keeps every round's
+          // working set a SET (multiplicity from duplicate emissions
+          // would otherwise grow additively per round — at 10⁹ edges
+          // that is real shuffle volume). Fixed-point semantics are
+          // unchanged: emissions are a function of the pair SET.
+          var hasPrev = false
+          var pa = 0L
+          var pb = 0L
+          it.flatMap { case (p @ (a, b), _) =>
+            if (hasPrev && a == pa && b == pb) Iterator.empty
+            else { hasPrev = true; pa = a; pb = b; Iterator.single(p) }
+          }
+        }, preservesPartitioning = false)
     }
 
     /** Walk the sorted runs of one partition: `emit(u, minValue, v)`

@@ -92,12 +92,14 @@ object Advisor {
     // not inflated by the repetition factor)
     val sumCand = collection.mutable.Map
       .empty[String, collection.mutable.Map[String, Long]]
-    // joined-summary candidates: (path pair) -> per-query worst total
-    // scanTime, for aggregate-bearing TWO-TABLE JOIN queries — the
+    // joined-summary candidates: (sorted path tuple) -> per-query
+    // worst total scanTime, for aggregate-bearing MULTI-TABLE JOIN
+    // queries (two-table fact⋈dim or an N-table star) — the
     // single-table summary can't serve those; Summaries.createJoined
-    // can
+    // can (it registers any INNER equi-join tree under the canonical
+    // path+edge key)
     val joinCand = collection.mutable.Map
-      .empty[(String, String), collection.mutable.Map[String, Long]]
+      .empty[Seq[String], collection.mutable.Map[String, Long]]
     // histogram-grain candidates: path -> (per-query worst scanTime,
     // union of nominated grain columns across its queries)
     val histCand = collection.mutable.Map.empty[String,
@@ -240,9 +242,8 @@ object Advisor {
             qs(qname) = math.max(qs.getOrElse(qname, 0L), t)
             grain ++= lineBaseGroups
           }
-        if (lineHasAgg && lineHasEquiJoin && linePaths.size == 2) {
-          val ps = linePaths.keys.toSeq.sorted
-          val key = (ps(0), ps(1))
+        if (lineHasAgg && lineHasEquiJoin && linePaths.size >= 2) {
+          val key = linePaths.keys.toSeq.sorted
           val qs = joinCand.getOrElseUpdate(key,
             collection.mutable.Map.empty[String, Long])
           qs(qname) =
@@ -302,17 +303,18 @@ object Advisor {
             "re-aggregates summary rows cnt-weighted")
     }.toSeq.sortBy(f => (-f.value, f.op)).take(topN)
     val joinSummaries = joinCand.toSeq.collect {
-      case ((p1, p2), qs) if qs.size >= 2 =>
+      case (ps, qs) if qs.size >= 2 =>
         val t = qs.values.sum
-        Finding(s"${qs.size} queries", s"Join $p1 ⋈ $p2",
+        Finding(s"${qs.size} queries", s"Join ${ps.mkString(" ⋈ ")}",
           "aggregate-join queries", qs.size, "queries",
-          "the same two-table join feeds aggregates in " +
+          s"the same ${ps.size}-table join feeds aggregates in " +
             s"${qs.keys.toSeq.sorted.take(4).mkString(", ")}" +
             (if (qs.size > 4) ", …" else "") +
             s" (total scanTime ${t} ms): if they share a grouping " +
             "grain and join keys, register a joined materialized " +
-            "summary (Summaries.createJoined) so they route onto the " +
-            "pre-joined pre-aggregate")
+            "summary (Summaries.createJoined — any INNER equi-join " +
+            "star registers) so they route onto the pre-joined " +
+            "pre-aggregate")
     }.sortBy(f => (-f.value, f.op)).take(topN)
     top(spills) ++ top(loops) ++ top(exchanges) ++ top(scans) ++
       top(broadcasts) ++ top(sorts) ++ summaries ++ joinSummaries ++

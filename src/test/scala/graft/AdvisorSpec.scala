@@ -44,6 +44,21 @@ class AdvisorSpec extends SparkSpec {
       """{"op":"Scan parquet y","depth":3,"path":"/data/y","metrics":{"scanTime":60}},""" +
       """{"op":"Scan parquet x","depth":3,"path":"/data/x","metrics":{"scanTime":140}},""" +
       """{"op":"BroadcastHashJoin","depth":2,"metrics":{"numOutputRows":9}},""" +
+      """{"op":"HashAggregate","depth":1,"metrics":{"numOutputRows":3}}]}""",
+    // qG/qH: two aggregate queries over the SAME 3-table STAR
+    // (x⋈y⋈z) — a distinct candidate from the 2-table x⋈y one,
+    // nominating Summaries.createJoined's star form
+    """{"event":"query","name":"qG","wall_ms":300,"ts_ms":1,"operators":[""" +
+      """{"op":"Scan parquet x","depth":4,"path":"/data/x","metrics":{"scanTime":100}},""" +
+      """{"op":"Scan parquet y","depth":4,"path":"/data/y","metrics":{"scanTime":40}},""" +
+      """{"op":"Scan parquet z","depth":3,"path":"/data/z","metrics":{"scanTime":30}},""" +
+      """{"op":"SortMergeJoin","depth":2,"metrics":{"numOutputRows":9}},""" +
+      """{"op":"HashAggregate","depth":1,"metrics":{"numOutputRows":3}}]}""",
+    """{"event":"query","name":"qH","wall_ms":300,"ts_ms":1,"operators":[""" +
+      """{"op":"Scan parquet z","depth":3,"path":"/data/z","metrics":{"scanTime":35}},""" +
+      """{"op":"Scan parquet x","depth":4,"path":"/data/x","metrics":{"scanTime":90}},""" +
+      """{"op":"Scan parquet y","depth":4,"path":"/data/y","metrics":{"scanTime":45}},""" +
+      """{"op":"BroadcastHashJoin","depth":2,"metrics":{"numOutputRows":9}},""" +
       """{"op":"HashAggregate","depth":1,"metrics":{"numOutputRows":3}}]}""")
 
   test("deterministic fixture: every signal class found, ranked, levered") {
@@ -88,11 +103,17 @@ class AdvisorSpec extends SparkSpec {
     // x⋈y join (doubled fixture must not double the count), and they
     // contribute to NO single-table candidate
     val jcands = fs.filter(_.signal == "aggregate-join queries")
-    assert(jcands.size == 1, s"$jcands")
-    assert(jcands.head.op == "Join /data/x ⋈ /data/y" &&
-      jcands.head.value == 2L)
-    assert(jcands.head.lever.contains("Summaries.createJoined"))
-    assert(jcands.head.lever.contains("qE") && jcands.head.lever.contains("qF"))
+    assert(jcands.size == 2, s"$jcands")
+    val two = jcands.find(_.op == "Join /data/x ⋈ /data/y")
+      .getOrElse(fail(s"no 2-table candidate: $jcands"))
+    assert(two.value == 2L)
+    assert(two.lever.contains("Summaries.createJoined"))
+    assert(two.lever.contains("qE") && two.lever.contains("qF"))
+    // the 3-table STAR is its own candidate, disjoint from x⋈y
+    val star = jcands.find(_.op == "Join /data/x ⋈ /data/y ⋈ /data/z")
+      .getOrElse(fail(s"no star candidate: $jcands"))
+    assert(star.value == 2L && star.lever.contains("3-table join"))
+    assert(star.lever.contains("qG") && star.lever.contains("qH"))
     assert(!cands.exists(c => c.op.contains("/data/x") ||
       c.op.contains("/data/y")))
     // report renders one line per finding

@@ -462,6 +462,11 @@ object Summaries {
       sums: Seq[(String, String)],
       mins: Seq[(String, String)] = Nil,
       maxs: Seq[(String, String)] = Nil,
+      hlls: Seq[(String, String)] = Nil,
+      hllPrecision: Int = graft.functions.HllSketch.DefaultPrecision,
+      kmvs: Seq[(String, String)] = Nil,
+      kmvK: Int = 64,
+      kmvDomain: Long = 1000000007L,
       partial: Boolean = false): Spec = {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Project, SubqueryAlias}
     import org.apache.spark.sql.catalyst.plans.Inner
@@ -513,7 +518,11 @@ object Summaries {
     val aggCols = (sums.map { case (n, s) => sum(expr(s)).as(n) } ++
       sums.map { case (n, s) => count(expr(s)).as("__nn_" + n) } ++
       mins.map { case (n, s) => min(expr(s)).as(n) } ++
-      maxs.map { case (n, s) => max(expr(s)).as(n) })
+      maxs.map { case (n, s) => max(expr(s)).as(n) } ++
+      // sketch measures work over any substrate: the stored form is
+      // the mergeable STATE, exactly as in create()
+      hlls.map { case (n, s) => hllSketchCol(s, hllPrecision).as(n) } ++
+      kmvs.map { case (n, s) => kmvSketchCol(s, kmvK, kmvDomain).as(n) })
     val out = raw.groupBy(grain.map(col): _*)
       .agg(count(lit(1)).as(CntCol), aggCols: _*)
     register(out, Spec(name, source, "", grain, CntCol,
@@ -525,6 +534,10 @@ object Summaries {
       nnSql = sums.map { case (n, s) => ("__nn_" + n, s) },
       relation = null,
       sumSql = sums, minSql = mins, maxSql = maxs, gen = 0,
+      hlls = hlls.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      hllSql = hlls, hllPrecision = hllPrecision,
+      kmvs = kmvs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      kmvSql = kmvs, kmvK = kmvK, kmvDomain = kmvDomain,
       routable = !partial,
       fpPaths = paths,
       sourceFp = fingerprint(paths,

@@ -1030,6 +1030,50 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally Summaries.drop("li_ord_cust_star")
   }
 
+  test("STAR summary: sketch measures route and the partial+refresh " +
+      "lifecycle completes over three tables") {
+    // feature parity with the single-table substrate: a 3-table star
+    // summary carries a KMV sketch measure (routed kmv_ndv equals the
+    // raw estimate exactly — bottom-k merges losslessly) and an HLL
+    // sketch (routed hll_distinct bit-identical), built PARTIAL over
+    // the historical fact slice and completed by one joined-delta
+    // refresh — q178's lifecycle on the star shape
+    val cut = lit("1997-01-01").cast("timestamp")
+    val li = Tables.load(spark, sf, "lineitem")
+    val ord = Tables.load(spark, sf, "orders")
+    val cust = Tables.load(spark, sf, "customer")
+    def starOf(l: org.apache.spark.sql.DataFrame) =
+      l.join(ord, l("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+    Summaries.createJoined(
+      starOf(li.filter(col("l_shipdate") < cut)),
+      "spec_star_sketch",
+      grain = Seq("c_mktsegment", "l_returnflag"),
+      sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"),
+      hlls = Seq("hll_supp" -> "l_suppkey"),
+      kmvs = Seq("kmv_supp" -> SuppHash), kmvK = 64,
+      partial = true)
+    try {
+      val probe = () => starOf(li)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.HllFunctions.hll_distinct(col("l_suppkey"))
+            .as("hs"),
+          graft.functions.KmvFunctions.kmv_ndv(expr(SuppHash), 64)
+            .as("ks"))
+        .orderBy("c_mktsegment")
+      // partial: runs raw (correct), never routed
+      assert(scanPaths(probe()).exists(_.contains("lineitem")))
+      val raw = probe().collect().toSeq
+      // the completing joined-delta refresh flips routing on
+      Summaries.refresh("spec_star_sketch",
+        starOf(li.filter(col("l_shipdate") >= cut)), complete = true)
+      assert(scanPaths(probe()).forall(_.contains("graft_summaries")))
+      // register-max / bottom-k merge losslessly: routed == raw
+      assert(probe().collect().toSeq == raw)
+    } finally Summaries.drop("spec_star_sketch")
+  }
+
   test("AVG over a declared decimal measure routes bit-identically; " +
       "double AVG never routes") {
     registered {

@@ -166,6 +166,15 @@ object Summaries {
   }
 
   val StaleCheckKey = "spark.graft.summaryRewrite.staleCheck.enabled"
+  val StaleTtlKey = "spark.graft.summaryRewrite.staleCheck.ttlMs"
+
+  // memo for the freshness listing: paths-key → (nanoTime, fp). TTL 0
+  // (the default) bypasses it entirely — every lookup re-lists, the
+  // strictest reading. A deployment with 100k-file sources can set a
+  // small TTL so the optimizer's fixed-point re-visits of one query
+  // (2-3 rule firings) collapse to one metadata listing.
+  private val fpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
 
   /** The fail-closed freshness gate: a summary whose source files no
     * longer match the build-time fingerprint silently stops routing
@@ -179,9 +188,21 @@ object Summaries {
     spec.sourceFp.isEmpty || spec.fpPaths.isEmpty || {
       val sess = org.apache.spark.sql.SparkSession.getActiveSession
       sess.forall { s =>
-        !s.conf.get(StaleCheckKey, "true").toBoolean ||
-          fingerprint(spec.fpPaths,
-            s.sparkContext.hadoopConfiguration) == spec.sourceFp
+        !s.conf.get(StaleCheckKey, "true").toBoolean || {
+          val ttlNs =
+            s.conf.get(StaleTtlKey, "0").toLong * 1000000L
+          val key = spec.fpPaths.sorted.mkString("|")
+          val now = System.nanoTime()
+          val cached = Option(fpMemo.get(key))
+            .filter { case (t, _) => ttlNs > 0 && now - t < ttlNs }
+          val fp = cached.map(_._2).getOrElse {
+            val f = fingerprint(spec.fpPaths,
+              s.sparkContext.hadoopConfiguration)
+            fpMemo.put(key, (now, f))
+            f
+          }
+          fp == spec.sourceFp
+        }
       }
     }
 

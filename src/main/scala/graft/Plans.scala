@@ -67,8 +67,8 @@ object Plans {
     out ++= "# PLANS — formatted physical plans of representative queries\n\n"
     out ++= "Generated by `graft.Plans` at sf0.001. What to look for is\n"
     out ++= "noted per query; assertions live in PlanSpec.\n"
-    picks.foreach { case (name, note) =>
-      val df = SparkEntry.queries(name)(spark, sf)
+    def render(name: String, note: String,
+        df: org.apache.spark.sql.DataFrame): Unit = {
       out ++= s"\n## $name — $note\n\n```\n"
       // collapse embedded binary literals (e.g. the q62 bloom sketch —
       // 128 KiB of hex) so the dump stays readable
@@ -77,6 +77,18 @@ object Plans {
         .replaceAll("0x[0-9A-Fa-f]{256,}", "0x<binary literal elided>")
       out ++= "\n```\n"
     }
+    picks.foreach { case (name, note) =>
+      render(name, note, SparkEntry.queries(name)(spark, sf))
+    }
+    // the ROUTED star plan needs its registration live (the q182
+    // entry pins collected rows, whose plan is a LocalTableScan)
+    operators.OlapQueries.registerStarSummary(spark, sf)
+    try render("q182_summary_star (routed)",
+      "3-table star answered from ONE summary scan: no joins, none of " +
+        "customer/orders/lineitem in the plan; AVG re-expressed over " +
+        "exact sum + non-null-count legs",
+      operators.OlapQueries.summaryStarQuery(spark, sf))
+    finally plans.Summaries.drop("li_ord_cust_star")
     Files.writeString(Paths.get("/root/repo/PLANS.md"), out.toString)
     println(s"wrote PLANS.md (${out.length} chars)")
     spark.stop()

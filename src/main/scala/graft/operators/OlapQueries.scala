@@ -2102,26 +2102,34 @@ object OlapQueries {
     */
   def summaryStarSegment(spark: SparkSession, sfDir: String): DataFrame =
     withSummary(spark, "li_ord_cust_star")(
-      registerStarSummary(spark, sfDir)) {
-      val cust = Tables.load(spark, sfDir, "customer")
-      val ord = Tables.load(spark, sfDir, "orders")
-      val li = Tables.load(spark, sfDir, "lineitem")
-      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
-        .join(li, ord("o_orderkey") === li("l_orderkey"))
-        .filter(col("c_mktsegment") =!= lit("MACHINERY"))
-        .groupBy("c_mktsegment", "l_returnflag")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          round(expr(
-            "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
-            .as("sum_qty"),
-          avg(col("l_quantity").cast("decimal(18,2)")).cast("double")
-            .as("avg_qty"),
-          round(expr(
-            "cast(sum(cast(l_extendedprice as decimal(18,2))) as double)"),
-            4).as("sum_price"))
-        .orderBy("c_mktsegment", "l_returnflag")
-    }
+      registerStarSummary(spark, sfDir))(
+      summaryStarQuery(spark, sfDir))
+
+  /** The lazy star aggregate q182 routes — separate so PlanSpec /
+    * Plans can inspect the optimized plan (one summary scan, no joins,
+    * none of the three raw tables) while the registration is live.
+    */
+  private[graft] def summaryStarQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .filter(col("c_mktsegment") =!= lit("MACHINERY"))
+      .groupBy("c_mktsegment", "l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(expr(
+          "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
+          .as("sum_qty"),
+        avg(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("avg_qty"),
+        round(expr(
+          "cast(sum(cast(l_extendedprice as decimal(18,2))) as double)"),
+          4).as("sum_price"))
+      .orderBy("c_mktsegment", "l_returnflag")
+  }
 
   private[graft] def registerStarSummary(spark: SparkSession,
       sfDir: String): Unit = {

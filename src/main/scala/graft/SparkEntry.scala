@@ -487,14 +487,12 @@ object SparkEntry {
     // re-encode → decode); oracle replays the kept positions
     "q161_audio_resample" -> ((s: SparkSession, d: String) =>
       multimodal.Multimodal.resampleAudio(s, d)),
-    // q155's graph through the FORCED big-graph regime (bound 0): the
-    // AQE groupBy+join doubling loop — the 100 TB code path — gets a
-    // per-round tracked number and a per-round oracle check instead
-    // of spec-only coverage, since sf-scale graphs otherwise always
-    // take the RDD latency regime
-    "q162_components_bigregime" -> ((s: SparkSession, d: String) =>
-      operators.ConnectedComponents.chainComponents(s, d,
-        smallGraphEdgeBound = 0L)),
+    // q155's twin on the orthogonal hard axis: HUB-STAR blocks (max
+    // degree grows with block size) instead of deep chains — the
+    // unified sorted-run doubling loop's hub safety gets an oracle
+    // check at every SF, not just the SkewFixtureSpec replica proof
+    "q162_components_hubstar" -> ((s: SparkSession, d: String) =>
+      operators.ConnectedComponents.starComponents(s, d)),
     // framed audio features (energy + zero crossings per 64-sample
     // frame) — integer-exact, so the oracle replays the synthesis
     "q163_audio_frames" -> ((s: SparkSession, d: String) =>
@@ -3845,13 +3843,13 @@ object SparkEntry {
         |)
         |WHERE jaccard >= 0.8
         |ORDER BY ai, bi""".stripMargin,
-    // q155's analytic-blocks oracle, verbatim: the engine side runs
-    // the FORCED big-graph regime, so the AQE doubling loop gets its
-    // own per-round correctness check
-    "q162_components_bigregime" ->
+    // q155's analytic-blocks oracle at the hub-star block length: the
+    // engine resolves each 400-key star through the sorted-run loop;
+    // components are the blocks either way
+    "q162_components_hubstar" ->
       """WITH n AS (
         |  SELECT c_custkey AS node,
-        |    c_custkey // 1000 AS blk
+        |    c_custkey // 400 AS blk
         |  FROM customer),
         |s AS (
         |  SELECT blk, min(node) AS component,

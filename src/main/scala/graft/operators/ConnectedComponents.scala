@@ -28,30 +28,20 @@ import graft.sources.Tables
   * (count + wrap-around sum of pair hashes) that rides each round's
   * ONE materializing action. Edge lists stay edge-sized throughout.
   *
-  * TWO physical regimes, gated on the edge count:
-  *
-  *  - BIG graphs run the contraction over the raw pair RDD with every
-  *    per-key step hub-safe: node minima are `reduceByKey(min)`
-  *    (map-side combine collapses a 10⁸-degree hub to one partial per
-  *    task before the shuffle) and re-attachment is a co-partitioned
-  *    STREAMED hash join (the one-value-per-key mins side builds a
-  *    per-partition map, the edge side streams — no per-key
-  *    buffering anywhere; proven against a union-find replica on a
-  *    synthetic-hub fixture in SkewFixtureSpec). This replaced an
-  *    algebraically identical DataFrame/AQE spelling whose
-  *    Catalyst re-planning of the SAME round plan cost ~400 ms/round
-  *    — twice the actual compute on the q162 forced run (see
-  *    [[bigLoop]]). No session conf is touched — the loop composes
-  *    with concurrent queries.
-  *  - SMALL graphs (edge list below `smallGraphEdgeBound` AND no hub
-  *    past the degree probe — [[smallRegimeEligible]]) run the
-  *    IDENTICAL contraction algebra with per-group adjacency SETS
-  *    (groupByKey + local dedup): fewer shuffles per round (two, not
-  *    four) at the price of buffering each key's neighborhood in one
-  *    task — bounded by the edge bound and degree probe that gate the
-  *    regime (a 10⁸-degree hub must flow through the big regime's
-  *    partial aggregates and streamed joins, never into one task's
-  *    set).
+  * ONE physical regime: the contraction runs over the raw pair RDD
+  * as SECONDARY-SORT star rounds ([[bigLoop]]) — each star phase is
+  * one `repartitionAndSortWithinPartitions` shuffle whose contiguous
+  * ascending runs carry min(Γ(u)) in their first row, so the phase
+  * needs no join and no per-key state. Hub-safe by construction: the
+  * sort-based shuffle spills and the run walk streams, so a
+  * 10⁸-degree hub is just a long sorted run, never a buffered set
+  * (proven against a union-find replica on a synthetic-hub fixture
+  * in SkewFixtureSpec). A second small-graph regime (groupByKey
+  * adjacency sets behind an edge bound + degree probe) existed
+  * through round 9 and was deleted after the sorted-run loop measured
+  * FASTER on the small regime's own fixture (PROFILE.md round-9
+  * "regime crossover, measured": forced-big 2.58 s vs small 2.78 s)
+  * — one loop, one hub-safety argument, no probe job per query.
   *
   * Node ids are cast to long on entry (every caller's ids already
   * are); `component` is therefore always a long column.
@@ -76,16 +66,8 @@ object ConnectedComponents {
   /** (node, component) for every node that appears in `edges` —
     * component = the smallest node id reachable. Input columns
     * (a, b); self-loops and duplicates are tolerated.
-    * `smallGraphEdgeBound` gates the RDD latency regime (tests pass 0
-    * to force the big-graph AQE plan on small fixtures); within it, a
-    * cheap max-degree probe additionally rejects HUB-HEAVY small
-    * graphs (see [[smallRegimeEligible]]) — their adjacency sets
-    * belong in the AQE loop's partial aggregates, not one task's
-    * HashSet.
     */
-  def components(edges: DataFrame,
-      smallGraphEdgeBound: Long = 2000000L): DataFrame = {
-    val spark = edges.sparkSession
+  def components(edges: DataFrame): DataFrame = {
     // orient (big, small), drop self-loops, dedup — the invariant
     // every round preserves
     val first = edges
@@ -99,11 +81,7 @@ object ConnectedComponents {
       .distinct() // read once at the end — plain lineage is fine
     val nEdges = first.count()
 
-    val fixedPoint =
-      if (smallRegimeEligible(first, nEdges, smallGraphEdgeBound))
-        smallLoop(spark, first,
-          math.max(4L, nEdges / 100000L).toInt)
-      else bigLoop(first, nEdges)
+    val fixedPoint = bigLoop(first, nEdges)
 
     // fixed point: the star forest (node → component min); nodes with
     // no entry (component minima, isolated nodes) are their own
@@ -113,36 +91,7 @@ object ConnectedComponents {
         coalesce(col("b"), col("node")).as("component"))
   }
 
-  /** Whether the RDD latency regime may run: the edge list must be
-    * under `edgeBound` AND the graph's max degree under
-    * [[hubDegreeBound]]. The RDD round's per-group adjacency SET is
-    * bounded by the biggest degree any round produces — a
-    * near-bound star puts millions of longs (hundreds of MB) in ONE
-    * task's HashSet, which is exactly the shape the AQE loop's
-    * map-side partial aggregates and skew-split joins exist for. The
-    * initial max degree is a cheap one-aggregate probe over an
-    * already-small edge list; contraction can still GROW stars toward
-    * the component minimum (a component's final star has
-    * component-sized degree), which is why `edgeBound` stays at 2M —
-    * the worst emergent set (~100 MB once, transiently) is tolerable
-    * where a 5M-bound one was not, and an initially hub-heavy graph
-    * never enters.
-    */
-  private[graft] def smallRegimeEligible(first: DataFrame,
-      nEdges: Long, edgeBound: Long,
-      degBound: Long = hubDegreeBound): Boolean =
-    nEdges <= edgeBound && {
-      val d = first.select(col("a").as("u"))
-        .unionAll(first.select(col("b").as("u")))
-        .groupBy("u").agg(count(lit(1)).as("d"))
-        .agg(coalesce(max(col("d")), lit(0L)))
-        .head().getLong(0)
-      d <= degBound
-    }
-
-  private[graft] val hubDegreeBound = 262144L
-
-  /** The big-graph loop: one LARGE-STAR + SMALL-STAR double round per
+  /** The contraction loop: one LARGE-STAR + SMALL-STAR double round per
     * materialization, over the raw pair RDD with every per-key step
     * HUB-SAFE:
     *
@@ -154,8 +103,8 @@ object ConnectedComponents {
     *    entries) builds a per-partition map, the edge side streams
     *    through it row by row. A hub's neighborhood never materializes
     *    in memory (contrast `cogroup`/`groupByKey`, which buffer a
-    *    key's values — the exact shape that confines [[smallLoop]] to
-    *    bounded graphs).
+    *    key's values — the shape that confined the deleted small-graph
+    *    regime to bounded graphs).
     *
     * This replaced an equivalent DataFrame/AQE spelling: the round
     * plan is structurally identical every iteration, yet Catalyst
@@ -308,83 +257,6 @@ object ConnectedComponents {
     forest
   }
 
-  /** The small-graph loop: the identical double round over the raw
-    * pair RDD. Per round — ONE job, three stages, zero Catalyst:
-    *
-    *  1. bidirectional flatMap → groupByKey(u): adjacency SETS (local
-    *     dedup — bounded by the regime's edge bound), emit the
-    *     large-star re-attachments (v → min(Γ(u) ∪ {u}) for v > u);
-    *  2. groupByKey(a) over those: small-star re-attachments — the
-    *     big node and every small neighbor attach to the group min;
-    *  3. persist + per-partition (count, hash-sum) fold = the
-    *     fixed-point probe, which is also the materializing action.
-    *
-    * Per-group emission dedups via the local set, so a round's output
-    * multiset is a function of its input's per-key SETS — cross-group
-    * duplicate pairs can survive a round (the set dynamics, and hence
-    * the round trajectory and count, are EXACTLY the DataFrame
-    * regime's distinct()-canonicalized ones), and one round after the
-    * edge SET reaches its fixed point the output multiset repeats
-    * verbatim, which is what the checksum detects. The final
-    * reduceByKey collapses the surviving copies (at the fixed point
-    * every node has exactly one partner — its component min).
-    */
-  private def smallLoop(spark: SparkSession, first: DataFrame,
-      parts: Int): DataFrame = {
-    var cur: RDD[(Long, Long)] = first.rdd
-      .map(r => (r.getLong(0), r.getLong(1)))
-    var prevPersisted: RDD[(Long, Long)] = null
-    var prevChk = 0L
-    var prevCnt = -1L
-    var converged = false
-    var round = 0
-    val maxRounds = 64
-    while (!converged && round < maxRounds) {
-      val bidir = cur.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      val afterLarge = bidir.groupByKey(parts).flatMap { case (u, vs) =>
-        val set = scala.collection.mutable.HashSet.empty[Long]
-        var mn = u
-        vs.foreach { v => set += v; if (v < mn) mn = v }
-        val m = mn
-        set.iterator.filter(v => v > u && v != m).map(v => (v, m))
-      }
-      val stepped = afterLarge.groupByKey(parts).flatMap { case (a, bs) =>
-        val set = scala.collection.mutable.HashSet.empty[Long]
-        var mn = Long.MaxValue
-        bs.foreach { b => set += b; if (b < mn) mn = b }
-        val m = mn
-        Iterator.single((a, m)) ++
-          set.iterator.filter(_ != m).map(b => (b, m))
-      }
-      // materialized by the probe below; truncates lineage so
-      // round-k task binaries stay O(1), not O(k) — same discipline
-      // as the big regime
-      stepped.localCheckpoint()
-      val (cnt, chk) = stepped.mapPartitions { it =>
-        var c = 0L
-        var s = 0L
-        it.foreach { case (a, b) => c += 1; s += mixPair(a, b) }
-        Iterator.single((c, s))
-      }.fold((0L, 0L)) { case ((c1, s1), (c2, s2)) => (c1 + c2, s1 + s2) }
-      converged = cnt == prevCnt && chk == prevChk
-      prevCnt = cnt
-      prevChk = chk
-      if (prevPersisted != null) prevPersisted.unpersist(false)
-      prevPersisted = stepped
-      cur = stepped
-      round += 1
-    }
-    if (!converged) throw new IllegalStateException(
-      s"connected components did not converge in $maxRounds rounds")
-    import spark.implicits._
-    val forest = spark.createDataset(
-      cur.reduceByKey((x: Long, y: Long) => math.min(x, y), parts))
-      .toDF("a", "b")
-      .localCheckpoint(true) // edge-sized; frees the loop's RDD cache
-    if (prevPersisted != null) prevPersisted.unpersist(false)
-    forest
-  }
-
   /** INCREMENTAL resolution: merge a batch of NEW edges into an
     * existing complete labeling WITHOUT re-resolving the base graph —
     * the daily-reingest path of a 100 TB dedup pipeline, where
@@ -490,8 +362,7 @@ object ConnectedComponents {
     * component representative, plus the component size it belongs to.
     */
   def chainComponents(spark: SparkSession, sfDir: String,
-      chainLen: Long = 1000L,
-      smallGraphEdgeBound: Long = 2000000L): DataFrame = {
+      chainLen: Long = 1000L): DataFrame = {
     val c = Tables.load(spark, sfDir, "customer")
       .select(col("c_custkey").as("k"))
     val next = c.select(col("k").as("a"), (col("k") + 1L).as("b"))
@@ -507,7 +378,41 @@ object ConnectedComponents {
     // alone in its block (count ≡ 1 mod chainLen) has none — join the
     // full key set back so every node reports, matching the oracle
     val comp = c.select(col("k").as("node"))
-      .join(components(edges, smallGraphEdgeBound), Seq("node"), "left")
+      .join(components(edges), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+    val sizes = comp.groupBy("component")
+      .agg(count(lit(1)).as("component_size"))
+    comp.join(sizes, "component")
+      .select(col("node"), col("component"), col("component_size"))
+      .orderBy("node")
+  }
+
+  /** q162: components of a HUB-STAR graph over the dense customer-key
+    * space — each block of `starLen` consecutive custkeys is one star
+    * whose head (the block minimum) carries EVERY in-block edge, so
+    * max degree grows linearly with block size. q155's chain exercises
+    * the doubling loop's DEPTH (round count vs diameter); this query
+    * exercises its WIDTH: a hub's neighborhood must flow through the
+    * sorted-run walk as one long spilled run, never a buffered set
+    * (the shape SkewFixtureSpec proves at 60k-degree; here the hub is
+    * oracle-checked at every SF). Components are analytically the
+    * blocks, hence the plain-SQL oracle. Output: q155's
+    * (node, component, component_size) shape.
+    */
+  def starComponents(spark: SparkSession, sfDir: String,
+      starLen: Long = 400L): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("k"))
+    // head = block minimum (custkeys are 0-based, dense); every
+    // non-head attaches to it — the star
+    val edges = c.filter(pmod(col("k"), lit(starLen)) =!= 0L)
+      .select((col("k") - pmod(col("k"), lit(starLen))).as("a"),
+        col("k").as("b"))
+    // a lone block head appears in no edge — complete over the full
+    // key set (the q155 discipline)
+    val comp = c.select(col("k").as("node"))
+      .join(components(edges), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
     val sizes = comp.groupBy("component")

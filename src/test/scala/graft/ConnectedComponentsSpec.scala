@@ -49,43 +49,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L)) // one component, min rep
   }
 
-  test("components: RDD and DataFrame regimes agree on the same graph") {
-    // the latency regime (RDD contraction rounds) and the scale
-    // regime (groupBy+join under AQE) must be the SAME algebra — run
-    // both on one mixed graph (chain + clique + stars + singletons)
+  test("components: mixed graph (chain + clique + stars + singletons)") {
     val es = (1L until 80L).map(i => (i, i + 1)) ++
       (200L to 210L).flatMap(a => (200L to 210L).map(b => (a, b))) ++
       (300L to 330L).map(v => (299L, v)) ++ Seq((400L, 401L))
-    val small = run(es)
-    val big = ConnectedComponents
-      .components(es.toDF("a", "b"), smallGraphEdgeBound = 0L)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(small == big)
-    assert(small == replica(es))
+    assert(run(es) == replica(es))
   }
 
   test("components: self-loops, duplicates, singleton stars tolerated") {
     val es = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (9L, 8L))
     val got = run(es)
     assert(got == Map(5L -> 5L, 1L -> 1L, 2L -> 1L, 8L -> 8L, 9L -> 8L))
-  }
-
-  test("small-regime gate: hub-heavy graphs fall back to the AQE loop") {
-    // the RDD round's per-group adjacency set is degree-sized, so the
-    // gate must reject a star past the degree bound even when the
-    // edge count qualifies (bound shrunk to make the fixture small)
-    def oriented(es: Seq[(Long, Long)]) =
-      es.map(e => (math.max(e._1, e._2), math.min(e._1, e._2)))
-        .distinct.toDF("a", "b")
-    val star = oriented((2L to 40L).map(v => (1L, v)))
-    val chain = oriented((1L until 40L).map(i => (i, i + 1)))
-    assert(!ConnectedComponents.smallRegimeEligible(star,
-      nEdges = 39L, edgeBound = 1000L, degBound = 5L))
-    assert(ConnectedComponents.smallRegimeEligible(chain,
-      nEdges = 39L, edgeBound = 1000L, degBound = 5L))
-    // and past the edge bound the degree probe never runs at all
-    assert(!ConnectedComponents.smallRegimeEligible(chain,
-      nEdges = 39L, edgeBound = 10L, degBound = 5L))
   }
 
   test("mergeComponents: day-2 cost — the base edge list is never re-read") {
@@ -221,6 +195,20 @@ class ConnectedComponentsSpec extends SparkSpec {
       assert(size > 1)
     }
     // every customer key present exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
+  test("q162: hub-star components match the analytic blocks") {
+    val df = ConnectedComponents.starComponents(spark, sf, starLen = 50L)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    for ((node, comp, size) <- rows) {
+      val blk = node / 50
+      assert(comp == blk * 50, s"node $node comp $comp")
+      assert(size == math.min(50L, n - blk * 50L), s"block $blk size $size")
+    }
     assert(rows.map(_._1).distinct.length == rows.length)
   }
 }

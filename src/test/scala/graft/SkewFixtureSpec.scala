@@ -119,18 +119,18 @@ class SkewFixtureSpec extends SparkSpec {
     pairs.unpersist(false)
   }
 
-  test("skewed components: hub graph through the big-graph plan equals union-find") {
+  test("skewed components: hub graph through the sorted-run loop equals union-find") {
     // a 3000-degree hub inside one component, a second component made
     // of chained blocks, plus isolated-ish pairs — the hub node's
-    // neighborhood is the skew-join case the big regime's scaladoc
-    // claims AQE absorbs. smallGraphEdgeBound = 0 forces the
-    // big-graph groupBy+join loop (the 100 TB plan) onto the fixture.
+    // neighborhood is the skew shape the sorted-run loop must stream
+    // (a hub is a long contiguous run in the sorted shuffle, never a
+    // buffered set).
     val hub = (2L to 3001L).map(v => (1L, v))
     val chain = (10000L until 10500L).map(i => (i, i + 1))
     val pairs = (20000L until 20100L by 2).map(i => (i, i + 1))
     val es = (hub ++ chain ++ pairs).toSeq
     val got = ConnectedComponents
-      .components(es.toDF("a", "b"), smallGraphEdgeBound = 0L)
+      .components(es.toDF("a", "b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // driver union-find replica
     val parent = scala.collection.mutable.LongMap.empty[Long]

@@ -59,6 +59,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // hermetic run: drop summary specs persisted by a previous session
+    // (possibly at another SF) — every MV hook must build against THIS
+    // run's sfDir or the routed queries silently measure raw plans
+    plans.Summaries.clear()
     // SPARK_GRAFT_TRACE=<path>: per-operator timeline capture (the
     // reference's ProfilerHook role) alongside the wall-clock numbers.
     // The listener APPENDS (accumulating across sessions is its normal

@@ -14,6 +14,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // hermetic run: summary specs persist across sessions by design
+    // (the MV catalog), but a graded dump must not inherit summaries a
+    // previous run built at a DIFFERENT scale factor — same names,
+    // different sources, so has()-guarded wrappers would skip their
+    // own builds and measure nothing
+    plans.Summaries.clear()
     new java.io.File(outDir).mkdirs()
     // dev-only subset filter (comma-separated names); the driver never
     // sets it, so its full-suite runs are unaffected

@@ -2159,7 +2159,18 @@ object OlapQueries {
   def mvBenchSetups: Map[String, (SparkSession, String) => () => Unit] = {
     def hook(name: String, reg: (SparkSession, String) => Unit)
         : (SparkSession, String) => () => Unit =
-      (s, d) => { reg(s, d); () => graft.plans.Summaries.drop(name) }
+      (s, d) => {
+        // a setup that fails after PARTIALLY registering (e.g. a
+        // register-then-refresh pair dying in the refresh) must not
+        // leak its half-built summary into the rest of the bench run
+        try reg(s, d)
+        catch { case t: Throwable =>
+          try graft.plans.Summaries.drop(name)
+          catch { case _: Throwable => () }
+          throw t
+        }
+        () => graft.plans.Summaries.drop(name)
+      }
     val pricing = hook("lineitem_pricing", registerPricingSummary)
     Map(
       "q172_summary_pricing" -> pricing,

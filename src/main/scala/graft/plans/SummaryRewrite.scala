@@ -134,6 +134,152 @@ object Summaries {
 
   private[plans] def isEmpty: Boolean = reg.isEmpty
 
+  // ---------------------------------------------------------------
+  // Spec persistence: the summary DATA is parquet, so it survives a
+  // restart — the routing SPEC must too, or the MV silently degrades
+  // to an orphaned directory (queries run raw, correct, and nobody
+  // knows why the dashboard got 100× slower). Each register() writes
+  // the spec as JSON under `graft_summaries/_specs/<name>.json`
+  // (atomic temp+rename); drop()/clear() delete. A fresh JVM lazily
+  // reloads on the first registry access ([[ensureLoaded]]) and
+  // re-reads each summary parquet for its relation; the persisted
+  // build-time fingerprint comes along, so a source that changed
+  // while the engine was down STILL suspends routing (the fail-closed
+  // staleness gate needs no special restart handling). This is the
+  // catalog-object half of the warehouse MV contract — BigQuery MVs
+  // outlive sessions.
+  // ---------------------------------------------------------------
+
+  private def specsDir = new java.io.File(
+    "spark-warehouse/graft_summaries/_specs")
+
+  private def specFile(name: String) =
+    new java.io.File(specsDir, name + ".json")
+
+  private val loadAttempted =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def specToJson(s: Spec): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def pairs(ps: Seq[(String, String)]) = JArray(ps.map { case (a, b) =>
+      JArray(List(JString(a), JString(b))) }.toList)
+    def smap(m: Map[String, String]) =
+      JObject(m.toList.sorted.map { case (k, v) => k -> JString(v) })
+    def strs(ss: Seq[String]) = JArray(ss.map(JString(_)).toList)
+    val j = JObject(List(
+      "name" -> JString(s.name),
+      "source" -> JString(s.source),
+      "summaryPath" -> JString(s.summaryPath),
+      "grain" -> strs(s.grain),
+      "cntCol" -> JString(s.cntCol),
+      "sums" -> smap(s.sums), "mins" -> smap(s.mins),
+      "maxs" -> smap(s.maxs), "nns" -> smap(s.nns),
+      "hlls" -> smap(s.hlls), "kmvs" -> smap(s.kmvs),
+      "sumSql" -> pairs(s.sumSql), "minSql" -> pairs(s.minSql),
+      "maxSql" -> pairs(s.maxSql), "nnSql" -> pairs(s.nnSql),
+      "hllSql" -> pairs(s.hllSql), "kmvSql" -> pairs(s.kmvSql),
+      "gen" -> JInt(s.gen),
+      "hllPrecision" -> JInt(s.hllPrecision),
+      "kmvK" -> JInt(s.kmvK),
+      "kmvDomain" -> JLong(s.kmvDomain),
+      "routable" -> JBool(s.routable),
+      "fpPaths" -> strs(s.fpPaths),
+      "sourceFp" -> JString(s.sourceFp)))
+    JsonMethods.compact(JsonMethods.render(j))
+  }
+
+  private def specFromJson(txt: String): Spec = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(txt).asInstanceOf[JObject].obj.toMap
+    def str(k: String) = j(k).asInstanceOf[JString].s
+    def strs(k: String) = j(k).asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JString].s)
+    def smap(k: String) = j(k).asInstanceOf[JObject].obj
+      .map { case (n, v) => n -> v.asInstanceOf[JString].s }.toMap
+    def pairs(k: String) = j(k).asInstanceOf[JArray].arr.map { e =>
+      val l = e.asInstanceOf[JArray].arr
+      (l(0).asInstanceOf[JString].s, l(1).asInstanceOf[JString].s)
+    }
+    def num(k: String) = j(k) match {
+      case JInt(v) => v.toLong
+      case JLong(v) => v
+      case other => other.asInstanceOf[JDecimal].num.toLong
+    }
+    Spec(str("name"), str("source"), str("summaryPath"), strs("grain"),
+      str("cntCol"), smap("sums"), smap("mins"), smap("maxs"),
+      relation = null,
+      sumSql = pairs("sumSql"), minSql = pairs("minSql"),
+      maxSql = pairs("maxSql"), gen = num("gen").toInt,
+      hlls = smap("hlls"), hllSql = pairs("hllSql"),
+      hllPrecision = num("hllPrecision").toInt,
+      kmvs = smap("kmvs"), kmvSql = pairs("kmvSql"),
+      kmvK = num("kmvK").toInt, kmvDomain = num("kmvDomain"),
+      routable = j("routable").asInstanceOf[JBool].value,
+      nns = smap("nns"), nnSql = pairs("nnSql"),
+      fpPaths = strs("fpPaths"), sourceFp = str("sourceFp"))
+  }
+
+  private def persistSpec(s: Spec): Unit = {
+    specsDir.mkdirs()
+    val tmp = new java.io.File(specsDir, s.name + ".json.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      specToJson(s).getBytes("UTF-8"))
+    try java.nio.file.Files.move(tmp.toPath, specFile(s.name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      java.nio.file.Files.move(tmp.toPath, specFile(s.name).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Reload persisted specs into the in-memory registry, once per
+    * JVM (re-armed by [[unload]]). Registered entries win over disk;
+    * a spec whose summary parquet vanished is skipped (queries fall
+    * back to raw — the fail-closed default); an unparsable file is
+    * skipped the same way. Needs an active session to re-read the
+    * summary relation, so a no-session call retries later.
+    */
+  private def ensureLoaded(): Unit =
+    if (!loadAttempted.get()) {
+      org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+        if (loadAttempted.compareAndSet(false, true)) {
+          val files = Option(specsDir.listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .filter(_.getName.endsWith(".json"))
+          files.foreach { f =>
+            try {
+              val spec = specFromJson(new String(
+                java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+              if (!reg.containsKey(spec.source))
+                s.read.parquet(spec.summaryPath)
+                  .queryExecution.analyzed match {
+                  case lr: LogicalRelation =>
+                    reg.putIfAbsent(spec.source,
+                      spec.copy(relation = lr))
+                  case _ =>
+                }
+            } catch {
+              case scala.util.control.NonFatal(_) => // skip: fail closed
+            }
+          }
+        }
+      }
+    }
+
+  private[plans] def ensureLoadedForRule(): Unit = ensureLoaded()
+
+  /** Simulate a restart (tests): forget all in-memory state WITHOUT
+    * touching the persisted spec files, and re-arm the lazy reload.
+    */
+  private[graft] def unload(): Unit = {
+    reg.clear()
+    fpMemo.clear()
+    loadAttempted.set(false)
+  }
+
   /** Fingerprint of the source file set: every data file's full path,
     * length, and mtime (temp/metadata `_`/`.` names excluded), sorted
     * and digested. One metadata listing per source — the same cost
@@ -168,13 +314,33 @@ object Summaries {
   val StaleCheckKey = "spark.graft.summaryRewrite.staleCheck.enabled"
   val StaleTtlKey = "spark.graft.summaryRewrite.staleCheck.ttlMs"
 
-  // memo for the freshness listing: paths-key → (nanoTime, fp). TTL 0
-  // (the default) bypasses it entirely — every lookup re-lists, the
-  // strictest reading. A deployment with 100k-file sources can set a
-  // small TTL so the optimizer's fixed-point re-visits of one query
-  // (2-3 rule firings) collapse to one metadata listing.
+  // memo for the freshness listing: paths-key → (nanoTime, fp). The
+  // default TTL (5 s) collapses the optimizer's fixed-point re-visits
+  // of one query (2-3 rule firings) AND a dashboard burst to one
+  // metadata listing per source per window — at 100 TB a routed read
+  // must not pay a 100k-file enumeration each time. The trade is
+  // BOUNDED staleness for out-of-band writers only: create/refresh/
+  // drop overwrite or remove the memo entry themselves (see
+  // [[touchFpMemo]]), so every engine-driven mutation is visible
+  // immediately, and an external overwrite routes stale for at most
+  // the TTL before the fail-closed suspension kicks in. TTL 0 restores
+  // the strictest reading (every lookup re-lists).
   private val fpMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
+  val DefaultStaleTtlMs = 5000L
+
+  private def memoKey(paths: Seq[String]): String =
+    paths.sorted.mkString("|")
+
+  /** Record `fp` as the just-observed fingerprint of `paths` — called
+    * by create/refresh at the moment they record the same fingerprint
+    * into the spec, so a TTL-cached PRE-mutation listing can never
+    * suspend a summary the engine itself just brought up to date (and
+    * the memo never outlives the registration — drop removes it).
+    */
+  private def touchFpMemo(paths: Seq[String], fp: String): Unit =
+    fpMemo.put(memoKey(paths), (System.nanoTime(), fp))
 
   /** The fail-closed freshness gate: a summary whose source files no
     * longer match the build-time fingerprint silently stops routing
@@ -190,8 +356,9 @@ object Summaries {
       sess.forall { s =>
         !s.conf.get(StaleCheckKey, "true").toBoolean || {
           val ttlNs =
-            s.conf.get(StaleTtlKey, "0").toLong * 1000000L
-          val key = spec.fpPaths.sorted.mkString("|")
+            s.conf.get(StaleTtlKey, DefaultStaleTtlMs.toString)
+              .toLong * 1000000L
+          val key = memoKey(spec.fpPaths)
           val now = System.nanoTime()
           val cached = Option(fpMemo.get(key))
             .filter { case (t, _) => ttlNs > 0 && now - t < ttlNs }
@@ -206,8 +373,10 @@ object Summaries {
       }
     }
 
-  private[plans] def lookup(path: String): Option[Spec] =
+  private[plans] def lookup(path: String): Option[Spec] = {
+    ensureLoaded()
     Option(reg.get(path)).filter(_.routable).filter(fresh)
+  }
 
   /** Canonical path form both sides agree on. The scheme and
     * authority STAY in the key (a local /data/lineitem and an
@@ -379,6 +548,9 @@ object Summaries {
       kmvs.map { case (n, s) => kmvSketchCol(s, kmvK, kmvDomain).as(n) })
     val out = raw.groupBy(grain.map(col): _*)
       .agg(count(lit(1)).as(CntCol), aggCols: _*)
+    val fp = fingerprint(Seq(source),
+      raw.sparkSession.sparkContext.hadoopConfiguration)
+    touchFpMemo(Seq(source), fp)
     register(out, Spec(name, source, "", grain, CntCol,
       sums = sums.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       mins = mins.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
@@ -394,8 +566,7 @@ object Summaries {
       kmvSql = kmvs, kmvK = kmvK, kmvDomain = kmvDomain,
       routable = !partial,
       fpPaths = Seq(source),
-      sourceFp = fingerprint(Seq(source),
-        raw.sparkSession.sparkContext.hadoopConfiguration)))
+      sourceFp = fp))
   }
 
   /** The composite registry key of a JOIN summary: every canonical
@@ -411,9 +582,11 @@ object Summaries {
     paths.sorted.mkString("⋈") + "?" + edges.sorted.mkString("&")
 
   private[plans] def lookupJoin(paths: Seq[String],
-      edges: Seq[String]): Option[Spec] =
+      edges: Seq[String]): Option[Spec] = {
+    ensureLoaded()
     Option(reg.get(joinSourceKey(paths, edges)))
       .filter(_.routable).filter(fresh)
+  }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)
@@ -546,6 +719,9 @@ object Summaries {
       kmvs.map { case (n, s) => kmvSketchCol(s, kmvK, kmvDomain).as(n) })
     val out = raw.groupBy(grain.map(col): _*)
       .agg(count(lit(1)).as(CntCol), aggCols: _*)
+    val joinFp = fingerprint(paths,
+      raw.sparkSession.sparkContext.hadoopConfiguration)
+    touchFpMemo(paths, joinFp)
     register(out, Spec(name, source, "", grain, CntCol,
       sums = sums.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       mins = mins.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
@@ -561,8 +737,7 @@ object Summaries {
       kmvSql = kmvs, kmvK = kmvK, kmvDomain = kmvDomain,
       routable = !partial,
       fpPaths = paths,
-      sourceFp = fingerprint(paths,
-        raw.sparkSession.sparkContext.hadoopConfiguration)))
+      sourceFp = joinFp))
   }
 
   /** Write a summary generation, read it back, and (re-)register. A
@@ -582,6 +757,7 @@ object Summaries {
         s"summary read-back is not a file relation: ${other.getClass}")
     }
     val spec = proto.copy(summaryPath = path, relation = rel)
+    persistSpec(spec) // the catalog half: specs outlive the session
     val old = Option(reg.put(spec.source, spec))
     old.filter(o => o.name == spec.name && o.summaryPath != path)
       .foreach { o =>
@@ -594,14 +770,19 @@ object Summaries {
 
   private def lookupByName(name: String): Option[Spec] = {
     import scala.jdk.CollectionConverters._
+    ensureLoaded()
     reg.values().asScala.find(_.name == name)
   }
 
-  /** Whether a summary of this name is currently registered — the
-    * skip-create guard query wrappers use so a caller (e.g. the
+  /** Whether a USABLE summary of this name is currently registered —
+    * the skip-create guard query wrappers use so a caller (e.g. the
     * bench) can pre-register once and measure the ROUTED READ alone.
+    * Routable + fresh, not mere presence: a persisted spec whose
+    * source changed while the engine was down must trigger a
+    * re-create, not silently leave every query running raw.
     */
-  def has(name: String): Boolean = lookupByName(name).nonEmpty
+  def has(name: String): Boolean =
+    lookupByName(name).exists(s => s.routable && fresh(s))
 
   /** Incremental maintenance (the MV refresh): fold a BATCH of new raw
     * rows into the registered summary WITHOUT re-reading the source
@@ -668,11 +849,15 @@ object Summaries {
       // the refresh RE-FINGERPRINTS the source: folding the delta is
       // the caller's claim that the summary now reflects the files on
       // disk, so a staleness suspension lifts here (and only here, or
-      // at a full re-create)
+      // at a full re-create). The freshness memo takes the same new
+      // fingerprint — a TTL-cached pre-refresh listing must never
+      // suspend the summary this refresh just brought up to date.
+      val newFp = fingerprint(spec.fpPaths,
+        spark.sparkContext.hadoopConfiguration)
+      touchFpMemo(spec.fpPaths, newFp)
       val next = register(merged, spec.copy(gen = spec.gen + 1,
         routable = spec.routable || complete,
-        sourceFp = fingerprint(spec.fpPaths,
-          spark.sparkContext.hadoopConfiguration)))
+        sourceFp = newFp))
       // register()'s own old-generation cleanup keys off the spec it
       // DISPLACES in the registry — which the suspend above removed —
       // so the pre-refresh generation must be deleted here, and only
@@ -688,14 +873,32 @@ object Summaries {
   }
 
   /** Revoke the named summary (the rewrite stops matching instantly;
-    * the parquet stays on disk for a later re-register).
+    * the parquet stays on disk for a later re-register). The persisted
+    * spec and the freshness memo go with it — a dropped summary must
+    * not resurrect in the next session or linger in the memo.
     */
   def drop(name: String): Unit = {
     val it = reg.entrySet().iterator()
-    while (it.hasNext) if (it.next().getValue.name == name) it.remove()
+    while (it.hasNext) {
+      val s = it.next().getValue
+      if (s.name == name) {
+        fpMemo.remove(memoKey(s.fpPaths))
+        it.remove()
+      }
+    }
+    specFile(name).delete()
   }
 
-  def clear(): Unit = reg.clear()
+  /** Full reset (test isolation): registry, freshness memo, AND the
+    * persisted spec files — a cleared engine must not resurrect
+    * summaries in a later suite or JVM.
+    */
+  def clear(): Unit = {
+    reg.clear()
+    fpMemo.clear()
+    Option(specsDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(_.delete())
+  }
 }
 
 /** The optimizer rule: routes qualifying [[Aggregate]]s over a
@@ -709,12 +912,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.summaryRewrite.enabled"
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    if (Summaries.isEmpty ||
-        !conf.getConfString(ConfKey, "true").toBoolean) plan
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(ConfKey, "true").toBoolean) return plan
+    // a fresh JVM starts with an empty in-memory registry; persisted
+    // specs (the catalog half of the MV contract) lazily reload here
+    // — one AtomicBoolean read per rule firing after the first
+    Summaries.ensureLoadedForRule()
+    if (Summaries.isEmpty) plan
     else plan.transform {
       case agg: Aggregate => rewrite(agg).getOrElse(agg)
     }
+  }
 
   private def splitConj(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConj(a) ++ splitConj(b)

@@ -5,11 +5,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session for all suites — one local SparkSession per JVM. */
 object TestSpark {
-  lazy val spark: SparkSession = GraftSession.builder(4)
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder(4)
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // hermetic test JVM: summary specs persist across sessions by
+    // design; a previous Verify/Bench run's leftovers must not route
+    // (or shadow) anything in the suites
+    graft.plans.Summaries.clear()
+    s
+  }
   val sf: String = "/root/testdata/sf0.001"
 }
 

@@ -1107,6 +1107,13 @@ class SummaryRewriteSpec extends SparkSpec {
     val src = () => spark.read.parquet(srcPath)
     val q = () => src().groupBy("l_returnflag")
       .agg(count(lit(1)).as("n")).orderBy("l_returnflag")
+    // run with the TTL memo ACTIVE but short, so the test proves the
+    // full contract: an external overwrite routes stale for at most
+    // the TTL (the bounded-staleness trade the default encodes), then
+    // suspends; engine-driven create/refresh resume IMMEDIATELY
+    // because they overwrite the memo entry themselves
+    val ttlMs = 150L
+    spark.conf.set(Summaries.StaleTtlKey, ttlMs.toString)
     try {
       Summaries.create(src(), "spec_stale",
         grain = Seq("l_returnflag", "l_linestatus"), sums = Nil)
@@ -1118,6 +1125,7 @@ class SummaryRewriteSpec extends SparkSpec {
       val tmp = new java.io.File(dir, "tmp_rewrite").getAbsolutePath
       keep.write.parquet(tmp)
       spark.read.parquet(tmp).write.mode("overwrite").parquet(srcPath)
+      Thread.sleep(2 * ttlMs) // past the memo window: must re-list
       val paths = scanPaths(q())
       assert(!paths.exists(_.contains("graft_summaries")),
         s"stale summary still routed: $paths")
@@ -1133,15 +1141,108 @@ class SummaryRewriteSpec extends SparkSpec {
       // the delta batch lifts the suspension and stays value-exact
       val extra = li.filter(col("l_shipdate") >=
         lit("2001-06-01").cast("timestamp")) // small, disjoint slice
+      // INSIDE the TTL window the memoized listing still serves — the
+      // bounded-staleness trade: routing continues (answers are the
+      // pre-append ones) until the window closes. A generous TTL for
+      // this assert only, so parquet-write latency can't expire the
+      // window under the test
+      spark.conf.set(Summaries.StaleTtlKey, "600000")
+      Summaries.create(src(), "spec_stale", // re-touch the memo now
+        grain = Seq("l_returnflag", "l_linestatus"), sums = Nil)
       extra.write.mode("append").parquet(srcPath)
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")),
+        "memoized freshness should ride out the TTL window")
+      spark.conf.set(Summaries.StaleTtlKey, ttlMs.toString)
+      Thread.sleep(2 * ttlMs)
       val paths2 = scanPaths(q())
       assert(!paths2.exists(_.contains("graft_summaries")),
         s"summary routed past appended files: $paths2")
+      // refresh resumes routing WITHOUT waiting out a TTL: it records
+      // the new fingerprint into the memo as well as the spec
       Summaries.refresh("spec_stale", extra, complete = true)
       assert(scanPaths(q()).forall(_.contains("graft_summaries")))
       assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
     } finally {
+      spark.conf.unset(Summaries.StaleTtlKey)
       Summaries.drop("spec_stale")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("persistence: specs reload in a fresh registry and route, ×3 SFs") {
+    // the catalog half of the MV contract: summary DATA is parquet,
+    // and now the routing SPEC persists beside it — create, then
+    // simulate a restart (unload wipes the in-memory registry and
+    // re-arms the lazy reload), and the pricing query must still
+    // ROUTE and equal the raw answer, at every SF
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      OlapQueries.registerPricingSummary(spark, sfDir)
+      try {
+        Summaries.unload() // simulated restart
+        val df = OlapQueries.summaryPricingQuery(spark, sfDir)
+        val routed = df.collect().toSeq
+        val paths = scanPaths(OlapQueries.summaryPricingQuery(spark, sfDir))
+        assert(paths.nonEmpty &&
+          paths.forall(_.contains("graft_summaries")),
+          s"$sfDir: reloaded spec did not route: $paths")
+        val raw = withoutRouting {
+          OlapQueries.summaryPricingQuery(spark, sfDir).collect().toSeq }
+        assert(routed == raw, s"$sfDir: reloaded routing diverged")
+      } finally Summaries.drop("lineitem_pricing")
+    }
+  }
+
+  test("persistence: a JOINED summary reloads (composite registry key)") {
+    OlapQueries.registerStarSummary(spark, sf)
+    try {
+      Summaries.unload()
+      val routed = OlapQueries.summaryStarQuery(spark, sf).collect().toSeq
+      val paths = scanPaths(OlapQueries.summaryStarQuery(spark, sf))
+      assert(paths.nonEmpty && paths.forall(_.contains("graft_summaries")),
+        s"reloaded star spec did not route: $paths")
+      val raw = withoutRouting {
+        OlapQueries.summaryStarQuery(spark, sf).collect().toSeq }
+      assert(routed == raw)
+    } finally Summaries.drop("li_ord_cust_star")
+  }
+
+  test("persistence: a source changed while the engine was down " +
+      "still suspends routing after the reload") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_persist").toFile
+    val srcPath = new java.io.File(dir, "li_copy").getAbsolutePath
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate")
+    li.write.parquet(srcPath)
+    val src = () => spark.read.parquet(srcPath)
+    val q = () => src().groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n")).orderBy("l_returnflag")
+    try {
+      Summaries.create(src(), "spec_down_stale",
+        grain = Seq("l_returnflag", "l_linestatus"), sums = Nil)
+      Summaries.unload() // "engine down"
+      // the source is overwritten while no registry is alive — the
+      // persisted build-time fingerprint must catch it on reload
+      // (unload cleared the freshness memo, so no TTL window applies)
+      val keep = li.filter(col("l_shipdate") <
+        lit("1997-01-01").cast("timestamp"))
+      val tmp = new java.io.File(dir, "tmp_rewrite").getAbsolutePath
+      keep.write.parquet(tmp)
+      spark.read.parquet(tmp).write.mode("overwrite").parquet(srcPath)
+      val paths = scanPaths(q())
+      assert(!paths.exists(_.contains("graft_summaries")),
+        s"reloaded stale summary routed: $paths")
+      assert(q().collect().toSeq ==
+        withoutRouting { q().collect().toSeq })
+      // dropped specs stay dropped across a restart
+      Summaries.drop("spec_down_stale")
+      Summaries.unload()
+      spark.range(1).count() // any query: triggers the reload attempt
+      assert(!Summaries.has("spec_down_stale"))
+    } finally {
+      Summaries.drop("spec_down_stale")
       java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
         .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }

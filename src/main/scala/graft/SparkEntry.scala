@@ -588,7 +588,12 @@ object SparkEntry {
     // orders ⋈ lineitem) answered from one joined summary — spelled
     // in a different join order than the registration to exercise
     // the canonical path+edge key; the oracle joins from scratch
-    "q182_summary_star" -> (operators.OlapQueries.summaryStarSegment _)
+    "q182_summary_star" -> (operators.OlapQueries.summaryStarSegment _),
+    // exact stddev/variance routed through the summary's Σx² leg —
+    // the engine's decimal-exact moment family (Spark's own double
+    // Welford stays raw, fail-closed); oracle replays the scaled-
+    // integer sums and the one double quotient
+    "q184_summary_variance" -> (operators.OlapQueries.summaryVariance _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -881,7 +886,11 @@ object SparkEntry {
         |       FROM m2),
         |m4 AS (SELECT column_name, xor(h, h >> 11) % 1000000007 AS h
         |       FROM m3),
-        |d AS (SELECT DISTINCT column_name, h FROM m4),
+        |-- NULL inputs hash to NULL and must drop here: the engine's
+        |-- HLL sketch skips nulls, and a NULL h would otherwise group
+        |-- as its own register row and skew the zeros count
+        |d AS (SELECT DISTINCT column_name, h FROM m4
+        |      WHERE h IS NOT NULL),
         |r AS (SELECT column_name, h % 4096 AS idx,
         |        CASE WHEN h // 4096 = 0 THEN 19
         |             ELSE length(bin(244140 // (h // 4096))) END AS rank
@@ -3690,6 +3699,31 @@ object SparkEntry {
         |WHERE c_mktsegment <> 'MACHINERY'
         |GROUP BY c_mktsegment, l_returnflag
         |ORDER BY c_mktsegment, l_returnflag""".stripMargin,
+    // exact-variance replay: l_quantity has 2 dp, so ×100 makes every
+    // sum an exact HUGEINT; var = toDouble(n·Σx²−(Σx)²)/toDouble(den)
+    // — the engine's ExactMoments does the same two double conversions
+    // (scale ×10⁴ cancels between numerator and denominator)
+    "q184_summary_variance" ->
+      """WITH f AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_quantity * 100) AS HUGEINT) AS qi
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '2000-06-30'),
+        |a AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    sum(qi) AS s, sum(qi * qi) AS q
+        |  FROM f GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(n AS BIGINT) AS n_rows,
+        |  round(CAST(n * q - s * s AS DOUBLE)
+        |    / CAST(10000 * n * (n - 1) AS DOUBLE), 4) AS var_qty,
+        |  round(CAST(n * q - s * s AS DOUBLE)
+        |    / CAST(10000 * n * n AS DOUBLE), 4) AS varp_qty,
+        |  round(sqrt(CAST(n * q - s * s AS DOUBLE)
+        |    / CAST(10000 * n * (n - 1) AS DOUBLE)), 4) AS sd_qty
+        |FROM a
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q181_summary_rollup" ->
       """SELECT coalesce(l_returnflag, '(all)') AS flag,
         |  coalesce(l_linestatus, '(all)') AS status,

@@ -1811,6 +1811,9 @@ object OlapQueries {
       sums = Seq(
         "sum_qty" -> "cast(l_quantity as decimal(18,2))",
         "sum_base" -> "cast(l_extendedprice as decimal(18,2))"),
+      // the opt-in Σx² leg: with it, the exact stddev/var family
+      // routes too (q184) — stored as a plain decimal sum measure
+      sumsqs = Seq("sumsq_qty" -> "cast(l_quantity as decimal(18,2))"),
       mins = Seq("min_price" -> "l_extendedprice"),
       maxs = Seq("max_price" -> "l_extendedprice"),
       // KMV sketch measure: the engine-portable supplier hash, so a
@@ -2085,6 +2088,35 @@ object OlapQueries {
         round(max(col("l_extendedprice")), 4).as("max_price"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** q184: exact VARIANCE/STDDEV routed through the summary's sumsq
+    * leg. Spark's own stddev/var is double Welford — partition-order
+    * dependent low bits, so no summary arithmetic can reproduce it
+    * and the router fails closed (spec-asserted). The engine's
+    * `var_samp_exact` family keeps (n, Σx, Σx²) in unbounded
+    * decimals with ONE final double quotient, so (a) the routed
+    * re-aggregation over stored Σx/Σx²/non-null-n legs is
+    * bit-identical, and (b) DuckDB replays the whole thing in scaled
+    * integers (qty has 2dp → ×100 → HUGEINT sums are exact; the
+    * oracle divides the same two doubles). Margins to the 4-dp
+    * rounding grid measured ≥ 8.3e-3 across all outputs at all three
+    * SFs — ten orders above the cross-engine int128→double
+    * conversion noise (~1 ulp relative, ~1e-13 here).
+    */
+  def summaryVariance(spark: SparkSession, sfDir: String): DataFrame =
+    withPricingSummary(spark, sfDir) {
+      import graft.functions.ExactMomentsFunctions._
+      val q = col("l_quantity").cast("decimal(18,2)")
+      Tables.load(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-06-30").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(var_samp_exact(q), 4).as("var_qty"),
+          round(var_pop_exact(q), 4).as("varp_qty"),
+          round(stddev_samp_exact(q), 4).as("sd_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+
   /** q182: STAR-schema MV routing — a THREE-table inner equi-join
     * (customer ⋈ orders ⋈ lineitem) answered from one joined summary,
     * the general star form of q177's fact⋈dim lever (the shape TPC-H
@@ -2177,6 +2209,7 @@ object OlapQueries {
       "q173_summary_monthly" -> pricing,
       "q174_summary_kmv" -> pricing,
       "q181_summary_rollup" -> pricing,
+      "q184_summary_variance" -> pricing,
       "q177_summary_join" ->
         hook("li_orders_priority", registerJoinPrioritySummary),
       "q178_summary_join_refresh" ->

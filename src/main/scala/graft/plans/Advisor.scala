@@ -121,6 +121,9 @@ object Advisor {
         var lineHasEquiJoin = false
         var lineHasPercentile = false
         var lineHasGroupingId = false
+        // histogram grain: groups+pvals from PERCENTILE-bearing
+        // aggregate nodes only — unrelated aggregates in a
+        // multi-aggregate plan must not widen the nominated grain
         val lineGrain = collection.mutable.LinkedHashSet.empty[String]
         val lineBaseGroups = collection.mutable.LinkedHashSet.empty[String]
         val linePaths = collection.mutable.Map.empty[String, Long]
@@ -192,24 +195,31 @@ object Advisor {
             // BaseAggregateExec nodes): percentile functions and the
             // rollup/cube grouping-id marker drive the MV nominations
             val aggsNode = node.path("aggs")
+            var nodeHasPercentile = false
             var a = 0
             while (a < aggsNode.size()) {
               if (aggsNode.get(a).asText("").startsWith("percentile"))
-                lineHasPercentile = true
+                nodeHasPercentile = true
               a += 1
             }
+            if (nodeHasPercentile) lineHasPercentile = true
             val groupsNode = node.path("groups")
             var g = 0
             while (g < groupsNode.size()) {
               val gn = groupsNode.get(g).asText("")
               if (gn == "spark_grouping_id") lineHasGroupingId = true
-              else { lineGrain += gn; lineBaseGroups += gn }
+              else {
+                if (nodeHasPercentile) lineGrain += gn
+                lineBaseGroups += gn
+              }
               g += 1
             }
             val pvalsNode = node.path("pvals")
             var v = 0
             while (v < pvalsNode.size()) {
-              lineGrain += pvalsNode.get(v).asText(""); v += 1
+              if (nodeHasPercentile)
+                lineGrain += pvalsNode.get(v).asText("")
+              v += 1
             }
           }
           if (op.contains("Join") && !op.contains("NestedLoop") &&

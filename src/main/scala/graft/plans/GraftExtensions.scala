@@ -58,6 +58,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "hll_union(sketch[, asEstimate])")
       }))
+    // the exact second-moment family: decimal-only (doubles fail at
+    // analysis), order-independent, MV-routable via a declared sumsq
+    // measure — the variance counterpart of decimal-AVG routing
+    Seq(("var_samp_exact", 1, false), ("var_pop_exact", 0, false),
+      ("stddev_samp_exact", 1, true), ("stddev_pop_exact", 0, true))
+      .foreach { case (name, ddof, asStd) =>
+        e.injectFunction((
+          new FunctionIdentifier(name),
+          new ExpressionInfo(
+            classOf[graft.functions.ExactMomentsAgg].getName, name),
+          (exprs: Seq[Expression]) => exprs match {
+            case Seq(c) => graft.functions.ExactMomentsAgg(c, ddof, asStd)
+            case _ => throw new IllegalArgumentException(s"$name(col)")
+          }))
+      }
     e.injectFunction((
       new FunctionIdentifier("freq_topk"),
       new ExpressionInfo(

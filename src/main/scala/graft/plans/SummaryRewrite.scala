@@ -511,6 +511,17 @@ object Summaries {
     * same name rebuilds from scratch — the full-refresh half of the
     * MV maintenance contract ([[refresh]] is the incremental half).
     */
+  /** Desugar opt-in SUMSQ measures: `sumsqs = ("sq_x" -> mSql)`
+    * stores `sum((mSql) * (mSql))` — a plain sum measure whose key is
+    * the measure's self-product, which is exactly what the
+    * exact-variance rewrite looks up. Declaring via sums directly is
+    * equivalent; this spelling exists so a caller opting into
+    * stddev/var routing doesn't hand-write the product.
+    */
+  private def withSumsqs(sums: Seq[(String, String)],
+      sumsqs: Seq[(String, String)]): Seq[(String, String)] =
+    sums ++ sumsqs.map { case (n, s) => (n, s"($s) * ($s)") }
+
   def create(raw: DataFrame, name: String, grain: Seq[String],
       sums: Seq[(String, String)],
       mins: Seq[(String, String)] = Nil,
@@ -520,7 +531,9 @@ object Summaries {
       kmvs: Seq[(String, String)] = Nil,
       kmvK: Int = 64,
       kmvDomain: Long = 1000000007L,
-      partial: Boolean = false): Spec = {
+      partial: Boolean = false,
+      sumsqs: Seq[(String, String)] = Nil): Spec = {
+    val sums0 = withSumsqs(sums, sumsqs)
     // `partial = true` is the PARTIAL-BUILD half of the incremental
     // lifecycle: the source may be a Filter over the bare scan (e.g.
     // the historical partition) and the summary registers UNROUTABLE
@@ -534,11 +547,11 @@ object Summaries {
       throw new IllegalArgumentException(
         s"source $source already has summary '${o.name}' — drop it first")
     }
-    val aggCols = (sums.map { case (n, s) => sum(expr(s)).as(n) } ++
+    val aggCols = (sums0.map { case (n, s) => sum(expr(s)).as(n) } ++
       // per sum measure, its NON-NULL row count (__nn_<name>): the
       // denominator AVG re-aggregation divides by (avg skips nulls,
       // so the grain count can't serve)
-      sums.map { case (n, s) => count(expr(s)).as("__nn_" + n) } ++
+      sums0.map { case (n, s) => count(expr(s)).as("__nn_" + n) } ++
       mins.map { case (n, s) => min(expr(s)).as(n) } ++
       maxs.map { case (n, s) => max(expr(s)).as(n) } ++
       // sketch measures: the stored form is the mergeable STATE
@@ -552,14 +565,14 @@ object Summaries {
       raw.sparkSession.sparkContext.hadoopConfiguration)
     touchFpMemo(Seq(source), fp)
     register(out, Spec(name, source, "", grain, CntCol,
-      sums = sums.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      sums = sums0.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       mins = mins.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       maxs = maxs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
-      nns = sums.map { case (n, s) => keyOfSql(raw, s) -> ("__nn_" + n) }
+      nns = sums0.map { case (n, s) => keyOfSql(raw, s) -> ("__nn_" + n) }
         .toMap,
-      nnSql = sums.map { case (n, s) => ("__nn_" + n, s) },
+      nnSql = sums0.map { case (n, s) => ("__nn_" + n, s) },
       relation = null,
-      sumSql = sums, minSql = mins, maxSql = maxs, gen = 0,
+      sumSql = sums0, minSql = mins, maxSql = maxs, gen = 0,
       hlls = hlls.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       hllSql = hlls, hllPrecision = hllPrecision,
       kmvs = kmvs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
@@ -661,7 +674,9 @@ object Summaries {
       kmvs: Seq[(String, String)] = Nil,
       kmvK: Int = 64,
       kmvDomain: Long = 1000000007L,
-      partial: Boolean = false): Spec = {
+      partial: Boolean = false,
+      sumsqs: Seq[(String, String)] = Nil): Spec = {
+    val sums0 = withSumsqs(sums, sumsqs)
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Project, SubqueryAlias}
     import org.apache.spark.sql.catalyst.plans.Inner
     // `partial = true` mirrors create()'s incremental lifecycle: a
@@ -709,8 +724,8 @@ object Summaries {
       throw new IllegalArgumentException(
         s"source $source already has summary '${o.name}' — drop it first")
     }
-    val aggCols = (sums.map { case (n, s) => sum(expr(s)).as(n) } ++
-      sums.map { case (n, s) => count(expr(s)).as("__nn_" + n) } ++
+    val aggCols = (sums0.map { case (n, s) => sum(expr(s)).as(n) } ++
+      sums0.map { case (n, s) => count(expr(s)).as("__nn_" + n) } ++
       mins.map { case (n, s) => min(expr(s)).as(n) } ++
       maxs.map { case (n, s) => max(expr(s)).as(n) } ++
       // sketch measures work over any substrate: the stored form is
@@ -723,14 +738,14 @@ object Summaries {
       raw.sparkSession.sparkContext.hadoopConfiguration)
     touchFpMemo(paths, joinFp)
     register(out, Spec(name, source, "", grain, CntCol,
-      sums = sums.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
+      sums = sums0.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       mins = mins.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       maxs = maxs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
-      nns = sums.map { case (n, s) => keyOfSql(raw, s) -> ("__nn_" + n) }
+      nns = sums0.map { case (n, s) => keyOfSql(raw, s) -> ("__nn_" + n) }
         .toMap,
-      nnSql = sums.map { case (n, s) => ("__nn_" + n, s) },
+      nnSql = sums0.map { case (n, s) => ("__nn_" + n, s) },
       relation = null,
-      sumSql = sums, minSql = mins, maxSql = maxs, gen = 0,
+      sumSql = sums0, minSql = mins, maxSql = maxs, gen = 0,
       hlls = hlls.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       hllSql = hlls, hllPrecision = hllPrecision,
       kmvs = kmvs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
@@ -1207,6 +1222,22 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                 cntLeg
             }
           }
+        // exact variance/stddev via the sumsq leg: the raw aggregate
+        // keeps (n, Σx, Σx²) in unbounded decimals, so re-building the
+        // same buffer from the stored per-grain Σx (sum measure),
+        // Σx² (the DECLARED sumsq twin — keyed as the measure's
+        // self-product) and non-null count is bit-identical (decimal
+        // addition associates). Spark's own double Welford stddev/var
+        // never routes — its low bits are partition-order dependent,
+        // so no summary arithmetic can reproduce them (fail closed).
+        case em: graft.functions.ExactMomentsAgg =>
+          val key = Summaries.measureKey(em.child)
+          for {
+            s <- key.flatMap(spec.sums.get)
+            q <- key.map(k => s"($k * $k)").flatMap(spec.sums.get)
+            nn <- key.flatMap(spec.nns.get)
+          } yield wrap(graft.functions.ExactMomentsMerge(
+            colFor(s), colFor(q), colFor(nn), em.ddof, em.asStddev))
         // KMV: bottom-k is a mergeable summary (the k smallest over a
         // union lie in the union of per-part k smallest), so the
         // routed estimate equals the raw one EXACTLY — and, the hash

@@ -32,11 +32,16 @@ class SummaryPropertySpec extends SparkSpec {
     Summaries.create(
       Tables.load(spark, sf, "lineitem"), "prop_sum",
       grain = Seq("l_returnflag", "l_linestatus", "l_quantity"),
-      sums = Seq("s_price" -> "cast(l_extendedprice as decimal(18,2))"),
+      sums = Seq(
+        "s_price" -> "cast(l_extendedprice as decimal(18,2))",
+        "s_disc" -> "cast(l_discount as decimal(18,2))"),
+      sumsqs = Seq("sq_disc" -> "cast(l_discount as decimal(18,2))"),
       mins = Seq("mn_price" -> "l_extendedprice"),
       maxs = Seq("mx_price" -> "l_extendedprice"))
     try {
       val grain = Seq("l_returnflag", "l_linestatus", "l_quantity")
+      import graft.functions.ExactMomentsFunctions._
+      val decDisc = col("l_discount").cast("decimal(18,2)")
       val aggPool: Seq[(String, Column)] = Seq(
         "cnt" -> count(lit(1)),
         "cq" -> count(col("l_quantity")),
@@ -49,9 +54,16 @@ class SummaryPropertySpec extends SparkSpec {
         "ap" -> avg(col("l_extendedprice").cast("decimal(18,2)")),
         "mnp" -> min(col("l_extendedprice")),
         "mxp" -> max(col("l_extendedprice")),
+        // exact moments: route via the declared sumsq leg
+        "vse" -> var_samp_exact(decDisc),
+        "vpe" -> var_pop_exact(decDisc),
+        "sde" -> stddev_samp_exact(decDisc),
         // shapes that must NOT route — correctness still required
         "st" -> sum(col("l_tax")),
         "ad" -> avg(col("l_extendedprice")), // double avg: never routes
+        // exact moments WITHOUT a declared sumsq (price): stay raw
+        "vsp" -> var_samp_exact(col("l_extendedprice")
+          .cast("decimal(18,2)")),
         "sq" -> sum(col("l_quantity")))
       val filterPool: Seq[Column] = Seq(
         col("l_returnflag") =!= "N",

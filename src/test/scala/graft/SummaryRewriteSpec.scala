@@ -1096,6 +1096,43 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("q184: exact variance routes onto the sumsq leg bit-identically; " +
+      "Spark's double Welford stays raw") {
+    import graft.functions.ExactMomentsFunctions._
+    val q = () => OlapQueries.summaryVariance(spark, sf)
+    val raw = withoutRouting { q().collect().toSeq }
+    // pre-register the pricing summary (sum_qty + its sumsq twin), so
+    // the wrapper routes and the inner aggregate is scan-path-visible
+    OlapQueries.registerPricingSummary(spark, sf)
+    try {
+      assert(q().collect().toSeq == raw, "routed exact variance diverged")
+      val inner = () => Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(var_samp_exact(col("l_quantity").cast("decimal(18,2)"))
+          .as("v"))
+      val paths = scanPaths(inner())
+      assert(paths.nonEmpty && paths.forall(_.contains("graft_summaries")),
+        s"exact variance did not route: $paths")
+      assert(inner().collect().toSeq ==
+        withoutRouting { inner().collect().toSeq })
+      // Spark's own var_samp/stddev (double Welford) must FAIL CLOSED
+      // — partition-order-dependent low bits can't be reproduced from
+      // any summary, so the aggregate stays on the raw table
+      val welford = () => Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(var_samp(col("l_quantity")).as("v"),
+          stddev(col("l_extendedprice")).as("s"))
+      assert(scanPaths(welford()).forall(_.contains("lineitem")))
+      // ...and an exact-moments call whose measure lacks the sumsq
+      // twin stays raw too (sum_base is declared, its square is not)
+      val nosq = () => Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(var_samp_exact(col("l_extendedprice").cast("decimal(18,2)"))
+          .as("v"))
+      assert(scanPaths(nosq()).forall(_.contains("lineitem")))
+    } finally Summaries.drop("lineitem_pricing")
+  }
+
   test("staleness fails closed: a changed source suspends routing " +
       "until refresh/re-create records the new state") {
     import scala.jdk.CollectionConverters._

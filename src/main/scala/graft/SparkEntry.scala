@@ -593,7 +593,12 @@ object SparkEntry {
     // the engine's decimal-exact moment family (Spark's own double
     // Welford stays raw, fail-closed); oracle replays the scaled-
     // integer sums and the one double quotient
-    "q184_summary_variance" -> (operators.OlapQueries.summaryVariance _)
+    "q184_summary_variance" -> (operators.OlapQueries.summaryVariance _),
+    // the DEEP star: q78's six-table TPC-H-Q5 join (with the local
+    // cross-branch equality) answered from one joined summary, the
+    // query spelled dims-outward-in vs the fact-outward registration;
+    // the oracle re-joins all six tables from scratch
+    "q183_summary_star6" -> (operators.OlapQueries.summaryLocalVolume _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3699,6 +3704,30 @@ object SparkEntry {
         |WHERE c_mktsegment <> 'MACHINERY'
         |GROUP BY c_mktsegment, l_returnflag
         |ORDER BY c_mktsegment, l_returnflag""".stripMargin,
+    // the deep-star replay: DuckDB re-joins all SIX tables (incl. the
+    // local-supplier cross-branch equality) from scratch; the engine
+    // answered from the (n_name, r_name, o_orderdate) joined summary.
+    // Revenue goes through the same double-product → decimal(18,4)
+    // cast on both sides (the per-row 4-dp rational is recovered
+    // exactly by either engine), so the sums compare bit-for-bit
+    "q183_summary_star6" ->
+      """SELECT n_name,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                      AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |JOIN lineitem ON l_suppkey = s_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |  AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     // exact-variance replay: l_quantity has 2 dp, so ×100 makes every
     // sum an exact HUGEINT; var = toDouble(n·Σx²−(Σx)²)/toDouble(den)
     // — the engine's ExactMoments does the same two double conversions

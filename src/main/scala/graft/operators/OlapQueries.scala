@@ -2088,6 +2088,75 @@ object OlapQueries {
         round(max(col("l_extendedprice")), 4).as("max_price"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** q183: the DEEP star — q78's TPC-H-Q5 six-table join (lineitem ⋈
+    * orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region, INCLUDING the
+    * cross-branch local-supplier equality c_nationkey = s_nationkey)
+    * answered from ONE joined summary. q182 proved 3 tables; this is
+    * the matcher's union-find connectivity gate and canonical edge
+    * key at realistic dashboard depth: the query spells the join in a
+    * DIFFERENT order and associativity (dims outward-in) than the
+    * registration (fact outward), and both q78 filters (order-date
+    * range, region name) are arbitrary expressions over GRAIN columns
+    * (o_orderdate, r_name), so they re-apply on the summary. Routed,
+    * the plan reads a ~(nation × date)-sized table instead of scanning
+    * the fact table and running FIVE join shuffles — at 100 TB that
+    * deletes every exchange a Q5 dashboard pays. Revenue is declared
+    * as a decimal cast of the double product, so the per-row value is
+    * the exact 4-dp rational both engines recover identically and the
+    * decimal re-aggregation is value-exact (q172's discipline).
+    */
+  def summaryLocalVolume(spark: SparkSession, sfDir: String): DataFrame =
+    withSummary(spark, "li_q5_star")(
+      registerLocalVolumeStarSummary(spark, sfDir)) {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val ord = Tables.load(spark, sfDir, "orders")
+      val cust = Tables.load(spark, sfDir, "customer")
+      val supp = Tables.load(spark, sfDir, "supplier")
+      val nat = Tables.load(spark, sfDir, "nation")
+      val reg = Tables.load(spark, sfDir, "region")
+      // dims outward-in — the registration went fact outward
+      reg.join(nat, nat("n_regionkey") === reg("r_regionkey"))
+        .join(supp, supp("s_nationkey") === nat("n_nationkey"))
+        .join(li, li("l_suppkey") === supp("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey") &&
+          cust("c_nationkey") === supp("s_nationkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(expr("cast(sum(cast(l_extendedprice * (1 - l_discount)" +
+            " as decimal(18,4))) as double)"), 4).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }
+
+  private[graft] def registerLocalVolumeStarSummary(spark: SparkSession,
+      sfDir: String): Unit = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val cust = Tables.load(spark, sfDir, "customer")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val nat = Tables.load(spark, sfDir, "nation")
+    val reg = Tables.load(spark, sfDir, "region")
+    graft.plans.Summaries.createJoined(
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey") &&
+          cust("c_nationkey") === supp("s_nationkey"))
+        .join(nat, supp("s_nationkey") === nat("n_nationkey"))
+        .join(reg, nat("n_regionkey") === reg("r_regionkey")),
+      "li_q5_star",
+      // the date lands IN the grain (the histogram-grain pattern), so
+      // any order-date range re-applies on the summary; r_name covers
+      // the region filter; n_name is the dashboard's grouping
+      grain = Seq("n_name", "r_name", "o_orderdate"),
+      sums = Seq("rev" ->
+        "cast(l_extendedprice * (1 - l_discount) as decimal(18,4))"))
+  }
+
   /** q184: exact VARIANCE/STDDEV routed through the summary's sumsq
     * leg. Spark's own stddev/var is double Welford — partition-order
     * dependent low bits, so no summary arithmetic can reproduce it
@@ -2210,6 +2279,8 @@ object OlapQueries {
       "q174_summary_kmv" -> pricing,
       "q181_summary_rollup" -> pricing,
       "q184_summary_variance" -> pricing,
+      "q183_summary_star6" ->
+        hook("li_q5_star", registerLocalVolumeStarSummary),
       "q177_summary_join" ->
         hook("li_orders_priority", registerJoinPrioritySummary),
       "q178_summary_join_refresh" ->

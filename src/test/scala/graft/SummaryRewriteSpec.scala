@@ -1096,6 +1096,73 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("q183: the six-table Q5 star routes in a different join order " +
+      "and equals the raw join") {
+    val q = () => OlapQueries.summaryLocalVolume(spark, sf)
+    val raw = withoutRouting { q().collect().toSeq }
+    OlapQueries.registerLocalVolumeStarSummary(spark, sf)
+    try {
+      assert(q().collect().toSeq == raw, "routed six-table star diverged")
+      // scan-path assert on the bare aggregate (the wrapper rebuilds a
+      // report-sized frame): SAME tables, SAME edges, third ordering
+      val inner = () => {
+        val li = Tables.load(spark, sf, "lineitem")
+        val ord = Tables.load(spark, sf, "orders")
+        val cust = Tables.load(spark, sf, "customer")
+        val supp = Tables.load(spark, sf, "supplier")
+        val nat = Tables.load(spark, sf, "nation")
+        val reg = Tables.load(spark, sf, "region")
+        ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+          .join(li, li("l_orderkey") === ord("o_orderkey"))
+          .join(supp, cust("c_nationkey") === supp("s_nationkey") &&
+            li("l_suppkey") === supp("s_suppkey"))
+          .join(nat, supp("s_nationkey") === nat("n_nationkey"))
+          .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"))
+      }
+      val paths = scanPaths(inner())
+      assert(paths.nonEmpty && paths.forall(_.contains("graft_summaries")),
+        s"six-table star did not route: $paths")
+      assert(inner().collect().toSeq ==
+        withoutRouting { inner().collect().toSeq })
+      // a five-table join (region missing) is a DIFFERENT source set:
+      // must stay raw
+      val fiveOf = () => {
+        val li = Tables.load(spark, sf, "lineitem")
+        val ord = Tables.load(spark, sf, "orders")
+        val cust = Tables.load(spark, sf, "customer")
+        val supp = Tables.load(spark, sf, "supplier")
+        val nat = Tables.load(spark, sf, "nation")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
+          .join(supp, li("l_suppkey") === supp("s_suppkey") &&
+            cust("c_nationkey") === supp("s_nationkey"))
+          .join(nat, supp("s_nationkey") === nat("n_nationkey"))
+          .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      }
+      assert(!scanPaths(fiveOf()).exists(_.contains("graft_summaries")))
+      // dropping the LOCAL cross-branch edge changes the edge set:
+      // must stay raw (the rows differ — routing would be wrong)
+      val noLocal = () => {
+        val li = Tables.load(spark, sf, "lineitem")
+        val ord = Tables.load(spark, sf, "orders")
+        val cust = Tables.load(spark, sf, "customer")
+        val supp = Tables.load(spark, sf, "supplier")
+        val nat = Tables.load(spark, sf, "nation")
+        val reg = Tables.load(spark, sf, "region")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
+          .join(supp, li("l_suppkey") === supp("s_suppkey"))
+          .join(nat, supp("s_nationkey") === nat("n_nationkey"))
+          .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+          .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      }
+      assert(!scanPaths(noLocal()).exists(_.contains("graft_summaries")))
+    } finally Summaries.drop("li_q5_star")
+  }
+
   test("q184: exact variance routes onto the sumsq leg bit-identically; " +
       "Spark's double Welford stays raw") {
     import graft.functions.ExactMomentsFunctions._

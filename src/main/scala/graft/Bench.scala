@@ -51,6 +51,49 @@ package graft
   * Prints exactly one JSON line for the driver.
   */
 object Bench {
+
+  /** The mechanical form of the bytes-regression rule (PROFILE.md
+    * round 9 had it as prose): shuffle bytes and spill are PLAN
+    * properties, near-identical across samples of an unchanged plan,
+    * so a >2× move in shuffle read+write against the previous
+    * BENCHFULL artifact — either direction; a big drop is a plan
+    * change too, just a welcome one — or spill appearing where the
+    * previous round had none, flags the query in the summary line.
+    * Tiny movers (< 1 MiB on both sides) are noise-exempt: their
+    * byte counts wobble with AQE coalescing. Returns
+    * (query, description) pairs, largest |log ratio| first.
+    */
+  private[graft] def byteMovers(prevTxt: String,
+      cur: Map[String, (Long, Long, Long)]): Seq[(String, String)] = {
+    val marker = "\"bytes\":"
+    val at = prevTxt.indexOf(marker)
+    if (at < 0) return Nil
+    val entryRx = ("\"(q[0-9a-zA-Z_]+)\":\\{\"shuffle_read\":(\\d+)," +
+      "\"shuffle_write\":(\\d+),\"spill\":(\\d+)\\}").r
+    val prev = entryRx.findAllMatchIn(prevTxt.substring(at)).map { m =>
+      m.group(1) -> (m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)
+    }.toMap
+    val MinBytes = 1L << 20
+    prev.toSeq.flatMap { case (n, (pr, pw, ps)) =>
+      cur.get(n).flatMap { case (cr, cw, cs) =>
+        val p = pr + pw
+        val c = cr + cw
+        val shuffleMoved = math.max(p, c) >= MinBytes &&
+          (c > 2 * p || p > 2 * c)
+        val newSpill = ps == 0L && cs > 0L
+        if (!shuffleMoved && !newSpill) None
+        else {
+          val ratio = (c.toDouble + 1) / (p.toDouble + 1)
+          val parts =
+            (if (shuffleMoved)
+              Seq(f"shuffle ${p}B->${c}B (${ratio}%.2fx)") else Nil) ++
+            (if (newSpill) Seq(s"new spill ${cs}B") else Nil)
+          Some((n, parts.mkString(", "), math.abs(math.log(ratio))))
+        }
+      }
+    }.sortBy(-_._3).map(t => (t._1, t._2))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -353,6 +396,23 @@ object Bench {
       .take(16)
       .map { case (n, r) => "\"" + n + "\":" + f(r) }
       .mkString("{", ",", "}")
+    // bytes-regression flags: plan-property moves vs the previous
+    // BENCHFULL artifact (the one family that carries per-query
+    // bytes), mechanical where PROFILE.md round 9 had prose
+    val prevFull = {
+      val rx = "BENCHFULL_r(\\d+)\\.json".r
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(fl => fl.getName match {
+          case rx(k) => Some((k.toInt, fl.getPath)); case _ => None
+        }).sortBy(-_._1).headOption.map(_._2)
+    }
+    val bytesMovedAll = prevFull.toSeq.flatMap { p =>
+      try byteMovers(scala.io.Source.fromFile(p).mkString, bytesBest)
+      catch { case _: Throwable => Nil }
+    }
+    val bytesMoved = bytesMovedAll.take(16)
+      .map { case (n, d) => "\"" + n + "\":\"" + d + "\"" }
+      .mkString("{", ",", "}")
     // audit series on its own line, BEFORE the summary: if anything
     // gets cut by the driver's tail window it's this, not the summary
     if (controls.nonEmpty)
@@ -362,6 +422,8 @@ object Bench {
       s""""median_sec":${f(median)},"failed":${failed.size},""" +
       s""""extra_passes":$extra,"control":$cStats,""" +
       s""""moved_n":${movedAll.size},"moved_vs_prev":$moved,""" +
+      s""""bytes_moved_n":${bytesMovedAll.size},""" +
+      s""""bytes_moved":$bytesMoved,""" +
       s""""prev":${prevFile.map("\"" + _ + "\"").getOrElse("null")},""" +
       s""""slowest":$slowest,"sf":"$sfDir"}""")
     // FULL artifact as a repo file: the driver's stdout tail keeps
@@ -396,6 +458,8 @@ object Bench {
         s""""extra_passes":$extra,"control":$cStats,""" +
         s""""control_series":[${controls.map(f).mkString(",")}],""" +
         s""""moved_n":${movedAll.size},"moved_vs_prev":$moved,""" +
+        s""""bytes_moved_n":${bytesMovedAll.size},""" +
+        s""""bytes_moved":$bytesMoved,""" +
         s""""queries":$qs,"queries_raw":$qsRaw,"bytes":$bytesJson}"""
       try {
         java.nio.file.Files.writeString(

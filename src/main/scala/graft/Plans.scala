@@ -89,6 +89,13 @@ object Plans {
         "exact sum + non-null-count legs",
       operators.OlapQueries.summaryStarQuery(spark, sf))
     finally plans.Summaries.drop("li_ord_cust_star")
+    operators.OlapQueries.registerLocalVolumeStarSummary(spark, sf)
+    try render("q183_summary_star6 (routed)",
+      "SIX-table TPC-H-Q5 star answered from ONE summary scan: no " +
+        "joins, no fact table in the plan; the date-range and region " +
+        "filters re-apply on grain columns of the summary",
+      operators.OlapQueries.localVolumeStarQuery(spark, sf))
+    finally plans.Summaries.drop("li_q5_star")
     Files.writeString(Paths.get("/root/repo/PLANS.md"), out.toString)
     println(s"wrote PLANS.md (${out.length} chars)")
     spark.stop()

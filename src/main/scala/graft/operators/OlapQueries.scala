@@ -2107,31 +2107,35 @@ object OlapQueries {
     */
   def summaryLocalVolume(spark: SparkSession, sfDir: String): DataFrame =
     withSummary(spark, "li_q5_star")(
-      registerLocalVolumeStarSummary(spark, sfDir)) {
-      val lo = lit("1996-01-01").cast("timestamp")
-      val hi = lit("1997-01-01").cast("timestamp")
-      val li = Tables.load(spark, sfDir, "lineitem")
-      val ord = Tables.load(spark, sfDir, "orders")
-      val cust = Tables.load(spark, sfDir, "customer")
-      val supp = Tables.load(spark, sfDir, "supplier")
-      val nat = Tables.load(spark, sfDir, "nation")
-      val reg = Tables.load(spark, sfDir, "region")
-      // dims outward-in — the registration went fact outward
-      reg.join(nat, nat("n_regionkey") === reg("r_regionkey"))
-        .join(supp, supp("s_nationkey") === nat("n_nationkey"))
-        .join(li, li("l_suppkey") === supp("s_suppkey"))
-        .join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(cust, ord("o_custkey") === cust("c_custkey") &&
-          cust("c_nationkey") === supp("s_nationkey"))
-        .filter(col("r_name") === "ASIA" &&
-          col("o_orderdate") >= lo && col("o_orderdate") < hi)
-        .groupBy(col("n_name"))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          round(expr("cast(sum(cast(l_extendedprice * (1 - l_discount)" +
-            " as decimal(18,4))) as double)"), 4).as("revenue"))
-        .orderBy(desc("revenue"), asc("n_name"))
-    }
+      registerLocalVolumeStarSummary(spark, sfDir))(
+      localVolumeStarQuery(spark, sfDir))
+
+  private[graft] def localVolumeStarQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val cust = Tables.load(spark, sfDir, "customer")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val nat = Tables.load(spark, sfDir, "nation")
+    val reg = Tables.load(spark, sfDir, "region")
+    // dims outward-in — the registration went fact outward
+    reg.join(nat, nat("n_regionkey") === reg("r_regionkey"))
+      .join(supp, supp("s_nationkey") === nat("n_nationkey"))
+      .join(li, li("l_suppkey") === supp("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(expr("cast(sum(cast(l_extendedprice * (1 - l_discount)" +
+          " as decimal(18,4))) as double)"), 4).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
 
   private[graft] def registerLocalVolumeStarSummary(spark: SparkSession,
       sfDir: String): Unit = {

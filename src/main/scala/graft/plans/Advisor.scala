@@ -66,9 +66,19 @@ object Advisor {
 
   /** One piece of advice: which query, which operator (with its walk
     * position for disambiguation), what was measured, and the lever.
+    * MV nominations additionally carry a MACHINE-READABLE payload —
+    * `kind` ("summary" | "histogram" | "rollup" | "join"), the source
+    * `paths`, the nominated `grain` (union of the nominated queries'
+    * grouping/value column references), and for joins the equi-edge
+    * list — which is what [[materialize]] consumes to perform the
+    * recommended create/createJoined call instead of leaving the
+    * lever as prose.
     */
   case class Finding(query: String, op: String, signal: String,
-      value: Long, unit: String, lever: String)
+      value: Long, unit: String, lever: String,
+      kind: String = "", paths: Seq[String] = Nil,
+      grain: Seq[String] = Nil, edges: Seq[String] = Nil,
+      queries: Seq[String] = Nil)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -85,13 +95,15 @@ object Advisor {
     val broadcasts = collection.mutable.ArrayBuffer.empty[Finding]
     val loops = collection.mutable.ArrayBuffer.empty[Finding]
     val sorts = collection.mutable.ArrayBuffer.empty[Finding]
-    // summary candidates: source path -> per-query WORST scanTime ms
-    // (a bench traces each query several times — repeats collapse to
+    // summary candidates: source path -> (per-query WORST scanTime ms,
+    // union of grouping-column references — materialize()'s grain).
+    // A bench traces each query several times — repeats collapse to
     // the max per (query, path) here, the same discipline top()
     // applies, so the reported total is a sum over DISTINCT queries,
-    // not inflated by the repetition factor)
+    // not inflated by the repetition factor
     val sumCand = collection.mutable.Map
-      .empty[String, collection.mutable.Map[String, Long]]
+      .empty[String, (collection.mutable.Map[String, Long],
+        collection.mutable.LinkedHashSet[String])]
     // joined-summary candidates: (sorted path tuple) -> per-query
     // worst total scanTime, for aggregate-bearing MULTI-TABLE JOIN
     // queries (two-table fact⋈dim or an N-table star) — the
@@ -99,7 +111,9 @@ object Advisor {
     // can (it registers any INNER equi-join tree under the canonical
     // path+edge key)
     val joinCand = collection.mutable.Map
-      .empty[Seq[String], collection.mutable.Map[String, Long]]
+      .empty[Seq[String], (collection.mutable.Map[String, Long],
+        collection.mutable.LinkedHashSet[String],
+        collection.mutable.LinkedHashSet[String])] // (qs, groups, edges)
     // histogram-grain candidates: path -> (per-query worst scanTime,
     // union of nominated grain columns across its queries)
     val histCand = collection.mutable.Map.empty[String,
@@ -126,6 +140,7 @@ object Advisor {
         // multi-aggregate plan must not widen the nominated grain
         val lineGrain = collection.mutable.LinkedHashSet.empty[String]
         val lineBaseGroups = collection.mutable.LinkedHashSet.empty[String]
+        val lineJoinEdges = collection.mutable.LinkedHashSet.empty[String]
         val linePaths = collection.mutable.Map.empty[String, Long]
         var i = 0
         while (i < ops.size()) {
@@ -223,7 +238,14 @@ object Advisor {
             }
           }
           if (op.contains("Join") && !op.contains("NestedLoop") &&
-            !op.contains("Cartesian")) lineHasEquiJoin = true
+            !op.contains("Cartesian")) {
+            lineHasEquiJoin = true
+            val jk = node.path("jkeys")
+            var e = 0
+            while (e < jk.size()) {
+              lineJoinEdges += jk.get(e).asText(""); e += 1
+            }
+          }
           i += 1
         }
         // exactly ONE scanned path → single-table summary candidate;
@@ -232,9 +254,11 @@ object Advisor {
         // summary, so the classes are disjoint by construction.
         if (lineHasAgg && linePaths.size == 1)
           linePaths.foreach { case (pth, t) =>
-            val qs = sumCand.getOrElseUpdate(pth,
-              collection.mutable.Map.empty[String, Long])
+            val (qs, groups) = sumCand.getOrElseUpdate(pth,
+              (collection.mutable.Map.empty[String, Long],
+                collection.mutable.LinkedHashSet.empty[String]))
             qs(qname) = math.max(qs.getOrElse(qname, 0L), t)
+            groups ++= lineBaseGroups
           }
         if (lineHasAgg && linePaths.size == 1 && lineHasPercentile)
           linePaths.foreach { case (pth, t) =>
@@ -254,10 +278,14 @@ object Advisor {
           }
         if (lineHasAgg && lineHasEquiJoin && linePaths.size >= 2) {
           val key = linePaths.keys.toSeq.sorted
-          val qs = joinCand.getOrElseUpdate(key,
-            collection.mutable.Map.empty[String, Long])
+          val (qs, groups, edges) = joinCand.getOrElseUpdate(key,
+            (collection.mutable.Map.empty[String, Long],
+              collection.mutable.LinkedHashSet.empty[String],
+              collection.mutable.LinkedHashSet.empty[String]))
           qs(qname) =
             math.max(qs.getOrElse(qname, 0L), linePaths.values.sum)
+          groups ++= lineBaseGroups
+          edges ++= lineJoinEdges
         }
       }
     }
@@ -272,7 +300,7 @@ object Advisor {
     // trace — rank by breadth (distinct aggregate-bearing queries),
     // then by total scan time
     val summaries = sumCand.toSeq.collect {
-      case (pth, qs) if qs.size >= 2 =>
+      case (pth, (qs, groups)) if qs.size >= 2 =>
         val t = qs.values.sum
         Finding(s"${qs.size} queries", s"Scan $pth",
           "aggregate-scanning queries", qs.size, "queries",
@@ -281,7 +309,9 @@ object Advisor {
             (if (qs.size > 4) ", …" else "") +
             s" (total scanTime ${t} ms): if they share a grouping " +
             "grain, register a materialized summary " +
-            "(Summaries.create) so they route onto the pre-aggregate")
+            "(Summaries.create) so they route onto the pre-aggregate",
+          kind = "summary", paths = Seq(pth),
+          grain = groups.toSeq.sorted, queries = qs.keys.toSeq.sorted)
     }.sortBy(f => (-f.value, f.op)).take(topN)
     val histograms = histCand.toSeq.collect {
       case (pth, (qs, grain)) if qs.size >= 2 =>
@@ -295,7 +325,9 @@ object Advisor {
             s" (total scanTime ${t} ms): register a histogram-grain " +
             s"summary (Summaries.create, grain = ($cols)) — the " +
             "stored count becomes the percentile frequency and every " +
-            "percentile/extremum/count walks NDV-sized summary rows")
+            "percentile/extremum/count walks NDV-sized summary rows",
+          kind = "histogram", paths = Seq(pth),
+          grain = grain.toSeq.sorted, queries = qs.keys.toSeq.sorted)
     }.toSeq.sortBy(f => (-f.value, f.op)).take(topN)
     val rollups = rollCand.toSeq.collect {
       case (pth, (qs, grain)) if qs.size >= 2 =>
@@ -310,10 +342,12 @@ object Advisor {
             s" (total scanTime ${t} ms): register a base-grain " +
             s"summary (Summaries.create, grain = ($cols)) — the " +
             "router slides it under the Expand and each level " +
-            "re-aggregates summary rows cnt-weighted")
+            "re-aggregates summary rows cnt-weighted",
+          kind = "rollup", paths = Seq(pth),
+          grain = grain.toSeq.sorted, queries = qs.keys.toSeq.sorted)
     }.toSeq.sortBy(f => (-f.value, f.op)).take(topN)
     val joinSummaries = joinCand.toSeq.collect {
-      case (ps, qs) if qs.size >= 2 =>
+      case (ps, (qs, groups, edges)) if qs.size >= 2 =>
         val t = qs.values.sum
         Finding(s"${qs.size} queries", s"Join ${ps.mkString(" ⋈ ")}",
           "aggregate-join queries", qs.size, "queries",
@@ -324,11 +358,135 @@ object Advisor {
             "grain and join keys, register a joined materialized " +
             "summary (Summaries.createJoined — any INNER equi-join " +
             "star registers) so they route onto the pre-joined " +
-            "pre-aggregate")
+            "pre-aggregate",
+          kind = "join", paths = ps, grain = groups.toSeq.sorted,
+          edges = edges.toSeq.sorted, queries = qs.keys.toSeq.sorted)
     }.sortBy(f => (-f.value, f.op)).take(topN)
     top(spills) ++ top(loops) ++ top(exchanges) ++ top(scans) ++
       top(broadcasts) ++ top(sorts) ++ summaries ++ joinSummaries ++
       histograms ++ rollups
+  }
+
+  /** ACT on an MV nomination: perform the Summaries.create /
+    * createJoined call the finding's lever recommends, from its
+    * machine-readable payload — the step that closes the profile →
+    * advise → CREATE → route loop without a human transcribing the
+    * lever text. Measures are not nominated (traces carry grouping
+    * references, not full aggregate expression shapes), so the
+    * summary registers with the grain and count only: everything the
+    * counts-route serves — COUNT / MIN / MAX / integral SUM /
+    * DISTINCT / exact percentile over grain columns — routes
+    * immediately; declared-measure sums stay raw until a human adds
+    * them. Queries whose groupings or filters reach outside the
+    * nominated grain also stay raw (fail closed, as ever).
+    *
+    * For a JOIN nomination the recorded equi-edges rebuild the join:
+    * each edge's columns are attributed to their source by schema
+    * membership (ambiguous names refuse), and paths attach one at a
+    * time along their edges so every edge lands in a join condition.
+    * Throws on a finding without an MV payload, on unattributable
+    * edges, or on a disconnected edge set — a half-guessed
+    * registration that silently serves wrong rows is the one outcome
+    * this API must never produce (createJoined re-validates
+    * connectivity anyway).
+    *
+    * COMPRESSION GATE: a grain that is the union of many queries'
+    * grouping references can approach ROW grain (a traced id column
+    * joins the union and the "summary" is the table again) — routing
+    * onto it is correct but wins nothing and, measured, LOSES (a
+    * row-grain documents summary routed two queries 1.4–2.0×
+    * SLOWER). After building, the summary's row count is checked
+    * against the source's: above `maxGrainRatio` the registration is
+    * dropped and the call throws — at 100 TB a summary that saves
+    * nothing must not silently double storage and capture queries.
+    */
+  def materialize(spark: org.apache.spark.sql.SparkSession,
+      f: Finding, name: String,
+      maxGrainRatio: Double = 0.5): Summaries.Spec = {
+    require(f.kind.nonEmpty && f.paths.nonEmpty,
+      s"finding carries no MV payload: $f")
+    require(f.grain.nonEmpty,
+      s"nominated grain is empty — nothing to summarize: $f")
+    def gated(raw: org.apache.spark.sql.DataFrame,
+        build: => Summaries.Spec): Summaries.Spec = {
+      val spec = build
+      val sRows = spark.read.parquet(spec.summaryPath).count()
+      val rRows = raw.count()
+      if (rRows > 0 && sRows > maxGrainRatio * rRows) {
+        Summaries.drop(name)
+        throw new IllegalArgumentException(
+          s"nominated grain barely compresses ($sRows summary rows " +
+            s"from $rRows source rows > ratio $maxGrainRatio) — " +
+            "a summary that saves nothing must not capture queries")
+      }
+      spec
+    }
+    f.kind match {
+      case "summary" | "histogram" | "rollup" =>
+        require(f.paths.length == 1, s"single-table kind, many paths: $f")
+        val df = spark.read.parquet(f.paths.head)
+        // traced grouping references include PHYSICAL-plan internals
+        // (_groupingexpression pre-projections, window/shard aliases)
+        // that are not table columns — keep the schema-resolvable
+        // subset. Queries grouping on the dropped derived expressions
+        // simply fail closed to raw, as the grain gate always does.
+        val cols = df.columns.toSet
+        val grain = f.grain.filter(cols)
+        require(grain.nonEmpty,
+          s"no nominated grain column exists in ${f.paths.head}: $f")
+        gated(df, Summaries.create(df, name, grain = grain, sums = Nil))
+      case "join" =>
+        require(f.edges.nonEmpty, s"join nomination without edges: $f")
+        val dfs = f.paths.map(p => p -> spark.read.parquet(p))
+        def ownerOf(colName: String): Int = {
+          val owners = dfs.indices
+            .filter(i => dfs(i)._2.columns.contains(colName))
+          require(owners.length == 1,
+            s"column $colName is ${if (owners.isEmpty) "absent from"
+              else "ambiguous across"} the nominated tables")
+          owners.head
+        }
+        val edges = f.edges.map { e =>
+          val Array(a, b) = e.split("=", 2)
+          (ownerOf(a), a, ownerOf(b), b)
+        }.filter(t => t._1 != t._3)
+        // attach one table at a time along its edges to the joined
+        // prefix, so every edge becomes a join condition
+        val attached = collection.mutable.Set(0)
+        var joined = dfs(0)._2
+        var progress = true
+        while (attached.size < dfs.length && progress) {
+          progress = false
+          dfs.indices.filterNot(attached).foreach { i =>
+            val mine = edges.filter(t =>
+              (t._1 == i && attached(t._3)) ||
+                (t._3 == i && attached(t._1)))
+            if (mine.nonEmpty) {
+              val cond = mine.map { case (_, a, _, b) =>
+                org.apache.spark.sql.functions.col(a) ===
+                  org.apache.spark.sql.functions.col(b)
+              }.reduce(_ && _)
+              joined = joined.join(dfs(i)._2, cond)
+              attached += i
+              progress = true
+            }
+          }
+        }
+        require(attached.size == dfs.length,
+          s"recorded edges do not connect all nominated tables: $f")
+        // same schema-resolvability filter as the single-table kinds,
+        // plus unambiguity: a grain column owned by two tables can't
+        // be name-mapped (ownerOf would throw) — drop it instead
+        val grain = f.grain.filter(c =>
+          dfs.count(_._2.columns.contains(c)) == 1)
+        require(grain.nonEmpty,
+          s"no nominated grain column resolves unambiguously: $f")
+        gated(joined,
+          Summaries.createJoined(joined, name, grain = grain, sums = Nil))
+      case other =>
+        throw new IllegalArgumentException(
+          s"finding kind '$other' is not materializable")
+    }
   }
 
   /** Render findings as aligned report lines (one per finding). */

@@ -93,6 +93,21 @@ object TraceCapture {
           if (pvals.nonEmpty)
             sb.append(",\"pvals\":")
               .append(pvals.map(q).mkString("[", ",", "]"))
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.nonEmpty =>
+          // equi-join edges for the Advisor's joined-summary
+          // nominations: each key pair whose sides are single column
+          // references becomes "lcol=rcol" — what materialize() needs
+          // to rebuild the join for Summaries.createJoined
+          val edges = j.leftKeys.zip(j.rightKeys).flatMap { case (l, r) =>
+            (l.references.toSeq, r.references.toSeq) match {
+              case (Seq(a), Seq(b)) => Some(s"${a.name}=${b.name}")
+              case _ => None
+            }
+          }.distinct
+          if (edges.nonEmpty)
+            sb.append(",\"jkeys\":")
+              .append(edges.map(q).mkString("[", ",", "]"))
         case _ =>
       }
       val ms = node.metrics

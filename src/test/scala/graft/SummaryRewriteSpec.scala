@@ -853,6 +853,111 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("Advisor.materialize acts on nominations: the nominated " +
+      "single-table AND join workloads route, answers unchanged") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.plans.{Advisor, TraceCapture}
+    val dir = Files.createTempDirectory("graft-advice-mat")
+    val trace = dir.resolve("t.jsonl").toString
+    val listener = TraceCapture.install(spark, trace)
+    def waitForLines(n: Int): Seq[String] = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var lines = Seq.empty[String]
+      while (lines.size < n && System.nanoTime() < deadline) {
+        if (Files.exists(Paths.get(trace)))
+          lines = Files.readAllLines(Paths.get(trace)).asScala.toSeq
+        if (lines.size < n) Thread.sleep(50)
+      }
+      assert(lines.size >= n, s"trace stalled at ${lines.size}/$n lines")
+      lines
+    }
+    // single-table pair (both percentile-bearing, so the histogram
+    // nomination fires with grain = groups ∪ value column) and a join
+    // pair over lineitem ⋈ orders — the four queries the two
+    // materialized summaries must route afterwards
+    val qFlag = () => Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(l_quantity, 0.9)").as("p90"))
+      .orderBy("l_returnflag")
+    val qStatus = () => Tables.load(spark, sf, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"))
+      .orderBy("l_linestatus")
+    val join = () => Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    val qJPrio = () => join().groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n")).orderBy("o_orderpriority")
+    val qJFlag = () => join().groupBy("l_returnflag", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "o_orderpriority")
+    try {
+      var traced = 0
+      for ((nm, q) <- Seq("flag" -> qFlag, "status" -> qStatus,
+          "jprio" -> qJPrio, "jflag" -> qJFlag)) {
+        TraceCapture.setLabel(nm)
+        q().write.format("noop").mode("overwrite").save()
+        traced += 1
+        waitForLines(traced)
+      }
+      val findings = Advisor.advise(waitForLines(4).iterator)
+      val sumNom = findings
+        .find(f => f.kind == "summary" && f.paths.exists(_.contains("lineitem")))
+        .getOrElse(fail("no single-table nomination"))
+      // the nominated grain is the union of the queries' grouping refs
+      assert(sumNom.grain.contains("l_returnflag") &&
+        sumNom.grain.contains("l_linestatus"), sumNom.toString)
+      val joinNom = findings.find(_.kind == "join")
+        .getOrElse(fail("no join nomination"))
+      assert(joinNom.paths.length == 2 &&
+        joinNom.edges == Seq("l_orderkey=o_orderkey"), joinNom.toString)
+      // the histogram nomination carries the percentile value column
+      // in its grain — materializing IT serves the whole single-table
+      // pair (counts route over any grain)
+      val histNom = findings.find(_.kind == "histogram")
+        .getOrElse(fail("no histogram nomination"))
+      assert(histNom.grain.toSet ==
+        Set("l_returnflag", "l_linestatus", "l_quantity"),
+        histNom.toString)
+      val raws = Seq(qFlag, qStatus, qJPrio, qJFlag)
+        .map(q => withoutRouting { q().collect().toSeq })
+      Advisor.materialize(spark, histNom, "adv_mat_li")
+      Advisor.materialize(spark, joinNom, "adv_mat_join")
+      try {
+        for ((q, raw) <- Seq(qFlag, qStatus, qJPrio, qJFlag).zip(raws)) {
+          val paths = scanPaths(q())
+          assert(paths.nonEmpty &&
+            paths.forall(_.contains("graft_summaries")),
+            s"nominated query did not route: $paths")
+          assert(q().collect().toSeq == raw)
+        }
+      } finally {
+        Summaries.drop("adv_mat_li")
+        Summaries.drop("adv_mat_join")
+      }
+      // a non-MV finding has no payload: materialize must refuse
+      intercept[IllegalArgumentException] {
+        Advisor.materialize(spark,
+          Advisor.Finding("q", "Sort", "sortTime", 1L, "ms", "x"), "nope")
+      }
+      // a near-row grain (the union-of-groupings hazard) must be
+      // REFUSED and leave nothing registered: routing onto a summary
+      // the size of the table is correct but measured slower
+      intercept[IllegalArgumentException] {
+        Advisor.materialize(spark, sumNom.copy(
+          grain = Seq("l_orderkey", "l_partkey", "l_suppkey")),
+          "adv_rowgrain")
+      }
+      assert(!Summaries.has("adv_rowgrain"))
+    } finally {
+      TraceCapture.uninstall(spark, listener)
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("IS NOT NULL on a non-key column sharing a join key's NAME is " +
       "not join-implied: the filter disqualifies instead of dropping") {
     // L(k, g) ⋈ R(j, k) on L.k = R.j — R.k shares the key's NAME but

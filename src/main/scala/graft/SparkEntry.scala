@@ -598,7 +598,12 @@ object SparkEntry {
     // cross-branch equality) answered from one joined summary, the
     // query spelled dims-outward-in vs the fact-outward registration;
     // the oracle re-joins all six tables from scratch
-    "q183_summary_star6" -> (operators.OlapQueries.summaryLocalVolume _)
+    "q183_summary_star6" -> (operators.OlapQueries.summaryLocalVolume _),
+    // the DELTA-COMPENSATED read: a summary built over 80% of the
+    // rows, the other 20% appended as new files — the router answers
+    // merge(summary, partial-agg(new files only)), the post-append
+    // truth, so the oracle is the plain aggregate over the FULL table
+    "q185_summary_delta" -> (operators.OlapQueries.summaryDeltaPricing _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3752,6 +3757,25 @@ object SparkEntry {
         |  round(sqrt(CAST(n * q - s * s AS DOUBLE)
         |    / CAST(10000 * n * (n - 1) AS DOUBLE)), 4) AS sd_qty
         |FROM a
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the delta demo's base ∪ appended tail is exactly lineitem, so
+    // the compensated answer replays as the full-table aggregate
+    // (avg_qty: the same scaled-integer half-even quotient replay as
+    // q172's decimal AVG)
+    "q185_summary_delta" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |    AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+        |    4) AS sum_base,
+        |  CAST((2 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) * 1000000 + 100 * count(*))
+        |       // (2 * 100 * count(*)) AS DOUBLE) / 1000000.0 AS avg_qty,
+        |  round(min(l_extendedprice), 4) AS min_price,
+        |  round(max(l_extendedprice), 4) AS max_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q181_summary_rollup" ->
       """SELECT coalesce(l_returnflag, '(all)') AS flag,

@@ -2190,6 +2190,95 @@ object OlapQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }
 
+  /** q185: the DELTA-COMPENSATED MV read — the read-side half of the
+    * freshness contract. A pricing summary is built over a COPY of
+    * lineitem holding 80% of its rows; the remaining 20% are then
+    * APPENDED as new parquet files, leaving the summary stale. Instead
+    * of suspending (the pre-round-11 fail-closed behavior, still the
+    * response to any in-place mutation), [[graft.plans.SummaryRewrite]]
+    * routes the aggregate onto `merge(summary, partial-agg(new files
+    * only))` — refresh's mergeable-measure algebra as a READ — so the
+    * query reads the summary plus ONLY the appended files and answers
+    * the POST-append truth (scan-path-asserted in SummaryRewriteSpec).
+    * Because base ∪ delta is exactly the full table, the DuckDB oracle
+    * is the same aggregate over raw `lineitem`. At 100 TB this is what
+    * keeps a dashboard routed between the nightly load and the next
+    * refresh: megabytes of summary plus the morning's delta, not a
+    * re-scan of the fact table.
+    */
+  def summaryDeltaPricing(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = deltaDemoName(sfDir)
+    val pre = graft.plans.Summaries.isRegistered(name)
+    if (!pre) registerDeltaDemo(spark, sfDir)
+    try {
+      val out = deltaPricingQuery(spark, sfDir)
+      val rows = out.collect().toSeq // report-sized
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally if (!pre) dropDeltaDemo(spark, sfDir)
+  }
+
+  private[graft] def deltaDemoName(sfDir: String): String =
+    "lineitem_delta_" + new java.io.File(sfDir).getName
+
+  private[graft] def deltaDemoDir(sfDir: String): String =
+    new java.io.File("spark-warehouse/graft_delta_demo/" +
+      deltaDemoName(sfDir)).getAbsolutePath
+
+  /** Build the demo fixture: write the 80% base, register the summary
+    * over it, append the 20% tail as new files, and poke the freshness
+    * memo (the external writer's metadata-refresh hook) so the next
+    * lookup sees the appended files immediately instead of after the
+    * TTL window.
+    */
+  private[graft] def registerDeltaDemo(spark: SparkSession,
+      sfDir: String): Unit = {
+    val name = deltaDemoName(sfDir)
+    val dir = deltaDemoDir(sfDir)
+    graft.plans.Summaries.drop(name)
+    val li = Tables.load(spark, sfDir, "lineitem").select(
+      "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+      "l_orderkey")
+    li.filter(col("l_orderkey") % 10 < 8)
+      .write.mode("overwrite").parquet(dir)
+    graft.plans.Summaries.create(spark.read.parquet(dir), name,
+      grain = Seq("l_returnflag", "l_linestatus"),
+      sums = Seq(
+        "sum_qty" -> "cast(l_quantity as decimal(18,2))",
+        "sum_base" -> "cast(l_extendedprice as decimal(18,2))"),
+      mins = Seq("min_price" -> "l_extendedprice"),
+      maxs = Seq("max_price" -> "l_extendedprice"))
+    li.filter(col("l_orderkey") % 10 >= 8)
+      .write.mode("append").parquet(dir)
+    graft.plans.Summaries.invalidate(name)
+  }
+
+  private def dropDeltaDemo(spark: SparkSession, sfDir: String): Unit = {
+    graft.plans.Summaries.drop(deltaDemoName(sfDir))
+    val p = new org.apache.hadoop.fs.Path(deltaDemoDir(sfDir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+  }
+
+  private[graft] def deltaPricingQuery(spark: SparkSession,
+      sfDir: String): DataFrame =
+    spark.read.parquet(deltaDemoDir(sfDir))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)"),
+          4).as("sum_qty"),
+        round(
+          expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)"),
+          4).as("sum_base"),
+        // the TRUE avg() — its exact legs re-aggregate through the
+        // compensated substrate like any other sum/count measure
+        avg(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("avg_qty"),
+        round(min(col("l_extendedprice")), 4).as("min_price"),
+        round(max(col("l_extendedprice")), 4).as("max_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** q182: STAR-schema MV routing — a THREE-table inner equi-join
     * (customer ⋈ orders ⋈ lineitem) answered from one joined summary,
     * the general star form of q177's fact⋈dim lever (the shape TPC-H
@@ -2294,6 +2383,18 @@ object OlapQueries {
       "q180_summary_join_percentiles" ->
         hook("li_orders_hist", registerJoinHistSummary),
       "q182_summary_star" ->
-        hook("li_ord_cust_star", registerStarSummary))
+        hook("li_ord_cust_star", registerStarSummary),
+      // the delta demo's summary name is SF-suffixed (its source is a
+      // per-SF copy), so the hook resolves the name per call
+      "q185_summary_delta" -> ((s: SparkSession, d: String) => {
+        val name = deltaDemoName(d)
+        try registerDeltaDemo(s, d)
+        catch { case t: Throwable =>
+          try graft.plans.Summaries.drop(name)
+          catch { case _: Throwable => () }
+          throw t
+        }
+        () => graft.plans.Summaries.drop(name)
+      }))
   }
 }

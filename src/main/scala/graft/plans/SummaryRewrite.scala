@@ -73,13 +73,27 @@ import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
   * the summary's megabytes instead of the fact table's terabytes.
   * Freshness FAILS CLOSED: create/refresh fingerprint the source
   * file set (paths, lengths, mtimes), lookup re-fingerprints, and a
-  * mismatch (new files, overwrite, deletion) silently suspends
-  * routing — queries run raw, correct — until a [[Summaries.refresh]]
-  * or re-[[Summaries.create]] records the new state;
-  * [[Summaries.drop]] revokes. The check is one metadata listing per
-  * routed lookup (the split-planning cost class);
+  * mismatch silently suspends routing — queries run raw, correct —
+  * until a [[Summaries.refresh]] or re-[[Summaries.create]] records
+  * the new state; [[Summaries.drop]] revokes. The check is one
+  * metadata listing per routed lookup (the split-planning cost class);
   * `spark.graft.summaryRewrite.staleCheck.enabled=false` restores
   * pure caller's-contract freshness.
+  *
+  * The APPEND-ONLY stale case — every built file still present and
+  * byte-identical, plus new data files — routes anyway, DELTA-
+  * COMPENSATED (the BigQuery-MV read): the rewrite substitutes
+  * `merge(summary, partial-aggregate(new files only))` for the
+  * summary relation, using exactly [[Summaries.refresh]]'s mergeable-
+  * measure algebra, so the answer equals the raw scan while reading
+  * the summary plus ONLY the appended files. At 100 TB this is the
+  * difference between a dashboard that goes 100× slower the moment
+  * the nightly load lands and one that reads megabytes of summary
+  * plus the morning's delta until the refresh catches up. Any
+  * modification or deletion of a built file still suspends (nothing
+  * can compensate a rewrite-in-place);
+  * `spark.graft.summaryRewrite.deltaRead.enabled=false` restores
+  * strict suspend-on-any-change.
   * Rewrite activation is registration itself (creating the MV enables
   * routing, as in the host warehouse); `spark.graft.summaryRewrite
   * .enabled=false` force-disables without dropping state. No session
@@ -127,7 +141,20 @@ object Summaries {
       // build/refresh time — lookup() re-fingerprints and suspends
       // routing on mismatch (fail closed, like the refresh window)
       fpPaths: Seq[String] = Nil,
-      sourceFp: String = "")
+      sourceFp: String = "",
+      // the build-time file listing itself (`path:len:mtime` entries,
+      // the strings the fingerprint digests): the delta-read gate
+      // compares it against the current listing to prove a stale
+      // source is APPEND-ONLY (built set intact, extras new)
+      builtFiles: Seq[String] = Nil,
+      // joined summaries only: the resolved equi-edges, kept in
+      // structured form so the joined-delta substrate can REBUILD
+      // Δleaf ⋈ (other tables) without parsing the registry key
+      joinEdges: Seq[(String, String, String, String)] = Nil,
+      // TRANSIENT (never persisted): set by lookup() on the spec copy
+      // it hands the rewrite when the source is stale-but-append-only
+      // — the extra data files the compensated substrate must fold in
+      deltaFiles: Seq[String] = Nil)
 
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, Spec]()
@@ -185,7 +212,11 @@ object Summaries {
       "kmvDomain" -> JLong(s.kmvDomain),
       "routable" -> JBool(s.routable),
       "fpPaths" -> strs(s.fpPaths),
-      "sourceFp" -> JString(s.sourceFp)))
+      "sourceFp" -> JString(s.sourceFp),
+      "builtFiles" -> strs(s.builtFiles),
+      "joinEdges" -> JArray(s.joinEdges.map { case (pa, ca, pb, cb) =>
+        JArray(List(JString(pa), JString(ca), JString(pb), JString(cb)))
+      }.toList)))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -218,7 +249,18 @@ object Summaries {
       kmvK = num("kmvK").toInt, kmvDomain = num("kmvDomain"),
       routable = j("routable").asInstanceOf[JBool].value,
       nns = smap("nns"), nnSql = pairs("nnSql"),
-      fpPaths = strs("fpPaths"), sourceFp = str("sourceFp"))
+      fpPaths = strs("fpPaths"), sourceFp = str("sourceFp"),
+      // absent in pre-delta-read spec files: those summaries reload
+      // with no built listing, so the delta gate stays closed (strict
+      // suspend-on-stale) until the next create/refresh records one
+      builtFiles = if (j.contains("builtFiles")) strs("builtFiles")
+        else Nil,
+      joinEdges = if (!j.contains("joinEdges")) Nil
+        else j("joinEdges").asInstanceOf[JArray].arr.map { e =>
+          val l = e.asInstanceOf[JArray].arr
+            .map(_.asInstanceOf[JString].s)
+          (l(0), l(1), l(2), l(3))
+        })
   }
 
   private def persistSpec(s: Spec): Unit = {
@@ -280,15 +322,15 @@ object Summaries {
     loadAttempted.set(false)
   }
 
-  /** Fingerprint of the source file set: every data file's full path,
-    * length, and mtime (temp/metadata `_`/`.` names excluded), sorted
-    * and digested. One metadata listing per source — the same cost
-    * class as split planning; a warehouse MV's freshness check.
+  /** The source file listing: one `path:len:mtime` entry per data
+    * file (temp/metadata `_`/`.` names excluded), per-path sorted. One
+    * metadata listing per source — the same cost class as split
+    * planning; the raw material of both the freshness fingerprint and
+    * the append-only delta gate.
     */
-  private[plans] def fingerprint(paths: Seq[String],
-      hadoopConf: org.apache.hadoop.conf.Configuration): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    paths.sorted.foreach { ps =>
+  private[plans] def listEntries(paths: Seq[String],
+      hadoopConf: org.apache.hadoop.conf.Configuration): Seq[String] =
+    paths.sorted.flatMap { ps =>
       val p = new org.apache.hadoop.fs.Path(ps)
       try {
         val fs = p.getFileSystem(hadoopConf)
@@ -301,14 +343,30 @@ object Summaries {
             entries +=
               s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
         }
-        entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+        entries.sorted
       } catch {
         // a vanished source can never match its build-time state
-        case _: java.io.FileNotFoundException =>
-          md.update(s"absent:$ps".getBytes("UTF-8"))
+        case _: java.io.FileNotFoundException => Seq(s"absent:$ps")
       }
     }
+
+  /** MD5 over the listing entries — the freshness fingerprint. */
+  private[plans] def fpOf(entries: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.foreach(e => md.update(e.getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
+  }
+
+  private[plans] def fingerprint(paths: Seq[String],
+      hadoopConf: org.apache.hadoop.conf.Configuration): String =
+    fpOf(listEntries(paths, hadoopConf))
+
+  /** The file path inside a listing entry (`<path>:<len>:<mtime>` —
+    * the path itself may contain `:`, so split from the right).
+    */
+  private def entryPath(e: String): String = {
+    val i2 = e.lastIndexOf(':')
+    e.substring(0, e.lastIndexOf(':', i2 - 1))
   }
 
   val StaleCheckKey = "spark.graft.summaryRewrite.staleCheck.enabled"
@@ -325,22 +383,46 @@ object Summaries {
   // immediately, and an external overwrite routes stale for at most
   // the TTL before the fail-closed suspension kicks in. TTL 0 restores
   // the strictest reading (every lookup re-lists).
-  private val fpMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+  private val fpMemo = new java.util.concurrent
+    .ConcurrentHashMap[String, (Long, String, Seq[String])]()
 
   val DefaultStaleTtlMs = 5000L
 
   private def memoKey(paths: Seq[String]): String =
     paths.sorted.mkString("|")
 
-  /** Record `fp` as the just-observed fingerprint of `paths` — called
-    * by create/refresh at the moment they record the same fingerprint
-    * into the spec, so a TTL-cached PRE-mutation listing can never
-    * suspend a summary the engine itself just brought up to date (and
-    * the memo never outlives the registration — drop removes it).
+  /** Record `entries`/`fp` as the just-observed listing of `paths` —
+    * called by create/refresh at the moment they record the same
+    * fingerprint into the spec, so a TTL-cached PRE-mutation listing
+    * can never suspend a summary the engine itself just brought up to
+    * date (and the memo never outlives the registration — drop
+    * removes it).
     */
-  private def touchFpMemo(paths: Seq[String], fp: String): Unit =
-    fpMemo.put(memoKey(paths), (System.nanoTime(), fp))
+  private def touchFpMemo(paths: Seq[String], fp: String,
+      entries: Seq[String]): Unit =
+    fpMemo.put(memoKey(paths), (System.nanoTime(), fp, entries))
+
+  /** The current listing + fingerprint of `paths`, through the TTL
+    * memo: one metadata enumeration per source per TTL window, shared
+    * by the freshness gate and the delta gate (`ttlMs = 0` re-lists
+    * on every call — the strictest reading).
+    */
+  private def currentListing(paths: Seq[String],
+      s: org.apache.spark.sql.SparkSession): (String, Seq[String]) = {
+    val ttlNs = s.conf.get(StaleTtlKey, DefaultStaleTtlMs.toString)
+      .toLong * 1000000L
+    val key = memoKey(paths)
+    val now = System.nanoTime()
+    Option(fpMemo.get(key))
+      .filter { case (t, _, _) => ttlNs > 0 && now - t < ttlNs }
+      .map { case (_, fp, es) => (fp, es) }
+      .getOrElse {
+        val es = listEntries(paths, s.sparkContext.hadoopConfiguration)
+        val fp = fpOf(es)
+        fpMemo.put(key, (now, fp, es))
+        (fp, es)
+      }
+  }
 
   /** The fail-closed freshness gate: a summary whose source files no
     * longer match the build-time fingerprint silently stops routing
@@ -354,29 +436,74 @@ object Summaries {
     spec.sourceFp.isEmpty || spec.fpPaths.isEmpty || {
       val sess = org.apache.spark.sql.SparkSession.getActiveSession
       sess.forall { s =>
-        !s.conf.get(StaleCheckKey, "true").toBoolean || {
-          val ttlNs =
-            s.conf.get(StaleTtlKey, DefaultStaleTtlMs.toString)
-              .toLong * 1000000L
-          val key = memoKey(spec.fpPaths)
-          val now = System.nanoTime()
-          val cached = Option(fpMemo.get(key))
-            .filter { case (t, _) => ttlNs > 0 && now - t < ttlNs }
-          val fp = cached.map(_._2).getOrElse {
-            val f = fingerprint(spec.fpPaths,
-              s.sparkContext.hadoopConfiguration)
-            fpMemo.put(key, (now, f))
-            f
-          }
-          fp == spec.sourceFp
-        }
+        !s.conf.get(StaleCheckKey, "true").toBoolean ||
+          currentListing(spec.fpPaths, s)._1 == spec.sourceFp
       }
     }
 
+  val DeltaReadKey = "spark.graft.summaryRewrite.deltaRead.enabled"
+
+  /** The append-only delta gate: a STALE source whose build-time file
+    * set is still present byte-for-byte (same path, length, mtime)
+    * with only NEW data files on top yields those extra files — the
+    * compensated substrate folds exactly them in. Any other drift
+    * (a built file rewritten, shrunk, touched, or deleted) returns
+    * None: nothing can compensate an in-place mutation, so the strict
+    * suspension stands. For a JOINED source the extras must all land
+    * under ONE leaf (appends to two tables in the same window would
+    * need a cross-delta term; fail closed and let refresh catch up).
+    */
+  private def deltaFor(spec: Spec,
+      s: org.apache.spark.sql.SparkSession): Option[Seq[String]] =
+    if (spec.builtFiles.isEmpty ||
+        !s.conf.get(DeltaReadKey, "true").toBoolean) None
+    else {
+      val entries = currentListing(spec.fpPaths, s)._2
+      val cur = entries.toSet
+      val built = spec.builtFiles.toSet
+      val extras = entries.filterNot(built)
+      if (built.subsetOf(cur) && extras.nonEmpty &&
+          !extras.exists(_.startsWith("absent:")) &&
+          (spec.fpPaths.length == 1 || {
+            val owners = extras.map(e => ownerPath(spec, entryPath(e)))
+            owners.forall(_.isDefined) &&
+              owners.flatten.distinct.length == 1
+          }))
+        Some(extras.map(entryPath))
+      else None
+    }
+
+  /** Which registered leaf path a data file belongs under (canonical
+    * prefix match). */
+  private def ownerPath(spec: Spec, file: String): Option[String] = {
+    val cf = canon(file)
+    spec.fpPaths.find(p => cf == p || cf.startsWith(p + "/"))
+  }
+
+  /** A routable view of the spec for the rewrite: the spec itself
+    * when fresh; a delta-bearing copy when stale but append-only
+    * (the rewrite swaps in the compensated substrate); None otherwise
+    * (fail closed — the query runs raw).
+    */
+  private def routedView(spec: Spec): Option[Spec] =
+    if (fresh(spec)) Some(spec)
+    else org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(deltaFor(spec, _))
+      .map(fs => spec.copy(deltaFiles = fs))
+
   private[plans] def lookup(path: String): Option[Spec] = {
     ensureLoaded()
-    Option(reg.get(path)).filter(_.routable).filter(fresh)
+    Option(reg.get(path)).filter(_.routable).flatMap(routedView)
   }
+
+  /** Forget the freshness memo for `name`'s source, so the NEXT
+    * lookup re-lists immediately instead of after the TTL window —
+    * the hook an out-of-band writer (or a test) calls right after
+    * appending files, the way warehouses expose an explicit external-
+    * table metadata refresh.
+    */
+  def invalidate(name: String): Unit =
+    lookupByName(name).foreach(s => fpMemo.remove(memoKey(s.fpPaths)))
 
   /** Canonical path form both sides agree on. The scheme and
     * authority STAY in the key (a local /data/lineitem and an
@@ -561,9 +688,10 @@ object Summaries {
       kmvs.map { case (n, s) => kmvSketchCol(s, kmvK, kmvDomain).as(n) })
     val out = raw.groupBy(grain.map(col): _*)
       .agg(count(lit(1)).as(CntCol), aggCols: _*)
-    val fp = fingerprint(Seq(source),
+    val entries = listEntries(Seq(source),
       raw.sparkSession.sparkContext.hadoopConfiguration)
-    touchFpMemo(Seq(source), fp)
+    val fp = fpOf(entries)
+    touchFpMemo(Seq(source), fp, entries)
     register(out, Spec(name, source, "", grain, CntCol,
       sums = sums0.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       mins = mins.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
@@ -579,7 +707,8 @@ object Summaries {
       kmvSql = kmvs, kmvK = kmvK, kmvDomain = kmvDomain,
       routable = !partial,
       fpPaths = Seq(source),
-      sourceFp = fp))
+      sourceFp = fp,
+      builtFiles = entries))
   }
 
   /** The composite registry key of a JOIN summary: every canonical
@@ -591,14 +720,15 @@ object Summaries {
     * any join order or associativity.
     */
   private[plans] def joinSourceKey(paths: Seq[String],
-      edges: Seq[String]): String =
-    paths.sorted.mkString("⋈") + "?" + edges.sorted.mkString("&")
+      edges: Seq[JoinEdge]): String =
+    paths.sorted.mkString("⋈") + "?" +
+      edges.map(edgeStr).sorted.mkString("&")
 
   private[plans] def lookupJoin(paths: Seq[String],
-      edges: Seq[String]): Option[Spec] = {
+      edges: Seq[JoinEdge]): Option[Spec] = {
     ensureLoaded()
     Option(reg.get(joinSourceKey(paths, edges)))
-      .filter(_.routable).filter(fresh)
+      .filter(_.routable).flatMap(routedView)
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -606,8 +736,19 @@ object Summaries {
     case x => Seq(x)
   }
 
+  /** A resolved cross-leaf equality: (pathA, colA, pathB, colB) with
+    * the lexicographically smaller `path.col` endpoint first — the
+    * structured form the canonical edge strings render from, kept so
+    * the joined-delta substrate can REBUILD the join without parsing
+    * paths back out of strings.
+    */
+  type JoinEdge = (String, String, String, String)
+
+  private[plans] def edgeStr(e: JoinEdge): String =
+    s"${e._1}.${e._2}=${e._3}.${e._4}"
+
   /** Resolve raw join-condition conjuncts against the leaf scans into
-    * canonical edge strings plus the key AttributeReferences (the
+    * canonical edges plus the key AttributeReferences (the
     * implied-not-null gate's input). None when any conjunct is not a
     * cross-leaf column equality, or when the resulting graph does not
     * CONNECT all leaves (a disconnected "join" hides a cartesian slice
@@ -615,7 +756,7 @@ object Summaries {
     */
   private[plans] def resolveEdges(conds: Seq[Expression],
       leaves: Seq[(String, LogicalRelation)])
-      : Option[(Seq[String], AttributeSet)] = {
+      : Option[(Seq[JoinEdge], AttributeSet)] = {
     def leafOf(a: Attribute): Int =
       leaves.indexWhere(_._2.outputSet.contains(a))
     // union-find over leaf indices for the connectivity check
@@ -629,8 +770,10 @@ object Summaries {
         else {
           parent(find(la)) = find(lb)
           val (pa, pb) = (leaves(la)._1, leaves(lb)._1)
-          val (ea, eb) = (s"$pa.${a.name}", s"$pb.${b.name}")
-          val edge = if (ea <= eb) s"$ea=$eb" else s"$eb=$ea"
+          val edge =
+            if (s"$pa.${a.name}" <= s"$pb.${b.name}")
+              (pa, a.name, pb, b.name)
+            else (pb, b.name, pa, a.name)
           Some((edge, Seq(a, b)))
         }
       case _ => None
@@ -734,9 +877,10 @@ object Summaries {
       kmvs.map { case (n, s) => kmvSketchCol(s, kmvK, kmvDomain).as(n) })
     val out = raw.groupBy(grain.map(col): _*)
       .agg(count(lit(1)).as(CntCol), aggCols: _*)
-    val joinFp = fingerprint(paths,
+    val joinEntries = listEntries(paths,
       raw.sparkSession.sparkContext.hadoopConfiguration)
-    touchFpMemo(paths, joinFp)
+    val joinFp = fpOf(joinEntries)
+    touchFpMemo(paths, joinFp, joinEntries)
     register(out, Spec(name, source, "", grain, CntCol,
       sums = sums0.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       mins = mins.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
@@ -752,7 +896,9 @@ object Summaries {
       kmvSql = kmvs, kmvK = kmvK, kmvDomain = kmvDomain,
       routable = !partial,
       fpPaths = paths,
-      sourceFp = joinFp))
+      sourceFp = joinFp,
+      builtFiles = joinEntries,
+      joinEdges = edges))
   }
 
   /** Write a summary generation, read it back, and (re-)register. A
@@ -799,6 +945,12 @@ object Summaries {
   def has(name: String): Boolean =
     lookupByName(name).exists(s => s.routable && fresh(s))
 
+  /** Mere registration (no freshness/routability claim) — the guard a
+    * delta-read demo needs: its summary is DELIBERATELY stale, so
+    * [[has]] (routable AND fresh) would always re-create it.
+    */
+  def isRegistered(name: String): Boolean = lookupByName(name).isDefined
+
   /** Incremental maintenance (the MV refresh): fold a BATCH of new raw
     * rows into the registered summary WITHOUT re-reading the source
     * table — every summary measure is mergeable (counts and sums
@@ -815,11 +967,11 @@ object Summaries {
     * broadcastable join at any corpus scale); the grain/measure
     * algebra is identical from there.
     */
-  def refresh(name: String, batch: DataFrame,
-      complete: Boolean = false): Spec = {
-    val spec = lookupByName(name).getOrElse(
-      throw new IllegalArgumentException(s"no summary named $name"))
-    val spark = batch.sparkSession
+  /** The per-grain partial aggregate of a raw batch — the same
+    * measure legs [[create]] stores, shared by [[refresh]] and the
+    * delta-compensated read substrate.
+    */
+  private def partialAgg(spec: Spec, batch: DataFrame): DataFrame = {
     val aggCols = (spec.sumSql.map { case (n, s) => sum(expr(s)).as(n) } ++
       spec.nnSql.map { case (n, s) => count(expr(s)).as(n) } ++
       spec.minSql.map { case (n, s) => min(expr(s)).as(n) } ++
@@ -828,10 +980,20 @@ object Summaries {
         hllSketchCol(s, spec.hllPrecision).as(n) } ++
       spec.kmvSql.map { case (n, s) =>
         kmvSketchCol(s, spec.kmvK, spec.kmvDomain).as(n) })
-    val batchSum = batch.groupBy(spec.grain.map(col): _*)
+    batch.groupBy(spec.grain.map(col): _*)
       .agg(count(lit(1)).as(spec.cntCol), aggCols: _*)
-    val current = spark.read.parquet(spec.summaryPath)
-    val types = current.schema.map(f => f.name -> f.dataType).toMap
+  }
+
+  /** Re-aggregate a union of summary generations/partials at the
+    * grain — counts and sums re-add, min/max re-extremize, sketches
+    * union — casting measures back to the STORED column types so the
+    * schema is generation-stable (a re-aggregated decimal widens, but
+    * its VALUE is the full-rebuild value, which fit the original
+    * type).
+    */
+  private def mergeAgg(spec: Spec, unioned: DataFrame,
+      types: Map[String, org.apache.spark.sql.types.DataType])
+      : DataFrame = {
     val mergeCols =
       Seq(sum(col(spec.cntCol)).cast(types(spec.cntCol)).as(spec.cntCol)) ++
         spec.sumSql.map { case (n, _) =>
@@ -843,9 +1005,102 @@ object Summaries {
         spec.hllSql.map { case (n, _) => hllUnionCol(col(n)).as(n) } ++
         spec.kmvSql.map { case (n, _) =>
           kmvUnionCol(col(n), spec.kmvK, spec.kmvDomain).as(n) }
-    val merged = current.unionByName(batchSum)
-      .groupBy(spec.grain.map(col): _*)
+    unioned.groupBy(spec.grain.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
+  }
+
+  /** The delta-compensated substrate the rewrite swaps in when
+    * [[lookup]]/[[lookupJoin]] hands it a delta-bearing spec: the
+    * analyzed plan of `merge(summary, partialAgg(delta))` —
+    * [[refresh]]'s exact algebra as a READ, no state mutated. For a
+    * single-table summary the delta is the extra files themselves;
+    * for a JOINED summary it is the appended leaf's extra files
+    * re-joined against the OTHER leaves in full (those leaves are
+    * fingerprint-verified unchanged, so old⋈old lives in the summary
+    * and Δleaf⋈others is exactly the missing rows — a batch-sized,
+    * broadcastable join when the append lands on the fact table, the
+    * common case). Built fresh per rewrite site (distinct exprIds);
+    * any construction failure (a delta file with a foreign schema, a
+    * vanished file, an ambiguous rebuilt join) fails closed to None
+    * and the query runs raw.
+    */
+  private[plans] def compensatedPlan(spec: Spec): Option[LogicalPlan] =
+    org.apache.spark.sql.SparkSession.getActiveSession.flatMap { s =>
+      try {
+        val delta: Option[DataFrame] =
+          if (spec.fpPaths.length == 1)
+            Some(s.read.parquet(spec.deltaFiles: _*))
+          else joinedDelta(spec, s)
+        delta.map { d =>
+          val current = s.read.parquet(spec.summaryPath)
+          val types = current.schema.map(f => f.name -> f.dataType).toMap
+          mergeAgg(spec, current.unionByName(partialAgg(spec, d)), types)
+            .queryExecution.analyzed
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Rebuild Δleaf ⋈ (every other leaf) along the registered edges —
+    * the joined summary's delta rows. Grows the join outward from the
+    * appended leaf, applying every edge whose both endpoints are in
+    * scope (the edge graph connects all leaves by the registration
+    * gate, so this terminates with all tables joined). Column names
+    * must be globally unique across the leaves — same-name columns
+    * would make the by-name rebuild ambiguous, so that case fails
+    * closed (None).
+    */
+  private def joinedDelta(spec: Spec,
+      s: org.apache.spark.sql.SparkSession): Option[DataFrame] = {
+    val dPath = ownerPath(spec, spec.deltaFiles.head).getOrElse(
+      return None)
+    if (!spec.deltaFiles.forall(f => ownerPath(spec, f).contains(dPath)))
+      return None
+    if (spec.joinEdges.isEmpty) return None
+    val dfs: Map[String, DataFrame] =
+      spec.fpPaths.map { p =>
+        p -> (if (p == dPath) s.read.parquet(spec.deltaFiles: _*)
+              else s.read.parquet(p))
+      }.toMap
+    val allCols = spec.fpPaths.flatMap(p => dfs(p).columns)
+    if (allCols.distinct.length != allCols.length) return None
+    var joined = dfs(dPath)
+    val in = scala.collection.mutable.Set(dPath)
+    val remaining =
+      scala.collection.mutable.Set(spec.fpPaths.filterNot(_ == dPath): _*)
+    while (remaining.nonEmpty) {
+      val next = remaining.find(p => spec.joinEdges.exists {
+        case (pa, _, pb, _) =>
+          (in.contains(pa) && p == pb) || (in.contains(pb) && p == pa)
+      }).getOrElse(return None) // disconnected: cannot happen post-gate
+      val conds = spec.joinEdges.collect {
+        case (pa, ca, pb, cb)
+            if (in.contains(pa) && next == pb) ||
+              (in.contains(pb) && next == pa) =>
+          col(ca) === col(cb)
+      }
+      joined = joined.join(dfs(next), conds.reduce(_ && _))
+      in += next
+      remaining -= next
+    }
+    // apply EVERY edge as a filter on top: edges the grow-loop already
+    // consumed re-filter as no-ops, and any edge it never used — a
+    // cross-branch equality between two tables that each arrived via
+    // another edge (the Q5 local-supplier condition) — becomes the
+    // predicate the join above missed
+    Some(spec.joinEdges.foldLeft(joined) { case (df, (_, ca, _, cb)) =>
+      df.filter(col(ca) === col(cb))
+    })
+  }
+
+  def refresh(name: String, batch: DataFrame,
+      complete: Boolean = false): Spec = {
+    val spec = lookupByName(name).getOrElse(
+      throw new IllegalArgumentException(s"no summary named $name"))
+    val spark = batch.sparkSession
+    val batchSum = partialAgg(spec, batch)
+    val current = spark.read.parquet(spec.summaryPath)
+    val types = current.schema.map(f => f.name -> f.dataType).toMap
+    val merged = mergeAgg(spec, current.unionByName(batchSum), types)
     // SUSPEND routing while the merge materializes: a batch that
     // derives from the registered source (the common backfill shape)
     // would otherwise have its OWN grain aggregate routed onto the
@@ -867,12 +1122,14 @@ object Summaries {
       // at a full re-create). The freshness memo takes the same new
       // fingerprint — a TTL-cached pre-refresh listing must never
       // suspend the summary this refresh just brought up to date.
-      val newFp = fingerprint(spec.fpPaths,
+      val newEntries = listEntries(spec.fpPaths,
         spark.sparkContext.hadoopConfiguration)
-      touchFpMemo(spec.fpPaths, newFp)
+      val newFp = fpOf(newEntries)
+      touchFpMemo(spec.fpPaths, newFp, newEntries)
       val next = register(merged, spec.copy(gen = spec.gen + 1,
         routable = spec.routable || complete,
-        sourceFp = newFp))
+        sourceFp = newFp,
+        builtFiles = newEntries))
       // register()'s own old-generation cleanup keys off the spec it
       // DISPLACES in the registry — which the suspend above removed —
       // so the pre-refresh generation must be deleted here, and only
@@ -1293,13 +1550,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression], filters: Seq[Expression],
       rawOut: Seq[Attribute], spec: Summaries.Spec): Option[Aggregate] = {
     // fresh attr instances per rewrite site — two rewrites must never
-    // share exprIds
-    val rel = spec.relation.newInstance()
-    val byName = rel.output.map(a => a.name -> a).toMap
+    // share exprIds. A delta-bearing spec swaps in the compensated
+    // substrate (merge of summary + appended-files partial) — same
+    // output names/types, built with fresh exprIds per call.
+    val sub: LogicalPlan =
+      if (spec.deltaFiles.isEmpty) spec.relation.newInstance()
+      else Summaries.compensatedPlan(spec).getOrElse(return None)
+    val byName = sub.output.map(a => a.name -> a).toMap
     val grainByExprId: Map[ExprId, Attribute] = rawOut
       .filter(a => spec.grain.contains(a.name))
       .flatMap(a => byName.get(a.name).map(a.exprId -> _)).toMap
-    val sumOut = AttributeSet(rel.output)
+    val sumOut = AttributeSet(sub.output)
     val surgeon = new Surgeon(spec, grainByExprId,
       AttributeSet(spec.grain.flatMap(byName.get)), byName, () => sumOut)
     val newGrouping = groupings.map(surgeon.rewriteExpr)
@@ -1307,7 +1568,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val newFilters = filters.map(surgeon.rewriteExpr)
     if ((newGrouping ++ newAggs ++ newFilters).forall(_.isDefined)) {
       val child = newFilters.map(_.get)
-        .foldRight(rel: LogicalPlan)((c, p) => Filter(c, p))
+        .foldRight(sub)((c, p) => Filter(c, p))
       Some(Aggregate(newGrouping.map(_.get), newAggs.map(_.get), child))
     } else None
   }
@@ -1416,8 +1677,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         f.references.forall(a => grainNames.contains(a.name))))
       return None
 
-    val rel = spec.relation.newInstance()
-    val sByName = rel.output.map(a => a.name -> a).toMap
+    val sub: LogicalPlan =
+      if (spec.deltaFiles.isEmpty) spec.relation.newInstance()
+      else Summaries.compensatedPlan(spec).getOrElse(return None)
+    val sByName = sub.output.map(a => a.name -> a).toMap
     val appended =
       scala.collection.mutable.LinkedHashMap[String, AttributeReference]()
     def colFor(c: String): Attribute =
@@ -1449,7 +1712,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     }
     val newOutput = expand.output ++ appended.values.toSeq
     val summaryChild = newChildFilters
-      .foldRight(rel: LogicalPlan)((c, p) => Filter(c, p))
+      .foldRight(sub)((c, p) => Filter(c, p))
     val newExpand = org.apache.spark.sql.catalyst.plans.logical.Expand(
       newProjections, newOutput, summaryChild)
     val aggChild = newFilters.map(_.get)

@@ -1346,8 +1346,10 @@ class SummaryRewriteSpec extends SparkSpec {
         grain = Seq("l_returnflag", "l_linestatus"), sums = Nil)
       assert(scanPaths(q()).forall(_.contains("graft_summaries")))
       assert(q().collect().toSeq == fresh)
-      // APPEND new files: suspends again; a completing refresh with
-      // the delta batch lifts the suspension and stays value-exact
+      // APPEND new files: routing CONTINUES, delta-compensated (the
+      // append-only stale case reads summary + extra files, answers
+      // the POST-append truth); with the delta read disabled it
+      // suspends, the strict pre-round-10 contract
       val extra = li.filter(col("l_shipdate") >=
         lit("2001-06-01").cast("timestamp")) // small, disjoint slice
       // INSIDE the TTL window the memoized listing still serves — the
@@ -1364,12 +1366,22 @@ class SummaryRewriteSpec extends SparkSpec {
       spark.conf.set(Summaries.StaleTtlKey, ttlMs.toString)
       Thread.sleep(2 * ttlMs)
       val paths2 = scanPaths(q())
-      assert(!paths2.exists(_.contains("graft_summaries")),
-        s"summary routed past appended files: $paths2")
-      // refresh resumes routing WITHOUT waiting out a TTL: it records
-      // the new fingerprint into the memo as well as the spec
+      assert(paths2.exists(_.contains("graft_summaries")),
+        s"append-only staleness should delta-compensate, got $paths2")
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq },
+        "compensated answer must equal the post-append raw answer")
+      spark.conf.set(Summaries.DeltaReadKey, "false")
+      try {
+        val strict = scanPaths(q())
+        assert(!strict.exists(_.contains("graft_summaries")),
+          s"delta read disabled must suspend: $strict")
+      } finally spark.conf.unset(Summaries.DeltaReadKey)
+      // refresh resumes FRESH routing WITHOUT waiting out a TTL: it
+      // records the new fingerprint into the memo as well as the spec
       Summaries.refresh("spec_stale", extra, complete = true)
-      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      val paths3 = scanPaths(q())
+      assert(paths3.nonEmpty && paths3.forall(_.contains("graft_summaries")),
+        s"post-refresh read should be summary-only: $paths3")
       assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
     } finally {
       spark.conf.unset(Summaries.StaleTtlKey)
@@ -1455,6 +1467,247 @@ class SummaryRewriteSpec extends SparkSpec {
       java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
         .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
+  }
+
+  test("delta-compensated read: an append-only stale source routes as " +
+      "summary + extra files only, across every measure family") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta").toFile
+    val srcPath = new java.io.File(dir, "li_copy").getAbsolutePath
+    val li = Tables.load(spark, sf, "lineitem").select(
+      "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+      "l_suppkey", "l_orderkey")
+    val base = li.filter(col("l_orderkey") % 10 < 8)
+    val tail = li.filter(col("l_orderkey") % 10 >= 8)
+    base.write.parquet(srcPath)
+    val baseFiles = new java.io.File(srcPath).listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    val src = () => spark.read.parquet(srcPath)
+    // the full measure family: exact decimal sums (AVG legs ride
+    // along), min/max, a KMV sketch, plus grain-only percentile via
+    // the value-in-grain histogram route
+    def reg(): Unit = Summaries.create(src(), "spec_delta",
+      grain = Seq("l_returnflag", "l_linestatus", "l_quantity"),
+      sums = Seq("sum_price" -> "cast(l_extendedprice as decimal(18,2))"),
+      mins = Seq("min_price" -> "l_extendedprice"),
+      maxs = Seq("max_price" -> "l_extendedprice"),
+      kmvs = Seq("kmv_supp" -> SuppHash), kmvK = 64)
+    val q = () => src().groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+        avg(col("l_extendedprice").cast("decimal(18,2)")).as("avg_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        expr(s"kmv_ndv($SuppHash, 64)").as("ndv_supp"),
+        expr("percentile(l_quantity, 0.5)").as("med_qty"))
+      .orderBy("l_returnflag")
+    try {
+      reg()
+      tail.write.mode("append").parquet(srcPath)
+      Summaries.invalidate("spec_delta") // external writer's hook
+      val df = q()
+      val rows = df.collect().toSeq
+      val paths = scanPaths(q())
+      // the compensated plan reads the summary + ONLY the appended
+      // files — never the base files the summary already covers
+      assert(paths.exists(_.contains("graft_summaries")),
+        s"expected the summary in the compensated read: $paths")
+      val srcScans = paths.filter(p =>
+        p.contains("li_copy") && !p.contains("graft_summaries"))
+      assert(srcScans.nonEmpty, s"expected delta-file scans: $paths")
+      assert(srcScans.forall(p =>
+        !baseFiles.contains(new java.io.File(p).getName)),
+        s"base files re-read: $srcScans vs $baseFiles")
+      assert(rows == withoutRouting { q().collect().toSeq },
+        "compensated answers must equal the post-append raw scan")
+      // restart-safety: the built listing persists with the spec, so
+      // a fresh registry still delta-compensates
+      Summaries.unload()
+      val paths2 = scanPaths(q())
+      assert(paths2.exists(_.contains("graft_summaries")),
+        s"reloaded spec lost the delta gate: $paths2")
+      assert(q().collect().toSeq == rows)
+      // destructive drift: DELETE one built file — nothing can
+      // compensate a removal, so the strict suspension stands
+      val victim = new java.io.File(srcPath).listFiles()
+        .filter(f => baseFiles.contains(f.getName)).head
+      assert(victim.delete())
+      Summaries.invalidate("spec_delta")
+      val paths3 = scanPaths(q())
+      assert(!paths3.exists(_.contains("graft_summaries")),
+        s"routed past a deleted built file: $paths3")
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
+    } finally {
+      Summaries.drop("spec_delta")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("delta-compensated read: rollup/cube route through the " +
+      "compensated substrate too") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_ru")
+      .toFile
+    val srcPath = new java.io.File(dir, "li_copy").getAbsolutePath
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")
+    li.filter(col("l_orderkey") % 10 < 8).write.parquet(srcPath)
+    val src = () => spark.read.parquet(srcPath)
+    val q = () => src().rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+    try {
+      Summaries.create(src(), "spec_delta_ru",
+        grain = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"))
+      li.filter(col("l_orderkey") % 10 >= 8)
+        .write.mode("append").parquet(srcPath)
+      Summaries.invalidate("spec_delta_ru")
+      val paths = scanPaths(q())
+      assert(paths.exists(_.contains("graft_summaries")),
+        s"rollup should ride the compensated substrate: $paths")
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
+    } finally {
+      Summaries.drop("spec_delta_ru")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("joined summary: a fact-side append delta-compensates through " +
+      "the rebuilt join; a two-table append suspends") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jdelta").toFile
+    val liPath = new java.io.File(dir, "li_copy").getAbsolutePath
+    val ordPath = new java.io.File(dir, "ord_copy").getAbsolutePath
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    val ord = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    li.filter(col("l_orderkey") % 10 < 8).write.parquet(liPath)
+    ord.write.parquet(ordPath)
+    val liBaseFiles = new java.io.File(liPath).listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    val src = () => spark.read.parquet(liPath)
+      .join(spark.read.parquet(ordPath),
+        col("l_orderkey") === col("o_orderkey"))
+    val q = () => src().groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+    try {
+      Summaries.createJoined(src(), "spec_jdelta",
+        grain = Seq("o_orderpriority", "l_returnflag"),
+        sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"))
+      li.filter(col("l_orderkey") % 10 >= 8)
+        .write.mode("append").parquet(liPath)
+      Summaries.invalidate("spec_jdelta")
+      val paths = scanPaths(q())
+      assert(paths.exists(_.contains("graft_summaries")),
+        s"fact append should compensate through the join: $paths")
+      val liScans = paths.filter(p =>
+        p.contains("li_copy") && !p.contains("graft_summaries"))
+      assert(liScans.nonEmpty && liScans.forall(p =>
+        !liBaseFiles.contains(new java.io.File(p).getName)),
+        s"base fact files re-read: $liScans")
+      assert(paths.exists(_.contains("ord_copy")),
+        s"the delta must re-join the dim: $paths")
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq },
+        "compensated join answer must equal the post-append raw join")
+      // appends on BOTH leaves in one window: the single-leaf gate
+      // fails closed (a cross-delta term would be missing)
+      ord.limit(5).write.mode("append").parquet(ordPath)
+      Summaries.invalidate("spec_jdelta")
+      val paths2 = scanPaths(q())
+      assert(!paths2.exists(_.contains("graft_summaries")),
+        s"two-leaf append must suspend: $paths2")
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
+    } finally {
+      Summaries.drop("spec_jdelta")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("joined summary: a DIM-side append also compensates (Δdim ⋈ " +
+      "full fact) and the 3-table rebuild survives a registry reload") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jdelta3")
+      .toFile
+    val liPath = new java.io.File(dir, "li_copy").getAbsolutePath
+    val ordPath = new java.io.File(dir, "ord_copy").getAbsolutePath
+    val custPath = new java.io.File(dir, "cust_copy").getAbsolutePath
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    val ord = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    val cust = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_mktsegment")
+    li.write.parquet(liPath)
+    ord.write.parquet(ordPath)
+    // hold back part of the DIM: c_custkey % 7 != 0 first
+    cust.filter(col("c_custkey") % 7 =!= 0).write.parquet(custPath)
+    val src = () => spark.read.parquet(custPath)
+      .join(spark.read.parquet(ordPath),
+        col("c_custkey") === col("o_custkey"))
+      .join(spark.read.parquet(liPath),
+        col("o_orderkey") === col("l_orderkey"))
+    val q = () => src().groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .orderBy("c_mktsegment")
+    try {
+      Summaries.createJoined(src(), "spec_jdelta3",
+        grain = Seq("c_mktsegment", "o_orderpriority"),
+        sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"))
+      cust.filter(col("c_custkey") % 7 === 0)
+        .write.mode("append").parquet(custPath)
+      Summaries.invalidate("spec_jdelta3")
+      val paths = scanPaths(q())
+      assert(paths.exists(_.contains("graft_summaries")),
+        s"dim append should compensate: $paths")
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq },
+        "Δdim ⋈ fact compensation must equal the post-append raw join")
+      // restart-safety: joinEdges persist, so a reloaded registry
+      // still rebuilds the joined delta
+      Summaries.unload()
+      assert(scanPaths(q()).exists(_.contains("graft_summaries")))
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
+    } finally {
+      Summaries.drop("spec_jdelta3")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("q185: the delta-demo fixture routes compensated (summary + " +
+      "appended files) and equals the full-table raw answer") {
+    OlapQueries.registerDeltaDemo(spark, sf)
+    try {
+      val df = OlapQueries.deltaPricingQuery(spark, sf)
+      val routed = df.collect().toSeq
+      val paths = scanPaths(OlapQueries.deltaPricingQuery(spark, sf))
+      assert(paths.exists(_.contains("graft_summaries")),
+        s"q185 should read the summary: $paths")
+      assert(paths.exists(_.contains("graft_delta_demo")),
+        s"q185 should read the appended delta files: $paths")
+      // the compensated answer IS the full-table answer: base ∪ tail
+      // is exactly lineitem
+      val full = Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+        .collect().toSeq
+      assert(routed.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        == full.map(r => (r.getString(0), r.getString(1), r.getLong(2))))
+      assert(routed == withoutRouting {
+        OlapQueries.deltaPricingQuery(spark, sf).collect().toSeq })
+    } finally Summaries.drop(OlapQueries.deltaDemoName(sf))
   }
 
   test("refresh completion is explicit: a partial summary stays " +

@@ -1,0 +1,299 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.planning.PhysicalOperation
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+
+/** "Why wasn't my materialized view used?" — the diagnosis surface of
+  * the summary router. [[SummaryRewrite]] fails CLOSED by design:
+  * any unmapped shape silently leaves the query on the raw table,
+  * which is correct and, at 100 TB, invisible — a dashboard goes 100×
+  * slower and nothing says why. `RoutingExplain.explain(df)` re-plans
+  * the query with the router disabled, finds every aggregate the
+  * router would consider, and reports per aggregate either the
+  * summary it routes onto (fresh, or delta-compensated with the
+  * appended-file count) or the FIRST gate that refused it, named
+  * concretely: the unregistered source, the partial build, the
+  * in-place source drift, the non-grain grouping column, the
+  * undeclared measure, the double AVG, the Welford stddev, the
+  * DISTINCT/FILTER shape. The warehouse parallel is BigQuery's
+  * materialized-view "rejected reason" — fail-closed routing is only
+  * operable when the refusal is one call away from a name.
+  *
+  * Read-only: no conf survives the call, nothing is registered or
+  * touched; the report is built from the same gates the rule runs.
+  */
+object RoutingExplain {
+
+  /** One aggregate's verdict: where it sits, whether it routes, and
+    * the reasons when it does not.
+    */
+  final case class Verdict(
+      over: String,
+      routes: Boolean,
+      summary: Option[String],
+      deltaFiles: Int,
+      reasons: Seq[String]) {
+    def render: String = {
+      val head = if (routes)
+        s"ROUTES onto '${summary.get}'" +
+          (if (deltaFiles > 0) s" (delta-compensated, $deltaFiles appended file(s))"
+           else " (fresh)")
+      else "stays RAW"
+      (s"aggregate over $over: $head" +:
+        reasons.map(r => s"  - $r")).mkString("\n")
+    }
+  }
+
+  /** Human-readable routing report for every aggregate in `df` the
+    * router would consider (aggregates over non-file sources are out
+    * of scope and unlisted).
+    */
+  def explain(df: DataFrame): String = {
+    val vs = verdicts(df)
+    if (vs.isEmpty)
+      "no summary-routable aggregates found (the router considers " +
+        "Aggregate over a file scan, an inner equi-join of file " +
+        "scans, or a rollup/cube over a file scan)"
+    else vs.map(_.render).mkString("\n")
+  }
+
+  /** The structured form of [[explain]]. */
+  def verdicts(df: DataFrame): Seq[Verdict] = {
+    val spark = df.sparkSession
+    if (!spark.conf.get(SummaryRewrite.ConfKey, "true").toBoolean)
+      return Seq(Verdict("(query)", routes = false, None, 0,
+        Seq(s"the router is disabled (${SummaryRewrite.ConfKey}=false)")))
+    // re-optimize with the router OFF so the aggregates the rule
+    // would see (alias-inlined, constant-folded, pushed-down shapes)
+    // are present instead of already rewritten away
+    val unrouted: LogicalPlan = {
+      spark.conf.set(SummaryRewrite.ConfKey, "false")
+      try org.apache.spark.sql.GraftColumnBridge
+        .ofPlan(spark, df.queryExecution.analyzed)
+        .queryExecution.optimizedPlan
+      finally spark.conf.set(SummaryRewrite.ConfKey, "true")
+    }
+    unrouted.collect {
+      case agg: Aggregate => diagnose(agg)
+    }.flatten
+  }
+
+  private def diagnose(agg: Aggregate): Option[Verdict] = {
+    // what the rule would actually do settles "routes" — the reason
+    // walk below only runs for the refusals
+    val routed = SummaryRewrite.tryRewrite(agg)
+    agg.child match {
+      case PhysicalOperation(projects, filters,
+          lr: org.apache.spark.sql.execution.datasources.LogicalRelation)
+          if projects.forall(_.isInstanceOf[AttributeReference]) =>
+        Summaries.pathOf(lr).map { path =>
+          verdictFor(agg, routed, path, Summaries.rawLookup(path),
+            lr.output, filters, projects, AttributeSet.empty)
+        }
+      case PhysicalOperation(projects, topFilters,
+          j: org.apache.spark.sql.catalyst.plans.logical.Join)
+          if projects.forall(_.isInstanceOf[AttributeReference]) =>
+        SummaryRewrite.collectJoinTree(j).map {
+          case (leaves, conds, sideFilters) =>
+            val paths = leaves.map(_._1)
+            val rawOut = leaves.flatMap(_._2.output)
+            Summaries.resolveEdges(conds, leaves) match {
+              case None =>
+                Verdict(paths.mkString(" ⋈ "), routes = false, None, 0,
+                  Seq("the join is not a connected tree of cross-leaf " +
+                    "column equalities (non-equi or disconnected " +
+                    "conditions cannot key a summary)"))
+              case Some((edges, _)) if paths.distinct.length != paths.length =>
+                Verdict(paths.mkString(" ⋈ "), routes = false, None, 0,
+                  Seq("self-joins are out of summary scope"))
+              case Some((edges, keyAttrs)) =>
+                val key = Summaries.joinSourceKey(paths, edges)
+                // IS NOT NULL on join keys is implied by the inner
+                // join — the rule drops them, so the diagnosis must
+                // not report them as non-grain filters
+                val fs = (topFilters ++ sideFilters).filterNot {
+                  case IsNotNull(ar: AttributeReference) =>
+                    keyAttrs.contains(ar)
+                  case _ => false
+                }
+                verdictFor(agg, routed, paths.mkString(" ⋈ "),
+                  Summaries.rawLookup(key), rawOut, fs, Nil,
+                  SummaryRewrite.unsafeDupAttrs(rawOut, conds))
+            }
+        }
+      case PhysicalOperation(_, _,
+          ex: org.apache.spark.sql.catalyst.plans.logical.Expand) =>
+        // rollup/cube: the Expand substrate has its own gate set;
+        // report route/refusal without per-gate attribution
+        ex.child match {
+          case PhysicalOperation(_, _,
+              lr: org.apache.spark.sql.execution.datasources
+                .LogicalRelation) =>
+            Summaries.pathOf(lr).map { path =>
+              val spec = Summaries.rawLookup(path)
+              if (routed.isDefined)
+                Verdict(s"rollup/cube of $path", routes = true,
+                  spec.map(_.name), 0, Nil)
+              else Verdict(s"rollup/cube of $path", routes = false, None, 0,
+                spec match {
+                  case None =>
+                    Seq(s"no summary registered for $path")
+                  case Some(s) => registrationReasons(s) :+
+                    ("the rollup/cube gates refused (grouping-id, " +
+                      "grain, or measure mapping — see the " +
+                      "SummaryRewrite.rewriteRollup contract)")
+                })
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Reasons attributable to the registration/freshness state alone
+    * (empty when the spec is routable and fresh or compensable).
+    */
+  private def registrationReasons(spec: Summaries.Spec): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    if (!spec.routable)
+      b += s"summary '${spec.name}' is a PARTIAL build — unroutable " +
+        "until a refresh(complete = true) folds in the rest"
+    else if (!Summaries.isFresh(spec)) {
+      Summaries.deltaProbe(spec) match {
+        case Some(_) => // compensable: not a refusal
+        case None =>
+          val deltaOff = org.apache.spark.sql.SparkSession.getActiveSession
+            .exists(s => !s.conf.get(Summaries.DeltaReadKey, "true")
+              .toBoolean)
+          if (deltaOff)
+            b += s"source of '${spec.name}' changed and the delta " +
+              s"read is disabled (${Summaries.DeltaReadKey}=false) — " +
+              "refresh or re-create to resume routing"
+          else if (spec.builtFiles.isEmpty)
+            b += s"source of '${spec.name}' changed and the spec " +
+              "predates delta reads (no built-file listing) — " +
+              "re-create to record one"
+          else
+            b += s"source of '${spec.name}' drifted IN PLACE " +
+              "(a built file was rewritten or deleted; appends on " +
+              "two join leaves count too) — routing is suspended " +
+              "until refresh/re-create records the new state"
+      }
+    }
+    b.result()
+  }
+
+  private def fnName(ae: AggregateExpression): String =
+    ae.aggregateFunction.prettyName
+
+  /** The expression-level gate walk for a single-table or joined
+    * aggregate whose registration exists.
+    */
+  private def verdictFor(agg: Aggregate, routed: Option[Aggregate],
+      over: String, specOpt: Option[Summaries.Spec],
+      rawOut: Seq[Attribute], filters0: Seq[Expression],
+      projects: Seq[NamedExpression],
+      unsafeDups: AttributeSet): Verdict = {
+    val delta = specOpt.filter(s => routed.isDefined &&
+        !Summaries.isFresh(s))
+      .flatMap(Summaries.deltaProbe).map(_.length).getOrElse(0)
+    if (routed.isDefined)
+      return Verdict(over, routes = true, specOpt.map(_.name), delta, Nil)
+    val spec = specOpt.getOrElse {
+      return Verdict(over, routes = false, None, 0, Seq(
+        s"no summary registered for $over" + {
+          val ks = Summaries.registeredKeys
+          if (ks.isEmpty) " (none registered at all)"
+          else s" (registered: ${ks.mkString("; ")})"
+        }))
+    }
+    val regReasons = registrationReasons(spec)
+    if (regReasons.nonEmpty)
+      return Verdict(over, routes = false, Some(spec.name), 0, regReasons)
+    // expression gates — mirror the rewrite's alias inlining so the
+    // named columns are the query's own
+    val aliasMap = projects.collect {
+      case a: Alias => a.exprId -> a.child
+    }.toMap
+    val inline = (e: Expression) => e.transformUp {
+      case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+        aliasMap(ar.exprId)
+    }
+    val filters = filters0.map(inline)
+    val groupings = agg.groupingExpressions.map(inline)
+    val aggExprs = agg.aggregateExpressions.map(e => inline(e))
+    val grain = spec.grain.toSet
+    val b = Seq.newBuilder[String]
+    val nonGrain = (filters ++ groupings).flatMap(_.references)
+      .filterNot(a => grain.contains(a.name)).map(_.name).distinct
+    if (nonGrain.nonEmpty)
+      b += s"grouping/filter references non-grain column(s): " +
+        s"${nonGrain.mkString(", ")} (grain is ${spec.grain.mkString(", ")})"
+    if (!(filters ++ groupings ++ aggExprs).forall(_.deterministic))
+      b += "a non-deterministic expression (rand(), monotonic ids…) " +
+        "would act per grain row instead of per raw row"
+    val dupRefs = (filters ++ groupings ++ aggExprs)
+      .flatMap(_.references).filter(unsafeDups.contains).map(_.name)
+      .distinct
+    if (dupRefs.nonEmpty)
+      b += s"column name(s) duplicated across join leaves without a " +
+        s"join equality: ${dupRefs.mkString(", ")}"
+    // per-aggregate-function classification via the real Surgeon
+    val surgeon = SummaryRewrite.surgeonFor(spec, rawOut)
+    aggExprs.foreach(_.foreach {
+      case ae: AggregateExpression if surgeon.rewriteAgg(ae).isEmpty =>
+        b += classify(ae, spec)
+      case _ =>
+    })
+    val reasons = b.result()
+    Verdict(over, routes = false, Some(spec.name), 0,
+      if (reasons.nonEmpty) reasons
+      else Seq("no single gate identified — likely a grain/measure " +
+        "reference the summary's columns cannot serve (the rewrite's " +
+        "completeness gate)"))
+  }
+
+  private def classify(ae: AggregateExpression,
+      spec: Summaries.Spec): String = {
+    val fn = fnName(ae)
+    if (ae.filter.isDefined)
+      return s"$fn(... ) FILTER (WHERE …) is not routable"
+    if (ae.isDistinct)
+      return s"$fn(DISTINCT …) routes only when every input is a " +
+        "grain column expression"
+    ae.aggregateFunction match {
+      case a: Average if !a.child.dataType
+          .isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+        s"avg over a ${a.child.dataType.simpleString} input cannot " +
+          "route (double/integral sums re-order under re-aggregation " +
+          "— cast the measure to decimal and declare it)"
+      case _: StddevSamp | _: StddevPop | _: VarianceSamp | _: VariancePop =>
+        s"$fn uses Spark's double Welford buffer, whose low bits are " +
+          "partition-order dependent — use stddev_samp_exact / " +
+          "var_samp_exact over a decimal measure with a declared sumsq"
+      case s: Sum =>
+        Summaries.measureKey(s.child) match {
+          case None => s"sum over an unsupported expression shape " +
+            s"(only column/cast/literal/arithmetic compose measures)"
+          case Some(k) => s"sum measure not declared on " +
+            s"'${spec.name}': $k (declare it in sums=… or make the " +
+            "input grain-only)"
+        }
+      case _: Min =>
+        s"min measure not declared on '${spec.name}' and its input " +
+          "is not grain-only"
+      case _: Max =>
+        s"max measure not declared on '${spec.name}' and its input " +
+          "is not grain-only"
+      case _: Percentile =>
+        "exact percentile routes only over grain-only inputs with " +
+          "unit frequency (declare the value column in the grain — " +
+          "the histogram route)"
+      case other =>
+        s"no summary mapping for ${other.prettyName}"
+    }
+  }
+}

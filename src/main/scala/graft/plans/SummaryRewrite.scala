@@ -496,6 +496,27 @@ object Summaries {
     Option(reg.get(path)).filter(_.routable).flatMap(routedView)
   }
 
+  // ----- diagnosis hooks (RoutingExplain) — registration/freshness
+  // state WITHOUT the fail-closed filtering, so the explainer can say
+  // WHY a lookup came back empty instead of just that it did -----
+
+  private[plans] def rawLookup(key: String): Option[Spec] = {
+    ensureLoaded()
+    Option(reg.get(key))
+  }
+
+  private[plans] def registeredKeys: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    ensureLoaded()
+    reg.keys().asScala.toSeq
+  }
+
+  private[plans] def isFresh(spec: Spec): Boolean = fresh(spec)
+
+  private[plans] def deltaProbe(spec: Spec): Option[Seq[String]] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(deltaFor(spec, _))
+
   /** Forget the freshness memo for `name`'s source, so the NEXT
     * lookup re-lists immediately instead of after the TTL window —
     * the hook an out-of-band writer (or a test) calls right after
@@ -951,6 +972,36 @@ object Summaries {
     */
   def isRegistered(name: String): Boolean = lookupByName(name).isDefined
 
+  /** One line per registered summary — name, substrate, grain,
+    * generation, and live freshness state (`fresh` / `stale:delta(n)`
+    * / `stale:suspended` / `partial`) — the `SHOW MATERIALIZED VIEWS`
+    * of this catalog. Pays one (memoized) listing per source.
+    */
+  def status(): String = {
+    import scala.jdk.CollectionConverters._
+    ensureLoaded()
+    val specs = reg.values().asScala.toSeq.sortBy(_.name)
+    if (specs.isEmpty) "no summaries registered"
+    else specs.map { s =>
+      val substrate =
+        if (s.fpPaths.length > 1) s"join of ${s.fpPaths.length} tables"
+        else "table"
+      val state =
+        if (!s.routable) "partial"
+        else if (fresh(s)) "fresh"
+        else deltaProbe(s) match {
+          case Some(fs) => s"stale:delta(${fs.length} file(s))"
+          case None => "stale:suspended"
+        }
+      val measures = (s.sumSql.map(_._1) ++ s.minSql.map(_._1) ++
+        s.maxSql.map(_._1) ++ s.hllSql.map(_._1) ++ s.kmvSql.map(_._1))
+        .mkString(", ")
+      s"${s.name} [$substrate] grain=(${s.grain.mkString(", ")}) " +
+        s"gen=${s.gen} $state" +
+        (if (measures.nonEmpty) s" measures=($measures)" else "")
+    }.mkString("\n")
+  }
+
   /** Incremental maintenance (the MV refresh): fold a BATCH of new raw
     * rows into the registered summary WITHOUT re-reading the source
     * table — every summary measure is mergeable (counts and sums
@@ -1209,7 +1260,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * projects between joins (column pruning's shape) unwrap; an
     * aliased projection means a derived input — no route.
     */
-  private def collectJoinTree(p: LogicalPlan): Option[(
+  private[plans] def collectJoinTree(p: LogicalPlan): Option[(
       Seq[(String, LogicalRelation)], Seq[Expression], Seq[Expression])] =
     p match {
       case PhysicalOperation(projects, filters, lr: LogicalRelation)
@@ -1239,7 +1290,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * exempt: equal values on every surviving inner-join row, so
     * either mapping is correct.
     */
-  private def unsafeDupAttrs(rawOut: Seq[Attribute],
+  private[plans] def unsafeDupAttrs(rawOut: Seq[Attribute],
       conds: Seq[Expression]): AttributeSet = {
     val dups = rawOut.groupBy(_.name).values.filter(_.length > 1).toSeq
     if (dups.isEmpty) AttributeSet.empty
@@ -1259,6 +1310,16 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         as.map(a => find(a.exprId)).distinct.length > 1).flatten)
     }
   }
+
+  /** Diagnosis hook: the rewrite verdict for one Aggregate, exactly
+    * as [[apply]] would compute it (RoutingExplain uses this to
+    * separate "routes" from "needs a reason").
+    */
+  private[plans] def tryRewrite(agg: Aggregate): Option[Aggregate] =
+    rewrite(agg)
+
+  private[plans] def splitConjuncts(e: Expression): Seq[Expression] =
+    splitConj(e)
 
   private def rewrite(agg: Aggregate): Option[Aggregate] = agg.child match {
     case PhysicalOperation(projects, filters0,
@@ -1360,7 +1421,23 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * `allowedOut()` (a thunk — the Expand substrate APPENDS columns
     * on demand while rewriting).
     */
-  private final class Surgeon(spec: Summaries.Spec,
+  /** Diagnosis hook: a Surgeon over the spec's own relation (the
+    * rewriteOnto setup), so RoutingExplain can test each aggregate
+    * expression individually and name the ones that fail.
+    */
+  private[plans] def surgeonFor(spec: Summaries.Spec,
+      rawOut: Seq[Attribute]): Surgeon = {
+    val rel = spec.relation.newInstance()
+    val byName = rel.output.map(a => a.name -> a).toMap
+    val grainByExprId: Map[ExprId, Attribute] = rawOut
+      .filter(a => spec.grain.contains(a.name))
+      .flatMap(a => byName.get(a.name).map(a.exprId -> _)).toMap
+    val sumOut = AttributeSet(rel.output)
+    new Surgeon(spec, grainByExprId,
+      AttributeSet(spec.grain.flatMap(byName.get)), byName, () => sumOut)
+  }
+
+  private[plans] final class Surgeon(spec: Summaries.Spec,
       grainSub: Map[ExprId, Attribute],
       grainAttrs: AttributeSet,
       colFor: String => Attribute,

@@ -46,6 +46,17 @@ object GraftColumnBridge {
   def drainListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 
+  /** A DataFrame over an existing logical plan — the standard
+    * `Dataset.ofRows` spelling extension libraries use to re-plan a
+    * query under different conf (e.g. the routing explainer's
+    * rule-disabled re-optimization).
+    */
+  def ofPlan(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** The single column NAME a Column references, when it is a plain
     * attribute reference (`col("x")`); None for computed expressions.
     * Lets estimator code key a Column against catalog column

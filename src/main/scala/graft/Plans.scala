@@ -96,6 +96,17 @@ object Plans {
         "filters re-apply on grain columns of the summary",
       operators.OlapQueries.localVolumeStarQuery(spark, sf))
     finally plans.Summaries.drop("li_q5_star")
+    // the DELTA-COMPENSATED read: summary scan UNION partial-agg over
+    // only the appended files, merged at the grain — the raw base
+    // files are absent from the plan
+    operators.OlapQueries.registerDeltaDemo(spark, sf)
+    try render("q185_summary_delta (routed, delta-compensated)",
+      "append-only stale summary: the plan is merge(summary scan, " +
+        "partial-agg(appended files only)) — base files never " +
+        "re-read; grain filters push into BOTH union branches",
+      operators.OlapQueries.deltaPricingQuery(spark, sf))
+    finally plans.Summaries.drop(
+      operators.OlapQueries.deltaDemoName(sf))
     Files.writeString(Paths.get("/root/repo/PLANS.md"), out.toString)
     println(s"wrote PLANS.md (${out.length} chars)")
     spark.stop()

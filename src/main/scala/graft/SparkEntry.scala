@@ -603,7 +603,12 @@ object SparkEntry {
     // rows, the other 20% appended as new files — the router answers
     // merge(summary, partial-agg(new files only)), the post-append
     // truth, so the oracle is the plain aggregate over the FULL table
-    "q185_summary_delta" -> (operators.OlapQueries.summaryDeltaPricing _)
+    "q185_summary_delta" -> (operators.OlapQueries.summaryDeltaPricing _),
+    // co-located bucketed join: both tables hash-bucketed on the join
+    // key at write time, so the sort-merge join runs with no shuffle
+    // on either side (plan-asserted in LayoutSpec); bucketing is a
+    // layout choice, so the oracle is the same join over raw parquet
+    "q186_bucketed_join" -> (operators.Layout.bucketedJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3777,6 +3782,15 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q186_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |    AS sum_qty,
+        |  round(min(l_extendedprice), 4) AS min_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q181_summary_rollup" ->
       """SELECT coalesce(l_returnflag, '(all)') AS flag,
         |  coalesce(l_linestatus, '(all)') AS status,

@@ -221,6 +221,95 @@ object Layout {
       graft.functions.BloomKernel.contains(bits, numBits, numHashes, key)
     }.map(t => (t._1, t._2))
 
+  /** Bucketed CTAS — the co-location primitive partitioning can't
+    * express: hash-distribute rows into a FIXED number of buckets on
+    * the join/aggregation key at WRITE time (with an optional in-
+    * bucket sort), registered as a catalog table so the reader's
+    * planner knows the on-disk distribution. Two tables bucketed the
+    * same way on their join keys sort-merge-join with ZERO shuffle
+    * exchanges — at 100 TB the fact⋈fact join that otherwise moves
+    * both tables across the network every query is paid ONCE, at
+    * write time ([[LayoutSpec]]/q186 assert the exchange-free plan).
+    * The 100 TB sizing rule: buckets ≈ table bytes / target partition
+    * bytes, matched across the tables that join.
+    */
+  def createBucketed(df: DataFrame, table: String, buckets: Int,
+      key: String, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+  }
+
+  private def bucketTableName(sfDir: String, base: String): String =
+    "graft_bkt_" + base + "_" +
+      new java.io.File(sfDir).getName.replace('.', '_')
+
+  /** A previous JVM's managed-table directory with no catalog entry in
+    * THIS JVM (the in-memory catalog dies with its session): Spark
+    * refuses to CTAS over the orphaned location, so clear it first —
+    * it is engine-owned scratch about to be rewritten.
+    */
+  private def dropOrphanLocation(spark: SparkSession,
+      table: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh,
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Idempotent per-SF bucketed twins of lineitem and orders, both
+    * 8-bucketed on the order key (in-memory catalog: first use in a
+    * JVM pays the CTAS, later uses hit the catalog).
+    */
+  private[graft] def ensureBucketedTables(spark: SparkSession,
+      sfDir: String): (String, String) = {
+    val liT = bucketTableName(sfDir, "li")
+    val ordT = bucketTableName(sfDir, "ord")
+    if (!spark.catalog.tableExists(liT)) {
+      dropOrphanLocation(spark, liT)
+      createBucketed(
+        Tables.load(spark, sfDir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice",
+            "l_returnflag"),
+        liT, buckets = 8, key = "l_orderkey", sortCols = Seq("l_orderkey"))
+    }
+    if (!spark.catalog.tableExists(ordT)) {
+      dropOrphanLocation(spark, ordT)
+      createBucketed(
+        Tables.load(spark, sfDir, "orders")
+          .select("o_orderkey", "o_orderpriority"),
+        ordT, buckets = 8, key = "o_orderkey", sortCols = Seq("o_orderkey"))
+    }
+    (liT, ordT)
+  }
+
+  /** q186: the co-located join those tables exist for — lineitem ⋈
+    * orders on the bucket key, then a priority rollup. Both scans
+    * report the SAME 8-bucket hash distribution, so the sort-merge
+    * join runs with no exchange on either side (the only shuffles in
+    * the plan are the aggregate's and the final sort's); the oracle
+    * recomputes the identical join from the raw parquet in DuckDB —
+    * bucketing is a LAYOUT choice, invisible in the answer.
+    */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (liT, ordT) = ensureBucketedTables(spark, sfDir)
+    bucketedJoinQuery(spark, liT, ordT)
+  }
+
+  private[graft] def bucketedJoinQuery(spark: SparkSession,
+      liT: String, ordT: String): DataFrame =
+    spark.table(liT)
+      .join(spark.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)"),
+          4).as("sum_qty"),
+        round(min(col("l_extendedprice")), 4).as("min_price"))
+      .orderBy("o_orderpriority")
+
   def zorderManifest(spark: SparkSession, sfDir: String,
       bucketShift: Int = 18): DataFrame = {
     val x = col("o_custkey").bitwiseAND(lit(65535L))

@@ -2384,6 +2384,13 @@ object OlapQueries {
         hook("li_orders_hist", registerJoinHistSummary),
       "q182_summary_star" ->
         hook("li_ord_cust_star", registerStarSummary),
+      // bucketed CTAS runs once per JVM (catalog-idempotent), outside
+      // the timer; the tables persist across samples (no-op teardown)
+      // so the measured number is the co-located join alone
+      "q186_bucketed_join" -> ((s: SparkSession, d: String) => {
+        Layout.ensureBucketedTables(s, d)
+        () => ()
+      }),
       // the delta demo's summary name is SF-suffixed (its source is a
       // per-SF copy), so the hook resolves the name per call
       "q185_summary_delta" -> ((s: SparkSession, d: String) => {

@@ -319,6 +319,7 @@ object Summaries {
   private[graft] def unload(): Unit = {
     reg.clear()
     fpMemo.clear()
+    deltaRelMemo.clear()
     loadAttempted.set(false)
   }
 
@@ -1075,15 +1076,45 @@ object Summaries {
     * vanished file, an ambiguous rebuilt join) fails closed to None
     * and the query runs raw.
     */
+  // the delta scan's analyzed relation, memoized per summary name and
+  // delta file set: the optimizer fires the rule several times per
+  // query (and a dashboard burst, many times per TTL window), and
+  // re-running spark.read.parquet per firing pays file-listing +
+  // schema-inference I/O each time. Like `Spec.relation`, the cached
+  // relation is `newInstance()`d per use so exprIds never collide.
+  private val deltaRelMemo = new java.util.concurrent
+    .ConcurrentHashMap[String, (String, LogicalRelation)]()
+
+  private def deltaRelation(spec: Spec,
+      s: org.apache.spark.sql.SparkSession): Option[LogicalRelation] = {
+    val key = spec.deltaFiles.sorted.mkString("|") + "#g" + spec.gen
+    Option(deltaRelMemo.get(spec.name)).filter(_._1 == key)
+      .map(_._2.newInstance())
+      .orElse {
+        s.read.parquet(spec.deltaFiles: _*).queryExecution.analyzed match {
+          case lr: LogicalRelation =>
+            deltaRelMemo.put(spec.name, (key, lr))
+            Some(lr.newInstance())
+          case _ => None
+        }
+      }
+  }
+
+  private[plans] def dropDeltaMemo(name: String): Unit =
+    deltaRelMemo.remove(name)
+
   private[plans] def compensatedPlan(spec: Spec): Option[LogicalPlan] =
     org.apache.spark.sql.SparkSession.getActiveSession.flatMap { s =>
       try {
+        import org.apache.spark.sql.GraftColumnBridge.ofPlan
         val delta: Option[DataFrame] =
           if (spec.fpPaths.length == 1)
-            Some(s.read.parquet(spec.deltaFiles: _*))
+            deltaRelation(spec, s).map(ofPlan(s, _))
           else joinedDelta(spec, s)
         delta.map { d =>
-          val current = s.read.parquet(spec.summaryPath)
+          // the summary side re-instances the relation captured at
+          // register() — no re-read, no listing, fresh exprIds
+          val current = ofPlan(s, spec.relation.newInstance())
           val types = current.schema.map(f => f.name -> f.dataType).toMap
           mergeAgg(spec, current.unionByName(partialAgg(spec, d)), types)
             .queryExecution.analyzed
@@ -1209,6 +1240,7 @@ object Summaries {
         it.remove()
       }
     }
+    deltaRelMemo.remove(name)
     specFile(name).delete()
   }
 
@@ -1219,6 +1251,7 @@ object Summaries {
   def clear(): Unit = {
     reg.clear()
     fpMemo.clear()
+    deltaRelMemo.clear()
     Option(specsDir.listFiles()).getOrElse(Array.empty[java.io.File])
       .foreach(_.delete())
   }

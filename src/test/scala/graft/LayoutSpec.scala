@@ -112,6 +112,43 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("q186: the co-located join is exchange-free below the " +
+      "sort-merge join and equals the raw-parquet join") {
+    val prevThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Layout.bucketedJoin(spark, sf)
+      val rows = df.collect().toSeq
+      // the join subtree must be exchange-free: both scans report the
+      // same 8-bucket hash distribution, so only the aggregate and
+      // the final sort shuffle
+      val smj = allPlanNodes(df.queryExecution.executedPlan).collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty,
+        s"expected a sort-merge join:\n${df.queryExecution.executedPlan}")
+      val below = allPlanNodes(smj.get)
+      assert(!below.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec]),
+        s"shuffle below the co-located join:\n${smj.get}")
+      // layout is invisible in the answer
+      val raw = Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          round(expr(
+            "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
+            .as("sum_qty"),
+          round(min(col("l_extendedprice")), 4).as("min_price"))
+        .orderBy("o_orderpriority").collect().toSeq
+      assert(rows == raw)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("zorder_key is SQL-registered (same plan as the Column form)") {
     Tables.load(spark, sf, "orders").limit(100)
       .createOrReplaceTempView("layout_orders")

@@ -1685,6 +1685,69 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("joined summary: the SIX-table Q5 star compensates a fact " +
+      "append — the rebuilt delta join honors the cross-branch edge") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jdelta6")
+      .toFile
+    def copy(table: String, df: org.apache.spark.sql.DataFrame): String = {
+      val p = new java.io.File(dir, table).getAbsolutePath
+      df.write.parquet(p)
+      p
+    }
+    val liFull = Tables.load(spark, sf, "lineitem").select(
+      "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val liP = copy("li", liFull.filter(col("l_orderkey") % 10 < 8))
+    val ordP = copy("ord", Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate"))
+    val custP = copy("cust", Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_nationkey"))
+    val suppP = copy("supp", Tables.load(spark, sf, "supplier")
+      .select("s_suppkey", "s_nationkey"))
+    val natP = copy("nat", Tables.load(spark, sf, "nation")
+      .select("n_nationkey", "n_regionkey", "n_name"))
+    val regP = copy("reg", Tables.load(spark, sf, "region")
+      .select("r_regionkey", "r_name"))
+    def t(p: String) = spark.read.parquet(p)
+    def star() = {
+      val (li, ord, cust, supp, nat, reg) =
+        (t(liP), t(ordP), t(custP), t(suppP), t(natP), t(regP))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey") &&
+          cust("c_nationkey") === supp("s_nationkey"))
+        .join(nat, supp("s_nationkey") === nat("n_nationkey"))
+        .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+    }
+    val q = () => star().groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        sum(expr(
+          "cast(l_extendedprice * (1 - l_discount) as decimal(18,4))"))
+          .as("rev"))
+      .orderBy("n_name")
+    try {
+      Summaries.createJoined(star(), "spec_jdelta6",
+        grain = Seq("n_name", "r_name"),
+        sums = Seq("rev" ->
+          "cast(l_extendedprice * (1 - l_discount) as decimal(18,4))"))
+      liFull.filter(col("l_orderkey") % 10 >= 8)
+        .write.mode("append").parquet(liP)
+      Summaries.invalidate("spec_jdelta6")
+      val paths = scanPaths(q())
+      assert(paths.exists(_.contains("graft_summaries")),
+        s"6-table fact append should compensate: $paths")
+      // the compensated answer must honor the cross-branch
+      // c_nationkey = s_nationkey predicate: dropping it would
+      // multiply revenue across non-local suppliers and diverge
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq },
+        "compensated Q5-star answer must equal the post-append raw join")
+    } finally {
+      Summaries.drop("spec_jdelta6")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("q185: the delta-demo fixture routes compensated (summary + " +
       "appended files) and equals the full-table raw answer") {
     OlapQueries.registerDeltaDemo(spark, sf)

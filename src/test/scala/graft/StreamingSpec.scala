@@ -221,6 +221,77 @@ class StreamingSpec extends SparkSpec {
     assert(got(201L) == 1L && got(301L) == 300L)
   }
 
+  test("a streaming ingest keeps the dashboard ROUTED between MV " +
+      "refreshes: micro-batch file appends serve via delta compensation") {
+    // the full warehouse loop: a foreachBatch ingest appends parquet
+    // files to a summarized table while a dashboard aggregate keeps
+    // running — between refreshes the router answers from
+    // merge(summary, partial-agg(appended files)), always the
+    // post-ingest truth; a refresh folds the backlog and the read
+    // returns to summary-only
+    import spark.implicits._
+    import graft.plans.{Summaries, SummaryRewrite}
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mv")
+      .toFile
+    val srcPath = new java.io.File(dir, "facts").getAbsolutePath
+    val name = "spec_stream_delta"
+    Seq(("A", 1.0), ("B", 2.0), ("A", 3.0))
+      .toDF("k", "v").write.parquet(srcPath)
+    Summaries.create(spark.read.parquet(srcPath), name,
+      grain = Seq("k"), sums = Seq("sv" -> "cast(v as decimal(18,2))"))
+    val q = () => spark.read.parquet(srcPath).groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("sv"))
+      .orderBy("k")
+    def scans() = {
+      val df = q(); df.collect()
+      allPlanNodes(df.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+    }
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Double)]
+    val ingest = mem.toDS().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(srcPath)
+        Summaries.invalidate(name) // the ingest's metadata-refresh hook
+        ()
+      }
+      .start()
+    try {
+      mem.addData(("B", 4.0), ("C", 5.0)); ingest.processAllAvailable()
+      val p1 = scans()
+      assert(p1.exists(_.contains("graft_summaries")),
+        s"mid-stream read should stay routed (compensated): $p1")
+      assert(q().collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+        == Seq(("A", 2L), ("B", 2L), ("C", 1L)),
+        "compensated answer must include the streamed batch")
+      mem.addData(("A", 6.0)); ingest.processAllAvailable()
+      assert(q().collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+        == Seq(("A", 3L), ("B", 2L), ("C", 1L)),
+        "second micro-batch joins the delta set")
+      // the nightly refresh: fold the backlog, read returns to
+      // summary-only
+      val backlog = Seq(("B", 4.0), ("C", 5.0), ("A", 6.0))
+        .toDF("k", "v")
+      Summaries.refresh(name, backlog, complete = true)
+      val p2 = scans()
+      assert(p2.nonEmpty && p2.forall(_.contains("graft_summaries")),
+        s"post-refresh read should be summary-only: $p2")
+      assert(q().collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+        == Seq(("A", 3L), ("B", 2L), ("C", 1L)))
+    } finally {
+      ingest.stop()
+      Summaries.drop(name)
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("streamed document batches through mergeAndAbsorb ≡ one-shot near-dup pairs") {
     // the multi-day near-dup protocol AS A STREAM: each micro-batch of
     // ingested documents is flagged against the persisted prefix index

@@ -124,6 +124,15 @@ object Advisor {
     val rollCand = collection.mutable.Map.empty[String,
       (collection.mutable.Map[String, Long],
         collection.mutable.LinkedHashSet[String])]
+    // bucketing candidates: (sorted path set, sorted edge set) ->
+    // per-query worst total shuffle dataSize. A join that repeats on
+    // the same tables and keys is a WRITE-TIME co-location candidate
+    // (Layout.createBucketed) whether or not its aggregates are
+    // MV-routable — the lever is orthogonal to the summary family
+    val bucketCand = collection.mutable.Map
+      .empty[(Seq[String], Seq[String]),
+        (collection.mutable.Map[String, Long],
+          collection.mutable.LinkedHashSet[String])]
     lines.foreach { line =>
       val root =
         try mapper.readTree(line)
@@ -135,6 +144,7 @@ object Advisor {
         var lineHasEquiJoin = false
         var lineHasPercentile = false
         var lineHasGroupingId = false
+        var lineShuffleBytes = 0L
         // histogram grain: groups+pvals from PERCENTILE-bearing
         // aggregate nodes only — unrelated aggregates in a
         // multi-aggregate plan must not widen the nominated grain
@@ -159,6 +169,7 @@ object Advisor {
               "pre-aggregate before the shuffle, shuffle only " +
                 "key+payload columns, broadcast the small side, or " +
                 "bucket/co-partition both sides")
+            lineShuffleBytes += metric("dataSize")
           } else if (op.startsWith("Scan")) {
             val pth = node.path("path").asText("")
             if (pth.nonEmpty)
@@ -287,6 +298,15 @@ object Advisor {
           groups ++= lineBaseGroups
           edges ++= lineJoinEdges
         }
+        if (lineHasEquiJoin && linePaths.size >= 2 &&
+            lineJoinEdges.nonEmpty && lineShuffleBytes > 0) {
+          val key = (linePaths.keys.toSeq.sorted,
+            lineJoinEdges.toSeq.sorted)
+          val (qs, _) = bucketCand.getOrElseUpdate(key,
+            (collection.mutable.Map.empty[String, Long],
+              collection.mutable.LinkedHashSet.empty[String]))
+          qs(qname) = math.max(qs.getOrElse(qname, 0L), lineShuffleBytes)
+        }
       }
     }
     // a bench traces every query several times — collapse repeated
@@ -362,9 +382,27 @@ object Advisor {
           kind = "join", paths = ps, grain = groups.toSeq.sorted,
           edges = edges.toSeq.sorted, queries = qs.keys.toSeq.sorted)
     }.sortBy(f => (-f.value, f.op)).take(topN)
+    val buckets = bucketCand.toSeq.collect {
+      case ((ps, edges), (qs, _)) if qs.size >= 2 =>
+        val bytes = qs.values.sum
+        Finding(s"${qs.size} queries", s"Join ${ps.mkString(" ⋈ ")}",
+          "repeated-join shuffle dataSize", bytes, "bytes",
+          s"the same join on (${edges.mkString(", ")}) repeats in " +
+            s"${qs.keys.toSeq.sorted.take(4).mkString(", ")}" +
+            (if (qs.size > 4) ", …" else "") +
+            ": write both sides bucketed on their join keys " +
+            "(Layout.createBucketed, matched bucket counts ≈ table " +
+            "bytes / target partition bytes) and the join runs with " +
+            "no exchange on either side — the shuffle is paid once, " +
+            "at write time, instead of per query. A layout change " +
+            "for the table owner, not a transparent rewrite: queries " +
+            "must read the bucketed tables",
+          kind = "bucket", paths = ps, edges = edges,
+          queries = qs.keys.toSeq.sorted)
+    }.sortBy(f => (-f.value, f.op)).take(topN)
     top(spills) ++ top(loops) ++ top(exchanges) ++ top(scans) ++
       top(broadcasts) ++ top(sorts) ++ summaries ++ joinSummaries ++
-      histograms ++ rollups
+      histograms ++ rollups ++ buckets
   }
 
   /** ACT on an MV nomination: perform the Summaries.create /

@@ -59,7 +59,20 @@ class AdvisorSpec extends SparkSpec {
       """{"op":"Scan parquet x","depth":4,"path":"/data/x","metrics":{"scanTime":90}},""" +
       """{"op":"Scan parquet y","depth":4,"path":"/data/y","metrics":{"scanTime":45}},""" +
       """{"op":"BroadcastHashJoin","depth":2,"metrics":{"numOutputRows":9}},""" +
-      """{"op":"HashAggregate","depth":1,"metrics":{"numOutputRows":3}}]}""")
+      """{"op":"HashAggregate","depth":1,"metrics":{"numOutputRows":3}}]}""",
+    // qI/qJ: the SAME equi-join on the SAME keys repeating with real
+    // shuffle volume — the write-time BUCKETING candidate (no
+    // aggregate required: the lever is co-location, not routing)
+    """{"event":"query","name":"qI","wall_ms":900,"ts_ms":1,"operators":[""" +
+      """{"op":"Scan parquet f","depth":3,"path":"/data/f","metrics":{"scanTime":200}},""" +
+      """{"op":"Scan parquet g","depth":3,"path":"/data/g","metrics":{"scanTime":180}},""" +
+      """{"op":"ShuffleExchange","depth":3,"metrics":{"dataSize":50000000}},""" +
+      """{"op":"SortMergeJoin","depth":2,"jkeys":["f_id=g_id"],"metrics":{"numOutputRows":9}}]}""",
+    """{"event":"query","name":"qJ","wall_ms":800,"ts_ms":1,"operators":[""" +
+      """{"op":"Scan parquet g","depth":3,"path":"/data/g","metrics":{"scanTime":170}},""" +
+      """{"op":"Scan parquet f","depth":3,"path":"/data/f","metrics":{"scanTime":210}},""" +
+      """{"op":"ShuffleExchange","depth":3,"metrics":{"dataSize":52000000}},""" +
+      """{"op":"SortMergeJoin","depth":2,"jkeys":["f_id=g_id"],"metrics":{"numOutputRows":9}}]}""")
 
   test("deterministic fixture: every signal class found, ranked, levered") {
     // the fixture feeds TWICE: repeated executions of the same
@@ -116,6 +129,19 @@ class AdvisorSpec extends SparkSpec {
     assert(star.lever.contains("qG") && star.lever.contains("qH"))
     assert(!cands.exists(c => c.op.contains("/data/x") ||
       c.op.contains("/data/y")))
+    // bucketing candidate: qI and qJ repeat the same f⋈g join on the
+    // same keys with real shuffle volume — a write-time co-location
+    // nomination, NOT a summary one (they carry no aggregate)
+    val bkt = fs.filter(_.kind == "bucket")
+    assert(bkt.size == 1, s"$bkt")
+    assert(bkt.head.op == "Join /data/f ⋈ /data/g", s"$bkt")
+    assert(bkt.head.edges == Seq("f_id=g_id"))
+    // worst-per-query sums: qI 50 MB + qJ 52 MB
+    assert(bkt.head.value == 50000000L + 52000000L, s"${bkt.head}")
+    assert(bkt.head.lever.contains("Layout.createBucketed"))
+    assert(!fs.exists(f => f.kind == "join" &&
+      f.op.contains("/data/f")), "no aggregate → no joined-summary " +
+      "nomination for f⋈g")
     // report renders one line per finding
     assert(Advisor.report(fs).linesIterator.size == fs.size)
     assert(Advisor.report(Nil).contains("no findings"))

@@ -70,11 +70,15 @@ object RoutingExplain {
     // would see (alias-inlined, constant-folded, pushed-down shapes)
     // are present instead of already rewritten away
     val unrouted: LogicalPlan = {
+      val prev = spark.conf.getOption(SummaryRewrite.ConfKey)
       spark.conf.set(SummaryRewrite.ConfKey, "false")
       try org.apache.spark.sql.GraftColumnBridge
         .ofPlan(spark, df.queryExecution.analyzed)
         .queryExecution.optimizedPlan
-      finally spark.conf.set(SummaryRewrite.ConfKey, "true")
+      finally prev match {
+        case Some(v) => spark.conf.set(SummaryRewrite.ConfKey, v)
+        case None => spark.conf.unset(SummaryRewrite.ConfKey)
+      }
     }
     unrouted.collect {
       case agg: Aggregate => diagnose(agg)

@@ -1085,13 +1085,26 @@ object Summaries {
   private val deltaRelMemo = new java.util.concurrent
     .ConcurrentHashMap[String, (String, LogicalRelation)]()
 
+  /** Read a delta file set AS ITS TABLE's rows: `basePath` anchors
+    * partition discovery at the source root, so files appended under
+    * Hive-style `k=v` directories keep their partition columns — a
+    * bare file-list read would silently drop them and the partial
+    * aggregate would miss grain columns (fail closed, but the whole
+    * point is to route the partitioned case: partition dirs are THE
+    * append layout at warehouse scale).
+    */
+  private def readDelta(s: org.apache.spark.sql.SparkSession,
+      basePath: String, files: Seq[String]): DataFrame =
+    s.read.option("basePath", basePath).parquet(files: _*)
+
   private def deltaRelation(spec: Spec,
       s: org.apache.spark.sql.SparkSession): Option[LogicalRelation] = {
     val key = spec.deltaFiles.sorted.mkString("|") + "#g" + spec.gen
     Option(deltaRelMemo.get(spec.name)).filter(_._1 == key)
       .map(_._2.newInstance())
       .orElse {
-        s.read.parquet(spec.deltaFiles: _*).queryExecution.analyzed match {
+        readDelta(s, spec.fpPaths.head, spec.deltaFiles)
+          .queryExecution.analyzed match {
           case lr: LogicalRelation =>
             deltaRelMemo.put(spec.name, (key, lr))
             Some(lr.newInstance())
@@ -1140,7 +1153,7 @@ object Summaries {
     if (spec.joinEdges.isEmpty) return None
     val dfs: Map[String, DataFrame] =
       spec.fpPaths.map { p =>
-        p -> (if (p == dPath) s.read.parquet(spec.deltaFiles: _*)
+        p -> (if (p == dPath) readDelta(s, dPath, spec.deltaFiles)
               else s.read.parquet(p))
       }.toMap
     val allCols = spec.fpPaths.flatMap(p => dfs(p).columns)

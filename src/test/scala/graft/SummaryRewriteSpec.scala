@@ -1578,6 +1578,44 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("delta-compensated read over a HIVE-PARTITIONED source: " +
+      "appended partition files keep their directory-encoded column") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_part")
+      .toFile
+    val srcPath = new java.io.File(dir, "li_part").getAbsolutePath
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")
+    // partition by the returnflag — the appended files land INSIDE
+    // l_returnflag=... directories, so a bare file read would lose
+    // the column; the compensated read anchors basePath at the root
+    li.filter(col("l_orderkey") % 10 < 8)
+      .write.partitionBy("l_returnflag").parquet(srcPath)
+    val src = () => spark.read.parquet(srcPath)
+    val q = () => src().groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+    try {
+      Summaries.create(src(), "spec_delta_part",
+        grain = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"))
+      li.filter(col("l_orderkey") % 10 >= 8)
+        .write.partitionBy("l_returnflag").mode("append").parquet(srcPath)
+      Summaries.invalidate("spec_delta_part")
+      val paths = scanPaths(q())
+      assert(paths.exists(_.contains("graft_summaries")),
+        s"partitioned append should compensate: $paths")
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq },
+        "compensated answer over the partitioned source must equal " +
+          "the post-append raw scan (partition column intact)")
+    } finally {
+      Summaries.drop("spec_delta_part")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("joined summary: a fact-side append delta-compensates through " +
       "the rebuilt join; a two-table append suspends") {
     import scala.jdk.CollectionConverters._

@@ -458,21 +458,26 @@ object Summaries {
       s: org.apache.spark.sql.SparkSession): Option[Seq[String]] =
     if (spec.builtFiles.isEmpty ||
         !s.conf.get(DeltaReadKey, "true").toBoolean) None
-    else {
-      val entries = currentListing(spec.fpPaths, s)._2
-      val cur = entries.toSet
-      val built = spec.builtFiles.toSet
-      val extras = entries.filterNot(built)
-      if (built.subsetOf(cur) && extras.nonEmpty &&
-          !extras.exists(_.startsWith("absent:")) &&
-          (spec.fpPaths.length == 1 || {
-            val owners = extras.map(e => ownerPath(spec, entryPath(e)))
-            owners.forall(_.isDefined) &&
-              owners.flatten.distinct.length == 1
-          }))
-        Some(extras.map(entryPath))
-      else None
-    }
+    else deltaFromEntries(spec, currentListing(spec.fpPaths, s)._2)
+
+  /** The pure half of the delta gate: given a CURRENT listing, the
+    * extra file paths iff the drift is append-only (and single-leaf
+    * for a joined source). */
+  private def deltaFromEntries(spec: Spec,
+      entries: Seq[String]): Option[Seq[String]] = {
+    val cur = entries.toSet
+    val built = spec.builtFiles.toSet
+    val extras = entries.filterNot(built)
+    if (built.nonEmpty && built.subsetOf(cur) && extras.nonEmpty &&
+        !extras.exists(_.startsWith("absent:")) &&
+        (spec.fpPaths.length == 1 || {
+          val owners = extras.map(e => ownerPath(spec, entryPath(e)))
+          owners.forall(_.isDefined) &&
+            owners.flatten.distinct.length == 1
+        }))
+      Some(extras.map(entryPath))
+    else None
+  }
 
   /** Which registered leaf path a data file belongs under (canonical
     * prefix match). */
@@ -1188,7 +1193,8 @@ object Summaries {
   }
 
   def refresh(name: String, batch: DataFrame,
-      complete: Boolean = false): Spec = {
+      complete: Boolean = false,
+      coveredEntries: Option[Seq[String]] = None): Spec = {
     val spec = lookupByName(name).getOrElse(
       throw new IllegalArgumentException(s"no summary named $name"))
     val spark = batch.sparkSession
@@ -1217,8 +1223,13 @@ object Summaries {
       // at a full re-create). The freshness memo takes the same new
       // fingerprint — a TTL-cached pre-refresh listing must never
       // suspend the summary this refresh just brought up to date.
-      val newEntries = listEntries(spec.fpPaths,
-        spark.sparkContext.hadoopConfiguration)
+      // [[refreshDelta]] passes the LISTING ITS BATCH ACTUALLY COVERS:
+      // recording a fresh re-list here instead would bless files that
+      // appeared between detection and fold without folding them —
+      // with the covered listing, late arrivals surface as the next
+      // delta and stay compensated/foldable rather than silently lost
+      val newEntries = coveredEntries.getOrElse(listEntries(spec.fpPaths,
+        spark.sparkContext.hadoopConfiguration))
       val newFp = fpOf(newEntries)
       touchFpMemo(spec.fpPaths, newFp, newEntries)
       val next = register(merged, spec.copy(gen = spec.gen + 1,
@@ -1237,6 +1248,45 @@ object Summaries {
       }
       next
     } catch { case t: Throwable => reg.put(spec.source, spec); throw t }
+  }
+
+  /** The one-call refresh: detect the append-only delta the router is
+    * currently compensating for and FOLD it — the same file set the
+    * compensated read scans becomes [[refresh]]'s batch (re-joined
+    * against the other leaves for a joined summary), so the summary
+    * catches up to disk and reads return to summary-only. Returns
+    * None when there is nothing to fold (already fresh) and throws
+    * when the drift is NOT append-only (an in-place mutation needs a
+    * re-create — silently folding over it would bake a wrong state).
+    * This is the nightly-maintenance call: detect → fold → fresh,
+    * no caller-supplied batch to get wrong.
+    */
+  def refreshDelta(name: String): Option[Spec] = {
+    val spec = lookupByName(name).getOrElse(
+      throw new IllegalArgumentException(s"no summary named $name"))
+    val s = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("no active SparkSession"))
+    // ONE direct listing (no memo) drives detection, the fold, AND
+    // the recorded coverage — no TTL window can slip a file between
+    // "what we saw" and "what we blessed"
+    val entries = listEntries(spec.fpPaths,
+      s.sparkContext.hadoopConfiguration)
+    if (fpOf(entries) == spec.sourceFp) return None
+    val files = deltaFromEntries(spec, entries).getOrElse(
+      throw new IllegalStateException(
+        s"source of '$name' drifted in place (a built file was " +
+          "rewritten or deleted, or two join leaves changed) — " +
+          "re-create the summary"))
+    val withDelta = spec.copy(deltaFiles = files)
+    val batch =
+      if (spec.fpPaths.length == 1)
+        readDelta(s, spec.fpPaths.head, files)
+      else joinedDelta(withDelta, s).getOrElse(
+        throw new IllegalStateException(
+          s"cannot rebuild the joined delta for '$name' (ambiguous " +
+            "columns or no recorded edges) — re-create the summary"))
+    Some(refresh(name, batch, complete = true,
+      coveredEntries = Some(entries)))
   }
 
   /** Revoke the named summary (the rewrite stops matching instantly;

@@ -1786,6 +1786,92 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("refreshDelta: the one-call fold — detect the appended files, " +
+      "fold them, return to a summary-only read") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rfd").toFile
+    val srcPath = new java.io.File(dir, "li_copy").getAbsolutePath
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")
+    li.filter(col("l_orderkey") % 10 < 8).write.parquet(srcPath)
+    val baseFiles = new java.io.File(srcPath).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val q = () => spark.read.parquet(srcPath)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+      .orderBy("l_returnflag")
+    try {
+      Summaries.create(spark.read.parquet(srcPath), "spec_rfd",
+        grain = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"))
+      // nothing to fold on a fresh summary
+      assert(Summaries.refreshDelta("spec_rfd").isEmpty)
+      li.filter(col("l_orderkey") % 10 >= 8)
+        .write.mode("append").parquet(srcPath)
+      val raw = withoutRouting { q().collect().toSeq }
+      val folded = Summaries.refreshDelta("spec_rfd")
+      assert(folded.nonEmpty, "an appended source must fold")
+      val paths = scanPaths(q())
+      assert(paths.nonEmpty && paths.forall(_.contains("graft_summaries")),
+        s"post-fold read should be summary-only: $paths")
+      assert(q().collect().toSeq == raw,
+        "folded summary must answer the post-append truth")
+      assert(Summaries.refreshDelta("spec_rfd").isEmpty,
+        "second call: already fresh")
+      // in-place drift refuses the fold (fail loud, not silent-wrong)
+      val victim = new java.io.File(srcPath).listFiles()
+        .filter(f => baseFiles.contains(f.getName)).head
+      assert(victim.delete())
+      Summaries.invalidate("spec_rfd")
+      intercept[IllegalStateException] {
+        Summaries.refreshDelta("spec_rfd")
+      }
+    } finally {
+      Summaries.drop("spec_rfd")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("refreshDelta: folds a JOINED summary's fact append through " +
+      "the rebuilt delta join") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rfdj").toFile
+    val liPath = new java.io.File(dir, "li_copy").getAbsolutePath
+    val ordPath = new java.io.File(dir, "ord_copy").getAbsolutePath
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    val ord = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    li.filter(col("l_orderkey") % 10 < 8).write.parquet(liPath)
+    ord.write.parquet(ordPath)
+    val src = () => spark.read.parquet(liPath)
+      .join(spark.read.parquet(ordPath),
+        col("l_orderkey") === col("o_orderkey"))
+    val q = () => src().groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+      .orderBy("o_orderpriority")
+    try {
+      Summaries.createJoined(src(), "spec_rfdj",
+        grain = Seq("o_orderpriority", "l_returnflag"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"))
+      li.filter(col("l_orderkey") % 10 >= 8)
+        .write.mode("append").parquet(liPath)
+      val raw = withoutRouting { q().collect().toSeq }
+      assert(Summaries.refreshDelta("spec_rfdj").nonEmpty)
+      val paths = scanPaths(q())
+      assert(paths.nonEmpty && paths.forall(_.contains("graft_summaries")),
+        s"post-fold join read should be summary-only: $paths")
+      assert(q().collect().toSeq == raw)
+    } finally {
+      Summaries.drop("spec_rfdj")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("q185: the delta-demo fixture routes compensated (summary + " +
       "appended files) and equals the full-table raw answer") {
     OlapQueries.registerDeltaDemo(spark, sf)

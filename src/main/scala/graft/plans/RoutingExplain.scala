@@ -39,7 +39,9 @@ object RoutingExplain {
     def render: String = {
       val head = if (routes)
         s"ROUTES onto '${summary.get}'" +
-          (if (deltaFiles > 0) s" (delta-compensated, $deltaFiles appended file(s))"
+          (if (deltaFiles > 0)
+             s" (delta-compensated, $deltaFiles appended file(s) — " +
+               "fold with Summaries.refreshDelta)"
            else " (fresh)")
       else "stays RAW"
       (s"aggregate over $over: $head" +:

@@ -274,11 +274,9 @@ class StreamingSpec extends SparkSpec {
       assert(q().collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
         == Seq(("A", 3L), ("B", 2L), ("C", 1L)),
         "second micro-batch joins the delta set")
-      // the nightly refresh: fold the backlog, read returns to
-      // summary-only
-      val backlog = Seq(("B", 4.0), ("C", 5.0), ("A", 6.0))
-        .toDF("k", "v")
-      Summaries.refresh(name, backlog, complete = true)
+      // the nightly refresh is ONE CALL: the engine folds the exact
+      // file set it has been compensating for
+      assert(Summaries.refreshDelta(name).nonEmpty)
       val p2 = scans()
       assert(p2.nonEmpty && p2.forall(_.contains("graft_summaries")),
         s"post-refresh read should be summary-only: $p2")

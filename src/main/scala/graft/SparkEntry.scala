@@ -66,8 +66,16 @@ object SparkEntry {
       operators.Dedup.ngramJaccardPairs(s, d)),
     "q26_cosine_topk" -> ((s: SparkSession, d: String) =>
       operators.Similarity.cosineTopK(s, d)),
+    // since r11 this routes through the grid-blocked exact self-join
+    // (Similarity.blockedEmbeddingPairs) — bit-identical to the
+    // brute-force form (SimilaritySpec proves blocked ≡ brute force
+    // pair-for-pair), but the plan is an equality shuffle join on the
+    // block-pair cell: O(n·B) shuffle rows, B(B+1)/2 distributable
+    // tasks, no BNLJ, no O(n²) row explosion. The brute-force
+    // spelling (Similarity.embeddingPairs) survives as the spec-side
+    // audit twin only; it is no longer in the benched suite.
     "q27_embedding_pairs" -> ((s: SparkSession, d: String) =>
-      operators.Similarity.embeddingPairs(s, d)),
+      operators.Similarity.blockedEmbeddingPairs(s, d, threshold = 0.4)),
     // fully oracle-replayed since r08: the IVF index is the
     // deterministic Lloyd fit (q120 trajectory discipline — first-k
     // init, 6 dp iterate rounding, (dist, cid) argmin tie-break), the
@@ -604,6 +612,18 @@ object SparkEntry {
     // merge(summary, partial-agg(new files only)), the post-append
     // truth, so the oracle is the plain aggregate over the FULL table
     "q185_summary_delta" -> (operators.OlapQueries.summaryDeltaPricing _),
+    // the TWO-LEAF delta-compensated JOINED read: fact AND dim both
+    // gain appended files in one window, and the telescoped
+    // inclusion–exclusion fold (Δli⋈ord₀ + (li₀+Δli)⋈Δord, reads
+    // pinned to the blessed listing) keeps the star routed; base ∪
+    // delta is exactly the full tables, so the oracle is the plain
+    // aggregate over raw lineitem ⋈ orders
+    "q187_summary_delta_join" -> (operators.OlapQueries.summaryDeltaJoin _),
+    // the FILTERED MV: summary declared WHERE l_quantity > 30 (built
+    // over the slice only); the query filters the STRICTLY STRONGER
+    // l_quantity > 35, so routing exercises the subsumption gate's
+    // range containment; the oracle recomputes over the raw slice
+    "q188_summary_filtered" -> (operators.OlapQueries.summaryFiltered _),
     // co-located bucketed join: both tables hash-bucketed on the join
     // key at write time, so the sort-merge join runs with no shuffle
     // on either side (plan-asserted in LayoutSpec); bucketing is a
@@ -3780,6 +3800,31 @@ object SparkEntry {
         |  round(min(l_extendedprice), 4) AS min_price,
         |  round(max(l_extendedprice), 4) AS max_price
         |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // base ∪ appended tails = exactly lineitem and orders, so the
+    // two-leaf compensated answer replays as the raw full join
+    // (avg_qty: the q185 scaled-integer half-even quotient replay)
+    "q187_summary_delta_join" ->
+      """SELECT o_orderpriority, l_returnflag,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |    AS sum_qty,
+        |  CAST((2 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) * 1000000 + 100 * count(*))
+        |       // (2 * 100 * count(*)) AS DOUBLE) / 1000000.0 AS avg_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority, l_returnflag
+        |ORDER BY o_orderpriority, l_returnflag""".stripMargin,
+    "q188_summary_filtered" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+        |    4) AS sum_base,
+        |  round(min(l_extendedprice), 4) AS min_price,
+        |  round(max(l_extendedprice), 4) AS max_price
+        |FROM lineitem
+        |WHERE l_quantity > 35
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q186_bucketed_join" ->

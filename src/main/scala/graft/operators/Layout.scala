@@ -241,9 +241,22 @@ object Layout {
      else w).saveAsTable(table)
   }
 
-  private def bucketTableName(sfDir: String, base: String): String =
+  /** Managed-table name for a data dir's bucketed twin. Keyed on the
+    * CANONICAL full path, not just the basename — two data dirs named
+    * `sf0.1` under different parents are different tables, and a
+    * basename-only key would silently reuse (or orphan-drop) a twin
+    * built over the other one. The basename stays in the name for
+    * readability; an 8-hex digest of the canonical path provides the
+    * uniqueness.
+    */
+  private def bucketTableName(sfDir: String, base: String): String = {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+    val tag = md.take(4).map("%02x".format(_)).mkString
     "graft_bkt_" + base + "_" +
-      new java.io.File(sfDir).getName.replace('.', '_')
+      new java.io.File(sfDir).getName.replace('.', '_') + "_" + tag
+  }
 
   /** A previous JVM's managed-table directory with no catalog entry in
     * THIS JVM (the in-memory catalog dies with its session): Spark

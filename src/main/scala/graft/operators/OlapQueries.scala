@@ -2260,6 +2260,150 @@ object OlapQueries {
       .delete(p, true)
   }
 
+  /** q187: the TWO-LEAF delta-compensated JOINED read — the nightly
+    * load touches the fact AND a dim in the same window, and the
+    * joined summary still serves. A summary over a copied
+    * lineitem⋈orders star is built from 80% of the fact and 90% of
+    * the dim; the remaining rows of BOTH leaves then land as appended
+    * parquet files. Pre-round-11 the router failed closed here (two
+    * appended leaves ⇒ raw scans until refresh); now
+    * [[graft.plans.SummaryRewrite]]'s telescoped inclusion–exclusion
+    * fold (Δli⋈ord₀ + (li₀+Δli)⋈Δord — each pair of raw rows exactly
+    * once, every read pinned to the blessed file listing) rebuilds
+    * the exact delta and the aggregate routes onto
+    * `merge(summary, partial-agg(delta))`. Because base ∪ delta is
+    * exactly the full tables, the DuckDB oracle is the plain
+    * aggregate over raw lineitem ⋈ orders. At 100 TB the win over
+    * the raw join survives: the Δdim cross terms broadcast (Δ is the
+    * morning's files, not the corpus), so the fact leaf is scanned
+    * once with a broadcast-hash probe instead of shuffling the full
+    * join — and the summary covers everything older.
+    */
+  def summaryDeltaJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = deltaJoinDemoName(sfDir)
+    val pre = graft.plans.Summaries.isRegistered(name)
+    if (!pre) registerDeltaJoinDemo(spark, sfDir)
+    try {
+      val out = deltaJoinQuery(spark, sfDir)
+      val rows = out.collect().toSeq // report-sized
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally if (!pre) dropDeltaJoinDemo(spark, sfDir)
+  }
+
+  private[graft] def deltaJoinDemoName(sfDir: String): String =
+    "li_ord_delta_" + new java.io.File(sfDir).getName
+
+  private[graft] def deltaJoinDemoDir(sfDir: String): String =
+    new java.io.File("spark-warehouse/graft_delta_demo/" +
+      deltaJoinDemoName(sfDir)).getAbsolutePath
+
+  /** Build the two-leaf fixture: 80% of the fact and 90% of the dim
+    * as the base, register the joined summary, append the tails of
+    * BOTH leaves, and poke the freshness memo (the external writer's
+    * metadata-refresh hook).
+    */
+  private[graft] def registerDeltaJoinDemo(spark: SparkSession,
+      sfDir: String): Unit = {
+    val name = deltaJoinDemoName(sfDir)
+    val liDir = new java.io.File(deltaJoinDemoDir(sfDir), "li")
+      .getAbsolutePath
+    val ordDir = new java.io.File(deltaJoinDemoDir(sfDir), "ord")
+      .getAbsolutePath
+    graft.plans.Summaries.drop(name)
+    val li = Tables.load(spark, sfDir, "lineitem").select(
+      "l_orderkey", "l_returnflag", "l_quantity")
+    val ord = Tables.load(spark, sfDir, "orders").select(
+      "o_orderkey", "o_orderpriority")
+    li.filter(col("l_orderkey") % 10 < 8)
+      .write.mode("overwrite").parquet(liDir)
+    ord.filter(col("o_orderkey") % 10 =!= 3)
+      .write.mode("overwrite").parquet(ordDir)
+    graft.plans.Summaries.createJoined(
+      spark.read.parquet(liDir).join(spark.read.parquet(ordDir),
+        col("l_orderkey") === col("o_orderkey")),
+      name,
+      grain = Seq("o_orderpriority", "l_returnflag"),
+      sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"))
+    li.filter(col("l_orderkey") % 10 >= 8)
+      .write.mode("append").parquet(liDir)
+    ord.filter(col("o_orderkey") % 10 === 3)
+      .write.mode("append").parquet(ordDir)
+    graft.plans.Summaries.invalidate(name)
+  }
+
+  private def dropDeltaJoinDemo(spark: SparkSession,
+      sfDir: String): Unit = {
+    graft.plans.Summaries.drop(deltaJoinDemoName(sfDir))
+    val p = new org.apache.hadoop.fs.Path(deltaJoinDemoDir(sfDir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+  }
+
+  /** q188: the FILTERED (partial-by-predicate) materialized view —
+    * the summary is declared `WHERE l_quantity > 30` (a grain-column
+    * predicate, the warehouse filtered-MV form: most dashboards
+    * aggregate a slice, not the table), built over only that slice,
+    * and serves exactly the queries whose own filters IMPLY the
+    * declaration. The benched query filters `l_quantity > 35` — a
+    * STRICTLY STRONGER range, so routing goes through the
+    * subsumption gate's containment reasoning, not mere equality;
+    * the query's filter then re-applies verbatim on the summary's
+    * grain rows (scan-path- and fail-closed-asserted in
+    * SummaryRewriteSpec). The oracle recomputes the aggregate over
+    * the raw filtered table. At 100 TB this is the last-90-days
+    * dashboard lever: the summary holds the slice's grain rows only
+    * — a fraction of even the unfiltered summary — and the fact scan
+    * disappears for every subsumed query.
+    */
+  def summaryFiltered(spark: SparkSession, sfDir: String): DataFrame =
+    withSummary(spark, "lineitem_hiqty")(
+      registerFilteredSummary(spark, sfDir))(
+      summaryFilteredQuery(spark, sfDir))
+
+  private[graft] def registerFilteredSummary(spark: SparkSession,
+      sfDir: String): Unit =
+    graft.plans.Summaries.create(
+      Tables.load(spark, sfDir, "lineitem"), "lineitem_hiqty",
+      grain = Seq("l_returnflag", "l_linestatus", "l_quantity"),
+      sums = Seq("sum_base" -> "cast(l_extendedprice as decimal(18,2))"),
+      mins = Seq("min_price" -> "l_extendedprice"),
+      maxs = Seq("max_price" -> "l_extendedprice"),
+      where = Some("l_quantity > 30"))
+
+  private[graft] def summaryFilteredQuery(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") > 35)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(
+          expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)"),
+          4).as("sum_base"),
+        round(min(col("l_extendedprice")), 4).as("min_price"),
+        round(max(col("l_extendedprice")), 4).as("max_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private[graft] def deltaJoinQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val liDir = new java.io.File(deltaJoinDemoDir(sfDir), "li")
+      .getAbsolutePath
+    val ordDir = new java.io.File(deltaJoinDemoDir(sfDir), "ord")
+      .getAbsolutePath
+    spark.read.parquet(liDir)
+      .join(spark.read.parquet(ordDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)"),
+          4).as("sum_qty"),
+        avg(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("avg_qty"))
+      .orderBy("o_orderpriority", "l_returnflag")
+  }
+
   private[graft] def deltaPricingQuery(spark: SparkSession,
       sfDir: String): DataFrame =
     spark.read.parquet(deltaDemoDir(sfDir))
@@ -2372,6 +2516,8 @@ object OlapQueries {
       "q174_summary_kmv" -> pricing,
       "q181_summary_rollup" -> pricing,
       "q184_summary_variance" -> pricing,
+      "q188_summary_filtered" ->
+        hook("lineitem_hiqty", registerFilteredSummary),
       "q183_summary_star6" ->
         hook("li_q5_star", registerLocalVolumeStarSummary),
       "q177_summary_join" ->
@@ -2396,6 +2542,16 @@ object OlapQueries {
       "q185_summary_delta" -> ((s: SparkSession, d: String) => {
         val name = deltaDemoName(d)
         try registerDeltaDemo(s, d)
+        catch { case t: Throwable =>
+          try graft.plans.Summaries.drop(name)
+          catch { case _: Throwable => () }
+          throw t
+        }
+        () => graft.plans.Summaries.drop(name)
+      }),
+      "q187_summary_delta_join" -> ((s: SparkSession, d: String) => {
+        val name = deltaJoinDemoName(d)
+        try registerDeltaJoinDemo(s, d)
         catch { case t: Throwable =>
           try graft.plans.Summaries.drop(name)
           catch { case _: Throwable => () }

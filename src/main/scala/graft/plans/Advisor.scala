@@ -145,6 +145,14 @@ object Advisor {
         var lineHasPercentile = false
         var lineHasGroupingId = false
         var lineShuffleBytes = 0L
+        // only exchanges BELOW a join node count toward the bucketing
+        // nomination — write-time co-location can delete the join's
+        // input shuffles, not an aggregate shuffle above the join, so
+        // crediting the whole plan's exchange bytes would overstate
+        // the lever. Nodes arrive in pre-order with their depth, so a
+        // stack of open join depths marks "inside a join subtree".
+        var lineJoinShuffleBytes = 0L
+        val joinDepths = collection.mutable.ArrayBuffer.empty[Int]
         // histogram grain: groups+pvals from PERCENTILE-bearing
         // aggregate nodes only — unrelated aggregates in a
         // multi-aggregate plan must not widen the nominated grain
@@ -159,6 +167,11 @@ object Advisor {
           val m = node.path("metrics")
           def metric(k: String): Long = m.path(k).asLong(0L)
           val opAt = s"$op#$i"
+          val depth = node.path("depth").asInt(0)
+          // leaving a join's subtree: pop every join no longer an
+          // ancestor of the current node
+          while (joinDepths.nonEmpty && joinDepths.last >= depth)
+            joinDepths.remove(joinDepths.length - 1)
           if (op.contains("Exchange") && !op.contains("Broadcast")) {
             val t = metric("shuffleWriteTime") / 1000000L +
               metric("fetchWaitTime")
@@ -170,6 +183,8 @@ object Advisor {
                 "key+payload columns, broadcast the small side, or " +
                 "bucket/co-partition both sides")
             lineShuffleBytes += metric("dataSize")
+            if (joinDepths.nonEmpty)
+              lineJoinShuffleBytes += metric("dataSize")
           } else if (op.startsWith("Scan")) {
             val pth = node.path("path").asText("")
             if (pth.nonEmpty)
@@ -256,6 +271,7 @@ object Advisor {
             while (e < jk.size()) {
               lineJoinEdges += jk.get(e).asText(""); e += 1
             }
+            joinDepths += depth
           }
           i += 1
         }
@@ -299,13 +315,14 @@ object Advisor {
           edges ++= lineJoinEdges
         }
         if (lineHasEquiJoin && linePaths.size >= 2 &&
-            lineJoinEdges.nonEmpty && lineShuffleBytes > 0) {
+            lineJoinEdges.nonEmpty && lineJoinShuffleBytes > 0) {
           val key = (linePaths.keys.toSeq.sorted,
             lineJoinEdges.toSeq.sorted)
           val (qs, _) = bucketCand.getOrElseUpdate(key,
             (collection.mutable.Map.empty[String, Long],
               collection.mutable.LinkedHashSet.empty[String]))
-          qs(qname) = math.max(qs.getOrElse(qname, 0L), lineShuffleBytes)
+          qs(qname) =
+            math.max(qs.getOrElse(qname, 0L), lineJoinShuffleBytes)
         }
       }
     }
@@ -386,7 +403,7 @@ object Advisor {
       case ((ps, edges), (qs, _)) if qs.size >= 2 =>
         val bytes = qs.values.sum
         Finding(s"${qs.size} queries", s"Join ${ps.mkString(" ⋈ ")}",
-          "repeated-join shuffle dataSize", bytes, "bytes",
+          "join-feeding shuffle dataSize", bytes, "bytes",
           s"the same join on (${edges.mkString(", ")}) repeats in " +
             s"${qs.keys.toSeq.sorted.take(4).mkString(", ")}" +
             (if (qs.size > 4) ", …" else "") +

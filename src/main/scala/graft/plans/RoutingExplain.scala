@@ -70,17 +70,13 @@ object RoutingExplain {
         Seq(s"the router is disabled (${SummaryRewrite.ConfKey}=false)")))
     // re-optimize with the router OFF so the aggregates the rule
     // would see (alias-inlined, constant-folded, pushed-down shapes)
-    // are present instead of already rewritten away
-    val unrouted: LogicalPlan = {
-      val prev = spark.conf.getOption(SummaryRewrite.ConfKey)
-      spark.conf.set(SummaryRewrite.ConfKey, "false")
-      try org.apache.spark.sql.GraftColumnBridge
+    // are present instead of already rewritten away — via the
+    // thread-confined bypass, so a query planned concurrently on the
+    // same session still routes (a session-conf flip here would leak)
+    val unrouted: LogicalPlan = SummaryRewrite.withBypass {
+      org.apache.spark.sql.GraftColumnBridge
         .ofPlan(spark, df.queryExecution.analyzed)
         .queryExecution.optimizedPlan
-      finally prev match {
-        case Some(v) => spark.conf.set(SummaryRewrite.ConfKey, v)
-        case None => spark.conf.unset(SummaryRewrite.ConfKey)
-      }
     }
     unrouted.collect {
       case agg: Aggregate => diagnose(agg)
@@ -184,9 +180,9 @@ object RoutingExplain {
               "re-create to record one"
           else
             b += s"source of '${spec.name}' drifted IN PLACE " +
-              "(a built file was rewritten or deleted; appends on " +
-              "two join leaves count too) — routing is suspended " +
-              "until refresh/re-create records the new state"
+              "(a built file was rewritten or deleted, or a file " +
+              "landed outside the registered leaves) — routing is " +
+              "suspended until refresh/re-create records the new state"
       }
     }
     b.result()
@@ -247,6 +243,12 @@ object RoutingExplain {
     if (dupRefs.nonEmpty)
       b += s"column name(s) duplicated across join leaves without a " +
         s"join equality: ${dupRefs.mkString(", ")}"
+    if (spec.filterSql.nonEmpty &&
+        !SummaryRewrite.filterSubsumed(spec, filters, rawOut))
+      b += s"summary '${spec.name}' is FILTERED (WHERE " +
+        s"${spec.filterSql}) and the query's filters do not imply " +
+        "the declaration — add the subsuming predicate or query the " +
+        "raw table"
     // per-aggregate-function classification via the real Surgeon
     val surgeon = SummaryRewrite.surgeonFor(spec, rawOut)
     aggExprs.foreach(_.foreach {

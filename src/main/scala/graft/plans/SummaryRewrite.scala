@@ -151,6 +151,12 @@ object Summaries {
       // structured form so the joined-delta substrate can REBUILD
       // Δleaf ⋈ (other tables) without parsing the registry key
       joinEdges: Seq[(String, String, String, String)] = Nil,
+      // FILTERED (partial-by-predicate) summary: the declared WHERE
+      // clause (SQL over grain columns) the build applied before
+      // aggregating. Empty = unfiltered. A query routes only when its
+      // own filters IMPLY this predicate (the subsumption gate in the
+      // rewrite) — the warehouse filtered-MV contract
+      filterSql: String = "",
       // TRANSIENT (never persisted): set by lookup() on the spec copy
       // it hands the rewrite when the source is stale-but-append-only
       // — the extra data files the compensated substrate must fold in
@@ -216,7 +222,8 @@ object Summaries {
       "builtFiles" -> strs(s.builtFiles),
       "joinEdges" -> JArray(s.joinEdges.map { case (pa, ca, pb, cb) =>
         JArray(List(JString(pa), JString(ca), JString(pb), JString(cb)))
-      }.toList)))
+      }.toList),
+      "filterSql" -> JString(s.filterSql)))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -260,7 +267,8 @@ object Summaries {
           val l = e.asInstanceOf[JArray].arr
             .map(_.asInstanceOf[JString].s)
           (l(0), l(1), l(2), l(3))
-        })
+        },
+      filterSql = if (j.contains("filterSql")) str("filterSql") else "")
   }
 
   private def persistSpec(s: Spec): Unit = {
@@ -450,9 +458,10 @@ object Summaries {
     * compensated substrate folds exactly them in. Any other drift
     * (a built file rewritten, shrunk, touched, or deleted) returns
     * None: nothing can compensate an in-place mutation, so the strict
-    * suspension stands. For a JOINED source the extras must all land
-    * under ONE leaf (appends to two tables in the same window would
-    * need a cross-delta term; fail closed and let refresh catch up).
+    * suspension stands. For a JOINED source every extra file must land
+    * under SOME registered leaf; appends on several leaves in one
+    * window are fine — [[joinedDelta]] folds the cross-delta terms
+    * (Δa⋈b₀ + (a₀+Δa)⋈Δb telescopes to the exact delta).
     */
   private def deltaFor(spec: Spec,
       s: org.apache.spark.sql.SparkSession): Option[Seq[String]] =
@@ -470,11 +479,8 @@ object Summaries {
     val extras = entries.filterNot(built)
     if (built.nonEmpty && built.subsetOf(cur) && extras.nonEmpty &&
         !extras.exists(_.startsWith("absent:")) &&
-        (spec.fpPaths.length == 1 || {
-          val owners = extras.map(e => ownerPath(spec, entryPath(e)))
-          owners.forall(_.isDefined) &&
-            owners.flatten.distinct.length == 1
-        }))
+        (spec.fpPaths.length == 1 ||
+          extras.forall(e => ownerPath(spec, entryPath(e)).isDefined)))
       Some(extras.map(entryPath))
     else None
   }
@@ -686,7 +692,8 @@ object Summaries {
       kmvK: Int = 64,
       kmvDomain: Long = 1000000007L,
       partial: Boolean = false,
-      sumsqs: Seq[(String, String)] = Nil): Spec = {
+      sumsqs: Seq[(String, String)] = Nil,
+      where: Option[String] = None): Spec = {
     val sums0 = withSumsqs(sums, sumsqs)
     // `partial = true` is the PARTIAL-BUILD half of the incremental
     // lifecycle: the source may be a Filter over the bare scan (e.g.
@@ -694,7 +701,13 @@ object Summaries {
     // — refresh() folds in the remaining batches and its `complete`
     // flag flips routing on. Without the flag a filtered frame is an
     // error: a subset summary must never shadow the full table.
+    // `where` is different: a DECLARED grain-column predicate the
+    // summary is built under (the warehouse filtered-MV form) — the
+    // summary stays routable, but only for queries whose own filters
+    // imply the declaration (the rewrite's subsumption gate).
     val source = singleSourcePath(raw, allowFilter = partial)
+    val filterSql = where.map(_.trim).getOrElse("")
+    val filtered = applyDeclaredFilter(raw, filterSql, grain)
     // one summary per source: silently evicting a DIFFERENT name
     // would leave its directory orphaned and its drop() a no-op
     Option(reg.get(source)).filter(_.name != name).foreach { o =>
@@ -713,7 +726,7 @@ object Summaries {
       // re-aggregate across rollups and generations
       hlls.map { case (n, s) => hllSketchCol(s, hllPrecision).as(n) } ++
       kmvs.map { case (n, s) => kmvSketchCol(s, kmvK, kmvDomain).as(n) })
-    val out = raw.groupBy(grain.map(col): _*)
+    val out = filtered.groupBy(grain.map(col): _*)
       .agg(count(lit(1)).as(CntCol), aggCols: _*)
     val entries = listEntries(Seq(source),
       raw.sparkSession.sparkContext.hadoopConfiguration)
@@ -735,8 +748,37 @@ object Summaries {
       routable = !partial,
       fpPaths = Seq(source),
       sourceFp = fp,
-      builtFiles = entries))
+      builtFiles = entries,
+      filterSql = filterSql))
   }
+
+  /** Apply (and validate) a declared summary WHERE clause: it must
+    * parse, reference GRAIN columns only (a non-grain predicate could
+    * never be matched by a routable query — its filters are
+    * grain-gated — so it would register a permanently unroutable
+    * subset), and be deterministic. Applied to the raw rows before
+    * the build aggregate AND to every refresh/delta batch
+    * ([[partialAgg]]), so every generation aggregates the same slice.
+    */
+  private def applyDeclaredFilter(raw: DataFrame, filterSql: String,
+      grain: Seq[String]): DataFrame =
+    if (filterSql.isEmpty) raw
+    else {
+      val filtered = raw.filter(expr(filterSql))
+      val cond = filtered.queryExecution.analyzed match {
+        case org.apache.spark.sql.catalyst.plans.logical
+              .Filter(c, _) => c
+        case other => throw new IllegalArgumentException(
+          s"summary WHERE did not analyze to a filter: $other")
+      }
+      val bad = cond.references.map(_.name).filterNot(grain.contains)
+      require(bad.isEmpty,
+        s"summary WHERE must reference grain columns only; " +
+          s"got non-grain: ${bad.mkString(", ")}")
+      require(cond.deterministic,
+        "summary WHERE must be deterministic")
+      filtered
+    }
 
   /** The composite registry key of a JOIN summary: every canonical
     * leaf path plus every canonical equi-edge (each edge rendered
@@ -845,7 +887,8 @@ object Summaries {
       kmvK: Int = 64,
       kmvDomain: Long = 1000000007L,
       partial: Boolean = false,
-      sumsqs: Seq[(String, String)] = Nil): Spec = {
+      sumsqs: Seq[(String, String)] = Nil,
+      where: Option[String] = None): Spec = {
     val sums0 = withSumsqs(sums, sumsqs)
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Project, SubqueryAlias}
     import org.apache.spark.sql.catalyst.plans.Inner
@@ -902,7 +945,9 @@ object Summaries {
       // the mergeable STATE, exactly as in create()
       hlls.map { case (n, s) => hllSketchCol(s, hllPrecision).as(n) } ++
       kmvs.map { case (n, s) => kmvSketchCol(s, kmvK, kmvDomain).as(n) })
-    val out = raw.groupBy(grain.map(col): _*)
+    val filterSql = where.map(_.trim).getOrElse("")
+    val out = applyDeclaredFilter(raw, filterSql, grain)
+      .groupBy(grain.map(col): _*)
       .agg(count(lit(1)).as(CntCol), aggCols: _*)
     val joinEntries = listEntries(paths,
       raw.sparkSession.sparkContext.hadoopConfiguration)
@@ -925,7 +970,8 @@ object Summaries {
       fpPaths = paths,
       sourceFp = joinFp,
       builtFiles = joinEntries,
-      joinEdges = edges))
+      joinEdges = edges,
+      filterSql = filterSql))
   }
 
   /** Write a summary generation, read it back, and (re-)register. A
@@ -1029,6 +1075,11 @@ object Summaries {
     * delta-compensated read substrate.
     */
   private def partialAgg(spec: Spec, batch: DataFrame): DataFrame = {
+    // a FILTERED summary aggregates only its declared slice — every
+    // refresh batch and delta read goes through the same predicate,
+    // so all generations cover exactly the declaration
+    val src = if (spec.filterSql.isEmpty) batch
+      else batch.filter(expr(spec.filterSql))
     val aggCols = (spec.sumSql.map { case (n, s) => sum(expr(s)).as(n) } ++
       spec.nnSql.map { case (n, s) => count(expr(s)).as(n) } ++
       spec.minSql.map { case (n, s) => min(expr(s)).as(n) } ++
@@ -1037,7 +1088,7 @@ object Summaries {
         hllSketchCol(s, spec.hllPrecision).as(n) } ++
       spec.kmvSql.map { case (n, s) =>
         kmvSketchCol(s, spec.kmvK, spec.kmvDomain).as(n) })
-    batch.groupBy(spec.grain.map(col): _*)
+    src.groupBy(spec.grain.map(col): _*)
       .agg(count(lit(1)).as(spec.cntCol), aggCols: _*)
   }
 
@@ -1140,33 +1191,22 @@ object Summaries {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
-  /** Rebuild Δleaf ⋈ (every other leaf) along the registered edges —
-    * the joined summary's delta rows. Grows the join outward from the
-    * appended leaf, applying every edge whose both endpoints are in
-    * scope (the edge graph connects all leaves by the registration
-    * gate, so this terminates with all tables joined). Column names
-    * must be globally unique across the leaves — same-name columns
-    * would make the by-name rebuild ambiguous, so that case fails
-    * closed (None).
+  /** Join all leaves (one DataFrame each) along the registered edges.
+    * Grows the join outward from `start`, applying every edge whose
+    * both endpoints are in scope (the edge graph connects all leaves
+    * by the registration gate, so this terminates with all tables
+    * joined), then re-applies EVERY edge as a filter on top: edges
+    * the grow-loop already consumed re-filter as no-ops, and any edge
+    * it never used — a cross-branch equality between two tables that
+    * each arrived via another edge (the Q5 local-supplier condition)
+    * — becomes the predicate the join above missed.
     */
-  private def joinedDelta(spec: Spec,
-      s: org.apache.spark.sql.SparkSession): Option[DataFrame] = {
-    val dPath = ownerPath(spec, spec.deltaFiles.head).getOrElse(
-      return None)
-    if (!spec.deltaFiles.forall(f => ownerPath(spec, f).contains(dPath)))
-      return None
-    if (spec.joinEdges.isEmpty) return None
-    val dfs: Map[String, DataFrame] =
-      spec.fpPaths.map { p =>
-        p -> (if (p == dPath) readDelta(s, dPath, spec.deltaFiles)
-              else s.read.parquet(p))
-      }.toMap
-    val allCols = spec.fpPaths.flatMap(p => dfs(p).columns)
-    if (allCols.distinct.length != allCols.length) return None
-    var joined = dfs(dPath)
-    val in = scala.collection.mutable.Set(dPath)
+  private def joinLeaves(spec: Spec, dfs: Map[String, DataFrame],
+      start: String): Option[DataFrame] = {
+    var joined = dfs(start)
+    val in = scala.collection.mutable.Set(start)
     val remaining =
-      scala.collection.mutable.Set(spec.fpPaths.filterNot(_ == dPath): _*)
+      scala.collection.mutable.Set(spec.fpPaths.filterNot(_ == start): _*)
     while (remaining.nonEmpty) {
       val next = remaining.find(p => spec.joinEdges.exists {
         case (pa, _, pb, _) =>
@@ -1182,14 +1222,81 @@ object Summaries {
       in += next
       remaining -= next
     }
-    // apply EVERY edge as a filter on top: edges the grow-loop already
-    // consumed re-filter as no-ops, and any edge it never used — a
-    // cross-branch equality between two tables that each arrived via
-    // another edge (the Q5 local-supplier condition) — becomes the
-    // predicate the join above missed
     Some(spec.joinEdges.foldLeft(joined) { case (df, (_, ca, _, cb)) =>
       df.filter(col(ca) === col(cb))
     })
+  }
+
+  /** Rebuild the joined summary's delta rows — everything the NEW
+    * join state contains beyond the BUILT join state — along the
+    * registered edges, with appends allowed on ANY number of leaves.
+    *
+    * The fold is the telescoping inclusion–exclusion: order the
+    * appended leaves a₁..a_k canonically (registration order) and sum
+    * k join terms, where term i reads leaf a_i at its DELTA files,
+    * every earlier appended leaf at its NEW state (built + delta) and
+    * everything else at its BUILT state:
+    *
+    *   Σᵢ New(a₁)⋈…⋈New(a_{i-1}) ⋈ Δ(a_i) ⋈ Built(a_{i+1})⋈…
+    *     = New(a₁)⋈…⋈New(a_k)⋈Built(rest) − Built(a₁)⋈…⋈Built(rest)
+    *
+    * k terms instead of 2^k−1 subsets, each with at least one small
+    * delta side (the planner broadcasts it), and each pair of raw
+    * rows counted exactly once. Every read is PINNED to an explicit
+    * file list from the blessed listing (built files from the spec,
+    * delta files from the validated extras; basePath anchored per
+    * leaf so Hive-partition columns survive) — a file that lands on
+    * any leaf between the listing and execution is invisible to the
+    * fold, so it surfaces as the NEXT delta instead of double-
+    * counting (the compensated read and refreshDelta cover exactly
+    * what the gate verified). Column names must be globally unique
+    * across the leaves — same-name columns would make the by-name
+    * rebuild ambiguous, so that case fails closed (None), as does a
+    * leaf with no built files whose cross terms would all be empty
+    * (the true delta is 0 rows; raw scans stay correct).
+    */
+  private def joinedDelta(spec: Spec,
+      s: org.apache.spark.sql.SparkSession): Option[DataFrame] = {
+    if (spec.joinEdges.isEmpty) return None
+    val deltaOwners = spec.deltaFiles.map(f => ownerPath(spec, f))
+    if (deltaOwners.exists(_.isEmpty)) return None
+    val deltaByLeaf: Map[String, Seq[String]] =
+      spec.deltaFiles.zip(deltaOwners.map(_.get)).groupBy(_._2)
+        .map { case (p, fs) => p -> fs.map(_._1) }
+    val builtPaths = spec.builtFiles.map(entryPath)
+    val builtOwners = builtPaths.map(f => ownerPath(spec, f))
+    if (builtOwners.exists(_.isEmpty)) return None
+    val builtByLeaf: Map[String, Seq[String]] =
+      builtPaths.zip(builtOwners.map(_.get)).groupBy(_._2)
+        .map { case (p, fs) => p -> fs.map(_._1) }
+    val appended = spec.fpPaths.filter(deltaByLeaf.contains)
+    if (appended.isEmpty) return None
+    // pinned per-leaf frames, one read per (leaf, state) actually used
+    val deltaDf = deltaByLeaf.map { case (p, fs) =>
+      p -> readDelta(s, p, fs) }
+    val builtDf = builtByLeaf.map { case (p, fs) =>
+      p -> readDelta(s, p, fs) }
+    val newDf = spec.fpPaths.flatMap { p =>
+      val fs = builtByLeaf.getOrElse(p, Nil) ++ deltaByLeaf.getOrElse(p, Nil)
+      if (fs.isEmpty) None else Some(p -> readDelta(s, p, fs))
+    }.toMap
+    if (!spec.fpPaths.forall(newDf.contains)) return None
+    val allCols = spec.fpPaths.flatMap(p => newDf(p).columns)
+    if (allCols.distinct.length != allCols.length) return None
+    val terms = appended.zipWithIndex.flatMap { case (ai, i) =>
+      val sides = spec.fpPaths.map { p =>
+        p -> (if (p == ai) Some(deltaDf(p))
+              else if (appended.indexOf(p) >= 0 && appended.indexOf(p) < i)
+                Some(newDf(p))
+              else builtDf.get(p))
+      }
+      // a zero-file side makes the whole term empty: skip it
+      if (sides.exists(_._2.isEmpty)) None
+      else joinLeaves(spec,
+        sides.map { case (p, d) => p -> d.get }.toMap, ai)
+    }
+    if (terms.isEmpty) None
+    else Some(terms.reduce(_ unionByName _))
   }
 
   def refresh(name: String, batch: DataFrame,
@@ -1275,8 +1382,8 @@ object Summaries {
     val files = deltaFromEntries(spec, entries).getOrElse(
       throw new IllegalStateException(
         s"source of '$name' drifted in place (a built file was " +
-          "rewritten or deleted, or two join leaves changed) — " +
-          "re-create the summary"))
+          "rewritten or deleted, or a file landed outside the " +
+          "registered leaves) — re-create the summary"))
     val withDelta = spec.copy(deltaFiles = files)
     val batch =
       if (spec.fpPaths.length == 1)
@@ -1331,7 +1438,26 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.summaryRewrite.enabled"
 
+  // thread-confined bypass for diagnosis: RoutingExplain re-optimizes
+  // a query with routing OFF to see the pre-rewrite aggregate shapes;
+  // flipping the session conf for that window would silently plan any
+  // CONCURRENT query on the same session unrouted (and two interleaved
+  // explain() calls could restore the wrong previous value), so the
+  // bypass rides a ThreadLocal instead — the optimizer runs on the
+  // thread that forces optimizedPlan, and other threads never see it
+  private val bypass = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Run `body` with the rewrite suppressed ON THIS THREAD ONLY. */
+  private[plans] def withBypass[A](body: => A): A = {
+    val prev = bypass.get()
+    bypass.set(java.lang.Boolean.TRUE)
+    try body finally bypass.set(prev)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (bypass.get()) return plan
     if (!conf.getConfString(ConfKey, "true").toBoolean) return plan
     // a fresh JVM starts with an empty in-memory registry; persisted
     // specs (the catalog half of the MV contract) lazily reload here
@@ -1347,6 +1473,169 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case And(a, b) => splitConj(a) ++ splitConj(b)
     case x => Seq(x)
   }
+
+  // ----- the FILTERED-summary subsumption gate -------------------
+
+  /** Does the query's filter set imply the summary's declared WHERE?
+    * Checked conjunct-by-conjunct: every summary conjunct must be
+    * implied by some query conjunct — by semantic equality, or by
+    * contained single-column comparison ranges on the SAME attribute
+    * (query `x > 7` implies declared `x > 5`). Conservative and
+    * fail-closed: anything unprovable keeps the query on the raw
+    * table (correct, just unrouted) — the same posture as every
+    * other gate here, because a false "implies" would silently serve
+    * a subset answer.
+    */
+  private[plans] def filterSubsumed(spec: Summaries.Spec,
+      filters: Seq[Expression], rawOut: Seq[Attribute]): Boolean =
+    spec.filterSql.isEmpty || {
+      resolveDeclared(spec.filterSql, rawOut) match {
+        case None => false
+        case Some(decl) =>
+          val qs = filters.flatMap(splitConj)
+          splitConj(decl).forall(sc =>
+            qs.exists(qc => qc.semanticEquals(sc) || impliesCmp(qc, sc)))
+      }
+    }
+
+  /** Parse the declared WHERE and resolve its attributes BY NAME
+    * against the query's own raw output, so semantic comparison runs
+    * over the query's exprIds. Ambiguous, qualified, or missing names
+    * fail (None → the gate fails closed).
+    */
+  private def resolveDeclared(sql: String,
+      rawOut: Seq[Attribute]): Option[Expression] =
+    try {
+      val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(sql)
+      var ok = true
+      val byName = rawOut.groupBy(_.name)
+      val resolved = parsed.transformUp {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if u.nameParts.length == 1 =>
+          byName.get(u.nameParts.head) match {
+            case Some(Seq(a)) => a
+            case _ => ok = false; u
+          }
+      }
+      // the analyzer's type coercion never runs here, so comparisons
+      // like `l_quantity > 30` (double attr, int literal) would stay
+      // unresolved — coerce the LITERAL side into the other side's
+      // type, but only when the value round-trips exactly (litIn):
+      // a lossy coercion would silently move the declared boundary
+      val coerced = resolved.transformUp {
+        case bc: BinaryComparison
+            if bc.left.resolved && bc.right.resolved &&
+              bc.left.dataType != bc.right.dataType =>
+          (bc.left, bc.right) match {
+            case (l: Literal, r) => litIn(l, r.dataType)
+              .map(v => bc.withNewChildren(
+                Seq(Literal.create(v, r.dataType), r)))
+              .getOrElse(bc)
+            case (l, r: Literal) => litIn(r, l.dataType)
+              .map(v => bc.withNewChildren(
+                Seq(l, Literal.create(v, l.dataType))))
+              .getOrElse(bc)
+            case _ => bc
+          }
+      }
+      if (ok && coerced.resolved) Some(coerced) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One comparison conjunct, normalized to the attribute's own type:
+    * ops are '>' / 'G' (≥) / '<' / 'L' (≤) / '='. */
+  private final case class Cmp(id: ExprId,
+      dt: org.apache.spark.sql.types.DataType, op: Char, v: Any)
+
+  /** A literal's value carried into `dt` — only when the conversion
+    * ROUND-TRIPS exactly (cast there and back reproduces the original
+    * value). A lossy conversion (25.7 → int 25) would silently widen
+    * the declared range and break soundness, so it fails instead.
+    */
+  private def litIn(l: Literal,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] =
+    if (l.value == null) None
+    else if (l.dataType == dt) Some(l.value)
+    else try {
+      val zone = Some(conf.sessionLocalTimeZone)
+      val there = Cast(l, dt, zone)
+      if (!there.resolved) return None
+      val v = there.eval(null)
+      if (v == null) return None
+      val back = Cast(Literal.create(v, dt), l.dataType, zone)
+      if (back.resolved && back.eval(null) == l.value) Some(v) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def asCmp(e: Expression): Option[Cmp] = {
+    def mk(a: AttributeReference, op: Char, l: Literal) =
+      litIn(l, a.dataType).map(v => Cmp(a.exprId, a.dataType, op, v))
+    e match {
+      case GreaterThan(a: AttributeReference, l: Literal) => mk(a, '>', l)
+      case GreaterThan(l: Literal, a: AttributeReference) => mk(a, '<', l)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        mk(a, 'G', l)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        mk(a, 'L', l)
+      case LessThan(a: AttributeReference, l: Literal) => mk(a, '<', l)
+      case LessThan(l: Literal, a: AttributeReference) => mk(a, '>', l)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        mk(a, 'L', l)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        mk(a, 'G', l)
+      case EqualTo(a: AttributeReference, l: Literal) => mk(a, '=', l)
+      case EqualTo(l: Literal, a: AttributeReference) => mk(a, '=', l)
+      case _ => None
+    }
+  }
+
+  /** Total order over same-type comparison values (the handful of
+    * atomic types the gate supports); None = unsupported type. */
+  private def cmpValues(dt: org.apache.spark.sql.types.DataType,
+      a: Any, b: Any): Option[Int] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+          TimestampType | TimestampNTZType =>
+        Some(java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
+          b.asInstanceOf[Number].longValue()))
+      case FloatType | DoubleType =>
+        Some(java.lang.Double.compare(a.asInstanceOf[Number].doubleValue(),
+          b.asInstanceOf[Number].doubleValue()))
+      case _: DecimalType =>
+        Some(a.asInstanceOf[Decimal].compare(b.asInstanceOf[Decimal]))
+      case StringType =>
+        Some(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+      case BooleanType =>
+        Some(java.lang.Boolean.compare(a.asInstanceOf[Boolean],
+          b.asInstanceOf[Boolean]))
+      case _ => None
+    }
+  }
+
+  /** Range containment between two normalized comparisons on the
+    * same attribute: does `q` imply `s`? */
+  private def impliesCmp(qe: Expression, se: Expression): Boolean =
+    (asCmp(qe), asCmp(se)) match {
+      case (Some(q), Some(s)) if q.id == s.id && q.dt == s.dt =>
+        cmpValues(q.dt, q.v, s.v) match {
+          case Some(c) =>
+            s.op match {
+              case '>' => (q.op == '>' && c >= 0) ||
+                ((q.op == 'G' || q.op == '=') && c > 0)
+              case 'G' => (q.op == '>' || q.op == 'G' || q.op == '=') &&
+                c >= 0
+              case '<' => (q.op == '<' && c <= 0) ||
+                ((q.op == 'L' || q.op == '=') && c < 0)
+              case 'L' => (q.op == '<' || q.op == 'L' || q.op == '=') &&
+                c <= 0
+              case '=' => q.op == '=' && c == 0
+              case _ => false
+            }
+          case None => false
+        }
+      case _ => false
+    }
 
   /** Flatten an optimizer-shaped INNER join tree: bare leaves (their
     * canonical path + scan), every pushed-down or mid-tree filter
@@ -1502,7 +1791,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             // be served the OTHER table's column by the name-keyed
             // mapping — fail closed to raw
             !(filters ++ groupings ++ aggExprs)
-              .flatMap(_.references).exists(unsafeDups.contains))
+              .flatMap(_.references).exists(unsafeDups.contains) &&
+            // a FILTERED summary only serves queries whose own
+            // filters imply its declared WHERE
+            filterSubsumed(spec, filters, rawOut))
           rewriteOnto(groupings, aggExprs, filters, rawOut, spec)
         else None
       }
@@ -1777,6 +2069,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     }
     val spec = Summaries.pathOf(lr).flatMap(Summaries.lookup)
       .getOrElse(return None)
+    // a FILTERED summary serves a rollup only when the below-Expand
+    // filters (the pushed-down WHERE) imply its declaration
+    if (!filterSubsumed(spec, childFilters, lr.output)) return None
     val grainNames = spec.grain.toSet
     val nOut = expand.output.size
     if (expand.projections.isEmpty ||

@@ -62,22 +62,31 @@ class AdvisorSpec extends SparkSpec {
       """{"op":"HashAggregate","depth":1,"metrics":{"numOutputRows":3}}]}""",
     // qI/qJ: the SAME equi-join on the SAME keys repeating with real
     // shuffle volume — the write-time BUCKETING candidate (no
-    // aggregate required: the lever is co-location, not routing)
+    // aggregate required: the lever is co-location, not routing).
+    // Operators are in TraceCapture's PRE-ORDER (parent before
+    // children), and each query carries one exchange ABOVE the join
+    // (depth 1 — an aggregate/sort shuffle co-location can't delete)
+    // that must NOT count toward the nomination: only the exchanges
+    // feeding the join (depth below it) are creditable.
     """{"event":"query","name":"qI","wall_ms":900,"ts_ms":1,"operators":[""" +
-      """{"op":"Scan parquet f","depth":3,"path":"/data/f","metrics":{"scanTime":200}},""" +
-      """{"op":"Scan parquet g","depth":3,"path":"/data/g","metrics":{"scanTime":180}},""" +
+      """{"op":"ShuffleExchange","depth":1,"metrics":{"dataSize":7000000}},""" +
+      """{"op":"SortMergeJoin","depth":2,"jkeys":["f_id=g_id"],"metrics":{"numOutputRows":9}},""" +
       """{"op":"ShuffleExchange","depth":3,"metrics":{"dataSize":50000000}},""" +
-      """{"op":"SortMergeJoin","depth":2,"jkeys":["f_id=g_id"],"metrics":{"numOutputRows":9}}]}""",
+      """{"op":"Scan parquet f","depth":4,"path":"/data/f","metrics":{"scanTime":200}},""" +
+      """{"op":"ShuffleExchange","depth":3,"metrics":{"dataSize":1000000}},""" +
+      """{"op":"Scan parquet g","depth":4,"path":"/data/g","metrics":{"scanTime":180}}]}""",
     """{"event":"query","name":"qJ","wall_ms":800,"ts_ms":1,"operators":[""" +
-      """{"op":"Scan parquet g","depth":3,"path":"/data/g","metrics":{"scanTime":170}},""" +
-      """{"op":"Scan parquet f","depth":3,"path":"/data/f","metrics":{"scanTime":210}},""" +
+      """{"op":"ShuffleExchange","depth":1,"metrics":{"dataSize":9000000}},""" +
+      """{"op":"SortMergeJoin","depth":2,"jkeys":["f_id=g_id"],"metrics":{"numOutputRows":9}},""" +
       """{"op":"ShuffleExchange","depth":3,"metrics":{"dataSize":52000000}},""" +
-      """{"op":"SortMergeJoin","depth":2,"jkeys":["f_id=g_id"],"metrics":{"numOutputRows":9}}]}""")
+      """{"op":"Scan parquet g","depth":4,"path":"/data/g","metrics":{"scanTime":170}},""" +
+      """{"op":"ShuffleExchange","depth":3,"metrics":{"dataSize":2000000}},""" +
+      """{"op":"Scan parquet f","depth":4,"path":"/data/f","metrics":{"scanTime":210}}]}""")
 
   test("deterministic fixture: every signal class found, ranked, levered") {
     // the fixture feeds TWICE: repeated executions of the same
     // (query, operator, signal) must collapse to one finding
-    val fs = Advisor.advise((fixture ++ fixture).iterator, topN = 5)
+    val fs = Advisor.advise((fixture ++ fixture).iterator, topN = 8)
     def one(sig: String, op: String) = {
       val hits = fs.filter(f => f.signal == sig && f.op == op)
       assert(hits.size == 1, s"$sig/$op: $fs")
@@ -136,8 +145,11 @@ class AdvisorSpec extends SparkSpec {
     assert(bkt.size == 1, s"$bkt")
     assert(bkt.head.op == "Join /data/f ⋈ /data/g", s"$bkt")
     assert(bkt.head.edges == Seq("f_id=g_id"))
-    // worst-per-query sums: qI 50 MB + qJ 52 MB
-    assert(bkt.head.value == 50000000L + 52000000L, s"${bkt.head}")
+    // worst-per-query sums of the JOIN-FEEDING exchanges only:
+    // qI (50+1) MB + qJ (52+2) MB — the depth-1 exchanges above the
+    // joins (7/9 MB) are not creditable to co-location and must be
+    // excluded
+    assert(bkt.head.value == 51000000L + 54000000L, s"${bkt.head}")
     assert(bkt.head.lever.contains("Layout.createBucketed"))
     assert(!fs.exists(f => f.kind == "join" &&
       f.op.contains("/data/f")), "no aggregate → no joined-summary " +

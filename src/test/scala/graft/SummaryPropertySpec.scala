@@ -260,4 +260,132 @@ class SummaryPropertySpec extends SparkSpec {
       }
     } finally Summaries.drop("prop_join")
   }
+
+  test("random shapes against a FILTERED summary: routed == raw " +
+      "whether or not the shape subsumes the declaration") {
+    // the filtered-MV property: a summary declared WHERE l_quantity
+    // > 30 must serve subsuming shapes value-exactly and leave every
+    // other shape on the raw table — cmp() checks routed == raw
+    // either way, so a subsumption false-positive (routing a
+    // non-subsumed shape onto the slice) surfaces as a value diff
+    val rnd = new scala.util.Random(30082026L)
+    val li = Tables.load(spark, sf, "lineitem")
+    Summaries.create(li, "prop_filtered",
+      grain = Seq("l_returnflag", "l_linestatus", "l_quantity"),
+      sums = Seq("sp" -> "cast(l_extendedprice as decimal(18,2))"),
+      mins = Seq("mnp" -> "l_extendedprice"),
+      where = Some("l_quantity > 30"))
+    try {
+      val grain = Seq("l_returnflag", "l_linestatus", "l_quantity")
+      val aggPool: Seq[(String, Column)] = Seq(
+        "cnt" -> count(lit(1)),
+        "sp" -> sum(col("l_extendedprice").cast("decimal(18,2)")),
+        "ap" -> avg(col("l_extendedprice").cast("decimal(18,2)")),
+        "mnp" -> min(col("l_extendedprice")),
+        "mxq" -> max(col("l_quantity")))
+      // a mix of subsuming (> 30, > 40, = 45-with->30) and
+      // non-subsuming (>= 30, > 25, no quantity filter) shapes
+      val filterPool: Seq[Column] = Seq(
+        col("l_quantity") > 30.0,
+        col("l_quantity") > 40.0,
+        col("l_quantity") >= 30.0,
+        col("l_quantity") > 25.0,
+        col("l_returnflag") =!= "N")
+      for (i <- 1 to 16) {
+        val groups = rnd.shuffle(grain).take(rnd.nextInt(grain.size + 1))
+        val picked = rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
+        val aggs = picked.map { case (n, c) => c.as(n) }
+        val filters = rnd.shuffle(filterPool).take(rnd.nextInt(3))
+        val q = () => {
+          val base = filters.foldLeft(
+            Tables.load(spark, sf, "lineitem"))(_ filter _)
+          val agged =
+            if (groups.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+            else base.groupBy(groups.map(col): _*)
+              .agg(aggs.head, aggs.tail: _*)
+          agged.orderBy(groups.map(col) :+ col(picked.head._1): _*)
+        }
+        cmp(q, s"filtered shape $i (groups=$groups " +
+          s"filters=${filters.size} aggs=${picked.map(_._1)})")
+      }
+    } finally Summaries.drop("prop_filtered")
+  }
+
+  test("random shapes against a TWO-LEAF delta-compensated JOINED " +
+      "summary: routed == raw") {
+    // the round-11 telescoped fold under the same shape sweep: BOTH
+    // leaves gain appended files after the build, so every routed
+    // answer goes through merge(summary, partial-agg(Δli⋈ord₀ ∪
+    // (li₀+Δli)⋈Δord)) — the cross-delta terms must count every pair
+    // of raw rows exactly once across the whole measure family, and
+    // fall-through shapes must still be correct (raw)
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(16082026L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop_j2")
+      .toFile
+    val liPath = new java.io.File(dir, "li_copy").getAbsolutePath
+    val ordPath = new java.io.File(dir, "ord_copy").getAbsolutePath
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity",
+        "l_extendedprice", "l_tax")
+    val ord = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    li.filter(col("l_orderkey") % 10 < 8).write.parquet(liPath)
+    ord.filter(col("o_orderkey") % 10 =!= 3).write.parquet(ordPath)
+    val src = () => spark.read.parquet(liPath)
+      .join(spark.read.parquet(ordPath),
+        col("l_orderkey") === col("o_orderkey"))
+    Summaries.createJoined(src(), "prop_j2",
+      grain = Seq("o_orderpriority", "l_returnflag", "l_quantity"),
+      sums = Seq("s_price" -> "cast(l_extendedprice as decimal(18,2))"))
+    li.filter(col("l_orderkey") % 10 >= 8)
+      .write.mode("append").parquet(liPath)
+    ord.filter(col("o_orderkey") % 10 === 3)
+      .write.mode("append").parquet(ordPath)
+    Summaries.invalidate("prop_j2")
+    try {
+      val grain = Seq("o_orderpriority", "l_returnflag", "l_quantity")
+      val aggPool: Seq[(String, Column)] = Seq(
+        "cnt" -> count(lit(1)),
+        "p50" -> expr("percentile(l_quantity, 0.5)"),
+        "mxq" -> max(col("l_quantity")),
+        "sp" -> sum(col("l_extendedprice").cast("decimal(18,2)")),
+        "ap" -> avg(col("l_extendedprice").cast("decimal(18,2)")),
+        "ndf" -> countDistinct(col("l_returnflag")),
+        // non-routable: a non-grain, non-measure column
+        "mnt" -> min(col("l_tax")),
+        "ad" -> avg(col("l_extendedprice"))) // double avg: never routes
+      val filterPool: Seq[Column] = Seq(
+        col("o_orderpriority") =!= "1-URGENT",
+        col("l_quantity") <= 40.0,
+        col("l_returnflag") =!= "R")
+      for (i <- 1 to 16) {
+        val groups = rnd.shuffle(grain).take(rnd.nextInt(grain.size + 1))
+        val picked = rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
+        val aggs = picked.map { case (n, c) => c.as(n) }
+        val filters = rnd.shuffle(filterPool).take(rnd.nextInt(3))
+        val q = () => {
+          val base = filters.foldLeft(src())(_ filter _)
+          val agged =
+            if (groups.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+            else base.groupBy(groups.map(col): _*)
+              .agg(aggs.head, aggs.tail: _*)
+          agged.orderBy(groups.map(col) :+ col(picked.head._1): _*)
+        }
+        cmp(q, s"two-leaf delta shape $i (groups=$groups " +
+          s"filters=${filters.size} aggs=${picked.map(_._1)})")
+      }
+      // and the one-call fold catches the summary up: after
+      // refreshDelta the same shapes route summary-only
+      assert(Summaries.refreshDelta("prop_j2").isDefined)
+      cmp(() => src().groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sp"))
+        .orderBy("o_orderpriority"), "post-fold shape")
+    } finally {
+      Summaries.drop("prop_j2")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }

@@ -1617,7 +1617,8 @@ class SummaryRewriteSpec extends SparkSpec {
   }
 
   test("joined summary: a fact-side append delta-compensates through " +
-      "the rebuilt join; a two-table append suspends") {
+      "the rebuilt join; a two-table append compensates via the " +
+      "telescoped cross-delta fold") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("graft_jdelta").toFile
     val liPath = new java.io.File(dir, "li_copy").getAbsolutePath
@@ -1657,16 +1658,226 @@ class SummaryRewriteSpec extends SparkSpec {
         s"the delta must re-join the dim: $paths")
       assert(q().collect().toSeq == withoutRouting { q().collect().toSeq },
         "compensated join answer must equal the post-append raw join")
-      // appends on BOTH leaves in one window: the single-leaf gate
-      // fails closed (a cross-delta term would be missing)
+      // appends on BOTH leaves in one window: the telescoped fold
+      // (Δli⋈ord₀ + (li₀+Δli)⋈Δord) keeps the read compensated —
+      // every pair of raw rows counted exactly once
       ord.limit(5).write.mode("append").parquet(ordPath)
       Summaries.invalidate("spec_jdelta")
       val paths2 = scanPaths(q())
-      assert(!paths2.exists(_.contains("graft_summaries")),
-        s"two-leaf append must suspend: $paths2")
+      assert(paths2.exists(_.contains("graft_summaries")),
+        s"two-leaf append should still ride the summary: $paths2")
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq },
+        "two-leaf compensated answer must equal the post-append raw join")
+      // and refreshDelta folds BOTH deltas in one call: reads return
+      // to summary-only (no li_copy/ord_copy scan at all)
+      assert(Summaries.refreshDelta("spec_jdelta").isDefined,
+        "refreshDelta should detect and fold the two-leaf drift")
+      val paths3 = scanPaths(q())
+      assert(paths3.exists(_.contains("graft_summaries")) &&
+        !paths3.exists(p => p.contains("li_copy") || p.contains("ord_copy")),
+        s"post-fold reads must be summary-only: $paths3")
       assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
     } finally {
       Summaries.drop("spec_jdelta")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("FILTERED summary: subsumed queries route, non-subsumed fail " +
+      "closed, refresh/delta stay on the declared slice") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fsum").toFile
+    val srcPath = new java.io.File(dir, "li_f").getAbsolutePath
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice")
+    li.filter(col("l_orderkey") % 10 < 8).write.parquet(srcPath)
+    val src = () => spark.read.parquet(srcPath)
+    def q(f: org.apache.spark.sql.Column) = () =>
+      src().filter(f).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sp"))
+        .orderBy("l_returnflag")
+    try {
+      Summaries.create(src(), "spec_filtered",
+        grain = Seq("l_returnflag", "l_linestatus", "l_quantity"),
+        sums = Seq("sp" -> "cast(l_extendedprice as decimal(18,2))"),
+        where = Some("l_quantity > 30"))
+      // exact predicate: routes
+      val qeq = q(col("l_quantity") > 30)
+      assert(scanPaths(qeq()).exists(_.contains("graft_summaries")),
+        "the declared predicate itself should route")
+      assert(qeq().collect().toSeq == withoutRouting { qeq().collect().toSeq })
+      // strictly stronger predicate: range containment routes
+      val qst = q(col("l_quantity") > 35 && col("l_linestatus") === "F")
+      assert(scanPaths(qst()).exists(_.contains("graft_summaries")),
+        "a strictly stronger filter should route")
+      assert(qst().collect().toSeq == withoutRouting { qst().collect().toSeq })
+      // >= at the boundary does NOT imply > : fail closed (raw, correct)
+      val qge = q(col("l_quantity") >= 30)
+      assert(!scanPaths(qge()).exists(_.contains("graft_summaries")),
+        ">= 30 does not imply > 30 — must stay raw")
+      assert(qge().collect().toSeq == withoutRouting { qge().collect().toSeq })
+      // weaker predicate / no predicate: fail closed
+      assert(!scanPaths(q(col("l_quantity") > 25)()).exists(
+        _.contains("graft_summaries")))
+      val qall = () => src().groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n")).orderBy("l_returnflag")
+      assert(!scanPaths(qall()).exists(_.contains("graft_summaries")))
+      // the explainer names the gate
+      assert(graft.plans.RoutingExplain.explain(
+        q(col("l_quantity") > 25)()).contains("FILTERED"))
+      // delta-compensated read over the filtered summary: the delta
+      // partial aggregate applies the SAME declared predicate
+      li.filter(col("l_orderkey") % 10 >= 8)
+        .write.mode("append").parquet(srcPath)
+      Summaries.invalidate("spec_filtered")
+      val qd = q(col("l_quantity") > 30)
+      assert(scanPaths(qd()).exists(_.contains("graft_summaries")),
+        "filtered summary should delta-compensate")
+      assert(qd().collect().toSeq == withoutRouting { qd().collect().toSeq },
+        "compensated filtered answer must equal the post-append raw scan")
+      // and the one-call fold keeps the slice: summary-only reads after
+      assert(Summaries.refreshDelta("spec_filtered").isDefined)
+      val paths = scanPaths(qd())
+      assert(paths.exists(_.contains("graft_summaries")) &&
+        !paths.exists(_.contains("li_f")), s"post-fold: $paths")
+      assert(qd().collect().toSeq == withoutRouting { qd().collect().toSeq })
+    } finally {
+      Summaries.drop("spec_filtered")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("FILTERED summary: equality declaration, joined form, and " +
+      "restart survival") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val ord = Tables.load(spark, sf, "orders")
+    try {
+      // equality declaration over a string grain column
+      Summaries.create(li, "spec_feq",
+        grain = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"),
+        where = Some("l_returnflag = 'R'"))
+      val qr = () => Tables.load(spark, sf, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+        .orderBy("l_linestatus")
+      assert(scanPaths(qr()).exists(_.contains("graft_summaries")))
+      assert(qr().collect().toSeq == withoutRouting { qr().collect().toSeq })
+      // a different value must not route
+      val qn = () => Tables.load(spark, sf, "lineitem")
+        .filter(col("l_returnflag") === "N")
+        .groupBy("l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+        .orderBy("l_linestatus")
+      assert(!scanPaths(qn()).exists(_.contains("graft_summaries")))
+      assert(qn().collect().toSeq == withoutRouting { qn().collect().toSeq })
+      // the declaration survives a registry reload (persisted spec)
+      Summaries.unload()
+      assert(scanPaths(qr()).exists(_.contains("graft_summaries")))
+      assert(!scanPaths(qn()).exists(_.contains("graft_summaries")))
+    } finally Summaries.drop("spec_feq")
+    try {
+      // joined filtered summary: the WHERE rides the star build
+      Summaries.createJoined(
+        li.join(ord, li("l_orderkey") === ord("o_orderkey")),
+        "spec_fjoin",
+        grain = Seq("o_orderpriority", "l_returnflag"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"),
+        where = Some("l_returnflag = 'A'"))
+      val qj = () => Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_returnflag") === "A")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+        .orderBy("o_orderpriority")
+      assert(scanPaths(qj()).exists(_.contains("graft_summaries")),
+        "subsumed joined query should route onto the filtered star")
+      assert(qj().collect().toSeq == withoutRouting { qj().collect().toSeq })
+      val qjn = () => Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n")).orderBy("o_orderpriority")
+      assert(!scanPaths(qjn()).exists(_.contains("graft_summaries")),
+        "unfiltered joined query must not route onto a filtered star")
+    } finally Summaries.drop("spec_fjoin")
+    // a non-grain WHERE is rejected at create
+    intercept[IllegalArgumentException] {
+      Summaries.create(li, "spec_fbad",
+        grain = Seq("l_returnflag"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"),
+        where = Some("l_extendedprice > 100"))
+    }
+  }
+
+  test("joined delta reads are PINNED to the blessed listing: a dim " +
+      "file landing inside the TTL window is invisible until blessed " +
+      "(no Δfact⋈Δdim double-count)") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jdpin").toFile
+    val liPath = new java.io.File(dir, "li_pin").getAbsolutePath
+    val ordPath = new java.io.File(dir, "ord_pin").getAbsolutePath
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    val ord = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    li.filter(col("l_orderkey") % 10 < 8).write.parquet(liPath)
+    ord.write.parquet(ordPath)
+    val src = () => spark.read.parquet(liPath)
+      .join(spark.read.parquet(ordPath),
+        col("l_orderkey") === col("o_orderkey"))
+    val q = () => src().groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+    val prevTtl = spark.conf.getOption(Summaries.StaleTtlKey)
+    try {
+      Summaries.createJoined(src(), "spec_jdpin",
+        grain = Seq("o_orderpriority"),
+        sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"))
+      li.filter(col("l_orderkey") % 10 >= 8)
+        .write.mode("append").parquet(liPath)
+      Summaries.invalidate("spec_jdpin")
+      // long TTL: the next lookup's listing (Δli only) stays the
+      // blessed state for the rest of the test
+      spark.conf.set(Summaries.StaleTtlKey, "600000")
+      val blessed = q().collect().toSeq
+      assert(scanPaths(q()).exists(_.contains("graft_summaries")))
+      assert(blessed == withoutRouting { q().collect().toSeq })
+      // a dim append lands INSIDE the TTL window: the gate still
+      // validates the memoized Δli-only listing, so the rebuilt
+      // delta must keep reading the dim at its BUILT file set —
+      // a live dim read would fold Δli⋈Δord now AND again after the
+      // window (the over-count ADVICE flagged). The appended orders
+      // are chosen to JOIN the Δli rows, so a leak visibly moves
+      // the aggregate.
+      ord.filter(col("o_orderkey") % 10 >= 8).limit(5)
+        .write.mode("append").parquet(ordPath)
+      assert(q().collect().toSeq == blessed,
+        "unblessed dim files leaked into the compensated read")
+      // refreshDelta re-lists directly (no memo): both deltas fold
+      // exactly once and the answer catches up to disk
+      spark.conf.set(Summaries.StaleTtlKey,
+        Summaries.DefaultStaleTtlMs.toString)
+      Summaries.invalidate("spec_jdpin")
+      assert(Summaries.refreshDelta("spec_jdpin").isDefined)
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq },
+        "post-fold answer must equal the raw join over everything")
+      assert(!scanPaths(q()).exists(p =>
+        p.contains("li_pin") || p.contains("ord_pin")))
+    } finally {
+      prevTtl match {
+        case Some(v) => spark.conf.set(Summaries.StaleTtlKey, v)
+        case None => spark.conf.unset(Summaries.StaleTtlKey)
+      }
+      Summaries.drop("spec_jdpin")
       java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
         .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }

@@ -259,6 +259,54 @@ object Bench {
       extra += 1
     }
 
+    // ----- scaling-slope audit --------------------------------------
+    // the same suite, one warm-up + two timed passes at a sibling
+    // SMALL SF (sf0.01 next to the benched dir; override with
+    // SPARK_GRAFT_SLOPE_DIR, disable with ""): per-query slope =
+    // t(big) / t(small). The data ratio is 10×, so a healthy
+    // distributed plan lands well under 10 (fixed overhead dominates
+    // the small reading); a slope ≫ 10 on a substantial query is the
+    // mechanical "would it survive 100×" smell — a driver-side loop
+    // or an accidental quadratic shows up as SLOPE long before one
+    // SF's wall-clock betrays it (the bytes_moved idea, applied to
+    // scaling). Flag gate: big reading ≥ 0.5 s (below that, jitter
+    // masquerades as slope) and slope > 15.
+    val slopeDir = sys.env.get("SPARK_GRAFT_SLOPE_DIR")
+      .orElse {
+        val base = new java.io.File(sfDir)
+        Option(base.getParentFile)
+          .map(p => new java.io.File(p, "sf0.01"))
+          .filter(d => d.isDirectory &&
+            d.getCanonicalPath != base.getCanonicalPath)
+          .map(_.getPath)
+      }.filter(_.nonEmpty)
+    val slopeTimes: Map[String, Double] = slopeDir match {
+      case None => Map.empty
+      case Some(sd) =>
+        System.err.println(s"[bench] slope passes at $sd")
+        val acc = scala.collection.mutable.Map.empty[String, Double]
+        for (p <- 0 until 3; n <- names.filterNot(failed)) {
+          val teardown =
+            try mvSetups.get(n).map(fx => fx(spark, sd))
+            catch { case _: Throwable => None }
+          try {
+            val t0 = System.nanoTime()
+            run(SparkEntry.queries(n)(spark, sd))
+            val t = (System.nanoTime() - t0) / 1e9
+            // pass 0 is the warm-up (plan/codegen for the small SF's
+            // file set); keep the min of the two timed passes
+            if (p > 0)
+              acc(n) = math.min(acc.getOrElse(n, Double.MaxValue), t)
+          } catch { case _: Throwable => () }
+          finally {
+            spark.catalog.clearCache()
+            teardown.foreach(td =>
+              try td() catch { case _: Throwable => () })
+          }
+        }
+        acc.toMap
+    }
+
     // clean control level: the 20th percentile of the run's control
     // series — the clean-phase reading, robust against one lucky
     // scheduling roll (the outright min) and against a mostly-slow
@@ -301,6 +349,17 @@ object Bench {
     // 4 dp (0.1 ms) per query: full double precision is timer noise
     // and doubles the line length for nothing
     def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    // per-query scaling slopes (big/small) and the super-linear flags
+    val resultsMap = results.toMap
+    val slopes: Seq[(String, Double)] = names.flatMap { n =>
+      for {
+        big <- resultsMap.get(n) if big > 0
+        small <- slopeTimes.get(n) if small > 0
+      } yield n -> big / small
+    }
+    val slopeFlags = slopes.collect {
+      case (n, s) if s > 15.0 && resultsMap.getOrElse(n, 0.0) >= 0.5 => n
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val qsRaw = rawResults.map { case (k, v) => "\"" + k + "\":" + f(v) }
@@ -424,6 +483,8 @@ object Bench {
       s""""moved_n":${movedAll.size},"moved_vs_prev":$moved,""" +
       s""""bytes_moved_n":${bytesMovedAll.size},""" +
       s""""bytes_moved":$bytesMoved,""" +
+      s""""slope_n":${slopes.size},""" +
+      s""""slope_flags":[${slopeFlags.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""prev":${prevFile.map("\"" + _ + "\"").getOrElse("null")},""" +
       s""""slowest":$slowest,"sf":"$sfDir"}""")
     // FULL artifact as a repo file: the driver's stdout tail keeps
@@ -460,6 +521,12 @@ object Bench {
         s""""moved_n":${movedAll.size},"moved_vs_prev":$moved,""" +
         s""""bytes_moved_n":${bytesMovedAll.size},""" +
         s""""bytes_moved":$bytesMoved,""" +
+        s""""slope_dir":${slopeDir.map("\"" + _ + "\"")
+          .getOrElse("null")},""" +
+        s""""slopes":${slopes.map { case (n, s) =>
+            "\"" + n + "\":" + f(s) }.mkString("{", ",", "}")},""" +
+        s""""slope_flags":[${slopeFlags.map("\"" + _ + "\"")
+          .mkString(",")}],""" +
         s""""queries":$qs,"queries_raw":$qsRaw,"bytes":$bytesJson}"""
       try {
         java.nio.file.Files.writeString(

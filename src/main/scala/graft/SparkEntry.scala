@@ -82,8 +82,15 @@ object SparkEntry {
     // probe ranking rounds centroid cosine to 6 dp with a cell-id
     // tie-break, so cells, probes AND the top-k replay in SQL; recall
     // vs the exact top-k stays unit-tested (SimilaritySpec).
+    // since r11 the probe reads the PERSISTED index (cell-partitioned
+    // parquet, built once at write time like q186's bucketing): the
+    // cell predicate is enforced by PartitionFilters — non-probed
+    // cells pruned from directory metadata, zero data IO
+    // (plan-asserted in SimilaritySpec); answers are bit-identical to
+    // the in-memory form (deterministic fit), so the oracle is
+    // unchanged
     "q28_ivf_topk" -> ((s: SparkSession, d: String) =>
-      operators.Similarity.ivfTopK(s, d)),
+      operators.Similarity.ivfTopKIndexed(s, d)),
     // distributed twin of q27: grid-blocked exact self-join (equality
     // shuffle joins on the block-pair cell, each pair computed once —
     // no BNLJ, no full-corpus broadcast). Exact, so q27's oracle
@@ -624,6 +631,13 @@ object SparkEntry {
     // l_quantity > 35, so routing exercises the subsumption gate's
     // range containment; the oracle recomputes over the raw slice
     "q188_summary_filtered" -> (operators.OlapQueries.summaryFiltered _),
+    // the QUANTILE-SKETCH MV measure: approximate percentiles routed
+    // on a grain WITHOUT the value column — bottom-k (portable-hash,
+    // cents) pair sketches stored per grain row, union lossless, so
+    // the routed nearest-rank estimate is bit-identical to sketching
+    // raw rows and the oracle replays the whole sketch in SQL
+    "q189_summary_quantile_sketch" ->
+      (operators.OlapQueries.summaryQuantileSketch _),
     // co-located bucketed join: both tables hash-bucketed on the join
     // key at write time, so the sort-merge join runs with no shuffle
     // on either side (plan-asserted in LayoutSpec); bucketing is a
@@ -3816,6 +3830,41 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority, l_returnflag
         |ORDER BY o_orderpriority, l_returnflag""".stripMargin,
+    // the sketch replays in full: DISTINCT (pri, v) pairs, bottom-256
+    // by (pri, v), then nearest-rank selection over the value-sorted
+    // sample — the same portable Knuth hash both engines compute in
+    // exact int64 arithmetic (operands stay < 2^62)
+    "q189_summary_quantile_sketch" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS flag,
+        |    (l_orderkey * 10 + l_linenumber) % 1000000007
+        |      * 2654435761 % 1000000007 AS pri,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v
+        |  FROM lineitem),
+        |d AS (SELECT DISTINCT flag, pri, v FROM h),
+        |s AS (SELECT flag, pri, v,
+        |        row_number() OVER (PARTITION BY flag ORDER BY pri, v)
+        |          AS rn
+        |      FROM d),
+        |kk AS (SELECT flag, pri, v FROM s WHERE rn <= 256),
+        |r AS (SELECT flag, v,
+        |        row_number() OVER (PARTITION BY flag ORDER BY v, pri)
+        |          AS rv,
+        |        count(*) OVER (PARTITION BY flag) AS m
+        |      FROM kk),
+        |n AS (SELECT l_returnflag AS flag, count(*) AS n_rows
+        |      FROM lineitem GROUP BY 1)
+        |SELECT n.flag AS l_returnflag, n.n_rows,
+        |  MAX(CASE WHEN rv = CAST(ceil(0.5 * m) AS BIGINT) THEN v END)
+        |    AS p50_cents,
+        |  MAX(CASE WHEN rv = CAST(ceil(0.9 * m) AS BIGINT) THEN v END)
+        |    AS p90_cents,
+        |  MAX(CASE WHEN rv = CAST(ceil(0.99 * m) AS BIGINT) THEN v END)
+        |    AS p99_cents
+        |FROM r JOIN n ON r.flag = n.flag
+        |GROUP BY n.flag, n.n_rows
+        |ORDER BY n.flag""".stripMargin,
     "q188_summary_filtered" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(*) AS n_rows,

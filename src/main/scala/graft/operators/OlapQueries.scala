@@ -2385,6 +2385,61 @@ object OlapQueries {
         round(max(col("l_extendedprice")), 4).as("max_price"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** q189: the mergeable QUANTILE-SKETCH MV measure — approximate
+    * percentiles routed through a summary whose grain does NOT carry
+    * the value column. Where q179/q180 route percentiles through
+    * histogram grains (exact, but the grain explodes when the value
+    * domain is near-unique — money columns), the summary here stores
+    * a bottom-k (priority, value) pair sketch per grain row
+    * ([[graft.functions.QskSketchAgg]]): priority = the
+    * engine-portable Knuth hash of the unique line key, value = the
+    * price in cents (exact scaled integers). Pair-set union +
+    * re-truncation is LOSSLESS, so the routed nearest-rank estimate
+    * (quantile_sketch_est rewritten to quantile_sketch_union over the
+    * stored states) is bit-identical to sketching the raw rows — and
+    * the DuckDB oracle replays the ENTIRE sketch in plain SQL
+    * (`DISTINCT pri,v ORDER BY pri,v LIMIT k`, then nearest-rank
+    * row_number selection), the q132/q174 portable-hash discipline.
+    * At 100 TB: the percentile dashboard reads O(k·grain-rows) longs
+    * instead of scanning the fact table — the t-digest/KLL warehouse
+    * pattern, in an exactly-replayable form.
+    */
+  def summaryQuantileSketch(spark: SparkSession,
+      sfDir: String): DataFrame =
+    withSummary(spark, "lineitem_qsk")(
+      registerQskSummary(spark, sfDir))(
+      qskQuery(spark, sfDir))
+
+  private[graft] val QskPriSql =
+    "pmod(l_orderkey * 10 + l_linenumber, 1000000007) * " +
+      "2654435761 % 1000000007"
+  private[graft] val QskValSql =
+    "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+
+  private[graft] def registerQskSummary(spark: SparkSession,
+      sfDir: String): Unit =
+    graft.plans.Summaries.create(
+      Tables.load(spark, sfDir, "lineitem"), "lineitem_qsk",
+      grain = Seq("l_returnflag", "l_linestatus"),
+      sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"),
+      qsks = Seq("qsk_price" -> (QskPriSql, QskValSql)), qskK = 256)
+
+  private[graft] def qskQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.functions.QskFunctions._
+    Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        quantile_sketch_est(expr(QskPriSql), expr(QskValSql), 256, 0.5)
+          .as("p50_cents"),
+        quantile_sketch_est(expr(QskPriSql), expr(QskValSql), 256, 0.9)
+          .as("p90_cents"),
+        quantile_sketch_est(expr(QskPriSql), expr(QskValSql), 256, 0.99)
+          .as("p99_cents"))
+      .orderBy("l_returnflag")
+  }
+
   private[graft] def deltaJoinQuery(spark: SparkSession,
       sfDir: String): DataFrame = {
     val liDir = new java.io.File(deltaJoinDemoDir(sfDir), "li")
@@ -2518,6 +2573,8 @@ object OlapQueries {
       "q184_summary_variance" -> pricing,
       "q188_summary_filtered" ->
         hook("lineitem_hiqty", registerFilteredSummary),
+      "q189_summary_quantile_sketch" ->
+        hook("lineitem_qsk", registerQskSummary),
       "q183_summary_star6" ->
         hook("li_q5_star", registerLocalVolumeStarSummary),
       "q177_summary_join" ->
@@ -2535,6 +2592,13 @@ object OlapQueries {
       // so the measured number is the co-located join alone
       "q186_bucketed_join" -> ((s: SparkSession, d: String) => {
         Layout.ensureBucketedTables(s, d)
+        () => ()
+      }),
+      // the IVF index is a WRITE-TIME cost (fingerprint-validated,
+      // rebuilt only when the corpus changes); the timed number is
+      // the partition-pruned probe alone
+      "q28_ivf_topk" -> ((s: SparkSession, d: String) => {
+        Similarity.ensureIvfIndex(s, d)
         () => ()
       }),
       // the delta demo's summary name is SF-suffixed (its source is a

@@ -402,6 +402,132 @@ object Similarity {
       .limit(k)
   }
 
+  // ----- persisted IVF index (write-time cost, metadata pruning) ---
+
+  /** Root of the persisted index for (corpus dir, numCells): keyed on
+    * the CANONICAL path (hash tag) so same-basename corpora under
+    * different parents never collide — the Layout.bucketTableName
+    * discipline.
+    */
+  private def ivfIndexRoot(sfDir: String, numCells: Int): java.io.File = {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    new java.io.File("spark-warehouse/graft_ivf_index/emb_" +
+      new java.io.File(sfDir).getName.replace('.', '_') +
+      s"_${tag}_c$numCells").getAbsoluteFile
+  }
+
+  /** MD5 over the corpus directory's (path, len, mtime) listing — the
+    * build-time fingerprint the index validity check compares, the
+    * same staleness discipline as the MV router's source gate. */
+  private def dirFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        entries += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Build (or reuse) the PERSISTED IVF index: the deterministic
+    * Lloyd cell assignment written ONCE as a Hive-partitioned layout
+    * — one `cell=<id>/` directory per cell via
+    * [[Layout.writePartitioned]] — with the fitted centroids stored
+    * alongside, and a marker recording the corpus fingerprint. At
+    * 100 TB this is the contract an ANN index must honor: the
+    * clustering and the data movement are a WRITE-TIME cost paid
+    * once (like q186's bucketed CTAS), and every query's probe is a
+    * metadata-pruned read — the cell predicate lands in the scan's
+    * `PartitionFilters`, so non-probed cells are eliminated from
+    * directory names alone, zero data IO (plan-asserted in
+    * SimilaritySpec). A corpus whose files changed re-fingerprints
+    * differently and the index rebuilds; the build itself is
+    * deterministic (q120's trajectory discipline), so a rebuilt
+    * index serves identical answers. Returns (data path, centroids
+    * sorted by cell id).
+    */
+  def ensureIvfIndex(spark: SparkSession, sfDir: String,
+      numCells: Int = 16): (String, Array[Seq[Double]]) =
+    ivfIndexLock.synchronized {
+      val root = ivfIndexRoot(sfDir, numCells)
+      val dataPath = new java.io.File(root, "cells").getAbsolutePath
+      val centPath = new java.io.File(root, "centroids").getAbsolutePath
+      val marker = new java.io.File(root, "_graft_fp")
+      val srcFp = dirFingerprint(spark,
+        new java.io.File(sfDir, "embeddings.parquet").getAbsolutePath)
+      val valid = marker.isFile && {
+        val recorded = new String(java.nio.file.Files
+          .readAllBytes(marker.toPath), "UTF-8").trim
+        recorded == srcFp
+      }
+      if (!valid) {
+        // rebuild from scratch; the marker is written LAST, so a
+        // crashed build leaves an invalid index that rebuilds next
+        // call instead of serving a partial layout
+        if (root.exists())
+          java.nio.file.Files.walk(root.toPath).sorted(
+            java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        val (assigned, centers) = ivfAssignments(spark, sfDir, numCells)
+        Layout.writePartitioned(
+          assigned.select("cell", "vec_id", "v"), "cell", dataPath)
+        spark.createDataFrame(
+          centers.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
+          .toDF("cell", "c")
+          .coalesce(1).write.mode("overwrite").parquet(centPath)
+        java.nio.file.Files.write(marker.toPath,
+          srcFp.getBytes("UTF-8"))
+        (dataPath, centers)
+      } else {
+        val centers = spark.read.parquet(centPath)
+          .orderBy("cell").collect()
+          .map(r => r.getSeq[Double](1))
+        (dataPath, centers)
+      }
+    }
+
+  private val ivfIndexLock = new Object
+
+  /** ANN top-k over the PERSISTED index — [[ivfTopK]]'s probe with
+    * the cell filter served by partition pruning instead of an
+    * in-memory cached assignment: rank centroids (same rounded
+    * ranking, so the probe set is identical), then read ONLY the
+    * probed `cell=` directories. Answers are bit-identical to
+    * [[ivfTopK]] (the fit is deterministic); what changes is WHERE
+    * the cell predicate is enforced — `PartitionFilters` at the scan,
+    * which is the shape that survives 100 TB: nProbe/numCells of the
+    * files opened, the rest pruned from metadata.
+    */
+  def ivfTopKIndexed(spark: SparkSession, sfDir: String,
+      vecId: Long = 0L, k: Int = 20, numCells: Int = 16,
+      nProbe: Int = 8): DataFrame = {
+    val q = queryVector(spark, sfDir, vecId)
+    val (dataPath, centers) = ensureIvfIndex(spark, sfDir, numCells)
+    val centDf = spark.createDataFrame(
+      centers.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "c")
+    val probed = centDf
+      .select(col("cell"),
+        round(cosine(col("c"), typedlit(q)), 6).as("pc"))
+      .orderBy(desc("pc"), asc("cell")).limit(nProbe)
+      .collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(dataPath)
+      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= vecId)
+      .select(col("vec_id"),
+        round(cosine(col("v"), typedlit(q)), 4).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Near-dup membership for the embedding corpus: the grid-blocked
     * exact pair graph ([[blockedEmbeddingPairs]]) resolved to
     * connected components by [[Dedup.resolveClusters]] — every vector

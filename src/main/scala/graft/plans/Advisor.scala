@@ -133,6 +133,18 @@ object Advisor {
       .empty[(Seq[String], Seq[String]),
         (collection.mutable.Map[String, Long],
           collection.mutable.LinkedHashSet[String])]
+    // refreshDelta candidates: summary name -> per-query worst
+    // compensated-delta bytes. A query that scans a graft_summaries
+    // generation AND raw source files in the same plan is a
+    // delta-COMPENSATED read (the router's merge(summary,
+    // partial-agg(delta)) substrate) — correct, but it re-scans the
+    // appended files on EVERY read; when that delta outgrows 1/4 of
+    // the summary itself, one Summaries.refreshDelta(name) folds it
+    // and reads return to summary-only. This closes the detect →
+    // serve-compensated → fold lifecycle without a human watching.
+    val refreshCand = collection.mutable.Map.empty[String,
+      collection.mutable.Map[String, Long]]
+    val summaryNameRx = ".*graft_summaries/([^/]+?)__g\\d+.*".r
     lines.foreach { line =>
       val root =
         try mapper.readTree(line)
@@ -160,6 +172,9 @@ object Advisor {
         val lineBaseGroups = collection.mutable.LinkedHashSet.empty[String]
         val lineJoinEdges = collection.mutable.LinkedHashSet.empty[String]
         val linePaths = collection.mutable.Map.empty[String, Long]
+        var lineSummaryName: Option[String] = None
+        var lineSummaryBytes = 0L
+        var lineDeltaBytes = 0L
         var i = 0
         while (i < ops.size()) {
           val node = ops.get(i)
@@ -190,6 +205,18 @@ object Advisor {
             if (pth.nonEmpty)
               linePaths(pth) = linePaths.getOrElse(pth, 0L) +
                 metric("scanTime")
+            pth match {
+              case summaryNameRx(sn) =>
+                lineSummaryName = Some(sn)
+                lineSummaryBytes += metric("filesSize")
+              case _ if pth.nonEmpty && lineSummaryName.isDefined =>
+                // raw files scanned ALONGSIDE a summary generation:
+                // the compensated substrate's delta read (scans carry
+                // the summary first in pre-order — the union's first
+                // leg is the summary relation)
+                lineDeltaBytes += metric("filesSize")
+              case _ =>
+            }
             val nFiles = metric("numFiles")
             val bytes = metric("filesSize")
             val smallFiles = nFiles >= 16 && bytes > 0 &&
@@ -314,6 +341,15 @@ object Advisor {
           groups ++= lineBaseGroups
           edges ++= lineJoinEdges
         }
+        // compensated read with a grown delta: nominate the fold once
+        // the re-scanned files pass 1/4 of the summary's own size
+        lineSummaryName.foreach { sn =>
+          if (lineDeltaBytes > 0 && lineDeltaBytes * 4L > lineSummaryBytes) {
+            val qs = refreshCand.getOrElseUpdate(sn,
+              collection.mutable.Map.empty[String, Long])
+            qs(qname) = math.max(qs.getOrElse(qname, 0L), lineDeltaBytes)
+          }
+        }
         if (lineHasEquiJoin && linePaths.size >= 2 &&
             lineJoinEdges.nonEmpty && lineJoinShuffleBytes > 0) {
           val key = (linePaths.keys.toSeq.sorted,
@@ -417,9 +453,21 @@ object Advisor {
           kind = "bucket", paths = ps, edges = edges,
           queries = qs.keys.toSeq.sorted)
     }.sortBy(f => (-f.value, f.op)).take(topN)
+    val refreshes = refreshCand.toSeq.map { case (name, qs) =>
+      Finding(s"${qs.size} queries", s"Summary $name",
+        "compensated-delta bytes", qs.values.sum, "bytes",
+        s"reads of '$name' are delta-COMPENSATED in " +
+          s"${qs.keys.toSeq.sorted.take(4).mkString(", ")}" +
+          (if (qs.size > 4) ", …" else "") +
+          " (the routed plan re-scans the appended source files on " +
+          "every read) and the delta has outgrown 1/4 of the summary " +
+          s"""itself: fold it once — Summaries.refreshDelta("$name") """ +
+          "— and reads return to summary-only until the next append",
+        kind = "refresh", queries = qs.keys.toSeq.sorted)
+    }.sortBy(f => (-f.value, f.op)).take(topN)
     top(spills) ++ top(loops) ++ top(exchanges) ++ top(scans) ++
       top(broadcasts) ++ top(sorts) ++ summaries ++ joinSummaries ++
-      histograms ++ rollups ++ buckets
+      histograms ++ rollups ++ buckets ++ refreshes
   }
 
   /** ACT on an MV nomination: perform the Summaries.create /

@@ -165,6 +165,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "kmv_ndv(hash, k[, domain])")
       }))
+    // the bottom-k quantile-sketch family (the KMV sibling with a
+    // value payload): est = the routable query aggregate, agg = the
+    // storable state, union = re-aggregation of stored states
+    def numLit(e: Expression, what: String): Double = e match {
+      case Literal(d: Double, _) => d
+      case Literal(dec: org.apache.spark.sql.types.Decimal, _) =>
+        dec.toDouble
+      case Literal(i: Int, _) => i.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric literal, got $other")
+    }
+    e.injectFunction((
+      new FunctionIdentifier("quantile_sketch_est"),
+      new ExpressionInfo(
+        classOf[graft.functions.QskQuantile].getName,
+        "quantile_sketch_est"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(pri, v, Literal(k: Int, _), pe) =>
+          graft.functions.QskQuantile(pri, v, k, numLit(pe, "p"))
+        case _ => throw new IllegalArgumentException(
+          "quantile_sketch_est(pri, value, k, p)")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("quantile_sketch_agg"),
+      new ExpressionInfo(
+        classOf[graft.functions.QskSketchAgg].getName,
+        "quantile_sketch_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(pri, v, Literal(k: Int, _)) =>
+          graft.functions.QskSketchAgg(pri, v, k)
+        case _ => throw new IllegalArgumentException(
+          "quantile_sketch_agg(pri, value, k)")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("quantile_sketch_union"),
+      new ExpressionInfo(
+        classOf[graft.functions.QskUnion].getName,
+        "quantile_sketch_union"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, Literal(k: Int, _), pe) =>
+          graft.functions.QskUnion(c, k, numLit(pe, "p"))
+        case Seq(c, Literal(k: Int, _), pe, Literal(b: Boolean, _)) =>
+          graft.functions.QskUnion(c, k, numLit(pe, "p"), b)
+        case _ => throw new IllegalArgumentException(
+          "quantile_sketch_union(sketch, k, p[, asEstimate])")
+      }))
     e.injectFunction((
       new FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(

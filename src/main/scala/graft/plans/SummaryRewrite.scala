@@ -127,6 +127,12 @@ object Summaries {
       kmvSql: Seq[(String, String)] = Nil,
       kmvK: Int = 64,
       kmvDomain: Long = 1000000007L,
+      // bottom-k QUANTILE sketch measures (pri-hash + scaled-value
+      // pairs): registry key = priKey§valueKey, so a query's
+      // quantile_sketch_est(pri, v, k, p) matches by both expressions
+      qsks: Map[String, String] = Map.empty,
+      qskSql: Seq[(String, String, String)] = Nil,
+      qskK: Int = 128,
       // false while a PARTIAL build awaits its backfill: the summary
       // is registered (refreshable, mergeable) but the rewrite must
       // not route onto it — it does not yet reflect the full table
@@ -223,7 +229,11 @@ object Summaries {
       "joinEdges" -> JArray(s.joinEdges.map { case (pa, ca, pb, cb) =>
         JArray(List(JString(pa), JString(ca), JString(pb), JString(cb)))
       }.toList),
-      "filterSql" -> JString(s.filterSql)))
+      "filterSql" -> JString(s.filterSql),
+      "qsks" -> smap(s.qsks),
+      "qskSql" -> JArray(s.qskSql.map { case (n, ps, vs) =>
+        JArray(List(JString(n), JString(ps), JString(vs))) }.toList),
+      "qskK" -> JInt(s.qskK)))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -268,7 +278,15 @@ object Summaries {
             .map(_.asInstanceOf[JString].s)
           (l(0), l(1), l(2), l(3))
         },
-      filterSql = if (j.contains("filterSql")) str("filterSql") else "")
+      filterSql = if (j.contains("filterSql")) str("filterSql") else "",
+      qsks = if (j.contains("qsks")) smap("qsks") else Map.empty,
+      qskSql = if (!j.contains("qskSql")) Nil
+        else j("qskSql").asInstanceOf[JArray].arr.map { e =>
+          val l = e.asInstanceOf[JArray].arr
+            .map(_.asInstanceOf[JString].s)
+          (l(0), l(1), l(2))
+        },
+      qskK = if (j.contains("qskK")) num("qskK").toInt else 128)
   }
 
   private def persistSpec(s: Spec): Unit = {
@@ -328,6 +346,7 @@ object Summaries {
     reg.clear()
     fpMemo.clear()
     deltaRelMemo.clear()
+    pinnedRelMemo.synchronized(pinnedRelMemo.clear())
     loadAttempted.set(false)
   }
 
@@ -664,6 +683,28 @@ object Summaries {
       .toAggregateExpression())
   }
 
+  private def qskSketchCol(priSql: String, valueSql: String, k: Int) = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.QskSketchAgg(
+      GraftColumnBridge.expression(expr(priSql)),
+      GraftColumnBridge.expression(expr(valueSql)), k)
+      .toAggregateExpression())
+  }
+
+  private def qskUnionCol(c: org.apache.spark.sql.Column, k: Int) = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.QskUnion(
+      GraftColumnBridge.expression(c), k, asEstimate = false)
+      .toAggregateExpression())
+  }
+
+  /** The quantile-sketch registry key: BOTH declared expressions —
+    * the priority hash and the scaled value — must match the query's.
+    */
+  private def qskKey(raw: DataFrame, priSql: String,
+      valueSql: String): String =
+    keyOfSql(raw, priSql) + "§" + keyOfSql(raw, valueSql)
+
   /** Build the summary parquet for `raw` at `grain` and register it.
     * Measures are SQL expression strings (so SQL and Column callers
     * declare them identically); sums should be cast to decimal when
@@ -693,7 +734,9 @@ object Summaries {
       kmvDomain: Long = 1000000007L,
       partial: Boolean = false,
       sumsqs: Seq[(String, String)] = Nil,
-      where: Option[String] = None): Spec = {
+      where: Option[String] = None,
+      qsks: Seq[(String, (String, String))] = Nil,
+      qskK: Int = 128): Spec = {
     val sums0 = withSumsqs(sums, sumsqs)
     // `partial = true` is the PARTIAL-BUILD half of the incremental
     // lifecycle: the source may be a Filter over the bare scan (e.g.
@@ -725,7 +768,8 @@ object Summaries {
       // (HLL registers / KMV bottom-k arrays), so distinct counts
       // re-aggregate across rollups and generations
       hlls.map { case (n, s) => hllSketchCol(s, hllPrecision).as(n) } ++
-      kmvs.map { case (n, s) => kmvSketchCol(s, kmvK, kmvDomain).as(n) })
+      kmvs.map { case (n, s) => kmvSketchCol(s, kmvK, kmvDomain).as(n) } ++
+      qsks.map { case (n, (ps, vs)) => qskSketchCol(ps, vs, qskK).as(n) })
     val out = filtered.groupBy(grain.map(col): _*)
       .agg(count(lit(1)).as(CntCol), aggCols: _*)
     val entries = listEntries(Seq(source),
@@ -749,7 +793,11 @@ object Summaries {
       fpPaths = Seq(source),
       sourceFp = fp,
       builtFiles = entries,
-      filterSql = filterSql))
+      filterSql = filterSql,
+      qsks = qsks.map { case (n, (ps, vs)) =>
+        qskKey(raw, ps, vs) -> n }.toMap,
+      qskSql = qsks.map { case (n, (ps, vs)) => (n, ps, vs) },
+      qskK = qskK))
   }
 
   /** Apply (and validate) a declared summary WHERE clause: it must
@@ -888,7 +936,9 @@ object Summaries {
       kmvDomain: Long = 1000000007L,
       partial: Boolean = false,
       sumsqs: Seq[(String, String)] = Nil,
-      where: Option[String] = None): Spec = {
+      where: Option[String] = None,
+      qsks: Seq[(String, (String, String))] = Nil,
+      qskK: Int = 128): Spec = {
     val sums0 = withSumsqs(sums, sumsqs)
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Project, SubqueryAlias}
     import org.apache.spark.sql.catalyst.plans.Inner
@@ -944,7 +994,8 @@ object Summaries {
       // sketch measures work over any substrate: the stored form is
       // the mergeable STATE, exactly as in create()
       hlls.map { case (n, s) => hllSketchCol(s, hllPrecision).as(n) } ++
-      kmvs.map { case (n, s) => kmvSketchCol(s, kmvK, kmvDomain).as(n) })
+      kmvs.map { case (n, s) => kmvSketchCol(s, kmvK, kmvDomain).as(n) } ++
+      qsks.map { case (n, (ps, vs)) => qskSketchCol(ps, vs, qskK).as(n) })
     val filterSql = where.map(_.trim).getOrElse("")
     val out = applyDeclaredFilter(raw, filterSql, grain)
       .groupBy(grain.map(col): _*)
@@ -971,7 +1022,11 @@ object Summaries {
       sourceFp = joinFp,
       builtFiles = joinEntries,
       joinEdges = edges,
-      filterSql = filterSql))
+      filterSql = filterSql,
+      qsks = qsks.map { case (n, (ps, vs)) =>
+        qskKey(raw, ps, vs) -> n }.toMap,
+      qskSql = qsks.map { case (n, (ps, vs)) => (n, ps, vs) },
+      qskK = qskK))
   }
 
   /** Write a summary generation, read it back, and (re-)register. A
@@ -1087,7 +1142,9 @@ object Summaries {
       spec.hllSql.map { case (n, s) =>
         hllSketchCol(s, spec.hllPrecision).as(n) } ++
       spec.kmvSql.map { case (n, s) =>
-        kmvSketchCol(s, spec.kmvK, spec.kmvDomain).as(n) })
+        kmvSketchCol(s, spec.kmvK, spec.kmvDomain).as(n) } ++
+      spec.qskSql.map { case (n, ps, vs) =>
+        qskSketchCol(ps, vs, spec.qskK).as(n) })
     src.groupBy(spec.grain.map(col): _*)
       .agg(count(lit(1)).as(spec.cntCol), aggCols: _*)
   }
@@ -1112,7 +1169,9 @@ object Summaries {
         spec.maxSql.map { case (n, _) => max(col(n)).as(n) } ++
         spec.hllSql.map { case (n, _) => hllUnionCol(col(n)).as(n) } ++
         spec.kmvSql.map { case (n, _) =>
-          kmvUnionCol(col(n), spec.kmvK, spec.kmvDomain).as(n) }
+          kmvUnionCol(col(n), spec.kmvK, spec.kmvDomain).as(n) } ++
+        spec.qskSql.map { case (n, _, _) =>
+          qskUnionCol(col(n), spec.qskK).as(n) }
     unioned.groupBy(spec.grain.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
   }
@@ -1122,12 +1181,12 @@ object Summaries {
     * analyzed plan of `merge(summary, partialAgg(delta))` —
     * [[refresh]]'s exact algebra as a READ, no state mutated. For a
     * single-table summary the delta is the extra files themselves;
-    * for a JOINED summary it is the appended leaf's extra files
-    * re-joined against the OTHER leaves in full (those leaves are
-    * fingerprint-verified unchanged, so old⋈old lives in the summary
-    * and Δleaf⋈others is exactly the missing rows — a batch-sized,
+    * for a JOINED summary it is [[joinedDelta]]'s telescoped
+    * inclusion–exclusion over the appended leaves (single-leaf
+    * appends degenerate to Δleaf ⋈ built-others — a batch-sized,
     * broadcastable join when the append lands on the fact table, the
-    * common case). Built fresh per rewrite site (distinct exprIds);
+    * common case), every read pinned to the blessed file listing.
+    * Built fresh per rewrite site (distinct exprIds);
     * any construction failure (a delta file with a foreign schema, a
     * vanished file, an ambiguous rebuilt join) fails closed to None
     * and the query runs raw.
@@ -1153,6 +1212,39 @@ object Summaries {
       basePath: String, files: Seq[String]): DataFrame =
     s.read.option("basePath", basePath).parquet(files: _*)
 
+  // memo for PINNED file-set reads (the joined-delta fold reads up to
+  // 3 states per leaf, and the optimizer fires the rule several times
+  // per query): explicit-file parquet reads pay listing + footer
+  // schema inference per call, so the analyzed relation is cached per
+  // (base, file set) and newInstance()d per use — the deltaRelMemo
+  // discipline, generalized. Bounded LRU: generations and TTL windows
+  // retire keys naturally, the bound stops slow accumulation.
+  private val pinnedRelMemo = new java.util.LinkedHashMap[
+      String, LogicalRelation](64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, LogicalRelation]): Boolean =
+      size > 48
+  }
+
+  private def readDeltaMemo(s: org.apache.spark.sql.SparkSession,
+      basePath: String, files: Seq[String]): DataFrame =
+    pinnedRelMemo.synchronized {
+      val key = basePath + "#" + fpOf(files.sorted)
+      val hit = pinnedRelMemo.get(key)
+      val lr =
+        if (hit != null) hit
+        else readDelta(s, basePath, files).queryExecution.analyzed match {
+          case r: LogicalRelation =>
+            pinnedRelMemo.put(key, r)
+            r
+          case other =>
+            // non-relation read-back (cannot happen for parquet):
+            // fall through uncached
+            return org.apache.spark.sql.GraftColumnBridge.ofPlan(s, other)
+        }
+      org.apache.spark.sql.GraftColumnBridge.ofPlan(s, lr.newInstance())
+    }
+
   private def deltaRelation(spec: Spec,
       s: org.apache.spark.sql.SparkSession): Option[LogicalRelation] = {
     val key = spec.deltaFiles.sorted.mkString("|") + "#g" + spec.gen
@@ -1169,8 +1261,10 @@ object Summaries {
       }
   }
 
-  private[plans] def dropDeltaMemo(name: String): Unit =
-    deltaRelMemo.remove(name)
+  // (no per-name eviction hook: both memos key on file sets/gens, so
+  // mutations mint new keys; drop/clear/unload clear them wholesale —
+  // a rewritten-in-place delta file is outside the append-only
+  // contract for BOTH memos, same as deltaRelMemo since r14)
 
   private[plans] def compensatedPlan(spec: Spec): Option[LogicalPlan] =
     org.apache.spark.sql.SparkSession.getActiveSession.flatMap { s =>
@@ -1271,14 +1365,17 @@ object Summaries {
         .map { case (p, fs) => p -> fs.map(_._1) }
     val appended = spec.fpPaths.filter(deltaByLeaf.contains)
     if (appended.isEmpty) return None
-    // pinned per-leaf frames, one read per (leaf, state) actually used
+    // pinned per-leaf frames, memoized per (leaf, file set) — the
+    // optimizer fires this rule several times per query, and an
+    // unmemoized explicit-file read would pay listing + footer
+    // inference on every firing
     val deltaDf = deltaByLeaf.map { case (p, fs) =>
-      p -> readDelta(s, p, fs) }
+      p -> readDeltaMemo(s, p, fs) }
     val builtDf = builtByLeaf.map { case (p, fs) =>
-      p -> readDelta(s, p, fs) }
+      p -> readDeltaMemo(s, p, fs) }
     val newDf = spec.fpPaths.flatMap { p =>
       val fs = builtByLeaf.getOrElse(p, Nil) ++ deltaByLeaf.getOrElse(p, Nil)
-      if (fs.isEmpty) None else Some(p -> readDelta(s, p, fs))
+      if (fs.isEmpty) None else Some(p -> readDeltaMemo(s, p, fs))
     }.toMap
     if (!spec.fpPaths.forall(newDf.contains)) return None
     val allCols = spec.fpPaths.flatMap(p => newDf(p).columns)
@@ -1411,6 +1508,7 @@ object Summaries {
       }
     }
     deltaRelMemo.remove(name)
+    pinnedRelMemo.synchronized(pinnedRelMemo.clear())
     specFile(name).delete()
   }
 
@@ -1422,6 +1520,7 @@ object Summaries {
     reg.clear()
     fpMemo.clear()
     deltaRelMemo.clear()
+    pinnedRelMemo.synchronized(pinnedRelMemo.clear())
     Option(specsDir.listFiles()).getOrElse(Array.empty[java.io.File])
       .foreach(_.delete())
   }
@@ -1970,6 +2069,22 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           Summaries.measureKey(kn.child).flatMap(spec.kmvs.get)
             .map(c => wrap(
               graft.functions.KmvUnion(colFor(c), kn.k, kn.domain)))
+        // bottom-k quantile sketch: pair-set union + re-truncation is
+        // LOSSLESS (the k smallest pairs of the union lie in the
+        // union of per-grain k smallest), so the routed nearest-rank
+        // estimate equals the raw-scan one EXACTLY — approximate vs
+        // the true quantile, exact vs the sketch contract — at ANY
+        // requested p, and the portable hash keeps it SQL-replayable.
+        // This is what lets percentile dashboards route on grains
+        // that do NOT carry the value column (where q179's histogram
+        // grain would explode on a near-unique domain).
+        case qq: graft.functions.QskQuantile if qq.k == spec.qskK =>
+          (for {
+            a <- Summaries.measureKey(qq.left)
+            b <- Summaries.measureKey(qq.right)
+          } yield a + "§" + b).flatMap(spec.qsks.get)
+            .map(c => wrap(
+              graft.functions.QskUnion(colFor(c), qq.k, qq.p)))
         case _ => None
       }
     }

@@ -186,4 +186,83 @@ class AdvisorSpec extends SparkSpec {
         .foreach(p => Files.deleteIfExists(p))
     }
   }
+
+  test("refreshDelta nomination: a traced compensated read with a " +
+      "grown delta names the summary and the fold; acting on it " +
+      "returns reads to summary-only") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.Summaries
+    import graft.sources.Tables
+    val dir = Files.createTempDirectory("graft-adv-refresh")
+    val srcPath = dir.resolve("li_copy").toString
+    val tracePath = dir.resolve("t.jsonl").toString
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+    // 60% base / 40% appended: the compensated delta is comfortably
+    // past the nomination's 1/4-of-summary threshold (the summary is
+    // a handful of grain rows; the delta is real data files)
+    li.filter(col("l_orderkey") % 10 < 6).write.parquet(srcPath)
+    val q = () => spark.read.parquet(srcPath)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+      .orderBy("l_returnflag", "l_linestatus")
+    def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.collect() // finalize the adaptive plan
+      allPlanNodes(df.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    }
+    val listener = TraceCapture.install(spark, tracePath)
+    try {
+      Summaries.create(spark.read.parquet(srcPath), "adv_refresh",
+        grain = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"))
+      li.filter(col("l_orderkey") % 10 >= 6)
+        .write.mode("append").parquet(srcPath)
+      Summaries.invalidate("adv_refresh")
+      // two traced dashboard reads, both delta-compensated
+      q().write.format("noop").mode("overwrite").save()
+      q().write.format("noop").mode("overwrite").save()
+      org.apache.spark.sql.GraftColumnBridge
+        .drainListenerBus(spark, 10000L)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var lines = Seq.empty[String]
+      while (lines.size < 2 && System.nanoTime() < deadline) {
+        if (Files.exists(Paths.get(tracePath)))
+          lines = Files.readAllLines(Paths.get(tracePath)).asScala.toSeq
+        if (lines.size < 2) Thread.sleep(50)
+      }
+      assert(lines.size >= 2, s"expected 2 traced queries: $lines")
+      val fs = Advisor.advise(lines.iterator)
+      val nom = fs.filter(_.kind == "refresh")
+      assert(nom.size == 1, s"expected one refresh nomination: $fs")
+      assert(nom.head.op == "Summary adv_refresh", nom.toString)
+      assert(nom.head.lever.contains(
+        "Summaries.refreshDelta(\"adv_refresh\")"), nom.head.lever)
+      // act on the nomination: the fold returns reads to summary-only
+      assert(Summaries.refreshDelta("adv_refresh").isDefined)
+      val roots = scanRoots(q())
+      assert(roots.nonEmpty &&
+        roots.forall(_.contains("graft_summaries")),
+        s"post-fold reads must be summary-only: $roots")
+      // and a freshly-traced read no longer nominates
+      Files.deleteIfExists(Paths.get(tracePath))
+      q().write.format("noop").mode("overwrite").save()
+      org.apache.spark.sql.GraftColumnBridge
+        .drainListenerBus(spark, 10000L)
+      val lines2 =
+        if (Files.exists(Paths.get(tracePath)))
+          Files.readAllLines(Paths.get(tracePath)).asScala.toSeq
+        else Nil
+      assert(!Advisor.advise(lines2.iterator).exists(_.kind == "refresh"),
+        "a summary-only read must not nominate a fold")
+    } finally {
+      TraceCapture.uninstall(spark, listener)
+      Summaries.drop("adv_refresh")
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
 }

@@ -206,6 +206,45 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("random_projection_band_keys"))
   }
 
+  test("ivfTopKIndexed: persisted index probe is partition-pruned and " +
+      "bit-identical to the in-memory form") {
+    val inMem = Similarity.ivfTopK(spark, sf).collect().toSeq
+    val indexed = Similarity.ivfTopKIndexed(spark, sf)
+    assert(indexed.collect().toSeq == inMem,
+      "the persisted-index probe must serve the identical answer")
+    // the cell predicate must be PARTITION pruning (directory
+    // metadata), not a data filter: nProbe=8 of numCells=16 dirs
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("cell"),
+      s"cell predicate must land in PartitionFilters:\n$plan")
+    // minority of files visited: the executed scan's numFiles metric
+    // vs the index's total data files on disk
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val qe = indexed.queryExecution
+    qe.executedPlan.executeCollect() // populate scan metrics
+    val scans = qe.executedPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, plan)
+    val visited = scans.map(_.metrics("numFiles").value).sum
+    val (dataPath, _) = Similarity.ensureIvfIndex(spark, sf)
+    val total = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(dataPath)).iterator()
+    var totalFiles = 0
+    while (total.hasNext) {
+      val p = total.next()
+      val n = p.getFileName.toString
+      if (n.startsWith("part-") && !n.endsWith(".crc")) totalFiles += 1
+    }
+    assert(visited > 0 && visited < totalFiles,
+      s"probe must open a strict minority of index files: " +
+        s"$visited of $totalFiles")
+    // a changed corpus fingerprint would rebuild; an unchanged one
+    // reuses the on-disk layout (idempotent second call)
+    val again = Similarity.ivfTopKIndexed(spark, sf).collect().toSeq
+    assert(again == inMem)
+  }
+
   test("blockedEmbeddingPairs plan: equality join on the grid cell, no BNLJ") {
     val plan = Similarity.blockedEmbeddingPairs(spark, sf, 0.4)
       .queryExecution.executedPlan.toString

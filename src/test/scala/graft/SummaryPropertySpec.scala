@@ -161,7 +161,13 @@ class SummaryPropertySpec extends SparkSpec {
         "s_disc" -> "cast(l_discount as decimal(18,2))"),
       sumsqs = Seq("sq_disc" -> "cast(l_discount as decimal(18,2))"),
       mins = Seq("mn_price" -> "l_extendedprice"),
-      maxs = Seq("mx_price" -> "l_extendedprice"))
+      maxs = Seq("mx_price" -> "l_extendedprice"),
+      // a quantile-sketch measure rides the same delta compensation:
+      // merge(stored sketches, sketch(delta rows)) must equal the
+      // post-append raw sketch for every shape that draws "qsk"
+      qsks = Seq("qsk_price" ->
+        (graft.operators.OlapQueries.QskPriSql,
+          graft.operators.OlapQueries.QskValSql)), qskK = 128)
     li.filter(col("l_orderkey") % 10 >= 8)
       .write.mode("append").parquet(srcPath)
     Summaries.invalidate("prop_delta")
@@ -182,6 +188,9 @@ class SummaryPropertySpec extends SparkSpec {
         "mxp" -> max(col("l_extendedprice")),
         "vse" -> var_samp_exact(decDisc),
         "sde" -> stddev_samp_exact(decDisc),
+        "qsk" -> graft.functions.QskFunctions.quantile_sketch_est(
+          expr(graft.operators.OlapQueries.QskPriSql),
+          expr(graft.operators.OlapQueries.QskValSql), 128, 0.9),
         // fall-through shapes: correctness still required
         "st" -> sum(col("l_tax")),
         "ad" -> avg(col("l_extendedprice")),

@@ -1684,6 +1684,75 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("QUANTILE SKETCH measure: routed estimate == raw estimate at " +
+      "any p on a grain WITHOUT the value column") {
+    import graft.functions.QskFunctions._
+    val priSql = "pmod(l_orderkey * 10 + l_linenumber, 1000000007) * " +
+      "2654435761 % 1000000007"
+    val valSql =
+      "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+    val li = () => Tables.load(spark, sf, "lineitem")
+    def q(p: Double, k: Int = 256) = () =>
+      li().groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          quantile_sketch_est(expr(priSql), expr(valSql), k, p)
+            .as("q_cents"))
+        .orderBy("l_returnflag")
+    try {
+      Summaries.create(li(), "spec_qsk",
+        grain = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"),
+        qsks = Seq("qsk_price" -> (priSql, valSql)), qskK = 256)
+      // the grain does NOT include the value column — the histogram
+      // route can't serve this; the sketch measure must
+      for (p <- Seq(0.5, 0.9, 0.99)) {
+        val qp = q(p)
+        val paths = scanPaths(qp())
+        assert(paths.nonEmpty && paths.forall(_.contains("graft_summaries")),
+          s"p=$p should route summary-only: $paths")
+        assert(qp().collect().toSeq == withoutRouting { qp().collect().toSeq },
+          s"routed p=$p estimate must be bit-identical to raw " +
+            "(bottom-k pair union is lossless)")
+      }
+      // global (no grouping) routes too
+      val qg = () => li().agg(
+        quantile_sketch_est(expr(priSql), expr(valSql), 256, 0.5)
+          .as("q_cents"))
+      assert(scanPaths(qg()).forall(_.contains("graft_summaries")))
+      assert(qg().collect().toSeq == withoutRouting { qg().collect().toSeq })
+      // a mismatched k must fail closed (different sketch state)
+      assert(!scanPaths(q(0.5, k = 64)()).exists(
+        _.contains("graft_summaries")))
+      // the SQL surface computes the same estimate
+      li().createOrReplaceTempView("li_qsk_v")
+      val sqlRows = spark.sql(
+        s"""SELECT l_returnflag,
+           |  quantile_sketch_est($priSql, $valSql, 256, 0.5) AS q_cents
+           |FROM li_qsk_v GROUP BY l_returnflag ORDER BY l_returnflag"""
+          .stripMargin).collect().toSeq
+      val colRows = q(0.5)().select("l_returnflag", "q_cents")
+        .collect().toSeq
+      assert(sqlRows == colRows)
+      // agg → union round trip: the merged state of per-grain
+      // sketches equals the whole-table sketch (SQL registration of
+      // all three functions)
+      val direct = spark.sql(
+        s"SELECT quantile_sketch_agg($priSql, $valSql, 256) AS s " +
+          "FROM li_qsk_v").collect()(0).getSeq[Long](0)
+      val merged = spark.sql(
+        s"""SELECT quantile_sketch_union(s, 256, 0.5, false) AS m FROM (
+           |  SELECT quantile_sketch_agg($priSql, $valSql, 256) AS s
+           |  FROM li_qsk_v GROUP BY l_returnflag, l_linestatus)"""
+          .stripMargin).collect()(0).getSeq[Long](0)
+      assert(direct == merged, "pair-set union must be lossless")
+      // the measure survives a registry reload
+      Summaries.unload()
+      assert(scanPaths(q(0.9)()).forall(_.contains("graft_summaries")))
+      assert(q(0.9)().collect().toSeq ==
+        withoutRouting { q(0.9)().collect().toSeq })
+    } finally Summaries.drop("spec_qsk")
+  }
+
   test("FILTERED summary: subsumed queries route, non-subsumed fail " +
       "closed, refresh/delta stay on the declared slice") {
     import scala.jdk.CollectionConverters._

@@ -107,6 +107,46 @@ object Plans {
       operators.OlapQueries.deltaPricingQuery(spark, sf))
     finally plans.Summaries.drop(
       operators.OlapQueries.deltaDemoName(sf))
+    // the TWO-LEAF compensated joined read: summary scan UNION
+    // partial-agg over the telescoped delta terms (Δli⋈ord₀ +
+    // (li₀+Δli)⋈Δord), every leaf read pinned to explicit file lists
+    operators.OlapQueries.registerDeltaJoinDemo(spark, sf)
+    try render("q187_summary_delta_join (routed, two-leaf compensated)",
+      "fact AND dim appended in one window: merge(summary scan, " +
+        "partial-agg(Δli⋈ord₀ ∪ (li₀+Δli)⋈Δord)) — each term " +
+        "carries a small delta side the planner broadcasts",
+      operators.OlapQueries.deltaJoinQuery(spark, sf))
+    finally plans.Summaries.drop(
+      operators.OlapQueries.deltaJoinDemoName(sf))
+    // the FILTERED summary: a strictly-stronger query predicate
+    // routes through the subsumption gate, then re-applies on the
+    // summary's grain rows
+    operators.OlapQueries.registerFilteredSummary(spark, sf)
+    try render("q188_summary_filtered (routed via subsumption)",
+      "summary declared WHERE l_quantity > 30, query filters > 35: " +
+        "one summary scan, the query's own filter re-applied on " +
+        "grain columns — the raw table is absent",
+      operators.OlapQueries.summaryFilteredQuery(spark, sf))
+    finally plans.Summaries.drop("lineitem_hiqty")
+    // the QUANTILE-SKETCH measure: nearest-rank estimates off stored
+    // bottom-k pair states — one summary scan, quantile_sketch_union
+    // in the aggregate, no raw rows
+    operators.OlapQueries.registerQskSummary(spark, sf)
+    try render("q189_summary_quantile_sketch (routed)",
+      "approximate percentiles on a grain WITHOUT the value column: " +
+        "quantile_sketch_est rewritten to quantile_sketch_union over " +
+        "the stored per-grain sketch states — lossless merge, so " +
+        "routed ≡ raw at any p",
+      operators.OlapQueries.qskQuery(spark, sf))
+    finally plans.Summaries.drop("lineitem_qsk")
+    // the persisted IVF index: the probe's cell predicate enforced in
+    // PartitionFilters — non-probed cell directories pruned from
+    // metadata alone
+    render("q28_ivf_topk (persisted index, partition-pruned probe)",
+      "cell=<id>/ Hive-partitioned index written once; the probe " +
+        "scan carries the cell IN-list in PartitionFilters and opens " +
+        "nProbe/numCells of the files",
+      operators.Similarity.ivfTopKIndexed(spark, sf))
     Files.writeString(Paths.get("/root/repo/PLANS.md"), out.toString)
     println(s"wrote PLANS.md (${out.length} chars)")
     spark.stop()

@@ -104,6 +104,11 @@ object Advisor {
     val sumCand = collection.mutable.Map
       .empty[String, (collection.mutable.Map[String, Long],
         collection.mutable.LinkedHashSet[String])]
+    // per summary-candidate path, the INTERSECTION of pushed filter
+    // conjuncts across its aggregate queries: when every query scans
+    // the same slice, the nomination upgrades to a FILTERED summary
+    // (create(..., where = ...)) — the slice's grain rows only
+    val sumFilters = collection.mutable.Map.empty[String, Set[String]]
     // joined-summary candidates: (sorted path tuple) -> per-query
     // worst total scanTime, for aggregate-bearing MULTI-TABLE JOIN
     // queries (two-table fact⋈dim or an N-table star) — the
@@ -175,6 +180,8 @@ object Advisor {
         var lineSummaryName: Option[String] = None
         var lineSummaryBytes = 0L
         var lineDeltaBytes = 0L
+        val lineScanFilters =
+          collection.mutable.Map.empty[String, Set[String]]
         var i = 0
         while (i < ops.size()) {
           val node = ops.get(i)
@@ -205,6 +212,13 @@ object Advisor {
             if (pth.nonEmpty)
               linePaths(pth) = linePaths.getOrElse(pth, 0L) +
                 metric("scanTime")
+            if (pth.nonEmpty) {
+              val fn = node.path("filters")
+              val fset = (0 until fn.size()).map(fn.get(_).asText(""))
+                .filter(_.nonEmpty).toSet
+              lineScanFilters(pth) =
+                lineScanFilters.getOrElse(pth, Set.empty) ++ fset
+            }
             pth match {
               case summaryNameRx(sn) =>
                 lineSummaryName = Some(sn)
@@ -313,6 +327,10 @@ object Advisor {
                 collection.mutable.LinkedHashSet.empty[String]))
             qs(qname) = math.max(qs.getOrElse(qname, 0L), t)
             groups ++= lineBaseGroups
+            val fset = lineScanFilters.getOrElse(pth, Set.empty)
+            sumFilters(pth) =
+              if (sumFilters.contains(pth)) sumFilters(pth) & fset
+              else fset
           }
         if (lineHasAgg && linePaths.size == 1 && lineHasPercentile)
           linePaths.foreach { case (pth, t) =>
@@ -375,6 +393,7 @@ object Advisor {
     val summaries = sumCand.toSeq.collect {
       case (pth, (qs, groups)) if qs.size >= 2 =>
         val t = qs.values.sum
+        val shared = sumFilters.getOrElse(pth, Set.empty).toSeq.sorted
         Finding(s"${qs.size} queries", s"Scan $pth",
           "aggregate-scanning queries", qs.size, "queries",
           "the same table feeds aggregates in " +
@@ -382,7 +401,12 @@ object Advisor {
             (if (qs.size > 4) ", …" else "") +
             s" (total scanTime ${t} ms): if they share a grouping " +
             "grain, register a materialized summary " +
-            "(Summaries.create) so they route onto the pre-aggregate",
+            "(Summaries.create) so they route onto the pre-aggregate" +
+            (if (shared.isEmpty) ""
+             else " — and EVERY one of them scans the same slice, so " +
+               "declare it FILTERED (where = Some(\"" +
+               shared.mkString(" AND ") + "\")) and the summary " +
+               "builds over only those grain rows"),
           kind = "summary", paths = Seq(pth),
           grain = groups.toSeq.sorted, queries = qs.keys.toSeq.sorted)
     }.sortBy(f => (-f.value, f.op)).take(topN)

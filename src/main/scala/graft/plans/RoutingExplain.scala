@@ -299,7 +299,17 @@ object RoutingExplain {
       case _: Percentile =>
         "exact percentile routes only over grain-only inputs with " +
           "unit frequency (declare the value column in the grain — " +
-          "the histogram route)"
+          "the histogram route) — or use quantile_sketch_est over a " +
+          "declared quantile-sketch measure for approximate " +
+          "percentiles on coarse grains"
+      case qq: graft.functions.QskQuantile =>
+        if (qq.k != spec.qskK)
+          s"quantile_sketch_est k=${qq.k} does not match the " +
+            s"declared sketch k=${spec.qskK} on '${spec.name}'"
+        else
+          s"quantile-sketch measure not declared on '${spec.name}' " +
+            "for this (priority, value) expression pair (declare it " +
+            "in qsks=… with the same two expressions the query uses)"
       case other =>
         s"no summary mapping for ${other.prettyName}"
     }

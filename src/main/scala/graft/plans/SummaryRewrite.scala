@@ -1593,7 +1593,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         case Some(decl) =>
           val qs = filters.flatMap(splitConj)
           splitConj(decl).forall(sc =>
-            qs.exists(qc => qc.semanticEquals(sc) || impliesCmp(qc, sc)))
+            qs.exists(qc => qc.semanticEquals(sc) ||
+              impliesCmp(qc, sc) || impliesInSet(qc, sc)))
       }
     }
 
@@ -1711,6 +1712,43 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
   }
+
+  /** A membership conjunct normalized to (attr, values in the attr's
+    * type): the parsed declaration yields `In` over literals; the
+    * optimizer may have turned the query's list into `InSet` (whose
+    * values are already internal, attr-typed). */
+  private def litSet(e: Expression)
+      : Option[(ExprId, org.apache.spark.sql.types.DataType, Seq[Any])] =
+    e match {
+      case In(a: AttributeReference, ls)
+          if ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
+        val vs = ls.map(l => litIn(l.asInstanceOf[Literal], a.dataType))
+        if (vs.forall(_.isDefined))
+          Some((a.exprId, a.dataType, vs.map(_.get)))
+        else None
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        Some((a.exprId, a.dataType, hset.toSeq))
+      case _ => None
+    }
+
+  /** Set containment on the same attribute: query `x IN (subset)` or
+    * `x = v` implies declared `x IN (superset)`. */
+  private def impliesInSet(qe: Expression, se: Expression): Boolean =
+    litSet(se) match {
+      case Some((sid, sdt, svs)) =>
+        def member(v: Any): Boolean =
+          svs.exists(sv => cmpValues(sdt, v, sv).contains(0))
+        litSet(qe) match {
+          case Some((qid, qdt, qvs)) if qid == sid && qdt == sdt =>
+            qvs.forall(member)
+          case _ => asCmp(qe) match {
+            case Some(q) if q.id == sid && q.dt == sdt && q.op == '=' =>
+              member(q.v)
+            case _ => false
+          }
+        }
+      case None => false
+    }
 
   /** Range containment between two normalized comparisons on the
     * same attribute: does `q` imply `s`? */

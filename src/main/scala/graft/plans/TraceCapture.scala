@@ -69,6 +69,18 @@ object TraceCapture {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.relation.location.rootPaths.headOption.foreach(p =>
             sb.append(",\"path\":").append(q(p.toString)))
+          // pushed predicates (minus the isnotnull noise constraint
+          // inference manufactures): the Advisor's FILTERED-summary
+          // nomination needs to see when every aggregate over a table
+          // scans the same slice
+          val fls = (f.partitionFilters ++ f.dataFilters).collect {
+            case e if !e.isInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.IsNotNull] =>
+              try e.sql catch { case _: Throwable => "" }
+          }.filter(_.nonEmpty).distinct
+          if (fls.nonEmpty)
+            sb.append(",\"filters\":")
+              .append(fls.map(q).mkString("[", ",", "]"))
         case ag: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
           // aggregate-shape identity for the Advisor's MV nominations:
           // which functions ran (percentile → histogram-grain

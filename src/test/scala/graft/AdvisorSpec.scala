@@ -60,6 +60,16 @@ class AdvisorSpec extends SparkSpec {
       """{"op":"Scan parquet y","depth":4,"path":"/data/y","metrics":{"scanTime":45}},""" +
       """{"op":"BroadcastHashJoin","depth":2,"metrics":{"numOutputRows":9}},""" +
       """{"op":"HashAggregate","depth":1,"metrics":{"numOutputRows":3}}]}""",
+    // qK/qL: two aggregate queries over /data/w that BOTH push the
+    // same predicate — the summary nomination upgrades to a FILTERED
+    // one (the shared slice becomes the declared WHERE); qL's extra
+    // conjunct drops out of the intersection
+    """{"event":"query","name":"qK","wall_ms":300,"ts_ms":1,"operators":[""" +
+      """{"op":"Scan parquet w","depth":2,"path":"/data/w","filters":["(l_quantity > 30)"],"metrics":{"scanTime":120}},""" +
+      """{"op":"HashAggregate","depth":1,"metrics":{"numOutputRows":3}}]}""",
+    """{"event":"query","name":"qL","wall_ms":300,"ts_ms":1,"operators":[""" +
+      """{"op":"Scan parquet w","depth":2,"path":"/data/w","filters":["(l_quantity > 30)","(flag = 'R')"],"metrics":{"scanTime":110}},""" +
+      """{"op":"HashAggregate","depth":1,"metrics":{"numOutputRows":3}}]}""",
     // qI/qJ: the SAME equi-join on the SAME keys repeating with real
     // shuffle volume — the write-time BUCKETING candidate (no
     // aggregate required: the lever is co-location, not routing).
@@ -117,10 +127,23 @@ class AdvisorSpec extends SparkSpec {
     // doubled fixture must NOT double the distinct-query count, and
     // qB (no path'd scan) contributes nothing
     val cands = fs.filter(_.signal == "aggregate-scanning queries")
-    assert(cands.size == 1, s"$cands")
-    assert(cands.head.op == "Scan /data/t" && cands.head.value == 2L)
-    assert(cands.head.lever.contains("Summaries.create"))
-    assert(cands.head.lever.contains("qA") && cands.head.lever.contains("qD"))
+    assert(cands.size == 2, s"$cands")
+    val tCand = cands.find(_.op == "Scan /data/t")
+      .getOrElse(fail(s"no /data/t candidate: $cands"))
+    assert(tCand.value == 2L)
+    assert(tCand.lever.contains("Summaries.create"))
+    assert(tCand.lever.contains("qA") && tCand.lever.contains("qD"))
+    // qA and qD push no common predicate: a plain (unfiltered)
+    // nomination, no WHERE in the lever
+    assert(!tCand.lever.contains("where ="), tCand.lever)
+    // qK and qL both push (l_quantity > 30): the nomination upgrades
+    // to a FILTERED summary with exactly the shared conjunct — qL's
+    // extra (flag = 'R') must drop out of the intersection
+    val wCand = cands.find(_.op == "Scan /data/w")
+      .getOrElse(fail(s"no /data/w candidate: $cands"))
+    assert(wCand.lever.contains(
+      "where = Some(\"(l_quantity > 30)\")"), wCand.lever)
+    assert(!wCand.lever.contains("flag = 'R'"), wCand.lever)
     // joined-summary candidate: qE and qF aggregate over the same
     // x⋈y join (doubled fixture must not double the count), and they
     // contribute to NO single-table candidate

@@ -1877,6 +1877,33 @@ class SummaryRewriteSpec extends SparkSpec {
       assert(!scanPaths(qjn()).exists(_.contains("graft_summaries")),
         "unfiltered joined query must not route onto a filtered star")
     } finally Summaries.drop("spec_fjoin")
+    try {
+      // IN-list declaration: equality and subset memberships route,
+      // a value outside the list fails closed
+      Summaries.create(li, "spec_fin",
+        grain = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"),
+        where = Some("l_returnflag IN ('A', 'R')"))
+      def g(f: org.apache.spark.sql.Column) = () =>
+        Tables.load(spark, sf, "lineitem").filter(f)
+          .groupBy("l_linestatus")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+          .orderBy("l_linestatus")
+      val ga = g(col("l_returnflag") === "A")
+      assert(scanPaths(ga()).exists(_.contains("graft_summaries")),
+        "x = 'A' should imply x IN ('A','R')")
+      assert(ga().collect().toSeq == withoutRouting { ga().collect().toSeq })
+      val gsub = g(col("l_returnflag").isin("R", "A"))
+      assert(scanPaths(gsub()).exists(_.contains("graft_summaries")),
+        "a subset IN should imply the declared IN")
+      assert(gsub().collect().toSeq ==
+        withoutRouting { gsub().collect().toSeq })
+      assert(!scanPaths(g(col("l_returnflag").isin("A", "N"))()).exists(
+        _.contains("graft_summaries")),
+        "an IN with a value outside the declaration must stay raw")
+      assert(!scanPaths(g(col("l_returnflag") === "N")()).exists(
+        _.contains("graft_summaries")))
+    } finally Summaries.drop("spec_fin")
     // a non-grain WHERE is rejected at create
     intercept[IllegalArgumentException] {
       Summaries.create(li, "spec_fbad",

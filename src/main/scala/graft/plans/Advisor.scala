@@ -78,7 +78,12 @@ object Advisor {
       value: Long, unit: String, lever: String,
       kind: String = "", paths: Seq[String] = Nil,
       grain: Seq[String] = Nil, edges: Seq[String] = Nil,
-      queries: Seq[String] = Nil)
+      queries: Seq[String] = Nil,
+      // summary nominations only: the filter conjuncts EVERY
+      // nominated query pushes (intersection across the workload) —
+      // materialize() turns them into the created summary's declared
+      // WHERE, the filtered-MV upgrade
+      filters: Seq[String] = Nil)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -408,7 +413,8 @@ object Advisor {
                shared.mkString(" AND ") + "\")) and the summary " +
                "builds over only those grain rows"),
           kind = "summary", paths = Seq(pth),
-          grain = groups.toSeq.sorted, queries = qs.keys.toSeq.sorted)
+          grain = groups.toSeq.sorted, queries = qs.keys.toSeq.sorted,
+          filters = shared)
     }.sortBy(f => (-f.value, f.op)).take(topN)
     val histograms = histCand.toSeq.collect {
       case (pth, (qs, grain)) if qs.size >= 2 =>
@@ -548,6 +554,21 @@ object Advisor {
       }
       spec
     }
+    // a shared-slice nomination upgrades to a FILTERED summary: the
+    // conjuncts become the declared WHERE and their referenced
+    // columns JOIN THE GRAIN (the router requires query filters over
+    // grain columns, so the nominated queries could only route with
+    // those columns present). Anything unresolvable drops the WHERE
+    // — an unfiltered build is always a correct fallback.
+    def whereAndExtraGrain(resolvable: String => Boolean)
+        : (Option[String], Seq[String]) =
+      if (f.filters.isEmpty) (None, Nil)
+      else filterColumns(f.filters) match {
+        case Some(cs) if cs.nonEmpty && cs.forall(resolvable) =>
+          (Some(f.filters.toSeq.sorted.mkString(" AND ")),
+            cs.filterNot(f.grain.contains))
+        case _ => (None, Nil)
+      }
     f.kind match {
       case "summary" | "histogram" | "rollup" =>
         require(f.paths.length == 1, s"single-table kind, many paths: $f")
@@ -561,7 +582,10 @@ object Advisor {
         val grain = f.grain.filter(cols)
         require(grain.nonEmpty,
           s"no nominated grain column exists in ${f.paths.head}: $f")
-        gated(df, Summaries.create(df, name, grain = grain, sums = Nil))
+        val (whereOpt, extra) = whereAndExtraGrain(cols)
+        gated(df, Summaries.create(df, name,
+          grain = grain ++ extra.filterNot(grain.contains),
+          sums = Nil, where = whereOpt))
       case "join" =>
         require(f.edges.nonEmpty, s"join nomination without edges: $f")
         val dfs = f.paths.map(p => p -> spark.read.parquet(p))
@@ -608,13 +632,31 @@ object Advisor {
           dfs.count(_._2.columns.contains(c)) == 1)
         require(grain.nonEmpty,
           s"no nominated grain column resolves unambiguously: $f")
+        val (whereOpt, extra) = whereAndExtraGrain(c =>
+          dfs.count(_._2.columns.contains(c)) == 1)
         gated(joined,
-          Summaries.createJoined(joined, name, grain = grain, sums = Nil))
+          Summaries.createJoined(joined, name,
+            grain = grain ++ extra.filterNot(grain.contains),
+            sums = Nil, where = whereOpt))
       case other =>
         throw new IllegalArgumentException(
           s"finding kind '$other' is not materializable")
     }
   }
+
+  /** The single-part column names a set of filter-conjunct SQLs
+    * references; None when any conjunct fails to parse. */
+  private def filterColumns(filters: Seq[String]): Option[Seq[String]] =
+    try {
+      Some(filters.flatMap { f =>
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(f).collect {
+            case u: org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute if u.nameParts.length == 1 =>
+              u.nameParts.head
+          }
+      }.distinct)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Render findings as aligned report lines (one per finding). */
   def report(findings: Seq[Finding]): String =

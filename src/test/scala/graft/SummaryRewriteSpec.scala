@@ -853,6 +853,80 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("Advisor.materialize builds the FILTERED summary a " +
+      "shared-slice nomination carries") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.plans.{Advisor, TraceCapture}
+    val dir = Files.createTempDirectory("graft-advice-filt")
+    val trace = dir.resolve("t.jsonl").toString
+    val listener = TraceCapture.install(spark, trace)
+    // two aggregate queries over lineitem that BOTH push the same
+    // slice predicate, with different groupings
+    val qFlag = () => Tables.load(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 30)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n")).orderBy("l_returnflag")
+    val qStatus = () => Tables.load(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 30)
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n")).orderBy("l_linestatus")
+    try {
+      TraceCapture.setLabel("qf")
+      qFlag().write.format("noop").mode("overwrite").save()
+      org.apache.spark.sql.GraftColumnBridge
+        .drainListenerBus(spark, 10000L)
+      TraceCapture.setLabel("qs")
+      qStatus().write.format("noop").mode("overwrite").save()
+      org.apache.spark.sql.GraftColumnBridge
+        .drainListenerBus(spark, 10000L)
+      TraceCapture.clearLabel()
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var lines = Seq.empty[String]
+      while (lines.size < 2 && System.nanoTime() < deadline) {
+        if (Files.exists(Paths.get(trace)))
+          lines = Files.readAllLines(Paths.get(trace)).asScala.toSeq
+        if (lines.size < 2) Thread.sleep(50)
+      }
+      assert(lines.size >= 2)
+      val nom = Advisor.advise(lines.iterator)
+        .find(f => f.kind == "summary" &&
+          f.paths.exists(_.contains("lineitem")))
+        .getOrElse(fail("no summary nomination"))
+      assert(nom.filters.nonEmpty &&
+        nom.filters.forall(_.contains("l_quantity")),
+        s"shared slice missing from the nomination: $nom")
+      assert(nom.lever.contains("FILTERED"), nom.lever)
+      val raws = Seq(qFlag, qStatus)
+        .map(q => withoutRouting { q().collect().toSeq })
+      val spec = Advisor.materialize(spark, nom, "adv_mat_filt")
+      try {
+        assert(spec.filterSql.nonEmpty, "materialize dropped the WHERE")
+        // the filter column joined the grain, so the nominated
+        // queries route — onto the SLICE-ONLY summary
+        assert(spec.grain.contains("l_quantity"), spec.grain.toString)
+        for ((q, raw) <- Seq(qFlag, qStatus).zip(raws)) {
+          val paths = scanPaths(q())
+          assert(paths.nonEmpty &&
+            paths.forall(_.contains("graft_summaries")),
+            s"nominated filtered query did not route: $paths")
+          assert(q().collect().toSeq == raw)
+        }
+        // a NON-subsumed query stays raw and correct
+        val qAll = () => Tables.load(spark, sf, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n")).orderBy("l_returnflag")
+        assert(!scanPaths(qAll()).exists(_.contains("graft_summaries")))
+        assert(qAll().collect().toSeq ==
+          withoutRouting { qAll().collect().toSeq })
+      } finally Summaries.drop("adv_mat_filt")
+    } finally {
+      TraceCapture.uninstall(spark, listener)
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("Advisor.materialize acts on nominations: the nominated " +
       "single-table AND join workloads route, answers unchanged") {
     import java.nio.file.{Files, Paths}

@@ -638,6 +638,12 @@ object SparkEntry {
     // raw rows and the oracle replays the whole sketch in SQL
     "q189_summary_quantile_sketch" ->
       (operators.OlapQueries.summaryQuantileSketch _),
+    // MULTIPLE summaries on one source, best-match routing: the full
+    // pricing summary AND the filtered high-quantity slice are both
+    // registered; the rewrite serves this query from the slice (the
+    // smallest qualifying build — spec-asserted); oracle = raw slice
+    "q190_summary_best_match" ->
+      (operators.OlapQueries.summaryBestMatch _),
     // co-located bucketed join: both tables hash-bucketed on the join
     // key at write time, so the sort-merge join runs with no shuffle
     // on either side (plan-asserted in LayoutSpec); bucketing is a
@@ -3865,6 +3871,17 @@ object SparkEntry {
         |FROM r JOIN n ON r.flag = n.flag
         |GROUP BY n.flag, n.n_rows
         |ORDER BY n.flag""".stripMargin,
+    "q190_summary_best_match" ->
+      """SELECT l_linestatus,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+        |    4) AS sum_base,
+        |  round(min(l_extendedprice), 4) AS min_price,
+        |  round(max(l_extendedprice), 4) AS max_price
+        |FROM lineitem
+        |WHERE l_quantity > 35
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
     "q188_summary_filtered" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(*) AS n_rows,

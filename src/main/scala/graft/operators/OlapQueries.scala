@@ -2440,6 +2440,51 @@ object OlapQueries {
       .orderBy("l_returnflag")
   }
 
+  /** q190: MULTIPLE summaries per source with best-match routing —
+    * the warehouse contract that a table carries many MVs and the
+    * planner picks. The lineitem source here holds BOTH the full
+    * pricing summary (q172's, grain flag×status×shipdate) and the
+    * filtered high-quantity slice (q188's, WHERE l_quantity > 30);
+    * the query filters `l_quantity > 35`, which only the SLICE can
+    * serve (the pricing grain lacks l_quantity), and the rewrite
+    * selects it — preference order: a subsumed filtered slice first
+    * (the smallest qualifying build), then coarser grains
+    * (spec-asserted in SummaryRewriteSpec's best-match test; the
+    * explainer names the chosen summary). The oracle recomputes from
+    * the raw slice. At 100 TB this is MV portfolio management: the
+    * dashboard's slice summary and the full-history one coexist, and
+    * every query reads the cheapest qualifying substrate.
+    */
+  def summaryBestMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val pre1 = graft.plans.Summaries.isRegistered("lineitem_pricing")
+    val pre2 = graft.plans.Summaries.isRegistered("lineitem_hiqty")
+    if (!pre1) registerPricingSummary(spark, sfDir)
+    if (!pre2) registerFilteredSummary(spark, sfDir)
+    try {
+      val out = bestMatchQuery(spark, sfDir)
+      val rows = out.collect().toSeq // report-sized
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      if (!pre2) graft.plans.Summaries.drop("lineitem_hiqty")
+      if (!pre1) graft.plans.Summaries.drop("lineitem_pricing")
+    }
+  }
+
+  private[graft] def bestMatchQuery(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") > 35)
+      .groupBy("l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(
+          expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)"),
+          4).as("sum_base"),
+        round(min(col("l_extendedprice")), 4).as("min_price"),
+        round(max(col("l_extendedprice")), 4).as("max_price"))
+      .orderBy("l_linestatus")
+
   private[graft] def deltaJoinQuery(spark: SparkSession,
       sfDir: String): DataFrame = {
     val liDir = new java.io.File(deltaJoinDemoDir(sfDir), "li")
@@ -2575,6 +2620,24 @@ object OlapQueries {
         hook("lineitem_hiqty", registerFilteredSummary),
       "q189_summary_quantile_sketch" ->
         hook("lineitem_qsk", registerQskSummary),
+      // TWO summaries pre-registered on one source: the timed read is
+      // the best-match routed read (the filtered slice)
+      "q190_summary_best_match" -> ((s: SparkSession, d: String) => {
+        try {
+          registerPricingSummary(s, d)
+          registerFilteredSummary(s, d)
+        } catch { case t: Throwable =>
+          try graft.plans.Summaries.drop("lineitem_pricing")
+          catch { case _: Throwable => () }
+          try graft.plans.Summaries.drop("lineitem_hiqty")
+          catch { case _: Throwable => () }
+          throw t
+        }
+        () => {
+          graft.plans.Summaries.drop("lineitem_hiqty")
+          graft.plans.Summaries.drop("lineitem_pricing")
+        }
+      }),
       "q183_summary_star6" ->
         hook("li_q5_star", registerLocalVolumeStarSummary),
       "q177_summary_join" ->

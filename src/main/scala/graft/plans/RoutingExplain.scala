@@ -92,7 +92,7 @@ object RoutingExplain {
           lr: org.apache.spark.sql.execution.datasources.LogicalRelation)
           if projects.forall(_.isInstanceOf[AttributeReference]) =>
         Summaries.pathOf(lr).map { path =>
-          verdictFor(agg, routed, path, Summaries.rawLookup(path),
+          verdictFor(agg, routed, path, Summaries.rawLookupAll(path),
             lr.output, filters, projects, AttributeSet.empty)
         }
       case PhysicalOperation(projects, topFilters,
@@ -122,7 +122,7 @@ object RoutingExplain {
                   case _ => false
                 }
                 verdictFor(agg, routed, paths.mkString(" ⋈ "),
-                  Summaries.rawLookup(key), rawOut, fs, Nil,
+                  Summaries.rawLookupAll(key), rawOut, fs, Nil,
                   SummaryRewrite.unsafeDupAttrs(rawOut, conds))
             }
         }
@@ -135,19 +135,19 @@ object RoutingExplain {
               lr: org.apache.spark.sql.execution.datasources
                 .LogicalRelation) =>
             Summaries.pathOf(lr).map { path =>
-              val spec = Summaries.rawLookup(path)
+              val specs = Summaries.rawLookupAll(path)
               if (routed.isDefined)
                 Verdict(s"rollup/cube of $path", routes = true,
-                  spec.map(_.name), 0, Nil)
+                  chosenSpec(routed.get, specs).map(_.name)
+                    .orElse(specs.headOption.map(_.name)), 0, Nil)
               else Verdict(s"rollup/cube of $path", routes = false, None, 0,
-                spec match {
-                  case None =>
-                    Seq(s"no summary registered for $path")
-                  case Some(s) => registrationReasons(s) :+
-                    ("the rollup/cube gates refused (grouping-id, " +
-                      "grain, or measure mapping — see the " +
-                      "SummaryRewrite.rewriteRollup contract)")
-                })
+                if (specs.isEmpty)
+                  Seq(s"no summary registered for $path")
+                else specs.flatMap(s => registrationReasons(s)
+                  .map(r => s"[${s.name}] $r")) :+
+                  ("the rollup/cube gates refused (grouping-id, " +
+                    "grain, or measure mapping — see the " +
+                    "SummaryRewrite.rewriteRollup contract)"))
             }
           case _ => None
         }
@@ -194,27 +194,60 @@ object RoutingExplain {
   /** The expression-level gate walk for a single-table or joined
     * aggregate whose registration exists.
     */
+  /** Which registered candidate a ROUTED plan actually reads — by
+    * matching the routed plan's relations against each candidate's
+    * summary directory (several summaries may serve one source).
+    */
+  private def chosenSpec(routed: Aggregate,
+      specs: Seq[Summaries.Spec]): Option[Summaries.Spec] = {
+    val paths = routed.collect {
+      case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation =>
+        Summaries.pathOf(lr)
+    }.flatten
+    specs.find(s => Option(s.summaryPath)
+      .exists(p => paths.contains(Summaries.canon(p))))
+  }
+
   private def verdictFor(agg: Aggregate, routed: Option[Aggregate],
-      over: String, specOpt: Option[Summaries.Spec],
+      over: String, specs: Seq[Summaries.Spec],
       rawOut: Seq[Attribute], filters0: Seq[Expression],
       projects: Seq[NamedExpression],
       unsafeDups: AttributeSet): Verdict = {
-    val delta = specOpt.filter(s => routed.isDefined &&
-        !Summaries.isFresh(s))
-      .flatMap(Summaries.deltaProbe).map(_.length).getOrElse(0)
-    if (routed.isDefined)
-      return Verdict(over, routes = true, specOpt.map(_.name), delta, Nil)
-    val spec = specOpt.getOrElse {
+    if (routed.isDefined) {
+      val chosen = chosenSpec(routed.get, specs)
+      val delta = chosen.filter(s => !Summaries.isFresh(s))
+        .flatMap(Summaries.deltaProbe).map(_.length).getOrElse(0)
+      return Verdict(over, routes = true,
+        chosen.map(_.name).orElse(specs.headOption.map(_.name)),
+        delta, Nil)
+    }
+    if (specs.isEmpty)
       return Verdict(over, routes = false, None, 0, Seq(
         s"no summary registered for $over" + {
           val ks = Summaries.registeredKeys
           if (ks.isEmpty) " (none registered at all)"
           else s" (registered: ${ks.mkString("; ")})"
         }))
-    }
+    // a refusal names every candidate's gates (several summaries may
+    // sit on the source; each refused for its own reason)
+    val perSpec = specs.map(s => s.name -> reasonsFor(s, agg, rawOut,
+      filters0, projects, unsafeDups))
+    val reasons =
+      if (perSpec.length == 1) perSpec.head._2
+      else perSpec.flatMap { case (n, rs) => rs.map(r => s"[$n] $r") }
+    Verdict(over, routes = false, Some(specs.head.name), 0, reasons)
+  }
+
+  /** The per-candidate gate walk (registration state, then the
+    * expression gates).
+    */
+  private def reasonsFor(spec: Summaries.Spec, agg: Aggregate,
+      rawOut: Seq[Attribute], filters0: Seq[Expression],
+      projects: Seq[NamedExpression],
+      unsafeDups: AttributeSet): Seq[String] = {
     val regReasons = registrationReasons(spec)
-    if (regReasons.nonEmpty)
-      return Verdict(over, routes = false, Some(spec.name), 0, regReasons)
+    if (regReasons.nonEmpty) return regReasons
     // expression gates — mirror the rewrite's alias inlining so the
     // named columns are the query's own
     val aliasMap = projects.collect {
@@ -257,11 +290,10 @@ object RoutingExplain {
       case _ =>
     })
     val reasons = b.result()
-    Verdict(over, routes = false, Some(spec.name), 0,
-      if (reasons.nonEmpty) reasons
-      else Seq("no single gate identified — likely a grain/measure " +
-        "reference the summary's columns cannot serve (the rewrite's " +
-        "completeness gate)"))
+    if (reasons.nonEmpty) reasons
+    else Seq("no single gate identified — likely a grain/measure " +
+      "reference the summary's columns cannot serve (the rewrite's " +
+      "completeness gate)")
   }
 
   private def classify(ae: AggregateExpression,

@@ -321,11 +321,11 @@ object Summaries {
             try {
               val spec = specFromJson(new String(
                 java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-              if (!reg.containsKey(spec.source))
+              if (!reg.containsKey(regKey(spec.source, spec.name)))
                 s.read.parquet(spec.summaryPath)
                   .queryExecution.analyzed match {
                   case lr: LogicalRelation =>
-                    reg.putIfAbsent(spec.source,
+                    reg.putIfAbsent(regKey(spec.source, spec.name),
                       spec.copy(relation = lr))
                   case _ =>
                 }
@@ -522,24 +522,48 @@ object Summaries {
       .flatMap(deltaFor(spec, _))
       .map(fs => spec.copy(deltaFiles = fs))
 
-  private[plans] def lookup(path: String): Option[Spec] = {
+  // ----- multi-summary registry --------------------------------
+  // a source may carry SEVERAL summaries (the warehouse contract:
+  // e.g. a small FILTERED slice beside the full-table one, or a
+  // coarse dashboard grain beside a fine histogram grain). The
+  // registry keys on (source, name); lookups return every candidate
+  // in PREFERENCE order and the rewrite takes the first whose gates
+  // pass. Preference: filtered first (a declared slice is the
+  // smaller build — when it qualifies, it wins), then coarser grain
+  // (fewer grain columns aggregate harder → fewer rows to scan),
+  // then name for determinism.
+
+  private def regKey(source: String, name: String): String =
+    source + "\u0001" + name
+
+  private def specOrder(s: Spec): (Boolean, Int, String) =
+    (s.filterSql.isEmpty, s.grain.length, s.name)
+
+  private def candidatesFor(source: String): Seq[Spec] = {
+    import scala.jdk.CollectionConverters._
+    reg.values().asScala.toSeq.filter(_.source == source)
+      .sortBy(specOrder)
+  }
+
+  private[plans] def lookupAll(path: String): Seq[Spec] = {
     ensureLoaded()
-    Option(reg.get(path)).filter(_.routable).flatMap(routedView)
+    candidatesFor(path).filter(_.routable)
+      .flatMap(s => routedView(s).toSeq)
   }
 
   // ----- diagnosis hooks (RoutingExplain) — registration/freshness
   // state WITHOUT the fail-closed filtering, so the explainer can say
   // WHY a lookup came back empty instead of just that it did -----
 
-  private[plans] def rawLookup(key: String): Option[Spec] = {
+  private[plans] def rawLookupAll(key: String): Seq[Spec] = {
     ensureLoaded()
-    Option(reg.get(key))
+    candidatesFor(key)
   }
 
   private[plans] def registeredKeys: Seq[String] = {
     import scala.jdk.CollectionConverters._
     ensureLoaded()
-    reg.keys().asScala.toSeq
+    reg.values().asScala.toSeq.map(_.source).distinct
   }
 
   private[plans] def isFresh(spec: Spec): Boolean = fresh(spec)
@@ -751,11 +775,14 @@ object Summaries {
     val source = singleSourcePath(raw, allowFilter = partial)
     val filterSql = where.map(_.trim).getOrElse("")
     val filtered = applyDeclaredFilter(raw, filterSql, grain)
-    // one summary per source: silently evicting a DIFFERENT name
-    // would leave its directory orphaned and its drop() a no-op
-    Option(reg.get(source)).filter(_.name != name).foreach { o =>
+    // names are global: re-creating a name on a DIFFERENT source
+    // would leave the old registration shadowed but alive (drop(name)
+    // would remove both) — refuse instead. A source may carry many
+    // summaries (distinct names); the rewrite picks the best match.
+    lookupByName(name).filter(_.source != source).foreach { o =>
       throw new IllegalArgumentException(
-        s"source $source already has summary '${o.name}' — drop it first")
+        s"summary '$name' is already registered over ${o.source} — " +
+          "drop it first")
     }
     val aggCols = (sums0.map { case (n, s) => sum(expr(s)).as(n) } ++
       // per sum measure, its NON-NULL row count (__nn_<name>): the
@@ -841,12 +868,9 @@ object Summaries {
     paths.sorted.mkString("⋈") + "?" +
       edges.map(edgeStr).sorted.mkString("&")
 
-  private[plans] def lookupJoin(paths: Seq[String],
-      edges: Seq[JoinEdge]): Option[Spec] = {
-    ensureLoaded()
-    Option(reg.get(joinSourceKey(paths, edges)))
-      .filter(_.routable).flatMap(routedView)
-  }
+  private[plans] def lookupJoinAll(paths: Seq[String],
+      edges: Seq[JoinEdge]): Seq[Spec] =
+    lookupAll(joinSourceKey(paths, edges))
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)
@@ -983,9 +1007,10 @@ object Summaries {
           s"(got: ${conds.mkString(", ")})"))
     val paths = leaves.map(_._1)
     val source = joinSourceKey(paths, edges)
-    Option(reg.get(source)).filter(_.name != name).foreach { o =>
+    lookupByName(name).filter(_.source != source).foreach { o =>
       throw new IllegalArgumentException(
-        s"source $source already has summary '${o.name}' — drop it first")
+        s"summary '$name' is already registered over ${o.source} — " +
+          "drop it first")
     }
     val aggCols = (sums0.map { case (n, s) => sum(expr(s)).as(n) } ++
       sums0.map { case (n, s) => count(expr(s)).as("__nn_" + n) } ++
@@ -1047,7 +1072,7 @@ object Summaries {
     }
     val spec = proto.copy(summaryPath = path, relation = rel)
     persistSpec(spec) // the catalog half: specs outlive the session
-    val old = Option(reg.put(spec.source, spec))
+    val old = Option(reg.put(regKey(spec.source, spec.name), spec))
     old.filter(o => o.name == spec.name && o.summaryPath != path)
       .foreach { o =>
         val p = new org.apache.hadoop.fs.Path(o.summaryPath)
@@ -1412,7 +1437,7 @@ object Summaries {
     // stale summary being refreshed — silently dropping the batch.
     // While suspended, queries over the source run raw (correct,
     // just unrouted) — the standard MV-refresh window.
-    reg.remove(spec.source)
+    reg.remove(regKey(spec.source, spec.name))
     try {
       // completion is EXPLICIT: only `complete = true` (the caller
       // affirming this batch brings the summary up to the full
@@ -1451,7 +1476,8 @@ object Summaries {
           .delete(p, true)
       }
       next
-    } catch { case t: Throwable => reg.put(spec.source, spec); throw t }
+    } catch { case t: Throwable =>
+      reg.put(regKey(spec.source, spec.name), spec); throw t }
   }
 
   /** The one-call refresh: detect the append-only delta the router is
@@ -1854,15 +1880,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       // Aggregate of every query in the optimizer's fixed point
       // whenever any summary is registered, and the expression
       // surgery below is pure waste for the unregistered ones
-      val matched: Option[(Summaries.Spec, Seq[Attribute], Seq[Expression],
-          AttributeSet, AttributeSet)] =
+      // every candidate on the source, in preference order (filtered
+      // slice first, then coarser grain): the FIRST whose gates and
+      // surgery succeed serves the query — the warehouse best-match
+      val matched: Option[(Seq[Summaries.Spec], Seq[Attribute],
+          Seq[Expression], AttributeSet, AttributeSet)] =
         child match {
           case lr: LogicalRelation =>
-            for {
-              path <- Summaries.pathOf(lr)
-              spec <- Summaries.lookup(path)
-            } yield (spec, lr.output, Nil, AttributeSet.empty,
-              AttributeSet.empty)
+            Summaries.pathOf(lr).map(path =>
+              (Summaries.lookupAll(path), lr.output,
+                Nil: Seq[Expression], AttributeSet.empty,
+                AttributeSet.empty))
           case j: org.apache.spark.sql.catalyst.plans.logical.Join
               if j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
                 j.condition.isDefined =>
@@ -1870,14 +1898,14 @@ object SummaryRewrite extends Rule[LogicalPlan] {
               (leaves, conds, sideFs) <- collectJoinTree(j)
               if leaves.map(_._1).distinct.length == leaves.length
               (edges, keyAttrs) <- Summaries.resolveEdges(conds, leaves)
-              spec <- Summaries.lookupJoin(leaves.map(_._1), edges)
               rawOut = leaves.flatMap(_._2.output)
-            } yield (spec, rawOut, sideFs, keyAttrs,
+            } yield (Summaries.lookupJoinAll(leaves.map(_._1), edges),
+              rawOut, sideFs, keyAttrs,
               unsafeDupAttrs(rawOut, conds))
           case _ => None
         }
-      matched.flatMap { case (spec, rawOut, sideFilters, joinKeyAttrs,
-          unsafeDups) =>
+      matched.filter(_._1.nonEmpty).flatMap { case (specs, rawOut,
+          sideFilters, joinKeyAttrs, unsafeDups) =>
         // IS NOT NULL on a join KEY is implied by the registered inner
         // equi-join (every summary row came from a matched, hence
         // non-null, key) — constraint inference manufactures these on
@@ -1914,26 +1942,29 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             Alias(inline(al.child), al.name)(al.exprId, al.qualifier)
           case other => other
         }
-        val grainNames = spec.grain.toSet
         // everything the query consumes OUTSIDE aggregate functions
         // must be grain: grouping keys, filter columns. A
         // non-deterministic term (rand() sampling, monotonic ids) has
         // no column references, so the grain guard can't see it — but
         // over the summary it would act per GRAIN ROW, not per raw
         // row: semantics change, so the aggregate stays raw.
-        if ((filters ++ groupings)
-              .flatMap(_.references).forall(a => grainNames.contains(a.name)) &&
-            (filters ++ groupings ++ aggExprs).forall(_.deterministic) &&
-            // a reference to a duplicated, non-join-equated name could
-            // be served the OTHER table's column by the name-keyed
-            // mapping — fail closed to raw
-            !(filters ++ groupings ++ aggExprs)
-              .flatMap(_.references).exists(unsafeDups.contains) &&
-            // a FILTERED summary only serves queries whose own
-            // filters imply its declared WHERE
-            filterSubsumed(spec, filters, rawOut))
-          rewriteOnto(groupings, aggExprs, filters, rawOut, spec)
-        else None
+        specs.view.flatMap { spec =>
+          val grainNames = spec.grain.toSet
+          if ((filters ++ groupings)
+                .flatMap(_.references)
+                .forall(a => grainNames.contains(a.name)) &&
+              (filters ++ groupings ++ aggExprs).forall(_.deterministic) &&
+              // a reference to a duplicated, non-join-equated name
+              // could be served the OTHER table's column by the
+              // name-keyed mapping — fail closed to raw
+              !(filters ++ groupings ++ aggExprs)
+                .flatMap(_.references).exists(unsafeDups.contains) &&
+              // a FILTERED summary only serves queries whose own
+              // filters imply its declared WHERE
+              filterSubsumed(spec, filters, rawOut))
+            rewriteOnto(groupings, aggExprs, filters, rawOut, spec)
+          else None
+        }.headOption
       }
     case _ => None
   }
@@ -2220,12 +2251,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           if ps.forall(_.isInstanceOf[AttributeReference]) => (r, fs)
       case _ => return None
     }
-    val spec = Summaries.pathOf(lr).flatMap(Summaries.lookup)
-      .getOrElse(return None)
-    // a FILTERED summary serves a rollup only when the below-Expand
-    // filters (the pushed-down WHERE) imply its declaration
-    if (!filterSubsumed(spec, childFilters, lr.output)) return None
-    val grainNames = spec.grain.toSet
+    val candidates = Summaries.pathOf(lr).toSeq
+      .flatMap(Summaries.lookupAll)
+    if (candidates.isEmpty) return None
     val nOut = expand.output.size
     if (expand.projections.isEmpty ||
         expand.projections.exists(_.size != nOut)) return None
@@ -2263,6 +2291,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       if (!ok) return None
     }
 
+    // spec-dependent half: try each candidate in preference order,
+    // first success serves the rollup
+    def trySpec(spec: Summaries.Spec): Option[Aggregate] = {
+    // a FILTERED summary serves a rollup only when the below-Expand
+    // filters (the pushed-down WHERE) imply its declaration
+    if (!filterSubsumed(spec, childFilters, lr.output)) return None
+    val grainNames = spec.grain.toSet
     val preservedIdx = (0 until nOut).filter { j =>
       pos(j).allLit || pos(j).attr.exists(a => grainNames.contains(a.name))
     }
@@ -2339,5 +2374,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val aggChild = newFilters.map(_.get)
       .foldRight(newExpand: LogicalPlan)((c, p) => Filter(c, p))
     Some(Aggregate(newGrouping.map(_.get), newAggs.map(_.get), aggChild))
+    }
+    candidates.view.flatMap(s => trySpec(s)).headOption
   }
 }

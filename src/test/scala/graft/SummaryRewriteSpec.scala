@@ -1758,6 +1758,72 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("MULTIPLE summaries per source: the rewrite picks the best " +
+      "match (filtered slice > coarse grain > fine grain)") {
+    val li = Tables.load(spark, sf, "lineitem")
+    def q(f: Option[org.apache.spark.sql.Column]) = () => {
+      val base = Tables.load(spark, sf, "lineitem")
+      f.fold(base)(base.filter)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+        .orderBy("l_returnflag")
+    }
+    try {
+      Summaries.create(li, "ms_coarse",
+        grain = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"))
+      Summaries.create(li, "ms_fine",
+        grain = Seq("l_returnflag", "l_linestatus", "l_quantity"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"))
+      Summaries.create(li, "ms_slice",
+        grain = Seq("l_returnflag", "l_quantity"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"),
+        where = Some("l_quantity > 30"))
+      // no filter: the slice is not subsumed; the COARSE grain wins
+      // over the fine one (fewer rows to scan)
+      val p1 = scanPaths(q(None)())
+      assert(p1.nonEmpty && p1.forall(_.contains("ms_coarse")),
+        s"unfiltered query should ride the coarse summary: $p1")
+      assert(q(None)().collect().toSeq ==
+        withoutRouting { q(None)().collect().toSeq })
+      // quantity > 35 implies the slice: the FILTERED summary wins
+      // (the declared slice is the smallest build that qualifies)
+      val f35 = Some(col("l_quantity") > 35)
+      val p2 = scanPaths(q(f35)())
+      assert(p2.nonEmpty && p2.forall(_.contains("ms_slice")),
+        s"subsumed query should ride the filtered summary: $p2")
+      assert(q(f35)().collect().toSeq ==
+        withoutRouting { q(f35)().collect().toSeq })
+      // quantity > 25 does NOT imply the slice, and the coarse grain
+      // lacks l_quantity: only the FINE summary serves
+      val f25 = Some(col("l_quantity") > 25)
+      val p3 = scanPaths(q(f25)())
+      assert(p3.nonEmpty && p3.forall(_.contains("ms_fine")),
+        s"non-subsumed filter should fall through to the fine grain: $p3")
+      assert(q(f25)().collect().toSeq ==
+        withoutRouting { q(f25)().collect().toSeq })
+      // the explainer names the CHOSEN summary
+      assert(graft.plans.RoutingExplain.explain(q(f35)())
+        .contains("ms_slice"))
+      // all three survive a registry reload
+      Summaries.unload()
+      assert(scanPaths(q(None)()).forall(_.contains("ms_coarse")))
+      assert(scanPaths(q(f35)()).forall(_.contains("ms_slice")))
+      assert(scanPaths(q(f25)()).forall(_.contains("ms_fine")))
+      // a name registered over a DIFFERENT source refuses (drop(name)
+      // must stay unambiguous)
+      intercept[IllegalArgumentException] {
+        Summaries.create(Tables.load(spark, sf, "orders"), "ms_coarse",
+          grain = Seq("o_orderpriority"), sums = Nil)
+      }
+    } finally {
+      Summaries.drop("ms_coarse")
+      Summaries.drop("ms_fine")
+      Summaries.drop("ms_slice")
+    }
+  }
+
   test("QUANTILE SKETCH measure: routed estimate == raw estimate at " +
       "any p on a grain WITHOUT the value column") {
     import graft.functions.QskFunctions._

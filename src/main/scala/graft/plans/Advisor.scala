@@ -550,7 +550,13 @@ object Advisor {
         throw new IllegalArgumentException(
           s"nominated grain barely compresses ($sRows summary rows " +
             s"from $rRows source rows > ratio $maxGrainRatio) — " +
-            "a summary that saves nothing must not capture queries")
+            "a summary that saves nothing must not capture queries" +
+            (if (f.kind == "histogram")
+               ". A percentile grain that fails this gate usually " +
+                 "means a near-unique value domain: declare a " +
+                 "quantile-sketch measure on the COARSE grain instead " +
+                 "(qsks = … / quantile_sketch_est — q189's route)"
+             else ""))
       }
       spec
     }

@@ -134,6 +134,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quantile sketch is valid streaming state (stream ≡ batch, " +
+      "exactly, at any micro-batching)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // unlike Misra–Gries, the bottom-k pair sketch is a pure
+    // DISTINCT-SET operation (insert/merge keep the k smallest
+    // (priority, value) pairs), so its state is update-order
+    // INDEPENDENT: stream ≡ batch bit-for-bit with no eviction
+    // caveat — the property that lets a streaming ingest maintain
+    // the same quantile summaries the batch MV stores (q189)
+    val pri = "pmod(event_id, 1000000007) * 2654435761 % 1000000007"
+    val v = "cast(cast(value as decimal(18,2)) * 100 as bigint)"
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("event_type")
+        .agg(graft.functions.QskFunctions.quantile_sketch_est(
+          expr(pri), expr(v), 64, 0.9).as("p90_cents"))
+    val raw = spark.readStream
+      .schema(Tables.eventsOnDiskSchema(spark, sf + "/events.parquet"))
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", 1).parquet(sf)
+    val q = agg(raw).writeStream.outputMode("complete")
+      .format("memory").queryName("qsk_stream_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("qsk_stream_test")
+        .orderBy("event_type").collect().toSeq
+      val batch = agg(Tables.load(spark, sf, "events"))
+        .orderBy("event_type").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("mixture sampling runs unchanged on a stream (stateless predicate)") {
     // the accept test is pure arithmetic on doc_id — no state, no RNG,
     // so the same operator body is streaming-safe and admits exactly

@@ -1126,10 +1126,12 @@ object Summaries {
           case None => "stale:suspended"
         }
       val measures = (s.sumSql.map(_._1) ++ s.minSql.map(_._1) ++
-        s.maxSql.map(_._1) ++ s.hllSql.map(_._1) ++ s.kmvSql.map(_._1))
+        s.maxSql.map(_._1) ++ s.hllSql.map(_._1) ++ s.kmvSql.map(_._1) ++
+        s.qskSql.map(_._1))
         .mkString(", ")
       s"${s.name} [$substrate] grain=(${s.grain.mkString(", ")}) " +
         s"gen=${s.gen} $state" +
+        (if (s.filterSql.nonEmpty) s" where=(${s.filterSql})" else "") +
         (if (measures.nonEmpty) s" measures=($measures)" else "")
     }.mkString("\n")
   }

@@ -1890,6 +1890,20 @@ class SummaryRewriteSpec extends SparkSpec {
       assert(scanPaths(q(0.9)()).forall(_.contains("graft_summaries")))
       assert(q(0.9)().collect().toSeq ==
         withoutRouting { q(0.9)().collect().toSeq })
+      // the sketch measure routes through the ROLLUP/Expand substrate
+      // too (the shared Surgeon serves it on the appended columns)
+      val qr = () => li().rollup("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          quantile_sketch_est(expr(priSql), expr(valSql), 256, 0.5)
+            .as("q_cents"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+          col("n"), col("q_cents"))
+        .orderBy("flag")
+      assert(scanPaths(qr()).forall(_.contains("graft_summaries")),
+        "rollup + quantile sketch should route")
+      assert(qr().collect().toSeq == withoutRouting { qr().collect().toSeq })
+      // status names the sketch measure
+      assert(Summaries.status().contains("qsk_price"))
     } finally Summaries.drop("spec_qsk")
   }
 

@@ -157,6 +157,12 @@ object Summaries {
       // structured form so the joined-delta substrate can REBUILD
       // Δleaf ⋈ (other tables) without parsing the registry key
       joinEdges: Seq[(String, String, String, String)] = Nil,
+      // stored row count measured at registration (parquet metadata
+      // read, one tiny job per create/refresh) — the best-match
+      // preference orders candidates by it: the cheapest QUALIFYING
+      // summary serves the query. -1 = unrecorded (pre-round-15 spec
+      // files), which sorts after measured candidates
+      rows: Long = -1L,
       // FILTERED (partial-by-predicate) summary: the declared WHERE
       // clause (SQL over grain columns) the build applied before
       // aggregating. Empty = unfiltered. A query routes only when its
@@ -230,6 +236,7 @@ object Summaries {
         JArray(List(JString(pa), JString(ca), JString(pb), JString(cb)))
       }.toList),
       "filterSql" -> JString(s.filterSql),
+      "rows" -> JLong(s.rows),
       "qsks" -> smap(s.qsks),
       "qskSql" -> JArray(s.qskSql.map { case (n, ps, vs) =>
         JArray(List(JString(n), JString(ps), JString(vs))) }.toList),
@@ -279,6 +286,7 @@ object Summaries {
           (l(0), l(1), l(2), l(3))
         },
       filterSql = if (j.contains("filterSql")) str("filterSql") else "",
+      rows = if (j.contains("rows")) num("rows") else -1L,
       qsks = if (j.contains("qsks")) smap("qsks") else Map.empty,
       qskSql = if (!j.contains("qskSql")) Nil
         else j("qskSql").asInstanceOf[JArray].arr.map { e =>
@@ -536,8 +544,16 @@ object Summaries {
   private def regKey(source: String, name: String): String =
     source + "\u0001" + name
 
-  private def specOrder(s: Spec): (Boolean, Int, String) =
-    (s.filterSql.isEmpty, s.grain.length, s.name)
+  // preference = MEASURED cost: stored row count ascending (the
+  // registration records it), then the static fallbacks for
+  // unrecorded specs (filtered slice first, coarser grain), then
+  // name for determinism. Candidates that cannot serve a query are
+  // never consulted — the gates run per candidate — so this orders
+  // cost among CORRECT choices only.
+  private def specOrder(s: Spec): (Int, Long, Boolean, Int, String) =
+    (if (s.rows >= 0) 0 else 1,
+      if (s.rows >= 0) s.rows else 0L,
+      s.filterSql.isEmpty, s.grain.length, s.name)
 
   private def candidatesFor(source: String): Seq[Spec] = {
     import scala.jdk.CollectionConverters._
@@ -1070,7 +1086,11 @@ object Summaries {
       case other => throw new IllegalStateException(
         s"summary read-back is not a file relation: ${other.getClass}")
     }
-    val spec = proto.copy(summaryPath = path, relation = rel)
+    val nRows =
+      try spark.read.parquet(path).count()
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    val spec = proto.copy(summaryPath = path, relation = rel,
+      rows = nRows)
     persistSpec(spec) // the catalog half: specs outlive the session
     val old = Option(reg.put(regKey(spec.source, spec.name), spec))
     old.filter(o => o.name == spec.name && o.summaryPath != path)

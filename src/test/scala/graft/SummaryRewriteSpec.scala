@@ -1806,6 +1806,20 @@ class SummaryRewriteSpec extends SparkSpec {
       // the explainer names the CHOSEN summary
       assert(graft.plans.RoutingExplain.explain(q(f35)())
         .contains("ms_slice"))
+      // the preference is MEASURED cost, not a grain-arity heuristic:
+      // a 1-column grain with MANY rows (per order key) must lose to
+      // the 6-row coarse summary on a query both can serve
+      Summaries.create(li, "ms_bykey",
+        grain = Seq("l_orderkey"), sums = Nil)
+      try {
+        val qg = () => Tables.load(spark, sf, "lineitem")
+          .agg(count(lit(1)).as("n"))
+        val pg = scanPaths(qg())
+        assert(pg.nonEmpty && pg.forall(_.contains("ms_coarse")),
+          s"the fewest-ROWS candidate must win: $pg")
+        assert(qg().collect().toSeq ==
+          withoutRouting { qg().collect().toSeq })
+      } finally Summaries.drop("ms_bykey")
       // all three survive a registry reload
       Summaries.unload()
       assert(scanPaths(q(None)()).forall(_.contains("ms_coarse")))

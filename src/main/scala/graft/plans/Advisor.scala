@@ -154,6 +154,10 @@ object Advisor {
     // serve-compensated → fold lifecycle without a human watching.
     val refreshCand = collection.mutable.Map.empty[String,
       collection.mutable.Map[String, Long]]
+    // summary name -> its registered source leaf paths (canonical),
+    // resolved once per advise() call — delta-byte attribution
+    val summaryLeaves =
+      collection.mutable.Map.empty[String, Seq[String]]
     val summaryNameRx = ".*graft_summaries/([^/]+?)__g\\d+.*".r
     lines.foreach { line =>
       val root =
@@ -230,10 +234,22 @@ object Advisor {
                 lineSummaryBytes += metric("filesSize")
               case _ if pth.nonEmpty && lineSummaryName.isDefined =>
                 // raw files scanned ALONGSIDE a summary generation:
-                // the compensated substrate's delta read (scans carry
-                // the summary first in pre-order — the union's first
-                // leg is the summary relation)
-                lineDeltaBytes += metric("filesSize")
+                // the compensated substrate's delta read — but only
+                // scans whose path lies UNDER the summary's own
+                // registered source leaves count. A query that joins
+                // a routed summary with an UNRELATED raw table must
+                // not fabricate a refreshDelta nomination from that
+                // table's bytes (attribution by ownership, not by
+                // plan position; an unresolvable name credits
+                // nothing — fail closed, it's advice)
+                val owned = lineSummaryName.exists { sn =>
+                  val cp = try Summaries.canon(pth)
+                    catch { case _: Throwable => pth }
+                  summaryLeaves.getOrElseUpdate(sn,
+                    Summaries.leafPathsOf(sn))
+                    .exists(l => cp == l || cp.startsWith(l + "/"))
+                }
+                if (owned) lineDeltaBytes += metric("filesSize")
               case _ =>
             }
             val nFiles = metric("numFiles")

@@ -163,6 +163,11 @@ object Summaries {
       // summary serves the query. -1 = unrecorded (pre-round-15 spec
       // files), which sorts after measured candidates
       rows: Long = -1L,
+      // stored on-disk byte size measured at registration (one local
+      // listing of the summary directory) — the best-match cost's
+      // primary unit, because the STALE-candidate penalty below is
+      // measured in bytes too. -1 = unrecorded (older spec files)
+      bytes: Long = -1L,
       // FILTERED (partial-by-predicate) summary: the declared WHERE
       // clause (SQL over grain columns) the build applied before
       // aggregating. Empty = unfiltered. A query routes only when its
@@ -171,8 +176,17 @@ object Summaries {
       filterSql: String = "",
       // TRANSIENT (never persisted): set by lookup() on the spec copy
       // it hands the rewrite when the source is stale-but-append-only
-      // — the extra data files the compensated substrate must fold in
-      deltaFiles: Seq[String] = Nil)
+      // — the extra data files the compensated substrate must fold
+      // in, as FULL `path:len:mtime` listing entries (the pinned-read
+      // memos key on them)
+      deltaFiles: Seq[String] = Nil,
+      // TRANSIENT: the measured bytes the compensated read must scan
+      // BEYOND the summary itself (delta files, plus the built
+      // partners each telescoped join term re-reads) — folded into
+      // the best-match cost so a stale-but-small candidate whose
+      // compensation scan dominates loses to a fresh summary with
+      // slightly more rows, and wins again after refreshDelta
+      compBytes: Long = 0L)
 
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, Spec]()
@@ -237,6 +251,7 @@ object Summaries {
       }.toList),
       "filterSql" -> JString(s.filterSql),
       "rows" -> JLong(s.rows),
+      "bytes" -> JLong(s.bytes),
       "qsks" -> smap(s.qsks),
       "qskSql" -> JArray(s.qskSql.map { case (n, ps, vs) =>
         JArray(List(JString(n), JString(ps), JString(vs))) }.toList),
@@ -287,6 +302,7 @@ object Summaries {
         },
       filterSql = if (j.contains("filterSql")) str("filterSql") else "",
       rows = if (j.contains("rows")) num("rows") else -1L,
+      bytes = if (j.contains("bytes")) num("bytes") else -1L,
       qsks = if (j.contains("qsks")) smap("qsks") else Map.empty,
       qskSql = if (!j.contains("qskSql")) Nil
         else j("qskSql").asInstanceOf[JArray].arr.map { e =>
@@ -405,6 +421,14 @@ object Summaries {
     e.substring(0, e.lastIndexOf(':', i2 - 1))
   }
 
+  /** The byte length inside a listing entry. */
+  private def entryLen(e: String): Long = {
+    val i2 = e.lastIndexOf(':')
+    val i1 = e.lastIndexOf(':', i2 - 1)
+    try e.substring(i1 + 1, i2).toLong
+    catch { case _: NumberFormatException => 0L } // absent:<path>
+  }
+
   val StaleCheckKey = "spark.graft.summaryRewrite.staleCheck.enabled"
   val StaleTtlKey = "spark.graft.summaryRewrite.staleCheck.ttlMs"
 
@@ -497,8 +521,11 @@ object Summaries {
     else deltaFromEntries(spec, currentListing(spec.fpPaths, s)._2)
 
   /** The pure half of the delta gate: given a CURRENT listing, the
-    * extra file paths iff the drift is append-only (and single-leaf
-    * for a joined source). */
+    * extra files iff the drift is append-only (and single-leaf
+    * for a joined source). Returns FULL `path:len:mtime` entries —
+    * downstream pinned-read memos key on them, so a delta file
+    * rewritten in place between lookups mints a new cache key
+    * instead of serving a relation with stale baked-in lengths. */
   private def deltaFromEntries(spec: Spec,
       entries: Seq[String]): Option[Seq[String]] = {
     val cur = entries.toSet
@@ -508,7 +535,7 @@ object Summaries {
         !extras.exists(_.startsWith("absent:")) &&
         (spec.fpPaths.length == 1 ||
           extras.forall(e => ownerPath(spec, entryPath(e)).isDefined)))
-      Some(extras.map(entryPath))
+      Some(extras)
     else None
   }
 
@@ -519,16 +546,48 @@ object Summaries {
     spec.fpPaths.find(p => cf == p || cf.startsWith(p + "/"))
   }
 
+  /** Measured bytes a compensated read scans BEYOND the summary: the
+    * delta files themselves for a single table; for a joined source,
+    * every telescoped term's full read set (term i re-reads the
+    * OTHER leaves' built/new files alongside Δ(a_i) — at 100 TB a
+    * dim-side append forces a fact re-scan, and the cost model must
+    * say so). Pure arithmetic over the listing entries already in
+    * hand — no I/O.
+    */
+  private def compensationBytes(spec: Spec, extras: Seq[String]): Long =
+    if (spec.fpPaths.length == 1) extras.map(entryLen).sum
+    else {
+      def owner(e: String) = ownerPath(spec, entryPath(e)).getOrElse("")
+      val deltaBy = extras.groupBy(owner)
+      val builtBy = spec.builtFiles.groupBy(owner)
+      val appended = spec.fpPaths.filter(deltaBy.contains)
+      appended.zipWithIndex.map { case (ai, i) =>
+        spec.fpPaths.map { p =>
+          if (p == ai) deltaBy(p).map(entryLen).sum
+          else {
+            val built = builtBy.getOrElse(p, Nil).map(entryLen).sum
+            val idx = appended.indexOf(p)
+            val extra = if (idx >= 0 && idx < i)
+              deltaBy.getOrElse(p, Nil).map(entryLen).sum
+            else 0L
+            built + extra
+          }
+        }.sum
+      }.sum
+    }
+
   /** A routable view of the spec for the rewrite: the spec itself
     * when fresh; a delta-bearing copy when stale but append-only
-    * (the rewrite swaps in the compensated substrate); None otherwise
-    * (fail closed — the query runs raw).
+    * (the rewrite swaps in the compensated substrate, and the copy
+    * carries the measured compensation bytes for the best-match
+    * cost); None otherwise (fail closed — the query runs raw).
     */
   private def routedView(spec: Spec): Option[Spec] =
     if (fresh(spec)) Some(spec)
     else org.apache.spark.sql.SparkSession.getActiveSession
       .flatMap(deltaFor(spec, _))
-      .map(fs => spec.copy(deltaFiles = fs))
+      .map(fs => spec.copy(deltaFiles = fs,
+        compBytes = compensationBytes(spec, fs)))
 
   // ----- multi-summary registry --------------------------------
   // a source may carry SEVERAL summaries (the warehouse contract:
@@ -544,15 +603,20 @@ object Summaries {
   private def regKey(source: String, name: String): String =
     source + "\u0001" + name
 
-  // preference = MEASURED cost: stored row count ascending (the
-  // registration records it), then the static fallbacks for
-  // unrecorded specs (filtered slice first, coarser grain), then
-  // name for determinism. Candidates that cannot serve a query are
-  // never consulted — the gates run per candidate — so this orders
-  // cost among CORRECT choices only.
+  // preference = MEASURED cost: stored byte size ascending PLUS the
+  // measured compensation-scan bytes for a stale candidate (so a
+  // fresh summary beats a stale-but-smaller one the moment the delta
+  // re-scan dominates, and the stale one wins again after its
+  // refreshDelta folds the delta away); row count for specs recorded
+  // before bytes were; then the static fallbacks for unrecorded
+  // specs (filtered slice first, coarser grain), then name for
+  // determinism. Candidates that cannot serve a query are never
+  // consulted — the gates run per candidate — so this orders cost
+  // among CORRECT choices only.
   private def specOrder(s: Spec): (Int, Long, Boolean, Int, String) =
-    (if (s.rows >= 0) 0 else 1,
-      if (s.rows >= 0) s.rows else 0L,
+    (if (s.bytes >= 0) 0 else if (s.rows >= 0) 1 else 2,
+      if (s.bytes >= 0) s.bytes + s.compBytes
+      else if (s.rows >= 0) s.rows else 0L,
       s.filterSql.isEmpty, s.grain.length, s.name)
 
   private def candidatesFor(source: String): Seq[Spec] = {
@@ -563,8 +627,12 @@ object Summaries {
 
   private[plans] def lookupAll(path: String): Seq[Spec] = {
     ensureLoaded()
+    // order AFTER the freshness/delta gates run: a stale candidate's
+    // preference must reflect its measured compensation cost, which
+    // only the routed view carries
     candidatesFor(path).filter(_.routable)
       .flatMap(s => routedView(s).toSeq)
+      .sortBy(specOrder)
   }
 
   // ----- diagnosis hooks (RoutingExplain) — registration/freshness
@@ -587,6 +655,20 @@ object Summaries {
   private[plans] def deltaProbe(spec: Spec): Option[Seq[String]] =
     org.apache.spark.sql.SparkSession.getActiveSession
       .flatMap(deltaFor(spec, _))
+
+  /** The registered source leaf paths of `name` — from the in-memory
+    * registry when loaded, else straight from the persisted spec file
+    * (no session or relation read-back needed): the Advisor uses this
+    * to attribute compensated-delta scan bytes to the summary that
+    * actually owns the scanned files, instead of crediting any raw
+    * scan that happens to follow a summary scan in plan order.
+    */
+  private[plans] def leafPathsOf(name: String): Seq[String] =
+    lookupByName(name).map(_.fpPaths).getOrElse {
+      try specFromJson(new String(java.nio.file.Files.readAllBytes(
+        specFile(name).toPath), "UTF-8")).fpPaths
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    }
 
   /** Forget the freshness memo for `name`'s source, so the NEXT
     * lookup re-lists immediately instead of after the TTL window —
@@ -868,6 +950,20 @@ object Summaries {
           s"got non-grain: ${bad.mkString(", ")}")
       require(cond.deterministic,
         "summary WHERE must be deterministic")
+      // the routing side can only PROVE subsumption for declarations
+      // it can resolve WITHOUT the analyzer — bare attribute
+      // comparisons, IN-lists, null-safe equality, and AND/OR trees
+      // of them (SummaryRewrite.resolveDeclared). A declaration
+      // outside that grammar (upper(flag)='A', a UDF…) would
+      // register, build, and then be PERMANENTLY unroutable — a
+      // silently dead MV discovered only via RoutingExplain. Reject
+      // it at registration, where the author can still rephrase.
+      require(SummaryRewrite.resolveDeclared(filterSql,
+          raw.queryExecution.analyzed.output).isDefined,
+        s"summary WHERE '$filterSql' is outside the provable " +
+          "subsumption grammar (bare column comparisons, IN-lists, " +
+          "<=>, and AND/OR trees of them) — the built summary could " +
+          "never route. Rephrase the declaration in those shapes.")
       filtered
     }
 
@@ -1089,8 +1185,14 @@ object Summaries {
     val nRows =
       try spark.read.parquet(path).count()
       catch { case scala.util.control.NonFatal(_) => -1L }
+    // measured on-disk size: one local listing of the directory just
+    // written — the best-match cost's primary unit
+    val nBytes =
+      try listEntries(Seq(path),
+        spark.sparkContext.hadoopConfiguration).map(entryLen).sum
+      catch { case scala.util.control.NonFatal(_) => -1L }
     val spec = proto.copy(summaryPath = path, relation = rel,
-      rows = nRows)
+      rows = nRows, bytes = nBytes)
     persistSpec(spec) // the catalog half: specs outlive the session
     val old = Option(reg.put(regKey(spec.source, spec.name), spec))
     old.filter(o => o.name == spec.name && o.summaryPath != path)
@@ -1273,10 +1375,16 @@ object Summaries {
       size > 48
   }
 
+  /** Pinned read keyed on FULL listing entries (`path:len:mtime`):
+    * a file rewritten in place between lookups misses the cache and
+    * re-reads, instead of serving a relation whose baked-in lengths
+    * are stale — the same fail-closed posture as the delta gate.
+    */
   private def readDeltaMemo(s: org.apache.spark.sql.SparkSession,
-      basePath: String, files: Seq[String]): DataFrame =
+      basePath: String, entries: Seq[String]): DataFrame =
     pinnedRelMemo.synchronized {
-      val key = basePath + "#" + fpOf(files.sorted)
+      val files = entries.map(entryPath)
+      val key = basePath + "#" + fpOf(entries.sorted)
       val hit = pinnedRelMemo.get(key)
       val lr =
         if (hit != null) hit
@@ -1294,11 +1402,14 @@ object Summaries {
 
   private def deltaRelation(spec: Spec,
       s: org.apache.spark.sql.SparkSession): Option[LogicalRelation] = {
+    // deltaFiles are full `path:len:mtime` entries, so the memo key
+    // distinguishes a delta file rewritten in place (new len/mtime →
+    // new key → fresh read) from a true cache hit
     val key = spec.deltaFiles.sorted.mkString("|") + "#g" + spec.gen
     Option(deltaRelMemo.get(spec.name)).filter(_._1 == key)
       .map(_._2.newInstance())
       .orElse {
-        readDelta(s, spec.fpPaths.head, spec.deltaFiles)
+        readDelta(s, spec.fpPaths.head, spec.deltaFiles.map(entryPath))
           .queryExecution.analyzed match {
           case lr: LogicalRelation =>
             deltaRelMemo.put(spec.name, (key, lr))
@@ -1399,16 +1510,19 @@ object Summaries {
   private def joinedDelta(spec: Spec,
       s: org.apache.spark.sql.SparkSession): Option[DataFrame] = {
     if (spec.joinEdges.isEmpty) return None
-    val deltaOwners = spec.deltaFiles.map(f => ownerPath(spec, f))
+    // all per-leaf maps hold FULL listing entries; readDeltaMemo keys
+    // on them and derives the bare paths itself
+    val deltaOwners =
+      spec.deltaFiles.map(f => ownerPath(spec, entryPath(f)))
     if (deltaOwners.exists(_.isEmpty)) return None
     val deltaByLeaf: Map[String, Seq[String]] =
       spec.deltaFiles.zip(deltaOwners.map(_.get)).groupBy(_._2)
         .map { case (p, fs) => p -> fs.map(_._1) }
-    val builtPaths = spec.builtFiles.map(entryPath)
-    val builtOwners = builtPaths.map(f => ownerPath(spec, f))
+    val builtOwners =
+      spec.builtFiles.map(f => ownerPath(spec, entryPath(f)))
     if (builtOwners.exists(_.isEmpty)) return None
     val builtByLeaf: Map[String, Seq[String]] =
-      builtPaths.zip(builtOwners.map(_.get)).groupBy(_._2)
+      spec.builtFiles.zip(builtOwners.map(_.get)).groupBy(_._2)
         .map { case (p, fs) => p -> fs.map(_._1) }
     val appended = spec.fpPaths.filter(deltaByLeaf.contains)
     if (appended.isEmpty) return None
@@ -1532,7 +1646,7 @@ object Summaries {
     val withDelta = spec.copy(deltaFiles = files)
     val batch =
       if (spec.fpPaths.length == 1)
-        readDelta(s, spec.fpPaths.head, files)
+        readDelta(s, spec.fpPaths.head, files.map(entryPath))
       else joinedDelta(withDelta, s).getOrElse(
         throw new IllegalStateException(
           s"cannot rebuild the joined delta for '$name' (ambiguous " +
@@ -1612,7 +1726,14 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     Summaries.ensureLoadedForRule()
     if (Summaries.isEmpty) plan
     else plan.transform {
-      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+      // fail CLOSED at the rule boundary too: an optimizer rule must
+      // never turn "could not route" into a failed query — any
+      // unexpected throw from the gate/surgery stack leaves the
+      // aggregate on the raw table, the same outcome as every
+      // deliberate refusal
+      case agg: Aggregate =>
+        try rewrite(agg).getOrElse(agg)
+        catch { case scala.util.control.NonFatal(_) => agg }
     }
   }
 
@@ -1651,7 +1772,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * over the query's exprIds. Ambiguous, qualified, or missing names
     * fail (None → the gate fails closed).
     */
-  private def resolveDeclared(sql: String,
+  private[plans] def resolveDeclared(sql: String,
       rawOut: Seq[Attribute]): Option[Expression] =
     try {
       val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
@@ -1775,7 +1896,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           Some((a.exprId, a.dataType, vs.map(_.get)))
         else None
       case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
-        Some((a.exprId, a.dataType, hset.toSeq))
+        // an optimized IN-list that contained NULL keeps it in the
+        // hset — drop it here: `x IN (…, NULL)` never evaluates TRUE
+        // for the null member (it yields NULL, filtered out), so as a
+        // FILTER the membership set is the non-null values, and a
+        // null reaching cmpValues would NPE inside the optimizer
+        Some((a.exprId, a.dataType, hset.toSeq.filter(_ != null)))
       case _ => None
     }
 

@@ -264,6 +264,22 @@ class AdvisorSpec extends SparkSpec {
       assert(nom.head.op == "Summary adv_refresh", nom.toString)
       assert(nom.head.lever.contains(
         "Summaries.refreshDelta(\"adv_refresh\")"), nom.head.lever)
+      // attribution is by OWNERSHIP, not plan position: a query that
+      // scans the summary plus an UNRELATED raw table (a join with a
+      // side table, say) must not turn that table's bytes into a
+      // fabricated delta nomination
+      val fakeLine =
+        """{"event":"query","name":"qx","operators":[""" +
+          """{"op":"Scan parquet","depth":1,"metrics":{"filesSize":1000},""" +
+          s""""path":"file:$srcPath/../unrelated_table"},""" +
+          """{"op":"Scan parquet","depth":2,"metrics":{"filesSize":100},""" +
+          """"path":"file:/tmp/spark-warehouse/graft_summaries/""" +
+          """adv_refresh__g0/part-0.parquet"},""" +
+          """{"op":"Scan parquet","depth":3,""" +
+          """"metrics":{"filesSize":999999},""" +
+          """"path":"file:/tmp/some_other_table/part-1.parquet"}]}"""
+      assert(!Advisor.advise(Iterator(fakeLine)).exists(_.kind == "refresh"),
+        "unrelated raw-scan bytes must not nominate a fold")
       // act on the nomination: the fold returns reads to summary-only
       assert(Summaries.refreshDelta("adv_refresh").isDefined)
       val roots = scanRoots(q())

@@ -2081,6 +2081,115 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("FILTERED summary: an optimized InSet containing NULL never " +
+      "NPEs the optimizer — subsumed lists route, foreign lists stay " +
+      "raw") {
+    val li = Tables.load(spark, sf, "lineitem")
+    // 11 declared members keep the DECLARED side an In over literals;
+    // the QUERY side crosses spark.sql.optimizer.inSetConversionThreshold
+    // (10) and lands in the rule as InSet — with NULL in its hset
+    val decl = Seq("A", "N", "R") ++ (1 to 8).map(i => s"X$i")
+    try {
+      Summaries.create(li, "spec_finn",
+        grain = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"),
+        where = Some(decl.map(v => s"'$v'")
+          .mkString("l_returnflag IN (", ", ", ")")))
+      def g(vals: Seq[Any]) = () =>
+        Tables.load(spark, sf, "lineitem")
+          .filter(col("l_returnflag").isin(vals: _*))
+          .groupBy("l_linestatus")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+          .orderBy("l_linestatus")
+      // declared members + NULL: IN's null member never matches a
+      // row, so the effective set is subsumed — the query ROUTES
+      // (and, pre-fix, this exact shape NPE'd inside the rule)
+      val gin = g(decl :+ null)
+      assert(scanPaths(gin()).exists(_.contains("graft_summaries")),
+        "a subsumed InSet (null dropped) should route")
+      assert(gin().collect().toSeq ==
+        withoutRouting { gin().collect().toSeq })
+      // a foreign member + NULL: not subsumed, stays raw — quietly
+      val gout = g((decl :+ "ZZ") :+ null)
+      assert(!scanPaths(gout()).exists(_.contains("graft_summaries")))
+      assert(gout().collect().toSeq ==
+        withoutRouting { gout().collect().toSeq })
+    } finally Summaries.drop("spec_finn")
+  }
+
+  test("create() rejects a declared WHERE outside the provable " +
+      "subsumption grammar (the silently-dead-MV case)") {
+    val li = Tables.load(spark, sf, "lineitem")
+    // a function call in the declaration can never be re-resolved by
+    // the routing side — registering it would build a permanently
+    // unroutable summary, so create refuses up front
+    val e = intercept[IllegalArgumentException] {
+      Summaries.create(li, "spec_fdead",
+        grain = Seq("l_returnflag"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"),
+        where = Some("upper(l_returnflag) = 'A'"))
+    }
+    assert(e.getMessage.contains("subsumption grammar"))
+    assert(!Summaries.isRegistered("spec_fdead"))
+    // the provable shapes still register: comparison, IN, <=>, OR
+    Seq("l_returnflag > 'A'", "l_returnflag IN ('A','R')",
+      "l_returnflag <=> 'R'",
+      "l_returnflag = 'A' OR l_returnflag = 'R'").foreach { w =>
+      Summaries.create(li, "spec_fok", grain = Seq("l_returnflag"),
+        sums = Nil, where = Some(w))
+      Summaries.drop("spec_fok")
+    }
+  }
+
+  test("staleness-aware best match: a stale candidate's measured " +
+      "compensation bytes flip preference to the fresh one, and " +
+      "refreshDelta flips it back") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scost").toFile
+    val srcPath = new java.io.File(dir, "src").getAbsolutePath
+    import spark.implicits._
+    def rows(n: Int, off: Int) = (0 until n).map { i =>
+      (if ((i + off) % 2 == 0) "a" else "b", (i + off) % 500,
+        ((i + off) % 97).toLong)
+    }.toDF("x", "y", "v")
+    val q = () => spark.read.parquet(srcPath)
+      .groupBy("x").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("sv"))
+      .orderBy("x")
+    try {
+      rows(20000, 0).write.parquet(srcPath)
+      val src = () => spark.read.parquet(srcPath)
+      // tiny coarse candidate (2 grain rows) vs a larger fine one
+      // (1000 grain rows) — both serve q; coarse wins on bytes
+      Summaries.create(src(), "sc_coarse", grain = Seq("x"),
+        sums = Seq("sv" -> "cast(v as decimal(18,2))"))
+      Summaries.create(src(), "sc_fine", grain = Seq("x", "y"),
+        sums = Seq("sv" -> "cast(v as decimal(18,2))"))
+      assert(scanPaths(q()).forall(_.contains("sc_coarse")),
+        "both fresh: the smaller summary serves")
+      // a delta lands that dwarfs the fine summary; fold it into the
+      // FINE one only — coarse is now stale with a big compensation
+      rows(60000, 20000).write.mode("append").parquet(srcPath)
+      Summaries.invalidate("sc_coarse")
+      assert(Summaries.refreshDelta("sc_fine").isDefined)
+      val p2 = scanPaths(q())
+      assert(p2.forall(_.contains("sc_fine")),
+        s"stale+big-delta candidate must lose to the fresh one: $p2")
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
+      // fold the coarse one too: preference returns to it
+      assert(Summaries.refreshDelta("sc_coarse").isDefined)
+      val p3 = scanPaths(q())
+      assert(p3.forall(_.contains("sc_coarse")),
+        s"after refreshDelta the small candidate wins again: $p3")
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
+    } finally {
+      Summaries.drop("sc_coarse")
+      Summaries.drop("sc_fine")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("joined delta reads are PINNED to the blessed listing: a dim " +
       "file landing inside the TTL window is invisible until blessed " +
       "(no Δfact⋈Δdim double-count)") {

@@ -644,6 +644,14 @@ object SparkEntry {
     // smallest qualifying build — spec-asserted); oracle = raw slice
     "q190_summary_best_match" ->
       (operators.OlapQueries.summaryBestMatch _),
+    // read-after-REBLESS: a summarized copy of lineitem is compacted
+    // IN PLACE (Layout.compact + swap — the nightly OPTIMIZE), which
+    // suspends routing; Summaries.rebless verifies the rewrite was
+    // content-preserving at summary resolution and re-records the
+    // fingerprint without rebuilding, and the read routes onto the
+    // untouched generation (plan-asserted inside the query). The copy
+    // is the full table, so the oracle is the plain raw aggregate
+    "q192_summary_rebless" -> (operators.OlapQueries.summaryRebless _),
     // co-located bucketed join: both tables hash-bucketed on the join
     // key at write time, so the sort-merge join runs with no shuffle
     // on either side (plan-asserted in LayoutSpec); bucketing is a
@@ -3882,6 +3890,18 @@ object SparkEntry {
         |WHERE l_quantity > 35
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin,
+    // the rebless fixture is a byte-reshuffled full copy of lineitem,
+    // so the post-rebless routed answer replays as the raw aggregate
+    "q192_summary_rebless" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |    AS sum_qty,
+        |  round(min(l_extendedprice), 4) AS min_price,
+        |  round(max(l_extendedprice), 4) AS max_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q188_summary_filtered" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(*) AS n_rows,

@@ -2485,6 +2485,111 @@ object OlapQueries {
         round(max(col("l_extendedprice")), 4).as("max_price"))
       .orderBy("l_linestatus")
 
+  /** q192: read-after-REBLESS — the compaction-survival story. A copy
+    * of lineitem is written as many small files, summarized, then
+    * COMPACTED IN PLACE ([[Layout.compact]] + swap — the nightly
+    * OPTIMIZE every table format runs). The freshness gate cannot
+    * tell a content-preserving rewrite from real drift, so routing
+    * suspends; [[graft.plans.Summaries.rebless]] re-aggregates the
+    * compacted source at the summary's grain, verifies set-equality
+    * against the stored summary, and re-records the fingerprint
+    * WITHOUT rebuilding — the query here then routes onto the
+    * untouched generation (asserted on the executed plan). The copy
+    * is the full table, so the oracle is the plain aggregate over raw
+    * lineitem. At 100 TB this is the difference between "OPTIMIZE ran
+    * last night" costing zero MV work and costing a full rebuild of
+    * every summary on the table.
+    */
+  def summaryRebless(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = reblessDemoName(sfDir)
+    val pre = graft.plans.Summaries.has(name)
+    if (!pre) registerReblessDemo(spark, sfDir)
+    try {
+      val q = reblessQuery(spark, sfDir)
+      val rows = q.collect().toSeq // report-sized
+      // the whole point: the post-rebless read is summary-only
+      def walk(n: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        n +: (n match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case s: QueryStageExec => walk(s.plan)
+          case _ => n.children.flatMap(walk)
+        })
+      }
+      val scans = walk(q.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+      require(scans.nonEmpty && scans.forall(_.contains("graft_summaries")),
+        s"post-rebless read must route onto the summary: $scans")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), q.schema)
+    } finally if (!pre) dropReblessDemo(spark, sfDir)
+  }
+
+  private[graft] def reblessDemoName(sfDir: String): String =
+    "li_rebless_" + new java.io.File(sfDir).getName
+
+  private[graft] def reblessDemoDir(sfDir: String): String =
+    new java.io.File("spark-warehouse/graft_rebless_demo/" +
+      reblessDemoName(sfDir)).getAbsolutePath
+
+  /** Build the rebless fixture: a small-files copy of lineitem,
+    * summarized, COMPACTED IN PLACE (the nightly OPTIMIZE), then
+    * verified + re-blessed — leaving a FRESH summary over the
+    * compacted files without any rebuild.
+    */
+  private[graft] def registerReblessDemo(spark: SparkSession,
+      sfDir: String): Unit = {
+    val name = reblessDemoName(sfDir)
+    val dir = reblessDemoDir(sfDir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.plans.Summaries.drop(name)
+    fs.delete(p, true)
+    Tables.load(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice")
+      .repartition(8).write.parquet(dir)
+    graft.plans.Summaries.create(spark.read.parquet(dir), name,
+      grain = Seq("l_returnflag", "l_linestatus"),
+      sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"),
+      mins = Seq("min_price" -> "l_extendedprice"),
+      maxs = Seq("max_price" -> "l_extendedprice"))
+    // in-place small-files compaction, then swap into place
+    val out = dir + "__opt"
+    Layout.compact(spark, dir, out)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(out), p)
+    graft.plans.Summaries.invalidate(name)
+    require(graft.plans.Summaries.rebless(name),
+      "rebless must verify a content-preserving compaction")
+  }
+
+  private[graft] def dropReblessDemo(spark: SparkSession,
+      sfDir: String): Unit = {
+    graft.plans.Summaries.drop(reblessDemoName(sfDir))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(reblessDemoDir(sfDir)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      reblessDemoDir(sfDir) + "__opt"), true)
+  }
+
+  private[graft] def reblessQuery(spark: SparkSession,
+      sfDir: String): DataFrame =
+    spark.read.parquet(reblessDemoDir(sfDir))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(expr(
+          "cast(sum(cast(l_quantity as decimal(18,2))) as double)"),
+          4).as("sum_qty"),
+        round(min(col("l_extendedprice")), 4).as("min_price"),
+        round(max(col("l_extendedprice")), 4).as("max_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   private[graft] def deltaJoinQuery(spark: SparkSession,
       sfDir: String): DataFrame = {
     val liDir = new java.io.File(deltaJoinDemoDir(sfDir), "li")
@@ -2620,6 +2725,17 @@ object OlapQueries {
         hook("lineitem_hiqty", registerFilteredSummary),
       "q189_summary_quantile_sketch" ->
         hook("lineitem_qsk", registerQskSummary),
+      // the fixture build (small-files copy + compact + rebless) is
+      // WRITE-TIME maintenance; the timed number is the post-rebless
+      // routed read alone
+      "q192_summary_rebless" -> ((s: SparkSession, d: String) => {
+        try registerReblessDemo(s, d)
+        catch { case t: Throwable =>
+          try dropReblessDemo(s, d) catch { case _: Throwable => () }
+          throw t
+        }
+        () => dropReblessDemo(s, d)
+      }),
       // TWO summaries pre-registered on one source: the timed read is
       // the best-match routed read (the filtered slice)
       "q190_summary_best_match" -> ((s: SparkSession, d: String) => {

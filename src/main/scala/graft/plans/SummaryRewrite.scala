@@ -1557,6 +1557,73 @@ object Summaries {
     else Some(terms.reduce(_ unionByName _))
   }
 
+  /** COMPACTION-aware re-blessing: verify that an in-place rewrite of
+    * the source (the shape [[graft.operators.Layout.compact]] and
+    * every table format's OPTIMIZE produce nightly) was CONTENT-
+    * PRESERVING, and if so re-record the fingerprint WITHOUT
+    * rebuilding the summary. The freshness gate cannot distinguish a
+    * small-files compaction from real drift — any rewrite suspends
+    * routing — and at 100 TB an MV rebuild is the most expensive
+    * operation in the warehouse, so "OPTIMIZE ran" must not cost one.
+    *
+    * The verification is the summary's own algebra: re-aggregate the
+    * CURRENT source at the registered grain/measures and compare the
+    * result SET against the stored summary (grain rows are unique per
+    * side, so two symmetric EXCEPTs decide equality). Equal ⇒ the
+    * rewrite preserved content at summary resolution — bless the new
+    * listing, routing resumes, generation and files untouched. Not
+    * equal ⇒ refuse (return false) and leave the suspension standing:
+    * a real data change needs refresh/re-create. Cost: one source
+    * scan + aggregate — the build's read half, with no write
+    * amplification and no routing gap (the old summary keeps serving
+    * the moment verification passes, vs. a rebuild's drop/recreate
+    * window).
+    *
+    * Fail-closed notes: double-typed sum measures may re-add in a
+    * different order and spuriously refuse (declare decimal sums, as
+    * the routing contract already requires for value-exactness);
+    * append-only drift also refuses (the fresh aggregate contains the
+    * appended rows) — [[refreshDelta]] is the right tool there.
+    * Returns true when already fresh (idempotent no-op).
+    */
+  def rebless(name: String): Boolean = {
+    val spec = lookupByName(name).getOrElse(
+      throw new IllegalArgumentException(s"no summary named $name"))
+    val s = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("no active SparkSession"))
+    // one direct listing (no memo): what we verify is what we bless
+    val entries = listEntries(spec.fpPaths,
+      s.sparkContext.hadoopConfiguration)
+    val fp = fpOf(entries)
+    if (fp == spec.sourceFp) {
+      touchFpMemo(spec.fpPaths, fp, entries)
+      return true
+    }
+    if (entries.exists(_.startsWith("absent:"))) return false
+    val src: DataFrame =
+      if (spec.fpPaths.length == 1) s.read.parquet(spec.fpPaths.head)
+      else {
+        val dfs = spec.fpPaths.map(p => p -> s.read.parquet(p)).toMap
+        joinLeaves(spec, dfs, spec.fpPaths.head).getOrElse(return false)
+      }
+    val freshAgg = partialAgg(spec, src)
+    val stored = s.read.parquet(spec.summaryPath)
+    // same build expressions ⇒ same schema; align column order and
+    // compare as sets
+    val cols = stored.columns.toSeq
+    val a = stored.select(cols.map(col): _*)
+    val b = freshAgg.select(cols.map(col): _*)
+    val equal =
+      try a.except(b).isEmpty && b.except(a).isEmpty
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!equal) return false
+    val blessed = spec.copy(sourceFp = fp, builtFiles = entries)
+    persistSpec(blessed)
+    reg.put(regKey(blessed.source, blessed.name), blessed)
+    touchFpMemo(spec.fpPaths, fp, entries)
+    true
+  }
+
   def refresh(name: String, batch: DataFrame,
       complete: Boolean = false,
       coveredEntries: Option[Seq[String]] = None): Spec = {

@@ -2190,6 +2190,88 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("rebless: a content-preserving compaction suspends, verifies, " +
+      "and resumes routing without a rebuild; a real data change " +
+      "refuses") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebless")
+      .toFile
+    val srcPath = new java.io.File(dir, "src").getAbsolutePath
+    val outPath = new java.io.File(dir, "compacted").getAbsolutePath
+    val li = Tables.load(spark, sf, "lineitem").select(
+      "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    val q = () => spark.read.parquet(srcPath)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+        min(col("l_extendedprice")).as("mn"))
+      .orderBy("l_returnflag")
+    try {
+      // many small files — the layout compaction exists to fix
+      li.repartition(8).write.parquet(srcPath)
+      Summaries.create(spark.read.parquet(srcPath), "spec_rebless",
+        grain = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"),
+        mins = Seq("mn" -> "l_extendedprice"),
+        kmvs = Seq("kmv_q" -> "cast(l_quantity as bigint) % 97"))
+      val raw = withoutRouting { q().collect().toSeq }
+      assert(scanPaths(q()).exists(_.contains("graft_summaries")))
+      val gen0 = Summaries.status()
+      // in-place compaction: rewrite the directory via the engine's
+      // own maintenance op, then swap it into place
+      graft.operators.Layout.compact(spark, srcPath, outPath)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(srcPath), true))
+      assert(fs.rename(new org.apache.hadoop.fs.Path(outPath),
+        new org.apache.hadoop.fs.Path(srcPath)))
+      Summaries.invalidate("spec_rebless")
+      // the fingerprint gate cannot tell compaction from drift:
+      // routing suspends, queries run raw and correct
+      val pSusp = scanPaths(q())
+      assert(!pSusp.exists(_.contains("graft_summaries")),
+        s"an in-place rewrite must suspend routing: $pSusp")
+      assert(q().collect().toSeq == raw)
+      // rebless verifies content at summary resolution and resumes
+      assert(Summaries.rebless("spec_rebless"),
+        "a content-preserving compaction must verify")
+      val pBack = scanPaths(q())
+      assert(pBack.nonEmpty && pBack.forall(_.contains("graft_summaries")),
+        s"post-rebless reads must be summary-only: $pBack")
+      assert(q().collect().toSeq == raw)
+      assert(Summaries.status().contains("fresh"))
+      // no rebuild happened: same generation directory serves
+      assert(Summaries.status() == gen0,
+        "rebless must not mint a new generation")
+      // idempotent on a fresh summary
+      assert(Summaries.rebless("spec_rebless"))
+      // the blessing persists: a fresh registry still routes
+      Summaries.unload()
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      // a REAL data change refuses: overwrite with one row dropped
+      val mutated = spark.read.parquet(srcPath)
+        .filter(col("l_extendedprice") =!=
+          lit(raw.map(_.getDouble(3)).min))
+        .collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(mutated.toSeq, 2),
+        spark.read.parquet(srcPath).schema)
+        .write.mode("overwrite").parquet(srcPath)
+      Summaries.invalidate("spec_rebless")
+      assert(!Summaries.rebless("spec_rebless"),
+        "a data change must refuse the blessing")
+      val pMut = scanPaths(q())
+      assert(!pMut.exists(_.contains("graft_summaries")),
+        s"a refused blessing must leave the suspension standing: $pMut")
+      assert(q().collect().toSeq ==
+        withoutRouting { q().collect().toSeq })
+    } finally {
+      Summaries.drop("spec_rebless")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("joined delta reads are PINNED to the blessed listing: a dim " +
       "file landing inside the TTL window is invisible until blessed " +
       "(no Δfact⋈Δdim double-count)") {

@@ -644,6 +644,14 @@ object SparkEntry {
     // smallest qualifying build — spec-asserted); oracle = raw slice
     "q190_summary_best_match" ->
       (operators.OlapQueries.summaryBestMatch _),
+    // the DELETE-compensated MV read: a retention job removes one
+    // built file (the l_orderkey%10=7 slice, isolated in its own
+    // file); invertible aggregates route onto merge(summary,
+    // negate(cube rows of the deleted file)) reading summary + cube
+    // only (plan-asserted in the query); the oracle replays the
+    // post-delete truth as the raw aggregate over the surviving slice
+    "q191_summary_delete_comp" ->
+      (operators.OlapQueries.summaryDeleteComp _),
     // read-after-REBLESS: a summarized copy of lineitem is compacted
     // IN PLACE (Layout.compact + swap — the nightly OPTIMIZE), which
     // suspends routing; Summaries.rebless verifies the rewrite was
@@ -3890,6 +3898,24 @@ object SparkEntry {
         |WHERE l_quantity > 35
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin,
+    // the fixture deletes exactly the l_orderkey%10=7 file, so the
+    // compensated answer replays as the raw aggregate over the
+    // surviving predicate slice (avg_qty: the q185 scaled-integer
+    // half-even quotient replay)
+    "q191_summary_delete_comp" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |    AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+        |    4) AS sum_base,
+        |  CAST((2 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) * 1000000 + 100 * count(*))
+        |       // (2 * 100 * count(*)) AS DOUBLE) / 1000000.0 AS avg_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 10 <> 7
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // the rebless fixture is a byte-reshuffled full copy of lineitem,
     // so the post-rebless routed answer replays as the raw aggregate
     "q192_summary_rebless" ->

@@ -263,7 +263,7 @@ object Layout {
     * refuses to CTAS over the orphaned location, so clear it first —
     * it is engine-owned scratch about to be rewritten.
     */
-  private def dropOrphanLocation(spark: SparkSession,
+  private[graft] def dropOrphanLocation(spark: SparkSession,
       table: String): Unit = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val p = new org.apache.hadoop.fs.Path(wh,

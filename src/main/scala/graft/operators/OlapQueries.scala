@@ -2577,6 +2577,115 @@ object OlapQueries {
       reblessDemoDir(sfDir) + "__opt"), true)
   }
 
+  /** q191: the DELETE-compensated MV read — the retention story. A
+    * copy of lineitem is written with one slice (l_orderkey % 10 = 7)
+    * isolated in its own file; the summary (with its per-(grain,
+    * file) cube sidecar, built in the same source scan) registers
+    * over the full copy; then the slice's file is DELETED — the daily
+    * retention job. Pre-round-12 any removal suspended routing; now
+    * [[graft.plans.SummaryRewrite]] routes invertible aggregates onto
+    * `merge(summary, negate(cube rows of the deleted file))`, reading
+    * the summary plus the CUBE only — the deleted data is gone, which
+    * is exactly why the cube recorded its partials while it existed
+    * (plan-asserted inside the query: no source re-scan at all).
+    * The oracle replays the post-delete truth as the raw aggregate
+    * WHERE l_orderkey % 10 <> 7. At 100 TB: retention lands daily,
+    * and the dashboard keeps reading megabytes instead of dropping to
+    * a fact-table scan until the weekly rebuild.
+    */
+  def summaryDeleteComp(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = deleteDemoName(sfDir)
+    val pre = graft.plans.Summaries.isRegistered(name)
+    if (!pre) registerDeleteDemo(spark, sfDir)
+    try {
+      val q = deleteCompQuery(spark, sfDir)
+      val rows = q.collect().toSeq // report-sized
+      def walk(n: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        n +: (n match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case s: QueryStageExec => walk(s.plan)
+          case _ => n.children.flatMap(walk)
+        })
+      }
+      val scans = walk(q.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+      require(scans.nonEmpty &&
+        scans.forall(_.contains("graft_summaries")) &&
+        scans.exists(_.contains("_files")),
+        s"delete-compensated read must scan summary + cube only: $scans")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), q.schema)
+    } finally if (!pre) dropDeleteDemo(spark, sfDir)
+  }
+
+  private[graft] def deleteDemoName(sfDir: String): String =
+    "li_delcomp_" + new java.io.File(sfDir).getName
+
+  private[graft] def deleteDemoDir(sfDir: String): String =
+    new java.io.File("spark-warehouse/graft_delete_demo/" +
+      deleteDemoName(sfDir)).getAbsolutePath
+
+  /** Build the retention fixture: base rows + the doomed slice in its
+    * own file, summary (and cube) over the full copy, then delete the
+    * slice's file and poke the freshness memo.
+    */
+  private[graft] def registerDeleteDemo(spark: SparkSession,
+      sfDir: String): Unit = {
+    val name = deleteDemoName(sfDir)
+    val dir = deleteDemoDir(sfDir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.plans.Summaries.drop(name)
+    fs.delete(p, true)
+    val li = Tables.load(spark, sfDir, "lineitem").select(
+      "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+      "l_orderkey")
+    li.filter(col("l_orderkey") % 10 =!= 7).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .filter(f => !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(_.getName).toSet
+    val before = files()
+    li.filter(col("l_orderkey") % 10 === 7)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val doomed = files() -- before
+    graft.plans.Summaries.create(spark.read.parquet(dir), name,
+      grain = Seq("l_returnflag", "l_linestatus"),
+      sums = Seq(
+        "sum_qty" -> "cast(l_quantity as decimal(18,2))",
+        "sum_base" -> "cast(l_extendedprice as decimal(18,2))"))
+    doomed.foreach(f =>
+      require(new java.io.File(dir, f).delete(), s"cannot delete $f"))
+    graft.plans.Summaries.invalidate(name)
+  }
+
+  private[graft] def dropDeleteDemo(spark: SparkSession,
+      sfDir: String): Unit = {
+    graft.plans.Summaries.drop(deleteDemoName(sfDir))
+    val p = new org.apache.hadoop.fs.Path(deleteDemoDir(sfDir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+  }
+
+  private[graft] def deleteCompQuery(spark: SparkSession,
+      sfDir: String): DataFrame =
+    spark.read.parquet(deleteDemoDir(sfDir))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(expr(
+          "cast(sum(cast(l_quantity as decimal(18,2))) as double)"),
+          4).as("sum_qty"),
+        round(expr(
+          "cast(sum(cast(l_extendedprice as decimal(18,2))) as double)"),
+          4).as("sum_base"),
+        avg(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   private[graft] def reblessQuery(spark: SparkSession,
       sfDir: String): DataFrame =
     spark.read.parquet(reblessDemoDir(sfDir))
@@ -2725,6 +2834,16 @@ object OlapQueries {
         hook("lineitem_hiqty", registerFilteredSummary),
       "q189_summary_quantile_sketch" ->
         hook("lineitem_qsk", registerQskSummary),
+      // the retention fixture (copy + isolate + delete) is WRITE-TIME;
+      // the timed number is the delete-compensated routed read alone
+      "q191_summary_delete_comp" -> ((s: SparkSession, d: String) => {
+        try registerDeleteDemo(s, d)
+        catch { case t: Throwable =>
+          try dropDeleteDemo(s, d) catch { case _: Throwable => () }
+          throw t
+        }
+        () => dropDeleteDemo(s, d)
+      }),
       // the fixture build (small-files copy + compact + rebless) is
       // WRITE-TIME maintenance; the timed number is the post-rebless
       // routed read alone

@@ -666,6 +666,49 @@ object Advisor {
     }
   }
 
+  /** ACT on a BUCKET nomination: CTAS every nominated table hash-
+    * bucketed on its join-key column(s) with MATCHED bucket counts
+    * ([[graft.operators.Layout.createBucketed]]), so the repeated
+    * join runs with no exchange on either side. Key attribution is by
+    * schema membership, exactly like [[materialize]]'s join path —
+    * ambiguous or absent columns refuse rather than guess. Returns
+    * nominated path → created table name; the CALLER repoints reads
+    * (bucketing is a layout change for the table owner, not a
+    * transparent rewrite — the lever text says the same).
+    */
+  def actOnBucketing(spark: org.apache.spark.sql.SparkSession,
+      f: Finding, prefix: String, buckets: Int = 8)
+      : Map[String, String] = {
+    require(f.kind == "bucket", s"not a bucketing nomination: $f")
+    require(f.paths.length >= 2 && f.edges.nonEmpty,
+      s"bucket nomination without tables/edges: $f")
+    val dfs = f.paths.map(p => p -> spark.read.parquet(p))
+    def ownerOf(colName: String): Int = {
+      val owners = dfs.indices
+        .filter(i => dfs(i)._2.columns.contains(colName))
+      require(owners.length == 1,
+        s"column $colName is ${if (owners.isEmpty) "absent from"
+          else "ambiguous across"} the nominated tables")
+      owners.head
+    }
+    val keysByTable = f.edges.flatMap { e =>
+      val Array(a, b) = e.split("=", 2)
+      Seq(ownerOf(a) -> a, ownerOf(b) -> b)
+    }.groupBy(_._1).map { case (i, ks) => i -> ks.map(_._2).distinct }
+    require(dfs.indices.forall(keysByTable.contains),
+      s"a nominated table carries no join key: $f")
+    dfs.indices.map { i =>
+      val (path, df) = dfs(i)
+      val keys = keysByTable(i)
+      val table = s"${prefix}_${new java.io.File(path).getName
+        .replaceAll("[^A-Za-z0-9_]", "_")}_$i"
+      graft.operators.Layout.dropOrphanLocation(spark, table)
+      graft.operators.Layout.createBucketed(
+        df, table, buckets, keys.head, sortCols = keys)
+      path -> table
+    }.toMap
+  }
+
   /** The single-part column names a set of filter-conjunct SQLs
     * references; None when any conjunct fails to parse. */
   private def filterColumns(filters: Seq[String]): Option[Seq[String]] =

@@ -261,11 +261,82 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     composed("distinct_ratio", TextScoringExprs.distinctRatio)
     composed("stopword_ratio", TextScoringExprs.stopwordRatio)
     composed("quality_score", TextScoringExprs.qualityScore)
+    // operations surface for the 100-user warehouse: the MV catalog
+    // and the routing explainer as TABLE functions, so `spark.sql`
+    // users never need the Scala API —
+    //   SELECT * FROM graft_summaries()
+    //   SELECT * FROM graft_explain_routing('SELECT …')
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_summaries"),
+      new ExpressionInfo(Summaries.getClass.getName, "graft_summaries"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.isEmpty, "graft_summaries() takes no arguments")
+        GraftSqlSurface.summariesPlan()
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_explain_routing"),
+      new ExpressionInfo(
+        RoutingExplain.getClass.getName, "graft_explain_routing"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(Literal(s: org.apache.spark.unsafe.types.UTF8String,
+            org.apache.spark.sql.types.StringType)) =>
+          GraftSqlSurface.explainRoutingPlan(s.toString)
+        case _ => throw new IllegalArgumentException(
+          "graft_explain_routing('<sql query>')")
+      }))
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
     // the summary-table (materialized-view) router — active only
     // while a summary is registered (Summaries.create), so sessions
     // that never register one pay a no-op conditional
     e.injectOptimizerRule(_ => SummaryRewrite)
+  }
+}
+
+/** The table-function bodies of the SQL operations surface: each call
+  * materializes a [[org.apache.spark.sql.catalyst.plans.logical
+  * .LocalRelation]] at analysis time — catalog- and report-sized by
+  * construction (one row per registered summary / per explain line),
+  * never data-sized, so computing them on the driver is the point,
+  * not a compromise.
+  */
+private[plans] object GraftSqlSurface {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def summariesPlan(): LogicalPlan = {
+    val out = Seq(
+      AttributeReference("name", StringType, nullable = false)(),
+      AttributeReference("substrate", StringType, nullable = false)(),
+      AttributeReference("grain", StringType, nullable = false)(),
+      AttributeReference("gen", IntegerType, nullable = false)(),
+      AttributeReference("state", StringType, nullable = false)(),
+      AttributeReference("where_sql", StringType, nullable = false)(),
+      AttributeReference("measures", StringType, nullable = false)(),
+      AttributeReference("n_rows", LongType, nullable = false)(),
+      AttributeReference("n_bytes", LongType, nullable = false)())
+    val data = Summaries.statusRows().map { r =>
+      InternalRow.fromSeq(Seq(
+        UTF8String.fromString(r.name), UTF8String.fromString(r.substrate),
+        UTF8String.fromString(r.grain), r.gen,
+        UTF8String.fromString(r.state), UTF8String.fromString(r.where),
+        UTF8String.fromString(r.measures), r.rows, r.bytes))
+    }
+    LocalRelation(out, data)
+  }
+
+  def explainRoutingPlan(sql: String): LogicalPlan = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val text =
+      try RoutingExplain.explain(spark.sql(sql))
+      catch { case scala.util.control.NonFatal(e) =>
+        s"explain failed: ${e.getMessage}" }
+    val out = Seq(
+      AttributeReference("routing", StringType, nullable = false)())
+    LocalRelation(out, text.split("\n").toSeq
+      .map(l => InternalRow.fromSeq(Seq(UTF8String.fromString(l)))))
   }
 }
 

@@ -164,8 +164,9 @@ object RoutingExplain {
       b += s"summary '${spec.name}' is a PARTIAL build — unroutable " +
         "until a refresh(complete = true) folds in the rest"
     else if (!Summaries.isFresh(spec)) {
-      Summaries.deltaProbe(spec) match {
-        case Some(_) => // compensable: not a refusal
+      Summaries.deltaProbe(spec)
+        .orElse(Summaries.deleteProbe(spec)) match {
+        case Some(_) => // compensable (append or delete): not a refusal
         case None =>
           val deltaOff = org.apache.spark.sql.SparkSession.getActiveSession
             .exists(s => !s.conf.get(Summaries.DeltaReadKey, "true")
@@ -180,9 +181,11 @@ object RoutingExplain {
               "re-create to record one"
           else
             b += s"source of '${spec.name}' drifted IN PLACE " +
-              "(a built file was rewritten or deleted, or a file " +
-              "landed outside the registered leaves) — routing is " +
-              "suspended until refresh/re-create records the new state"
+              "(a built file was rewritten, files were both added " +
+              "and removed in one window, a file landed outside the " +
+              "registered leaves, or a delete has no cube sidecar " +
+              "to subtract) — routing is suspended; rebless after a " +
+              "compaction, refresh/re-create after a data change"
       }
     }
     b.result()
@@ -282,11 +285,27 @@ object RoutingExplain {
         s"${spec.filterSql}) and the query's filters do not imply " +
         "the declaration — add the subsuming predicate or query the " +
         "raw table"
-    // per-aggregate-function classification via the real Surgeon
-    val surgeon = SummaryRewrite.surgeonFor(spec, rawOut)
+    // per-aggregate-function classification via the real Surgeon —
+    // against the spec AS THE ROUTER SEES IT: a delete-compensated
+    // candidate serves only its invertible measures, so a min/max/
+    // sketch query gets the delete-window reason, not silence
+    val deleteComp = Summaries.isFresh(spec) match {
+      case false => Summaries.deleteProbe(spec).isDefined
+      case true => false
+    }
+    val effSpec =
+      if (deleteComp) Summaries.pruneForDeleteView(spec) else spec
+    val surgeon = SummaryRewrite.surgeonFor(effSpec, rawOut)
     aggExprs.foreach(_.foreach {
       case ae: AggregateExpression if surgeon.rewriteAgg(ae).isEmpty =>
-        b += classify(ae, spec)
+        b += (if (deleteComp &&
+            SummaryRewrite.surgeonFor(spec, rawOut).rewriteAgg(ae)
+              .isDefined)
+          s"${fnName(ae)} is declared on '${spec.name}' but its " +
+            "source is serving DELETE-compensated (files were " +
+            "removed): min/max/sketch measures cannot subtract — " +
+            "re-create the summary or query count/sum/avg legs"
+        else classify(ae, effSpec))
       case _ =>
     })
     val reasons = b.result()
@@ -334,6 +353,28 @@ object RoutingExplain {
           "the histogram route) — or use quantile_sketch_est over a " +
           "declared quantile-sketch measure for approximate " +
           "percentiles on coarse grains"
+      case ap: org.apache.spark.sql.catalyst.expressions.aggregate
+            .ApproximatePercentile =>
+        val vKey = Summaries.measureKey(ap.child)
+        val declared = vKey.exists(k => spec.qsks.keys
+          .exists(_.split("§", 2).lift(1).contains(k)))
+        val gateOff = org.apache.spark.sql.SparkSession.getActiveSession
+          .forall(s => !s.conf.get(
+            SummaryRewrite.ApproxPercentileKey, "false").toBoolean)
+        if (declared && gateOff)
+          s"a quantile-sketch measure on '${spec.name}' matches this " +
+            "percentile_approx value expression, but the substitution " +
+            s"is gated off — set ${SummaryRewrite.ApproxPercentileKey}" +
+            "=true to serve it from the sketch (answers are " +
+            "approximate either way, within the sketch's k; the " +
+            "accuracy argument is superseded)"
+        else if (declared)
+          "percentile_approx routes only with a scalar percentage " +
+            "literal in (0, 1]"
+        else
+          s"no quantile-sketch measure on '${spec.name}' matches " +
+            "this percentile_approx value expression (declare it in " +
+            "qsks=… with the same value expression)"
       case qq: graft.functions.QskQuantile =>
         if (qq.k != spec.qskK)
           s"quantile_sketch_est k=${qq.k} does not match the " +

@@ -168,6 +168,19 @@ object Summaries {
       // primary unit, because the STALE-candidate penalty below is
       // measured in bytes too. -1 = unrecorded (older spec files)
       bytes: Long = -1L,
+      // the FILE CUBE sidecar: a per-(grain, source-file) partial
+      // aggregate of the INVERTIBLE measures (count, sums, non-null
+      // legs), built in the same source scan as the summary
+      // (single-table creates only). It is what makes retention
+      // DELETES compensable: a built file's rows subtract out of the
+      // summary as `merge(summary, negate(cube rows of that file))`.
+      // Empty = unavailable (joined sources, partial builds, a
+      // generic refresh(batch) with no file identity, post-rebless) —
+      // deletes then suspend, the strict pre-round-12 posture
+      fileCubePath: String = "",
+      // measured sidecar size — the delete-compensated read's extra
+      // scan, folded into the best-match cost like delta bytes
+      cubeBytes: Long = -1L,
       // FILTERED (partial-by-predicate) summary: the declared WHERE
       // clause (SQL over grain columns) the build applied before
       // aggregating. Empty = unfiltered. A query routes only when its
@@ -180,6 +193,11 @@ object Summaries {
       // in, as FULL `path:len:mtime` listing entries (the pinned-read
       // memos key on them)
       deltaFiles: Seq[String] = Nil,
+      // TRANSIENT: the built files DELETED from the source (full
+      // listing entries) — set by lookup() on the pruned spec copy it
+      // hands the rewrite when the drift is delete-only and the file
+      // cube covers it
+      deletedFiles: Seq[String] = Nil,
       // TRANSIENT: the measured bytes the compensated read must scan
       // BEYOND the summary itself (delta files, plus the built
       // partners each telescoped join term re-reads) — folded into
@@ -252,6 +270,8 @@ object Summaries {
       "filterSql" -> JString(s.filterSql),
       "rows" -> JLong(s.rows),
       "bytes" -> JLong(s.bytes),
+      "fileCubePath" -> JString(s.fileCubePath),
+      "cubeBytes" -> JLong(s.cubeBytes),
       "qsks" -> smap(s.qsks),
       "qskSql" -> JArray(s.qskSql.map { case (n, ps, vs) =>
         JArray(List(JString(n), JString(ps), JString(vs))) }.toList),
@@ -303,6 +323,9 @@ object Summaries {
       filterSql = if (j.contains("filterSql")) str("filterSql") else "",
       rows = if (j.contains("rows")) num("rows") else -1L,
       bytes = if (j.contains("bytes")) num("bytes") else -1L,
+      fileCubePath =
+        if (j.contains("fileCubePath")) str("fileCubePath") else "",
+      cubeBytes = if (j.contains("cubeBytes")) num("cubeBytes") else -1L,
       qsks = if (j.contains("qsks")) smap("qsks") else Map.empty,
       qskSql = if (!j.contains("qskSql")) Nil
         else j("qskSql").asInstanceOf[JArray].arr.map { e =>
@@ -539,6 +562,50 @@ object Summaries {
     else None
   }
 
+  val DeleteReadKey = "spark.graft.summaryRewrite.deleteRead.enabled"
+
+  /** The delete-only gate: a STALE source whose drift is PURE REMOVAL
+    * of built files (no extras, at least one survivor), when the
+    * file-cube sidecar exists to subtract them. Single-table only —
+    * file identity across a join is not attributable. Returns the
+    * missing files' full listing entries.
+    */
+  private def deletedFor(spec: Spec,
+      s: org.apache.spark.sql.SparkSession): Option[Seq[String]] =
+    if (spec.fileCubePath.isEmpty || spec.fpPaths.length != 1 ||
+        spec.builtFiles.isEmpty ||
+        !s.conf.get(DeleteReadKey, "true").toBoolean) None
+    else deletedFromEntries(spec, currentListing(spec.fpPaths, s)._2)
+
+  private def deletedFromEntries(spec: Spec,
+      entries: Seq[String]): Option[Seq[String]] = {
+    val cur = entries.toSet
+    val built = spec.builtFiles.toSet
+    val missing = spec.builtFiles.filterNot(cur)
+    val extras = entries.filterNot(built)
+    // mixed append+delete windows fail closed (suspend) — each class
+    // alone is provably compensable, their interleaving is not worth
+    // the risk surface; an entirely vanished source also suspends
+    if (built.nonEmpty && missing.nonEmpty && extras.isEmpty &&
+        missing.length < spec.builtFiles.length &&
+        !entries.exists(_.startsWith("absent:")))
+      Some(missing)
+    else None
+  }
+
+  /** The spec copy handed to the rewrite for a delete-compensated
+    * read: only the INVERTIBLE measures survive — count, sums, and
+    * their non-null legs subtract exactly; min/max/percentile-
+    * sketch/HLL/KMV cannot un-see a deleted value, so queries
+    * touching them fail closed to raw (per-measure, not per-summary).
+    */
+  private def pruneForDelete(spec: Spec): Spec =
+    spec.copy(mins = Map.empty, minSql = Nil,
+      maxs = Map.empty, maxSql = Nil,
+      hlls = Map.empty, hllSql = Nil,
+      kmvs = Map.empty, kmvSql = Nil,
+      qsks = Map.empty, qskSql = Nil)
+
   /** Which registered leaf path a data file belongs under (canonical
     * prefix match). */
   private def ownerPath(spec: Spec, file: String): Option[String] = {
@@ -585,9 +652,16 @@ object Summaries {
   private def routedView(spec: Spec): Option[Spec] =
     if (fresh(spec)) Some(spec)
     else org.apache.spark.sql.SparkSession.getActiveSession
-      .flatMap(deltaFor(spec, _))
-      .map(fs => spec.copy(deltaFiles = fs,
-        compBytes = compensationBytes(spec, fs)))
+      .flatMap { s =>
+        deltaFor(spec, s)
+          .map(fs => spec.copy(deltaFiles = fs,
+            compBytes = compensationBytes(spec, fs)))
+          .orElse(deletedFor(spec, s).map(ms =>
+            pruneForDelete(spec).copy(deletedFiles = ms,
+              // the compensation scan is the cube, not the deleted
+              // files (they are gone) — cost it at its measured size
+              compBytes = math.max(spec.cubeBytes, 0L))))
+      }
 
   // ----- multi-summary registry --------------------------------
   // a source may carry SEVERAL summaries (the warehouse contract:
@@ -655,6 +729,13 @@ object Summaries {
   private[plans] def deltaProbe(spec: Spec): Option[Seq[String]] =
     org.apache.spark.sql.SparkSession.getActiveSession
       .flatMap(deltaFor(spec, _))
+
+  private[plans] def deleteProbe(spec: Spec): Option[Seq[String]] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(deletedFor(spec, _))
+
+  private[plans] def pruneForDeleteView(spec: Spec): Spec =
+    pruneForDelete(spec)
 
   /** The registered source leaf paths of `name` — from the in-memory
     * registry when loaded, else straight from the persisted spec file
@@ -895,13 +976,11 @@ object Summaries {
       hlls.map { case (n, s) => hllSketchCol(s, hllPrecision).as(n) } ++
       kmvs.map { case (n, s) => kmvSketchCol(s, kmvK, kmvDomain).as(n) } ++
       qsks.map { case (n, (ps, vs)) => qskSketchCol(ps, vs, qskK).as(n) })
-    val out = filtered.groupBy(grain.map(col): _*)
-      .agg(count(lit(1)).as(CntCol), aggCols: _*)
     val entries = listEntries(Seq(source),
       raw.sparkSession.sparkContext.hadoopConfiguration)
     val fp = fpOf(entries)
     touchFpMemo(Seq(source), fp, entries)
-    register(out, Spec(name, source, "", grain, CntCol,
+    val proto = Spec(name, source, "", grain, CntCol,
       sums = sums0.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       mins = mins.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
       maxs = maxs.map { case (n, s) => keyOfSql(raw, s) -> n }.toMap,
@@ -922,8 +1001,51 @@ object Summaries {
       qsks = qsks.map { case (n, (ps, vs)) =>
         qskKey(raw, ps, vs) -> n }.toMap,
       qskSql = qsks.map { case (n, (ps, vs)) => (n, ps, vs) },
-      qskK = qskK))
+      qskK = qskK)
+    if (partial)
+      // a partial build's source is a slice — per-file partials over
+      // it would not cover the built files, so no cube (deletes
+      // suspend, the strict posture)
+      register(filtered.groupBy(grain.map(col): _*)
+        .agg(count(lit(1)).as(CntCol), aggCols: _*), proto)
+    else {
+      // ONE source scan builds BOTH artifacts: the per-(grain, file)
+      // cube, and the summary derived from it by the merge algebra
+      // (every measure is mergeable, so re-aggregating per-file
+      // partials equals the direct aggregate — decimal sums exactly,
+      // sketches register-exactly; the schema is identical because
+      // mergeAgg casts back to the cube's own column types). The
+      // cube's invertible slice (count, sums, non-null legs) persists
+      // as the sidecar that makes retention deletes compensable.
+      val cube = filtered
+        .groupBy((grain.map(col) :+
+          org.apache.spark.sql.functions.input_file_name()
+            .as(FileCol)): _*)
+        .agg(count(lit(1)).as(CntCol), aggCols: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cubePath = new java.io.File(
+          s"spark-warehouse/graft_summaries/${name}__g0_files")
+          .getAbsolutePath
+        val invert = Seq(FileCol) ++ grain ++ Seq(CntCol) ++
+          sums0.map(_._1) ++ sums0.map("__nn_" + _._1)
+        cube.select(invert.map(col): _*)
+          .write.mode("overwrite").parquet(cubePath)
+        val cBytes =
+          try listEntries(Seq(cubePath), raw.sparkSession
+            .sparkContext.hadoopConfiguration).map(entryLen).sum
+          catch { case scala.util.control.NonFatal(_) => -1L }
+        val types = cube.schema
+          .map(f => f.name -> f.dataType).toMap
+        val out = mergeAgg(proto, cube.drop(FileCol), types)
+        register(out, proto.copy(fileCubePath = cubePath,
+          cubeBytes = cBytes))
+      } finally cube.unpersist()
+    }
   }
+
+  /** The file-identity column of the cube sidecar. */
+  private val FileCol = "__gf_file"
 
   /** Apply (and validate) a declared summary WHERE clause: it must
     * parse, reference GRAIN columns only (a non-grain predicate could
@@ -1200,6 +1322,12 @@ object Summaries {
         val p = new org.apache.hadoop.fs.Path(o.summaryPath)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(p, true)
+        if (o.fileCubePath.nonEmpty &&
+            o.fileCubePath != spec.fileCubePath) {
+          val cp = new org.apache.hadoop.fs.Path(o.fileCubePath)
+          cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(cp, true)
+        }
       }
     spec
   }
@@ -1232,11 +1360,28 @@ object Summaries {
     * of this catalog. Pays one (memoized) listing per source.
     */
   def status(): String = {
+    val rows = statusRows()
+    if (rows.isEmpty) "no summaries registered"
+    else rows.map { r =>
+      s"${r.name} [${r.substrate}] grain=(${r.grain}) " +
+        s"gen=${r.gen} ${r.state}" +
+        (if (r.where.nonEmpty) s" where=(${r.where})" else "") +
+        (if (r.measures.nonEmpty) s" measures=(${r.measures})" else "")
+    }.mkString("\n")
+  }
+
+  /** One catalog row per registered summary — the structured form
+    * [[status]] renders, and the row set the SQL surface
+    * (`SELECT * FROM graft_summaries()`) returns.
+    */
+  final case class StatusRow(name: String, substrate: String,
+      grain: String, gen: Int, state: String, where: String,
+      measures: String, rows: Long, bytes: Long)
+
+  def statusRows(): Seq[StatusRow] = {
     import scala.jdk.CollectionConverters._
     ensureLoaded()
-    val specs = reg.values().asScala.toSeq.sortBy(_.name)
-    if (specs.isEmpty) "no summaries registered"
-    else specs.map { s =>
+    reg.values().asScala.toSeq.sortBy(_.name).map { s =>
       val substrate =
         if (s.fpPaths.length > 1) s"join of ${s.fpPaths.length} tables"
         else "table"
@@ -1245,17 +1390,18 @@ object Summaries {
         else if (fresh(s)) "fresh"
         else deltaProbe(s) match {
           case Some(fs) => s"stale:delta(${fs.length} file(s))"
-          case None => "stale:suspended"
+          case None => deleteProbe(s) match {
+            case Some(ms) => s"stale:delete-comp(${ms.length} file(s))"
+            case None => "stale:suspended"
+          }
         }
       val measures = (s.sumSql.map(_._1) ++ s.minSql.map(_._1) ++
         s.maxSql.map(_._1) ++ s.hllSql.map(_._1) ++ s.kmvSql.map(_._1) ++
         s.qskSql.map(_._1))
         .mkString(", ")
-      s"${s.name} [$substrate] grain=(${s.grain.mkString(", ")}) " +
-        s"gen=${s.gen} $state" +
-        (if (s.filterSql.nonEmpty) s" where=(${s.filterSql})" else "") +
-        (if (measures.nonEmpty) s" measures=($measures)" else "")
-    }.mkString("\n")
+      StatusRow(s.name, substrate, s.grain.mkString(", "), s.gen,
+        state, s.filterSql, measures, s.rows, s.bytes)
+    }
   }
 
   /** Incremental maintenance (the MV refresh): fold a BATCH of new raw
@@ -1428,20 +1574,69 @@ object Summaries {
     org.apache.spark.sql.SparkSession.getActiveSession.flatMap { s =>
       try {
         import org.apache.spark.sql.GraftColumnBridge.ofPlan
-        val delta: Option[DataFrame] =
-          if (spec.fpPaths.length == 1)
-            deltaRelation(spec, s).map(ofPlan(s, _))
-          else joinedDelta(spec, s)
-        delta.map { d =>
-          // the summary side re-instances the relation captured at
-          // register() — no re-read, no listing, fresh exprIds
-          val current = ofPlan(s, spec.relation.newInstance())
-          val types = current.schema.map(f => f.name -> f.dataType).toMap
-          mergeAgg(spec, current.unionByName(partialAgg(spec, d)), types)
-            .queryExecution.analyzed
+        if (spec.deletedFiles.nonEmpty) deleteCompensatedPlan(spec, s)
+        else {
+          val delta: Option[DataFrame] =
+            if (spec.fpPaths.length == 1)
+              deltaRelation(spec, s).map(ofPlan(s, _))
+            else joinedDelta(spec, s)
+          delta.map { d =>
+            // the summary side re-instances the relation captured at
+            // register() — no re-read, no listing, fresh exprIds
+            val current = ofPlan(s, spec.relation.newInstance())
+            val types = current.schema.map(f => f.name -> f.dataType).toMap
+            mergeAgg(spec, current.unionByName(partialAgg(spec, d)), types)
+              .queryExecution.analyzed
+          }
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     }
+
+  /** The DELETE-compensated substrate: `merge(summary, negate(cube
+    * rows of the deleted files))`, filtered to `cnt > 0` so a grain
+    * whose every raw row died disappears (grain-only pass-through
+    * aggregates — distinct counts, percentile frequencies — stay
+    * exact), and with each sum leg nullified where its non-null count
+    * hit zero (SUM over no non-null inputs is NULL, not 0). Reads the
+    * summary relation plus the cube sidecar only — the deleted data
+    * is gone, which is exactly why the cube recorded its partials
+    * while it existed. The spec arriving here is [[pruneForDelete]]d:
+    * only invertible measures are declared, so the surgery can never
+    * request a min/max/sketch column this substrate cannot serve.
+    */
+  private def deleteCompensatedPlan(spec: Spec,
+      s: org.apache.spark.sql.SparkSession): Option[LogicalPlan] = {
+    import org.apache.spark.sql.GraftColumnBridge.ofPlan
+    import org.apache.spark.sql.functions.{regexp_replace, when}
+    val missing = spec.deletedFiles.map(e => canon(entryPath(e)))
+    if (missing.isEmpty) return None
+    val cube = s.read.parquet(spec.fileCubePath)
+    // input_file_name() and the Hadoop listing render the local
+    // scheme differently (file:/// vs file:/) — normalize both to the
+    // canonical triple-slash form before membership
+    val normFile =
+      regexp_replace(col(FileCol), "^file:/+", "file:///")
+    val doomed = cube.filter(normFile.isin(missing: _*))
+    val current = ofPlan(s, spec.relation.newInstance())
+    val types = current.schema.map(f => f.name -> f.dataType).toMap
+    val invert = Seq(spec.cntCol) ++ spec.sumSql.map(_._1) ++
+      spec.nnSql.map(_._1)
+    val keep = spec.grain ++ invert
+    val negated = doomed.select(
+      (spec.grain.map(col) ++ invert.map(c =>
+        (col(c) * lit(-1)).cast(types(c)).as(c))): _*)
+    val merged = mergeAgg(spec,
+      current.select(keep.map(col): _*).unionByName(negated), types)
+      .filter(col(spec.cntCol) > 0)
+    val sumNames = spec.sumSql.map(_._1).toSet
+    val out = merged.select(merged.columns.toSeq.map { c =>
+      if (sumNames.contains(c))
+        when(col("__nn_" + c) === 0, lit(null)).otherwise(col(c))
+          .cast(types(c)).as(c)
+      else col(c)
+    }: _*)
+    Some(out.queryExecution.analyzed)
+  }
 
   /** Join all leaves (one DataFrame each) along the registered edges.
     * Grows the join outward from `start`, applying every edge whose
@@ -1617,7 +1812,17 @@ object Summaries {
       try a.except(b).isEmpty && b.except(a).isEmpty
       catch { case scala.util.control.NonFatal(_) => false }
     if (!equal) return false
-    val blessed = spec.copy(sourceFp = fp, builtFiles = entries)
+    // the file-cube sidecar is keyed by the OLD file identities the
+    // compaction just destroyed — it cannot stay; delete-compensation
+    // resumes at the next create() (re-blessing keeps reads routed,
+    // which is the expensive half)
+    val blessed = spec.copy(sourceFp = fp, builtFiles = entries,
+      fileCubePath = "", cubeBytes = -1L)
+    if (spec.fileCubePath.nonEmpty) {
+      val cp = new org.apache.hadoop.fs.Path(spec.fileCubePath)
+      cp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(cp, true)
+    }
     persistSpec(blessed)
     reg.put(regKey(blessed.source, blessed.name), blessed)
     touchFpMemo(spec.fpPaths, fp, entries)
@@ -1664,10 +1869,30 @@ object Summaries {
         spark.sparkContext.hadoopConfiguration))
       val newFp = fpOf(newEntries)
       touchFpMemo(spec.fpPaths, newFp, newEntries)
+      // cube sidecar maintenance: only a FILE-BACKED batch (the
+      // refreshDelta contract — coveredEntries is its signature) can
+      // extend the per-file partials truthfully; a caller-supplied
+      // in-memory batch has no file identity, so the sidecar is
+      // dropped and deletes suspend again until a re-create
+      val (newCubePath, newCubeBytes) =
+        if (spec.fileCubePath.nonEmpty && spec.fpPaths.length == 1 &&
+            coveredEntries.isDefined) {
+          val cubePath = new java.io.File(
+            "spark-warehouse/graft_summaries/" +
+              s"${spec.name}__g${spec.gen + 1}_files").getAbsolutePath
+          spark.read.parquet(spec.fileCubePath)
+            .unionByName(partialCubeAgg(spec, batch))
+            .write.mode("overwrite").parquet(cubePath)
+          val b = try listEntries(Seq(cubePath),
+            spark.sparkContext.hadoopConfiguration).map(entryLen).sum
+          catch { case scala.util.control.NonFatal(_) => -1L }
+          (cubePath, b)
+        } else ("", -1L)
       val next = register(merged, spec.copy(gen = spec.gen + 1,
         routable = spec.routable || complete,
         sourceFp = newFp,
-        builtFiles = newEntries))
+        builtFiles = newEntries,
+        fileCubePath = newCubePath, cubeBytes = newCubeBytes))
       // register()'s own old-generation cleanup keys off the spec it
       // DISPLACES in the registry — which the suspend above removed —
       // so the pre-refresh generation must be deleted here, and only
@@ -1678,9 +1903,30 @@ object Summaries {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(p, true)
       }
+      if (spec.fileCubePath.nonEmpty &&
+          spec.fileCubePath != next.fileCubePath) {
+        val p = new org.apache.hadoop.fs.Path(spec.fileCubePath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
       next
     } catch { case t: Throwable =>
       reg.put(regKey(spec.source, spec.name), spec); throw t }
+  }
+
+  /** The cube-sidecar partial of a file-backed batch: per
+    * (grain, source file), the INVERTIBLE measure legs only.
+    */
+  private def partialCubeAgg(spec: Spec, batch: DataFrame): DataFrame = {
+    val src = if (spec.filterSql.isEmpty) batch
+      else batch.filter(expr(spec.filterSql))
+    val aggCols =
+      spec.sumSql.map { case (n, s) => sum(expr(s)).as(n) } ++
+        spec.nnSql.map { case (n, s) => count(expr(s)).as(n) }
+    src.groupBy((spec.grain.map(col) :+
+        org.apache.spark.sql.functions.input_file_name()
+          .as(FileCol)): _*)
+      .agg(count(lit(1)).as(spec.cntCol), aggCols: _*)
   }
 
   /** The one-call refresh: detect the append-only delta the router is
@@ -1765,6 +2011,14 @@ object Summaries {
 object SummaryRewrite extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.summaryRewrite.enabled"
+
+  /** Opt-in: serve stock `percentile_approx` from a declared
+    * quantile-sketch measure. Default OFF because the substitution
+    * changes the approximation algorithm (both answers are
+    * approximate, but differently) — see the Surgeon's
+    * ApproximatePercentile case for the exact semantics.
+    */
+  val ApproxPercentileKey = "spark.graft.summaryRewrite.approxPercentile"
 
   // thread-confined bypass for diagnosis: RoutingExplain re-optimizes
   // a query with routing OFF to see the pre-rewrite aggregate shapes;
@@ -2369,6 +2623,36 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           } yield a + "§" + b).flatMap(spec.qsks.get)
             .map(c => wrap(
               graft.functions.QskUnion(colFor(c), qq.k, qq.p)))
+        // OPT-IN substitution: Spark's stock percentile_approx served
+        // from a declared quantile-sketch measure whose VALUE
+        // expression matches the query's. Unlike every other route
+        // here the answer is NOT bit-identical to the unrouted plan —
+        // both are approximations, but of different algorithms (GK
+        // summary at `accuracy` vs bottom-k nearest-rank at the
+        // declared k) — so it only fires under an explicit conf and
+        // the accuracy argument is superseded by the stored sketch's
+        // k (the documented substitution semantics). The routed value
+        // IS deterministic and equals quantile_sketch_est over the
+        // raw rows (pair-set union is lossless).
+        case ap: org.apache.spark.sql.catalyst.expressions.aggregate
+              .ApproximatePercentile
+            if conf.getConfString(ApproxPercentileKey, "false")
+              .toBoolean =>
+          val pOpt = ap.percentageExpression match {
+            case Literal(d: Double, org.apache.spark.sql.types
+                .DoubleType) if d > 0.0 && d <= 1.0 => Some(d)
+            case _ => None // array form / exotic types: fail closed
+          }
+          for {
+            p <- pOpt
+            vKey <- Summaries.measureKey(ap.child)
+            // any declared sketch on this value expression serves;
+            // ties break by column name for determinism
+            c <- spec.qsks.collect {
+              case (k, col) if k.split("§", 2).lift(1).contains(vKey) =>
+                col
+            }.toSeq.sorted.headOption
+          } yield wrap(graft.functions.QskUnion(colFor(c), spec.qskK, p))
         case _ => None
       }
     }
@@ -2414,11 +2698,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression], filters: Seq[Expression],
       rawOut: Seq[Attribute], spec: Summaries.Spec): Option[Aggregate] = {
     // fresh attr instances per rewrite site — two rewrites must never
-    // share exprIds. A delta-bearing spec swaps in the compensated
-    // substrate (merge of summary + appended-files partial) — same
-    // output names/types, built with fresh exprIds per call.
+    // share exprIds. A delta- or delete-bearing spec swaps in the
+    // compensated substrate (merge of summary + appended-files
+    // partial, or minus deleted-files cube partials) — same output
+    // names/types, built with fresh exprIds per call.
     val sub: LogicalPlan =
-      if (spec.deltaFiles.isEmpty) spec.relation.newInstance()
+      if (spec.deltaFiles.isEmpty && spec.deletedFiles.isEmpty)
+        spec.relation.newInstance()
       else Summaries.compensatedPlan(spec).getOrElse(return None)
     val byName = sub.output.map(a => a.name -> a).toMap
     val grainByExprId: Map[ExprId, Attribute] = rawOut
@@ -2549,7 +2835,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       return None
 
     val sub: LogicalPlan =
-      if (spec.deltaFiles.isEmpty) spec.relation.newInstance()
+      if (spec.deltaFiles.isEmpty && spec.deletedFiles.isEmpty)
+        spec.relation.newInstance()
       else Summaries.compensatedPlan(spec).getOrElse(return None)
     val sByName = sub.output.map(a => a.name -> a).toMap
     val appended =

@@ -210,6 +210,113 @@ class AdvisorSpec extends SparkSpec {
     }
   }
 
+  test("bucketing loop closes with measured evidence: trace a " +
+      "repeated join, act on the nomination, and the re-traced " +
+      "workload's join-feeding exchanges are GONE") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val dir = Files.createTempDirectory("graft-adv-bkt")
+    val liPath = dir.resolve("li_b").toString
+    val ordPath = dir.resolve("ord_b").toString
+    val tracePath = dir.resolve("t.jsonl").toString
+    Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.parquet(liPath)
+    Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .write.parquet(ordPath)
+    def workload(li: org.apache.spark.sql.DataFrame,
+        ord: org.apache.spark.sql.DataFrame) =
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+        .orderBy("o_orderpriority")
+    def readTrace(min: Int): Seq[String] = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var lines = Seq.empty[String]
+      while (lines.size < min && System.nanoTime() < deadline) {
+        if (Files.exists(Paths.get(tracePath)))
+          lines = Files.readAllLines(Paths.get(tracePath)).asScala.toSeq
+        if (lines.size < min) Thread.sleep(50)
+      }
+      lines
+    }
+    val expected = workload(spark.read.parquet(liPath),
+      spark.read.parquet(ordPath)).collect().toSeq
+    val listener = TraceCapture.install(spark, tracePath)
+    // AQE can plan this small join as broadcast — force the shuffle
+    // shape the nomination exists for (at 100 TB neither side
+    // broadcasts; the fixture models that)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the same fact⋈fact join in two distinct traced queries
+      Seq("bq1", "bq2").foreach { label =>
+        TraceCapture.setLabel(label)
+        workload(spark.read.parquet(liPath),
+          spark.read.parquet(ordPath))
+          .write.format("noop").mode("overwrite").save()
+        org.apache.spark.sql.GraftColumnBridge
+          .drainListenerBus(spark, 10000L)
+      }
+      TraceCapture.clearLabel()
+      val lines = readTrace(2)
+      assert(lines.size >= 2)
+      val nom = Advisor.advise(lines.iterator).find(_.kind == "bucket")
+        .getOrElse(fail("no bucketing nomination from the " +
+          s"repeated join: ${Advisor.advise(lines.iterator)}"))
+      assert(nom.value > 0, s"nomination carries no measured bytes: $nom")
+      assert(nom.edges.exists(_.contains("orderkey")), nom.toString)
+      // ACT on it: CTAS both sides bucketed on their join keys
+      val tables = Advisor.actOnBucketing(spark, nom, "adv_bkt")
+      try {
+        assert(tables.size == 2, tables.toString)
+        // answers unchanged — bucketing is layout, not semantics
+        val liT = tables.collectFirst {
+          case (p, t) if p.contains("li_b") => t }.get
+        val ordT = tables.collectFirst {
+          case (p, t) if p.contains("ord_b") => t }.get
+        val bucketed = () =>
+          workload(spark.table(liT), spark.table(ordT))
+        assert(bucketed().collect().toSeq == expected)
+        // measured evidence, same instrument as the nomination:
+        // re-trace the repointed workload and the join-feeding
+        // exchange bytes are zero — no bucket candidate survives
+        Files.deleteIfExists(Paths.get(tracePath))
+        Seq("bq3", "bq4").foreach { label =>
+          TraceCapture.setLabel(label)
+          bucketed().write.format("noop").mode("overwrite").save()
+          org.apache.spark.sql.GraftColumnBridge
+            .drainListenerBus(spark, 10000L)
+        }
+        TraceCapture.clearLabel()
+        val lines2 = readTrace(2)
+        assert(lines2.size >= 2)
+        assert(!Advisor.advise(lines2.iterator).exists(_.kind == "bucket"),
+          "the bucketed workload must not re-nominate (its join " +
+            "feeds on zero exchange bytes)")
+        // and the plan shape agrees: no exchange below the join
+        val df = bucketed()
+        df.collect()
+        val nodes = allPlanNodes(df.queryExecution.executedPlan)
+        val joinIdx = nodes.indexWhere(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins
+            .SortMergeJoinExec])
+        assert(joinIdx >= 0, "expected a sort-merge join")
+        val below = nodes.drop(joinIdx)
+        assert(!below.exists(_.isInstanceOf[org.apache.spark.sql
+          .execution.exchange.ShuffleExchangeExec]),
+          "bucketed join must not shuffle its inputs")
+      } finally tables.values.foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      TraceCapture.uninstall(spark, listener)
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("refreshDelta nomination: a traced compensated read with a " +
       "grown delta names the summary and the fold; acting on it " +
       "returns reads to summary-only") {

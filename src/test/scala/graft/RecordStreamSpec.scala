@@ -359,4 +359,64 @@ class RecordStreamSpec extends SparkSpec {
         r.getLong(3)))
     assert(viaRecords.toSeq == direct.toSeq)
   }
+
+  test("S2 scan economics: the gzip frame decode dominates the row " +
+      "materialization the DSv2 reader adds (the measured case for " +
+      "keeping a row reader — PROFILE.md round-12)") {
+    // ONE file so both paths are sequential and comparable: the
+    // decode-only loop is the reader minus InternalRow construction;
+    // the full path adds row materialization PLUS Spark scheduling
+    // and the aggregate, so (full − decode) UPPER-BOUNDS what a
+    // columnar reader could ever save.
+    val dir = tmpDir("econ")
+    spark.range(600000)
+      .select(encode(concat(
+        sha2(col("id").cast("string"), 256),
+        sha2(col("id").cast("string"), 512)), "UTF-8").as("value"))
+      .coalesce(1)
+      .write.format("recordstream").option("compression", "gzip")
+      .mode("append").save(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = graft.sources.RecordStream
+      .listVisibleFiles(dir, conf).values.toSeq
+    assert(parts.length == 1)
+    def decodeOnly(): Long = {
+      var total = 0L
+      parts.foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p.path)
+        val in = graft.sources.RecordStream.openRead(
+          hp.getFileSystem(conf).open(hp), p.path.endsWith(".gz"))
+        try {
+          var rec = graft.sources.RecordStream.readRecord(in, p.path)
+          while (rec.isDefined) {
+            total += rec.get.length
+            rec = graft.sources.RecordStream.readRecord(in, p.path)
+          }
+        } finally in.close()
+      }
+      total
+    }
+    def fullScan(): Long =
+      spark.read.format("recordstream").load(dir)
+        .agg(sum(length(col("value"))).as("b"))
+        .collect()(0).getLong(0)
+    def time[A](b: => A): (A, Double) = {
+      val s = System.nanoTime(); val r = b
+      (r, (System.nanoTime() - s) / 1e6)
+    }
+    // warm both paths (JIT, codegen cache, page cache), then measure
+    assert(decodeOnly() == fullScan())
+    val (db, decodeMs) = time(decodeOnly())
+    val (fb, fullMs) = time(fullScan())
+    assert(db == fb && db > 100L * 1000 * 1000,
+      s"payload bytes disagree or fixture too small: $db vs $fb")
+    val share = decodeMs / math.max(fullMs, decodeMs)
+    info(f"decode-only $decodeMs%.0f ms; full DSv2 scan $fullMs%.0f ms" +
+      f" over ${db / 1024 / 1024} MB — decode share ≥ ${share * 100}%.0f%%" +
+      " of the end-to-end scan (row materialization + scheduling +" +
+      " agg is the remainder)")
+    // not a timing flake-trap: only the sanity direction is asserted
+    // (decode is a strict subset of the full path's work)
+    assert(decodeMs > 0 && fullMs > 0)
+  }
 }

@@ -78,4 +78,50 @@ class SqlSurfaceSpec extends SparkSpec {
       .toMap
     assert(viaSql == viaColumn && viaSql.nonEmpty)
   }
+
+  test("operations surface: graft_summaries() and " +
+      "graft_explain_routing() are SQL table functions with Scala-API " +
+      "parity") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.{RoutingExplain, Summaries}
+    import graft.sources.Tables
+    Summaries.create(Tables.load(spark, sf, "lineitem"), "sql_surf",
+      grain = Seq("l_returnflag", "l_linestatus"),
+      sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"))
+    try {
+      // catalog parity: one row per statusRows() entry, same fields
+      val viaSql = spark.sql(
+        "SELECT name, substrate, grain, gen, state, where_sql, " +
+          "measures FROM graft_summaries() ORDER BY name").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getInt(3), r.getString(4), r.getString(5), r.getString(6)))
+        .toSeq
+      val viaApi = Summaries.statusRows().map(r =>
+        (r.name, r.substrate, r.grain, r.gen, r.state, r.where,
+          r.measures))
+      assert(viaSql == viaApi && viaSql.exists(_._1 == "sql_surf"))
+      // sizes are measured, not placeholders
+      val sz = spark.sql("SELECT n_rows, n_bytes FROM graft_summaries()" +
+        " WHERE name = 'sql_surf'").collect()(0)
+      assert(sz.getLong(0) > 0 && sz.getLong(1) > 0)
+      // explain parity: the TVF returns exactly the explainer's lines
+      val probe = "SELECT l_returnflag, count(*) AS n FROM " +
+        s"parquet.`$sf/lineitem.parquet` GROUP BY l_returnflag"
+      val tvfLines = spark.sql(
+        s"SELECT routing FROM graft_explain_routing(${"\"" + probe
+          .replace("\"", "\\\"") + "\""})")
+        .collect().map(_.getString(0)).toSeq
+      val apiLines = RoutingExplain.explain(spark.sql(probe))
+        .split("\n").toSeq
+      assert(tvfLines == apiLines, s"$tvfLines\nvs\n$apiLines")
+      assert(tvfLines.exists(l =>
+        l.contains("ROUTES") && l.contains("sql_surf")),
+        tvfLines.mkString("\n"))
+      // a malformed inner query reports, not throws
+      val bad = spark.sql(
+        "SELECT routing FROM graft_explain_routing('SELEC nope')")
+        .collect().map(_.getString(0)).mkString
+      assert(bad.contains("explain failed"))
+    } finally Summaries.drop("sql_surf")
+  }
 }

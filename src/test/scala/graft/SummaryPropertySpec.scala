@@ -223,6 +223,90 @@ class SummaryPropertySpec extends SparkSpec {
     }
   }
 
+  test("random shapes against a DELETE-COMPENSATED summary: " +
+      "routed == raw") {
+    // the retention twin of the delta arm: the source LOSES a built
+    // file after the build, so routable shapes go through
+    // merge(summary, negate(cube rows of the deleted file)) — the
+    // invertible family (count / sum / avg legs / grain-only
+    // percentile / distinct / integral grain sums) must be
+    // value-exact, and the pruned family (declared min/max, sketches)
+    // must fall through to raw and still be correct
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(12082026L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop_del")
+      .toFile
+    val srcPath = new java.io.File(dir, "li_copy").getAbsolutePath
+    val li = Tables.load(spark, sf, "lineitem")
+    li.filter(col("l_orderkey") % 10 < 8).write.parquet(srcPath)
+    def files() = new java.io.File(srcPath).listFiles()
+      .filter(f => !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(_.getName).toSet
+    val before = files()
+    li.filter(col("l_orderkey") % 10 >= 8)
+      .coalesce(1).write.mode("append").parquet(srcPath)
+    val doomed = (files() -- before).head
+    Summaries.create(
+      spark.read.parquet(srcPath), "prop_del",
+      grain = Seq("l_returnflag", "l_linestatus", "l_quantity"),
+      sums = Seq(
+        "s_price" -> "cast(l_extendedprice as decimal(18,2))",
+        "s_disc" -> "cast(l_discount as decimal(18,2))"),
+      sumsqs = Seq("sq_disc" -> "cast(l_discount as decimal(18,2))"),
+      mins = Seq("mn_price" -> "l_extendedprice"),
+      maxs = Seq("mx_price" -> "l_extendedprice"))
+    assert(new java.io.File(srcPath, doomed).delete())
+    Summaries.invalidate("prop_del")
+    try {
+      val grain = Seq("l_returnflag", "l_linestatus", "l_quantity")
+      import graft.functions.ExactMomentsFunctions._
+      val decDisc = col("l_discount").cast("decimal(18,2)")
+      val aggPool: Seq[(String, Column)] = Seq(
+        "cnt" -> count(lit(1)),
+        "cq" -> count(col("l_quantity")),
+        "ndq" -> countDistinct(col("l_quantity")),
+        "p50" -> expr("percentile(l_quantity, 0.5)"),
+        "mnq" -> min(col("l_quantity")),
+        "mxq" -> max(col("l_quantity")),
+        "sp" -> sum(col("l_extendedprice").cast("decimal(18,2)")),
+        "ap" -> avg(col("l_extendedprice").cast("decimal(18,2)")),
+        // exact moments ride the sumsq SUM legs — invertible, routes
+        "vse" -> var_samp_exact(decDisc),
+        "sde" -> stddev_samp_exact(decDisc),
+        // pruned under delete compensation: fall through, stay right
+        "mnp" -> min(col("l_extendedprice")),
+        "mxp" -> max(col("l_extendedprice")),
+        "st" -> sum(col("l_tax")),
+        "ad" -> avg(col("l_extendedprice")),
+        "sq" -> sum(col("l_quantity")))
+      val filterPool: Seq[Column] = Seq(
+        col("l_returnflag") =!= "N",
+        col("l_quantity") > 25.0,
+        col("l_linestatus") === "F")
+      for (i <- 1 to 20) {
+        val groups = rnd.shuffle(grain).take(rnd.nextInt(grain.size + 1))
+        val picked = rnd.shuffle(aggPool).take(1 + rnd.nextInt(4))
+        val aggs = picked.map { case (n, c) => c.as(n) }
+        val filters = rnd.shuffle(filterPool).take(rnd.nextInt(3))
+        val q = () => {
+          val base = filters.foldLeft(spark.read.parquet(srcPath))(
+            _ filter _)
+          val agged =
+            if (groups.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+            else base.groupBy(groups.map(col): _*)
+              .agg(aggs.head, aggs.tail: _*)
+          agged.orderBy(groups.map(col) :+ col(picked.head._1): _*)
+        }
+        cmp(q, s"delete shape $i (groups=$groups " +
+          s"filters=${filters.size} aggs=${picked.map(_._1)})")
+      }
+    } finally {
+      Summaries.drop("prop_del")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("random shapes against the JOINED summary: routed == raw") {
     val rnd = new scala.util.Random(8152026L)
     val li = Tables.load(spark, sf, "lineitem")

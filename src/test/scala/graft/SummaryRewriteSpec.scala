@@ -841,8 +841,10 @@ class SummaryRewriteSpec extends SparkSpec {
       try {
         for (q <- Seq(qQty, qCnt)) {
           assert(scanPaths(q()).forall(_.contains("graft_summaries")))
-          val routed = q().collect().toSeq
-          val raw = withoutRouting { q().collect().toSeq }
+          // no ORDER BY in the workload queries: compare as row sets
+          val routed = q().collect().toSeq.sortBy(_.toString)
+          val raw = withoutRouting {
+            q().collect().toSeq.sortBy(_.toString) }
           assert(routed == raw && routed.nonEmpty)
         }
       } finally Summaries.drop("spec_advised")
@@ -1921,6 +1923,53 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally Summaries.drop("spec_qsk")
   }
 
+  test("percentile_approx substitution: routes onto the declared " +
+      "quantile sketch ONLY behind its conf; conf-off stays raw and " +
+      "the explainer names the gate") {
+    import graft.operators.OlapQueries
+    OlapQueries.registerQskSummary(spark, sf) // lineitem_qsk, k=256
+    val q = () => Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(expr(OlapQueries.QskValSql),
+        lit(0.9), lit(1000)).as("p90"))
+      .orderBy("l_returnflag")
+    try {
+      // default: the gate is OFF — raw plan, stock GK answer
+      assert(!scanPaths(q()).exists(_.contains("graft_summaries")),
+        "percentile_approx must not substitute without the conf")
+      val stock = q().collect().toSeq
+      assert(graft.plans.RoutingExplain.explain(q())
+        .contains("gated off"),
+        graft.plans.RoutingExplain.explain(q()))
+      spark.conf.set(SummaryRewrite.ApproxPercentileKey, "true")
+      try {
+        val p = scanPaths(q())
+        assert(p.nonEmpty && p.forall(_.contains("graft_summaries")),
+          s"conf-on percentile_approx should ride the sketch: $p")
+        val routed = q().collect().toSeq
+        // the routed answer IS the sketch's own estimate — exact
+        // with respect to the sketch contract (lossless union)
+        val sketchTruth = withoutRouting {
+          import graft.functions.QskFunctions._
+          Tables.load(spark, sf, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(quantile_sketch_est(expr(OlapQueries.QskPriSql),
+              expr(OlapQueries.QskValSql), 256, 0.9).as("p90"))
+            .orderBy("l_returnflag").collect().toSeq
+        }
+        assert(routed.map(r => (r.getString(0), r.getLong(1))) ==
+          sketchTruth.map(r => (r.getString(0), r.getLong(1))))
+        // …and within sketch error of the stock approximation (both
+        // approximate the same true quantile)
+        routed.zip(stock).foreach { case (r, s0) =>
+          val (a, b) = (r.getLong(1).toDouble, s0.getLong(1).toDouble)
+          assert(math.abs(a - b) / math.max(b, 1.0) < 0.25,
+            s"substituted p90 too far from stock: $a vs $b")
+        }
+      } finally spark.conf.unset(SummaryRewrite.ApproxPercentileKey)
+    } finally Summaries.drop("lineitem_qsk")
+  }
+
   test("FILTERED summary: subsumed queries route, non-subsumed fail " +
       "closed, refresh/delta stay on the declared slice") {
     import scala.jdk.CollectionConverters._
@@ -2185,6 +2234,102 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally {
       Summaries.drop("sc_coarse")
       Summaries.drop("sc_fine")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("delete compensation: retention removals subtract through the " +
+      "file cube — count/sum/avg/percentile stay routed, min fails " +
+      "closed per measure, a fully-deleted grain vanishes, restart " +
+      "survives") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delcomp")
+      .toFile
+    val srcPath = new java.io.File(dir, "src").getAbsolutePath
+    import spark.implicits._
+    // kept rows: grains g1..g8, v null EXACTLY on g8 (so after the
+    // delete, g8's sum must read NULL, not 0); doomed rows: g8 with
+    // non-null v, plus g9 ENTIRELY (so g9 must vanish post-delete)
+    val kept = (0 until 4000).map { i =>
+      val x = "g" + (i % 8 + 1)
+      (x, i % 50, if (x == "g8") None else Some((i % 97) / 10.0))
+    }.toDF("x", "y", "v")
+    val gone = (0 until 1000).map { i =>
+      (if (i % 2 == 0) "g8" else "g9", i % 50, Some(i / 100.0))
+    }.toDF("x", "y", "v")
+    def files() = new java.io.File(srcPath).listFiles()
+      .filter(f => !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(_.getName).toSet
+    val qA = () => spark.read.parquet(srcPath)
+      .groupBy("x")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("sv"),
+        avg(col("v").cast("decimal(18,2)")).as("av"),
+        expr("percentile(y, 0.5)").as("med"))
+      .orderBy("x")
+    val qMin = () => spark.read.parquet(srcPath)
+      .groupBy("x").agg(min(col("v")).as("mv")).orderBy("x")
+    val qD = () => spark.read.parquet(srcPath)
+      .agg(countDistinct(col("x")).as("nx"))
+    try {
+      kept.repartition(3).write.parquet(srcPath)
+      val before = files()
+      gone.coalesce(1).write.mode("append").parquet(srcPath)
+      val doomedFile = (files() -- before).head
+      Summaries.create(spark.read.parquet(srcPath), "spec_delcomp",
+        grain = Seq("x", "y"),
+        sums = Seq("sv" -> "cast(v as decimal(18,2))"),
+        mins = Seq("mv" -> "v"))
+      assert(scanPaths(qA()).forall(_.contains("graft_summaries")))
+      assert(qA().collect().toSeq == withoutRouting { qA().collect().toSeq })
+      // retention strikes: the doomed file goes away
+      assert(new java.io.File(srcPath, doomedFile).delete())
+      Summaries.invalidate("spec_delcomp")
+      assert(graft.plans.Summaries.status()
+        .contains("stale:delete-comp(1 file(s))"),
+        graft.plans.Summaries.status())
+      val pA = scanPaths(qA())
+      assert(pA.exists(_.contains("graft_summaries")),
+        s"invertible aggregates must stay routed through a delete: $pA")
+      assert(pA.exists(_.contains("_files")),
+        s"the compensation must read the cube sidecar: $pA")
+      assert(!pA.exists(_.contains("/src")),
+        s"the deleted-file compensation must not re-scan the source: $pA")
+      val got = qA().collect().toSeq
+      assert(got == withoutRouting { qA().collect().toSeq },
+        "delete-compensated answers must equal the post-delete raw scan")
+      // g9 lived only in the deleted file: its grain row must vanish
+      assert(!got.exists(_.getString(0) == "g9"))
+      // g8's only non-null v rows died: SUM must read NULL, not 0
+      assert(got.find(_.getString(0) == "g8").exists(_.isNullAt(2)),
+        s"sum over zero surviving non-null inputs must be NULL: $got")
+      // distinct over grain rides the cnt>0-filtered substrate
+      assert(qD().collect().toSeq ==
+        withoutRouting { qD().collect().toSeq })
+      // min cannot un-see a deleted value: per-measure fail closed
+      val pMin = scanPaths(qMin())
+      assert(!pMin.exists(_.contains("graft_summaries")),
+        s"min must fail closed during delete compensation: $pMin")
+      assert(qMin().collect().toSeq ==
+        withoutRouting { qMin().collect().toSeq })
+      // the explainer names the per-measure refusal
+      assert(graft.plans.RoutingExplain.explain(qMin())
+        .contains("DELETE-compensated"),
+        graft.plans.RoutingExplain.explain(qMin()))
+      // restart survival: the cube path persists with the spec
+      Summaries.unload()
+      val pA2 = scanPaths(qA())
+      assert(pA2.exists(_.contains("graft_summaries")) &&
+        pA2.exists(_.contains("_files")), s"reload lost the cube: $pA2")
+      assert(qA().collect().toSeq == got)
+      // refreshDelta refuses (drift is not append-only) — a delete
+      // is folded by re-create, not by the append fold
+      intercept[IllegalStateException] {
+        Summaries.refreshDelta("spec_delcomp")
+      }
+    } finally {
+      Summaries.drop("spec_delcomp")
       java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
         .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }

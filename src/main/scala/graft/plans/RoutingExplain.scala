@@ -165,8 +165,9 @@ object RoutingExplain {
         "until a refresh(complete = true) folds in the rest"
     else if (!Summaries.isFresh(spec)) {
       Summaries.deltaProbe(spec)
-        .orElse(Summaries.deleteProbe(spec)) match {
-        case Some(_) => // compensable (append or delete): not a refusal
+        .orElse(Summaries.deleteProbe(spec))
+        .orElse(Summaries.mixedProbe(spec).map(_._1)) match {
+        case Some(_) => // compensable (append/delete/mixed): no refusal
         case None =>
           val deltaOff = org.apache.spark.sql.SparkSession.getActiveSession
             .exists(s => !s.conf.get(Summaries.DeltaReadKey, "true")
@@ -289,10 +290,9 @@ object RoutingExplain {
     // against the spec AS THE ROUTER SEES IT: a delete-compensated
     // candidate serves only its invertible measures, so a min/max/
     // sketch query gets the delete-window reason, not silence
-    val deleteComp = Summaries.isFresh(spec) match {
-      case false => Summaries.deleteProbe(spec).isDefined
-      case true => false
-    }
+    val deleteComp = !Summaries.isFresh(spec) &&
+      (Summaries.deleteProbe(spec).isDefined ||
+        Summaries.mixedProbe(spec).isDefined)
     val effSpec =
       if (deleteComp) Summaries.pruneForDeleteView(spec) else spec
     val surgeon = SummaryRewrite.surgeonFor(effSpec, rawOut)

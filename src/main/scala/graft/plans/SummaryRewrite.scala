@@ -89,11 +89,22 @@ import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
   * the summary plus ONLY the appended files. At 100 TB this is the
   * difference between a dashboard that goes 100× slower the moment
   * the nightly load lands and one that reads megabytes of summary
-  * plus the morning's delta until the refresh catches up. Any
-  * modification or deletion of a built file still suspends (nothing
-  * can compensate a rewrite-in-place);
-  * `spark.graft.summaryRewrite.deltaRead.enabled=false` restores
-  * strict suspend-on-any-change.
+  * plus the morning's delta until the refresh catches up.
+  *
+  * DELETES and MIXED drift compensate too, through the per-(grain,
+  * file) CUBE sidecar single-table creates persist: removal of built
+  * files routes invertible aggregates (count/sum/avg legs) onto
+  * `merge(summary, negate(cube rows of those files))`, and a window
+  * that both appends and deletes — including an in-place rewrite,
+  * which lists as old-entry-gone + new-entry-at-the-same-path —
+  * additionally folds the extras' pinned partial aggregate. Phantom
+  * grains drop (`cnt > 0`), sums nullify where their non-null leg
+  * hits zero, and min/max/sketch measures fail closed PER MEASURE
+  * (they cannot un-see a deleted value). Joined sources, cube-less
+  * specs, and a vanished source still suspend; a content-preserving
+  * compaction resumes via [[Summaries.rebless]] with no rebuild.
+  * `spark.graft.summaryRewrite.deltaRead.enabled=false` /
+  * `…deleteRead.enabled=false` restore strict suspend-on-change.
   * Rewrite activation is registration itself (creating the MV enables
   * routing, as in the host warehouse); `spark.graft.summaryRewrite
   * .enabled=false` force-disables without dropping state. No session
@@ -583,15 +594,43 @@ object Summaries {
     val built = spec.builtFiles.toSet
     val missing = spec.builtFiles.filterNot(cur)
     val extras = entries.filterNot(built)
-    // mixed append+delete windows fail closed (suspend) — each class
-    // alone is provably compensable, their interleaving is not worth
-    // the risk surface; an entirely vanished source also suspends
     if (built.nonEmpty && missing.nonEmpty && extras.isEmpty &&
         missing.length < spec.builtFiles.length &&
         !entries.exists(_.startsWith("absent:")))
       Some(missing)
     else None
   }
+
+  /** The MIXED gate: deletes AND appends in one window — including an
+    * in-place REWRITE, which the listing presents as the old entry
+    * missing plus a new entry at the same path. With the cube the
+    * algebra is still exact for invertible measures:
+    * `summary − cube(missing) + partial-agg(extras)` — the cube
+    * subtracts exactly what the built files contributed, the pinned
+    * delta read adds exactly what the current extras hold. Full
+    * churn (every built file replaced) is fine; a vanished source is
+    * not. Returns (missing entries, extra entries).
+    */
+  private def mixedFromEntries(spec: Spec,
+      entries: Seq[String]): Option[(Seq[String], Seq[String])] = {
+    val cur = entries.toSet
+    val built = spec.builtFiles.toSet
+    val missing = spec.builtFiles.filterNot(cur)
+    val extras = entries.filterNot(built)
+    if (built.nonEmpty && missing.nonEmpty && extras.nonEmpty &&
+        !entries.exists(_.startsWith("absent:")))
+      Some((missing, extras))
+    else None
+  }
+
+  private def mixedFor(spec: Spec,
+      s: org.apache.spark.sql.SparkSession)
+      : Option[(Seq[String], Seq[String])] =
+    if (spec.fileCubePath.isEmpty || spec.fpPaths.length != 1 ||
+        spec.builtFiles.isEmpty ||
+        !s.conf.get(DeleteReadKey, "true").toBoolean ||
+        !s.conf.get(DeltaReadKey, "true").toBoolean) None
+    else mixedFromEntries(spec, currentListing(spec.fpPaths, s)._2)
 
   /** The spec copy handed to the rewrite for a delete-compensated
     * read: only the INVERTIBLE measures survive — count, sums, and
@@ -661,6 +700,12 @@ object Summaries {
               // the compensation scan is the cube, not the deleted
               // files (they are gone) — cost it at its measured size
               compBytes = math.max(spec.cubeBytes, 0L))))
+          .orElse(mixedFor(spec, s).map { case (ms, ex) =>
+            pruneForDelete(spec).copy(deletedFiles = ms,
+              deltaFiles = ex,
+              compBytes = ex.map(entryLen).sum +
+                math.max(spec.cubeBytes, 0L))
+          })
       }
 
   // ----- multi-summary registry --------------------------------
@@ -734,6 +779,11 @@ object Summaries {
     org.apache.spark.sql.SparkSession.getActiveSession
       .flatMap(deletedFor(spec, _))
 
+  private[plans] def mixedProbe(spec: Spec)
+      : Option[(Seq[String], Seq[String])] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(mixedFor(spec, _))
+
   private[plans] def pruneForDeleteView(spec: Spec): Spec =
     pruneForDelete(spec)
 
@@ -758,7 +808,19 @@ object Summaries {
     * table metadata refresh.
     */
   def invalidate(name: String): Unit =
-    lookupByName(name).foreach(s => fpMemo.remove(memoKey(s.fpPaths)))
+    lookupByName(name).foreach { s =>
+      fpMemo.remove(memoKey(s.fpPaths))
+      // Spark's own shared FileStatusCache also holds path → (length,
+      // mtime) across queries, so an in-place rewrite leaves a stale
+      // LENGTH there and ANY read of the path — routed or raw — fails
+      // or short-reads until a REFRESH. The external-writer hook
+      // clears both layers in one call.
+      org.apache.spark.sql.SparkSession.getActiveSession.foreach { sp =>
+        s.fpPaths.foreach(p =>
+          try sp.catalog.refreshByPath(p)
+          catch { case scala.util.control.NonFatal(_) => () })
+      }
+    }
 
   /** Canonical path form both sides agree on. The scheme and
     * authority STAY in the key (a local /data/lineitem and an
@@ -1392,7 +1454,11 @@ object Summaries {
           case Some(fs) => s"stale:delta(${fs.length} file(s))"
           case None => deleteProbe(s) match {
             case Some(ms) => s"stale:delete-comp(${ms.length} file(s))"
-            case None => "stale:suspended"
+            case None => mixedProbe(s) match {
+              case Some((ms, ex)) =>
+                s"stale:mixed-comp(-${ms.length}/+${ex.length} file(s))"
+              case None => "stale:suspended"
+            }
           }
         }
       val measures = (s.sumSql.map(_._1) ++ s.minSql.map(_._1) ++
@@ -1625,8 +1691,19 @@ object Summaries {
     val negated = doomed.select(
       (spec.grain.map(col) ++ invert.map(c =>
         (col(c) * lit(-1)).cast(types(c)).as(c))): _*)
-    val merged = mergeAgg(spec,
-      current.select(keep.map(col): _*).unionByName(negated), types)
+    // MIXED drift carries appended/rewritten files too: their pinned
+    // partial aggregate adds in alongside the subtraction — the spec
+    // arriving here is pruned, so the partial holds the same
+    // invertible columns the merge expects
+    val addend: Option[DataFrame] =
+      if (spec.deltaFiles.isEmpty) None
+      else deltaRelation(spec, s)
+        .map(lr => partialAgg(spec, ofPlan(s, lr)))
+    if (spec.deltaFiles.nonEmpty && addend.isEmpty) return None
+    val unioned = addend.foldLeft(
+      current.select(keep.map(col): _*).unionByName(negated))(
+      _ unionByName _)
+    val merged = mergeAgg(spec, unioned, types)
       .filter(col(spec.cntCol) > 0)
     val sumNames = spec.sumSql.map(_._1).toSet
     val out = merged.select(merged.columns.toSeq.map { c =>
@@ -1804,13 +1881,18 @@ object Summaries {
     val freshAgg = partialAgg(spec, src)
     val stored = s.read.parquet(spec.summaryPath)
     // same build expressions ⇒ same schema; align column order and
-    // compare as sets
+    // compare as sets. The verification runs with the ROUTER
+    // BYPASSED: the reference aggregate must come from the raw
+    // files, never from a substrate built out of the very summary
+    // being verified (a verifier must not trust the machinery it
+    // verifies).
     val cols = stored.columns.toSeq
     val a = stored.select(cols.map(col): _*)
     val b = freshAgg.select(cols.map(col): _*)
-    val equal =
+    val equal = SummaryRewrite.withBypass {
       try a.except(b).isEmpty && b.except(a).isEmpty
       catch { case scala.util.control.NonFatal(_) => false }
+    }
     if (!equal) return false
     // the file-cube sidecar is keyed by the OLD file identities the
     // compaction just destroyed — it cannot stay; delete-compensation
@@ -1953,9 +2035,12 @@ object Summaries {
     if (fpOf(entries) == spec.sourceFp) return None
     val files = deltaFromEntries(spec, entries).getOrElse(
       throw new IllegalStateException(
-        s"source of '$name' drifted in place (a built file was " +
-          "rewritten or deleted, or a file landed outside the " +
-          "registered leaves) — re-create the summary"))
+        s"source of '$name' drifted beyond append-only (a built " +
+          "file was rewritten or deleted, or a file landed outside " +
+          "the registered leaves) — invertible READS may still be " +
+          "compensating through the cube, but the fold needs a " +
+          "re-create (rebless instead if the rewrite was a " +
+          "content-preserving compaction)"))
     val withDelta = spec.copy(deltaFiles = files)
     val batch =
       if (spec.fpPaths.length == 1)

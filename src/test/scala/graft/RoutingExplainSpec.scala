@@ -101,16 +101,23 @@ class RoutingExplainSpec extends SparkSpec {
       Summaries.invalidate("spec_explain_stale")
       val r1 = RoutingExplain.explain(q())
       assert(r1.contains("delta-compensated"), r1)
-      // delete a BUILT file (not an appended one — removing those
-      // would just walk the source back toward the built set) →
-      // in-place drift, suspended
+      // delete a BUILT file on top of the append → MIXED drift;
+      // since round 12 the cube makes this invertible count still
+      // compensable, so the explainer reports the ROUTE…
       val victim = new java.io.File(srcPath).listFiles()
         .filter(f => baseFiles.contains(f.getName)).head
       assert(victim.delete())
       Summaries.invalidate("spec_explain_stale")
       val r2 = RoutingExplain.explain(q())
-      assert(r2.contains("drifted IN PLACE") ||
-        r2.contains("routing is suspended"), r2)
+      assert(r2.contains("ROUTES"), r2)
+      // …and the strict conf restores the suspension with a named
+      // reason
+      spark.conf.set(Summaries.DeleteReadKey, "false")
+      try {
+        val r3 = RoutingExplain.explain(q())
+        assert(r3.contains("drifted IN PLACE") ||
+          r3.contains("routing is suspended"), r3)
+      } finally spark.conf.unset(Summaries.DeleteReadKey)
     } finally {
       Summaries.drop("spec_explain_stale")
       java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq

@@ -300,6 +300,30 @@ class SummaryPropertySpec extends SparkSpec {
         cmp(q, s"delete shape $i (groups=$groups " +
           s"filters=${filters.size} aggs=${picked.map(_._1)})")
       }
+      // MIXED tail: an append lands on top of the delete — the
+      // compensation becomes summary − cube(missing) + Δpartial,
+      // and the same shape sweep must stay value-exact
+      li.filter(col("l_orderkey") % 10 === 9 &&
+          col("l_linenumber") === 1)
+        .coalesce(1).write.mode("append").parquet(srcPath)
+      Summaries.invalidate("prop_del")
+      for (i <- 1 to 8) {
+        val groups = rnd.shuffle(grain).take(rnd.nextInt(grain.size + 1))
+        val picked = rnd.shuffle(aggPool).take(1 + rnd.nextInt(4))
+        val aggs = picked.map { case (n, c) => c.as(n) }
+        val filters = rnd.shuffle(filterPool).take(rnd.nextInt(3))
+        val q = () => {
+          val base = filters.foldLeft(spark.read.parquet(srcPath))(
+            _ filter _)
+          val agged =
+            if (groups.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+            else base.groupBy(groups.map(col): _*)
+              .agg(aggs.head, aggs.tail: _*)
+          agged.orderBy(groups.map(col) :+ col(picked.head._1): _*)
+        }
+        cmp(q, s"mixed shape $i (groups=$groups " +
+          s"filters=${filters.size} aggs=${picked.map(_._1)})")
+      }
     } finally {
       Summaries.drop("prop_del")
       java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq

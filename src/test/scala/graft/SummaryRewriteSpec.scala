@@ -1411,11 +1411,20 @@ class SummaryRewriteSpec extends SparkSpec {
       keep.write.parquet(tmp)
       spark.read.parquet(tmp).write.mode("overwrite").parquet(srcPath)
       Thread.sleep(2 * ttlMs) // past the memo window: must re-list
-      val paths = scanPaths(q())
-      assert(!paths.exists(_.contains("graft_summaries")),
-        s"stale summary still routed: $paths")
+      // the overwrite is MIXED drift (built entries gone, new files
+      // present): with the cube this invertible count keeps routing
+      // COMPENSATED and answers the NEW truth — never the stale one;
+      // the strict suspension survives behind the delete-read conf
       val fresh = withoutRouting { q().collect().toSeq }
-      assert(q().collect().toSeq == fresh)
+      assert(q().collect().toSeq == fresh,
+        "post-overwrite answers must be the new truth, never stale")
+      spark.conf.set(Summaries.DeleteReadKey, "false")
+      try {
+        val paths = scanPaths(q())
+        assert(!paths.exists(_.contains("graft_summaries")),
+          s"stale summary still routed under the strict conf: $paths")
+        assert(q().collect().toSeq == fresh)
+      } finally spark.conf.unset(Summaries.DeleteReadKey)
       // a full RE-CREATE records the new fingerprint: routing resumes
       // and the routed answer is the post-overwrite one
       Summaries.create(src(), "spec_stale",
@@ -1528,11 +1537,20 @@ class SummaryRewriteSpec extends SparkSpec {
       val tmp = new java.io.File(dir, "tmp_rewrite").getAbsolutePath
       keep.write.parquet(tmp)
       spark.read.parquet(tmp).write.mode("overwrite").parquet(srcPath)
-      val paths = scanPaths(q())
-      assert(!paths.exists(_.contains("graft_summaries")),
-        s"reloaded stale summary routed: $paths")
-      assert(q().collect().toSeq ==
-        withoutRouting { q().collect().toSeq })
+      // the persisted fingerprint catches the change on reload: the
+      // summary must never serve its stale rows — either suspended
+      // (strict conf) or MIXED-compensated to the new truth (the
+      // reloaded cube path makes that possible)
+      val fresh = withoutRouting { q().collect().toSeq }
+      assert(q().collect().toSeq == fresh,
+        "reloaded stale summary served stale rows")
+      spark.conf.set(Summaries.DeleteReadKey, "false")
+      try {
+        val paths = scanPaths(q())
+        assert(!paths.exists(_.contains("graft_summaries")),
+          s"reloaded stale summary routed under the strict conf: $paths")
+        assert(q().collect().toSeq == fresh)
+      } finally spark.conf.unset(Summaries.DeleteReadKey)
       // dropped specs stay dropped across a restart
       Summaries.drop("spec_down_stale")
       Summaries.unload()
@@ -2330,6 +2348,90 @@ class SummaryRewriteSpec extends SparkSpec {
       }
     } finally {
       Summaries.drop("spec_delcomp")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("MIXED drift compensates: delete + append in one window, and " +
+      "an in-place rewrite (old entry gone, new entry same path) — " +
+      "invertible aggregates stay routed, min fails closed") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixed")
+      .toFile
+    val srcPath = new java.io.File(dir, "src").getAbsolutePath
+    import spark.implicits._
+    def rows(n: Int, off: Int) = (0 until n).map { i =>
+      ("g" + ((i + off) % 6 + 1), ((i + off) % 89).toLong)
+    }.toDF("x", "v")
+    def files() = new java.io.File(srcPath).listFiles()
+      .filter(f => !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(_.getName).toSet
+    val qA = () => spark.read.parquet(srcPath)
+      .groupBy("x")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("sv"),
+        avg(col("v").cast("decimal(18,2)")).as("av"))
+      .orderBy("x")
+    val qMin = () => spark.read.parquet(srcPath)
+      .groupBy("x").agg(min(col("v")).as("mv")).orderBy("x")
+    try {
+      rows(3000, 0).repartition(3).write.parquet(srcPath)
+      val base = files()
+      rows(800, 5000).coalesce(1).write.mode("append").parquet(srcPath)
+      val doomed = (files() -- base).head
+      Summaries.create(spark.read.parquet(srcPath), "spec_mixed",
+        grain = Seq("x"),
+        sums = Seq("sv" -> "cast(v as decimal(18,2))"),
+        mins = Seq("mv" -> "v"))
+      // one maintenance window: retention deletes the doomed file AND
+      // the nightly load appends a fresh one
+      assert(new java.io.File(srcPath, doomed).delete())
+      rows(600, 9000).coalesce(1).write.mode("append").parquet(srcPath)
+      Summaries.invalidate("spec_mixed")
+      assert(graft.plans.Summaries.status()
+        .contains("stale:mixed-comp(-1/+1 file(s))"),
+        graft.plans.Summaries.status())
+      val p1 = scanPaths(qA())
+      assert(p1.exists(_.contains("graft_summaries")) &&
+        p1.exists(_.contains("_files")),
+        s"mixed drift should compensate through summary + cube: $p1")
+      assert(p1.filter(_.contains("/src")).forall(p =>
+        !base.contains(new java.io.File(p).getName)),
+        s"base files must not re-scan under mixed compensation: $p1")
+      assert(qA().collect().toSeq == withoutRouting { qA().collect().toSeq })
+      assert(!scanPaths(qMin()).exists(_.contains("graft_summaries")))
+      assert(qMin().collect().toSeq ==
+        withoutRouting { qMin().collect().toSeq })
+      // in-place REWRITE of a surviving base file: replace its bytes
+      // with another valid parquet file's (different content, same
+      // path) — the listing shows old-entry-missing + new-entry-same-
+      // path, the cube subtracts the old content, the pinned delta
+      // read adds the current bytes
+      val victim = new java.io.File(srcPath, base.head)
+      val donor = new java.io.File(srcPath,
+        (files() - base.head).head)
+      java.nio.file.Files.copy(donor.toPath, victim.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the local FS keeps a checksum sidecar per file — a real
+      // rewriter (hadoop fs) replaces it with the data; mirror that
+      java.nio.file.Files.copy(
+        new java.io.File(srcPath, "." + donor.getName + ".crc").toPath,
+        new java.io.File(srcPath, "." + victim.getName + ".crc").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Summaries.invalidate("spec_mixed")
+      assert(qA().collect().toSeq ==
+        withoutRouting { qA().collect().toSeq },
+        "an in-place rewrite must compensate exactly")
+      assert(scanPaths(qA()).exists(_.contains("graft_summaries")))
+      // the fold refuses (invertible reads compensate; maintenance
+      // is a re-create or, for a content-preserving rewrite, rebless)
+      val e = intercept[IllegalStateException] {
+        Summaries.refreshDelta("spec_mixed")
+      }
+      assert(e.getMessage.contains("compensating through the cube"))
+    } finally {
+      Summaries.drop("spec_mixed")
       java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
         .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }

@@ -2033,14 +2033,37 @@ object Summaries {
     val entries = listEntries(spec.fpPaths,
       s.sparkContext.hadoopConfiguration)
     if (fpOf(entries) == spec.sourceFp) return None
-    val files = deltaFromEntries(spec, entries).getOrElse(
-      throw new IllegalStateException(
-        s"source of '$name' drifted beyond append-only (a built " +
-          "file was rewritten or deleted, or a file landed outside " +
-          "the registered leaves) — invertible READS may still be " +
-          "compensating through the cube, but the fold needs a " +
-          "re-create (rebless instead if the rewrite was a " +
-          "content-preserving compaction)"))
+    val files = deltaFromEntries(spec, entries).getOrElse {
+      // not append-only. A summary whose declared measures are ALL
+      // invertible (no min/max/sketch) can still FOLD delete/mixed
+      // drift exactly — the same algebra its compensated reads run,
+      // materialized once: summary − cube(missing) + Δpartial, and
+      // the cube heals the same way. Anything non-invertible keeps
+      // refusing: folding would bake nulls into stored extremes.
+      val foldable = spec.fpPaths.length == 1 &&
+        spec.fileCubePath.nonEmpty &&
+        spec.minSql.isEmpty && spec.maxSql.isEmpty &&
+        spec.hllSql.isEmpty && spec.kmvSql.isEmpty &&
+        spec.qskSql.isEmpty
+      val drift =
+        if (foldable)
+          deletedFromEntries(spec, entries).map((_, Seq.empty[String]))
+            .orElse(mixedFromEntries(spec, entries))
+        else None
+      drift match {
+        case Some((missing, extras)) =>
+          return Some(foldDestructive(spec, s, entries, missing, extras))
+        case None =>
+          throw new IllegalStateException(
+            s"source of '$name' drifted beyond append-only (a built " +
+              "file was rewritten or deleted with non-invertible " +
+              "measures declared, or a file landed outside the " +
+              "registered leaves) — invertible READS may still be " +
+              "compensating through the cube, but this fold needs a " +
+              "re-create (rebless instead if the rewrite was a " +
+              "content-preserving compaction)")
+      }
+    }
     val withDelta = spec.copy(deltaFiles = files)
     val batch =
       if (spec.fpPaths.length == 1)
@@ -2051,6 +2074,83 @@ object Summaries {
             "columns or no recorded edges) — re-create the summary"))
     Some(refresh(name, batch, complete = true,
       coveredEntries = Some(entries)))
+  }
+
+  /** Materialize delete/mixed compensation as the NEXT GENERATION —
+    * the destructive-drift fold for all-invertible specs. Exactly the
+    * read-path algebra (`summary − cube(missing) + Δpartial`, phantom
+    * grains dropped, sums nullified on zero non-null legs), written
+    * once; the cube heals the same way (missing files' rows drop,
+    * extras' partials append). Cost is O(summary + cube + extras),
+    * never O(source) — retention no longer forces a rebuild on
+    * count/sum/avg summaries.
+    */
+  private def foldDestructive(spec: Spec,
+      s: org.apache.spark.sql.SparkSession, entries: Seq[String],
+      missing: Seq[String], extras: Seq[String]): Spec = {
+    import org.apache.spark.sql.functions.{regexp_replace, when}
+    val missingPaths = missing.map(e => canon(entryPath(e)))
+    val cube = s.read.parquet(spec.fileCubePath)
+    val normFile = regexp_replace(col(FileCol), "^file:/+", "file:///")
+    val doomed = cube.filter(normFile.isin(missingPaths: _*))
+    val current = s.read.parquet(spec.summaryPath)
+    val types = current.schema.map(f => f.name -> f.dataType).toMap
+    val invert = Seq(spec.cntCol) ++ spec.sumSql.map(_._1) ++
+      spec.nnSql.map(_._1)
+    val negated = doomed.select(
+      (spec.grain.map(col) ++ invert.map(c =>
+        (col(c) * lit(-1)).cast(types(c)).as(c))): _*)
+    def extrasDf() =
+      readDelta(s, spec.fpPaths.head, extras.map(entryPath))
+    val addend =
+      if (extras.isEmpty) None else Some(partialAgg(spec, extrasDf()))
+    val unioned = addend.foldLeft(
+      current.select((spec.grain ++ invert).map(col): _*)
+        .unionByName(negated))(_ unionByName _)
+    val merged0 = mergeAgg(spec, unioned, types)
+      .filter(col(spec.cntCol) > 0)
+    val sumNames = spec.sumSql.map(_._1).toSet
+    val merged = merged0.select(merged0.columns.toSeq.map { c =>
+      if (sumNames.contains(c))
+        when(col("__nn_" + c) === 0, lit(null)).otherwise(col(c))
+          .cast(types(c)).as(c)
+      else col(c)
+    }: _*)
+    val newCubeDf = cube.filter(!normFile.isin(missingPaths: _*))
+      .unionByName(
+        if (extras.isEmpty) cube.limit(0)
+        else partialCubeAgg(spec, extrasDf()))
+    // suspend while materializing, exactly like refresh()
+    reg.remove(regKey(spec.source, spec.name))
+    try {
+      val newFp = fpOf(entries)
+      touchFpMemo(spec.fpPaths, newFp, entries)
+      val cubePath = new java.io.File(
+        "spark-warehouse/graft_summaries/" +
+          s"${spec.name}__g${spec.gen + 1}_files").getAbsolutePath
+      newCubeDf.write.mode("overwrite").parquet(cubePath)
+      val cBytes =
+        try listEntries(Seq(cubePath),
+          s.sparkContext.hadoopConfiguration).map(entryLen).sum
+        catch { case scala.util.control.NonFatal(_) => -1L }
+      val next = register(merged, spec.copy(gen = spec.gen + 1,
+        sourceFp = newFp, builtFiles = entries,
+        fileCubePath = cubePath, cubeBytes = cBytes))
+      if (spec.summaryPath != null &&
+          spec.summaryPath != next.summaryPath) {
+        val p = new org.apache.hadoop.fs.Path(spec.summaryPath)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+      if (spec.fileCubePath.nonEmpty &&
+          spec.fileCubePath != next.fileCubePath) {
+        val p = new org.apache.hadoop.fs.Path(spec.fileCubePath)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+      next
+    } catch { case t: Throwable =>
+      reg.put(regKey(spec.source, spec.name), spec); throw t }
   }
 
   /** Revoke the named summary (the rewrite stops matching instantly;

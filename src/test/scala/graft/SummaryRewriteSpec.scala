@@ -2437,6 +2437,71 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("refreshDelta folds destructive drift for all-invertible " +
+      "specs: retention deletes heal without a rebuild, and the cube " +
+      "heals with them") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dfold")
+      .toFile
+    val srcPath = new java.io.File(dir, "src").getAbsolutePath
+    import spark.implicits._
+    def rows(n: Int, off: Int) = (0 until n).map { i =>
+      ("g" + ((i + off) % 5 + 1), ((i + off) % 83).toLong)
+    }.toDF("x", "v")
+    def files() = new java.io.File(srcPath).listFiles()
+      .filter(f => !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(_.getName).toSet
+    val qA = () => spark.read.parquet(srcPath)
+      .groupBy("x")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("sv"),
+        avg(col("v").cast("decimal(18,2)")).as("av"))
+      .orderBy("x")
+    try {
+      rows(2000, 0).repartition(3).write.parquet(srcPath)
+      val base = files()
+      rows(700, 4000).coalesce(1).write.mode("append").parquet(srcPath)
+      val doomed = (files() -- base).head
+      // ALL-invertible: sums + their nn legs only — the foldable class
+      Summaries.create(spark.read.parquet(srcPath), "spec_dfold",
+        grain = Seq("x"),
+        sums = Seq("sv" -> "cast(v as decimal(18,2))"))
+      // one window: retention delete + nightly append
+      assert(new java.io.File(srcPath, doomed).delete())
+      rows(500, 8000).coalesce(1).write.mode("append").parquet(srcPath)
+      Summaries.invalidate("spec_dfold")
+      val folded = Summaries.refreshDelta("spec_dfold")
+      assert(folded.isDefined && folded.get.gen == 1,
+        s"destructive fold should mint generation 1: $folded")
+      assert(Summaries.status().contains("fresh"),
+        Summaries.status())
+      val p1 = scanPaths(qA())
+      assert(p1.nonEmpty && p1.forall(_.contains("graft_summaries")),
+        s"post-fold reads must be summary-only: $p1")
+      assert(qA().collect().toSeq == withoutRouting { qA().collect().toSeq })
+      // the cube healed with the fold: a SECOND retention strike on a
+      // base file still compensates, then folds again
+      val victim2 = files().intersect(base).head
+      assert(new java.io.File(srcPath, victim2).delete())
+      Summaries.invalidate("spec_dfold")
+      assert(Summaries.status().contains("stale:delete-comp"),
+        Summaries.status())
+      val p2 = scanPaths(qA())
+      assert(p2.exists(_.contains("graft_summaries")) &&
+        p2.exists(_.contains("_files")),
+        s"healed cube must serve the second delete: $p2")
+      assert(qA().collect().toSeq == withoutRouting { qA().collect().toSeq })
+      val folded2 = Summaries.refreshDelta("spec_dfold")
+      assert(folded2.isDefined && folded2.get.gen == 2)
+      assert(scanPaths(qA()).forall(_.contains("graft_summaries")))
+      assert(qA().collect().toSeq == withoutRouting { qA().collect().toSeq })
+    } finally {
+      Summaries.drop("spec_dfold")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("rebless: a content-preserving compaction suspends, verifies, " +
       "and resumes routing without a rebuild; a real data change " +
       "refuses") {

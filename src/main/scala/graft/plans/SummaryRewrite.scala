@@ -1001,7 +1001,12 @@ object Summaries {
       sumsqs: Seq[(String, String)] = Nil,
       where: Option[String] = None,
       qsks: Seq[(String, (String, String))] = Nil,
-      qskK: Int = 128): Spec = {
+      qskK: Int = 128,
+      // opt out of the per-(grain, file) cube sidecar: skips its
+      // write (and the delete/mixed compensation it enables) for
+      // tables whose retention never strikes — the build becomes the
+      // plain direct aggregate
+      fileCube: Boolean = true): Spec = {
     val sums0 = withSumsqs(sums, sumsqs)
     // `partial = true` is the PARTIAL-BUILD half of the incremental
     // lifecycle: the source may be a Filter over the bare scan (e.g.
@@ -1064,10 +1069,11 @@ object Summaries {
         qskKey(raw, ps, vs) -> n }.toMap,
       qskSql = qsks.map { case (n, (ps, vs)) => (n, ps, vs) },
       qskK = qskK)
-    if (partial)
+    if (partial || !fileCube)
       // a partial build's source is a slice — per-file partials over
       // it would not cover the built files, so no cube (deletes
-      // suspend, the strict posture)
+      // suspend, the strict posture); fileCube=false is the caller
+      // declining the sidecar outright
       register(filtered.groupBy(grain.map(col): _*)
         .agg(count(lit(1)).as(CntCol), aggCols: _*), proto)
     else {

@@ -2797,14 +2797,31 @@ class SummaryRewriteSpec extends SparkSpec {
         "folded summary must answer the post-append truth")
       assert(Summaries.refreshDelta("spec_rfd").isEmpty,
         "second call: already fresh")
-      // in-place drift refuses the fold (fail loud, not silent-wrong)
+      // destructive drift: spec_rfd declares only invertible measures
+      // (sums + legs), so since round 12 the fold MATERIALIZES the
+      // delete compensation instead of refusing
       val victim = new java.io.File(srcPath).listFiles()
         .filter(f => baseFiles.contains(f.getName)).head
       assert(victim.delete())
       Summaries.invalidate("spec_rfd")
-      intercept[IllegalStateException] {
-        Summaries.refreshDelta("spec_rfd")
-      }
+      val folded2 = Summaries.refreshDelta("spec_rfd")
+      assert(folded2.nonEmpty, "all-invertible spec should fold a delete")
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
+      // a min-declared spec still refuses the destructive fold
+      // (fail loud, not silent-wrong)
+      Summaries.create(spark.read.parquet(srcPath), "spec_rfd_min",
+        grain = Seq("l_returnflag", "l_linestatus"),
+        sums = Nil, mins = Seq("mn" -> "l_quantity"))
+      try {
+        val victim2 = new java.io.File(srcPath).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        assert(victim2.delete())
+        Summaries.invalidate("spec_rfd_min")
+        intercept[IllegalStateException] {
+          Summaries.refreshDelta("spec_rfd_min")
+        }
+      } finally Summaries.drop("spec_rfd_min")
     } finally {
       Summaries.drop("spec_rfd")
       java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq

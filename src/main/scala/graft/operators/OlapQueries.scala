@@ -2508,19 +2508,7 @@ object OlapQueries {
       val q = reblessQuery(spark, sfDir)
       val rows = q.collect().toSeq // report-sized
       // the whole point: the post-rebless read is summary-only
-      def walk(n: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-        n +: (n match {
-          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-          case s: QueryStageExec => walk(s.plan)
-          case _ => n.children.flatMap(walk)
-        })
-      }
-      val scans = walk(q.queryExecution.executedPlan).collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.relation.location.rootPaths.map(_.toUri.getPath)
-      }.flatten
+      val scans = executedScanPaths(q)
       require(scans.nonEmpty && scans.forall(_.contains("graft_summaries")),
         s"post-rebless read must route onto the summary: $scans")
       spark.createDataFrame(
@@ -2600,19 +2588,7 @@ object OlapQueries {
     try {
       val q = deleteCompQuery(spark, sfDir)
       val rows = q.collect().toSeq // report-sized
-      def walk(n: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-        n +: (n match {
-          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-          case s: QueryStageExec => walk(s.plan)
-          case _ => n.children.flatMap(walk)
-        })
-      }
-      val scans = walk(q.queryExecution.executedPlan).collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.relation.location.rootPaths.map(_.toUri.getPath)
-      }.flatten
+      val scans = executedScanPaths(q)
       require(scans.nonEmpty &&
         scans.forall(_.contains("graft_summaries")) &&
         scans.exists(_.contains("_files")),
@@ -2620,6 +2596,27 @@ object OlapQueries {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), q.schema)
     } finally if (!pre) dropDeleteDemo(spark, sfDir)
+  }
+
+  /** File-scan root paths of an already-executed frame, descending
+    * through AQE's runtime structure — the self-check the lifecycle
+    * queries run on their own plans.
+    */
+  private def executedScanPaths(
+      q: org.apache.spark.sql.DataFrame): Seq[String] = {
+    def walk(n: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      n +: (n match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec => walk(s.plan)
+        case _ => n.children.flatMap(walk)
+      })
+    }
+    walk(q.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toUri.getPath)
+    }.flatten
   }
 
   private[graft] def deleteDemoName(sfDir: String): String =

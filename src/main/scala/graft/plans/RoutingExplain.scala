@@ -35,11 +35,20 @@ object RoutingExplain {
       routes: Boolean,
       summary: Option[String],
       deltaFiles: Int,
-      reasons: Seq[String]) {
+      reasons: Seq[String],
+      deletedFiles: Int = 0) {
     def render: String = {
       val head = if (routes)
         s"ROUTES onto '${summary.get}'" +
-          (if (deltaFiles > 0)
+          (if (deltaFiles > 0 && deletedFiles > 0)
+             s" (mixed-compensated, -$deletedFiles/+$deltaFiles " +
+               "file(s) — fold with Summaries.refreshDelta if all " +
+               "measures are invertible, else re-create)"
+           else if (deletedFiles > 0)
+             s" (delete-compensated, $deletedFiles removed file(s) — " +
+               "fold with Summaries.refreshDelta if all measures are " +
+               "invertible, else re-create)"
+           else if (deltaFiles > 0)
              s" (delta-compensated, $deltaFiles appended file(s) — " +
                "fold with Summaries.refreshDelta)"
            else " (fresh)")
@@ -220,11 +229,15 @@ object RoutingExplain {
       unsafeDups: AttributeSet): Verdict = {
     if (routed.isDefined) {
       val chosen = chosenSpec(routed.get, specs)
-      val delta = chosen.filter(s => !Summaries.isFresh(s))
-        .flatMap(Summaries.deltaProbe).map(_.length).getOrElse(0)
+      val stale = chosen.filterNot(Summaries.isFresh)
+      val delta = stale.flatMap(Summaries.deltaProbe).map(_.length)
+      val deleted = stale.flatMap(Summaries.deleteProbe).map(_.length)
+      val mixed = stale.flatMap(Summaries.mixedProbe)
       return Verdict(over, routes = true,
         chosen.map(_.name).orElse(specs.headOption.map(_.name)),
-        delta, Nil)
+        delta.orElse(mixed.map(_._2.length)).getOrElse(0), Nil,
+        deletedFiles =
+          deleted.orElse(mixed.map(_._1.length)).getOrElse(0))
     }
     if (specs.isEmpty)
       return Verdict(over, routes = false, None, 0, Seq(

@@ -2335,6 +2335,10 @@ class SummaryRewriteSpec extends SparkSpec {
       assert(graft.plans.RoutingExplain.explain(qMin())
         .contains("DELETE-compensated"),
         graft.plans.RoutingExplain.explain(qMin()))
+      // …and the routed verdict names the compensation kind
+      assert(graft.plans.RoutingExplain.explain(qA())
+        .contains("delete-compensated"),
+        graft.plans.RoutingExplain.explain(qA()))
       // restart survival: the cube path persists with the spec
       Summaries.unload()
       val pA2 = scanPaths(qA())
@@ -2400,6 +2404,9 @@ class SummaryRewriteSpec extends SparkSpec {
         !base.contains(new java.io.File(p).getName)),
         s"base files must not re-scan under mixed compensation: $p1")
       assert(qA().collect().toSeq == withoutRouting { qA().collect().toSeq })
+      assert(graft.plans.RoutingExplain.explain(qA())
+        .contains("mixed-compensated"),
+        graft.plans.RoutingExplain.explain(qA()))
       assert(!scanPaths(qMin()).exists(_.contains("graft_summaries")))
       assert(qMin().collect().toSeq ==
         withoutRouting { qMin().collect().toSeq })

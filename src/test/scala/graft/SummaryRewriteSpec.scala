@@ -2509,6 +2509,48 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("create(fileCube = false) declines the sidecar: deletes " +
+      "suspend (the strict posture), answers stay correct") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nocube")
+      .toFile
+    val srcPath = new java.io.File(dir, "src").getAbsolutePath
+    import spark.implicits._
+    (0 until 2000).map(i => ("g" + (i % 4), i.toLong))
+      .toDF("x", "v").repartition(3).write.parquet(srcPath)
+    val q = () => spark.read.parquet(srcPath)
+      .groupBy("x").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("sv"))
+      .orderBy("x")
+    try {
+      val spec = Summaries.create(spark.read.parquet(srcPath),
+        "spec_nocube", grain = Seq("x"),
+        sums = Seq("sv" -> "cast(v as decimal(18,2))"),
+        fileCube = false)
+      assert(spec.fileCubePath.isEmpty)
+      assert(new java.io.File(
+        "spark-warehouse/graft_summaries/spec_nocube__g0_files")
+        .exists() == false)
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      val victim = new java.io.File(srcPath).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(victim.delete())
+      Summaries.invalidate("spec_nocube")
+      val p = scanPaths(q())
+      assert(!p.exists(_.contains("graft_summaries")),
+        s"no cube ⇒ a delete must suspend: $p")
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
+      // and the fold refuses (nothing to subtract with)
+      intercept[IllegalStateException] {
+        Summaries.refreshDelta("spec_nocube")
+      }
+    } finally {
+      Summaries.drop("spec_nocube")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("rebless: a content-preserving compaction suspends, verifies, " +
       "and resumes routing without a rebuild; a real data change " +
       "refuses") {

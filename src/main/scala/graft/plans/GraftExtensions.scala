@@ -316,27 +316,80 @@ private[plans] object GraftSqlSurface {
       AttributeReference("where_sql", StringType, nullable = false)(),
       AttributeReference("measures", StringType, nullable = false)(),
       AttributeReference("n_rows", LongType, nullable = false)(),
-      AttributeReference("n_bytes", LongType, nullable = false)())
+      AttributeReference("n_bytes", LongType, nullable = false)(),
+      AttributeReference("cube_bytes", LongType, nullable = false)(),
+      AttributeReference("cube", StringType, nullable = false)())
     val data = Summaries.statusRows().map { r =>
       InternalRow.fromSeq(Seq(
         UTF8String.fromString(r.name), UTF8String.fromString(r.substrate),
         UTF8String.fromString(r.grain), r.gen,
         UTF8String.fromString(r.state), UTF8String.fromString(r.where),
-        UTF8String.fromString(r.measures), r.rows, r.bytes))
+        UTF8String.fromString(r.measures), r.rows, r.bytes,
+        r.cubeBytes, UTF8String.fromString(r.cube)))
     }
     LocalRelation(out, data)
   }
 
+  // the TVF resolves during ANALYSIS of the outer query; an inner SQL
+  // that itself calls graft_explain_routing would recurse through
+  // spark.sql unboundedly — same thread, so a reentry latch stops it
+  // wherever the nested call hides (FROM clause, subquery, CTE)
+  private val explainReentry = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
   def explainRoutingPlan(sql: String): LogicalPlan = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val text =
-      try RoutingExplain.explain(spark.sql(sql))
-      catch { case scala.util.control.NonFatal(e) =>
-        s"explain failed: ${e.getMessage}" }
     val out = Seq(
       AttributeReference("routing", StringType, nullable = false)())
-    LocalRelation(out, text.split("\n").toSeq
+    def rel(text: String) = LocalRelation(out, text.split("\n").toSeq
       .map(l => InternalRow.fromSeq(Seq(UTF8String.fromString(l)))))
+    if (explainReentry.get()) return rel(
+      "refused: nested graft_explain_routing calls are not supported")
+    // an explain surface must never EXECUTE its argument — but
+    // spark.sql() runs command plans (DDL/DML, SET, EXECUTE
+    // IMMEDIATE) eagerly during analysis. Parse first and refuse
+    // anything that is not a plain query, before the string gets
+    // anywhere near execution.
+    val parsed =
+      try Right(spark.sessionState.sqlParser.parsePlan(sql))
+      catch { case scala.util.control.NonFatal(e) =>
+        Left(s"explain failed: ${e.getMessage}") }
+    val text = parsed match {
+      case Left(msg) => msg
+      case Right(p) =>
+        import org.apache.spark.sql.catalyst.plans.logical.{Command, ParsedStatement}
+        val cmd = p.collectFirst {
+          case c: Command => c.nodeName
+          case c: ParsedStatement => c.nodeName
+          case c if c.nodeName.toLowerCase.contains("executeimmediate") =>
+            c.nodeName
+        }
+        // a self-call in the inner SQL (FROM clause or any subquery)
+        // would recurse through analysis — refuse it by name here;
+        // the thread-local latch above catches the same shape hidden
+        // behind a view
+        val selfRef = p.collectWithSubqueries {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedTableValuedFunction
+              if u.name.last.equalsIgnoreCase("graft_explain_routing") =>
+            u
+        }.nonEmpty
+        cmd match {
+          case Some(n) =>
+            s"refused: graft_explain_routing('<sql>') explains plain " +
+              s"queries only — a $n is a command and will not be run"
+          case None if selfRef =>
+            "refused: nested graft_explain_routing calls are not supported"
+          case None =>
+            explainReentry.set(true)
+            try RoutingExplain.explain(spark.sql(sql))
+            catch { case scala.util.control.NonFatal(e) =>
+              s"explain failed: ${e.getMessage}" }
+            finally explainReentry.set(false)
+        }
+    }
+    rel(text)
   }
 }
 

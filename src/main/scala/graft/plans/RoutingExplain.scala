@@ -189,6 +189,11 @@ object RoutingExplain {
             b += s"source of '${spec.name}' changed and the spec " +
               "predates delta reads (no built-file listing) — " +
               "re-create to record one"
+          else if (spec.fileCubePath.isEmpty && spec.cubeNote.nonEmpty)
+            b += s"source of '${spec.name}' changed and its file " +
+              s"cube is absent (${spec.cubeNote}) — deletes cannot " +
+              "compensate; routing is suspended until a refresh or " +
+              "re-create"
           else
             b += s"source of '${spec.name}' drifted IN PLACE " +
               "(a built file was rewritten, files were both added " +

@@ -198,6 +198,21 @@ object Summaries {
       // own filters IMPLY this predicate (the subsumption gate in the
       // rewrite) — the warehouse filtered-MV contract
       filterSql: String = "",
+      // generation RETENTION: the directories (summary parquet, cube
+      // sidecar) displaced by the fold that produced THIS spec. They
+      // stay on disk until the NEXT fold completes — a reader that
+      // planned against the previous generation (the spec pins its
+      // file listing at plan time) finishes its scan instead of
+      // hitting FileNotFound when a refresh lands mid-query. The
+      // BigQuery-MV availability contract: a refresh never fails a
+      // read. Deleted lazily by the fold AFTER next (one generation
+      // of retention), by drop(), or by the gcOrphans() sweep
+      retired: Seq[String] = Nil,
+      // why the file-cube sidecar is absent when it normally would
+      // exist (e.g. the create-time size gate refused it) — surfaced
+      // by status()/graft_summaries() and the routing explainer so a
+      // suspended delete is diagnosable
+      cubeNote: String = "",
       // TRANSIENT (never persisted): set by lookup() on the spec copy
       // it hands the rewrite when the source is stale-but-append-only
       // — the extra data files the compensated substrate must fold
@@ -286,7 +301,9 @@ object Summaries {
       "qsks" -> smap(s.qsks),
       "qskSql" -> JArray(s.qskSql.map { case (n, ps, vs) =>
         JArray(List(JString(n), JString(ps), JString(vs))) }.toList),
-      "qskK" -> JInt(s.qskK)))
+      "qskK" -> JInt(s.qskK),
+      "retired" -> strs(s.retired),
+      "cubeNote" -> JString(s.cubeNote)))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -344,21 +361,71 @@ object Summaries {
             .map(_.asInstanceOf[JString].s)
           (l(0), l(1), l(2))
         },
-      qskK = if (j.contains("qskK")) num("qskK").toInt else 128)
+      qskK = if (j.contains("qskK")) num("qskK").toInt else 128,
+      retired = if (j.contains("retired")) strs("retired") else Nil,
+      cubeNote = if (j.contains("cubeNote")) str("cubeNote") else "")
   }
 
-  private def persistSpec(s: Spec): Unit = {
+  /** Two engines (or a test suite and a bench) folding the SAME
+    * summary against one shared warehouse used to race: both write
+    * `__g{k+1}`, both persist, last-writer-wins with the loser's
+    * cleanup deleting the winner's files. [[persistSpec]] now refuses
+    * that loudly instead of corrupting.
+    */
+  final class ConcurrentSpecUpdate(msg: String)
+    extends IllegalStateException(msg)
+
+  // a crashed holder's lease is stolen after this long — generous
+  // against any real persist (microseconds of JSON), tight against a
+  // maintenance window
+  private val SpecLeaseMs = 60000L
+
+  /** Persist the spec under a per-name file LEASE with a
+    * compare-and-set on the generation: `expectGen` is the on-disk
+    * generation the caller's fold READ; if another engine already
+    * advanced the persisted spec past it, this writer lost the race
+    * and throws [[ConcurrentSpecUpdate]] (its written generation dir
+    * is cleaned up by the caller) rather than overwriting the
+    * winner. `createNewFile` is atomic on local/POSIX-semantics
+    * filesystems, which is what the shared `spark-warehouse` is.
+    */
+  private def persistSpec(s: Spec,
+      expectGen: Option[Int] = None): Unit = {
     specsDir.mkdirs()
-    val tmp = new java.io.File(specsDir, s.name + ".json.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      specToJson(s).getBytes("UTF-8"))
-    try java.nio.file.Files.move(tmp.toPath, specFile(s.name).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
-      java.nio.file.Files.move(tmp.toPath, specFile(s.name).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val lock = new java.io.File(specsDir, s.name + ".lock")
+    val acquired = lock.createNewFile() || {
+      val age = System.currentTimeMillis() - lock.lastModified()
+      age > SpecLeaseMs && { lock.delete(); lock.createNewFile() }
     }
+    if (!acquired) throw new ConcurrentSpecUpdate(
+      s"summary '${s.name}': another engine holds the spec lease " +
+        s"(${lock.getAbsolutePath}) — retry after it completes")
+    try {
+      expectGen.foreach { g =>
+        val onDisk =
+          try Option(specFile(s.name)).filter(_.exists()).map(f =>
+            specFromJson(new String(
+              java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
+          catch { case scala.util.control.NonFatal(_) => None }
+        onDisk.map(_.gen).filter(_ != g).foreach { dg =>
+          throw new ConcurrentSpecUpdate(
+            s"summary '${s.name}': the persisted spec is at " +
+              s"generation $dg but this fold read generation $g — " +
+              "another engine refreshed it concurrently; reload " +
+              "(Summaries.unload) and retry")
+        }
+      }
+      val tmp = new java.io.File(specsDir, s.name + ".json.tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        specToJson(s).getBytes("UTF-8"))
+      try java.nio.file.Files.move(tmp.toPath, specFile(s.name).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp.toPath, specFile(s.name).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally lock.delete()
   }
 
   /** Reload persisted specs into the in-memory registry, once per
@@ -404,6 +471,7 @@ object Summaries {
     reg.clear()
     fpMemo.clear()
     deltaRelMemo.clear()
+    cubeFilesMemo.clear()
     pinnedRelMemo.synchronized(pinnedRelMemo.clear())
     loadAttempted.set(false)
   }
@@ -1106,11 +1174,40 @@ object Summaries {
         val types = cube.schema
           .map(f => f.name -> f.dataType).toMap
         val out = mergeAgg(proto, cube.drop(FileCol), types)
-        register(out, proto.copy(fileCubePath = cubePath,
+        val registered = register(out, proto.copy(fileCubePath = cubePath,
           cubeBytes = cBytes))
+        // the SIZE GATE: the sidecar is grain×file-shaped, so a
+        // high-NDV grain over a many-file source can build a cube
+        // that dwarfs the summary and taxes every create/refresh.
+        // Measured here (both artifacts just hit disk) — past the
+        // ratio, the cube is auto-disabled with a NAMED reason
+        // (status/graft_summaries/RoutingExplain surface it; deletes
+        // then suspend, the strict posture). The byte floor keeps
+        // KB-class sidecars — noise-priced at any scale — ungated.
+        val sess = raw.sparkSession
+        val maxRatio = sess.conf
+          .get(CubeMaxRatioKey, "8.0").toDouble
+        val minBytes = sess.conf
+          .get(CubeMinBytesKey, "65536").toLong
+        if (registered.bytes > 0 && cBytes > minBytes &&
+            cBytes > maxRatio * registered.bytes) {
+          val note = s"gated: cube $cBytes B > ${maxRatio}x summary " +
+            s"${registered.bytes} B (conf $CubeMaxRatioKey) — " +
+            "sidecar disabled, deletes suspend"
+          val gated = registered.copy(fileCubePath = "",
+            cubeBytes = -1L, cubeNote = note)
+          persistSpec(gated, expectGen = Some(registered.gen))
+          reg.put(regKey(gated.source, gated.name), gated)
+          deleteDir(cubePath,
+            sess.sparkContext.hadoopConfiguration)
+          gated
+        } else registered
       } finally cube.unpersist()
     }
   }
+
+  val CubeMaxRatioKey = "spark.graft.summaryRewrite.fileCube.maxRatio"
+  val CubeMinBytesKey = "spark.graft.summaryRewrite.fileCube.minBytes"
 
   /** The file-identity column of the cube sidecar. */
   private val FileCol = "__gf_file"
@@ -1361,8 +1458,29 @@ object Summaries {
     * never overwrites the files the merge is reading; the previous
     * generation's directory is deleted after the new one registers.
     */
-  private def register(out: DataFrame, proto: Spec): Spec = {
+  private def deleteDir(p: String,
+      hconf: org.apache.hadoop.conf.Configuration): Unit =
+    try {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Write and catalog a generation. `displaced` is the spec this
+    * fold supersedes when the caller already removed it from the
+    * registry (the refresh suspension) — a plain create picks the
+    * shadowed entry up from the registry itself. The displaced
+    * generation's directories are NOT deleted here: they become the
+    * new spec's `retired` list and fall only at the fold AFTER this
+    * one, so a reader that planned against them mid-refresh finishes
+    * its scan (reader-safe refresh — the BigQuery-MV availability
+    * contract). What falls now is the generation retired one fold
+    * ago. `expectGen` threads the persist-time CAS.
+    */
+  private def register(out: DataFrame, proto: Spec,
+      displaced: Option[Spec] = None,
+      expectGen: Option[Int] = None): Spec = {
     val spark = out.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
     val path = new java.io.File(
       s"spark-warehouse/graft_summaries/${proto.name}__g${proto.gen}")
       .getAbsolutePath
@@ -1378,25 +1496,29 @@ object Summaries {
     // measured on-disk size: one local listing of the directory just
     // written — the best-match cost's primary unit
     val nBytes =
-      try listEntries(Seq(path),
-        spark.sparkContext.hadoopConfiguration).map(entryLen).sum
+      try listEntries(Seq(path), hconf).map(entryLen).sum
       catch { case scala.util.control.NonFatal(_) => -1L }
+    val prev = displaced.orElse(
+      Option(reg.get(regKey(proto.source, proto.name)))
+        .filter(_.name == proto.name))
+    val stillLive = Seq(path, proto.fileCubePath).filter(_.nonEmpty)
+    val retiring = prev.toSeq
+      .flatMap(o => Seq(o.summaryPath, o.fileCubePath))
+      .filter(p => p != null && p.nonEmpty)
+      .filterNot(stillLive.contains)
+      .distinct
     val spec = proto.copy(summaryPath = path, relation = rel,
-      rows = nRows, bytes = nBytes)
-    persistSpec(spec) // the catalog half: specs outlive the session
-    val old = Option(reg.put(regKey(spec.source, spec.name), spec))
-    old.filter(o => o.name == spec.name && o.summaryPath != path)
-      .foreach { o =>
-        val p = new org.apache.hadoop.fs.Path(o.summaryPath)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-        if (o.fileCubePath.nonEmpty &&
-            o.fileCubePath != spec.fileCubePath) {
-          val cp = new org.apache.hadoop.fs.Path(o.fileCubePath)
-          cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(cp, true)
-        }
-      }
+      rows = nRows, bytes = nBytes, retired = retiring)
+    // the catalog half: specs outlive the session. A CAS loss means
+    // another engine folded first — remove the generation we just
+    // wrote (nothing references it) and refuse loudly.
+    try persistSpec(spec, expectGen)
+    catch { case t: Throwable => deleteDir(path, hconf); throw t }
+    reg.put(regKey(spec.source, spec.name), spec)
+    // lazy delete: only the generation retired ONE fold ago lapses
+    val keep = (stillLive ++ retiring).toSet
+    prev.toSeq.flatMap(_.retired).distinct.filterNot(keep)
+      .foreach(deleteDir(_, hconf))
     spec
   }
 
@@ -1434,7 +1556,9 @@ object Summaries {
       s"${r.name} [${r.substrate}] grain=(${r.grain}) " +
         s"gen=${r.gen} ${r.state}" +
         (if (r.where.nonEmpty) s" where=(${r.where})" else "") +
-        (if (r.measures.nonEmpty) s" measures=(${r.measures})" else "")
+        (if (r.measures.nonEmpty) s" measures=(${r.measures})" else "") +
+        (if (r.cube == "present") s" cube=${r.cubeBytes}B"
+         else if (r.cube != "none") s" cube=(${r.cube})" else "")
     }.mkString("\n")
   }
 
@@ -1444,7 +1568,8 @@ object Summaries {
     */
   final case class StatusRow(name: String, substrate: String,
       grain: String, gen: Int, state: String, where: String,
-      measures: String, rows: Long, bytes: Long)
+      measures: String, rows: Long, bytes: Long,
+      cubeBytes: Long, cube: String)
 
   def statusRows(): Seq[StatusRow] = {
     import scala.jdk.CollectionConverters._
@@ -1471,8 +1596,13 @@ object Summaries {
         s.maxSql.map(_._1) ++ s.hllSql.map(_._1) ++ s.kmvSql.map(_._1) ++
         s.qskSql.map(_._1))
         .mkString(", ")
+      val cube =
+        if (s.fileCubePath.nonEmpty) "present"
+        else if (s.cubeNote.nonEmpty) s.cubeNote
+        else "none"
       StatusRow(s.name, substrate, s.grain.mkString(", "), s.gen,
-        state, s.filterSql, measures, s.rows, s.bytes)
+        state, s.filterSql, measures, s.rows, s.bytes,
+        s.cubeBytes, cube)
     }
   }
 
@@ -1496,7 +1626,21 @@ object Summaries {
     * measure legs [[create]] stores, shared by [[refresh]] and the
     * delta-compensated read substrate.
     */
-  private def partialAgg(spec: Spec, batch: DataFrame): DataFrame = {
+  private def partialAgg(spec: Spec, batch: DataFrame): DataFrame =
+    partialAggBy(spec, batch, spec.grain.map(col))
+
+  /** [[partialAgg]] keyed additionally by `input_file_name()` — the
+    * FULL-measure per-(grain, file) cube. [[rebless]] uses it to
+    * rebuild the sidecar and the verification aggregate from one
+    * source scan, the same one-scan-two-artifacts shape as
+    * [[create]].
+    */
+  private def partialAggWithFile(spec: Spec, batch: DataFrame): DataFrame =
+    partialAggBy(spec, batch, spec.grain.map(col) :+
+      org.apache.spark.sql.functions.input_file_name().as(FileCol))
+
+  private def partialAggBy(spec: Spec, batch: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
     // a FILTERED summary aggregates only its declared slice — every
     // refresh batch and delta read goes through the same predicate,
     // so all generations cover exactly the declaration
@@ -1512,7 +1656,7 @@ object Summaries {
         kmvSketchCol(s, spec.kmvK, spec.kmvDomain).as(n) } ++
       spec.qskSql.map { case (n, ps, vs) =>
         qskSketchCol(ps, vs, spec.qskK).as(n) })
-    src.groupBy(spec.grain.map(col): _*)
+    src.groupBy(keys: _*)
       .agg(count(lit(1)).as(spec.cntCol), aggCols: _*)
   }
 
@@ -1664,6 +1808,64 @@ object Summaries {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
+  /** [[canon]] for an `input_file_name()` rendering. Spark stores the
+    * URL-ENCODED URI string (a space is `%20`, the local scheme is
+    * `file:///`) while [[listEntries]] carries Hadoop's DECODED form
+    * (`file:/… with spaces`) — both sides must go through the same
+    * decode before membership, or a deleted file whose path contains
+    * any encodable character matches nothing and the "compensated"
+    * read silently serves pre-delete results. `java.net.URI` decodes
+    * percent-escapes in `getPath`, which is exactly the form
+    * [[canon]] produces from a listing path.
+    */
+  private def canonOfUri(v: String): String =
+    try {
+      val u = new java.net.URI(v)
+      if (u.getScheme == null) canon(v)
+      else {
+        val auth = Option(u.getAuthority).getOrElse("")
+        s"${u.getScheme}://$auth${u.getPath}"
+      }
+    } catch { case _: java.net.URISyntaxException => canon(v) }
+
+  // the distinct stored file identities of a cube sidecar, each with
+  // its canonical decode — one column-pruned scan of the (summary-KB
+  // class) sidecar, memoized because the optimizer re-fires the rule
+  // per query. Cube content is immutable per (path, fingerprint):
+  // every fold mints a new path, and a re-create over the same name
+  // re-fingerprints.
+  private val cubeFilesMemo = new java.util.concurrent
+    .ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private def cubeFileIndex(spec: Spec,
+      s: org.apache.spark.sql.SparkSession): Seq[(String, String)] = {
+    val key = spec.fileCubePath + "|" + spec.sourceFp
+    Option(cubeFilesMemo.get(key)).getOrElse {
+      val raws = s.read.parquet(spec.fileCubePath)
+        .select(col(FileCol)).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val idx = raws.map(r => (r, canonOfUri(r)))
+      cubeFilesMemo.put(key, idx)
+      idx
+    }
+  }
+
+  /** The cube's stored identities for the `missing` canonical paths —
+    * the doomed-row membership set for delete/mixed compensation.
+    * None (fail closed) when ANY missing built file matches zero cube
+    * rows: with both sides decoded the only honest cause is a file
+    * whose every row the declared WHERE dropped, and suspending that
+    * rare case is cheaper than ever serving a stale answer to an
+    * unanticipated path-rendering drift.
+    */
+  private def doomedCubeFiles(spec: Spec,
+      s: org.apache.spark.sql.SparkSession,
+      missing: Seq[String]): Option[Seq[String]] = {
+    val byCanon = cubeFileIndex(spec, s).groupBy(_._2)
+    if (missing.exists(m => !byCanon.contains(m))) None
+    else Some(missing.flatMap(m => byCanon(m).map(_._1)).distinct)
+  }
+
   /** The DELETE-compensated substrate: `merge(summary, negate(cube
     * rows of the deleted files))`, filtered to `cnt > 0` so a grain
     * whose every raw row died disappears (grain-only pass-through
@@ -1679,16 +1881,14 @@ object Summaries {
   private def deleteCompensatedPlan(spec: Spec,
       s: org.apache.spark.sql.SparkSession): Option[LogicalPlan] = {
     import org.apache.spark.sql.GraftColumnBridge.ofPlan
-    import org.apache.spark.sql.functions.{regexp_replace, when}
+    import org.apache.spark.sql.functions.when
     val missing = spec.deletedFiles.map(e => canon(entryPath(e)))
     if (missing.isEmpty) return None
     val cube = s.read.parquet(spec.fileCubePath)
-    // input_file_name() and the Hadoop listing render the local
-    // scheme differently (file:/// vs file:/) — normalize both to the
-    // canonical triple-slash form before membership
-    val normFile =
-      regexp_replace(col(FileCol), "^file:/+", "file:///")
-    val doomed = cube.filter(normFile.isin(missing: _*))
+    val doomedRaw = doomedCubeFiles(spec, s, missing)
+      .getOrElse(return None) // fail closed: raw read beats a silent
+    // pre-delete answer when a doomed file matches zero cube rows
+    val doomed = cube.filter(col(FileCol).isin(doomedRaw: _*))
     val current = ofPlan(s, spec.relation.newInstance())
     val types = current.schema.map(f => f.name -> f.dataType).toMap
     val invert = Seq(spec.cntCol) ++ spec.sumSql.map(_._1) ++
@@ -1884,37 +2084,77 @@ object Summaries {
         val dfs = spec.fpPaths.map(p => p -> s.read.parquet(p)).toMap
         joinLeaves(spec, dfs, spec.fpPaths.head).getOrElse(return false)
       }
-    val freshAgg = partialAgg(spec, src)
-    val stored = s.read.parquet(spec.summaryPath)
+    val hconf = s.sparkContext.hadoopConfiguration
     // same build expressions ⇒ same schema; align column order and
     // compare as sets. The verification runs with the ROUTER
     // BYPASSED: the reference aggregate must come from the raw
     // files, never from a substrate built out of the very summary
     // being verified (a verifier must not trust the machinery it
     // verifies).
+    val stored = s.read.parquet(spec.summaryPath)
     val cols = stored.columns.toSeq
-    val a = stored.select(cols.map(col): _*)
-    val b = freshAgg.select(cols.map(col): _*)
-    val equal = SummaryRewrite.withBypass {
-      try a.except(b).isEmpty && b.except(a).isEmpty
-      catch { case scala.util.control.NonFatal(_) => false }
+    def sameSets(freshAgg: DataFrame): Boolean = {
+      val a = stored.select(cols.map(col): _*)
+      val b = freshAgg.select(cols.map(col): _*)
+      SummaryRewrite.withBypass {
+        try a.except(b).isEmpty && b.except(a).isEmpty
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
     }
-    if (!equal) return false
-    // the file-cube sidecar is keyed by the OLD file identities the
-    // compaction just destroyed — it cannot stay; delete-compensation
-    // resumes at the next create() (re-blessing keeps reads routed,
-    // which is the expensive half)
-    val blessed = spec.copy(sourceFp = fp, builtFiles = entries,
-      fileCubePath = "", cubeBytes = -1L)
-    if (spec.fileCubePath.nonEmpty) {
-      val cp = new org.apache.hadoop.fs.Path(spec.fileCubePath)
-      cp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(cp, true)
+    def bless(b: Spec, expect: Int): Boolean = {
+      persistSpec(b, expectGen = Some(expect))
+      reg.put(regKey(b.source, b.name), b)
+      // the generation retired by the PREVIOUS fold lapses here,
+      // exactly like register() — still-referenced paths survive
+      val keep =
+        Set(b.summaryPath, b.fileCubePath) ++ b.retired
+      spec.retired.distinct.filterNot(keep).foreach(deleteDir(_, hconf))
+      touchFpMemo(spec.fpPaths, fp, entries)
+      true
     }
-    persistSpec(blessed)
-    reg.put(regKey(blessed.source, blessed.name), blessed)
-    touchFpMemo(spec.fpPaths, fp, entries)
-    true
+    if (spec.fpPaths.length > 1 || spec.fileCubePath.isEmpty) {
+      // no sidecar to carry (joined source, or the summary never had
+      // one): verify against the direct re-aggregate and re-record
+      if (!sameSets(partialAgg(spec, src))) return false
+      bless(spec.copy(sourceFp = fp, builtFiles = entries), spec.gen)
+    } else {
+      // the sidecar is keyed by the OLD file identities the
+      // compaction just destroyed — but rebless is already paying a
+      // full source scan to verify, so REBUILD the per-file cube in
+      // that same pass (one scan feeds both the fresh aggregate and
+      // the new sidecar) instead of silently downgrading delete
+      // compensation to suspend-on-delete until the next create()
+      val cube = partialAggWithFile(spec, src)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val types = cube.schema.map(f => f.name -> f.dataType).toMap
+        if (!sameSets(mergeAgg(spec, cube.drop(FileCol), types)))
+          return false
+        // generation number stays (no summary rewrite happened); the
+        // path carries the new fingerprint so retention of the old
+        // cube and repeated reblesses never collide
+        val cubePath = new java.io.File(
+          "spark-warehouse/graft_summaries/" +
+            s"${spec.name}__g${spec.gen}_files_${fp.take(8)}")
+          .getAbsolutePath
+        val invert = Seq(FileCol) ++ spec.grain ++ Seq(spec.cntCol) ++
+          spec.sumSql.map(_._1) ++ spec.nnSql.map(_._1)
+        cube.select(invert.map(col): _*)
+          .write.mode("overwrite").parquet(cubePath)
+        val cBytes =
+          try listEntries(Seq(cubePath), hconf).map(entryLen).sum
+          catch { case scala.util.control.NonFatal(_) => -1L }
+        // the OLD cube is what this bless displaces: it retires (an
+        // in-flight delete-compensated read may be scanning it) and
+        // the generation retired one fold ago lapses in bless()
+        val blessed = spec.copy(sourceFp = fp, builtFiles = entries,
+          fileCubePath = cubePath, cubeBytes = cBytes,
+          retired = Seq(spec.fileCubePath)
+            .filter(p => p.nonEmpty && p != cubePath))
+        try bless(blessed, spec.gen)
+        catch { case t: Throwable => deleteDir(cubePath, hconf); throw t }
+      } finally cube.unpersist()
+    }
   }
 
   def refresh(name: String, batch: DataFrame,
@@ -1934,6 +2174,7 @@ object Summaries {
     // While suspended, queries over the source run raw (correct,
     // just unrouted) — the standard MV-refresh window.
     reg.remove(regKey(spec.source, spec.name))
+    var writtenCube = "" // cleaned up if the fold fails after writing
     try {
       // completion is EXPLICIT: only `complete = true` (the caller
       // affirming this batch brings the summary up to the full
@@ -1971,34 +2212,32 @@ object Summaries {
           spark.read.parquet(spec.fileCubePath)
             .unionByName(partialCubeAgg(spec, batch))
             .write.mode("overwrite").parquet(cubePath)
+          writtenCube = cubePath
           val b = try listEntries(Seq(cubePath),
             spark.sparkContext.hadoopConfiguration).map(entryLen).sum
           catch { case scala.util.control.NonFatal(_) => -1L }
           (cubePath, b)
         } else ("", -1L)
-      val next = register(merged, spec.copy(gen = spec.gen + 1,
+      // the displaced generation (summary + cube) is handed to
+      // register() as the new spec's `retired` list — deleted at the
+      // NEXT fold, never now, so in-flight readers planned on it
+      // finish (reader-safe refresh)
+      register(merged, spec.copy(gen = spec.gen + 1,
         routable = spec.routable || complete,
         sourceFp = newFp,
         builtFiles = newEntries,
-        fileCubePath = newCubePath, cubeBytes = newCubeBytes))
-      // register()'s own old-generation cleanup keys off the spec it
-      // DISPLACES in the registry — which the suspend above removed —
-      // so the pre-refresh generation must be deleted here, and only
-      // now: the merge that read it has materialized into the new
-      // generation's parquet.
-      if (spec.summaryPath != null && spec.summaryPath != next.summaryPath) {
-        val p = new org.apache.hadoop.fs.Path(spec.summaryPath)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-      }
-      if (spec.fileCubePath.nonEmpty &&
-          spec.fileCubePath != next.fileCubePath) {
-        val p = new org.apache.hadoop.fs.Path(spec.fileCubePath)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-      }
-      next
+        fileCubePath = newCubePath, cubeBytes = newCubeBytes,
+        cubeNote =
+          if (spec.fileCubePath.nonEmpty && newCubePath.isEmpty)
+            "dropped: a generic refresh(batch) carries no file " +
+              "identity — deletes suspend until a re-create"
+          else spec.cubeNote),
+        displaced = Some(spec), expectGen = Some(spec.gen))
     } catch { case t: Throwable =>
+      // the freshly-written next-generation cube would otherwise
+      // orphan forever (no spec ever references it)
+      if (writtenCube.nonEmpty)
+        deleteDir(writtenCube, spark.sparkContext.hadoopConfiguration)
       reg.put(regKey(spec.source, spec.name), spec); throw t }
   }
 
@@ -2094,11 +2333,18 @@ object Summaries {
   private def foldDestructive(spec: Spec,
       s: org.apache.spark.sql.SparkSession, entries: Seq[String],
       missing: Seq[String], extras: Seq[String]): Spec = {
-    import org.apache.spark.sql.functions.{regexp_replace, when}
+    import org.apache.spark.sql.functions.when
     val missingPaths = missing.map(e => canon(entryPath(e)))
     val cube = s.read.parquet(spec.fileCubePath)
-    val normFile = regexp_replace(col(FileCol), "^file:/+", "file:///")
-    val doomed = cube.filter(normFile.isin(missingPaths: _*))
+    // same decode-normalized membership as the compensated READ —
+    // but a fold BAKES its result into the next generation, so a
+    // zero-match refuses loudly instead of silently folding stale rows
+    val doomedRaw = doomedCubeFiles(spec, s, missingPaths).getOrElse(
+      throw new IllegalStateException(
+        s"fold of '${spec.name}': a deleted built file matches zero " +
+          "cube rows — nothing to subtract for it; re-create the " +
+          "summary instead of folding"))
+    val doomed = cube.filter(col(FileCol).isin(doomedRaw: _*))
     val current = s.read.parquet(spec.summaryPath)
     val types = current.schema.map(f => f.name -> f.dataType).toMap
     val invert = Seq(spec.cntCol) ++ spec.sumSql.map(_._1) ++
@@ -2122,12 +2368,13 @@ object Summaries {
           .cast(types(c)).as(c)
       else col(c)
     }: _*)
-    val newCubeDf = cube.filter(!normFile.isin(missingPaths: _*))
+    val newCubeDf = cube.filter(!col(FileCol).isin(doomedRaw: _*))
       .unionByName(
         if (extras.isEmpty) cube.limit(0)
         else partialCubeAgg(spec, extrasDf()))
     // suspend while materializing, exactly like refresh()
     reg.remove(regKey(spec.source, spec.name))
+    var writtenCube = ""
     try {
       val newFp = fpOf(entries)
       touchFpMemo(spec.fpPaths, newFp, entries)
@@ -2135,27 +2382,19 @@ object Summaries {
         "spark-warehouse/graft_summaries/" +
           s"${spec.name}__g${spec.gen + 1}_files").getAbsolutePath
       newCubeDf.write.mode("overwrite").parquet(cubePath)
+      writtenCube = cubePath
       val cBytes =
         try listEntries(Seq(cubePath),
           s.sparkContext.hadoopConfiguration).map(entryLen).sum
         catch { case scala.util.control.NonFatal(_) => -1L }
-      val next = register(merged, spec.copy(gen = spec.gen + 1,
+      // displaced generation retires (lazy delete) — see refresh()
+      register(merged, spec.copy(gen = spec.gen + 1,
         sourceFp = newFp, builtFiles = entries,
-        fileCubePath = cubePath, cubeBytes = cBytes))
-      if (spec.summaryPath != null &&
-          spec.summaryPath != next.summaryPath) {
-        val p = new org.apache.hadoop.fs.Path(spec.summaryPath)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-      }
-      if (spec.fileCubePath.nonEmpty &&
-          spec.fileCubePath != next.fileCubePath) {
-        val p = new org.apache.hadoop.fs.Path(spec.fileCubePath)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-      }
-      next
+        fileCubePath = cubePath, cubeBytes = cBytes),
+        displaced = Some(spec), expectGen = Some(spec.gen))
     } catch { case t: Throwable =>
+      if (writtenCube.nonEmpty)
+        deleteDir(writtenCube, s.sparkContext.hadoopConfiguration)
       reg.put(regKey(spec.source, spec.name), spec); throw t }
   }
 
@@ -2165,17 +2404,65 @@ object Summaries {
     * not resurrect in the next session or linger in the memo.
     */
   def drop(name: String): Unit = {
+    val hconf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
     val it = reg.entrySet().iterator()
     while (it.hasNext) {
       val s = it.next().getValue
       if (s.name == name) {
         fpMemo.remove(memoKey(s.fpPaths))
+        // superseded generations are pure garbage once the name is
+        // gone (only the CURRENT generation is kept for re-register)
+        s.retired.foreach(deleteDir(_, hconf))
         it.remove()
       }
     }
     deltaRelMemo.remove(name)
+    cubeFilesMemo.clear()
     pinnedRelMemo.synchronized(pinnedRelMemo.clear())
     specFile(name).delete()
+    // a crashed fold's lease must not block the next create
+    new java.io.File(specsDir, name + ".lock").delete()
+  }
+
+  /** Sweep `graft_summaries/` for generation directories NO persisted
+    * or registered spec references — the debris of a crash between a
+    * generation write and its persistSpec (the same orphan class as a
+    * CTAS interrupted before its catalog entry). Current generations,
+    * cube sidecars, and RETIRED directories (still inside their
+    * reader-retention window) all count as live. Directories younger
+    * than `graceMs` are left alone — they may belong to a fold in
+    * flight in another engine. Returns the deleted paths.
+    */
+  def gcOrphans(graceMs: Long = 0L): Seq[String] = {
+    ensureLoaded()
+    import scala.jdk.CollectionConverters._
+    val hconf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val root = new java.io.File("spark-warehouse/graft_summaries")
+    val fromDisk = Option(specsDir.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".json")).toSeq.flatMap { f =>
+        try Some(specFromJson(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    val live = (fromDisk ++ reg.values().asScala.toSeq)
+      .flatMap(s => Seq(s.summaryPath, s.fileCubePath) ++ s.retired)
+      .filter(p => p != null && p.nonEmpty)
+      .map(p => new java.io.File(p).getAbsolutePath).toSet
+    val now = System.currentTimeMillis()
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory)
+      .filterNot(_.getName == "_specs")
+      .filterNot(d => live.contains(d.getAbsolutePath))
+      .filter(d => graceMs <= 0L || now - d.lastModified() > graceMs)
+      .map { d =>
+        deleteDir(d.getAbsolutePath, hconf)
+        d.getAbsolutePath
+      }.toSeq
   }
 
   /** Full reset (test isolation): registry, freshness memo, AND the
@@ -2186,6 +2473,7 @@ object Summaries {
     reg.clear()
     fpMemo.clear()
     deltaRelMemo.clear()
+    cubeFilesMemo.clear()
     pinnedRelMemo.synchronized(pinnedRelMemo.clear())
     Option(specsDir.listFiles()).getOrElse(Array.empty[java.io.File])
       .foreach(_.delete())

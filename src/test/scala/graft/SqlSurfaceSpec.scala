@@ -124,4 +124,46 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(bad.contains("explain failed"))
     } finally Summaries.drop("sql_surf")
   }
+
+  test("graft_explain_routing never EXECUTES its argument: commands " +
+      "are refused at parse, a nested self-call is refused, plain " +
+      "queries still explain") {
+    import graft.sources.Tables
+    // a command smuggled into the explain surface must NOT run —
+    // pre-fix, spark.sql() executed it eagerly during analysis
+    spark.sql("DROP TABLE IF EXISTS graft_tvf_guard")
+    graft.operators.Layout.dropOrphanLocation(spark, "graft_tvf_guard")
+    spark.sql("CREATE TABLE graft_tvf_guard (k INT) USING parquet")
+    try {
+      val out = spark.sql("SELECT routing FROM graft_explain_routing(" +
+        "'DROP TABLE graft_tvf_guard')")
+        .collect().map(_.getString(0)).mkString
+      assert(out.contains("refused") && out.contains("command"), out)
+      assert(spark.catalog.tableExists("graft_tvf_guard"),
+        "the DDL must not have executed as an explain side effect")
+      val ins = spark.sql("SELECT routing FROM graft_explain_routing(" +
+        "'INSERT INTO graft_tvf_guard VALUES (1)')")
+        .collect().map(_.getString(0)).mkString
+      assert(ins.contains("refused"), ins)
+      assert(spark.table("graft_tvf_guard").count() == 0,
+        "the DML must not have executed")
+      val set = spark.sql("SELECT routing FROM graft_explain_routing(" +
+        "'SET spark.graft.tvfguard=1')")
+        .collect().map(_.getString(0)).mkString
+      assert(set.contains("refused"), set)
+      assert(spark.conf.getOption("spark.graft.tvfguard").isEmpty)
+      // self-reference terminates instead of recursing unboundedly
+      val nested = spark.sql("SELECT routing FROM graft_explain_routing(" +
+        "\"SELECT * FROM graft_explain_routing('SELECT 1')\")")
+        .collect().map(_.getString(0)).mkString
+      assert(nested.contains("refused") && nested.contains("nested"),
+        nested)
+      // and an honest query still explains
+      val ok = spark.sql("SELECT routing FROM graft_explain_routing(" +
+        s"'SELECT count(*) AS n FROM parquet.`$sf/region.parquet`')")
+        .collect().map(_.getString(0))
+      assert(ok.nonEmpty && !ok.mkString.contains("refused"),
+        ok.mkString("\n"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tvf_guard")
+  }
 }

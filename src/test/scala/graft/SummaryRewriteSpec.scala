@@ -152,22 +152,138 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
-  test("refresh deletes the superseded generation directory " +
-      "(no per-refresh parquet leak)") {
+  test("refresh RETIRES the superseded generation and deletes it at " +
+      "the NEXT fold — one generation of retention, no unbounded leak") {
     val raw = Tables.load(spark, sf, "lineitem")
     Summaries.create(raw, "spec_gen",
       grain = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
       sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"))
     try {
       val batch = raw.filter(col("l_quantity") < 0) // empty fold
+      def dirs() = Option(new java.io.File(
+        "spark-warehouse/graft_summaries").listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.startsWith("spec_gen__g")).sorted
       Summaries.refresh("spec_gen", batch)
+      // gen 0 (summary + cube sidecar) is RETIRED, not deleted: an
+      // in-flight reader that planned against it must finish
+      assert(dirs().contains("spec_gen__g0") &&
+        dirs().contains("spec_gen__g1"), dirs().toString)
       Summaries.refresh("spec_gen", batch)
-      val dirs = Option(new java.io.File("spark-warehouse/graft_summaries")
-        .listFiles()).toSeq.flatten
-        .map(_.getName).filter(_.startsWith("spec_gen__g"))
-      assert(dirs == Seq("spec_gen__g2"),
-        s"expected only generation 2, found $dirs")
+      // the second fold lapses gen 0; gen 1 enters retention — the
+      // on-disk footprint is bounded at current + one retained
+      assert(dirs() == Seq("spec_gen__g1", "spec_gen__g2"),
+        s"expected retention window (g1) + current (g2), found ${dirs()}")
     } finally Summaries.drop("spec_gen")
+  }
+
+  test("reader-safe refresh: a query PLANNED against generation k " +
+      "completes after a refresh lands generation k+1 (no " +
+      "FileNotFound mid-scan)") {
+    val raw = Tables.load(spark, sf, "lineitem")
+    Summaries.create(raw, "spec_rdr",
+      grain = Seq("l_returnflag"),
+      sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"))
+    try {
+      val q = () => Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+        .orderBy("l_returnflag")
+      val expected = withoutRouting { q().collect().toSeq }
+      // pin the physical plan NOW: it routes onto generation 0's
+      // file listing
+      val pinned = q()
+      pinned.queryExecution.executedPlan // force planning
+      assert(scanPaths(pinned).exists(_.contains("spec_rdr__g0")),
+        scanPaths(pinned).toString)
+      // a refresh lands generation 1 while the reader is "in flight"
+      Summaries.refresh("spec_rdr",
+        raw.filter(col("l_quantity") < 0))
+      // pre-retention this collect died with FileNotFound (gen 0 was
+      // deleted under the pinned plan); now it completes, correctly
+      assert(pinned.collect().toSeq == expected)
+    } finally Summaries.drop("spec_rdr")
+  }
+
+  test("cross-JVM fold race: persistSpec CAS refuses when the " +
+      "on-disk spec advanced past the generation this fold read, " +
+      "and a held lease refuses immediately") {
+    val raw = Tables.load(spark, sf, "lineitem")
+    val spec0 = Summaries.create(raw, "spec_cas",
+      grain = Seq("l_returnflag"),
+      sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"))
+    try {
+      // simulate ANOTHER ENGINE folding first: advance the persisted
+      // spec's generation on disk behind this registry's back
+      val f = new java.io.File(
+        "spark-warehouse/graft_summaries/_specs/spec_cas.json")
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      assert(txt.contains("\"gen\":0"))
+      java.nio.file.Files.write(f.toPath,
+        txt.replace("\"gen\":0", "\"gen\":3").getBytes("UTF-8"))
+      val e = intercept[Summaries.ConcurrentSpecUpdate] {
+        Summaries.refresh("spec_cas",
+          raw.filter(col("l_quantity") < 0))
+      }
+      assert(e.getMessage.contains("generation 3") &&
+        e.getMessage.contains("generation 0"), e.getMessage)
+      // the loser did not corrupt anything: its written next-gen dir
+      // is gone, the winner's on-disk spec is untouched
+      assert(!new java.io.File(
+        "spark-warehouse/graft_summaries/spec_cas__g1").exists())
+      assert(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        "UTF-8").contains("\"gen\":3"))
+      // restore, then prove a HELD LEASE refuses too
+      java.nio.file.Files.write(f.toPath, txt.getBytes("UTF-8"))
+      val lock = new java.io.File(
+        "spark-warehouse/graft_summaries/_specs/spec_cas.lock")
+      assert(lock.createNewFile())
+      try {
+        val e2 = intercept[Summaries.ConcurrentSpecUpdate] {
+          Summaries.refresh("spec_cas",
+            raw.filter(col("l_quantity") < 0))
+        }
+        assert(e2.getMessage.contains("lease"), e2.getMessage)
+      } finally lock.delete()
+      // with the interference gone the fold proceeds normally
+      val folded = Summaries.refresh("spec_cas",
+        raw.filter(col("l_quantity") < 0))
+      assert(folded.gen == 1)
+    } finally Summaries.drop("spec_cas")
+  }
+
+  test("gcOrphans sweeps generation directories no spec references " +
+      "and leaves live + retired generations untouched") {
+    val raw = Tables.load(spark, sf, "lineitem")
+    Summaries.create(raw, "spec_gc",
+      grain = Seq("l_returnflag"),
+      sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"))
+    try {
+      // a retired generation: fold once so gen 0 sits in retention
+      Summaries.refresh("spec_gc", raw.filter(col("l_quantity") < 0))
+      // an orphan: the debris of a crash between a generation write
+      // and its persistSpec
+      val orphan = new java.io.File(
+        "spark-warehouse/graft_summaries/spec_gc__g7")
+      orphan.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(orphan, "part-0.parquet").toPath,
+        Array[Byte](1, 2, 3))
+      val swept = Summaries.gcOrphans()
+      assert(swept.exists(_.endsWith("spec_gc__g7")), swept.toString)
+      assert(!orphan.exists())
+      // live generation and the RETIRED one both survive the sweep
+      assert(new java.io.File(
+        "spark-warehouse/graft_summaries/spec_gc__g1").exists())
+      assert(new java.io.File(
+        "spark-warehouse/graft_summaries/spec_gc__g0").exists(),
+        "a retired generation is inside its reader window — not an orphan")
+      // and a grace window spares a freshly-written dir
+      orphan.mkdirs()
+      assert(Summaries.gcOrphans(graceMs = 60000L).isEmpty)
+      assert(orphan.exists())
+      orphan.delete()
+    } finally Summaries.drop("spec_gc")
   }
 
   test("filtered/derived source without partial=true is rejected " +
@@ -2551,6 +2667,159 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("delete compensation matches cube file identities through URL " +
+      "encoding: a deleted file under a path with SPACES subtracts " +
+      "correctly, and a file with zero cube rows fails CLOSED") {
+    import scala.jdk.CollectionConverters._
+    // the space is the point: input_file_name() stores the
+    // URL-ENCODED URI (%20) while the listing carries the decoded
+    // path — pre-fix the doomed filter matched nothing and the
+    // "compensated" read silently served PRE-delete results
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft enc comp").toFile
+    val srcPath = new java.io.File(dir, "src data").getAbsolutePath
+    import spark.implicits._
+    (0 until 3000).map(i => ("g" + (i % 5), i.toLong))
+      .toDF("x", "v").repartition(3).write.parquet(srcPath)
+    val q = () => spark.read.parquet(srcPath)
+      .groupBy("x").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("sv"))
+      .orderBy("x")
+    try {
+      Summaries.create(spark.read.parquet(srcPath), "spec_enc",
+        grain = Seq("x"),
+        sums = Seq("sv" -> "cast(v as decimal(18,2))"))
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      val victim = new java.io.File(srcPath).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(victim.delete())
+      Summaries.invalidate("spec_enc")
+      assert(Summaries.status().contains("stale:delete-comp"),
+        Summaries.status())
+      val p = scanPaths(q())
+      assert(p.exists(_.contains("_files")),
+        s"the encoded-path delete must still route compensated: $p")
+      // the compensated answer equals POST-delete raw truth — this
+      // is the assertion the encoding bug silently failed
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
+      // and the fold heals through the same decoded identities
+      val folded = Summaries.refreshDelta("spec_enc")
+      assert(folded.isDefined && folded.get.gen == 1)
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
+    } finally {
+      Summaries.drop("spec_enc")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("delete of a built file with ZERO cube rows (its rows all " +
+      "failed the declared WHERE) fails closed: suspension, raw " +
+      "answers, fold refuses") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zerocube")
+      .toFile
+    val srcPath = new java.io.File(dir, "src").getAbsolutePath
+    import spark.implicits._
+    // file A: in-slice grains; file B: ONLY the excluded grain — its
+    // every row dies at the declared WHERE, so the cube never saw it
+    (0 until 2000).map(i => ("g" + (i % 4), i.toLong)).toDF("x", "v")
+      .coalesce(1).write.parquet(srcPath)
+    (0 until 500).map(i => ("gZ", i.toLong)).toDF("x", "v")
+      .coalesce(1).write.mode("append").parquet(srcPath)
+    val q = () => spark.read.parquet(srcPath)
+      .filter(col("x") =!= "gZ")
+      .groupBy("x").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("sv"))
+      .orderBy("x")
+    try {
+      Summaries.create(spark.read.parquet(srcPath), "spec_zcube",
+        grain = Seq("x"),
+        sums = Seq("sv" -> "cast(v as decimal(18,2))"),
+        where = Some("x <> 'gZ'"))
+      assert(scanPaths(q()).exists(_.contains("graft_summaries")))
+      // find and delete the gZ-only file (the one with no cube rows)
+      val gzFile = spark.read.parquet(srcPath)
+        .filter(col("x") === "gZ")
+        .select(org.apache.spark.sql.functions.input_file_name())
+        .distinct().collect().map(_.getString(0)).toSeq
+      assert(gzFile.length == 1, gzFile.toString)
+      val victim = new java.io.File(
+        new java.net.URI(gzFile.head).getPath)
+      assert(victim.delete())
+      Summaries.invalidate("spec_zcube")
+      // zero cube rows match ⇒ the compensated read REFUSES (raw
+      // reads, correct) rather than guessing the file contributed
+      // nothing — the fail-closed posture for any rendering drift
+      val p = scanPaths(q())
+      assert(!p.exists(_.contains("graft_summaries")),
+        s"zero-match delete must suspend: $p")
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
+      intercept[IllegalStateException] {
+        Summaries.refreshDelta("spec_zcube")
+      }
+    } finally {
+      Summaries.drop("spec_zcube")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("file-cube size gate: a grain×file sidecar that dwarfs the " +
+      "summary is auto-disabled at create with a NAMED reason; " +
+      "routing still works, deletes suspend strictly") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cubegate")
+      .toFile
+    val srcPath = new java.io.File(dir, "src").getAbsolutePath
+    import spark.implicits._
+    // 2000 grains × 60 files: every grain lands in ~every file, so
+    // the cube is ~60× the summary's rows — the pathological shape
+    (0 until 240000).map(i => (i % 2000, i.toLong)).toDF("g", "v")
+      .repartition(60).write.parquet(srcPath)
+    val q = () => spark.read.parquet(srcPath)
+      .groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("sv"))
+      .orderBy("g")
+    try {
+      val spec = Summaries.create(spark.read.parquet(srcPath),
+        "spec_cgate", grain = Seq("g"),
+        sums = Seq("sv" -> "cast(v as decimal(18,2))"))
+      assert(spec.fileCubePath.isEmpty,
+        s"the gate must disable the sidecar: ${spec.fileCubePath}")
+      assert(spec.cubeNote.startsWith("gated:"), spec.cubeNote)
+      assert(!new java.io.File(
+        "spark-warehouse/graft_summaries/spec_cgate__g0_files")
+        .exists(), "the gated sidecar must not stay on disk")
+      // the reason is one status/SQL call away
+      assert(Summaries.status().contains("cube=(gated:"),
+        Summaries.status())
+      val tvf = spark.sql("SELECT cube, cube_bytes FROM " +
+        "graft_summaries() WHERE name = 'spec_cgate'").collect()(0)
+      assert(tvf.getString(0).startsWith("gated:") &&
+        tvf.getLong(1) == -1L, tvf.toString)
+      // the summary itself routes normally
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
+      // and deletes suspend — the strict no-cube posture, with the
+      // explainer naming the gate
+      val victim = new java.io.File(srcPath).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(victim.delete())
+      Summaries.invalidate("spec_cgate")
+      val p = scanPaths(q())
+      assert(!p.exists(_.contains("graft_summaries")),
+        s"gated cube ⇒ deletes suspend: $p")
+      val explained = graft.plans.RoutingExplain.explain(q())
+      assert(explained.contains("gated"),
+        s"the explainer must name the cube gate:\n$explained")
+    } finally {
+      Summaries.drop("spec_cgate")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("rebless: a content-preserving compaction suspends, verifies, " +
       "and resumes routing without a rebuild; a real data change " +
       "refuses") {
@@ -2601,9 +2870,17 @@ class SummaryRewriteSpec extends SparkSpec {
         s"post-rebless reads must be summary-only: $pBack")
       assert(q().collect().toSeq == raw)
       assert(Summaries.status().contains("fresh"))
-      // no rebuild happened: same generation directory serves
-      assert(Summaries.status() == gen0,
-        "rebless must not mint a new generation")
+      // no rebuild happened: same generation serves (the cube sidecar
+      // was re-keyed in the verification pass, so its bytes may move,
+      // but the summary generation — the expensive artifact — stands)
+      assert(Summaries.status().contains("gen=0") &&
+        gen0.contains("gen=0"),
+        s"rebless must not mint a new generation: ${Summaries.status()}")
+      // the rebuilt sidecar keeps DELETE COMPENSATION alive across
+      // the compaction (pre-round-13 it silently downgraded to
+      // suspend-on-delete until a full re-create)
+      assert(Summaries.status().contains("cube="),
+        s"rebless must rebuild the file cube: ${Summaries.status()}")
       // idempotent on a fresh summary
       assert(Summaries.rebless("spec_rebless"))
       // the blessing persists: a fresh registry still routes

@@ -660,6 +660,11 @@ object SparkEntry {
     // untouched generation (plan-asserted inside the query). The copy
     // is the full table, so the oracle is the plain raw aggregate
     "q192_summary_rebless" -> (operators.OlapQueries.summaryRebless _),
+    // the SQL-DDL-managed MV: CREATE MATERIALIZED VIEW builds it,
+    // the read routes onto it (plan-asserted inside the query), DROP
+    // revokes — the whole lifecycle without the Scala API. Routing
+    // is value-preserving, so the oracle is the plain raw aggregate
+    "q193_summary_sql_ddl" -> (operators.OlapQueries.summarySqlDdl _),
     // co-located bucketed join: both tables hash-bucketed on the join
     // key at write time, so the sort-merge join runs with no shuffle
     // on either side (plan-asserted in LayoutSpec); bucketing is a
@@ -3916,6 +3921,17 @@ object SparkEntry {
         |WHERE l_orderkey % 10 <> 7
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the DDL-created summary routes value-preserving reads, so the
+    // oracle is the same aggregate over raw lineitem
+    "q193_summary_sql_ddl" ->
+      """SELECT l_linenumber, l_linestatus,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |    AS sum_qty,
+        |  round(min(l_extendedprice), 4) AS min_price
+        |FROM lineitem
+        |GROUP BY l_linenumber, l_linestatus
+        |ORDER BY l_linenumber, l_linestatus""".stripMargin,
     // the rebless fixture is a byte-reshuffled full copy of lineitem,
     // so the post-rebless routed answer replays as the raw aggregate
     "q192_summary_rebless" ->

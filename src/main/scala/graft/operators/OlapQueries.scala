@@ -2565,6 +2565,58 @@ object OlapQueries {
       reblessDemoDir(sfDir) + "__opt"), true)
   }
 
+  /** q193: the SQL-DDL-managed MV — `CREATE MATERIALIZED VIEW` builds
+    * the summary (no Scala API anywhere in the lifecycle), the read
+    * routes onto it (plan-asserted), `DROP MATERIALIZED VIEW` revokes
+    * in the teardown. The grain (l_linenumber, l_linestatus) is
+    * disjoint from every other lineitem summary's, so the best-match
+    * router can only be serving this query from the DDL-created
+    * build. Routing preserves values exactly, so the oracle is the
+    * same aggregate over raw lineitem.
+    */
+  def summarySqlDdl(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = sqlDdlDemoName(sfDir)
+    val pre = graft.plans.Summaries.has(name)
+    if (!pre) registerSqlDdlDemo(spark, sfDir)
+    try {
+      val q = spark.sql(
+        s"""SELECT l_linenumber, l_linestatus,
+           |  count(*) AS n_rows,
+           |  round(cast(sum(cast(l_quantity AS decimal(18,2)))
+           |    AS double), 4) AS sum_qty,
+           |  round(min(l_extendedprice), 4) AS min_price
+           |FROM parquet.`$sfDir/lineitem.parquet`
+           |GROUP BY l_linenumber, l_linestatus
+           |ORDER BY l_linenumber, l_linestatus""".stripMargin)
+      val rows = q.collect().toSeq // grain-sized report
+      val scans = executedScanPaths(q)
+      require(scans.nonEmpty &&
+        scans.forall(_.contains("graft_summaries")),
+        s"the DDL-created summary must serve this read: $scans")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), q.schema)
+    } finally if (!pre) dropSqlDdlDemo(spark, sfDir)
+  }
+
+  private[graft] def sqlDdlDemoName(sfDir: String): String =
+    "li_ddl_" + new java.io.File(sfDir).getName.replace('.', '_')
+
+  private[graft] def registerSqlDdlDemo(spark: SparkSession,
+      sfDir: String): Unit =
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW ${sqlDdlDemoName(sfDir)} AS
+         |SELECT l_linenumber, l_linestatus,
+         |  count(*) AS n_rows,
+         |  sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
+         |  min(l_extendedprice) AS min_price
+         |FROM parquet.`$sfDir/lineitem.parquet`
+         |GROUP BY l_linenumber, l_linestatus""".stripMargin).collect()
+
+  private[graft] def dropSqlDdlDemo(spark: SparkSession,
+      sfDir: String): Unit =
+    spark.sql("DROP MATERIALIZED VIEW IF EXISTS " +
+      sqlDdlDemoName(sfDir)).collect()
+
   /** q191: the DELETE-compensated MV read — the retention story. A
     * copy of lineitem is written with one slice (l_orderkey % 10 = 7)
     * isolated in its own file; the summary (with its per-(grain,
@@ -2831,6 +2883,16 @@ object OlapQueries {
         hook("lineitem_hiqty", registerFilteredSummary),
       "q189_summary_quantile_sketch" ->
         hook("lineitem_qsk", registerQskSummary),
+      // the DDL build is untimed setup; the timed number is the
+      // routed read, like every summary query
+      "q193_summary_sql_ddl" -> ((s: SparkSession, d: String) => {
+        try registerSqlDdlDemo(s, d)
+        catch { case t: Throwable =>
+          try dropSqlDdlDemo(s, d) catch { case _: Throwable => () }
+          throw t
+        }
+        () => dropSqlDdlDemo(s, d)
+      }),
       // the retention fixture (copy + isolate + delete) is WRITE-TIME;
       // the timed number is the delete-compensated routed read alone
       "q191_summary_delete_comp" -> ((s: SparkSession, d: String) => {

@@ -284,6 +284,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_explain_routing('<sql query>')")
       }))
+    // SQL DDL for the MV lifecycle: CREATE/REFRESH/DROP MATERIALIZED
+    // VIEW desugar onto Summaries.create/refreshDelta/drop — the
+    // reference workload manages its aggregates in SQL (BigQuery),
+    // so the summary subsystem must be operable without Scala
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
     // the summary-table (materialized-view) router — active only
     // while a summary is registered (Summaries.create), so sessions

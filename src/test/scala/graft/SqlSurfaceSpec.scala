@@ -125,6 +125,90 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally Summaries.drop("sql_surf")
   }
 
+  test("MV lifecycle as SQL DDL: CREATE MATERIALIZED VIEW routes a " +
+      "query, REFRESH folds an appended delta, DROP revokes — no " +
+      "Scala API touched") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.plans.Summaries
+    import scala.jdk.CollectionConverters._
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.collect()
+      allPlanNodes(df.queryExecution.executedPlan).collect {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddl").toFile
+    val srcPath = new java.io.File(dir, "src").getAbsolutePath
+    import spark.implicits._
+    (0 until 4000).map(i => ("g" + (i % 6), i.toLong, i * 2L))
+      .toDF("x", "v", "w").repartition(2).write.parquet(srcPath)
+    val q = () => spark.read.parquet(srcPath)
+      .groupBy("x").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("sv"),
+        avg(col("w").cast("decimal(18,2)")).as("aw"),
+        min(col("v")).as("mv"))
+      .orderBy("x")
+    try {
+      val created = spark.sql("CREATE MATERIALIZED VIEW ddl_mv AS " +
+        s"SELECT x, count(*) AS n, sum(cast(v AS decimal(18,2))) AS sv, " +
+        "avg(cast(w AS decimal(18,2))) AS aw, min(v) AS mv, " +
+        s"hll_distinct(v) AS hv FROM parquet.`$srcPath` GROUP BY x")
+        .collect()
+      assert(created.length == 1 &&
+        created(0).getString(1).contains("created"), created.toSeq)
+      assert(Summaries.isRegistered("ddl_mv"))
+      // the DDL-created summary ROUTES, value-identical to raw
+      val expected = {
+        spark.conf.set(graft.plans.SummaryRewrite.ConfKey, "false")
+        try q().collect().toSeq
+        finally spark.conf.unset(graft.plans.SummaryRewrite.ConfKey)
+      }
+      val p = scanPaths(q())
+      assert(p.nonEmpty && p.forall(_.contains("graft_summaries")),
+        s"a DDL-created MV must route: $p")
+      assert(q().collect().toSeq == expected)
+      // REFRESH folds an appended file
+      (0 until 600).map(i => ("g0", i.toLong, i * 3L))
+        .toDF("x", "v", "w").coalesce(1)
+        .write.mode("append").parquet(srcPath)
+      Summaries.invalidate("ddl_mv")
+      val refreshed = spark.sql("REFRESH MATERIALIZED VIEW ddl_mv")
+        .collect()
+      assert(refreshed(0).getString(1).contains("generation 1"),
+        refreshed.toSeq)
+      assert(q().collect().toSeq != expected) // the append is visible
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      // a second REFRESH is a no-op
+      assert(spark.sql("REFRESH MATERIALIZED VIEW ddl_mv")
+        .collect()(0).getString(1).contains("fresh"))
+      // DROP revokes; IF EXISTS tolerates the gone name
+      assert(spark.sql("DROP MATERIALIZED VIEW ddl_mv")
+        .collect()(0).getString(1) == "dropped")
+      assert(!Summaries.isRegistered("ddl_mv"))
+      assert(!scanPaths(q()).exists(_.contains("graft_summaries")))
+      assert(spark.sql("DROP MATERIALIZED VIEW IF EXISTS ddl_mv")
+        .collect()(0).getString(1).contains("ignored"))
+      intercept[Exception] {
+        spark.sql("DROP MATERIALIZED VIEW ddl_mv").collect()
+      }
+      // an unsupported defining query refuses with the contract named
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("CREATE MATERIALIZED VIEW ddl_bad AS " +
+          s"SELECT x, collect_list(v) AS l FROM parquet.`$srcPath` " +
+          "GROUP BY x").collect()
+      }
+      assert(e.getMessage.contains("supported measures"), e.getMessage)
+      // and everything that is NOT MV DDL still parses through Spark
+      assert(spark.sql("SELECT 1 AS one").collect()(0).getInt(0) == 1)
+    } finally {
+      Summaries.drop("ddl_mv")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("graft_explain_routing never EXECUTES its argument: commands " +
       "are refused at parse, a nested self-call is refused, plain " +
       "queries still explain") {

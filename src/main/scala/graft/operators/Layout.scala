@@ -258,6 +258,31 @@ object Layout {
       new java.io.File(sfDir).getName.replace('.', '_') + "_" + tag
   }
 
+  /** CTAS a Hive-partitioned copy of a parquet table: `key=value`
+    * directories on `cols`, so an equality/IN predicate on those
+    * columns prunes whole directories at planning time instead of
+    * filtering rows after a full scan (`PartitionFilters` in the
+    * plan, `numFiles` strictly below the table's). The rows are
+    * hash-distributed by the partition columns BEFORE the write —
+    * the default layout would emit one file per (task × value),
+    * a small-files explosion at any real parallelism; distributed,
+    * each value's rows land in one task → ~one file per directory.
+    * The lever the Advisor's `partition` nomination acts on; meant
+    * for the low-NDV columns a workload repeatedly filters by (a
+    * near-unique column would mint a directory per row — that is
+    * what bucketing is for).
+    */
+  def partitionByColumns(spark: SparkSession, inDir: String,
+      outDir: String, cols: Seq[String]): String = {
+    require(cols.nonEmpty, "no partition columns")
+    val df = spark.read.parquet(inDir)
+    require(cols.forall(df.columns.contains),
+      s"partition columns ${cols.mkString(", ")} must exist in $inDir")
+    df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").partitionBy(cols: _*).parquet(outDir)
+    outDir
+  }
+
   /** A previous JVM's managed-table directory with no catalog entry in
     * THIS JVM (the in-memory catalog dies with its session): Spark
     * refuses to CTAS over the orphaned location, so clear it first —

@@ -143,6 +143,18 @@ object Advisor {
       .empty[(Seq[String], Seq[String]),
         (collection.mutable.Map[String, Long],
           collection.mutable.LinkedHashSet[String])]
+    // partition-clustering candidates: path -> (per-query worst
+    // scanned filesSize, per-query DATA-filter column sets). A scan
+    // that pushes the same predicate columns in ≥2 distinct queries
+    // yet reads the whole table (the predicate is a data filter, not
+    // a partition filter — pfilters tells them apart) is a WRITE-TIME
+    // clustering candidate: rewrite the table Hive-partitioned on
+    // those columns and the predicate prunes directories instead of
+    // filtering rows after the full read. The remaining layout lever
+    // next to bucketing.
+    val partCand = collection.mutable.Map.empty[String,
+      (collection.mutable.Map[String, Long],
+        collection.mutable.Map[String, Set[String]])]
     // refreshDelta candidates: summary name -> per-query worst
     // compensated-delta bytes. A query that scans a graft_summaries
     // generation AND raw source files in the same plan is a
@@ -227,6 +239,27 @@ object Advisor {
                 .filter(_.nonEmpty).toSet
               lineScanFilters(pth) =
                 lineScanFilters.getOrElse(pth, Set.empty) ++ fset
+              // partitioning candidate: columns the query FILTERS on
+              // but the layout does not prune on (data filters whose
+              // columns appear in no partition filter)
+              if (!pth.contains("graft_summaries")) {
+                val pfn = node.path("pfilters")
+                val pfset = (0 until pfn.size())
+                  .map(pfn.get(_).asText("")).filter(_.nonEmpty).toSet
+                val pcols =
+                  filterColumns(pfset.toSeq).getOrElse(Nil).toSet
+                val dcols = filterColumns((fset -- pfset).toSeq)
+                  .getOrElse(Nil).filterNot(pcols).toSet
+                val scanned = metric("filesSize")
+                if (dcols.nonEmpty && scanned > 0) {
+                  val (qs, qcols) = partCand.getOrElseUpdate(pth,
+                    (collection.mutable.Map.empty[String, Long],
+                      collection.mutable.Map.empty[String, Set[String]]))
+                  qs(qname) = math.max(qs.getOrElse(qname, 0L), scanned)
+                  qcols(qname) =
+                    qcols.getOrElse(qname, Set.empty) ++ dcols
+                }
+              }
             }
             pth match {
               case summaryNameRx(sn) =>
@@ -499,6 +532,34 @@ object Advisor {
           kind = "bucket", paths = ps, edges = edges,
           queries = qs.keys.toSeq.sorted)
     }.sortBy(f => (-f.value, f.op)).take(topN)
+    // rank by the bytes partitioning would stop scanning; the common
+    // columns are the INTERSECTION across the nominated queries —
+    // a layout serves the whole workload or it thrashes
+    val partitions = partCand.toSeq.flatMap {
+      case (pth, (qs, qcols)) if qs.size >= 2 =>
+        val common = qcols.values.reduceOption(_ & _)
+          .getOrElse(Set.empty[String])
+        if (common.isEmpty) None
+        else {
+          val bytes = qs.values.sum
+          val cols = common.toSeq.sorted
+          Some(Finding(s"${qs.size} queries", s"Scan $pth",
+            "filtered-scan filesSize", bytes, "bytes",
+            s"${qs.keys.toSeq.sorted.take(4).mkString(", ")}" +
+              (if (qs.size > 4) ", …" else "") +
+              s" all push a predicate on (${cols.mkString(", ")}) " +
+              s"yet the scan reads the full table ($bytes bytes " +
+              "across the workload): rewrite it Hive-partitioned on " +
+              "those columns (Advisor.actOnPartitioning / " +
+              "Layout.partitionByColumns) so the predicate prunes " +
+              "directories at planning instead of filtering rows " +
+              "after the read — a layout change for the table " +
+              "owner; queries must read the partitioned copy",
+            kind = "partition", paths = Seq(pth), grain = cols,
+            queries = qs.keys.toSeq.sorted))
+        }
+      case _ => None
+    }.sortBy(f => (-f.value, f.op)).take(topN)
     val refreshes = refreshCand.toSeq.map { case (name, qs) =>
       Finding(s"${qs.size} queries", s"Summary $name",
         "compensated-delta bytes", qs.values.sum, "bytes",
@@ -513,7 +574,7 @@ object Advisor {
     }.sortBy(f => (-f.value, f.op)).take(topN)
     top(spills) ++ top(loops) ++ top(exchanges) ++ top(scans) ++
       top(broadcasts) ++ top(sorts) ++ summaries ++ joinSummaries ++
-      histograms ++ rollups ++ buckets ++ refreshes
+      histograms ++ rollups ++ buckets ++ partitions ++ refreshes
   }
 
   /** ACT on an MV nomination: perform the Summaries.create /
@@ -707,6 +768,24 @@ object Advisor {
         df, table, buckets, keys.head, sortCols = keys)
       path -> table
     }.toMap
+  }
+
+  /** ACT on a PARTITION nomination: rewrite the nominated table
+    * Hive-partitioned on the nominated predicate columns
+    * ([[graft.operators.Layout.partitionByColumns]]) so every query
+    * in the workload prunes directories at planning instead of
+    * scanning the full table. A layout change for the table owner —
+    * the workload repoints at the returned copy; answers are
+    * unchanged (partitioning moves columns into the path, it never
+    * drops rows).
+    */
+  def actOnPartitioning(spark: org.apache.spark.sql.SparkSession,
+      f: Finding, outDir: String): String = {
+    require(f.kind == "partition", s"not a partitioning nomination: $f")
+    require(f.paths.length == 1 && f.grain.nonEmpty,
+      s"partition nomination without a table/columns: $f")
+    graft.operators.Layout.partitionByColumns(
+      spark, f.paths.head, outDir, f.grain)
   }
 
   /** The single-part column names a set of filter-conjunct SQLs

@@ -73,14 +73,25 @@ object TraceCapture {
           // inference manufactures): the Advisor's FILTERED-summary
           // nomination needs to see when every aggregate over a table
           // scans the same slice
-          val fls = (f.partitionFilters ++ f.dataFilters).collect {
+          def renderFilters(
+              es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+              : Seq[String] = es.collect {
             case e if !e.isInstanceOf[
                 org.apache.spark.sql.catalyst.expressions.IsNotNull] =>
               try e.sql catch { case _: Throwable => "" }
           }.filter(_.nonEmpty).distinct
+          val fls = renderFilters(f.partitionFilters ++ f.dataFilters)
           if (fls.nonEmpty)
             sb.append(",\"filters\":")
               .append(fls.map(q).mkString("[", ",", "]"))
+          // partition filters SEPARATELY: the Advisor's partitioning
+          // nomination needs to tell a directory-pruned predicate
+          // (already clustered — nothing to recommend) from a pushed
+          // data filter that still scans the whole table
+          val pfls = renderFilters(f.partitionFilters)
+          if (pfls.nonEmpty)
+            sb.append(",\"pfilters\":")
+              .append(pfls.map(q).mkString("[", ",", "]"))
         case ag: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
           // aggregate-shape identity for the Advisor's MV nominations:
           // which functions ran (percentile → histogram-grain

@@ -317,6 +317,105 @@ class AdvisorSpec extends SparkSpec {
     }
   }
 
+  test("partitioning loop closes with measured evidence: trace a " +
+      "workload of repeated pushed predicates, act on the " +
+      "nomination, and the repointed scans PRUNE (numFiles/bytes " +
+      "strictly drop, answers unchanged, no re-nomination)") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val dir = Files.createTempDirectory("graft-adv-part")
+    val srcPath = dir.resolve("li_p").toString
+    val outPath = dir.resolve("li_p_part").toString
+    val tracePath = dir.resolve("t.jsonl").toString
+    Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
+      .repartition(4).write.parquet(srcPath)
+    def workload(path: String) = Seq(
+      () => spark.read.parquet(path)
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+        .orderBy("l_linestatus"),
+      () => spark.read.parquet(path)
+        .filter(col("l_returnflag") === "A")
+        .agg(count(lit(1)).as("n")))
+    def readTrace(min: Int): Seq[String] = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var lines = Seq.empty[String]
+      while (lines.size < min && System.nanoTime() < deadline) {
+        if (Files.exists(Paths.get(tracePath)))
+          lines = Files.readAllLines(Paths.get(tracePath)).asScala.toSeq
+        if (lines.size < min) Thread.sleep(50)
+      }
+      lines
+    }
+    def scanStats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      df.collect()
+      val scans = allPlanNodes(df.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      (scans.map(s => s.metrics("numFiles").value).sum,
+        scans.map(s => s.metrics("filesSize").value).sum)
+    }
+    val expected = workload(srcPath).map(_().collect().toSeq)
+    val (preFiles, preBytes) = scanStats(workload(srcPath).head())
+    val listener = TraceCapture.install(spark, tracePath)
+    try {
+      workload(srcPath).zipWithIndex.foreach { case (q, i) =>
+        TraceCapture.setLabel(s"pq$i")
+        q().write.format("noop").mode("overwrite").save()
+        org.apache.spark.sql.GraftColumnBridge
+          .drainListenerBus(spark, 10000L)
+      }
+      TraceCapture.clearLabel()
+      val lines = readTrace(2)
+      assert(lines.size >= 2)
+      val nom = Advisor.advise(lines.iterator).find(_.kind == "partition")
+        .getOrElse(fail("no partitioning nomination from repeated " +
+          s"pushed predicates: ${Advisor.advise(lines.iterator)}"))
+      assert(nom.grain == Seq("l_returnflag"), nom.toString)
+      assert(nom.value > 0, s"no measured scanned bytes: $nom")
+      assert(nom.queries.size == 2, nom.toString)
+      // ACT: rewrite Hive-partitioned on the nominated column
+      val acted = Advisor.actOnPartitioning(spark, nom, outPath)
+      // answers unchanged
+      assert(workload(acted).map(_().collect().toSeq) == expected)
+      // measured: the repointed scan reads strictly fewer files and
+      // bytes (directory pruning), and the plan agrees
+      val (postFiles, postBytes) = scanStats(workload(acted).head())
+      assert(postFiles < preFiles && postBytes < preBytes,
+        s"pruning must drop the scan: files $preFiles->$postFiles, " +
+          s"bytes $preBytes->$postBytes")
+      val df = workload(acted).head()
+      df.collect()
+      val pruned = allPlanNodes(df.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.exists(_.partitionFilters.nonEmpty)
+      assert(pruned, "expected a partition filter in the acted plan")
+      // the repointed workload does not re-nominate: the predicate
+      // is now a partition filter, the signal is gone
+      Files.deleteIfExists(Paths.get(tracePath))
+      workload(acted).zipWithIndex.foreach { case (q, i) =>
+        TraceCapture.setLabel(s"pq${i + 2}")
+        q().write.format("noop").mode("overwrite").save()
+        org.apache.spark.sql.GraftColumnBridge
+          .drainListenerBus(spark, 10000L)
+      }
+      TraceCapture.clearLabel()
+      val lines2 = readTrace(2)
+      assert(lines2.size >= 2)
+      assert(!Advisor.advise(lines2.iterator)
+        .exists(f => f.kind == "partition" &&
+          f.paths.exists(_.contains("li_p_part"))),
+        "the partitioned workload must not re-nominate")
+    } finally {
+      TraceCapture.uninstall(spark, listener)
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("refreshDelta nomination: a traced compensated read with a " +
       "grown delta names the summary and the fold; acting on it " +
       "returns reads to summary-only") {

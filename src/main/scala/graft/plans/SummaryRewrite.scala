@@ -198,6 +198,17 @@ object Summaries {
       // own filters IMPLY this predicate (the subsumption gate in the
       // rewrite) — the warehouse filtered-MV contract
       filterSql: String = "",
+      // per-grain-column statistics over the SUMMARY's own rows,
+      // measured in register()'s read-back job: approximate NDV for
+      // every grain column, and 16-bin equi-height endpoints for the
+      // numeric ones. The best-match cost uses them to discount a
+      // candidate's summary-scan bytes by the QUERY's grain-filter
+      // selectivity — the compensation term is never discounted (a
+      // delta/cube re-scan reads its files whatever the predicate),
+      // which is what lets a selective query prefer a bigger FRESH
+      // summary over a smaller one dragging a compensation scan
+      grainNdv: Map[String, Long] = Map.empty,
+      grainPct: Map[String, Seq[Double]] = Map.empty,
       // generation RETENTION: the directories (summary parquet, cube
       // sidecar) displaced by the fold that produced THIS spec. They
       // stay on disk until the NEXT fold completes — a reader that
@@ -303,7 +314,11 @@ object Summaries {
         JArray(List(JString(n), JString(ps), JString(vs))) }.toList),
       "qskK" -> JInt(s.qskK),
       "retired" -> strs(s.retired),
-      "cubeNote" -> JString(s.cubeNote)))
+      "cubeNote" -> JString(s.cubeNote),
+      "grainNdv" -> JObject(s.grainNdv.toList.sorted.map {
+        case (k, v) => k -> JLong(v) }),
+      "grainPct" -> JObject(s.grainPct.toList.sortBy(_._1).map {
+        case (k, vs) => k -> JArray(vs.map(JDouble(_)).toList) })))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -363,7 +378,23 @@ object Summaries {
         },
       qskK = if (j.contains("qskK")) num("qskK").toInt else 128,
       retired = if (j.contains("retired")) strs("retired") else Nil,
-      cubeNote = if (j.contains("cubeNote")) str("cubeNote") else "")
+      cubeNote = if (j.contains("cubeNote")) str("cubeNote") else "",
+      grainNdv = if (!j.contains("grainNdv")) Map.empty
+        else j("grainNdv").asInstanceOf[JObject].obj.map {
+          case (k, JInt(v)) => k -> v.toLong
+          case (k, JLong(v)) => k -> v
+          case (k, other) =>
+            k -> other.asInstanceOf[JDecimal].num.toLong
+        }.toMap,
+      grainPct = if (!j.contains("grainPct")) Map.empty
+        else j("grainPct").asInstanceOf[JObject].obj.map {
+          case (k, arr) => k -> arr.asInstanceOf[JArray].arr.map {
+            case JDouble(d) => d
+            case JInt(v) => v.toDouble
+            case JLong(v) => v.toDouble
+            case other => other.asInstanceOf[JDecimal].num.toDouble
+          }
+        }.toMap)
   }
 
   /** Two engines (or a test suite and a bench) folding the SAME
@@ -805,6 +836,119 @@ object Summaries {
       if (s.bytes >= 0) s.bytes + s.compBytes
       else if (s.rows >= 0) s.rows else 0L,
       s.filterSql.isEmpty, s.grain.length, s.name)
+
+  /** Estimated fraction of the candidate's summary rows the query's
+    * grain filters keep, from the register()-measured per-grain-column
+    * statistics: equality/IN discount by 1/NDV per matched literal,
+    * ranges by the equi-height histogram's bin fractions (linear
+    * inside the straddling bin). Unknown shapes and missing stats
+    * contribute 1.0 — the estimate only ever DISCOUNTS on evidence,
+    * never penalizes, so candidates without stats rank exactly as
+    * before. Clamped at 1e-4: a selectivity estimate must not claim a
+    * scan is free.
+    */
+  private[plans] def estimateSelectivity(spec: Spec,
+      filters: Seq[Expression]): Double = {
+    def name(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case c: Cast => name(c.child)
+      case _ => None
+    }
+    def dbl(a: Any): Option[Double] = a match {
+      case null => None
+      case n: Number => Some(n.doubleValue())
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    def eqSel(c: String, k: Int): Double =
+      spec.grainNdv.get(c).filter(_ > 0)
+        .map(n => math.min(1.0, math.max(1, k).toDouble / n))
+        .getOrElse(1.0)
+    // fraction of summary rows with col < v, by equi-height bins
+    def fracBelow(eps: Seq[Double], v: Double): Double = {
+      val b = eps.length - 1
+      var f = 0.0
+      var i = 0
+      while (i < b) {
+        val (l, h) = (eps(i), eps(i + 1))
+        f += (if (h <= v) 1.0
+              else if (l >= v) 0.0
+              else if (h > l) (v - l) / (h - l)
+              else 0.5) / b
+        i += 1
+      }
+      math.max(0.0, math.min(1.0, f))
+    }
+    def cmpSel(l: Expression, r: Expression, below: Boolean): Double =
+      ((l, r) match {
+        case (c, Literal(v, _)) =>
+          name(c).zip(dbl(v)).map { case (n, d) => (n, d, below) }
+        case (Literal(v, _), c) => // v < col ≡ col > v
+          name(c).zip(dbl(v)).map { case (n, d) => (n, d, !below) }
+        case _ => None
+      }).flatMap { case (c, v, blw) =>
+        spec.grainPct.get(c).filter(_.length >= 2).map { eps =>
+          val f = fracBelow(eps, v)
+          if (blw) f else 1.0 - f
+        }
+      }.getOrElse(1.0)
+    def sel(e: Expression): Double = e match {
+      case And(a, b) => sel(a) * sel(b)
+      case Or(a, b) => math.min(1.0, sel(a) + sel(b))
+      case EqualTo(l, _: Literal) => name(l).map(eqSel(_, 1)).getOrElse(1.0)
+      case EqualTo(_: Literal, r) => name(r).map(eqSel(_, 1)).getOrElse(1.0)
+      case EqualNullSafe(l, _: Literal) =>
+        name(l).map(eqSel(_, 1)).getOrElse(1.0)
+      case EqualNullSafe(_: Literal, r) =>
+        name(r).map(eqSel(_, 1)).getOrElse(1.0)
+      case In(l, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        name(l).map(eqSel(_, vs.length)).getOrElse(1.0)
+      case ins: InSet =>
+        name(ins.child)
+          .map(eqSel(_, ins.hset.count(_ != null))).getOrElse(1.0)
+      case LessThan(l, r) => cmpSel(l, r, below = true)
+      case LessThanOrEqual(l, r) => cmpSel(l, r, below = true)
+      case GreaterThan(l, r) => cmpSel(l, r, below = false)
+      case GreaterThanOrEqual(l, r) => cmpSel(l, r, below = false)
+      case _ => 1.0
+    }
+    math.max(1e-4, filters.foldLeft(1.0)((acc, f) => acc * sel(f)))
+  }
+
+  /** Query-aware candidate ranking: `sel × bytes + compBytes`. The
+    * compensation term is deliberately NOT discounted — a delta/cube
+    * re-scan reads its raw files whatever the predicate (parquet I/O
+    * is row-group-granular over unsorted data), while the
+    * summary-scan term shrinks with the query's selectivity. That
+    * asymmetry is the point: a selective dashboard query prefers a
+    * larger FRESH summary over a smaller stale one dragging a
+    * compensation scan, and an unfiltered rollup still takes the
+    * small one. The sort is stable, so equal costs (no filters, no
+    * stats) keep the static preference order — nothing changes for
+    * single-candidate sources.
+    */
+  private[plans] def rankBySelectivity(specs: Seq[Spec],
+      filters: Seq[Expression]): Seq[Spec] =
+    if (specs.lengthCompare(2) < 0 || filters.isEmpty) specs
+    else {
+      def cost(s: Spec): Double =
+        if (s.bytes >= 0)
+          estimateSelectivity(s, filters) * s.bytes + s.compBytes
+        else Double.MaxValue
+      val static = specs.head
+      val best = specs.minBy(cost)
+      // hysteresis: the estimates are approximate (approx NDV, 16-bin
+      // histograms, parquet byte noise), and two candidates holding
+      // the same logical rows land within a factor of each other by
+      // construction — only a DECISIVE (4×) advantage overrides the
+      // static preference (filtered slice first, then smallest).
+      // Near-ties keep the established order, so every existing
+      // best-match contract is unchanged without a filter that
+      // actually separates the candidates.
+      if ((best ne static) && cost(best) * 4.0 < cost(static))
+        best +: specs.filterNot(_ eq best)
+      else specs
+    }
 
   private def candidatesFor(source: String): Seq[Spec] = {
     import scala.jdk.CollectionConverters._
@@ -1490,9 +1634,38 @@ object Summaries {
       case other => throw new IllegalStateException(
         s"summary read-back is not a file relation: ${other.getClass}")
     }
-    val nRows =
-      try spark.read.parquet(path).count()
-      catch { case scala.util.control.NonFatal(_) => -1L }
+    // read-back statistics in ONE grain-sized job: the row count,
+    // every grain column's approximate NDV, and 16-bin equi-height
+    // endpoints for the numeric ones — the selectivity inputs the
+    // best-match cost discounts a candidate's scan bytes with
+    val back = spark.read.parquet(path)
+    val numericGrain = proto.grain.filter(c =>
+      back.schema.fields.exists(f => f.name == c &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+    val fracs = (0 to 16).map(_.toDouble / 16).toArray
+    val (nRows, grainNdv, grainPct) =
+      try {
+        import org.apache.spark.sql.functions.{approx_count_distinct, percentile_approx}
+        val aggs = Seq(count(lit(1)).as("__n")) ++
+          proto.grain.map(c =>
+            approx_count_distinct(col(c)).as("__ndv_" + c)) ++
+          numericGrain.map(c =>
+            percentile_approx(col(c).cast("double"), lit(fracs),
+              lit(1000)).as("__pct_" + c))
+        val r = back.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val nd = proto.grain.map { c =>
+          val i = r.fieldIndex("__ndv_" + c)
+          c -> (if (r.isNullAt(i)) 0L else r.getLong(i))
+        }.filter(_._2 > 0).toMap
+        val pc = numericGrain.flatMap { c =>
+          val i = r.fieldIndex("__pct_" + c)
+          if (r.isNullAt(i)) None
+          else Some(c -> r.getSeq[Double](i).toSeq)
+        }.toMap
+        (r.getLong(r.fieldIndex("__n")), nd, pc)
+      } catch { case scala.util.control.NonFatal(_) =>
+        (-1L, Map.empty[String, Long], Map.empty[String, Seq[Double]])
+      }
     // measured on-disk size: one local listing of the directory just
     // written — the best-match cost's primary unit
     val nBytes =
@@ -1508,7 +1681,8 @@ object Summaries {
       .filterNot(stillLive.contains)
       .distinct
     val spec = proto.copy(summaryPath = path, relation = rel,
-      rows = nRows, bytes = nBytes, retired = retiring)
+      rows = nRows, bytes = nBytes, retired = retiring,
+      grainNdv = grainNdv, grainPct = grainPct)
     // the catalog half: specs outlive the session. A CAS loss means
     // another engine folded first — remove the generation we just
     // wrote (nothing references it) and refuse loudly.
@@ -2896,7 +3070,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         // no column references, so the grain guard can't see it — but
         // over the summary it would act per GRAIN ROW, not per raw
         // row: semantics change, so the aggregate stays raw.
-        specs.view.flatMap { spec =>
+        // query-aware ranking: the static preference order re-ranks
+        // by selectivity-discounted cost, so a selective query can
+        // prefer a larger fresh summary over a smaller compensating
+        // one (stable for ties — nothing moves without evidence)
+        Summaries.rankBySelectivity(specs, filters)
+          .view.flatMap { spec =>
           val grainNames = spec.grain.toSet
           if ((filters ++ groupings)
                 .flatMap(_.references)
@@ -3356,6 +3535,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       .foldRight(newExpand: LogicalPlan)((c, p) => Filter(c, p))
     Some(Aggregate(newGrouping.map(_.get), newAggs.map(_.get), aggChild))
     }
-    candidates.view.flatMap(s => trySpec(s)).headOption
+    Summaries.rankBySelectivity(candidates, childFilters)
+      .view.flatMap(s => trySpec(s)).headOption
   }
 }

@@ -2373,6 +2373,90 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("histogram-driven best match: a SELECTIVE grain filter flips " +
+      "the chosen candidate to the fresh summary (sel×bytes beats " +
+      "bytes alone), the unfiltered rollup keeps the small one, and " +
+      "RoutingExplain names each choice") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hflip").toFile
+    val srcPath = new java.io.File(dir, "src").getAbsolutePath
+    import spark.implicits._
+    def rows(n: Int, off: Int) = (0 until n).map { i =>
+      // x is COPRIME with y's modulus, so the fine grain really is
+      // ~raw-sized (2000×97 combos) instead of collapsing onto y
+      ((i + off) % 2000, (i + off) % 97, ((i + off) % 89).toLong)
+    }.toDF("y", "x", "v")
+    val qAll = () => spark.read.parquet(srcPath)
+      .groupBy("y").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("sv"))
+      .orderBy("y")
+    val qRange = () => spark.read.parquet(srcPath)
+      .filter(col("y") < 20)
+      .groupBy("y").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("sv"))
+      .orderBy("y")
+    val qEq = () => spark.read.parquet(srcPath)
+      .filter(col("y") === 5)
+      .agg(count(lit(1)).as("n"))
+    try {
+      rows(200000, 0).write.parquet(srcPath)
+      val src = () => spark.read.parquet(srcPath)
+      // small coarse candidate (~2000 grain rows) vs a much larger
+      // fine one (~100k grain rows); both serve every query below
+      Summaries.create(src(), "hf_small", grain = Seq("y"),
+        sums = Seq("sv" -> "cast(v as decimal(18,2))"))
+      Summaries.create(src(), "hf_big", grain = Seq("y", "x"),
+        sums = Seq("sv" -> "cast(v as decimal(18,2))"))
+      // register() measured the selectivity inputs
+      val small = Summaries.statusRows().find(_.name == "hf_small")
+      assert(small.isDefined && small.get.bytes > 0)
+      assert(scanPaths(qRange()).forall(_.contains("hf_small")),
+        "both fresh: the smaller summary serves even filtered reads")
+      // a delta lands; fold it into the BIG one only — the small
+      // candidate now drags a compensation scan on every read
+      rows(30000, 200000).write.mode("append").parquet(srcPath)
+      Summaries.invalidate("hf_small")
+      assert(Summaries.refreshDelta("hf_big").isDefined)
+      // UNFILTERED: bytes + compBytes still favors the small one —
+      // served as the delta-COMPENSATED read (summary + delta files)
+      val pAll = scanPaths(qAll())
+      assert(pAll.exists(_.contains("hf_small")) &&
+        !pAll.exists(_.contains("hf_big")),
+        s"unfiltered rollup keeps the small candidate: $pAll")
+      assert(qAll().collect().toSeq ==
+        withoutRouting { qAll().collect().toSeq })
+      // RANGE-selective (y < 20 ⇒ ~1% by the equi-height histogram):
+      // sel×bytes discounts the big fresh summary below the small
+      // one's undiscountable compensation scan — the choice flips
+      val pRange = scanPaths(qRange())
+      assert(pRange.forall(_.contains("hf_big")),
+        s"a selective range filter must flip to the fresh summary: $pRange")
+      assert(qRange().collect().toSeq ==
+        withoutRouting { qRange().collect().toSeq })
+      // EQUALITY-selective (1/NDV) flips the same way
+      val pEq = scanPaths(qEq())
+      assert(pEq.forall(_.contains("hf_big")),
+        s"a selective equality filter must flip too: $pEq")
+      assert(qEq().collect().toSeq ==
+        withoutRouting { qEq().collect().toSeq })
+      // the explainer names each choice
+      val exAll = graft.plans.RoutingExplain.explain(qAll())
+      assert(exAll.contains("hf_small"), exAll)
+      val exRange = graft.plans.RoutingExplain.explain(qRange())
+      assert(exRange.contains("hf_big"), exRange)
+      // folding the small one restores it for every shape
+      assert(Summaries.refreshDelta("hf_small").isDefined)
+      assert(scanPaths(qRange()).forall(_.contains("hf_small")))
+      assert(qRange().collect().toSeq ==
+        withoutRouting { qRange().collect().toSeq })
+    } finally {
+      Summaries.drop("hf_small")
+      Summaries.drop("hf_big")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("delete compensation: retention removals subtract through the " +
       "file cube — count/sum/avg/percentile stay routed, min fails " +
       "closed per measure, a fully-deleted grain vanishes, restart " +

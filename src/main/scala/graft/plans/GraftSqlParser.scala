@@ -60,6 +60,9 @@ private[plans] object GraftMvDdl {
   private val DropRe =
     ("(?is)\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(?:(IF\\s+EXISTS)\\s+)?(" +
       Ident + ")\\s*;?\\s*").r
+  private val VacuumRe =
+    ("(?is)\\s*VACUUM\\s+MATERIALIZED\\s+VIEWS" +
+      "(?:\\s+GRACE\\s+(\\d+)\\s+MINUTES?)?\\s*;?\\s*").r
 
   def parse(sql: String): Option[LogicalPlan] = sql match {
     case CreateRe(name, query) =>
@@ -68,6 +71,9 @@ private[plans] object GraftMvDdl {
     case RefreshRe(name) => Some(RefreshMaterializedViewCommand(name))
     case DropRe(ifExists, name) =>
       Some(DropMaterializedViewCommand(name, ifExists != null))
+    case VacuumRe(mins) =>
+      Some(VacuumMaterializedViewsCommand(
+        if (mins == null) 10L * 60000L else mins.toLong * 60000L))
     case _ => None
   }
 
@@ -185,6 +191,25 @@ case class RefreshMaterializedViewCommand(name: String)
         Seq(Row(name, s"folded to generation ${spec.gen}"))
       case None => Seq(Row(name, "fresh (nothing to fold)"))
     }
+}
+
+/** `VACUUM MATERIALIZED VIEWS [GRACE n MINUTES]` —
+  * [[Summaries.gcOrphans]]: sweep generation directories no spec
+  * references (crash debris between a generation write and its
+  * persist). The SQL default grace is 10 minutes — generous against
+  * another engine's in-flight fold on the shared warehouse; `GRACE 0
+  * MINUTES` is the strict sweep.
+  */
+case class VacuumMaterializedViewsCommand(graceMs: Long)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftMvDdl.statusOutput
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val swept = Summaries.gcOrphans(graceMs)
+    if (swept.isEmpty) Seq(Row("(none)", "no orphan generations"))
+    else swept.map(p => Row(new java.io.File(p).getName, s"swept: $p"))
+  }
 }
 
 /** `DROP MATERIALIZED VIEW [IF EXISTS] name` — [[Summaries.drop]]. */

@@ -193,6 +193,20 @@ class SqlSurfaceSpec extends SparkSpec {
       intercept[Exception] {
         spark.sql("DROP MATERIALIZED VIEW ddl_mv").collect()
       }
+      // VACUUM sweeps orphan generations (SQL face of gcOrphans):
+      // a hand-planted crash-debris dir goes, with the default grace
+      // sparing anything fresh unless GRACE 0 is asked for
+      val orphan = new java.io.File(
+        "spark-warehouse/graft_summaries/ddl_mv__g9")
+      orphan.mkdirs()
+      spark.sql("VACUUM MATERIALIZED VIEWS").collect()
+      assert(orphan.exists(),
+        "the default 10-minute grace must spare a fresh dir")
+      val swept = spark.sql(
+        "VACUUM MATERIALIZED VIEWS GRACE 0 MINUTES").collect()
+      assert(swept.exists(_.getString(1).endsWith("ddl_mv__g9")),
+        swept.toSeq.toString)
+      assert(!orphan.exists())
       // an unsupported defining query refuses with the contract named
       val e = intercept[IllegalArgumentException] {
         spark.sql("CREATE MATERIALIZED VIEW ddl_bad AS " +

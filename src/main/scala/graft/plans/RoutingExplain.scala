@@ -238,9 +238,29 @@ object RoutingExplain {
       val delta = stale.flatMap(Summaries.deltaProbe).map(_.length)
       val deleted = stale.flatMap(Summaries.deleteProbe).map(_.length)
       val mixed = stale.flatMap(Summaries.mixedProbe)
+      // with several candidates on the source, show each one's
+      // effective cost (sel × bytes + compensation) — the number the
+      // best-match ranking compared, so a surprising choice is
+      // diagnosable from the same surface that names it
+      val costLines =
+        if (specs.length < 2) Nil
+        else specs.map { s0 =>
+          // cost the spec as the ROUTER sees it: a stale candidate
+          // carries its measured compensation-scan bytes
+          val s = Summaries.routedViewFor(s0).getOrElse(s0)
+          val sel = Summaries.estimateSelectivity(s, filters0)
+          val cost =
+            if (s.bytes >= 0) (sel * s.bytes).toLong + s.compBytes
+            else -1L
+          s"candidate '${s.name}': est cost $cost bytes" +
+            (if (s.compBytes > 0)
+               s" (incl ${s.compBytes} compensation-scan bytes)"
+             else "") +
+            f" at selectivity $sel%.4f"
+        }
       return Verdict(over, routes = true,
         chosen.map(_.name).orElse(specs.headOption.map(_.name)),
-        delta.orElse(mixed.map(_._2.length)).getOrElse(0), Nil,
+        delta.orElse(mixed.map(_._2.length)).getOrElse(0), costLines,
         deletedFiles =
           deleted.orElse(mixed.map(_._1.length)).getOrElse(0))
     }

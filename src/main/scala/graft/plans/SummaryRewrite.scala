@@ -983,6 +983,14 @@ object Summaries {
 
   private[plans] def isFresh(spec: Spec): Boolean = fresh(spec)
 
+  /** The spec AS THE ROUTER COSTS IT — fresh unchanged, stale with
+    * its measured compensation bytes (and per-measure pruning)
+    * attached; None when nothing can serve it. Diagnosis hook for
+    * RoutingExplain's candidate-cost lines.
+    */
+  private[plans] def routedViewFor(spec: Spec): Option[Spec] =
+    routedView(spec)
+
   private[plans] def deltaProbe(spec: Spec): Option[Seq[String]] =
     org.apache.spark.sql.SparkSession.getActiveSession
       .flatMap(deltaFor(spec, _))

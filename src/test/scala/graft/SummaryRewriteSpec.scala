@@ -2444,6 +2444,9 @@ class SummaryRewriteSpec extends SparkSpec {
       assert(exAll.contains("hf_small"), exAll)
       val exRange = graft.plans.RoutingExplain.explain(qRange())
       assert(exRange.contains("hf_big"), exRange)
+      // and the explainer shows the numbers the ranking compared
+      assert(exRange.contains("est cost") &&
+        exRange.contains("compensation-scan"), exRange)
       // folding the small one restores it for every shape
       assert(Summaries.refreshDelta("hf_small").isDefined)
       assert(scanPaths(qRange()).forall(_.contains("hf_small")))

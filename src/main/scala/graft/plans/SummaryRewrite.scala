@@ -1683,11 +1683,14 @@ object Summaries {
       Option(reg.get(regKey(proto.source, proto.name)))
         .filter(_.name == proto.name))
     val stillLive = Seq(path, proto.fileCubePath).filter(_.nonEmpty)
-    val retiring = prev.toSeq
+    val displacedDirs = prev.toSeq
       .flatMap(o => Seq(o.summaryPath, o.fileCubePath))
       .filter(p => p != null && p.nonEmpty)
       .filterNot(stillLive.contains)
       .distinct
+    val (lapsing, spared) = splitLapse(spark,
+      prev.toSeq.flatMap(_.retired), (stillLive ++ displacedDirs).toSet)
+    val retiring = (displacedDirs ++ spared).distinct
     val spec = proto.copy(summaryPath = path, relation = rel,
       rows = nRows, bytes = nBytes, retired = retiring,
       grainNdv = grainNdv, grainPct = grainPct)
@@ -1697,11 +1700,39 @@ object Summaries {
     try persistSpec(spec, expectGen)
     catch { case t: Throwable => deleteDir(path, hconf); throw t }
     reg.put(regKey(spec.source, spec.name), spec)
-    // lazy delete: only the generation retired ONE fold ago lapses
-    val keep = (stillLive ++ retiring).toSet
-    prev.toSeq.flatMap(_.retired).distinct.filterNot(keep)
-      .foreach(deleteDir(_, hconf))
+    lapsing.foreach(deleteDir(_, hconf))
     spec
+  }
+
+  /** Minimum AGE a retired generation must reach before the next fold
+    * deletes it (ms). 0 (default) = the next fold always lapses it —
+    * same-JVM reader safety, bounded 2× footprint. Set to a few
+    * minutes on a warehouse shared by several engines so a reader in
+    * another JVM survives two folds landing inside one scan; the
+    * spared directories stay in the new spec's `retired` list (live
+    * to gcOrphans) and age out at a later fold.
+    */
+  val RetentionGraceKey = "spark.graft.summaryRewrite.retention.graceMs"
+
+  /** Split the previous fold's retired dirs into (lapsing now,
+    * spared by the retention grace). One retained generation covers
+    * every same-JVM reader by construction — a reader pins its
+    * generation at plan time; the timed grace covers CROSS-JVM
+    * readers against a fast double-fold.
+    */
+  private def splitLapse(s: org.apache.spark.sql.SparkSession,
+      retired: Seq[String], keep: Set[String])
+      : (Seq[String], Seq[String]) = {
+    val graceMs =
+      try s.conf.get(RetentionGraceKey, "0").toLong
+      catch { case _: NumberFormatException => 0L }
+    retired.distinct.filterNot(keep).partition { p =>
+      graceMs <= 0L || {
+        val f = new java.io.File(p)
+        !f.exists() ||
+          System.currentTimeMillis() - f.lastModified() > graceMs
+      }
+    }
   }
 
   private def lookupByName(name: String): Option[Spec] = {
@@ -2283,14 +2314,17 @@ object Summaries {
         catch { case scala.util.control.NonFatal(_) => false }
       }
     }
-    def bless(b: Spec, expect: Int): Boolean = {
+    def bless(b0: Spec, expect: Int): Boolean = {
+      // the generation retired by the PREVIOUS fold lapses here,
+      // exactly like register() — still-referenced paths and
+      // grace-spared dirs survive (the latter carried forward in the
+      // blessed spec's retired list)
+      val (lapsing, spared) = splitLapse(s, spec.retired,
+        Set(b0.summaryPath, b0.fileCubePath) ++ b0.retired)
+      val b = b0.copy(retired = (b0.retired ++ spared).distinct)
       persistSpec(b, expectGen = Some(expect))
       reg.put(regKey(b.source, b.name), b)
-      // the generation retired by the PREVIOUS fold lapses here,
-      // exactly like register() — still-referenced paths survive
-      val keep =
-        Set(b.summaryPath, b.fileCubePath) ++ b.retired
-      spec.retired.distinct.filterNot(keep).foreach(deleteDir(_, hconf))
+      lapsing.foreach(deleteDir(_, hconf))
       touchFpMemo(spec.fpPaths, fp, entries)
       true
     }

@@ -173,6 +173,23 @@ class SummaryRewriteSpec extends SparkSpec {
       // on-disk footprint is bounded at current + one retained
       assert(dirs() == Seq("spec_gen__g1", "spec_gen__g2"),
         s"expected retention window (g1) + current (g2), found ${dirs()}")
+      // a configured grace spares a too-young retired generation
+      // across the NEXT fold (the cross-JVM reader window) and
+      // carries it forward in the spec's retired list — still live
+      // to the GC sweep — until it ages out
+      spark.conf.set(Summaries.RetentionGraceKey, "3600000")
+      try {
+        Summaries.refresh("spec_gen", batch) // gen 3; g1 too young
+        assert(dirs().contains("spec_gen__g1") &&
+          dirs().contains("spec_gen__g2") &&
+          dirs().contains("spec_gen__g3"), dirs().toString)
+        assert(!Summaries.gcOrphans().exists(_.contains("spec_gen")),
+          "grace-spared generations are referenced, never orphans")
+        assert(dirs().contains("spec_gen__g1"))
+      } finally spark.conf.unset(Summaries.RetentionGraceKey)
+      Summaries.refresh("spec_gen", batch) // grace off: backlog lapses
+      assert(dirs() == Seq("spec_gen__g3", "spec_gen__g4"),
+        s"expected (g3) + current (g4), found ${dirs()}")
     } finally Summaries.drop("spec_gen")
   }
 

@@ -96,6 +96,17 @@ case class CreateMaterializedViewCommand(name: String, querySql: String)
 
   override val output: Seq[Attribute] = GraftMvDdl.statusOutput
 
+  /** Render an analyzed expression as declared-SQL: the analyzer
+    * qualifies attribute references with the source's alias or table
+    * name (`tv.x`), but the create-time provability grammar and the
+    * routing gates resolve BARE names against the source columns —
+    * strip qualifiers before rendering so a temp-view/aliased source
+    * declares the same SQL a bare parquet read would.
+    */
+  private def bareSql(e: Expression): String = e.transform {
+    case a: AttributeReference => a.withQualifier(Seq.empty)
+  }.sql
+
   private def unsupported(what: String): Nothing =
     throw new IllegalArgumentException(
       s"CREATE MATERIALIZED VIEW $name: $what — supported measures " +
@@ -136,10 +147,10 @@ case class CreateMaterializedViewCommand(name: String, querySql: String)
         if (ae.filter.isDefined) unsupported(
           s"measure '$n' carries a FILTER clause")
         ae.aggregateFunction match {
-          case s: Sum => sums += n -> s.child.sql
-          case a: Average => sums += n -> a.child.sql
-          case m: Min => mins += n -> m.child.sql
-          case m: Max => maxs += n -> m.child.sql
+          case s: Sum => sums += n -> bareSql(s.child)
+          case a: Average => sums += n -> bareSql(a.child)
+          case m: Min => mins += n -> bareSql(m.child)
+          case m: Max => maxs += n -> bareSql(m.child)
           case c: Count
               if c.children.forall(_.isInstanceOf[Literal]) =>
             () // count(*) is always stored as the grain count
@@ -148,7 +159,7 @@ case class CreateMaterializedViewCommand(name: String, querySql: String)
               "and count(x) routes when x is declared as a sum/avg " +
               "measure")
           case h: graft.functions.HllDistinct =>
-            hlls += n -> h.child.sql
+            hlls += n -> bareSql(h.child)
             hllPrecision = h.precision
           case other => unsupported(
             s"measure '$n' uses ${other.prettyName}")
@@ -159,7 +170,7 @@ case class CreateMaterializedViewCommand(name: String, querySql: String)
         s"projected column '${other.name}' is not in the GROUP BY")
     }
     val (where, src) = child match {
-      case Filter(cond, below) => (Some(cond.sql), below)
+      case Filter(cond, below) => (Some(bareSql(cond)), below)
       case p => (None, p)
     }
     val raw: DataFrame = ofPlan(sparkSession, src)

@@ -97,16 +97,18 @@ object RoutingExplain {
     // walk below only runs for the refusals
     val routed = SummaryRewrite.tryRewrite(agg)
     agg.child match {
+      // projects may carry Aliases (derived grouping keys like
+      // date_trunc(day) AS mo) — the rule inlines them, and so do
+      // verdictFor's cost lines and reasonsFor's gate walk, so the
+      // diagnosis covers the same aggregates the rewrite does
       case PhysicalOperation(projects, filters,
-          lr: org.apache.spark.sql.execution.datasources.LogicalRelation)
-          if projects.forall(_.isInstanceOf[AttributeReference]) =>
+          lr: org.apache.spark.sql.execution.datasources.LogicalRelation) =>
         Summaries.pathOf(lr).map { path =>
           verdictFor(agg, routed, path, Summaries.rawLookupAll(path),
             lr.output, filters, projects, AttributeSet.empty)
         }
       case PhysicalOperation(projects, topFilters,
-          j: org.apache.spark.sql.catalyst.plans.logical.Join)
-          if projects.forall(_.isInstanceOf[AttributeReference]) =>
+          j: org.apache.spark.sql.catalyst.plans.logical.Join) =>
         SummaryRewrite.collectJoinTree(j).map {
           case (leaves, conds, sideFilters) =>
             val paths = leaves.map(_._1)
@@ -131,7 +133,7 @@ object RoutingExplain {
                   case _ => false
                 }
                 verdictFor(agg, routed, paths.mkString(" ⋈ "),
-                  Summaries.rawLookupAll(key), rawOut, fs, Nil,
+                  Summaries.rawLookupAll(key), rawOut, fs, projects,
                   SummaryRewrite.unsafeDupAttrs(rawOut, conds))
             }
         }
@@ -241,14 +243,24 @@ object RoutingExplain {
       // with several candidates on the source, show each one's
       // effective cost (sel × bytes + compensation) — the number the
       // best-match ranking compared, so a surprising choice is
-      // diagnosable from the same surface that names it
+      // diagnosable from the same surface that names it. Selectivity
+      // is estimated over the ALIAS-INLINED filters, exactly what
+      // rankBySelectivity saw — a grain predicate behind a projection
+      // alias must not display as selectivity 1.0
+      val aliasMap = projects.collect {
+        case a: Alias => a.exprId -> a.child
+      }.toMap
+      val inlined = filters0.map(_.transformUp {
+        case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+          aliasMap(ar.exprId)
+      })
       val costLines =
         if (specs.length < 2) Nil
         else specs.map { s0 =>
           // cost the spec as the ROUTER sees it: a stale candidate
           // carries its measured compensation-scan bytes
           val s = Summaries.routedViewFor(s0).getOrElse(s0)
-          val sel = Summaries.estimateSelectivity(s, filters0)
+          val sel = Summaries.estimateSelectivity(s, inlined)
           val cost =
             if (s.bytes >= 0) (sel * s.bytes).toLong + s.compBytes
             else -1L

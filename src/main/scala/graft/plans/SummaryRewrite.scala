@@ -401,10 +401,30 @@ object Summaries {
     * summary against one shared warehouse used to race: both write
     * `__g{k+1}`, both persist, last-writer-wins with the loser's
     * cleanup deleting the winner's files. [[persistSpec]] now refuses
-    * that loudly instead of corrupting.
+    * that loudly instead of corrupting, and [[newGenDir]] gives each
+    * writer its own directory so neither the overwrite nor the
+    * loser's cleanup can touch the winner's files.
     */
   final class ConcurrentSpecUpdate(msg: String)
     extends IllegalStateException(msg)
+
+  /** A fresh generation directory `<name>__g<gen><kind>_w<nonce>`.
+    * The writer nonce makes the path PER-WRITER unique: two engines
+    * folding the same generation race only on the persist CAS — they
+    * can never write into (mode-overwrite clobber) or clean up each
+    * other's directory. The loser's failure handler deletes its OWN
+    * files; before the nonce it deleted the winner's just-registered
+    * generation, the exact corruption the CAS exists to prevent.
+    * Readers always take the path from the spec, never derive it.
+    */
+  private def newGenDir(name: String, gen: Int,
+      kind: String = ""): String = {
+    val nonce = f"${java.util.concurrent.ThreadLocalRandom.current()
+      .nextInt() & 0xffffff}%06x"
+    new java.io.File(
+      s"spark-warehouse/graft_summaries/${name}__g$gen${kind}_w$nonce")
+      .getAbsolutePath
+  }
 
   // a crashed holder's lease is stolen after this long — generous
   // against any real persist (microseconds of JSON), tight against a
@@ -424,10 +444,30 @@ object Summaries {
       expectGen: Option[Int] = None): Unit = {
     specsDir.mkdirs()
     val lock = new java.io.File(specsDir, s.name + ".lock")
-    val acquired = lock.createNewFile() || {
-      val age = System.currentTimeMillis() - lock.lastModified()
-      age > SpecLeaseMs && { lock.delete(); lock.createNewFile() }
+    // the lease is OWNED: the holder's token goes into the lock file,
+    // release deletes only a lock that still carries it (a holder
+    // that outlived its lease must not release the lock a stealer
+    // now legitimately holds), and a steal first moves the expired
+    // lock aside — Files.move of one source succeeds for exactly ONE
+    // of N stealers, so two engines observing the same expired lease
+    // cannot both proceed into the critical section
+    val token = java.util.UUID.randomUUID().toString
+    def tryCreate(): Boolean = lock.createNewFile() && {
+      java.nio.file.Files.write(lock.toPath, token.getBytes("UTF-8"))
+      true
     }
+    def steal(): Boolean = {
+      val age = System.currentTimeMillis() - lock.lastModified()
+      age > SpecLeaseMs && {
+        val aside = new java.io.File(specsDir,
+          s"${s.name}.lock.stale.$token")
+        (try {
+          java.nio.file.Files.move(lock.toPath, aside.toPath)
+          aside.delete(); true
+        } catch { case _: java.io.IOException => false }) && tryCreate()
+      }
+    }
+    val acquired = tryCreate() || steal() || tryCreate()
     if (!acquired) throw new ConcurrentSpecUpdate(
       s"summary '${s.name}': another engine holds the spec lease " +
         s"(${lock.getAbsolutePath}) — retry after it completes")
@@ -456,7 +496,14 @@ object Summaries {
         java.nio.file.Files.move(tmp.toPath, specFile(s.name).toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
-    } finally lock.delete()
+    } finally {
+      // release only OUR lease (token check) — see the acquire note
+      val mine =
+        try new String(java.nio.file.Files.readAllBytes(lock.toPath),
+          "UTF-8") == token
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (mine) lock.delete()
+    }
   }
 
   /** Reload persisted specs into the in-memory registry, once per
@@ -1072,6 +1119,10 @@ object Summaries {
         bareScan(p.child, allowFilter)
       case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
         bareScan(s.child, allowFilter)
+      // a temp view resolves through a View wrapper — still the same
+      // bare scan underneath (the view adds no computation)
+      case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+        bareScan(v.child, allowFilter)
       case f: Filter if allowFilter => bareScan(f.child, allowFilter)
       case _ => None
     }
@@ -1312,9 +1363,7 @@ object Summaries {
         .agg(count(lit(1)).as(CntCol), aggCols: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val cubePath = new java.io.File(
-          s"spark-warehouse/graft_summaries/${name}__g0_files")
-          .getAbsolutePath
+        val cubePath = newGenDir(name, 0, "_files")
         val invert = Seq(FileCol) ++ grain ++ Seq(CntCol) ++
           sums0.map(_._1) ++ sums0.map("__nn_" + _._1)
         cube.select(invert.map(col): _*)
@@ -1606,9 +1655,11 @@ object Summaries {
   }
 
   /** Write a summary generation, read it back, and (re-)register. A
-    * generation gets its own directory (`<name>__g<k>`) so a refresh
-    * never overwrites the files the merge is reading; the previous
-    * generation's directory is deleted after the new one registers.
+    * generation gets its own per-writer directory ([[newGenDir]]) so
+    * a refresh never overwrites the files the merge is reading — and
+    * a concurrent fold in another engine never overwrites THIS one;
+    * the previous generation's directory is deleted after the new
+    * one registers.
     */
   private def deleteDir(p: String,
       hconf: org.apache.hadoop.conf.Configuration): Unit =
@@ -1633,9 +1684,7 @@ object Summaries {
       expectGen: Option[Int] = None): Spec = {
     val spark = out.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
-    val path = new java.io.File(
-      s"spark-warehouse/graft_summaries/${proto.name}__g${proto.gen}")
-      .getAbsolutePath
+    val path = newGenDir(proto.name, proto.gen)
     out.write.mode("overwrite").parquet(path)
     val rel = spark.read.parquet(path).queryExecution.analyzed match {
       case lr: LogicalRelation => lr
@@ -2065,18 +2114,32 @@ object Summaries {
 
   /** The cube's stored identities for the `missing` canonical paths —
     * the doomed-row membership set for delete/mixed compensation.
-    * None (fail closed) when ANY missing built file matches zero cube
-    * rows: with both sides decoded the only honest cause is a file
-    * whose every row the declared WHERE dropped, and suspending that
-    * rare case is cheaper than ever serving a stale answer to an
-    * unanticipated path-rendering drift.
+    * None (fail closed) when a missing built file matches zero cube
+    * rows, with ONE carve-out: a FILTERED summary legitimately has no
+    * cube rows for a built file whose every row the declared WHERE
+    * dropped — subtracting nothing for it is exactly correct. The
+    * carve-out holds only while the decode namespaces demonstrably
+    * agree (every cube identity canon-matches some built file); any
+    * cube identity outside the built listing means the two path
+    * renderings drifted, and the fail-closed default stands —
+    * suspending that rare case is cheaper than ever serving a stale
+    * answer to an unanticipated rendering change.
     */
   private def doomedCubeFiles(spec: Spec,
       s: org.apache.spark.sql.SparkSession,
       missing: Seq[String]): Option[Seq[String]] = {
-    val byCanon = cubeFileIndex(spec, s).groupBy(_._2)
-    if (missing.exists(m => !byCanon.contains(m))) None
-    else Some(missing.flatMap(m => byCanon(m).map(_._1)).distinct)
+    val idx = cubeFileIndex(spec, s)
+    val byCanon = idx.groupBy(_._2)
+    val unmatched = missing.filterNot(byCanon.contains)
+    val explained = unmatched.isEmpty ||
+      (spec.filterSql.nonEmpty && {
+        val builtCanon =
+          spec.builtFiles.map(e => canon(entryPath(e))).toSet
+        idx.forall { case (_, c) => builtCanon.contains(c) }
+      })
+    if (!explained) None
+    else Some(missing.flatMap(m =>
+      byCanon.getOrElse(m, Nil).map(_._1)).distinct)
   }
 
   /** The DELETE-compensated substrate: `merge(summary, negate(cube
@@ -2316,10 +2379,16 @@ object Summaries {
     }
     def bless(b0: Spec, expect: Int): Boolean = {
       // the generation retired by the PREVIOUS fold lapses here,
-      // exactly like register() — still-referenced paths and
+      // exactly like register() — still-referenced paths, dirs THIS
+      // bless newly retires (b0.retired — the displaced cube), and
       // grace-spared dirs survive (the latter carried forward in the
-      // blessed spec's retired list)
-      val (lapsing, spared) = splitLapse(s, spec.retired,
+      // blessed spec's retired list). b0.retired must hold only what
+      // this bless retires, never spec.retired verbatim: passing the
+      // previous fold's list through would put it in its own
+      // keep-set and nothing would ever lapse on a rebless-only
+      // workload (unbounded footprint).
+      val (lapsing, spared) = splitLapse(s,
+        spec.retired.filterNot(b0.retired.contains),
         Set(b0.summaryPath, b0.fileCubePath) ++ b0.retired)
       val b = b0.copy(retired = (b0.retired ++ spared).distinct)
       persistSpec(b, expectGen = Some(expect))
@@ -2330,9 +2399,13 @@ object Summaries {
     }
     if (spec.fpPaths.length > 1 || spec.fileCubePath.isEmpty) {
       // no sidecar to carry (joined source, or the summary never had
-      // one): verify against the direct re-aggregate and re-record
+      // one): verify against the direct re-aggregate and re-record.
+      // This bless retires nothing new (retired = Nil) — the
+      // PREVIOUS fold's retired dirs go through the lapse/grace
+      // split like any other fold
       if (!sameSets(partialAgg(spec, src))) return false
-      bless(spec.copy(sourceFp = fp, builtFiles = entries), spec.gen)
+      bless(spec.copy(sourceFp = fp, builtFiles = entries,
+        retired = Nil), spec.gen)
     } else {
       // the sidecar is keyed by the OLD file identities the
       // compaction just destroyed — but rebless is already paying a
@@ -2349,10 +2422,8 @@ object Summaries {
         // generation number stays (no summary rewrite happened); the
         // path carries the new fingerprint so retention of the old
         // cube and repeated reblesses never collide
-        val cubePath = new java.io.File(
-          "spark-warehouse/graft_summaries/" +
-            s"${spec.name}__g${spec.gen}_files_${fp.take(8)}")
-          .getAbsolutePath
+        val cubePath = newGenDir(spec.name, spec.gen,
+          s"_files_${fp.take(8)}")
         val invert = Seq(FileCol) ++ spec.grain ++ Seq(spec.cntCol) ++
           spec.sumSql.map(_._1) ++ spec.nnSql.map(_._1)
         cube.select(invert.map(col): _*)
@@ -2422,9 +2493,7 @@ object Summaries {
       val (newCubePath, newCubeBytes) =
         if (spec.fileCubePath.nonEmpty && spec.fpPaths.length == 1 &&
             coveredEntries.isDefined) {
-          val cubePath = new java.io.File(
-            "spark-warehouse/graft_summaries/" +
-              s"${spec.name}__g${spec.gen + 1}_files").getAbsolutePath
+          val cubePath = newGenDir(spec.name, spec.gen + 1, "_files")
           spark.read.parquet(spec.fileCubePath)
             .unionByName(partialCubeAgg(spec, batch))
             .write.mode("overwrite").parquet(cubePath)
@@ -2594,9 +2663,7 @@ object Summaries {
     try {
       val newFp = fpOf(entries)
       touchFpMemo(spec.fpPaths, newFp, entries)
-      val cubePath = new java.io.File(
-        "spark-warehouse/graft_summaries/" +
-          s"${spec.name}__g${spec.gen + 1}_files").getAbsolutePath
+      val cubePath = newGenDir(spec.name, spec.gen + 1, "_files")
       newCubeDf.write.mode("overwrite").parquet(cubePath)
       writtenCube = cubePath
       val cBytes =

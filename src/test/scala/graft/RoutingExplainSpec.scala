@@ -55,6 +55,19 @@ class RoutingExplainSpec extends SparkSpec {
     }
   }
 
+  test("a DERIVED (aliased) grouping key gets a verdict too — the " +
+      "optimizer pulls the expression into a Project alias, and the " +
+      "diagnosis must cover the same aggregates the rewrite does") {
+    withPricing {
+      val derived = li
+        .groupBy(date_trunc("month", col("l_shipdate")).as("mo"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+      val r = RoutingExplain.explain(derived)
+      assert(r.contains("ROUTES onto 'lineitem_pricing'"),
+        s"an aliased-grouping aggregate must be diagnosable:\n$r")
+    }
+  }
+
   test("unregistered sources, partial builds, and disabled router " +
       "explain themselves") {
     val none = RoutingExplain.explain(

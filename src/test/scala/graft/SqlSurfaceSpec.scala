@@ -223,6 +223,65 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("CREATE MATERIALIZED VIEW over an ALIASED source (temp view) " +
+      "with a WHERE and measures: the analyzer's qualified names are " +
+      "stripped, the filtered MV registers and routes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.plans.Summaries
+    import scala.jdk.CollectionConverters._
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.collect()
+      allPlanNodes(df.queryExecution.executedPlan).collect {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddl_tv")
+      .toFile
+    val srcPath = new java.io.File(dir, "src").getAbsolutePath
+    import spark.implicits._
+    (0 until 3000).map(i => ("s" + (i % 2), "g" + (i % 5), i.toLong))
+      .toDF("slice", "x", "v").repartition(2).write.parquet(srcPath)
+    spark.read.parquet(srcPath).createOrReplaceTempView("ddl_tv")
+    try {
+      // pre-fix this threw: the analyzed WHERE rendered as
+      // (ddl_tv.slice = 's0') and the measure as ddl_tv.v — both
+      // outside the bare-name declaration grammar
+      val created = spark.sql("CREATE MATERIALIZED VIEW ddl_tvmv AS " +
+        "SELECT slice, x, count(*) AS n, " +
+        "sum(cast(v AS decimal(18,2))) AS sv " +
+        "FROM ddl_tv WHERE slice = 's0' GROUP BY slice, x").collect()
+      assert(created(0).getString(1).contains("created"),
+        created.toSeq)
+      val whereSql = spark.sql("SELECT where_sql FROM " +
+        "graft_summaries() WHERE name = 'ddl_tvmv'")
+        .collect()(0).getString(0)
+      assert(whereSql.contains("slice") && !whereSql.contains("ddl_tv"),
+        whereSql)
+      // a slice-subsumed query routes, value-identical to raw
+      val q = () => spark.read.parquet(srcPath)
+        .filter(col("slice") === "s0")
+        .groupBy("slice", "x").agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,2)")).as("sv"))
+        .orderBy("x")
+      val expected = {
+        spark.conf.set(graft.plans.SummaryRewrite.ConfKey, "false")
+        try q().collect().toSeq
+        finally spark.conf.unset(graft.plans.SummaryRewrite.ConfKey)
+      }
+      val p = scanPaths(q())
+      assert(p.nonEmpty && p.forall(_.contains("graft_summaries")),
+        s"the temp-view-declared filtered MV must route: $p")
+      assert(q().collect().toSeq == expected)
+    } finally {
+      Summaries.drop("ddl_tvmv")
+      spark.catalog.dropTempView("ddl_tv")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("graft_explain_routing never EXECUTES its argument: commands " +
       "are refused at parse, a nested self-call is refused, plain " +
       "queries still explain") {

@@ -160,19 +160,22 @@ class SummaryRewriteSpec extends SparkSpec {
       sums = Seq("sum_qty" -> "cast(l_quantity as decimal(18,2))"))
     try {
       val batch = raw.filter(col("l_quantity") < 0) // empty fold
-      def dirs() = Option(new java.io.File(
+      // generation dirs carry a per-writer nonce (`__g<k>_w<nonce>`),
+      // so assert on the GENERATION NUMBERS present, not exact names
+      def gens() = Option(new java.io.File(
         "spark-warehouse/graft_summaries").listFiles()).toSeq.flatten
-        .map(_.getName).filter(_.startsWith("spec_gen__g")).sorted
+        .map(_.getName).filter(_.startsWith("spec_gen__g"))
+        .map(_.stripPrefix("spec_gen__g").takeWhile(_.isDigit).toInt)
+        .distinct.sorted
       Summaries.refresh("spec_gen", batch)
       // gen 0 (summary + cube sidecar) is RETIRED, not deleted: an
       // in-flight reader that planned against it must finish
-      assert(dirs().contains("spec_gen__g0") &&
-        dirs().contains("spec_gen__g1"), dirs().toString)
+      assert(gens() == Seq(0, 1), gens().toString)
       Summaries.refresh("spec_gen", batch)
       // the second fold lapses gen 0; gen 1 enters retention — the
       // on-disk footprint is bounded at current + one retained
-      assert(dirs() == Seq("spec_gen__g1", "spec_gen__g2"),
-        s"expected retention window (g1) + current (g2), found ${dirs()}")
+      assert(gens() == Seq(1, 2),
+        s"expected retention window (g1) + current (g2), found ${gens()}")
       // a configured grace spares a too-young retired generation
       // across the NEXT fold (the cross-JVM reader window) and
       // carries it forward in the spec's retired list — still live
@@ -180,16 +183,14 @@ class SummaryRewriteSpec extends SparkSpec {
       spark.conf.set(Summaries.RetentionGraceKey, "3600000")
       try {
         Summaries.refresh("spec_gen", batch) // gen 3; g1 too young
-        assert(dirs().contains("spec_gen__g1") &&
-          dirs().contains("spec_gen__g2") &&
-          dirs().contains("spec_gen__g3"), dirs().toString)
+        assert(gens() == Seq(1, 2, 3), gens().toString)
         assert(!Summaries.gcOrphans().exists(_.contains("spec_gen")),
           "grace-spared generations are referenced, never orphans")
-        assert(dirs().contains("spec_gen__g1"))
+        assert(gens().contains(1))
       } finally spark.conf.unset(Summaries.RetentionGraceKey)
       Summaries.refresh("spec_gen", batch) // grace off: backlog lapses
-      assert(dirs() == Seq("spec_gen__g3", "spec_gen__g4"),
-        s"expected (g3) + current (g4), found ${dirs()}")
+      assert(gens() == Seq(3, 4),
+        s"expected (g3) + current (g4), found ${gens()}")
     } finally Summaries.drop("spec_gen")
   }
 
@@ -245,9 +246,16 @@ class SummaryRewriteSpec extends SparkSpec {
       assert(e.getMessage.contains("generation 3") &&
         e.getMessage.contains("generation 0"), e.getMessage)
       // the loser did not corrupt anything: its written next-gen dir
-      // is gone, the winner's on-disk spec is untouched
-      assert(!new java.io.File(
-        "spark-warehouse/graft_summaries/spec_cas__g1").exists())
+      // is gone (the per-writer nonce means it could only ever have
+      // been ITS OWN — never the winner's), the current generation's
+      // files are intact, and the winner's on-disk spec is untouched
+      def names() = Option(new java.io.File(
+        "spark-warehouse/graft_summaries").listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.startsWith("spec_cas__g"))
+      assert(!names().exists(_.startsWith("spec_cas__g1")),
+        names().toString)
+      assert(new java.io.File(spec0.summaryPath).exists(),
+        "the live generation must survive the loser's cleanup")
       assert(new String(java.nio.file.Files.readAllBytes(f.toPath),
         "UTF-8").contains("\"gen\":3"))
       // restore, then prove a HELD LEASE refuses too
@@ -290,10 +298,11 @@ class SummaryRewriteSpec extends SparkSpec {
       assert(swept.exists(_.endsWith("spec_gc__g7")), swept.toString)
       assert(!orphan.exists())
       // live generation and the RETIRED one both survive the sweep
-      assert(new java.io.File(
-        "spark-warehouse/graft_summaries/spec_gc__g1").exists())
-      assert(new java.io.File(
-        "spark-warehouse/graft_summaries/spec_gc__g0").exists(),
+      def has(prefix: String) = Option(new java.io.File(
+        "spark-warehouse/graft_summaries").listFiles()).toSeq.flatten
+        .exists(_.getName.startsWith(prefix))
+      assert(has("spec_gc__g1"))
+      assert(has("spec_gc__g0"),
         "a retired generation is inside its reader window — not an orphan")
       // and a grace window spares a freshly-written dir
       orphan.mkdirs()
@@ -301,6 +310,136 @@ class SummaryRewriteSpec extends SparkSpec {
       assert(orphan.exists())
       orphan.delete()
     } finally Summaries.drop("spec_gc")
+  }
+
+  test("an EXPIRED lease is stolen (crashed holder), and the steal " +
+      "is owned: the thief's lock releases normally afterwards") {
+    val raw = Tables.load(spark, sf, "lineitem")
+    Summaries.create(raw, "spec_steal",
+      grain = Seq("l_returnflag"),
+      sums = Seq("sq" -> "cast(l_quantity as decimal(18,2))"))
+    try {
+      val lock = new java.io.File(
+        "spark-warehouse/graft_summaries/_specs/spec_steal.lock")
+      // the debris of a crashed holder: a lock older than the lease
+      assert(lock.createNewFile())
+      assert(lock.setLastModified(
+        System.currentTimeMillis() - 10L * 60000L))
+      // the fold steals the expired lease and completes normally…
+      val folded = Summaries.refresh("spec_steal",
+        raw.filter(col("l_quantity") < 0))
+      assert(folded.gen == 1)
+      // …and released its own lock on the way out (a further fold
+      // would otherwise refuse on a held lease)
+      assert(!lock.exists(), "the thief must release its own lease")
+      assert(Summaries.refresh("spec_steal",
+        raw.filter(col("l_quantity") < 0)).gen == 2)
+    } finally Summaries.drop("spec_steal")
+  }
+
+  test("rebless on a cube-less summary still LAPSES the previous " +
+      "fold's retired generation (bounded footprint on rebless-only " +
+      "workloads)") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rebless_nocube").toFile
+    val srcPath = new java.io.File(dir, "src").getAbsolutePath
+    val outPath = new java.io.File(dir, "compacted").getAbsolutePath
+    import spark.implicits._
+    (0 until 4000).map(i => ("g" + (i % 4), i.toLong))
+      .toDF("x", "v").repartition(6).write.parquet(srcPath)
+    def gens() = Option(new java.io.File(
+      "spark-warehouse/graft_summaries").listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("spec_rlap__g"))
+      .map(_.stripPrefix("spec_rlap__g").takeWhile(_.isDigit).toInt)
+      .distinct.sorted
+    try {
+      Summaries.create(spark.read.parquet(srcPath), "spec_rlap",
+        grain = Seq("x"),
+        sums = Seq("sv" -> "cast(v as decimal(18,2))"),
+        fileCube = false)
+      // fold once: gen 0 retires behind gen 1
+      Summaries.refresh("spec_rlap",
+        spark.read.parquet(srcPath).filter(col("v") < 0))
+      assert(gens() == Seq(0, 1), gens().toString)
+      // content-preserving compaction, then rebless (no sidecar to
+      // rebuild — the branch that used to carry spec.retired into
+      // its own keep-set and never lapse anything)
+      graft.operators.Layout.compact(spark, srcPath, outPath)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(srcPath), true))
+      assert(fs.rename(new org.apache.hadoop.fs.Path(outPath),
+        new org.apache.hadoop.fs.Path(srcPath)))
+      Summaries.invalidate("spec_rlap")
+      assert(Summaries.rebless("spec_rlap"))
+      // gen 0 lapsed at the bless; gen 1 (current) stands
+      assert(gens() == Seq(1),
+        s"rebless must lapse the retired generation, found ${gens()}")
+      // and the blessed summary still serves, correctly
+      val q = () => spark.read.parquet(srcPath)
+        .groupBy("x").agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,2)")).as("sv")).orderBy("x")
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      assert(q().collect().toSeq == withoutRouting { q().collect().toSeq })
+    } finally {
+      Summaries.drop("spec_rlap")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("FILTERED summary: deleting a built file wholly OUTSIDE the " +
+      "declared slice is a correct no-op — compensated reads serve " +
+      "and the fold proceeds (no spurious fail-closed)") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_slice_del").toFile
+    val srcPath = new java.io.File(dir, "src").getAbsolutePath
+    import spark.implicits._
+    // file 1: in-slice rows only; file 2: OUT-of-slice rows only —
+    // the cube is built post-WHERE, so file 2 has zero cube rows
+    (0 until 1500).map(i => ("keep", "g" + (i % 3), i.toLong))
+      .toDF("slice", "x", "v").repartition(1).write.parquet(srcPath)
+    (0 until 900).map(i => ("toss", "g" + (i % 3), i.toLong))
+      .toDF("slice", "x", "v").repartition(1)
+      .write.mode("append").parquet(srcPath)
+    val q = () => spark.read.parquet(srcPath)
+      .filter(col("slice") === "keep")
+      .groupBy("slice", "x").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("sv"))
+      .orderBy("x")
+    try {
+      Summaries.create(spark.read.parquet(srcPath), "spec_slice",
+        grain = Seq("slice", "x"),
+        sums = Seq("sv" -> "cast(v as decimal(18,2))"),
+        where = Some("slice = 'keep'"))
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      val expected = withoutRouting { q().collect().toSeq }
+      // delete the file every row of which the WHERE dropped
+      val victim = new java.io.File(srcPath).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .find(f => spark.read.parquet(f.getAbsolutePath)
+          .filter(col("slice") === "keep").isEmpty)
+        .getOrElse(fail("no out-of-slice file found"))
+      assert(victim.delete())
+      Summaries.invalidate("spec_slice")
+      // the compensated READ serves from the summary (subtracting
+      // nothing for the sliceless file) and stays value-identical
+      val p = scanPaths(q())
+      assert(p.exists(_.contains("graft_summaries")),
+        s"an out-of-slice delete must not suspend a filtered summary: $p")
+      assert(q().collect().toSeq == expected)
+      // and the FOLD proceeds instead of demanding a re-create
+      val folded = Summaries.refreshDelta("spec_slice")
+      assert(folded.exists(_.gen == 1), folded.toString)
+      assert(scanPaths(q()).forall(_.contains("graft_summaries")))
+      assert(q().collect().toSeq == expected)
+    } finally {
+      Summaries.drop("spec_slice")
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("filtered/derived source without partial=true is rejected " +
@@ -2748,9 +2887,9 @@ class SummaryRewriteSpec extends SparkSpec {
         sums = Seq("sv" -> "cast(v as decimal(18,2))"),
         fileCube = false)
       assert(spec.fileCubePath.isEmpty)
-      assert(new java.io.File(
-        "spark-warehouse/graft_summaries/spec_nocube__g0_files")
-        .exists() == false)
+      assert(!Option(new java.io.File("spark-warehouse/graft_summaries")
+        .listFiles()).toSeq.flatten
+        .exists(_.getName.startsWith("spec_nocube__g0_files")))
       assert(scanPaths(q()).forall(_.contains("graft_summaries")))
       val victim = new java.io.File(srcPath).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -2817,39 +2956,38 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
-  test("delete of a built file with ZERO cube rows (its rows all " +
-      "failed the declared WHERE) fails closed: suspension, raw " +
-      "answers, fold refuses") {
+  test("delete of a built file with ZERO cube rows on an UNFILTERED " +
+      "summary fails closed: suspension, raw answers, fold refuses " +
+      "(the rendering-drift guard; a declared WHERE is the one " +
+      "carve-out, spec'd separately)") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("graft_zerocube")
       .toFile
     val srcPath = new java.io.File(dir, "src").getAbsolutePath
     import spark.implicits._
-    // file A: in-slice grains; file B: ONLY the excluded grain — its
-    // every row dies at the declared WHERE, so the cube never saw it
+    // file A: real rows; file B: a ZERO-ROW part file — with no
+    // declared WHERE, zero cube rows for a built file is otherwise
+    // only explainable by a path-rendering drift, so the posture
+    // stays strict (suspending an empty-file delete is cheap; ever
+    // serving stale rows to a drift is not)
     (0 until 2000).map(i => ("g" + (i % 4), i.toLong)).toDF("x", "v")
       .coalesce(1).write.parquet(srcPath)
-    (0 until 500).map(i => ("gZ", i.toLong)).toDF("x", "v")
+    val before = new java.io.File(srcPath).listFiles()
+      .map(_.getName).toSet
+    Seq.empty[(String, Long)].toDF("x", "v")
       .coalesce(1).write.mode("append").parquet(srcPath)
+    val victim = new java.io.File(srcPath).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !before.contains(f.getName)).head
     val q = () => spark.read.parquet(srcPath)
-      .filter(col("x") =!= "gZ")
       .groupBy("x").agg(count(lit(1)).as("n"),
         sum(col("v").cast("decimal(18,2)")).as("sv"))
       .orderBy("x")
     try {
       Summaries.create(spark.read.parquet(srcPath), "spec_zcube",
         grain = Seq("x"),
-        sums = Seq("sv" -> "cast(v as decimal(18,2))"),
-        where = Some("x <> 'gZ'"))
+        sums = Seq("sv" -> "cast(v as decimal(18,2))"))
       assert(scanPaths(q()).exists(_.contains("graft_summaries")))
-      // find and delete the gZ-only file (the one with no cube rows)
-      val gzFile = spark.read.parquet(srcPath)
-        .filter(col("x") === "gZ")
-        .select(org.apache.spark.sql.functions.input_file_name())
-        .distinct().collect().map(_.getString(0)).toSeq
-      assert(gzFile.length == 1, gzFile.toString)
-      val victim = new java.io.File(
-        new java.net.URI(gzFile.head).getPath)
       assert(victim.delete())
       Summaries.invalidate("spec_zcube")
       // zero cube rows match ⇒ the compensated read REFUSES (raw
@@ -2892,9 +3030,10 @@ class SummaryRewriteSpec extends SparkSpec {
       assert(spec.fileCubePath.isEmpty,
         s"the gate must disable the sidecar: ${spec.fileCubePath}")
       assert(spec.cubeNote.startsWith("gated:"), spec.cubeNote)
-      assert(!new java.io.File(
-        "spark-warehouse/graft_summaries/spec_cgate__g0_files")
-        .exists(), "the gated sidecar must not stay on disk")
+      assert(!Option(new java.io.File("spark-warehouse/graft_summaries")
+        .listFiles()).toSeq.flatten
+        .exists(_.getName.startsWith("spec_cgate__g0_files")),
+        "the gated sidecar must not stay on disk")
       // the reason is one status/SQL call away
       assert(Summaries.status().contains("cube=(gated:"),
         Summaries.status())

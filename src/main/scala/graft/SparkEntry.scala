@@ -665,6 +665,7 @@ object SparkEntry {
     // revokes — the whole lifecycle without the Scala API. Routing
     // is value-preserving, so the oracle is the plain raw aggregate
     "q193_summary_sql_ddl" -> (operators.OlapQueries.summarySqlDdl _),
+    "q194_sorted_scan" -> (operators.Layout.sortedRangeScan _),
     // co-located bucketed join: both tables hash-bucketed on the join
     // key at write time, so the sort-merge join runs with no shuffle
     // on either side (plan-asserted in LayoutSpec); bucketing is a
@@ -3932,6 +3933,19 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_linenumber, l_linestatus
         |ORDER BY l_linenumber, l_linestatus""".stripMargin,
+    // the sort-clustered copy is a LAYOUT choice (rows move between
+    // files, none change), so the oracle is the same range-slice
+    // report over raw lineitem
+    "q194_sorted_scan" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |    AS sum_qty,
+        |  round(min(l_extendedprice), 4) AS min_price
+        |FROM lineitem
+        |WHERE l_orderkey >= 1000 AND l_orderkey < 3000
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // the rebless fixture is a byte-reshuffled full copy of lineitem,
     // so the post-rebless routed answer replays as the raw aggregate
     "q192_summary_rebless" ->

@@ -280,6 +280,79 @@ object Layout {
       s"partition columns ${cols.mkString(", ")} must exist in $inDir")
     df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").partitionBy(cols: _*).parquet(outDir)
+    // the answers-unchanged contract: partition values move into
+    // directory NAMES, and Spark's partition-column type inference
+    // re-derives their types on read — a string column of numeric-
+    // looking values ('00123') comes back as INT with the zeros gone,
+    // date-like strings come back as DATE. Probe with Spark's own
+    // inference (a footer/directory read, no data scan) and REFUSE —
+    // deleting the copy — when any partition column's read-back type
+    // differs from the original, naming the cast-or-bucket way out.
+    val back = spark.read.parquet(outDir).schema
+      .map(f => f.name -> f.dataType).toMap
+    val orig = df.schema.map(f => f.name -> f.dataType).toMap
+    val drifted = cols.filter(c => back.get(c) != orig.get(c))
+    if (drifted.nonEmpty) {
+      val hp = new org.apache.hadoop.fs.Path(outDir)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      throw new IllegalArgumentException(
+        "partitionByColumns would change column types on read-back " +
+          drifted.map(c => s"$c: ${orig(c).simpleString} -> " +
+            s"${back.get(c).map(_.simpleString).getOrElse("?")}")
+            .mkString("(", ", ", ")") +
+          " — partition-directory names re-infer as the narrower " +
+          "type and values like '00123' lose information; cast the " +
+          "column to its inferred type first, or bucket instead " +
+          "of partitioning")
+    }
+    outDir
+  }
+
+  /** Rewrite a parquet table RANGE-CLUSTERED on `cols`:
+    * `repartitionByRange` gives a global order across output files
+    * (file k holds a contiguous value interval) and
+    * `sortWithinPartitions` orders rows inside each file, so every
+    * file's — and every parquet row group's — min/max statistics
+    * become tight disjoint intervals. A pushed range predicate
+    * (`>=`, `BETWEEN`, date windows) then skips whole row groups at
+    * read: the scan emits ≈ the rows the filter keeps instead of the
+    * full table. The HIGH-NDV complement to [[partitionByColumns]]
+    * (a directory per value would explode on the columns ranges run
+    * over); columns stay real parquet columns, so there is no
+    * partition-directory type-inference hazard. The 100 TB rule: the
+    * range shuffle is paid ONCE at write; every later read of a
+    * range slice is O(slice), not O(table). The lever the Advisor's
+    * `sort-cluster` nomination acts on.
+    */
+  def sortByColumns(spark: SparkSession, inDir: String,
+      outDir: String, cols: Seq[String], files: Int = 0): String = {
+    require(cols.nonEmpty, "no sort columns")
+    val df = spark.read.parquet(inDir)
+    require(cols.forall(df.columns.contains),
+      s"sort columns ${cols.mkString(", ")} must exist in $inDir")
+    // the file count must stay EXPLICIT: an un-sized
+    // repartitionByRange lets AQE coalesce a small table into ONE
+    // file whose single row group spans every value — stats can skip
+    // nothing and the rewrite buys nothing. Default: keep the
+    // source's file count (clustering must not reduce read
+    // parallelism) or the size-targeted count, whichever is larger.
+    val n =
+      if (files > 0) files
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val in = new org.apache.hadoop.fs.Path(inDir)
+        val bytes = visibleDataFiles(in.getFileSystem(conf), in)
+          .map(_.getLen).sum
+        val target = 128L * 1024 * 1024 // compact()'s file sizing
+        math.max(math.max(1L, df.inputFiles.length.toLong),
+          (bytes + target - 1) / target).toInt
+      }
+    df.repartitionByRange(n,
+        cols.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(
+        cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").parquet(outDir)
     outDir
   }
 
@@ -347,6 +420,80 @@ object Layout {
           4).as("sum_qty"),
         round(min(col("l_extendedprice")), 4).as("min_price"))
       .orderBy("o_orderpriority")
+
+  private val sortedCopyLock = new Object
+
+  /** Idempotent per-SF RANGE-CLUSTERED copy of lineitem on
+    * `l_orderkey` ([[sortByColumns]]) — q194's fixture, the
+    * sort-cluster twin of q186's bucketed CTAS. Fingerprint-validated
+    * like the IVF index: a changed source rebuilds; the marker is
+    * written LAST, so a crashed build rebuilds instead of serving a
+    * partial copy. 16 files at the test SFs so row-group min/max
+    * stats have skip granularity (the size-targeted default takes
+    * over at real scale, where files are row-group-sized anyway).
+    */
+  def ensureSortedLineitem(spark: SparkSession, sfDir: String): String =
+    sortedCopyLock.synchronized {
+      val canonical = new java.io.File(sfDir).getCanonicalPath
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(canonical.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      val root = new java.io.File("spark-warehouse/graft_sorted/li_" +
+        new java.io.File(sfDir).getName.replace('.', '_') + "_" + tag)
+        .getAbsoluteFile
+      val dataPath = new java.io.File(root, "data").getAbsolutePath
+      val marker = new java.io.File(root, "_graft_fp")
+      val src = new java.io.File(sfDir, "lineitem.parquet")
+        .getAbsolutePath
+      val srcFp = {
+        val p = new org.apache.hadoop.fs.Path(src)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(p, true)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith("."))
+            entries +=
+              s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+        }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+        md.digest().map("%02x".format(_)).mkString
+      }
+      val valid = marker.isFile && new String(java.nio.file.Files
+        .readAllBytes(marker.toPath), "UTF-8").trim == srcFp
+      if (!valid) {
+        if (root.exists())
+          java.nio.file.Files.walk(root.toPath).sorted(
+            java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        root.mkdirs()
+        sortByColumns(spark, src, dataPath, Seq("l_orderkey"),
+          files = 16)
+        java.nio.file.Files.write(marker.toPath, srcFp.getBytes("UTF-8"))
+      }
+      dataPath
+    }
+
+  /** q194: the range-slice report the sort-clustered copy exists
+    * for — the scan EMITS ≈ the slice (row-group min/max skipping on
+    * the clustered `l_orderkey`), not the table; the oracle
+    * recomputes the identical report from raw lineitem in DuckDB —
+    * sort clustering is a LAYOUT choice, invisible in the answer.
+    */
+  def sortedRangeScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dataPath = ensureSortedLineitem(spark, sfDir)
+    spark.read.parquet(dataPath)
+      .filter(col("l_orderkey") >= 1000L && col("l_orderkey") < 3000L)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)"),
+          4).as("sum_qty"),
+        round(min(col("l_extendedprice")), 4).as("min_price"))
+      .orderBy("l_returnflag")
+  }
 
   def zorderManifest(spark: SparkSession, sfDir: String,
       bucketShift: Int = 18): DataFrame = {

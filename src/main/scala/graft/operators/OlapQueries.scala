@@ -2951,6 +2951,13 @@ object OlapQueries {
         Layout.ensureBucketedTables(s, d)
         () => ()
       }),
+      // the range-clustered copy is a WRITE-TIME cost
+      // (fingerprint-validated, rebuilt only when the source
+      // changes); the timed number is the row-group-skipping scan
+      "q194_sorted_scan" -> ((s: SparkSession, d: String) => {
+        Layout.ensureSortedLineitem(s, d)
+        () => ()
+      }),
       // the IVF index is a WRITE-TIME cost (fingerprint-validated,
       // rebuilt only when the corpus changes); the timed number is
       // the partition-pruned probe alone

@@ -61,6 +61,17 @@ package graft.plans
   *    ≥2 distinct queries. Lever: a summary at the base grain slides
   *    under the Expand and each level re-aggregates summary rows
   *    cnt-weighted (the q181 lever).
+  *  - PARTITION CANDIDATE (cross-query): the same EQUALITY predicate
+  *    columns pushed as data filters (never partition filters) in ≥2
+  *    distinct queries. Lever: rewrite Hive-partitioned on them
+  *    ([[graft.operators.Layout.partitionByColumns]]) — directory
+  *    pruning at planning.
+  *  - SORT-CLUSTER CANDIDATE (cross-query): the same RANGE predicate
+  *    columns pushed in ≥2 distinct queries while the scan EMITS far
+  *    more rows than the filter keeps (row-group stats not
+  *    skipping). Lever: rewrite range-clustered
+  *    ([[graft.operators.Layout.sortByColumns]]) — the high-NDV
+  *    complement to partitioning.
   */
 object Advisor {
 
@@ -155,6 +166,21 @@ object Advisor {
     val partCand = collection.mutable.Map.empty[String,
       (collection.mutable.Map[String, Long],
         collection.mutable.Map[String, Set[String]])]
+    // sort-clustering candidates: path -> (per-query worst UNSKIPPED
+    // rows, per-query RANGE-filter column sets). Hive partitioning
+    // serves repeated EQUALITY predicates on low-NDV columns; a
+    // repeated RANGE predicate on a high-NDV column (dates, keys,
+    // scores) needs the other layout lever — range-cluster the table
+    // (repartitionByRange + sortWithinPartitions) so parquet
+    // row-group min/max stats skip everything outside the range. The
+    // measured signal is the gap between what the scan EMITS and what
+    // the filter above it KEEPS: on a clustered layout the stats
+    // already skip and the gap closes, so acting makes the
+    // nomination disappear (self-converging, like partitioning's
+    // pfilters signal).
+    val sortClusterCand = collection.mutable.Map.empty[String,
+      (collection.mutable.Map[String, Long],
+        collection.mutable.Map[String, Set[String]])]
     // refreshDelta candidates: summary name -> per-query worst
     // compensated-delta bytes. A query that scans a graft_summaries
     // generation AND raw source files in the same plan is a
@@ -191,6 +217,11 @@ object Advisor {
         // stack of open join depths marks "inside a join subtree".
         var lineJoinShuffleBytes = 0L
         val joinDepths = collection.mutable.ArrayBuffer.empty[Int]
+        // nearest-ancestor Filter rows for the scan underneath it:
+        // pre-order + depth pops keep only open ancestors, so a
+        // scan's enclosing Filter is the stack top
+        val filterRows =
+          collection.mutable.ArrayBuffer.empty[(Int, Long)]
         // histogram grain: groups+pvals from PERCENTILE-bearing
         // aggregate nodes only — unrelated aggregates in a
         // multi-aggregate plan must not widen the nominated grain
@@ -215,6 +246,10 @@ object Advisor {
           // ancestor of the current node
           while (joinDepths.nonEmpty && joinDepths.last >= depth)
             joinDepths.remove(joinDepths.length - 1)
+          while (filterRows.nonEmpty && filterRows.last._1 >= depth)
+            filterRows.remove(filterRows.length - 1)
+          if (op.startsWith("Filter"))
+            filterRows += ((depth, metric("numOutputRows")))
           if (op.contains("Exchange") && !op.contains("Broadcast")) {
             val t = metric("shuffleWriteTime") / 1000000L +
               metric("fetchWaitTime")
@@ -248,8 +283,14 @@ object Advisor {
                   .map(pfn.get(_).asText("")).filter(_.nonEmpty).toSet
                 val pcols =
                   filterColumns(pfset.toSeq).getOrElse(Nil).toSet
-                val dcols = filterColumns((fset -- pfset).toSeq)
-                  .getOrElse(Nil).filterNot(pcols).toSet
+                // equality conjuncts nominate Hive PARTITIONING (a
+                // directory per value — the low-NDV shape); range
+                // conjuncts nominate SORT CLUSTERING below (a
+                // directory per value would explode on the high-NDV
+                // columns ranges run over)
+                val dcols = classifiedFilterColumns(
+                  (fset -- pfset).toSeq, equality = true)
+                  .filterNot(pcols).toSet
                 val scanned = metric("filesSize")
                 if (dcols.nonEmpty && scanned > 0) {
                   val (qs, qcols) = partCand.getOrElseUpdate(pth,
@@ -258,6 +299,31 @@ object Advisor {
                   qs(qname) = math.max(qs.getOrElse(qname, 0L), scanned)
                   qcols(qname) =
                     qcols.getOrElse(qname, Set.empty) ++ dcols
+                }
+                // sort-clustering: a pushed RANGE conjunct whose scan
+                // still EMITS far more rows than the Filter above
+                // KEEPS — row-group stats are not skipping, so the
+                // layout is unclustered on the range column
+                // the 4x bar: stats skipping is file/row-group
+                // grained, so even a perfectly clustered copy reads
+                // whole boundary groups (~2-3x a narrow slice) —
+                // nominate only when the gap is beyond what
+                // clustering itself would leave, or acting would
+                // re-nominate forever
+                val rcols = classifiedFilterColumns(
+                  (fset -- pfset).toSeq, equality = false)
+                  .filterNot(pcols).toSet
+                val emitted = metric("numOutputRows")
+                val kept = filterRows.lastOption.map(_._2).getOrElse(-1L)
+                if (rcols.nonEmpty && emitted > 0 && kept >= 0 &&
+                    emitted > 4 * kept) {
+                  val (qs, qcols) = sortClusterCand.getOrElseUpdate(pth,
+                    (collection.mutable.Map.empty[String, Long],
+                      collection.mutable.Map.empty[String, Set[String]]))
+                  qs(qname) =
+                    math.max(qs.getOrElse(qname, 0L), emitted - kept)
+                  qcols(qname) =
+                    qcols.getOrElse(qname, Set.empty) ++ rcols
                 }
               }
             }
@@ -560,6 +626,34 @@ object Advisor {
         }
       case _ => None
     }.sortBy(f => (-f.value, f.op)).take(topN)
+    // rank by the rows a clustered layout would stop reading; common
+    // columns are the intersection across the nominated queries —
+    // one sort order serves the whole workload or it thrashes
+    val sortClusters = sortClusterCand.toSeq.flatMap {
+      case (pth, (qs, qcols)) if qs.size >= 2 =>
+        val common = qcols.values.reduceOption(_ & _)
+          .getOrElse(Set.empty[String])
+        if (common.isEmpty) None
+        else {
+          val rows = qs.values.sum
+          val cols = common.toSeq.sorted
+          Some(Finding(s"${qs.size} queries", s"Scan $pth",
+            "range-filtered rows read beyond kept", rows, "rows",
+            s"${qs.keys.toSeq.sorted.take(4).mkString(", ")}" +
+              (if (qs.size > 4) ", …" else "") +
+              s" all push a RANGE predicate on (${cols.mkString(", ")})" +
+              s" yet the scan emits $rows rows the filter then drops " +
+              "(row-group min/max stats cannot skip on a scattered " +
+              "layout): rewrite the table range-clustered on those " +
+              "columns (Advisor.actOnSortClustering / " +
+              "Layout.sortByColumns) so pushed range predicates skip " +
+              "whole row groups at read — a layout change for the " +
+              "table owner; queries must read the clustered copy",
+            kind = "sort-cluster", paths = Seq(pth), grain = cols,
+            queries = qs.keys.toSeq.sorted))
+        }
+      case _ => None
+    }.sortBy(f => (-f.value, f.op)).take(topN)
     val refreshes = refreshCand.toSeq.map { case (name, qs) =>
       Finding(s"${qs.size} queries", s"Summary $name",
         "compensated-delta bytes", qs.values.sum, "bytes",
@@ -574,7 +668,8 @@ object Advisor {
     }.sortBy(f => (-f.value, f.op)).take(topN)
     top(spills) ++ top(loops) ++ top(exchanges) ++ top(scans) ++
       top(broadcasts) ++ top(sorts) ++ summaries ++ joinSummaries ++
-      histograms ++ rollups ++ buckets ++ partitions ++ refreshes
+      histograms ++ rollups ++ buckets ++ partitions ++
+      sortClusters ++ refreshes
   }
 
   /** ACT on an MV nomination: perform the Summaries.create /
@@ -786,6 +881,66 @@ object Advisor {
       s"partition nomination without a table/columns: $f")
     graft.operators.Layout.partitionByColumns(
       spark, f.paths.head, outDir, f.grain)
+  }
+
+  /** ACT on a SORT-CLUSTER nomination: rewrite the nominated table
+    * range-clustered on the nominated range-predicate columns
+    * ([[graft.operators.Layout.sortByColumns]]) so parquet row-group
+    * min/max stats skip everything outside a pushed range. The
+    * high-NDV complement to [[actOnPartitioning]]; answers unchanged
+    * (a sort moves rows between files, it never drops or retypes
+    * them). The workload repoints at the returned copy; the re-traced
+    * nomination disappears because the scan now emits ≈ what the
+    * filter keeps.
+    */
+  def actOnSortClustering(spark: org.apache.spark.sql.SparkSession,
+      f: Finding, outDir: String): String = {
+    require(f.kind == "sort-cluster",
+      s"not a sort-clustering nomination: $f")
+    require(f.paths.length == 1 && f.grain.nonEmpty,
+      s"sort-cluster nomination without a table/columns: $f")
+    graft.operators.Layout.sortByColumns(
+      spark, f.paths.head, outDir, f.grain)
+  }
+
+  /** Single-part column names of conjuncts of ONE comparison shape:
+    * `equality = true` keeps `=` / `<=>` / `IN` conjuncts (the Hive-
+    * partitioning lever — a directory per value wants low NDV);
+    * `equality = false` keeps `<` / `<=` / `>` / `>=` (the
+    * sort-clustering lever — ranges run over high-NDV columns).
+    * Unparsable or other-shaped conjuncts contribute nothing (this
+    * feeds advice, not answers).
+    */
+  private def classifiedFilterColumns(filters: Seq[String],
+      equality: Boolean): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe,
+      EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In,
+      LessThan, LessThanOrEqual}
+    filters.flatMap { f =>
+      val parsed =
+        try Some(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(f))
+        catch { case scala.util.control.NonFatal(_) => None }
+      def attr(x: Expression): Option[String] = x match {
+        case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute if u.nameParts.length == 1 =>
+          Some(u.nameParts.head)
+        case _ => None
+      }
+      parsed.toSeq.flatMap { ex =>
+        val sides: Seq[Expression] = ex match {
+          case EqualTo(a, b) if equality => Seq(a, b)
+          case EqualNullSafe(a, b) if equality => Seq(a, b)
+          case In(a, _) if equality => Seq(a)
+          case GreaterThan(a, b) if !equality => Seq(a, b)
+          case GreaterThanOrEqual(a, b) if !equality => Seq(a, b)
+          case LessThan(a, b) if !equality => Seq(a, b)
+          case LessThanOrEqual(a, b) if !equality => Seq(a, b)
+          case _ => Nil
+        }
+        sides.flatMap(attr)
+      }
+    }.distinct
   }
 
   /** The single-part column names a set of filter-conjunct SQLs

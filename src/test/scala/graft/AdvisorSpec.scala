@@ -91,7 +91,18 @@ class AdvisorSpec extends SparkSpec {
       """{"op":"ShuffleExchange","depth":3,"metrics":{"dataSize":52000000}},""" +
       """{"op":"Scan parquet g","depth":4,"path":"/data/g","metrics":{"scanTime":170}},""" +
       """{"op":"ShuffleExchange","depth":3,"metrics":{"dataSize":2000000}},""" +
-      """{"op":"Scan parquet f","depth":4,"path":"/data/f","metrics":{"scanTime":210}}]}""")
+      """{"op":"Scan parquet f","depth":4,"path":"/data/f","metrics":{"scanTime":210}}]}""",
+    // qM/qN: the same pushed RANGE predicate in two queries, with the
+    // scan EMITTING 1000× what the Filter above keeps — the
+    // sort-clustering candidate (and NOT a partitioning one: a range
+    // column is the directory-per-value anti-pattern). No scanTime /
+    // filesSize on purpose: the candidate needs only the row gap
+    """{"event":"query","name":"qM","wall_ms":200,"ts_ms":1,"operators":[""" +
+      """{"op":"Filter","depth":1,"metrics":{"numOutputRows":100}},""" +
+      """{"op":"Scan parquet v","depth":2,"path":"/data/v","filters":["(ts >= 10)"],"metrics":{"numOutputRows":100000}}]}""",
+    """{"event":"query","name":"qN","wall_ms":200,"ts_ms":1,"operators":[""" +
+      """{"op":"Filter","depth":1,"metrics":{"numOutputRows":50}},""" +
+      """{"op":"Scan parquet v","depth":2,"path":"/data/v","filters":["(ts >= 10)","(ts < 90)"],"metrics":{"numOutputRows":100000}}]}""")
 
   test("deterministic fixture: every signal class found, ranked, levered") {
     // the fixture feeds TWICE: repeated executions of the same
@@ -177,6 +188,21 @@ class AdvisorSpec extends SparkSpec {
     assert(!fs.exists(f => f.kind == "join" &&
       f.op.contains("/data/f")), "no aggregate → no joined-summary " +
       "nomination for f⋈g")
+    // sort-clustering candidate: qM and qN both push a RANGE on ts
+    // while the scan emits 1000× what the Filter keeps — the wasted
+    // rows are the worst per query, summed over DISTINCT queries
+    // (doubled fixture must not double them)
+    val sc = fs.filter(_.kind == "sort-cluster")
+    assert(sc.size == 1, s"$sc")
+    assert(sc.head.op == "Scan /data/v" && sc.head.grain == Seq("ts"),
+      s"${sc.head}")
+    assert(sc.head.value == (100000L - 100L) + (100000L - 50L),
+      s"${sc.head}")
+    assert(sc.head.lever.contains("Layout.sortByColumns"))
+    // and the RANGE predicate nominates NO Hive partitioning
+    assert(!fs.exists(f => f.kind == "partition" &&
+      f.paths.contains("/data/v")),
+      "a range column must not nominate a directory-per-value layout")
     // report renders one line per finding
     assert(Advisor.report(fs).linesIterator.size == fs.size)
     assert(Advisor.report(Nil).contains("no findings"))
@@ -409,6 +435,109 @@ class AdvisorSpec extends SparkSpec {
         .exists(f => f.kind == "partition" &&
           f.paths.exists(_.contains("li_p_part"))),
         "the partitioned workload must not re-nominate")
+    } finally {
+      TraceCapture.uninstall(spark, listener)
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("sort-clustering loop closes with measured evidence: trace a " +
+      "workload of repeated pushed RANGE predicates whose scan emits " +
+      "far more rows than it keeps, act on the nomination, and the " +
+      "clustered copy's scans SKIP row groups (scan-emitted rows " +
+      "strictly drop, answers unchanged, no re-nomination)") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val dir = Files.createTempDirectory("graft-adv-sort")
+    val srcPath = dir.resolve("li_s").toString
+    val outPath = dir.resolve("li_s_sorted").toString
+    val tracePath = dir.resolve("t.jsonl").toString
+    // random scatter: every file's l_orderkey min/max spans the whole
+    // domain, so row-group stats can never skip a pushed range
+    Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .repartition(8).write.parquet(srcPath)
+    val mm = spark.read.parquet(srcPath)
+      .agg(min("l_orderkey"), max("l_orderkey")).collect()(0)
+    val lo = mm.getLong(0)
+    val hi = lo + (mm.getLong(1) - lo) / 20 // a ~5% slice
+    def workload(path: String) = Seq(
+      () => spark.read.parquet(path)
+        .filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+        .orderBy("l_returnflag"),
+      () => spark.read.parquet(path)
+        .filter(col("l_orderkey") < hi)
+        .agg(count(lit(1)).as("n")))
+    def readTrace(min: Int): Seq[String] = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var lines = Seq.empty[String]
+      while (lines.size < min && System.nanoTime() < deadline) {
+        if (Files.exists(Paths.get(tracePath)))
+          lines = Files.readAllLines(Paths.get(tracePath)).asScala.toSeq
+        if (lines.size < min) Thread.sleep(50)
+      }
+      lines
+    }
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      allPlanNodes(df.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+    }
+    val expected = workload(srcPath).map(_().collect().toSeq)
+    val preRows = scanRows(workload(srcPath).head())
+    val listener = TraceCapture.install(spark, tracePath)
+    try {
+      workload(srcPath).zipWithIndex.foreach { case (q, i) =>
+        TraceCapture.setLabel(s"sq$i")
+        q().write.format("noop").mode("overwrite").save()
+        org.apache.spark.sql.GraftColumnBridge
+          .drainListenerBus(spark, 10000L)
+      }
+      TraceCapture.clearLabel()
+      val lines = readTrace(2)
+      assert(lines.size >= 2)
+      val all = Advisor.advise(lines.iterator)
+      val nom = all.find(_.kind == "sort-cluster")
+        .getOrElse(fail("no sort-cluster nomination from repeated " +
+          s"pushed range predicates: $all"))
+      assert(nom.grain == Seq("l_orderkey"), nom.toString)
+      assert(nom.value > 0, s"no measured unskipped rows: $nom")
+      assert(nom.queries.size == 2, nom.toString)
+      // a RANGE workload must NOT nominate Hive partitioning — a
+      // directory per l_orderkey value is the layout anti-pattern
+      assert(!all.exists(f => f.kind == "partition" &&
+        f.paths.exists(_.contains("li_s"))), all.toString)
+      // ACT: rewrite range-clustered on the nominated column
+      val acted = Advisor.actOnSortClustering(spark, nom, outPath)
+      // answers unchanged
+      assert(workload(acted).map(_().collect().toSeq) == expected)
+      // measured: the clustered copy's scan EMITS a fraction of the
+      // rows (row-group min/max skipping), not the whole table
+      val postRows = scanRows(workload(acted).head())
+      assert(postRows * 2 < preRows,
+        s"row-group skipping must drop the read: $preRows->$postRows")
+      // the repointed workload does not re-nominate: the scan now
+      // emits ≈ what the filter keeps, the signal is gone
+      Files.deleteIfExists(Paths.get(tracePath))
+      workload(acted).zipWithIndex.foreach { case (q, i) =>
+        TraceCapture.setLabel(s"sq${i + 2}")
+        q().write.format("noop").mode("overwrite").save()
+        org.apache.spark.sql.GraftColumnBridge
+          .drainListenerBus(spark, 10000L)
+      }
+      TraceCapture.clearLabel()
+      val lines2 = readTrace(2)
+      assert(lines2.size >= 2)
+      assert(!Advisor.advise(lines2.iterator)
+        .exists(f => f.kind == "sort-cluster" &&
+          f.paths.exists(_.contains("li_s_sorted"))),
+        "the clustered workload must not re-nominate")
     } finally {
       TraceCapture.uninstall(spark, listener)
       Files.walk(dir).iterator().asScala.toSeq.reverse

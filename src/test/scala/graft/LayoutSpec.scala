@@ -336,4 +336,73 @@ class LayoutSpec extends SparkSpec {
       assert(ghost.length <= 2, s"ghost key hit ${ghost.length} buckets")
     } finally { docs.unpersist(); manifest.unpersist() }
   }
+
+  test("q194: the sort-clustered lineitem copy answers the range " +
+      "slice exactly like raw, with the scan EMITTING a fraction of " +
+      "the table (row-group skipping); the fixture is " +
+      "fingerprint-idempotent") {
+    val df = Layout.sortedRangeScan(spark, sf)
+    val rows = df.collect().toSeq
+    val raw = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_orderkey") >= 1000L && col("l_orderkey") < 3000L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        round(expr(
+          "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
+          .as("sum_qty"),
+        round(min(col("l_extendedprice")), 4).as("min_price"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(rows == raw && rows.nonEmpty)
+    // skip evidence: the clustered scan emits well under the table
+    val total = Tables.load(spark, sf, "lineitem").count()
+    val emitted = allPlanNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numOutputRows").value
+    }.sum
+    assert(emitted > 0 && emitted * 10 < total * 6,
+      s"row-group skipping must bound the read: $emitted of $total")
+    // idempotent: a second ensure reuses the fingerprinted copy
+    val p1 = Layout.ensureSortedLineitem(spark, sf)
+    val m1 = new java.io.File(p1).lastModified()
+    assert(Layout.ensureSortedLineitem(spark, sf) == p1)
+    assert(new java.io.File(p1).lastModified() == m1,
+      "an unchanged source must not rebuild the copy")
+  }
+
+  test("partitionByColumns REFUSES when partition-directory type " +
+      "inference would change the column on read-back (answers-" +
+      "unchanged contract), and accepts inference-stable columns") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_part_infer").toFile
+    val srcPath = new java.io.File(dir, "src").getAbsolutePath
+    val outPath = new java.io.File(dir, "parted").getAbsolutePath
+    import spark.implicits._
+    // `code` is a STRING of zero-padded digits: as a directory name
+    // Spark re-infers it INT and '00123' reads back as 123 — data
+    // loss the refusal exists to stop. `cat` is inference-stable.
+    (0 until 400).map(i => ("%05d".format(i % 7), "c" + (i % 3), i.toLong))
+      .toDF("code", "cat", "v").repartition(2).write.parquet(srcPath)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Layout.partitionByColumns(spark, srcPath, outPath, Seq("code"))
+      }
+      assert(e.getMessage.contains("read-back") &&
+        e.getMessage.contains("code"), e.getMessage)
+      assert(!new java.io.File(outPath).exists(),
+        "a refused copy must not stay on disk")
+      // a stable column partitions fine and round-trips identically
+      val acted = Layout.partitionByColumns(spark, srcPath, outPath,
+        Seq("cat"))
+      val back = spark.read.parquet(acted)
+      assert(back.schema("cat").dataType ==
+        org.apache.spark.sql.types.StringType)
+      assert(back.agg(sum(col("v"))).collect()(0).getLong(0) ==
+        spark.read.parquet(srcPath).agg(sum(col("v")))
+          .collect()(0).getLong(0))
+    } finally {
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }

@@ -129,6 +129,25 @@ object Layout {
     (files.length, outFiles, bytes)
   }
 
+  /** MD5 over a directory's (path, len, mtime) listing — the
+    * build-time fingerprint persisted artifacts (IVF index, sorted
+    * copies) validate against, the same staleness discipline as the
+    * MV router's source gate. Hidden components are excluded (the
+    * same rule as [[visibleDataFiles]]).
+    */
+  private[graft] def dirFingerprint(spark: SparkSession,
+      path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val files =
+      visibleDataFiles(p.getFileSystem(
+        spark.sparkContext.hadoopConfiguration), p)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.map(st =>
+        s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+      .sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** RECURSIVE data-file listing that sees key=value subdirectories
     * (a flat listing measures a partitioned table as 0 bytes) but
     * skips anything under a HIDDEN component (`_temporary`,
@@ -328,6 +347,20 @@ object Layout {
   def sortByColumns(spark: SparkSession, inDir: String,
       outDir: String, cols: Seq[String], files: Int = 0): String = {
     require(cols.nonEmpty, "no sort columns")
+    // a Hive-partitioned tree REFUSES: a flat range-clustered copy
+    // would silently drop directory pruning on the partition columns
+    // and bake their read-time inferred types into data (the same
+    // hazard partitionByColumns probes for) — compact() preserves
+    // the tree because it rewrites within partitions; this rewrite
+    // reorders rows globally, which is only sound on a flat table
+    val inP = new org.apache.hadoop.fs.Path(inDir)
+    val inFs = inP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val treeCols = partitionColsOf(inP, visibleDataFiles(inFs, inP))
+    require(treeCols.isEmpty,
+      s"$inDir is Hive-partitioned on (${treeCols.mkString(", ")}) — " +
+        "range-clustering would flatten the tree and lose " +
+        "directory pruning; compact() within partitions, or sort " +
+        "a flat copy of the slice you need")
     val df = spark.read.parquet(inDir)
     require(cols.forall(df.columns.contains),
       s"sort columns ${cols.mkString(", ")} must exist in $inDir")
@@ -445,22 +478,7 @@ object Layout {
       val marker = new java.io.File(root, "_graft_fp")
       val src = new java.io.File(sfDir, "lineitem.parquet")
         .getAbsolutePath
-      val srcFp = {
-        val p = new org.apache.hadoop.fs.Path(src)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val it = fs.listFiles(p, true)
-        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) {
-          val st = it.next()
-          val name = st.getPath.getName
-          if (!name.startsWith("_") && !name.startsWith("."))
-            entries +=
-              s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
-        }
-        val md = java.security.MessageDigest.getInstance("MD5")
-        entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
-        md.digest().map("%02x".format(_)).mkString
-      }
+      val srcFp = dirFingerprint(spark, src)
       val valid = marker.isFile && new String(java.nio.file.Files
         .readAllBytes(marker.toPath), "UTF-8").trim == srcFp
       if (!valid) {

@@ -421,22 +421,10 @@ object Similarity {
 
   /** MD5 over the corpus directory's (path, len, mtime) listing — the
     * build-time fingerprint the index validity check compares, the
-    * same staleness discipline as the MV router's source gate. */
-  private def dirFingerprint(spark: SparkSession, path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith("."))
-        entries += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
-    }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
-    md.digest().map("%02x".format(_)).mkString
-  }
+    * same staleness discipline as the MV router's source gate
+    * (shared with the sorted-copy fixture: [[Layout.dirFingerprint]]). */
+  private def dirFingerprint(spark: SparkSession, path: String): String =
+    Layout.dirFingerprint(spark, path)
 
   /** Build (or reuse) the PERSISTED IVF index: the deterministic
     * Lloyd cell assignment written ONCE as a Hive-partitioned layout

@@ -217,11 +217,15 @@ object Advisor {
         // stack of open join depths marks "inside a join subtree".
         var lineJoinShuffleBytes = 0L
         val joinDepths = collection.mutable.ArrayBuffer.empty[Int]
-        // nearest-ancestor Filter rows for the scan underneath it:
+        // nearest-ancestor Filter for the scan underneath it:
         // pre-order + depth pops keep only open ancestors, so a
-        // scan's enclosing Filter is the stack top
-        val filterRows =
-          collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        // scan's enclosing Filter is the stack top. Rows are None
+        // when the trace line carries no numOutputRows — a missing
+        // metric must never read as "kept zero rows" (it would
+        // fabricate a maximal nomination); conds are the Filter's
+        // own conjuncts, for the subset check below.
+        val filterRows = collection.mutable.ArrayBuffer
+          .empty[(Int, Option[Long], Set[String])]
         // histogram grain: groups+pvals from PERCENTILE-bearing
         // aggregate nodes only — unrelated aggregates in a
         // multi-aggregate plan must not widen the nominated grain
@@ -248,8 +252,15 @@ object Advisor {
             joinDepths.remove(joinDepths.length - 1)
           while (filterRows.nonEmpty && filterRows.last._1 >= depth)
             filterRows.remove(filterRows.length - 1)
-          if (op.startsWith("Filter"))
-            filterRows += ((depth, metric("numOutputRows")))
+          if (op.startsWith("Filter")) {
+            val rows =
+              if (m.has("numOutputRows")) Some(metric("numOutputRows"))
+              else None
+            val cn = node.path("cond")
+            val conds = (0 until cn.size()).map(cn.get(_).asText(""))
+              .filter(_.nonEmpty).toSet
+            filterRows += ((depth, rows, conds))
+          }
           if (op.contains("Exchange") && !op.contains("Broadcast")) {
             val t = metric("shuffleWriteTime") / 1000000L +
               metric("fetchWaitTime")
@@ -314,7 +325,17 @@ object Advisor {
                   (fset -- pfset).toSeq, equality = false)
                   .filterNot(pcols).toSet
                 val emitted = metric("numOutputRows")
-                val kept = filterRows.lastOption.map(_._2).getOrElse(-1L)
+                // "kept" is trustworthy only when the enclosing
+                // Filter re-evaluates exactly the PUSHED conjuncts
+                // (its conds ⊆ the scan's filters) — a residual
+                // non-pushable predicate would conflate its own
+                // selectivity with the range's, and clustering could
+                // never close that gap (perpetual re-nomination)
+                val kept = filterRows.lastOption.collect {
+                  case (_, Some(rows), conds)
+                      if conds.nonEmpty && conds.subsetOf(fset) =>
+                    rows
+                }.getOrElse(-1L)
                 if (rcols.nonEmpty && emitted > 0 && kept >= 0 &&
                     emitted > 4 * kept) {
                   val (qs, qcols) = sortClusterCand.getOrElseUpdate(pth,

@@ -63,6 +63,8 @@ private[plans] object GraftMvDdl {
   private val VacuumRe =
     ("(?is)\\s*VACUUM\\s+MATERIALIZED\\s+VIEWS" +
       "(?:\\s+GRACE\\s+(\\d+)\\s+MINUTES?)?\\s*;?\\s*").r
+  private val ShowRe =
+    "(?is)\\s*SHOW\\s+MATERIALIZED\\s+VIEWS\\s*;?\\s*".r
 
   def parse(sql: String): Option[LogicalPlan] = sql match {
     case CreateRe(name, query) =>
@@ -74,6 +76,7 @@ private[plans] object GraftMvDdl {
     case VacuumRe(mins) =>
       Some(VacuumMaterializedViewsCommand(
         if (mins == null) 10L * 60000L else mins.toLong * 60000L))
+    case ShowRe() => Some(ShowMaterializedViewsCommand())
     case _ => None
   }
 
@@ -221,6 +224,37 @@ case class VacuumMaterializedViewsCommand(graceMs: Long)
     if (swept.isEmpty) Seq(Row("(none)", "no orphan generations"))
     else swept.map(p => Row(new java.io.File(p).getName, s"swept: $p"))
   }
+}
+
+/** `SHOW MATERIALIZED VIEWS` — the catalog listing as a command, one
+  * row per registered summary with the same columns as the
+  * `graft_summaries()` TVF (name, substrate, grain, gen, state,
+  * where_sql, measures, n_rows, n_bytes, cube_bytes, cube). The TVF
+  * composes into queries; SHOW is the operator's one-liner.
+  */
+case class ShowMaterializedViewsCommand()
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    Seq(
+      AttributeReference("name", StringType, nullable = false)(),
+      AttributeReference("substrate", StringType, nullable = false)(),
+      AttributeReference("grain", StringType, nullable = false)(),
+      AttributeReference("gen", IntegerType, nullable = false)(),
+      AttributeReference("state", StringType, nullable = false)(),
+      AttributeReference("where_sql", StringType, nullable = false)(),
+      AttributeReference("measures", StringType, nullable = false)(),
+      AttributeReference("n_rows", LongType, nullable = false)(),
+      AttributeReference("n_bytes", LongType, nullable = false)(),
+      AttributeReference("cube_bytes", LongType, nullable = false)(),
+      AttributeReference("cube", StringType, nullable = false)())
+  }
+
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Summaries.statusRows().map(r => Row(r.name, r.substrate, r.grain,
+      r.gen, r.state, r.where, r.measures, r.rows, r.bytes,
+      r.cubeBytes, r.cube))
 }
 
 /** `DROP MATERIALIZED VIEW [IF EXISTS] name` — [[Summaries.drop]]. */

@@ -211,6 +211,21 @@ object RoutingExplain {
   private def fnName(ae: AggregateExpression): String =
     ae.aggregateFunction.prettyName
 
+  /** The rewrite's projection-alias inlining, shared by the cost
+    * lines and the gate walk so both always see the same expressions
+    * the router ranked/gated on.
+    */
+  private def inliner(
+      projects: Seq[NamedExpression]): Expression => Expression = {
+    val aliasMap = projects.collect {
+      case a: Alias => a.exprId -> a.child
+    }.toMap
+    e => e.transformUp {
+      case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+        aliasMap(ar.exprId)
+    }
+  }
+
   /** The expression-level gate walk for a single-table or joined
     * aggregate whose registration exists.
     */
@@ -247,13 +262,7 @@ object RoutingExplain {
       // is estimated over the ALIAS-INLINED filters, exactly what
       // rankBySelectivity saw — a grain predicate behind a projection
       // alias must not display as selectivity 1.0
-      val aliasMap = projects.collect {
-        case a: Alias => a.exprId -> a.child
-      }.toMap
-      val inlined = filters0.map(_.transformUp {
-        case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
-          aliasMap(ar.exprId)
-      })
+      lazy val inlined = filters0.map(inliner(projects))
       val costLines =
         if (specs.length < 2) Nil
         else specs.map { s0 =>
@@ -304,13 +313,7 @@ object RoutingExplain {
     if (regReasons.nonEmpty) return regReasons
     // expression gates — mirror the rewrite's alias inlining so the
     // named columns are the query's own
-    val aliasMap = projects.collect {
-      case a: Alias => a.exprId -> a.child
-    }.toMap
-    val inline = (e: Expression) => e.transformUp {
-      case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
-        aliasMap(ar.exprId)
-    }
+    val inline = inliner(projects)
     val filters = filters0.map(inline)
     val groupings = agg.groupingExpressions.map(inline)
     val aggExprs = agg.aggregateExpressions.map(e => inline(e))

@@ -453,8 +453,14 @@ object Summaries {
     // cannot both proceed into the critical section
     val token = java.util.UUID.randomUUID().toString
     def tryCreate(): Boolean = lock.createNewFile() && {
-      java.nio.file.Files.write(lock.toPath, token.getBytes("UTF-8"))
-      true
+      // a failed token write must not leave an OWNERLESS lock that
+      // blocks every writer until the lease expires
+      try {
+        java.nio.file.Files.write(lock.toPath, token.getBytes("UTF-8"))
+        true
+      } catch { case scala.util.control.NonFatal(_) =>
+        lock.delete(); false
+      }
     }
     def steal(): Boolean = {
       val age = System.currentTimeMillis() - lock.lastModified()
@@ -463,7 +469,19 @@ object Summaries {
           s"${s.name}.lock.stale.$token")
         (try {
           java.nio.file.Files.move(lock.toPath, aside.toPath)
-          aside.delete(); true
+          // the age check and the move are not atomic: the expired
+          // lock may have been released and a FRESH one created in
+          // between — verify the file we actually moved, and put a
+          // fresh one back (a failed restore deletes the aside copy;
+          // the displaced holder's token-checked release stays safe
+          // and the generation CAS backstops any residual overlap)
+          val fresh = System.currentTimeMillis() -
+            aside.lastModified() <= SpecLeaseMs
+          if (fresh) {
+            try java.nio.file.Files.move(aside.toPath, lock.toPath)
+            catch { case _: java.io.IOException => aside.delete() }
+            false
+          } else { aside.delete(); true }
         } catch { case _: java.io.IOException => false }) && tryCreate()
       }
     }

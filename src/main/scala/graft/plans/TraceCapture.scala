@@ -65,21 +65,31 @@ object TraceCapture {
       // scans carry their source path: the Advisor's cross-query
       // signals (same table scanned by many aggregates → summary
       // candidate) need the table identity, not just "Scan parquet"
+      // pushed predicates / filter conditions (minus the isnotnull
+      // noise constraint inference manufactures), rendered the same
+      // way on scans and Filters so the Advisor can compare them as
+      // sets
+      def renderFilters(
+          es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          : Seq[String] = es.collect {
+        case e if !e.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.IsNotNull] =>
+          try e.sql catch { case _: Throwable => "" }
+      }.filter(_.nonEmpty).distinct
+      def splitAnd(
+          e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            splitAnd(l) ++ splitAnd(r)
+          case other => Seq(other)
+        }
       node match {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.relation.location.rootPaths.headOption.foreach(p =>
             sb.append(",\"path\":").append(q(p.toString)))
-          // pushed predicates (minus the isnotnull noise constraint
-          // inference manufactures): the Advisor's FILTERED-summary
-          // nomination needs to see when every aggregate over a table
-          // scans the same slice
-          def renderFilters(
-              es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-              : Seq[String] = es.collect {
-            case e if !e.isInstanceOf[
-                org.apache.spark.sql.catalyst.expressions.IsNotNull] =>
-              try e.sql catch { case _: Throwable => "" }
-          }.filter(_.nonEmpty).distinct
+          // the Advisor's FILTERED-summary nomination needs to see
+          // when every aggregate over a table scans the same slice
           val fls = renderFilters(f.partitionFilters ++ f.dataFilters)
           if (fls.nonEmpty)
             sb.append(",\"filters\":")
@@ -92,6 +102,17 @@ object TraceCapture {
           if (pfls.nonEmpty)
             sb.append(",\"pfilters\":")
               .append(pfls.map(q).mkString("[", ",", "]"))
+        case fl: org.apache.spark.sql.execution.FilterExec =>
+          // the Filter's own conjuncts: the Advisor's sort-cluster
+          // signal uses this node's numOutputRows as "rows the
+          // pushed predicates keep" ONLY when these conjuncts are a
+          // subset of the scan's pushed filters — a residual
+          // non-pushable predicate here would conflate its
+          // selectivity with the range's and mis-credit clustering
+          val conds = renderFilters(splitAnd(fl.condition))
+          if (conds.nonEmpty)
+            sb.append(",\"cond\":")
+              .append(conds.map(q).mkString("[", ",", "]"))
         case ag: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
           // aggregate-shape identity for the Advisor's MV nominations:
           // which functions ran (percentile → histogram-grain

@@ -98,11 +98,23 @@ class AdvisorSpec extends SparkSpec {
     // column is the directory-per-value anti-pattern). No scanTime /
     // filesSize on purpose: the candidate needs only the row gap
     """{"event":"query","name":"qM","wall_ms":200,"ts_ms":1,"operators":[""" +
-      """{"op":"Filter","depth":1,"metrics":{"numOutputRows":100}},""" +
+      """{"op":"Filter","depth":1,"cond":["(ts >= 10)"],"metrics":{"numOutputRows":100}},""" +
       """{"op":"Scan parquet v","depth":2,"path":"/data/v","filters":["(ts >= 10)"],"metrics":{"numOutputRows":100000}}]}""",
     """{"event":"query","name":"qN","wall_ms":200,"ts_ms":1,"operators":[""" +
-      """{"op":"Filter","depth":1,"metrics":{"numOutputRows":50}},""" +
-      """{"op":"Scan parquet v","depth":2,"path":"/data/v","filters":["(ts >= 10)","(ts < 90)"],"metrics":{"numOutputRows":100000}}]}""")
+      """{"op":"Filter","depth":1,"cond":["(ts >= 10)","(ts < 90)"],"metrics":{"numOutputRows":50}},""" +
+      """{"op":"Scan parquet v","depth":2,"path":"/data/v","filters":["(ts >= 10)","(ts < 90)"],"metrics":{"numOutputRows":100000}}]}""",
+    // qO/qP: the same range predicates but with "kept" NOT
+    // attributable — qO's Filter carries a residual non-pushed
+    // conjunct (conds ⊄ scan filters: its selectivity would be
+    // mis-credited to clustering), qP's Filter has no numOutputRows
+    // metric at all (absent data must not read as kept=0). Neither
+    // may contribute to a nomination.
+    """{"event":"query","name":"qO","wall_ms":200,"ts_ms":1,"operators":[""" +
+      """{"op":"Filter","depth":1,"cond":["(ts >= 10)","(custom_udf(s) = 1)"],"metrics":{"numOutputRows":100}},""" +
+      """{"op":"Scan parquet u","depth":2,"path":"/data/u","filters":["(ts >= 10)"],"metrics":{"numOutputRows":100000}}]}""",
+    """{"event":"query","name":"qP","wall_ms":200,"ts_ms":1,"operators":[""" +
+      """{"op":"Filter","depth":1,"cond":["(ts >= 10)"],"metrics":{"scanTime":1}},""" +
+      """{"op":"Scan parquet u","depth":2,"path":"/data/u","filters":["(ts >= 10)"],"metrics":{"numOutputRows":100000}}]}""")
 
   test("deterministic fixture: every signal class found, ranked, levered") {
     // the fixture feeds TWICE: repeated executions of the same
@@ -203,6 +215,11 @@ class AdvisorSpec extends SparkSpec {
     assert(!fs.exists(f => f.kind == "partition" &&
       f.paths.contains("/data/v")),
       "a range column must not nominate a directory-per-value layout")
+    // unattributable "kept" contributes nothing: qO's residual
+    // conjunct and qP's missing metric both fail the evidence bar
+    assert(!fs.exists(f => f.kind == "sort-cluster" &&
+      f.paths.contains("/data/u")),
+      "a residual predicate or a missing metric must not nominate")
     // report renders one line per finding
     assert(Advisor.report(fs).linesIterator.size == fs.size)
     assert(Advisor.report(Nil).contains("no findings"))

@@ -400,6 +400,15 @@ class LayoutSpec extends SparkSpec {
       assert(back.agg(sum(col("v"))).collect()(0).getLong(0) ==
         spark.read.parquet(srcPath).agg(sum(col("v")))
           .collect()(0).getLong(0))
+      // and sortByColumns REFUSES a Hive-partitioned tree: a flat
+      // range-clustered copy would lose directory pruning and bake
+      // inferred partition-column types into data
+      val e2 = intercept[IllegalArgumentException] {
+        Layout.sortByColumns(spark, acted,
+          new java.io.File(dir, "sorted_bad").getAbsolutePath,
+          Seq("v"))
+      }
+      assert(e2.getMessage.contains("Hive-partitioned"), e2.getMessage)
     } finally {
       java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
         .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))

@@ -122,6 +122,18 @@ class SqlSurfaceSpec extends SparkSpec {
         "SELECT routing FROM graft_explain_routing('SELEC nope')")
         .collect().map(_.getString(0)).mkString
       assert(bad.contains("explain failed"))
+      // SHOW MATERIALIZED VIEWS: the operator's one-liner, same rows
+      // and columns as the TVF
+      val shown = spark.sql("SHOW MATERIALIZED VIEWS")
+      assert(shown.columns.toSeq == Seq("name", "substrate", "grain",
+        "gen", "state", "where_sql", "measures", "n_rows", "n_bytes",
+        "cube_bytes", "cube"))
+      val shownRows = shown.collect()
+        .map(r => (r.getString(0), r.getInt(3), r.getString(4))).toSeq
+      assert(shownRows == Summaries.statusRows()
+        .map(r => (r.name, r.gen, r.state)),
+        shownRows.toString)
+      assert(shownRows.exists(_._1 == "sql_surf"))
     } finally Summaries.drop("sql_surf")
   }
 

@@ -666,6 +666,7 @@ object SparkEntry {
     // is value-preserving, so the oracle is the plain raw aggregate
     "q193_summary_sql_ddl" -> (operators.OlapQueries.summarySqlDdl _),
     "q194_sorted_scan" -> (operators.Layout.sortedRangeScan _),
+    "q195_zorder_scan" -> (operators.Layout.zorderRangeScan _),
     // co-located bucketed join: both tables hash-bucketed on the join
     // key at write time, so the sort-merge join runs with no shuffle
     // on either side (plan-asserted in LayoutSpec); bucketing is a
@@ -3944,6 +3945,18 @@ object SparkEntry {
         |  round(min(l_extendedprice), 4) AS min_price
         |FROM lineitem
         |WHERE l_orderkey >= 1000 AND l_orderkey < 3000
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // the z-ordered copy is a LAYOUT choice too: same oracle shape as
+    // q194 with the 2-D box
+    "q195_zorder_scan" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |    AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey >= 1000 AND l_orderkey < 3000
+        |  AND l_partkey >= 100 AND l_partkey < 500
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // the rebless fixture is a byte-reshuffled full copy of lineitem,

@@ -454,29 +454,88 @@ object Layout {
         round(min(col("l_extendedprice")), 4).as("min_price"))
       .orderBy("o_orderpriority")
 
+  /** Rewrite a parquet table Z-ORDER-CLUSTERED on exactly two numeric
+    * columns: each is min/max-scaled to 16-bit rank space, the bits
+    * interleave ([[zorderKey]]), and the table range-clusters on the
+    * interleaved key. Every output file then covers a ~square CELL of
+    * the 2-D value space, so BOTH columns' per-file (and per-row-
+    * group) min/max statistics are tight — a pushed 2-D box predicate
+    * skips everything outside ~the box's cells, where a lexicographic
+    * sort serves only its leading column. The 2-D complement to
+    * [[sortByColumns]]; same Hive-partitioned-tree refusal, same
+    * explicit file sizing (skip granularity IS the cell grid — at
+    * real scale the 128 MB default gives a fine grid for free; tests
+    * pass `files` explicitly). The lever the Advisor's
+    * `zorder-cluster` nomination acts on.
+    */
+  def zorderByColumns(spark: SparkSession, inDir: String,
+      outDir: String, cols: Seq[String], files: Int = 0): String = {
+    require(cols.length == 2,
+      s"z-order interleaves exactly two columns, got $cols")
+    val inP = new org.apache.hadoop.fs.Path(inDir)
+    val inFs = inP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val treeCols = partitionColsOf(inP, visibleDataFiles(inFs, inP))
+    require(treeCols.isEmpty,
+      s"$inDir is Hive-partitioned on (${treeCols.mkString(", ")}) — " +
+        "z-ordering would flatten the tree and lose directory pruning")
+    val df = spark.read.parquet(inDir)
+    require(cols.forall(df.columns.contains),
+      s"z-order columns ${cols.mkString(", ")} must exist in $inDir")
+    cols.foreach { c =>
+      require(df.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order column $c is ${df.schema(c).dataType.simpleString} " +
+          "— interleaving needs numeric rank space (cast dates to " +
+          "days first)")
+    }
+    val Seq(a, b) = cols
+    val mm = df.agg(
+      min(col(a)).cast("double"), max(col(a)).cast("double"),
+      min(col(b)).cast("double"), max(col(b)).cast("double"))
+      .collect()(0)
+    def scaled(c: String, lo: Double, hi: Double) =
+      if (mm.anyNull || hi <= lo) lit(0L)
+      else ((col(c).cast("double") - lit(lo)) * lit(65535.0) /
+        lit(hi - lo)).cast("long")
+    val zk = zorderKey(
+      scaled(a, mm.getDouble(0), mm.getDouble(1)),
+      scaled(b, mm.getDouble(2), mm.getDouble(3)))
+    val n =
+      if (files > 0) files
+      else math.max(math.max(1L, df.inputFiles.length.toLong),
+        (visibleDataFiles(inFs, inP).map(_.getLen).sum +
+          (128L * 1024 * 1024) - 1) / (128L * 1024 * 1024)).toInt
+    df.withColumn("__graft_zk", zk)
+      .repartitionByRange(n, col("__graft_zk"))
+      .sortWithinPartitions("__graft_zk")
+      .drop("__graft_zk")
+      .write.mode("overwrite").parquet(outDir)
+    outDir
+  }
+
   private val sortedCopyLock = new Object
 
-  /** Idempotent per-SF RANGE-CLUSTERED copy of lineitem on
-    * `l_orderkey` ([[sortByColumns]]) — q194's fixture, the
-    * sort-cluster twin of q186's bucketed CTAS. Fingerprint-validated
-    * like the IVF index: a changed source rebuilds; the marker is
-    * written LAST, so a crashed build rebuilds instead of serving a
-    * partial copy. 16 files at the test SFs so row-group min/max
-    * stats have skip granularity (the size-targeted default takes
-    * over at real scale, where files are row-group-sized anyway).
+  /** Idempotent per-SF clustered copy of a table under
+    * `spark-warehouse/graft_sorted/<prefix>_<sf>_<tag>/data`, built
+    * by `build(src, out)`. Fingerprint-validated like the IVF index:
+    * a changed source rebuilds; the marker is written LAST, so a
+    * crashed build rebuilds instead of serving a partial copy.
     */
-  def ensureSortedLineitem(spark: SparkSession, sfDir: String): String =
+  private def ensureClusteredCopy(spark: SparkSession, sfDir: String,
+      table: String, prefix: String,
+      build: (String, String) => Unit): String =
     sortedCopyLock.synchronized {
       val canonical = new java.io.File(sfDir).getCanonicalPath
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(canonical.getBytes("UTF-8")).take(4)
         .map("%02x".format(_)).mkString
-      val root = new java.io.File("spark-warehouse/graft_sorted/li_" +
-        new java.io.File(sfDir).getName.replace('.', '_') + "_" + tag)
+      val root = new java.io.File(
+        s"spark-warehouse/graft_sorted/${prefix}_" +
+          new java.io.File(sfDir).getName.replace('.', '_') + "_" + tag)
         .getAbsoluteFile
       val dataPath = new java.io.File(root, "data").getAbsolutePath
       val marker = new java.io.File(root, "_graft_fp")
-      val src = new java.io.File(sfDir, "lineitem.parquet")
+      val src = new java.io.File(sfDir, s"$table.parquet")
         .getAbsolutePath
       val srcFp = dirFingerprint(spark, src)
       val valid = marker.isFile && new String(java.nio.file.Files
@@ -487,12 +546,33 @@ object Layout {
             java.util.Comparator.reverseOrder())
             .forEach(p => java.nio.file.Files.deleteIfExists(p))
         root.mkdirs()
-        sortByColumns(spark, src, dataPath, Seq("l_orderkey"),
-          files = 16)
+        build(src, dataPath)
         java.nio.file.Files.write(marker.toPath, srcFp.getBytes("UTF-8"))
       }
       dataPath
     }
+
+  /** Idempotent per-SF RANGE-CLUSTERED copy of lineitem on
+    * `l_orderkey` ([[sortByColumns]]) — q194's fixture, the
+    * sort-cluster twin of q186's bucketed CTAS. 16 files at the test
+    * SFs so row-group min/max stats have skip granularity (the
+    * size-targeted default takes over at real scale, where files are
+    * row-group-sized anyway).
+    */
+  def ensureSortedLineitem(spark: SparkSession, sfDir: String): String =
+    ensureClusteredCopy(spark, sfDir, "lineitem", "li",
+      (src, out) => sortByColumns(spark, src, out, Seq("l_orderkey"),
+        files = 16))
+
+  /** Idempotent per-SF Z-ORDER-CLUSTERED copy of lineitem on
+    * (`l_orderkey`, `l_partkey`) ([[zorderByColumns]]) — q195's
+    * fixture. 32 files = a 32-cell grid at the test SFs.
+    */
+  def ensureZorderedLineitem(spark: SparkSession,
+      sfDir: String): String =
+    ensureClusteredCopy(spark, sfDir, "lineitem", "liz",
+      (src, out) => zorderByColumns(spark, src, out,
+        Seq("l_orderkey", "l_partkey"), files = 32))
 
   /** q194: the range-slice report the sort-clustered copy exists
     * for — the scan EMITS ≈ the slice (row-group min/max skipping on
@@ -510,6 +590,25 @@ object Layout {
         round(expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)"),
           4).as("sum_qty"),
         round(min(col("l_extendedprice")), 4).as("min_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q195: the 2-D box report the z-order-clustered copy exists for —
+    * the scan EMITS ≈ the box's cells (both columns' per-file min/max
+    * are tight under the interleave), not the table; the oracle
+    * recomputes the identical report from raw lineitem in DuckDB —
+    * z-ordering is a LAYOUT choice, invisible in the answer.
+    */
+  def zorderRangeScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dataPath = ensureZorderedLineitem(spark, sfDir)
+    spark.read.parquet(dataPath)
+      .filter(col("l_orderkey") >= 1000L && col("l_orderkey") < 3000L &&
+        col("l_partkey") >= 100L && col("l_partkey") < 500L)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)"),
+          4).as("sum_qty"))
       .orderBy("l_returnflag")
   }
 

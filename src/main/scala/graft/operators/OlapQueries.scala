@@ -2958,6 +2958,10 @@ object OlapQueries {
         Layout.ensureSortedLineitem(s, d)
         () => ()
       }),
+      "q195_zorder_scan" -> ((s: SparkSession, d: String) => {
+        Layout.ensureZorderedLineitem(s, d)
+        () => ()
+      }),
       // the IVF index is a WRITE-TIME cost (fingerprint-validated,
       // rebuilt only when the corpus changes); the timed number is
       // the partition-pruned probe alone

@@ -71,7 +71,16 @@ package graft.plans
   *    more rows than the filter keeps (row-group stats not
   *    skipping). Lever: rewrite range-clustered
   *    ([[graft.operators.Layout.sortByColumns]]) — the high-NDV
-  *    complement to partitioning.
+  *    complement to partitioning. EXACTLY TWO shared range columns
+  *    upgrade to a Z-ORDER nomination
+  *    ([[graft.operators.Layout.zorderByColumns]]): interleaved-bit
+  *    cells make both columns' stats tight where a lexicographic
+  *    sort serves only its leading column.
+  *  - COMPACT CANDIDATE: a scan of ≥16 files averaging <4 MB — the
+  *    small-files flag that always rode in the scan lever's prose,
+  *    as a machine-readable nomination. Lever:
+  *    [[graft.operators.Layout.compact]] (size-targeted rewrite,
+  *    partition-tree-preserving).
   */
 object Advisor {
 
@@ -181,6 +190,14 @@ object Advisor {
     val sortClusterCand = collection.mutable.Map.empty[String,
       (collection.mutable.Map[String, Long],
         collection.mutable.Map[String, Set[String]])]
+    // compaction candidates: path -> (per-query worst file count,
+    // bytes). The small-files flag has always ridden along in the
+    // scan lever's PROSE; this is its machine-readable, actable form
+    // (Layout.compact) — one nomination per shattered path, however
+    // many queries scan it. Self-converging: the compacted copy's
+    // file count drops below the shatter bar.
+    val compactCand = collection.mutable.Map.empty[String,
+      (collection.mutable.Map[String, Long], Array[Long])]
     // refreshDelta candidates: summary name -> per-query worst
     // compensated-delta bytes. A query that scans a graft_summaries
     // generation AND raw source files in the same plan is a
@@ -376,6 +393,15 @@ object Advisor {
             val bytes = metric("filesSize")
             val smallFiles = nFiles >= 16 && bytes > 0 &&
               bytes / nFiles < 4L * 1024 * 1024
+            if (smallFiles && pth.nonEmpty &&
+                !pth.contains("graft_summaries")) {
+              val (qs, meta) = compactCand.getOrElseUpdate(pth,
+                (collection.mutable.Map.empty[String, Long],
+                  Array(0L, 0L)))
+              qs(qname) = math.max(qs.getOrElse(qname, 0L), nFiles)
+              meta(0) = math.max(meta(0), nFiles)
+              meta(1) = math.max(meta(1), bytes)
+            }
             val lever =
               (if (smallFiles)
                  s"$nFiles files averaging ${bytes / nFiles / 1024} KB" +
@@ -658,6 +684,10 @@ object Advisor {
         else {
           val rows = qs.values.sum
           val cols = common.toSeq.sorted
+          // exactly TWO shared range columns → a lexicographic sort
+          // serves only its leading column; nominate Z-ORDER instead
+          // (bit-interleaved cells make BOTH columns' stats tight)
+          val twoD = cols.length == 2
           Some(Finding(s"${qs.size} queries", s"Scan $pth",
             "range-filtered rows read beyond kept", rows, "rows",
             s"${qs.keys.toSeq.sorted.take(4).mkString(", ")}" +
@@ -665,15 +695,40 @@ object Advisor {
               s" all push a RANGE predicate on (${cols.mkString(", ")})" +
               s" yet the scan emits $rows rows the filter then drops " +
               "(row-group min/max stats cannot skip on a scattered " +
-              "layout): rewrite the table range-clustered on those " +
-              "columns (Advisor.actOnSortClustering / " +
-              "Layout.sortByColumns) so pushed range predicates skip " +
-              "whole row groups at read — a layout change for the " +
-              "table owner; queries must read the clustered copy",
-            kind = "sort-cluster", paths = Seq(pth), grain = cols,
+              "layout): rewrite the table " +
+              (if (twoD)
+                 "Z-ORDER-clustered on the pair " +
+                   "(Advisor.actOnZorderClustering / " +
+                   "Layout.zorderByColumns) so each file covers a 2-D " +
+                   "cell and a box predicate skips everything outside"
+               else
+                 "range-clustered on those columns " +
+                   "(Advisor.actOnSortClustering / " +
+                   "Layout.sortByColumns) so pushed range predicates " +
+                   "skip whole row groups at read") +
+              " — a layout change for the table owner; queries must " +
+              "read the clustered copy",
+            kind = if (twoD) "zorder-cluster" else "sort-cluster",
+            paths = Seq(pth), grain = cols,
             queries = qs.keys.toSeq.sorted))
         }
       case _ => None
+    }.sortBy(f => (-f.value, f.op)).take(topN)
+    val compactions = compactCand.toSeq.map {
+      case (pth, (qs, meta)) =>
+        val (nf, bytes) = (meta(0), meta(1))
+        Finding(s"${qs.size} quer" + (if (qs.size == 1) "y" else "ies"),
+          s"Scan $pth", "shattered-table file count", nf, "files",
+          s"$nf files averaging ${bytes / math.max(nf, 1) / 1024} KB " +
+            s"scanned by ${qs.keys.toSeq.sorted.take(4).mkString(", ")}" +
+            (if (qs.size > 4) ", …" else "") +
+            ": per-file open/footer overhead dominates a read this " +
+            "shattered — rewrite size-targeted " +
+            "(Advisor.actOnCompaction / Layout.compact, ~128 MB " +
+            "files) and repoint; at 100 TB the same shatter costs a " +
+            "task per tiny file",
+          kind = "compact", paths = Seq(pth),
+          queries = qs.keys.toSeq.sorted)
     }.sortBy(f => (-f.value, f.op)).take(topN)
     val refreshes = refreshCand.toSeq.map { case (name, qs) =>
       Finding(s"${qs.size} queries", s"Summary $name",
@@ -690,7 +745,7 @@ object Advisor {
     top(spills) ++ top(loops) ++ top(exchanges) ++ top(scans) ++
       top(broadcasts) ++ top(sorts) ++ summaries ++ joinSummaries ++
       histograms ++ rollups ++ buckets ++ partitions ++
-      sortClusters ++ refreshes
+      sortClusters ++ compactions ++ refreshes
   }
 
   /** ACT on an MV nomination: perform the Summaries.create /
@@ -922,6 +977,41 @@ object Advisor {
       s"sort-cluster nomination without a table/columns: $f")
     graft.operators.Layout.sortByColumns(
       spark, f.paths.head, outDir, f.grain)
+  }
+
+  /** ACT on a ZORDER-CLUSTER nomination (exactly two shared range
+    * columns): rewrite the nominated table z-order-clustered
+    * ([[graft.operators.Layout.zorderByColumns]]) so a 2-D box
+    * predicate skips every file outside its cells — where a
+    * lexicographic sort would serve only the leading column.
+    * `files` sets the cell-grid resolution explicitly (tests);
+    * 0 derives it from size.
+    */
+  def actOnZorderClustering(spark: org.apache.spark.sql.SparkSession,
+      f: Finding, outDir: String, files: Int = 0): String = {
+    require(f.kind == "zorder-cluster",
+      s"not a zorder-clustering nomination: $f")
+    require(f.paths.length == 1 && f.grain.length == 2,
+      s"zorder nomination without a table/column pair: $f")
+    graft.operators.Layout.zorderByColumns(
+      spark, f.paths.head, outDir, f.grain, files)
+  }
+
+  /** ACT on a COMPACT nomination: rewrite the shattered table
+    * size-targeted ([[graft.operators.Layout.compact]], preserving a
+    * Hive-partitioned tree) and return the copy's path. Answers
+    * unchanged; the re-traced scan drops below the shatter bar, so
+    * the nomination disappears.
+    */
+  def actOnCompaction(spark: org.apache.spark.sql.SparkSession,
+      f: Finding, outDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): String = {
+    require(f.kind == "compact", s"not a compaction nomination: $f")
+    require(f.paths.length == 1,
+      s"compaction nomination without a table: $f")
+    graft.operators.Layout.compact(spark, f.paths.head, outDir,
+      targetFileBytes)
+    outDir
   }
 
   /** Single-part column names of conjuncts of ONE comparison shape:

@@ -114,7 +114,16 @@ class AdvisorSpec extends SparkSpec {
       """{"op":"Scan parquet u","depth":2,"path":"/data/u","filters":["(ts >= 10)"],"metrics":{"numOutputRows":100000}}]}""",
     """{"event":"query","name":"qP","wall_ms":200,"ts_ms":1,"operators":[""" +
       """{"op":"Filter","depth":1,"cond":["(ts >= 10)"],"metrics":{"scanTime":1}},""" +
-      """{"op":"Scan parquet u","depth":2,"path":"/data/u","filters":["(ts >= 10)"],"metrics":{"numOutputRows":100000}}]}""")
+      """{"op":"Scan parquet u","depth":2,"path":"/data/u","filters":["(ts >= 10)"],"metrics":{"numOutputRows":100000}}]}""",
+    // qQ/qR: ranges on TWO shared columns — the nomination upgrades
+    // to Z-ORDER (a lexicographic sort would serve only the leading
+    // column of the pair)
+    """{"event":"query","name":"qQ","wall_ms":200,"ts_ms":1,"operators":[""" +
+      """{"op":"Filter","depth":1,"cond":["(x0 >= 10)","(y0 < 90)"],"metrics":{"numOutputRows":200}},""" +
+      """{"op":"Scan parquet w2","depth":2,"path":"/data/w2","filters":["(x0 >= 10)","(y0 < 90)"],"metrics":{"numOutputRows":100000}}]}""",
+    """{"event":"query","name":"qR","wall_ms":200,"ts_ms":1,"operators":[""" +
+      """{"op":"Filter","depth":1,"cond":["(x0 < 50)","(y0 >= 20)"],"metrics":{"numOutputRows":300}},""" +
+      """{"op":"Scan parquet w2","depth":2,"path":"/data/w2","filters":["(x0 < 50)","(y0 >= 20)"],"metrics":{"numOutputRows":100000}}]}""")
 
   test("deterministic fixture: every signal class found, ranked, levered") {
     // the fixture feeds TWICE: repeated executions of the same
@@ -220,6 +229,17 @@ class AdvisorSpec extends SparkSpec {
     assert(!fs.exists(f => f.kind == "sort-cluster" &&
       f.paths.contains("/data/u")),
       "a residual predicate or a missing metric must not nominate")
+    // TWO shared range columns upgrade to a Z-ORDER nomination
+    val zc = fs.filter(_.kind == "zorder-cluster")
+    assert(zc.size == 1 && zc.head.op == "Scan /data/w2" &&
+      zc.head.grain == Seq("x0", "y0"), s"$zc")
+    assert(zc.head.lever.contains("Layout.zorderByColumns"))
+    // the shattered qA scan (64 files averaging ~102 KB) is a
+    // machine-readable compaction nomination, deduped per path
+    val cp = fs.filter(_.kind == "compact")
+    assert(cp.size == 1 && cp.head.paths == Seq("/data/t") &&
+      cp.head.value == 64L, s"$cp")
+    assert(cp.head.lever.contains("Layout.compact"))
     // report renders one line per finding
     assert(Advisor.report(fs).linesIterator.size == fs.size)
     assert(Advisor.report(Nil).contains("no findings"))
@@ -508,6 +528,10 @@ class AdvisorSpec extends SparkSpec {
     }
     val expected = workload(srcPath).map(_().collect().toSeq)
     val preRows = scanRows(workload(srcPath).head())
+    // flush the pre-install executions' end events: a straggler
+    // landing after install would add an unlabeled line to the trace
+    org.apache.spark.sql.GraftColumnBridge
+      .drainListenerBus(spark, 10000L)
     val listener = TraceCapture.install(spark, tracePath)
     try {
       workload(srcPath).zipWithIndex.foreach { case (q, i) =>
@@ -525,7 +549,8 @@ class AdvisorSpec extends SparkSpec {
           s"pushed range predicates: $all"))
       assert(nom.grain == Seq("l_orderkey"), nom.toString)
       assert(nom.value > 0, s"no measured unskipped rows: $nom")
-      assert(nom.queries.size == 2, nom.toString)
+      assert(Seq("sq0", "sq1").forall(nom.queries.contains),
+        nom.toString)
       // a RANGE workload must NOT nominate Hive partitioning — a
       // directory per l_orderkey value is the layout anti-pattern
       assert(!all.exists(f => f.kind == "partition" &&
@@ -555,6 +580,188 @@ class AdvisorSpec extends SparkSpec {
         .exists(f => f.kind == "sort-cluster" &&
           f.paths.exists(_.contains("li_s_sorted"))),
         "the clustered workload must not re-nominate")
+    } finally {
+      TraceCapture.uninstall(spark, listener)
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("z-order loop closes with measured evidence: two queries " +
+      "pushing 2-D BOX predicates nominate zorder-cluster, acting " +
+      "cuts the scan-emitted rows (both columns' stats tighten), " +
+      "and the re-trace does not re-nominate") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val dir = Files.createTempDirectory("graft-adv-zorder")
+    val srcPath = dir.resolve("li_z").toString
+    val outPath = dir.resolve("li_z_zorder").toString
+    val tracePath = dir.resolve("t.jsonl").toString
+    Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+      .repartition(8).write.parquet(srcPath)
+    val mm = spark.read.parquet(srcPath).agg(
+      min("l_orderkey"), max("l_orderkey"),
+      min("l_partkey"), max("l_partkey")).collect()(0)
+    val (xlo, xhi) = (mm.getLong(0), mm.getLong(1))
+    val (ylo, yhi) = (mm.getLong(2), mm.getLong(3))
+    val xs = (xhi - xlo) / 5 // a 20% span per dimension
+    val ys = (yhi - ylo) / 5
+    def workload(path: String) = Seq(
+      () => spark.read.parquet(path)
+        .filter(col("l_orderkey") >= xlo &&
+          col("l_orderkey") < xlo + xs &&
+          col("l_partkey") >= ylo && col("l_partkey") < ylo + ys)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sq")),
+      () => spark.read.parquet(path)
+        .filter(col("l_orderkey") >= xlo + xs &&
+          col("l_orderkey") < xlo + 2 * xs &&
+          col("l_partkey") >= ylo + ys &&
+          col("l_partkey") < ylo + 2 * ys)
+        .agg(count(lit(1)).as("n")))
+    def readTrace(min: Int): Seq[String] = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var lines = Seq.empty[String]
+      while (lines.size < min && System.nanoTime() < deadline) {
+        if (Files.exists(Paths.get(tracePath)))
+          lines = Files.readAllLines(Paths.get(tracePath)).asScala.toSeq
+        if (lines.size < min) Thread.sleep(50)
+      }
+      lines
+    }
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      allPlanNodes(df.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+    }
+    val expected = workload(srcPath).map(_().collect().toSeq)
+    val preRows = scanRows(workload(srcPath).head())
+    org.apache.spark.sql.GraftColumnBridge
+      .drainListenerBus(spark, 10000L)
+    val listener = TraceCapture.install(spark, tracePath)
+    try {
+      workload(srcPath).zipWithIndex.foreach { case (q, i) =>
+        TraceCapture.setLabel(s"zq$i")
+        q().write.format("noop").mode("overwrite").save()
+        org.apache.spark.sql.GraftColumnBridge
+          .drainListenerBus(spark, 10000L)
+      }
+      TraceCapture.clearLabel()
+      val lines = readTrace(2)
+      assert(lines.size >= 2)
+      val nom = Advisor.advise(lines.iterator)
+        .find(_.kind == "zorder-cluster")
+        .getOrElse(fail("no zorder nomination from repeated 2-D " +
+          s"boxes: ${Advisor.advise(lines.iterator)}"))
+      assert(nom.grain == Seq("l_orderkey", "l_partkey"), nom.toString)
+      assert(Seq("zq0", "zq1").forall(nom.queries.contains),
+        nom.toString)
+      // ACT with an explicit 64-cell grid (skip granularity IS the
+      // grid; the toy SF needs a finer one than size-derived)
+      val acted = Advisor.actOnZorderClustering(spark, nom, outPath,
+        files = 64)
+      assert(workload(acted).map(_().collect().toSeq) == expected)
+      val postRows = scanRows(workload(acted).head())
+      assert(postRows * 2 < preRows,
+        s"2-D stats skipping must drop the read: $preRows->$postRows")
+      // convergence: the clustered copy does not re-nominate
+      Files.deleteIfExists(Paths.get(tracePath))
+      workload(acted).zipWithIndex.foreach { case (q, i) =>
+        TraceCapture.setLabel(s"zq${i + 2}")
+        q().write.format("noop").mode("overwrite").save()
+        org.apache.spark.sql.GraftColumnBridge
+          .drainListenerBus(spark, 10000L)
+      }
+      TraceCapture.clearLabel()
+      val lines2 = readTrace(2)
+      assert(!Advisor.advise(lines2.iterator)
+        .exists(f => f.kind == "zorder-cluster" &&
+          f.paths.exists(_.contains("li_z_zorder"))),
+        "the z-ordered workload must not re-nominate")
+    } finally {
+      TraceCapture.uninstall(spark, listener)
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("compaction loop closes with measured evidence: a shattered " +
+      "table nominates kind=compact, acting rewrites size-targeted " +
+      "(scanned file count collapses, answers unchanged), and the " +
+      "re-trace does not re-nominate") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val dir = Files.createTempDirectory("graft-adv-compact")
+    val srcPath = dir.resolve("li_c").toString
+    val outPath = dir.resolve("li_c_compact").toString
+    val tracePath = dir.resolve("t.jsonl").toString
+    Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity")
+      .repartition(64).write.parquet(srcPath) // the shatter
+    def workload(path: String) = Seq(
+      () => spark.read.parquet(path).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n")).orderBy("l_returnflag"),
+      () => spark.read.parquet(path)
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq")))
+    def readTrace(min: Int): Seq[String] = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var lines = Seq.empty[String]
+      while (lines.size < min && System.nanoTime() < deadline) {
+        if (Files.exists(Paths.get(tracePath)))
+          lines = Files.readAllLines(Paths.get(tracePath)).asScala.toSeq
+        if (lines.size < min) Thread.sleep(50)
+      }
+      lines
+    }
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      allPlanNodes(df.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val expected = workload(srcPath).map(_().collect().toSeq)
+    assert(scanFiles(workload(srcPath).head()) == 64L)
+    org.apache.spark.sql.GraftColumnBridge
+      .drainListenerBus(spark, 10000L)
+    val listener = TraceCapture.install(spark, tracePath)
+    try {
+      workload(srcPath).zipWithIndex.foreach { case (q, i) =>
+        TraceCapture.setLabel(s"cq$i")
+        q().write.format("noop").mode("overwrite").save()
+        org.apache.spark.sql.GraftColumnBridge
+          .drainListenerBus(spark, 10000L)
+      }
+      TraceCapture.clearLabel()
+      val lines = readTrace(2)
+      assert(lines.size >= 2)
+      val nom = Advisor.advise(lines.iterator).find(_.kind == "compact")
+        .getOrElse(fail("no compaction nomination from a shattered " +
+          s"scan: ${Advisor.advise(lines.iterator)}"))
+      assert(nom.value == 64L &&
+        Seq("cq0", "cq1").forall(nom.queries.contains), nom.toString)
+      val acted = Advisor.actOnCompaction(spark, nom, outPath)
+      assert(workload(acted).map(_().collect().toSeq) == expected)
+      val postFiles = scanFiles(workload(acted).head())
+      assert(postFiles < 16L,
+        s"compaction must collapse the file count: 64 -> $postFiles")
+      // the compacted copy sits below the shatter bar: no nomination
+      Files.deleteIfExists(Paths.get(tracePath))
+      workload(acted).zipWithIndex.foreach { case (q, i) =>
+        TraceCapture.setLabel(s"cq${i + 2}")
+        q().write.format("noop").mode("overwrite").save()
+        org.apache.spark.sql.GraftColumnBridge
+          .drainListenerBus(spark, 10000L)
+      }
+      TraceCapture.clearLabel()
+      val lines2 = readTrace(2)
+      assert(!Advisor.advise(lines2.iterator)
+        .exists(f => f.kind == "compact" &&
+          f.paths.exists(_.contains("li_c_compact"))),
+        "the compacted workload must not re-nominate")
     } finally {
       TraceCapture.uninstall(spark, listener)
       Files.walk(dir).iterator().asScala.toSeq.reverse

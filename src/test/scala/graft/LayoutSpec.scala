@@ -369,6 +369,30 @@ class LayoutSpec extends SparkSpec {
       "an unchanged source must not rebuild the copy")
   }
 
+  test("q195: the z-order-clustered lineitem copy answers the 2-D " +
+      "box exactly like raw, with the scan EMITTING a fraction of " +
+      "the table (both columns' stats tight under the interleave)") {
+    val df = Layout.zorderRangeScan(spark, sf)
+    val rows = df.collect().toSeq
+    val raw = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_orderkey") >= 1000L && col("l_orderkey") < 3000L &&
+        col("l_partkey") >= 100L && col("l_partkey") < 500L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        round(expr(
+          "cast(sum(cast(l_quantity as decimal(18,2))) as double)"), 4)
+          .as("sum_qty"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(rows == raw && rows.nonEmpty)
+    val total = Tables.load(spark, sf, "lineitem").count()
+    val emitted = allPlanNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numOutputRows").value
+    }.sum
+    assert(emitted > 0 && emitted * 10 < total * 6,
+      s"2-D stats skipping must bound the read: $emitted of $total")
+  }
+
   test("partitionByColumns REFUSES when partition-directory type " +
       "inference would change the column on read-back (answers-" +
       "unchanged contract), and accepts inference-stable columns") {

@@ -218,9 +218,14 @@ object Dedup {
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"), portableBandKey(col("sig"), b).as("sig"))
     }
+    // persisted (doc_id, band, key — 12 narrow rows per doc): BOTH
+    // sides of the band self-join read this frame, and unpersisted
+    // each side re-ran the 72-hash MinHash signature kernel over every
+    // shingle array — the pipeline's dominant per-row cost, paid twice
     val banded = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .persist()
 
     val l = banded.as("l")
     val r = banded.as("r")
@@ -372,7 +377,10 @@ object Dedup {
     val dfreq = docs.select(explode(col("hss")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
 
-    val prefix = prefixFrame(docs, dfreq, t)
+    // persisted: BOTH sides of the candidate self-join read the prefix
+    // index — unpersisted, the df aggregate and the rare-first prefix
+    // grouping (the pipeline's two expensive exchanges) ran twice
+    val prefix = prefixFrame(docs, dfreq, t).persist()
 
     // candidates: docs sharing ≥1 prefix token, with the size-ratio
     // prune (J ≤ min/max) applied inside the join

@@ -1476,18 +1476,26 @@ object OlapQueries {
     */
   def copurchaseLift(spark: SparkSession, sfDir: String,
       minSupport: Int = 3, topK: Int = 20): DataFrame = {
-    val baskets = Tables.load(spark, sfDir, "lineitem")
+    // ONE grouping exchange carries the raw (o, p) stream: collect_set
+    // dedups each basket map-side INSIDE the aggregate — the earlier
+    // spelling paid a distinct() exchange AND a repartition(o) exchange
+    // for the same dedup+layout — and the cached frame is
+    // order-NDV-sized (one row per basket). The order count, the
+    // margins, and pair generation all read this cache.
+    val adj = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-      .repartition(col("o")) // basket grouping reuses this layout
-      .persist() // pair generation + margins + order count
-    val nOrders = baskets.select("o").distinct().count()
-    val margins = baskets.groupBy("p").agg(count(lit(1)).as("c"))
+      .groupBy("o")
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .persist()
+    val nOrders = adj.count() // one row per basket by construction
+    val margins = adj.select(explode(col("ps")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("c"))
       .persist() // part-NDV sized; a-priori bound + lift denominators
-    val out = copurchaseLiftPlan(baskets, margins, nOrders,
+    val out = copurchaseLiftPlanAdj(adj, margins, nOrders,
       minSupport, topK)
+    graft.plans.PlanProbe.dump("q147_copurchase_lift_internal", out)
     val rows = out.collect().toSeq
-    baskets.unpersist(false)
+    adj.unpersist(false)
     margins.unpersist(false)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), out.schema)
@@ -1495,17 +1503,34 @@ object OlapQueries {
 
   /** The lazy lift plan over pre-reduced baskets/margins frames —
     * separate so plan tests can assert the a-priori semi-join feeds
-    * the pair self-join before anything materializes.
+    * the pair generation before anything materializes. Baskets arrive
+    * as (o, p) rows; the adjacency grouping happens here.
     */
   private[graft] def copurchaseLiftPlan(baskets: DataFrame,
       margins: DataFrame, nOrders: Long, minSupport: Int,
+      topK: Int): DataFrame =
+    copurchaseLiftPlanAdj(
+      baskets.groupBy("o")
+        .agg(sort_array(collect_set(col("p"))).as("ps")),
+      margins, nOrders, minSupport, topK)
+
+  /** The lift plan over a pre-grouped basket adjacency (o, ps: sorted
+    * distinct parts) — the shape [[copurchaseLift]] caches.
+    */
+  private[graft] def copurchaseLiftPlanAdj(adj: DataFrame,
+      margins: DataFrame, nOrders: Long, minSupport: Int,
       topK: Int): DataFrame = {
     val qualifying = margins.filter(col("c") >= minSupport).select("p")
-    val pruned = baskets.join(qualifying, Seq("p"), "left_semi")
-    // adjacency-explode pair generation (the q140 spelling): ONE
-    // grouping shuffle — riding the basket cache's o-partitioning —
-    // builds each basket's sorted part list, C(basket,2) pair rows
-    // explode in-place; no self-join, each unordered pair exactly once
+    // a-priori prune at the basket-member grain: the explode rides the
+    // adjacency's o-partitioning, the semi-join builds its hash table
+    // from the part-NDV-sized qualifying set (broadcast — never a
+    // shuffle of the members), so the re-group below adds no exchange
+    val pruned = adj.select(col("o"), explode(col("ps")).as("p"))
+      .join(broadcast(qualifying), Seq("p"), "left_semi")
+    // adjacency-explode pair generation (the q140 spelling): re-group
+    // the pruned members — no exchange, the o-partitioning survived
+    // the explode and the broadcast semi-join — then C(basket,2) pair
+    // rows explode in-place; no self-join, each unordered pair once
     val pairs = pruned.groupBy("o")
       .agg(sort_array(collect_list(col("p"))).as("ps"))
       .select(explode(PageRank.sortedPairs(col("ps"))).as("pr"))
@@ -1588,6 +1613,13 @@ object OlapQueries {
     */
   def iqrOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Percentiles.Measure
+    // the Measure stays on the DERIVED integer-cents column (scale 1),
+    // NOT on l_extendedprice at scale 100: the fence arithmetic below
+    // runs in exact cents, and a scale-100 measure would hand back
+    // dollars (cents/100.0 — a division the ×100 round trip cannot
+    // always undo bit-exactly). The cost is one estimation aggregate
+    // the catalog-stats fast path would have skipped — correctness
+    // over the saved job.
     val li = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))

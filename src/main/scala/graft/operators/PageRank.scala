@@ -298,21 +298,28 @@ object PageRank {
     * take the plain self-join untouched.
     */
   def butterflyCount(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Tables.load(spark, sfDir, "lineitem")
+    // ONE grouping exchange carries the raw (c, s) stream: collect_set
+    // dedups per customer inside the aggregate (subsuming the separate
+    // distinct() exchange the pair spelling paid), and the cached frame
+    // is customer-NDV-sized — every later pass (degree probe, wedge
+    // generation, edge count) reads it, never the fact join again
+    val adj = Tables.load(spark, sfDir, "lineitem")
       .join(Tables.load(spark, sfDir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-      .persist() // both sides of the wedge self-join
-    // statistics pick the plan: one NDV-sized degree probe over the
+      .groupBy("c")
+      .agg(sort_array(collect_set(col("s"))).as("ss"))
+      .persist()
+    // statistics pick the plan: one degree probe over the NDV-sized
     // cache decides whether any hub exists — the bulk case (none)
-    // runs the plain self-join with ZERO mitigation overhead, and the
+    // explodes wedges in-row with ZERO mitigation overhead, and the
     // salted path only builds when a hub is actually present
-    val maxDeg = pairs.groupBy("c").agg(count(lit(1)).as("d"))
-      .agg(max("d")).head().getLong(0)
-    val out = butterflyCensusPlan(pairs, maxDegree = Some(maxDeg))
+    val maxDeg = adj.agg(coalesce(max(size(col("ss"))), lit(0)))
+      .head().getInt(0).toLong
+    val out = butterflyCensusPlanAdj(adj, maxDegree = Some(maxDeg))
+    graft.plans.PlanProbe.dump("q140_butterflies_internal", out)
     val rows = out.collect().toSeq // 1-row report; release the cache
-    pairs.unpersist(false)
+    adj.unpersist(false)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), out.schema)
   }
@@ -342,28 +349,47 @@ object PageRank {
 
   private[graft] def butterflyCensusPlan(pairs: DataFrame,
       hubDegreeCap: Int = 4096,
+      maxDegree: Option[Long] = None): DataFrame =
+    butterflyCensusPlanAdj(
+      pairs.groupBy("c")
+        .agg(sort_array(collect_set(col("s"))).as("ss")),
+      hubDegreeCap, maxDegree)
+
+  /** The census over a pre-grouped adjacency frame (c, ss: sorted
+    * distinct suppliers) — the shape [[butterflyCount]] caches. The
+    * earlier pair-level spelling self-joined the edge stream on the
+    * customer, which shuffled it twice more (both join sides) after
+    * the distinct's exchange; here wedge pairs generate IN-ROW off the
+    * sorted adjacency ([[sortedPairs]] — C(deg,2) structs from
+    * codegen, each unordered pair exactly once), so the edge stream
+    * crosses the network exactly once, in the grouping exchange that
+    * builds `ss`. The hub guard is unchanged in spirit: light
+    * customers explode in-row (≤ C(cap,2) rows from one input row);
+    * hub adjacencies re-flatten and take the salted chunk join so one
+    * hot customer's C(deg,2) wedges spread over ⌈deg/cap⌉ tasks.
+    */
+  private[graft] def butterflyCensusPlanAdj(adj: DataFrame,
+      hubDegreeCap: Int = 4096,
       maxDegree: Option[Long] = None): DataFrame = {
     // wedge keys PACK into one long (s1·2³² + s2 — ids are far below
     // 2³¹): the census only needs pair IDENTITY, and a single-long
     // group key keeps the multi-million-row wedge aggregate in fast
     // codegen'd hash paths instead of two-column struct keys
     val pk = lit(1L << 32)
+    def inRowWedges(a: DataFrame) =
+      a.select(explode(sortedPairs(col("ss"))).as("pr"))
+        .select((col("pr.s1") * pk + col("pr.s2")).as("k"))
     val wedges = (if (maxDegree.exists(_ <= hubDegreeCap)) {
-      pairs.select(col("c"), col("s").as("s1"))
-        .join(pairs.select(col("c"), col("s").as("s2")), "c")
-        .filter(col("s1") < col("s2"))
-        .select((col("s1") * pk + col("s2")).as("k"))
+      inRowWedges(adj)
     } else {
-      val deg = pairs.groupBy("c").agg(count(lit(1)).as("degc"))
-      val hubs = deg.filter(col("degc") > hubDegreeCap)
-      val light = pairs.join(hubs, Seq("c"), "left_anti")
-      val lightWedges = light.select(col("c"), col("s").as("s1"))
-        .join(light.select(col("c"), col("s").as("s2")), "c")
-        .filter(col("s1") < col("s2"))
+      val lightWedges =
+        inRowWedges(adj.filter(size(col("ss")) <= hubDegreeCap))
       // hub path: chunk the adjacency, replicate the left leg across
       // chunks, join on (c, right-chunk) — same wedge multiset, spread
       // over ⌈deg/cap⌉ tasks per hub
-      val hubRows = pairs.join(hubs, Seq("c"))
+      val hubRows = adj.filter(size(col("ss")) > hubDegreeCap)
+        .select(col("c"), size(col("ss")).as("degc"),
+          explode(col("ss")).as("s"))
         .withColumn("nch",
           ceil(col("degc").cast("double") / hubDegreeCap).cast("int"))
         .withColumn("ch",
@@ -374,16 +400,19 @@ object PageRank {
         .join(hubRows.select(col("c"), col("s").as("s2"),
           col("ch").as("jch")), Seq("c", "jch"))
         .filter(col("s1") < col("s2"))
-        .select(col("c"), col("s1"), col("s2"))
-      lightWedges.select((col("s1") * pk + col("s2")).as("k"))
-        .unionAll(hubWedges.select((col("s1") * pk + col("s2")).as("k")))
+        .select((col("s1") * pk + col("s2")).as("k"))
+      lightWedges.unionAll(hubWedges)
     }).groupBy("k").agg(count(lit(1)).as("cnt"))
     wedges.agg(
       sum("cnt").as("n_wedges"),
       count(lit(1)).as("n_supplier_pairs"),
       // c choose 2 in integer math: c·(c−1) is even, div is exact
       sum(expr("cnt * (cnt - 1) div 2")).as("n_butterflies"))
-      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_edges"))))
+      // n_edges = Σ|adjacency|: the sets are distinct by construction,
+      // so this equals the distinct (c, s) pair count whether or not
+      // the caller's pair stream carried duplicates
+      .crossJoin(broadcast(adj.agg(
+        coalesce(sum(size(col("ss"))), lit(0L)).as("n_edges"))))
       .select(col("n_edges"), col("n_wedges"),
         col("n_supplier_pairs"), col("n_butterflies"))
   }

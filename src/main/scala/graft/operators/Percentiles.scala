@@ -260,18 +260,26 @@ object Percentiles {
           round(m.value * m.scale).cast("long").as(s"__q_${m.tag}")): _*)
     val callerCached = df.storageLevel != org.apache.spark.storage
       .StorageLevel.NONE
-    val src = if (callerCached) proj else proj.persist()
-    // re-derive each measure off its quantized column: q/scale is a
-    // double whose round(·scale) recovers exactly q (|q| ≤ 2^40 ≪
-    // 2^52), so every route sees bit-identical fixed-point values
-    val adjusted = measures.map(m =>
-      m.copy(value = col(s"__q_${m.tag}").cast("double") / m.scale))
     // plan from persisted ANALYZE stats when the source is an
     // analyzed table (ZERO estimation jobs — the estimator's catalog
     // half steering the route); the estimation aggregate is the
     // fallback for derived frames and computed measures. Hints beat
     // both (caller-known domain bounds cost nothing).
-    val stats = statsFromCatalog(df, measures, groupCol)
+    val catalogStats = statsFromCatalog(df, measures, groupCol)
+    // the projection persists only for DERIVED frames (catalog stats
+    // unresolvable — computed measures, filtered/joined sources):
+    // there each phase would re-run the derivation. A plain analyzed
+    // table load re-reads as a column-pruned parquet scan per phase —
+    // at 100 TB that is strictly better than materializing a
+    // corpus-sized cache nobody needs a third time.
+    val src = if (callerCached || catalogStats.isDefined) proj
+      else proj.persist()
+    // re-derive each measure off its quantized column: q/scale is a
+    // double whose round(·scale) recovers exactly q (|q| ≤ 2^40 ≪
+    // 2^52), so every route sees bit-identical fixed-point values
+    val adjusted = measures.map(m =>
+      m.copy(value = col(s"__q_${m.tag}").cast("double") / m.scale))
+    val stats = catalogStats
       .map(_.map { case (tag, s) => tag -> s.copy(
         ndv = ndvHints.getOrElse(tag, s.ndv),
         maxQ = maxQHints.getOrElse(tag, s.maxQ)) })
@@ -343,7 +351,7 @@ object Percentiles {
           .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
       else Nil)
     } finally {
-      if (!callerCached) src.unpersist(false)
+      if (!callerCached && catalogStats.isEmpty) src.unpersist(false)
     }
   }
 
@@ -785,38 +793,49 @@ object Percentiles {
       .toSeq.toDF("grp", "tag", "sidx")
     val keyed = counts.join(broadcast(stripeDf), Seq("grp", "tag"))
       .withColumn("key", col("sidx") * lit(1L << 40) + col("v"))
-    // persisted too: both the per-stripe totals and the probe join
-    // read the cumulative table — one window pass, not two
-    val cum = PrefixSum.withGlobalCumSum(keyed, "key", col("cnt"), "gcum")
-      .persist()
+    // NOT persisted (the probe join is its only consumer now): the
+    // per-stripe totals/offsets derive ON THE DRIVER from the shard
+    // totals the prefix sum collected anyway — a shard never spans two
+    // stripes (2^40-wide stripe key ranges, 2^20-key shards), so the
+    // aggregate pass that recomputed them over the cumulative table
+    // (and the cache that pass forced) is gone
+    val (cum, shardTotals) = PrefixSum.withGlobalCumSumAndTotals(
+      keyed, "key", col("cnt"), "gcum")
 
-    // per-stripe totals → starting offsets and n
-    val totals = cum.groupBy("grp", "tag")
-      .agg(sum("cnt").as("n"), max("gcum").as("gend"))
-      .withColumn("goff", col("gend") - col("n"))
+    // driver: per-stripe n and starting offset by an exclusive prefix
+    // scan over the sorted shard totals (shard = key div 2^20 ⇒
+    // stripe index = shard div 2^20)
+    val stripeN = scala.collection.mutable.LongMap.empty[Long]
+    val stripeOff = scala.collection.mutable.LongMap.empty[Long]
+    var runningOff = 0L
+    shardTotals.foreach { case (shard, t) =>
+      val sidx = shard >> 20
+      if (!stripeOff.contains(sidx)) stripeOff.update(sidx, runningOff)
+      stripeN.update(sidx, stripeN.getOrElse(sidx, 0L) + t)
+      runningOff += t
+    }
 
     // ≤2 probe rows per stripe×target: 1-based positions lo0+1, lo0+2
     // with weights (1−frac), frac — the hi row only exists when the
-    // rank is fractional, so position n+1 is never probed
-    val targetDf = measures.flatMap(m =>
-      m.targets.map { case (name, f) => (m.tag, name, f, m.scale) })
-      .toDF("tag", "target", "f", "mscale")
-    val probes = totals.join(broadcast(targetDf), "tag")
-      .select(col("grp").as("pgrp"), col("tag").as("ptag"),
-        col("target"), col("mscale"), col("goff"),
-        (col("f") * (col("n") - 1)).as("r"))
-      .select(col("pgrp"), col("ptag"), col("target"), col("mscale"),
-        col("goff"), floor(col("r")).as("lo0"),
-        (col("r") - floor(col("r"))).as("frac"))
-      .select(col("pgrp"), col("ptag"), col("target"), col("mscale"),
-        explode(array(
-          struct((col("goff") + col("lo0") + 1).as("pos"),
-            (lit(1.0) - col("frac")).as("weight")),
-          struct((col("goff") + col("lo0") + 2).as("pos"),
-            col("frac").as("weight")))).as("p"))
-      .select(col("pgrp"), col("ptag"), col("target"), col("mscale"),
-        col("p.pos").as("pos"), col("p.weight").as("weight"))
-      .filter(col("weight") > 0)
+    // rank is fractional, so position n+1 is never probed. Same
+    // arithmetic (f · (n−1) in doubles, floor, residual) the in-plan
+    // spelling ran, now over the driver-held stripe index.
+    val byTag = measures.map(m => m.tag -> m).toMap
+    val probeRows = stripes.toSeq.flatMap { case ((g, tg), i) =>
+      val n = stripeN.getOrElse(i.toLong, 0L)
+      val goff = stripeOff.getOrElse(i.toLong, 0L)
+      if (n == 0L) Nil
+      else byTag(tg).targets.flatMap { case (name, f) =>
+        val r = f * (n - 1)
+        val lo0 = math.floor(r).toLong
+        val frac = r - math.floor(r)
+        Seq((g, tg, name, byTag(tg).scale, goff + lo0 + 1, 1.0 - frac),
+          (g, tg, name, byTag(tg).scale, goff + lo0 + 2, frac))
+          .filter(_._6 > 0)
+      }
+    }
+    val probes = probeRows
+      .toDF("pgrp", "ptag", "target", "mscale", "pos", "weight")
 
     // rank-range probe: pos ∈ (gcum − cnt, gcum] picks the value at
     // that global rank; the probe side is stripes×targets×2 rows →
@@ -828,11 +847,11 @@ object Percentiles {
       .agg(sum(col("weight") * col("v").cast("double") / col("mscale"))
         .as("result"))
     // the report is stripes×targets rows — materialize it, then drop
-    // the two NDV-sized caches deterministically (a lazy return would
-    // leak them until RDD GC across repeated invocations)
+    // the NDV-sized cache deterministically (a lazy return would
+    // leak it until RDD GC across repeated invocations)
+    graft.plans.PlanProbe.dump("percentiles_multi_internal", out)
     val rows = out.collect().toSeq
     counts.unpersist(false)
-    cum.unpersist(false)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), out.schema)
   }

@@ -316,6 +316,12 @@ object Pipeline {
     val nt = TextAnalysis.tokenCount(col("text"))
     val q = TextAnalysis.qualityScore(col("text"), TextQueries.Stopwords)
     val dr = TextAnalysis.distinctRatio(col("text"))
+    // persisted (doc-grain, 3 narrow columns): the rate aggregate and
+    // BOTH PrefixSum passes read this frame — unpersisted, the
+    // text-kernel admission scan (sha2 + tokenize + quality) re-ran
+    // once per subtree copy, up to 6× per execution (the
+    // perplexityBuckets discipline; measured 1.69 s → the scan is the
+    // query's whole cost at any scale)
     val admitted = Tables.load(spark, sfDir, "documents")
       .filter(nt >= minTokens && q >= minQuality && dr >= minDistinct)
       .groupBy(unhex(sha2(col("text"), 256)).as("content_hash"))
@@ -323,6 +329,7 @@ object Pipeline {
         nt.cast("long").as("n_tokens"))).as("f"))
       .select(col("f.doc_id").as("doc_id"), col("f.lang").as("lang"),
         col("f.n_tokens").as("n_tokens"))
+      .persist()
     val counts = admitted.groupBy("lang").agg(count(lit(1)).as("n_docs"))
     val rates = counts
       .crossJoin(broadcast(counts.agg(min(col("n_docs")).as("n_min"))))

@@ -32,7 +32,19 @@ object PrefixSum {
     * on this, so it is coalesced once, up front).
     */
   def withGlobalCumSum(df: DataFrame, orderCol: String, value: Column,
-      outCol: String, shardWidth: Long = 1L << 20): DataFrame = {
+      outCol: String, shardWidth: Long = 1L << 20): DataFrame =
+    withGlobalCumSumAndTotals(df, orderCol, value, outCol, shardWidth)._1
+
+  /** [[withGlobalCumSum]] that ALSO hands back the pass-1 shard totals
+    * it collected anyway, sorted by shard id — metadata-scale by the
+    * sizing contract above. A caller that needs range totals keyed on
+    * the order key (per-stripe counts, per-segment offsets) can derive
+    * them on the driver from this list instead of running another
+    * aggregate pass over the cumulative frame.
+    */
+  def withGlobalCumSumAndTotals(df: DataFrame, orderCol: String,
+      value: Column, outCol: String, shardWidth: Long = 1L << 20)
+      : (DataFrame, Seq[(Long, Long)]) = {
     val reserved = Seq("__shard", "__v", "__off")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"input already has a $c column — rename it before the prefix sum"))
@@ -53,9 +65,10 @@ object PrefixSum {
     // pass 2: partitioned window — each shard is one independent cumsum
     val w = Window.partitionBy("__shard").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sharded
+    val out = sharded
       .join(broadcast(offsetsDf), Seq("__shard"))
       .withColumn(outCol, col("__off") + sum("__v").over(w))
       .drop("__shard", "__v", "__off")
+    (out, totals.toSeq)
   }
 }

@@ -672,18 +672,27 @@ object Similarity {
 
   def lloydClusters(spark: SparkSession, sfDir: String,
       k: Int = 8, iters: Int = 3): DataFrame = {
+    // persisted: the init collect, every assign+mean iteration, and
+    // the final census all scan this frame — unpersisted, the parquet
+    // read + float→double widening re-ran iters+2 times per execution
     val e = embeddingsAsDouble(spark, sfDir).select("vec_id", "v")
+      .persist()
     val centroids = lloydFit(e, k, iters)
     val norms = centroids.map { case (cid, c) =>
       (cid, math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
     }
     val normDf = spark.createDataFrame(norms).toDF("cluster_id", "nrm")
-    e.withColumn("cluster_id", lloydAssignment(centroids))
+    val out = e.withColumn("cluster_id", lloydAssignment(centroids))
       .groupBy("cluster_id").agg(count(lit(1)).as("n_vecs"))
       .join(broadcast(normDf), "cluster_id")
       .select(col("cluster_id"), col("n_vecs"),
         round(col("nrm"), 4).as("centroid_norm"))
       .orderBy("cluster_id")
+    graft.plans.PlanProbe.dump("q120_lloyd_clusters_internal", out)
+    val rows = out.collect().toSeq // k-row report; release the cache
+    e.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 
   /** HYBRID RETRIEVAL by reciprocal-rank fusion — the standard way a

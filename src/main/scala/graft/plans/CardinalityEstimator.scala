@@ -177,16 +177,18 @@ object CardinalityEstimator {
       .select(col("l_returnflag").as("f"),
         ((col("l_partkey") % lit(P)) * lit(2654435761L) % lit(P)).as("h"))
       .filter(col("f").isin("R", "A"))
-    // per-set distinct hash domains (the sketch would keep only the
-    // bottom k of each; keeping the full distinct frame here also
-    // feeds the exact audit columns in one plan)
-    val domains = li.distinct().persist()
-    val a = domains.filter(col("f") === "R").select("h")
-    val b = domains.filter(col("f") === "A").select("h")
-    // bottom-m of the union (m = min(k, |A∪B|)), flagged by membership
-    val union = a.select(col("h"), lit(1).as("ina"), lit(0).as("inb"))
-      .unionAll(b.select(col("h"), lit(0).as("ina"), lit(1).as("inb")))
+    // bottom-m of the union (m = min(k, |A∪B|)), flagged by membership.
+    // ONE exchange: the membership aggregate (max over the h grain)
+    // dedups each set on the way in — the earlier per-set distinct()
+    // was a second, redundant shuffle of the same key stream — and the
+    // CACHED frame is the union domain (h, ina, inb), which both the
+    // sketch and the exact audit read
+    val union = li
+      .select(col("h"),
+        when(col("f") === "R", 1).otherwise(0).as("ina"),
+        when(col("f") === "A", 1).otherwise(0).as("inb"))
       .groupBy("h").agg(max("ina").as("ina"), max("inb").as("inb"))
+      .persist()
     val sample = union
       .agg(graft.functions.TopKFunctions.topk_rows(
         -col("h").cast("double"), col("h"),
@@ -218,8 +220,9 @@ object CardinalityEstimator {
         col("inter_exact"), col("inter_est").cast("long").as("inter_est"),
         round(col("both").cast("double") / col("m").cast("double"), 4)
           .as("jaccard_est"))
+    PlanProbe.dump("q136_kmv_setops_internal", out)
     val rows = out.collect().toSeq // tiny: one row; release the domain cache
-    domains.unpersist(false)
+    union.unpersist(false)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), out.schema)
   }

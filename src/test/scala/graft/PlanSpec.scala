@@ -675,4 +675,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"pair join planned as cartesian:\n$plan")
   }
+
+  test("q147: the basket stream crosses the network exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val baskets = (1L to 40L).flatMap(o =>
+      (1L to 4L).map(k => (o, (o * 7 + k * 13) % 17 + 1)))
+      .toDF("o", "p")
+    // materialized like the entry's persisted margins: a lazy margins
+    // lineage would re-print its own (o,p) dedup exchange under every
+    // lift join and the count below would see those, not the stream
+    val margins = baskets.distinct()
+      .groupBy("p").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val plan = planOf(graft.operators.OlapQueries.copurchaseLiftPlan(
+      baskets, margins, nOrders = 40L, minSupport = 2, topK = 10))
+    // the r13 optimization contract: ONE o-keyed exchange builds the
+    // deduped basket adjacency (collect_set dedups map-side — the old
+    // spelling paid a distinct() exchange AND a repartition); the
+    // a-priori semi-join is a broadcast and the pruned re-group rides
+    // the preserved o-partitioning, so no second o-exchange may appear
+    val oExchanges = "hashpartitioning\\(o#".r.findAllIn(plan).size
+    assert(oExchanges == 1,
+      s"expected exactly one o-keyed exchange, saw $oExchanges:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"a-priori prune is not a broadcast semi-join:\n$plan")
+  }
 }

@@ -110,7 +110,9 @@ object Similarity {
     */
   def embeddingPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.4): DataFrame = {
-    val e = embeddingsWithNorm(spark, sfDir)
+    // persisted: both sides of the all-pairs join read this frame —
+    // unpersisted, each side re-ran the scan + norm projection
+    val e = embeddingsWithNorm(spark, sfDir).persist()
     val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
         round(cosinePrenormed(dot_product(col("a.v"), col("b.v")),
@@ -159,8 +161,12 @@ object Similarity {
     import spark.implicits._
     val grid = (for { i <- 0 until numBlocks; j <- i until numBlocks }
       yield (i, j, i * numBlocks + j)).toDF("blo", "bhi", "cell")
+    // persisted: the l and r legs of the grid join each replicate this
+    // frame to their cells — unpersisted, the caller's scan + norm
+    // projection ran twice (q50/q77/q123 all feed through here)
     val e = vectors.withColumn("blk",
       pmod(col("vec_id"), lit(numBlocks.toLong)).cast("int"))
+      .persist()
     val l = e.join(broadcast(grid), col("blk") === col("blo"))
       .select(col("cell"), col("blk").as("lblk"), col("vec_id").as("lid"),
         col("v").as("lv"), col("nrm").as("lnrm"))

@@ -1005,7 +1005,7 @@ object SparkEntry {
     // self-join, and exact-Jaccard verification — signatures AND
     // candidate sets replay, not just the verified output
     "q23_minhash_pairs" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(ws) >= 3
         |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -1013,31 +1013,31 @@ object SparkEntry {
         |      ELSE [text] END) AS sh
         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
         |        FROM documents)
-        |), gh AS (
+        |), gh AS MATERIALIZED (
         |  SELECT DISTINCT doc_id,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      [CAST(unicode(c) AS BIGINT) for c in string_split(gram, '')]),
         |      (a, x) -> (a * 31 + x) % 1000000007) AS h
         |  FROM (SELECT doc_id, unnest(sh) AS gram FROM d)
-        |), hs AS (
+        |), hs AS MATERIALIZED (
         |  SELECT doc_id, list(h ORDER BY h) AS hset,
         |    count(*) AS sz
         |  FROM gh GROUP BY doc_id
-        |), sg AS (
+        |), sg AS MATERIALIZED (
         |  SELECT doc_id, i,
         |    min(((2 * i + 1) * h + (i * 2654435761) % 1000000007)
         |        % 1000000007) AS mv
         |  FROM gh CROSS JOIN (SELECT unnest(range(0, 72)) AS i) f
         |  GROUP BY doc_id, i
-        |), sl AS (
+        |), sl AS MATERIALIZED (
         |  SELECT doc_id, list(mv ORDER BY i) AS s FROM sg GROUP BY doc_id
-        |), bk AS (
+        |), bk AS MATERIALIZED (
         |  SELECT doc_id, b,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_slice(s, b * 6 + 1, b * 6 + 6)),
         |      (a, x) -> (a * 2654435761 + x) % 1000000007) AS key
         |  FROM sl CROSS JOIN (SELECT unnest(range(0, 12)) AS b) g
-        |), cand AS (
+        |), cand AS MATERIALIZED (
         |  SELECT DISTINCT l.doc_id AS ai, r.doc_id AS bi
         |  FROM bk l JOIN bk r
         |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
@@ -1092,7 +1092,7 @@ object SparkEntry {
         |WHERE bit_count(xor(l.sig, r.sig)) <= 3
         |ORDER BY ai, bi""".stripMargin,
     "q25_ngram_jaccard_pairs" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(ws) >= 3
         |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -1101,7 +1101,7 @@ object SparkEntry {
         |    CAST(floor(n_chars / 32.0) AS BIGINT) AS blk
         |  FROM (SELECT doc_id, text, n_chars,
         |          string_split(text, ' ') AS ws FROM documents)
-        |), pairs AS (
+        |), pairs AS MATERIALIZED (
         |  SELECT a.doc_id AS ai, b.doc_id AS bi,
         |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
         |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
@@ -1325,7 +1325,7 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q42_dedup_decisions" ->
       """WITH RECURSIVE
-        |d AS (
+        |d AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(ws) >= 3
         |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -1334,7 +1334,7 @@ object SparkEntry {
         |    CAST(floor(n_chars / 32.0) AS BIGINT) AS blk
         |  FROM (SELECT doc_id, text, n_chars,
         |          string_split(text, ' ') AS ws FROM documents)
-        |), p AS (
+        |), p AS MATERIALIZED (
         |  SELECT ai, bi FROM (
         |    SELECT a.doc_id AS ai, b.doc_id AS bi,
         |      round(len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -1348,7 +1348,7 @@ object SparkEntry {
         |        4)
         |    FROM d a JOIN d b ON a.blk + 1 = b.blk
         |  ) WHERE jaccard >= 0.8
-        |), edges AS (
+        |), edges AS MATERIALIZED (
         |  SELECT ai AS a, bi AS b FROM p UNION ALL SELECT bi, ai FROM p
         |), reach(a, b) AS (
         |  SELECT a, b FROM edges
@@ -1385,7 +1385,7 @@ object SparkEntry {
         |                          WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
     "q46_kept_corpus" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(ws) >= 3
         |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -1394,7 +1394,7 @@ object SparkEntry {
         |    CAST(floor(n_chars / 32.0) AS BIGINT) AS blk
         |  FROM (SELECT doc_id, text, n_chars,
         |          string_split(text, ' ') AS ws FROM documents)
-        |), pairs AS (
+        |), pairs AS MATERIALIZED (
         |  SELECT a.doc_id AS ai, b.doc_id AS bi,
         |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
         |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
@@ -1456,7 +1456,7 @@ object SparkEntry {
     // must reproduce (q25's oracle keeps its length-block semantics;
     // this one has none)
     "q60_prefix_jaccard_pairs" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(ws) >= 3
         |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -1901,7 +1901,7 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
     "q92_cluster_sizes" ->
       """WITH RECURSIVE
-        |d AS (
+        |d AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(ws) >= 3
         |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -1910,7 +1910,7 @@ object SparkEntry {
         |    CAST(floor(n_chars / 32.0) AS BIGINT) AS blk
         |  FROM (SELECT doc_id, text, n_chars,
         |          string_split(text, ' ') AS ws FROM documents)
-        |), p AS (
+        |), p AS MATERIALIZED (
         |  SELECT ai, bi FROM (
         |    SELECT a.doc_id AS ai, b.doc_id AS bi,
         |      round(len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -1924,17 +1924,17 @@ object SparkEntry {
         |        4)
         |    FROM d a JOIN d b ON a.blk + 1 = b.blk
         |  ) WHERE jaccard >= 0.8
-        |), edges AS (
+        |), edges AS MATERIALIZED (
         |  SELECT ai AS a, bi AS b FROM p UNION ALL SELECT bi, ai FROM p
         |), reach(a, b) AS (
         |  SELECT a, b FROM edges
         |  UNION
         |  SELECT reach.a, edges.b FROM reach
         |  JOIN edges ON reach.b = edges.a
-        |), rep AS (
+        |), rep AS MATERIALIZED (
         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
         |  FROM reach GROUP BY a
-        |), sizes AS (
+        |), sizes AS MATERIALIZED (
         |  SELECT cluster_rep, count(*) AS cluster_size FROM rep
         |  GROUP BY cluster_rep
         |)
@@ -2451,12 +2451,12 @@ object SparkEntry {
     // rank cells by centroid cosine rounded to 6 dp (cid tie-break),
     // probe the best 8, exact 4 dp cosine top-20 within probed cells
     "q28_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |c0 AS (SELECT CAST(vec_id AS INT) AS cid,
+      """WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid,
         |         list_transform(v, x -> round(x, 6)) AS c
         |       FROM e WHERE vec_id < 16),
-        |a1 AS (SELECT vec_id, v, cid FROM (
+        |a1 AS MATERIALIZED (SELECT vec_id, v, cid FROM (
         |         SELECT e.vec_id, e.v, c0.cid,
         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
         |             list_dot_product(e.v, e.v)
@@ -2464,15 +2464,15 @@ object SparkEntry {
         |               + list_dot_product(c0.c, c0.c), c0.cid) AS rn
         |         FROM e CROSS JOIN c0)
         |       WHERE rn = 1),
-        |m1 AS (SELECT cid, pos, round(avg(x), 6) AS m FROM (
+        |m1 AS MATERIALIZED (SELECT cid, pos, round(avg(x), 6) AS m FROM (
         |         SELECT cid, unnest(v) AS x,
         |           unnest(range(1, len(v) + 1)) AS pos
         |         FROM a1)
         |       GROUP BY cid, pos),
-        |c1 AS (SELECT c0.cid, coalesce(l.c, c0.c) AS c
+        |c1 AS MATERIALIZED (SELECT c0.cid, coalesce(l.c, c0.c) AS c
         |       FROM c0 LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c
         |                          FROM m1 GROUP BY cid) l USING (cid)),
-        |a2 AS (SELECT vec_id, v, cid FROM (
+        |a2 AS MATERIALIZED (SELECT vec_id, v, cid FROM (
         |         SELECT e.vec_id, e.v, c1.cid,
         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
         |             list_dot_product(e.v, e.v)
@@ -2480,15 +2480,15 @@ object SparkEntry {
         |               + list_dot_product(c1.c, c1.c), c1.cid) AS rn
         |         FROM e CROSS JOIN c1)
         |       WHERE rn = 1),
-        |m2 AS (SELECT cid, pos, round(avg(x), 6) AS m FROM (
+        |m2 AS MATERIALIZED (SELECT cid, pos, round(avg(x), 6) AS m FROM (
         |         SELECT cid, unnest(v) AS x,
         |           unnest(range(1, len(v) + 1)) AS pos
         |         FROM a2)
         |       GROUP BY cid, pos),
-        |c2 AS (SELECT c1.cid, coalesce(l.c, c1.c) AS c
+        |c2 AS MATERIALIZED (SELECT c1.cid, coalesce(l.c, c1.c) AS c
         |       FROM c1 LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c
         |                          FROM m2 GROUP BY cid) l USING (cid)),
-        |a3 AS (SELECT vec_id, v, cid FROM (
+        |a3 AS MATERIALIZED (SELECT vec_id, v, cid FROM (
         |         SELECT e.vec_id, e.v, c2.cid,
         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
         |             list_dot_product(e.v, e.v)
@@ -2496,15 +2496,15 @@ object SparkEntry {
         |               + list_dot_product(c2.c, c2.c), c2.cid) AS rn
         |         FROM e CROSS JOIN c2)
         |       WHERE rn = 1),
-        |m3 AS (SELECT cid, pos, round(avg(x), 6) AS m FROM (
+        |m3 AS MATERIALIZED (SELECT cid, pos, round(avg(x), 6) AS m FROM (
         |         SELECT cid, unnest(v) AS x,
         |           unnest(range(1, len(v) + 1)) AS pos
         |         FROM a3)
         |       GROUP BY cid, pos),
-        |c3 AS (SELECT c2.cid, coalesce(l.c, c2.c) AS c
+        |c3 AS MATERIALIZED (SELECT c2.cid, coalesce(l.c, c2.c) AS c
         |       FROM c2 LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c
         |                          FROM m3 GROUP BY cid) l USING (cid)),
-        |af AS (SELECT vec_id, cid FROM (
+        |af AS MATERIALIZED (SELECT vec_id, cid FROM (
         |         SELECT e.vec_id, c3.cid,
         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
         |             list_dot_product(e.v, e.v)
@@ -2512,7 +2512,7 @@ object SparkEntry {
         |               + list_dot_product(c3.c, c3.c), c3.cid) AS rn
         |         FROM e CROSS JOIN c3)
         |       WHERE rn = 1),
-        |pr AS (SELECT cid FROM (
+        |pr AS MATERIALIZED (SELECT cid FROM (
         |         SELECT c3.cid,
         |           round(list_dot_product(c3.c, q.qv) /
         |             (sqrt(list_dot_product(c3.c, c3.c)) *
@@ -3355,7 +3355,7 @@ object SparkEntry {
     // q25's exact pair CTE joined to the source dim, grouped on the
     // unordered source pair
     "q151_cross_source_dups" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(ws) >= 3
         |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -3364,7 +3364,7 @@ object SparkEntry {
         |    CAST(floor(n_chars / 32.0) AS BIGINT) AS blk
         |  FROM (SELECT doc_id, text, n_chars,
         |          string_split(text, ' ') AS ws FROM documents)
-        |), pairs AS (
+        |), pairs AS MATERIALIZED (
         |  SELECT a.doc_id AS ai, b.doc_id AS bi,
         |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
         |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
@@ -3376,8 +3376,8 @@ object SparkEntry {
         |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
         |          4)
         |  FROM d a JOIN d b ON a.blk + 1 = b.blk
-        |), hits AS (SELECT ai, bi, jaccard FROM pairs WHERE jaccard >= 0.8)
-        |, g AS (
+        |), hits AS MATERIALIZED (SELECT ai, bi, jaccard FROM pairs WHERE jaccard >= 0.8)
+        |, g AS MATERIALIZED (
         |  SELECT least(sa.source, sb.source) AS source_a,
         |    greatest(sa.source, sb.source) AS source_b,
         |    CAST(count(*) AS BIGINT) AS n_pairs,
@@ -3542,7 +3542,7 @@ object SparkEntry {
     // declarative SQL
     "q167_leakage_split" ->
       """WITH RECURSIVE
-        |d AS (
+        |d AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(ws) >= 3
         |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -3551,7 +3551,7 @@ object SparkEntry {
         |    CAST(floor(n_chars / 32.0) AS BIGINT) AS blk
         |  FROM (SELECT doc_id, text, n_chars,
         |          string_split(text, ' ') AS ws FROM documents)
-        |), p AS (
+        |), p AS MATERIALIZED (
         |  SELECT ai, bi FROM (
         |    SELECT a.doc_id AS ai, b.doc_id AS bi,
         |      round(len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -3565,14 +3565,14 @@ object SparkEntry {
         |        4)
         |    FROM d a JOIN d b ON a.blk + 1 = b.blk
         |  ) WHERE jaccard >= 0.8
-        |), edges AS (
+        |), edges AS MATERIALIZED (
         |  SELECT ai AS a, bi AS b FROM p UNION ALL SELECT bi, ai FROM p
         |), reach(a, b) AS (
         |  SELECT a, b FROM edges
         |  UNION
         |  SELECT reach.a, edges.b FROM reach
         |  JOIN edges ON reach.b = edges.a
-        |), rep AS (
+        |), rep AS MATERIALIZED (
         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
         |  FROM reach GROUP BY a
         |)
@@ -3584,7 +3584,7 @@ object SparkEntry {
     // per-probe brute force + rank window replay of the prefix-index
     // search: top-5 by (jaccard DESC, neighbor ASC) among J >= 0.1
     "q170_jaccard_search" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(ws) >= 3
         |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -3592,14 +3592,14 @@ object SparkEntry {
         |      ELSE [text] END) AS sh
         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
         |        FROM documents)
-        |), pairs AS (
+        |), pairs AS MATERIALIZED (
         |  SELECT p.doc_id AS probe_id, o.doc_id AS neighbor_id,
         |    round(len(list_intersect(p.sh, o.sh))::DOUBLE /
         |          (len(p.sh) + len(o.sh) - len(list_intersect(p.sh, o.sh))),
         |          4) AS jaccard
         |  FROM d p JOIN d o ON o.doc_id <> p.doc_id
         |  WHERE p.doc_id % 10 = 0
-        |), r AS (
+        |), r AS MATERIALIZED (
         |  SELECT probe_id, neighbor_id, jaccard,
         |    CAST(row_number() OVER (PARTITION BY probe_id
         |      ORDER BY jaccard DESC, neighbor_id ASC) AS INTEGER) AS rk
@@ -4070,7 +4070,7 @@ object SparkEntry {
     // quality-aware keep decision replayed declaratively
     "q169_keepbest_curation" ->
       """WITH RECURSIVE
-        |d AS (
+        |d AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(ws) >= 3
         |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -4079,7 +4079,7 @@ object SparkEntry {
         |    CAST(floor(n_chars / 32.0) AS BIGINT) AS blk
         |  FROM (SELECT doc_id, text, n_chars,
         |          string_split(text, ' ') AS ws FROM documents)
-        |), p AS (
+        |), p AS MATERIALIZED (
         |  SELECT ai, bi FROM (
         |    SELECT a.doc_id AS ai, b.doc_id AS bi,
         |      round(len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -4093,17 +4093,17 @@ object SparkEntry {
         |        4)
         |    FROM d a JOIN d b ON a.blk + 1 = b.blk
         |  ) WHERE jaccard >= 0.8
-        |), edges AS (
+        |), edges AS MATERIALIZED (
         |  SELECT ai AS a, bi AS b FROM p UNION ALL SELECT bi, ai FROM p
         |), reach(a, b) AS (
         |  SELECT a, b FROM edges
         |  UNION
         |  SELECT reach.a, edges.b FROM reach
         |  JOIN edges ON reach.b = edges.a
-        |), rep AS (
+        |), rep AS MATERIALIZED (
         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
         |  FROM reach GROUP BY a
-        |), q AS (
+        |), q AS MATERIALIZED (
         |  SELECT doc_id,
         |    floor((0.4 * least(len(list_filter(ws, w -> w IN ('the', 'a')))::DOUBLE
         |                       / len(ws) * 8, 1.0) +
@@ -4111,7 +4111,7 @@ object SparkEntry {
         |           0.3 * (len(list_distinct(ws))::DOUBLE / len(ws)))
         |          * 10000 + 0.5) / 10000 AS quality
         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-        |), c AS (
+        |), c AS MATERIALIZED (
         |  SELECT rep.doc_id, rep.cluster_rep, q.quality,
         |    row_number() OVER (PARTITION BY rep.cluster_rep
         |                       ORDER BY q.quality DESC, rep.doc_id ASC)
@@ -4125,7 +4125,7 @@ object SparkEntry {
     // pairs (ai or bi ≡ 0 mod 5) — the incremental merge is exact, so
     // the one-shot oracle replays it under the batch filter
     "q166_incremental_neardup" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(ws) >= 3
         |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -4267,7 +4267,7 @@ object SparkEntry {
     // to its rounding boundary ≥ 7e-10 — both far above cross-engine
     // exp/summation noise.
     "q156_text_classifier" ->
-      """WITH tf AS (
+      """WITH tf AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_reduce(
         |      list_prepend(7::BIGINT, [ascii(c) for c in string_split(w, '')]),
@@ -4276,78 +4276,78 @@ object SparkEntry {
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |        FROM documents)
         |  WHERE w <> '' GROUP BY doc_id, bucket),
-        |dm AS (SELECT doc_id, map(list(bucket), list(tf)) AS m,
+        |dm AS MATERIALIZED (SELECT doc_id, map(list(bucket), list(tf)) AS m,
         |         sum(tf) AS tot FROM tf GROUP BY doc_id),
-        |lab AS (SELECT doc_id,
+        |lab AS MATERIALIZED (SELECT doc_id,
         |          CASE WHEN len(list_filter(string_split(text, ' '),
         |                 w -> w IN ('the', 'a'))) * 100 >=
         |               len(string_split(text, ' ')) * 8
         |            THEN 1 ELSE 0 END AS y
         |        FROM documents),
-        |raw AS (SELECT l.doc_id, l.y,
+        |raw AS MATERIALIZED (SELECT l.doc_id, l.y,
         |          list_prepend(1.0,
         |            [coalesce(map_extract(m, j)[1], 0)::DOUBLE / tot
         |             for j in range(0, 16)]) AS x
         |        FROM lab l JOIN dm USING (doc_id)),
-        |st AS (SELECT pos, round(avg(xj), 6) AS mu,
+        |st AS MATERIALIZED (SELECT pos, round(avg(xj), 6) AS mu,
         |         round(stddev_pop(xj), 6) AS sd
         |       FROM (SELECT unnest(x) AS xj,
         |               unnest(range(1, len(x) + 1)) AS pos FROM raw)
         |       WHERE pos > 1 GROUP BY pos),
-        |sv AS (SELECT list(mu ORDER BY pos) AS mus,
+        |sv AS MATERIALIZED (SELECT list(mu ORDER BY pos) AS mus,
         |         list(greatest(sd, 0.000001) ORDER BY pos) AS sds
         |       FROM st),
-        |e AS (SELECT y,
+        |e AS MATERIALIZED (SELECT y,
         |        list_prepend(1.0,
         |          list_transform(list_zip(x[2:], sv.mus, sv.sds),
         |            t -> (t[1] - t[2]) / t[3])) AS x
         |      FROM raw, sv),
-        |g1 AS (SELECT pos, round(avg(xj * (0.5 - y)), 6) AS g
+        |g1 AS MATERIALIZED (SELECT pos, round(avg(xj * (0.5 - y)), 6) AS g
         |       FROM (SELECT unnest(x) AS xj,
         |               unnest(range(1, len(x) + 1)) AS pos, y FROM e)
         |       GROUP BY pos),
-        |w1 AS (SELECT list(0.0 - g ORDER BY pos) AS w FROM g1),
-        |r2 AS (SELECT x, y,
+        |w1 AS MATERIALIZED (SELECT list(0.0 - g ORDER BY pos) AS w FROM g1),
+        |r2 AS MATERIALIZED (SELECT x, y,
         |         1/(1 + exp(-list_dot_product(x, (SELECT w FROM w1)))) - y
         |           AS r FROM e),
-        |g2 AS (SELECT pos, round(avg(xj * r), 6) AS g
+        |g2 AS MATERIALIZED (SELECT pos, round(avg(xj * r), 6) AS g
         |       FROM (SELECT unnest(x) AS xj,
         |               unnest(range(1, len(x) + 1)) AS pos, r FROM r2)
         |       GROUP BY pos),
-        |w2 AS (SELECT list(wv - g ORDER BY pos) AS w
+        |w2 AS MATERIALIZED (SELECT list(wv - g ORDER BY pos) AS w
         |       FROM (SELECT unnest(w) AS wv,
         |               unnest(range(1, len(w) + 1)) AS pos FROM w1)
         |       JOIN g2 USING (pos)),
-        |r3 AS (SELECT x, y,
+        |r3 AS MATERIALIZED (SELECT x, y,
         |         1/(1 + exp(-list_dot_product(x, (SELECT w FROM w2)))) - y
         |           AS r FROM e),
-        |g3 AS (SELECT pos, round(avg(xj * r), 6) AS g
+        |g3 AS MATERIALIZED (SELECT pos, round(avg(xj * r), 6) AS g
         |       FROM (SELECT unnest(x) AS xj,
         |               unnest(range(1, len(x) + 1)) AS pos, r FROM r3)
         |       GROUP BY pos),
-        |w3 AS (SELECT list(wv - g ORDER BY pos) AS w
+        |w3 AS MATERIALIZED (SELECT list(wv - g ORDER BY pos) AS w
         |       FROM (SELECT unnest(w) AS wv,
         |               unnest(range(1, len(w) + 1)) AS pos FROM w2)
         |       JOIN g3 USING (pos)),
-        |r4 AS (SELECT x, y,
+        |r4 AS MATERIALIZED (SELECT x, y,
         |         1/(1 + exp(-list_dot_product(x, (SELECT w FROM w3)))) - y
         |           AS r FROM e),
-        |g4 AS (SELECT pos, round(avg(xj * r), 6) AS g
+        |g4 AS MATERIALIZED (SELECT pos, round(avg(xj * r), 6) AS g
         |       FROM (SELECT unnest(x) AS xj,
         |               unnest(range(1, len(x) + 1)) AS pos, r FROM r4)
         |       GROUP BY pos),
-        |w4 AS (SELECT list(wv - g ORDER BY pos) AS w
+        |w4 AS MATERIALIZED (SELECT list(wv - g ORDER BY pos) AS w
         |       FROM (SELECT unnest(w) AS wv,
         |               unnest(range(1, len(w) + 1)) AS pos FROM w3)
         |       JOIN g4 USING (pos)),
-        |r5 AS (SELECT x, y,
+        |r5 AS MATERIALIZED (SELECT x, y,
         |         1/(1 + exp(-list_dot_product(x, (SELECT w FROM w4)))) - y
         |           AS r FROM e),
-        |g5 AS (SELECT pos, round(avg(xj * r), 6) AS g
+        |g5 AS MATERIALIZED (SELECT pos, round(avg(xj * r), 6) AS g
         |       FROM (SELECT unnest(x) AS xj,
         |               unnest(range(1, len(x) + 1)) AS pos, r FROM r5)
         |       GROUP BY pos),
-        |w5 AS (SELECT list(wv - g ORDER BY pos) AS w
+        |w5 AS MATERIALIZED (SELECT list(wv - g ORDER BY pos) AS w
         |       FROM (SELECT unnest(w) AS wv,
         |               unnest(range(1, len(w) + 1)) AS pos FROM w4)
         |       JOIN g5 USING (pos))

@@ -124,6 +124,7 @@ object Dedup {
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
       .select("k1", "k2")
+    graft.plans.CacheRelease.afterFirstUse(spans)
     spans.join(dupKeys, Seq("k1", "k2"), "left_semi")
       .select("doc_id", "pos")
       .orderBy("doc_id", "pos")
@@ -235,6 +236,10 @@ object Dedup {
       .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"))
       .distinct()
 
+    // both caches release on the returned frame's first consuming
+    // action (lazy-return path: no collect to hang a release on)
+    graft.plans.CacheRelease.afterFirstUse(docs)
+    graft.plans.CacheRelease.afterFirstUse(banded)
     verifyJaccard(candidates, docs, threshold)
   }
 
@@ -312,6 +317,7 @@ object Dedup {
         bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    graft.plans.CacheRelease.afterFirstUse(docs)
     Present.smallSorted(pairs, "ai", "bi")
   }
 
@@ -390,6 +396,10 @@ object Dedup {
       .select(col("l.doc_id").as("ai"), col("r.doc_id").as("bi"))
       .distinct()
 
+    // lazy-return path: both caches release on the first consuming
+    // action of the returned frame
+    graft.plans.CacheRelease.afterFirstUse(docs)
+    graft.plans.CacheRelease.afterFirstUse(prefix)
     Present.smallSorted(verifyJaccard(candidates, docs, threshold),
       "ai", "bi")
   }

@@ -161,10 +161,17 @@ object Estimators {
 
   def logregGd(spark: SparkSession, sfDir: String, lr: Double = 1.0,
       iters: Int = 3): DataFrame = {
-    val e = logregFeatures(spark, sfDir)
+    // persisted: the dim probe, each GD iteration, and the confusion
+    // census all scan this frame — unpersisted, that's iters+2 parquet
+    // scans with the float→double widening re-run each time (the q156
+    // discipline)
+    val e = logregFeatures(spark, sfDir).persist()
     // the feature width is constant (bias ⊕ fixed-dim embedding): one
     // row answers it — never a corpus-wide aggregate
     val w = logregWeights(e, lr, iters)
+    // registered AFTER the training collects (they read the cache);
+    // the returned frame's first consuming action releases it
+    graft.plans.CacheRelease.afterFirstUse(e)
     e.select(col("y"),
         when(logregSigma(typedlit(w)) >= 0.5, 1).otherwise(0).as("pred"),
         logregSigma(typedlit(w)).as("p"))
@@ -188,8 +195,13 @@ object Estimators {
     */
   def calibrationDeciles(spark: SparkSession, sfDir: String,
       lr: Double = 1.0, iters: Int = 3): DataFrame = {
-    val e = logregFeatures(spark, sfDir)
+    // persisted: weights (iters+1 scans), the cutpoint aggregate, and
+    // the decile census all read this frame (the q156 discipline)
+    val e = logregFeatures(spark, sfDir).persist()
     val w = logregWeights(e, lr, iters)
+    // registered AFTER the training collects (they read the cache);
+    // the returned frame's first consuming action releases it
+    graft.plans.CacheRelease.afterFirstUse(e)
     val scored = e.select(col("y"),
       round(logregSigma(typedlit(w)), 6).as("p6"))
     // cutpoints round to the SAME 6 dp grid as the scores: Spark's
@@ -267,19 +279,34 @@ object Estimators {
     // per-bucket μ/σ_pop over the share features (pos 0 is the bias),
     // rounded to the 6 dp parameter grid; σ floors at the quantum so
     // a constant bucket can't divide by zero (oracle mirrors both)
-    val stats = raw.select(posexplode(col("x")).as(Seq("pos", "xj")))
+    val statRows = raw
+      .select(posexplode(col("x")).as(Seq("pos", "xj")))
       .filter(col("pos") > 0)
       .groupBy("pos")
       .agg(round(avg("xj"), 6).as("mu"),
-        round(stddev_pop("xj"), 6).as("sd"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        round(stddev_pop("xj"), 6).as("sd"),
+        count(lit(1)).as("n"))
+      .collect()
+    val stats = statRows
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
     val mus = stats.map(_._2)
     val sds = stats.map(s => math.max(s._3, 1e-6))
+    // the GD loop runs `iters` jobs over this cache, and each job's
+    // fixed cost scales with its TASK count — at fixture scale the
+    // session-default partitioning (= cores) schedules 32 tasks per
+    // iteration for a few thousand cached rows. Size the cache from
+    // the data instead (~1M rows per partition, floor 4): the loop is
+    // scheduling-bound at small n and scan-bound at large n, and this
+    // serves both (coalesce never raises the count above the parent's)
+    val n = statRows.headOption.map(_.getLong(3)).getOrElse(0L)
+    val nParts = math.max(4L, n / 1000000L)
+      .min(Int.MaxValue.toLong).toInt
     val e = raw.select(col("y"),
         concat(array((lit(1.0) +: (1 to dim).map(j =>
           (element_at(col("x"), j + 1) - lit(mus(j - 1))) /
             lit(sds(j - 1)))): _*)).as("x"))
+      .coalesce(nParts)
       .persist()
     val w = logregWeights(e, lr, iters)
     val out = e.select(col("y"),

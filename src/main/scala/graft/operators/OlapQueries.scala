@@ -1491,8 +1491,20 @@ object OlapQueries {
     val margins = adj.select(explode(col("ps")).as("p"))
       .groupBy("p").agg(count(lit(1)).as("c"))
       .persist() // part-NDV sized; a-priori bound + lift denominators
+    // two statistics steer the physical plan, off ONE tiny aggregate
+    // over the cached NDV-sized margins: the max part id decides
+    // whether pair keys can pack into one long (ids must stay below
+    // 2³¹), and the qualifying-part count gates the broadcast hint on
+    // the a-priori semi-join (a part domain in the tens of millions
+    // must not be forced into every executor's memory — past the
+    // bound the planner picks the join strategy itself)
+    val mrow = margins.agg(coalesce(max(col("p")), lit(0L)),
+      count(when(col("c") >= minSupport, 1))).head()
+    val (maxPart, nQual) = (mrow.getLong(0), mrow.getLong(1))
     val out = copurchaseLiftPlanAdj(adj, margins, nOrders,
-      minSupport, topK)
+      minSupport, topK,
+      packPairs = maxPart < (1L << 31),
+      broadcastQualifying = nQual <= 10000000L)
     graft.plans.PlanProbe.dump("q147_copurchase_lift_internal", out)
     val rows = out.collect().toSeq
     adj.unpersist(false)
@@ -1519,24 +1531,46 @@ object OlapQueries {
     */
   private[graft] def copurchaseLiftPlanAdj(adj: DataFrame,
       margins: DataFrame, nOrders: Long, minSupport: Int,
-      topK: Int): DataFrame = {
+      topK: Int, packPairs: Boolean = true,
+      broadcastQualifying: Boolean = true): DataFrame = {
     val qualifying = margins.filter(col("c") >= minSupport).select("p")
     // a-priori prune at the basket-member grain: the explode rides the
     // adjacency's o-partitioning, the semi-join builds its hash table
-    // from the part-NDV-sized qualifying set (broadcast — never a
-    // shuffle of the members), so the re-group below adds no exchange
+    // from the part-NDV-sized qualifying set (broadcast when the
+    // caller's qualifying-count statistic allows it — never a shuffle
+    // of the members), so the re-group below adds no exchange
+    val qhinted = if (broadcastQualifying) broadcast(qualifying)
+      else qualifying
     val pruned = adj.select(col("o"), explode(col("ps")).as("p"))
-      .join(broadcast(qualifying), Seq("p"), "left_semi")
+      .join(qhinted, Seq("p"), "left_semi")
     // adjacency-explode pair generation (the q140 spelling): re-group
     // the pruned members — no exchange, the o-partitioning survived
     // the explode and the broadcast semi-join — then C(basket,2) pair
     // rows explode in-place; no self-join, each unordered pair once
-    val pairs = pruned.groupBy("o")
+    val regrouped = pruned.groupBy("o")
       .agg(sort_array(collect_list(col("p"))).as("ps"))
-      .select(explode(PageRank.sortedPairs(col("ps"))).as("pr"))
-      .select(col("pr.s1").as("pa"), col("pr.s2").as("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minSupport)
+    // the pair aggregate keys on ONE packed long (pa·2³² + pb — the
+    // q140 wedge spelling) instead of a two-column key: the exchange
+    // carries 8 key bytes per pair instead of 16 and the aggregate
+    // stays on the codegen'd single-primitive hash path; pa/pb decode
+    // AFTER the minSupport filter, on the surviving pair set only.
+    // Callers whose part ids can reach 2³¹ pass packPairs = false and
+    // take the two-column spelling — same result, wider key.
+    val pairs = (if (packPairs) {
+      regrouped
+        .select(explode(PageRank.sortedPackedPairs(col("ps"))).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= minSupport)
+        .select(shiftright(col("k"), 32).as("pa"),
+          col("k").bitwiseAND(lit(0xFFFFFFFFL)).as("pb"),
+          col("c_ab"))
+    } else {
+      regrouped
+        .select(explode(PageRank.sortedPairs(col("ps"))).as("pr"))
+        .select(col("pr.s1").as("pa"), col("pr.s2").as("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= minSupport)
+    })
     pairs
       .join(margins.select(col("p").as("pa"), col("c").as("c_a")), "pa")
       .join(margins.select(col("p").as("pb"), col("c").as("c_b")), "pb")
@@ -1617,16 +1651,26 @@ object OlapQueries {
     // NOT on l_extendedprice at scale 100: the fence arithmetic below
     // runs in exact cents, and a scale-100 measure would hand back
     // dollars (cents/100.0 — a division the ×100 round trip cannot
-    // always undo bit-exactly). The cost is one estimation aggregate
-    // the catalog-stats fast path would have skipped — correctness
-    // over the saved job.
+    // always undo bit-exactly; r13 measured the oracle catching it).
+    // The ROUTING statistics, though, CAN come from the raw column's
+    // persisted catalog stats: cents = round(price·100) is injective
+    // on 2-dp prices, so NDV(cents) = NDV(price) and max(cents) =
+    // max(price)·100 exactly (the catalog max is exact) — the stats
+    // re-key to the derived measure via statsOverride and the
+    // estimation aggregate disappears from the plan while the fence
+    // arithmetic keeps its exact integer cents.
+    val targets = Seq("q1" -> 0.25, "q3" -> 0.75)
+    val rawStats = Percentiles.statsFromCatalog(
+      Tables.load(spark, sfDir, "lineitem"),
+      Seq(Measure("cents", col("l_extendedprice"), 100L, targets)),
+      "l_returnflag")
     val li = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
-      .persist() // estimation + quartiles + tail census, one scan
+      .persist() // quartiles + tail census, one scan
     val qrows = Percentiles.percentilesByGroupRoutedRows(li,
-      "l_returnflag", Seq(Measure("cents", col("cents"), 1L,
-        Seq("q1" -> 0.25, "q3" -> 0.75))))
+      "l_returnflag", Seq(Measure("cents", col("cents"), 1L, targets)),
+      statsOverride = rawStats)
     // fence arithmetic on the driver (same IEEE op order the in-plan
     // spelling used); the NDV-sized fence frame then broadcasts back
     val fenceRows = qrows.groupBy(_._1).toSeq.map { case (g, ts) =>
@@ -1647,6 +1691,7 @@ object OlapQueries {
         round(max("lo") / 100.0, 4).as("fence_lo"),
         round(max("hi") / 100.0, 4).as("fence_hi"))
       .orderBy("l_returnflag")
+    graft.plans.PlanProbe.dump("q146_iqr_outliers_internal", out)
     val rows = out.collect().toSeq // small report; release the cache
     li.unpersist(false)
     spark.createDataFrame(

@@ -347,6 +347,18 @@ object PageRank {
       transform(slice(arr, i + lit(2), size(arr)), y =>
         struct(x.as("s1"), y.as("s2")))))
 
+  /** [[sortedPairs]] with each pair PACKED into one long
+    * (s1·2³² + s2): half the in-row array bytes (a bare long per pair
+    * instead of a two-field struct) and the downstream aggregate keys
+    * on a single primitive — the codegen'd fast hash path. Only valid
+    * while every element is in [0, 2³¹); callers gate on their max-id
+    * statistic and fall back to the struct spelling past it.
+    */
+  private[graft] def sortedPackedPairs(arr: Column): Column =
+    flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + lit(2), size(arr)), y =>
+        x * lit(1L << 32) + y)))
+
   private[graft] def butterflyCensusPlan(pairs: DataFrame,
       hubDegreeCap: Int = 4096,
       maxDegree: Option[Long] = None): DataFrame =
@@ -370,24 +382,32 @@ object PageRank {
     */
   private[graft] def butterflyCensusPlanAdj(adj: DataFrame,
       hubDegreeCap: Int = 4096,
-      maxDegree: Option[Long] = None): DataFrame = {
+      maxDegree: Option[Long] = None,
+      inRowDegreeCap: Int = 512): DataFrame = {
     // wedge keys PACK into one long (s1·2³² + s2 — ids are far below
     // 2³¹): the census only needs pair IDENTITY, and a single-long
     // group key keeps the multi-million-row wedge aggregate in fast
-    // codegen'd hash paths instead of two-column struct keys
+    // codegen'd hash paths instead of two-column struct keys. The
+    // in-row explode materializes the FULL C(deg,2) long array inside
+    // one row before generating, so it takes only adjacencies whose
+    // degree is at most `inRowDegreeCap` (512 → ≤ ~1 MB per row);
+    // degrees between that and `hubDegreeCap` stream through the
+    // chunk join with nch = 1 — a plain per-customer self-join whose
+    // output is row-at-a-time, never a row-sized buffer. hubDegreeCap
+    // keeps its original role: bounding per-TASK join fan-out.
     val pk = lit(1L << 32)
+    val inRowCap = math.min(hubDegreeCap, inRowDegreeCap)
     def inRowWedges(a: DataFrame) =
-      a.select(explode(sortedPairs(col("ss"))).as("pr"))
-        .select((col("pr.s1") * pk + col("pr.s2")).as("k"))
-    val wedges = (if (maxDegree.exists(_ <= hubDegreeCap)) {
+      a.select(explode(sortedPackedPairs(col("ss"))).as("k"))
+    val wedges = (if (maxDegree.exists(_ <= inRowCap)) {
       inRowWedges(adj)
     } else {
       val lightWedges =
-        inRowWedges(adj.filter(size(col("ss")) <= hubDegreeCap))
+        inRowWedges(adj.filter(size(col("ss")) <= inRowCap))
       // hub path: chunk the adjacency, replicate the left leg across
       // chunks, join on (c, right-chunk) — same wedge multiset, spread
       // over ⌈deg/cap⌉ tasks per hub
-      val hubRows = adj.filter(size(col("ss")) > hubDegreeCap)
+      val hubRows = adj.filter(size(col("ss")) > inRowCap)
         .select(col("c"), size(col("ss")).as("degc"),
           explode(col("ss")).as("s"))
         .withColumn("nch",

@@ -247,7 +247,8 @@ object Percentiles {
       measures: Seq[Measure], ndvHints: Map[String, Long] = Map.empty,
       crossoverRatio: Long = 8L,
       listRowLimit: Long = 100000L,
-      maxQHints: Map[String, Long] = Map.empty)
+      maxQHints: Map[String, Long] = Map.empty,
+      statsOverride: Option[Map[String, MeasureStats]] = None)
       : Seq[(String, String, Double)] = {
     val spark = df.sparkSession
     // ONE narrow quantized projection feeds the estimation aggregate
@@ -265,7 +266,13 @@ object Percentiles {
     // half steering the route); the estimation aggregate is the
     // fallback for derived frames and computed measures. Hints beat
     // both (caller-known domain bounds cost nothing).
-    val catalogStats = statsFromCatalog(df, measures, groupCol)
+    // callers whose measure derives INJECTIVELY from an analyzed raw
+    // column (e.g. integer cents = round(price·100)) pass the raw
+    // column's catalog statistics re-keyed to the derived measure via
+    // `statsOverride` — routing then costs zero jobs even though the
+    // frame itself is derived and the catalog cannot see it
+    val catalogStats = statsOverride
+      .orElse(statsFromCatalog(df, measures, groupCol))
     // the projection persists only for DERIVED frames (catalog stats
     // unresolvable — computed measures, filtered/joined sources):
     // there each phase would re-run the derivation. A plain analyzed
@@ -784,32 +791,53 @@ object Percentiles {
 
     // stripe index over (group, measure): parameter-scale collect (the
     // report's dimension values), deterministic order. 2^40 per-stripe
-    // key ranges keep PrefixSum shards (2^20 keys) from ever spanning
-    // two stripes.
-    val stripes = counts.select("grp", "tag").distinct()
+    // key ranges keep PrefixSum shards from ever spanning two stripes
+    // (shardWidth divides the stripe width — required below). The same
+    // collect carries each stripe's min/max quantized value and
+    // ENFORCES the packing domain v ∈ [0, 2^40): a value outside it
+    // would land its count in a neighboring stripe's key range and
+    // silently skew both stripes' n/offset (the r13 in-plan totals
+    // were immune; the driver derivation must check what the plan no
+    // longer guards).
+    val StripeWidth = 1L << 40
+    val ShardWidth = 1L << 20
+    require(StripeWidth % ShardWidth == 0L,
+      "shard width must divide the stripe width")
+    val shardsPerStripe = StripeWidth / ShardWidth
+    val stripeRows = counts.groupBy("grp", "tag")
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
       .orderBy("grp", "tag").collect()
-      .map(r => (r.getString(0), r.getString(1))).zipWithIndex
+      .map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    stripeRows.foreach { case (g, t, vmin, vmax) =>
+      require(vmin >= 0L && vmax < StripeWidth,
+        s"quantized values of $g/$t span [$vmin, $vmax] — the sharded " +
+          "counts route requires v in [0, 2^40); rescale the measure " +
+          "or route it through selection")
+    }
+    val stripes = stripeRows.map { case (g, t, _, _) => (g, t) }
+      .zipWithIndex
     val stripeDf = stripes.map { case ((g, t), i) => (g, t, i.toLong) }
       .toSeq.toDF("grp", "tag", "sidx")
     val keyed = counts.join(broadcast(stripeDf), Seq("grp", "tag"))
-      .withColumn("key", col("sidx") * lit(1L << 40) + col("v"))
+      .withColumn("key", col("sidx") * lit(StripeWidth) + col("v"))
     // NOT persisted (the probe join is its only consumer now): the
     // per-stripe totals/offsets derive ON THE DRIVER from the shard
     // totals the prefix sum collected anyway — a shard never spans two
-    // stripes (2^40-wide stripe key ranges, 2^20-key shards), so the
-    // aggregate pass that recomputed them over the cumulative table
-    // (and the cache that pass forced) is gone
+    // stripes, so the aggregate pass that recomputed them over the
+    // cumulative table (and the cache that pass forced) is gone
     val (cum, shardTotals) = PrefixSum.withGlobalCumSumAndTotals(
-      keyed, "key", col("cnt"), "gcum")
+      keyed, "key", col("cnt"), "gcum", shardWidth = ShardWidth)
 
     // driver: per-stripe n and starting offset by an exclusive prefix
-    // scan over the sorted shard totals (shard = key div 2^20 ⇒
-    // stripe index = shard div 2^20)
+    // scan over the sorted shard totals (shard = key div shardWidth ⇒
+    // stripe index = shard div (stripeWidth/shardWidth) — derived from
+    // the widths actually in force, never a hard-coded shift)
     val stripeN = scala.collection.mutable.LongMap.empty[Long]
     val stripeOff = scala.collection.mutable.LongMap.empty[Long]
     var runningOff = 0L
     shardTotals.foreach { case (shard, t) =>
-      val sidx = shard >> 20
+      val sidx = shard / shardsPerStripe
       if (!stripeOff.contains(sidx)) stripeOff.update(sidx, runningOff)
       stripeN.update(sidx, stripeN.getOrElse(sidx, 0L) + t)
       runningOff += t

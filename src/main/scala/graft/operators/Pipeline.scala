@@ -340,13 +340,18 @@ object Pipeline {
     val accepted = admitted.join(broadcast(rates), "lang")
       .filter(mixtureBucket(col("doc_id")) < col("keep_permille"))
       .select("doc_id", "n_tokens")
-    PrefixSum.withGlobalCumSum(accepted, "doc_id", col("n_tokens"),
-        "cum", shardWidth = 4096)
+    val packed = PrefixSum.withGlobalCumSum(accepted, "doc_id",
+        col("n_tokens"), "cum", shardWidth = 4096)
       .withColumn("pack_id", floor((col("cum") - 1) / budget))
       .groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("pack_id")
+    // registered AFTER withGlobalCumSum: its internal pass-1 collect
+    // already read the cache — the NEXT consumer is the returned
+    // frame's own action, which releases it (lazy-return hygiene)
+    graft.plans.CacheRelease.afterFirstUse(admitted)
+    packed
   }
 
   /** Deterministic mixture sampling — the "data mixing" step of

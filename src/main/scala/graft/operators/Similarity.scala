@@ -111,8 +111,12 @@ object Similarity {
   def embeddingPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.4): DataFrame = {
     // persisted: both sides of the all-pairs join read this frame —
-    // unpersisted, each side re-ran the scan + norm projection
-    val e = embeddingsWithNorm(spark, sfDir).persist()
+    // unpersisted, each side re-ran the scan + norm projection. The
+    // result is corpus-sized (no collect-release possible), so the
+    // cache releases on the returned frame's FIRST consuming action
+    // (CacheRelease — the r13 leak on this lazy-return path).
+    val e = graft.plans.CacheRelease.afterFirstUse(
+      embeddingsWithNorm(spark, sfDir).persist())
     val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
         round(cosinePrenormed(dot_product(col("a.v"), col("b.v")),
@@ -163,10 +167,12 @@ object Similarity {
       yield (i, j, i * numBlocks + j)).toDF("blo", "bhi", "cell")
     // persisted: the l and r legs of the grid join each replicate this
     // frame to their cells — unpersisted, the caller's scan + norm
-    // projection ran twice (q50/q77/q123 all feed through here)
-    val e = vectors.withColumn("blk",
-      pmod(col("vec_id"), lit(numBlocks.toLong)).cast("int"))
-      .persist()
+    // projection ran twice (q50/q77/q123 all feed through here).
+    // Released by the returned frame's first consuming action.
+    val e = graft.plans.CacheRelease.afterFirstUse(
+      vectors.withColumn("blk",
+        pmod(col("vec_id"), lit(numBlocks.toLong)).cast("int"))
+        .persist())
     val l = e.join(broadcast(grid), col("blk") === col("blo"))
       .select(col("cell"), col("blk").as("lblk"), col("vec_id").as("lid"),
         col("v").as("lv"), col("nrm").as("lnrm"))
@@ -576,8 +582,13 @@ object Similarity {
     def roundVec(xs: Seq[Double]): Seq[Double] =
       spark.range(1).select(transform(typedlit(xs),
         x => round(x, 6)).as("v")).head().getSeq[Double](0)
+    // persisted: the mean pass, each power iteration, and the final
+    // census all scan this frame — unpersisted, that's iters+2 parquet
+    // scans with the float→double widening re-run each time (the q156
+    // discipline); released by the returned frame's first action
     val e = embeddingsAsDouble(spark, sfDir)
       .select(col("vec_id"), col("v").as("x"), col("label"))
+      .persist()
     val m: Seq[Double] = e
       .select(posexplode(col("x")).as(Seq("pos", "xj")))
       .groupBy("pos").agg(round(avg("xj"), 6).as("mu"))
@@ -598,6 +609,8 @@ object Similarity {
       val nrm = math.sqrt(u.foldLeft(0.0)((a, x) => a + x * x))
       vIter = roundVec(u.map(_ / nrm).toSeq)
     }
+    // registered AFTER the iteration collects (they read the cache)
+    graft.plans.CacheRelease.afterFirstUse(e)
     centered.withColumn("p", dot_product(col("c"), typedlit(vIter)))
       .groupBy("label")
       .agg(count(lit(1)).as("n"), round(avg("p"), 4).as("avg_proj"),

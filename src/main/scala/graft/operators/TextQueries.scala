@@ -175,19 +175,75 @@ object TextQueries {
     * [[perplexityBuckets]] — unsorted, so consumers pick their own
     * output order.
     */
+  /** Per-document sorted token RUN-LENGTH sketch: `rs` = (w, c) per
+    * DISTINCT token, built by array_sort + run-start indices entirely
+    * in codegen higher-order functions — ONE tokenize per document,
+    * and strictly fewer rows than the token stream when consumers
+    * explode it. `carry` columns ride along (doc_id, lang, …).
+    *
+    * Each stage lands in its OWN projection so the lambdas reference
+    * ws/st as row ATTRIBUTES (O(1) array access per element) —
+    * spelling the arrays inline inside the lambdas re-evaluates the
+    * whole upstream expression, sort included, once per element:
+    * O(n²·log n) per document (measured: minutes at sf0.1).
+    * CollapseProject leaves multiply-referenced non-cheap aliases
+    * alone, so the staging survives optimization. Run starts come
+    * from transform-over-self (empty arrays stay empty, so
+    * zero-token documents produce zero runs — exactly the rows an
+    * explode+filter tokenization drops); try_element_at because the
+    * LAST run's "next start" probe lands one past the end by
+    * construction — NULL (→ size) is the wanted reading, where ANSI
+    * element_at would throw.
+    */
+  private def withTokenRuns(df: DataFrame,
+      carry: Seq[String]): DataFrame = {
+    val cs = carry.map(col)
+    df.select(cs :+
+        array_sort(filter(tokens(col("text")), w => w =!= ""))
+          .as("ws"): _*)
+      .select(cs ++ Seq(col("ws"),
+        filter(transform(col("ws"), (_, i) => i), i =>
+          (i === lit(0)) ||
+            element_at(col("ws"), i + lit(1)) =!=
+              element_at(col("ws"), i)).as("st")): _*)
+      .select(cs :+
+        transform(col("st"), (s, j) => struct(
+          element_at(col("ws"), s + lit(1)).as("w"),
+          (coalesce(try_element_at(col("st"), j + lit(2)),
+            size(col("ws"))) - s).as("c"))).as("rs"): _*)
+  }
+
   private def docLogProb(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .filter(col("w") =!= "")
-    val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt")).persist()
+    // ONE tokenize pass (r13's "second tokenize" candidate): the
+    // doc-grain run-length sketch persists, and both consumers (the
+    // corpus counts and the scoring join) explode the cache — the
+    // corpus text is split exactly once. The per-doc mean becomes the
+    // c-weighted mean over distinct tokens — the same rational number
+    // the per-instance avg computed, inside the 4 dp quantum's jitter
+    // tolerance either way.
+    val sk = withTokenRuns(
+      Tables.load(spark, sfDir, "documents"), Seq("doc_id"))
+      .persist()
+    val ex = sk.select(col("doc_id"), explode(col("rs")).as("r"))
+      .select(col("doc_id"), col("r.w").as("w"),
+        col("r.c").cast("long").as("c"))
+    val counts = ex.groupBy("w").agg(sum("c").as("cnt")).persist()
     // sum() over an empty corpus is null; default 1 keeps the (empty)
     // result frame constructible instead of NPE-ing here
     val total = Option(counts.agg(sum("cnt")).collect()(0).get(0))
       .fold(1L)(_.asInstanceOf[Long])
-    toks.join(broadcast(counts), Seq("w"))
+    // registered AFTER the total collect (which read the counts
+    // cache): the next consumer of either cache is the returned
+    // frame's own action, which releases both (lazy-return hygiene)
+    graft.plans.CacheRelease.afterFirstUse(sk)
+    graft.plans.CacheRelease.afterFirstUse(counts)
+    ex.join(broadcast(counts), Seq("w"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(col("cnt").cast("double") / lit(total.toDouble))), 4)
+      .agg(sum("c").as("n_tokens"),
+        round(
+          sum(col("c").cast("double") *
+            log(col("cnt").cast("double") / lit(total.toDouble))) /
+            sum(col("c").cast("double")), 4)
           .as("avg_logprob"))
   }
 
@@ -240,6 +296,9 @@ object TextQueries {
       val o = running; running += c; (s, o)
     }.toSeq.toDF("avg_logprob", "off")
     val n = running // total scored docs, a by-product of the scan
+    // the sizes collect above was the last INTERNAL read; the returned
+    // frame's first action releases the cache (lazy-return hygiene)
+    graft.plans.CacheRelease.afterFirstUse(scored)
     val w = Window.partitionBy("avg_logprob").orderBy("doc_id")
     scored.join(broadcast(offsets), Seq("avg_logprob"))
       .withColumn("rnk", col("off") + row_number().over(w))
@@ -504,8 +563,17 @@ object TextQueries {
   def naiveBayesLang(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "lang", "text")
+    // kept UN-cached deliberately (r14 measured both alternatives): a
+    // run-length sketch cache re-read by all four consumers ran 1.71 s
+    // vs 1.46 s (the per-doc array_sort costs more than three saved
+    // tokenizes), and a plain persisted token stream ran the same 1.70
+    // (cache write+read of corpus-token rows beats four cheap codegen
+    // splits). The four tokenize subtrees are the fastest spelling at
+    // this corpus shape; at 100 TB the token totals/vocab/model fold
+    // into stored corpus statistics long before this query runs raw.
     val toks = docs
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
     val nDocsByLang = docs.groupBy("lang").agg(count(lit(1)).as("nd"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -560,6 +628,8 @@ object TextQueries {
       .filter(col("w") =!= "")
       .withColumn("fp", fingerprint(col("w")))
       .groupBy("w", "fp").agg(count(lit(1)).as("cnt")).persist()
+    // lazy-return path: released by the first consuming action
+    graft.plans.CacheRelease.afterFirstUse(counts)
     def bucket(i: Int) =
       pmod((lit(A(i)) * col("fp") + lit(B(i))) % lit(P), lit(width.toLong))
     val rows = A.indices.map { i =>

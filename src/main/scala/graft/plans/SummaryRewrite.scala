@@ -1384,7 +1384,18 @@ object Summaries {
         val cubePath = newGenDir(name, 0, "_files")
         val invert = Seq(FileCol) ++ grain ++ Seq(CntCol) ++
           sums0.map(_._1) ++ sums0.map("__nn_" + _._1)
+        // file-count the sidecar from its OWN row count (a cached-scan
+        // job — the cube is persisted): the aggregate's session-default
+        // partitioning otherwise writes a KB-class sidecar as dozens of
+        // part files, and every delete-compensated read then schedules
+        // a map task per file, each emitting its own grain partials —
+        // measured 1.77× shuffle-byte growth on q191's read. ~2M rows
+        // per file keeps a genuinely large cube parallel.
+        val cubeParts = math.max(1L, math.min(
+          cube.rdd.getNumPartitions.toLong,
+          (cube.count() + 1999999L) / 2000000L)).toInt
         cube.select(invert.map(col): _*)
+          .coalesce(cubeParts)
           .write.mode("overwrite").parquet(cubePath)
         val cBytes =
           try listEntries(Seq(cubePath), raw.sparkSession

@@ -3480,4 +3480,22 @@ class SummaryRewriteSpec extends SparkSpec {
       assert(scanPaths(q()).forall(_.contains("lineitem")))
     } finally Summaries.drop("spec_forgot")
   }
+
+  test("delete compensation scans the summary ONCE and the cube ONCE") {
+    // pins the q191 plan shape (r14 VERDICT #4): the compensated read
+    // is merge(summary, negate(cube rows of the deleted file)) — if
+    // lifecycle hardening ever duplicates either subtree (a second
+    // cube scan, a summary re-read), the compensated read's bytes
+    // silently grow; this catches it structurally
+    OlapQueries.registerDeleteDemo(spark, sf)
+    try {
+      val ps = scanPaths(OlapQueries.deleteCompQuery(spark, sf))
+      assert(ps.nonEmpty && ps.forall(_.contains("graft_summaries")),
+        s"compensated read must never touch the source: $ps")
+      assert(ps.count(_.contains("_files")) == 1,
+        s"expected exactly one cube-sidecar scan: $ps")
+      assert(ps.count(!_.contains("_files")) == 1,
+        s"expected exactly one summary scan: $ps")
+    } finally OlapQueries.dropDeleteDemo(spark, sf)
+  }
 }

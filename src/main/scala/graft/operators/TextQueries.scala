@@ -175,75 +175,32 @@ object TextQueries {
     * [[perplexityBuckets]] — unsorted, so consumers pick their own
     * output order.
     */
-  /** Per-document sorted token RUN-LENGTH sketch: `rs` = (w, c) per
-    * DISTINCT token, built by array_sort + run-start indices entirely
-    * in codegen higher-order functions — ONE tokenize per document,
-    * and strictly fewer rows than the token stream when consumers
-    * explode it. `carry` columns ride along (doc_id, lang, …).
-    *
-    * Each stage lands in its OWN projection so the lambdas reference
-    * ws/st as row ATTRIBUTES (O(1) array access per element) —
-    * spelling the arrays inline inside the lambdas re-evaluates the
-    * whole upstream expression, sort included, once per element:
-    * O(n²·log n) per document (measured: minutes at sf0.1).
-    * CollapseProject leaves multiply-referenced non-cheap aliases
-    * alone, so the staging survives optimization. Run starts come
-    * from transform-over-self (empty arrays stay empty, so
-    * zero-token documents produce zero runs — exactly the rows an
-    * explode+filter tokenization drops); try_element_at because the
-    * LAST run's "next start" probe lands one past the end by
-    * construction — NULL (→ size) is the wanted reading, where ANSI
-    * element_at would throw.
-    */
-  private def withTokenRuns(df: DataFrame,
-      carry: Seq[String]): DataFrame = {
-    val cs = carry.map(col)
-    df.select(cs :+
-        array_sort(filter(tokens(col("text")), w => w =!= ""))
-          .as("ws"): _*)
-      .select(cs ++ Seq(col("ws"),
-        filter(transform(col("ws"), (_, i) => i), i =>
-          (i === lit(0)) ||
-            element_at(col("ws"), i + lit(1)) =!=
-              element_at(col("ws"), i)).as("st")): _*)
-      .select(cs :+
-        transform(col("st"), (s, j) => struct(
-          element_at(col("ws"), s + lit(1)).as("w"),
-          (coalesce(try_element_at(col("st"), j + lit(2)),
-            size(col("ws"))) - s).as("c"))).as("rs"): _*)
-  }
-
   private def docLogProb(spark: SparkSession, sfDir: String): DataFrame = {
-    // ONE tokenize pass (r13's "second tokenize" candidate): the
-    // doc-grain run-length sketch persists, and both consumers (the
-    // corpus counts and the scoring join) explode the cache — the
-    // corpus text is split exactly once. The per-doc mean becomes the
-    // c-weighted mean over distinct tokens — the same rational number
-    // the per-instance avg computed, inside the 4 dp quantum's jitter
-    // tolerance either way.
-    val sk = withTokenRuns(
-      Tables.load(spark, sfDir, "documents"), Seq("doc_id"))
-      .persist()
-    val ex = sk.select(col("doc_id"), explode(col("rs")).as("r"))
-      .select(col("doc_id"), col("r.w").as("w"),
-        col("r.c").cast("long").as("c"))
-    val counts = ex.groupBy("w").agg(sum("c").as("cnt")).persist()
+    // the TWO tokenize passes are kept DELIBERATELY (r14 measured the
+    // VERDICT-suggested single-tokenize alternatives and both LOST):
+    // a persisted per-doc run-length sketch (array_sort + run starts,
+    // exploded by both consumers) benched q64 0.66→1.01 s / q171
+    // 1.23→1.91 s against the driver's r28 baseline — the string sort
+    // plus writing/reading a string-heavy doc-grain cache costs more
+    // than re-splitting the text, which is one codegen'd pass with no
+    // materialization. Same verdict as q126's tokenize-dedup attempts.
+    // At 100 TB the trade may flip; it flips on measurement, not here.
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt")).persist()
     // sum() over an empty corpus is null; default 1 keeps the (empty)
     // result frame constructible instead of NPE-ing here
     val total = Option(counts.agg(sum("cnt")).collect()(0).get(0))
       .fold(1L)(_.asInstanceOf[Long])
-    // registered AFTER the total collect (which read the counts
-    // cache): the next consumer of either cache is the returned
-    // frame's own action, which releases both (lazy-return hygiene)
-    graft.plans.CacheRelease.afterFirstUse(sk)
+    // registered AFTER the total collect (which read the cache): the
+    // next consumer is the returned frame's own scoring action, which
+    // releases it (lazy-return hygiene)
     graft.plans.CacheRelease.afterFirstUse(counts)
-    ex.join(broadcast(counts), Seq("w"))
+    toks.join(broadcast(counts), Seq("w"))
       .groupBy("doc_id")
-      .agg(sum("c").as("n_tokens"),
-        round(
-          sum(col("c").cast("double") *
-            log(col("cnt").cast("double") / lit(total.toDouble))) /
-            sum(col("c").cast("double")), 4)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / lit(total.toDouble))), 4)
           .as("avg_logprob"))
   }
 
